@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Boolean where-clause atoms — the reference's `Predicate`
+  * (`/root/reference/src/main/scala/org/vitrivr/adampro/query/query/QueryObject.scala:29-74`).
+  *
+  * The reference renders predicates to a SQL string by concatenation
+  * (`Predicate.sqlString`, `:55-73` — injection-prone and opaque to the
+  * optimizer across operator boundaries). We build Catalyst `Column`
+  * predicates instead: Catalyst pushes them into the Parquet scan
+  * (`PushedFilters` in explain) and they compose with any plan.
+  *
+  * Semantics preserved: multi-value `=` becomes `IN`, `!=` becomes `NOT IN`,
+  * atoms combine conjunctively (AND), matching `QueryObject.scala:43-52`.
+  */
+object BooleanPredicates {
+
+  final case class Predicate(attribute: String, op: String, values: Seq[Any])
+
+  def toColumn(p: Predicate): Column = {
+    val c = col(p.attribute)
+    p.op.toLowerCase.trim match {
+      case "=" | "==" | "in" =>
+        if (p.values.size == 1) c === lit(p.values.head) else c.isin(p.values: _*)
+      case "!=" | "<>" =>
+        if (p.values.size == 1) c =!= lit(p.values.head) else !c.isin(p.values: _*)
+      case "<"  => c < lit(p.values.head)
+      case "<=" => c <= lit(p.values.head)
+      case ">"  => c > lit(p.values.head)
+      case ">=" => c >= lit(p.values.head)
+      case "like" => c.like(p.values.head.toString)
+      case "isnull" => c.isNull
+      case "isnotnull" => c.isNotNull
+      case other => throw new IllegalArgumentException(s"unsupported predicate op: $other")
+    }
+  }
+
+  /** Conjunction of atoms (the reference ANDs its where-clause list). */
+  def conjunction(ps: Seq[Predicate]): Column =
+    ps.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
+}
