@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Vector distance functions over `array<float>` / `array<double>` columns.
   *
   * Semantics mirror the reference's distance family
-  * (`/root/reference/src/main/scala/org/vitrivr/adampro/query/distance/*.scala`,
+  * (`/root/reference/src/main/scala/org/vitrivr/adampro/query/distance/`,
   * see `DistanceFunction.scala:13-15`), but the implementation is pure
   * Catalyst: built-in higher-order functions (`zip_with`, `aggregate`,
   * `transform`) evaluated inside Tungsten rows — no Scala UDF serialization
@@ -108,10 +108,11 @@ object Distances {
     cosine(ca, cb)
   }
 
-  /** Σ w·[|x−y| > 1e-5] (reference `HammingDistance.scala`). */
+  /** Σ w·[x ≠ y] — exact inequality count, matching the reference
+    * (`HammingDistance.scala:14-22`, `Σ(x≠y)·w`). */
   def hamming(a: Column, b: Column): Column =
     sumArr(zip_with(a, b, (x, y) =>
-      when(abs(x.cast(D) - y.cast(D)) > 1e-5, lit(1.0)).otherwise(lit(0.0))))
+      when(x.cast(D) =!= y.cast(D), lit(1.0)).otherwise(lit(0.0))))
 
   /** 1 − Σmin(x,y)/Σmax(x,y) (reference `JaccardDistance.scala`). */
   def jaccard(a: Column, b: Column): Column =
@@ -133,20 +134,31 @@ object Distances {
     maxArr(d) - minArr(d)
   }
 
-  /** Σ w·(y mod x) (reference `ModuloDistance.scala` — `w * (v2 % v1_q)`). */
+  /** Σ (y mod x) (reference `ModuloDistance.scala` — `w * (v2 % v1_q)`). */
   def modulo(a: Column, b: Column): Column =
     sumArr(zip_with(a, b, (x, y) => y.cast(D) % x.cast(D)))
 
-  /** Great-circle metres between (lat, lng) 2-d vectors, inputs clamped to
-    * valid ranges (reference `HaversineDistance.scala:22-66`). */
+  /** Σ w·(y mod x) — weighted variant (`ModuloDistance.scala:13-15`). */
+  def moduloW(a: Column, b: Column, w: Column): Column =
+    sumArr(zip_with(zip_with(a, b, (x, y) => y.cast(D) % x.cast(D)), w,
+      (m, wi) => wi.cast(D) * m))
+
+  /** Great-circle metres between (lat, lng) 2-d vectors. Latitude is clamped
+    * to [-90, 90]; longitude wraps modulo 360 into [-180, 180) and vectors
+    * with fewer than 2 dims yield +Infinity, matching the reference
+    * (`HaversineDistance.scala:22-66`, `normalizeLng`). */
   def haversine(a: Column, b: Column): Column = {
     val earthR = lit(6371000.0)
     def lat(v: Column) = radians(greatest(lit(-90.0), least(lit(90.0), element_at(v, 1).cast(D))))
-    def lng(v: Column) = radians(greatest(lit(-180.0), least(lit(180.0), element_at(v, 2).cast(D))))
+    def lng(v: Column) = {
+      val wrapped = (element_at(v, 2).cast(D) % 360.0 + 360.0) % 360.0
+      radians(when(wrapped >= 180.0, wrapped - 360.0).otherwise(wrapped))
+    }
     val dPhi = lat(b) - lat(a)
     val dLam = lng(b) - lng(a)
     val h = pow(sin(dPhi / 2), 2) + cos(lat(a)) * cos(lat(b)) * pow(sin(dLam / 2), 2)
-    lit(2.0) * earthR * atan2(sqrt(h), sqrt(lit(1.0) - h))
+    when(size(a) < 2 || size(b) < 2, lit(Double.PositiveInfinity))
+      .otherwise(lit(2.0) * earthR * atan2(sqrt(h), sqrt(lit(1.0) - h)))
   }
 
   /** Name-based dispatch mirroring the reference's RPC distance registry

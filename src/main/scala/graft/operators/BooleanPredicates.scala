@@ -21,16 +21,22 @@ object BooleanPredicates {
 
   def toColumn(p: Predicate): Column = {
     val c = col(p.attribute)
-    p.op.toLowerCase.trim match {
+    val op = p.op.toLowerCase.trim
+    def v: Any = {
+      require(p.values.nonEmpty,
+        s"predicate '$op' on '${p.attribute}' requires at least one value")
+      p.values.head
+    }
+    op match {
       case "=" | "==" | "in" =>
-        if (p.values.size == 1) c === lit(p.values.head) else c.isin(p.values: _*)
+        if (p.values.size == 1) c === lit(v) else c.isin(p.values: _*)
       case "!=" | "<>" =>
-        if (p.values.size == 1) c =!= lit(p.values.head) else !c.isin(p.values: _*)
-      case "<"  => c < lit(p.values.head)
-      case "<=" => c <= lit(p.values.head)
-      case ">"  => c > lit(p.values.head)
-      case ">=" => c >= lit(p.values.head)
-      case "like" => c.like(p.values.head.toString)
+        if (p.values.size == 1) c =!= lit(v) else !c.isin(p.values: _*)
+      case "<"  => c < lit(v)
+      case "<=" => c <= lit(v)
+      case ">"  => c > lit(v)
+      case ">=" => c >= lit(v)
+      case "like" => c.like(v.toString)
       case "isnull" => c.isNull
       case "isnotnull" => c.isNotNull
       case other => throw new IllegalArgumentException(s"unsupported predicate op: $other")

@@ -20,10 +20,12 @@ object Knn {
 
   val DistanceCol = "distance"
 
-  /** Append a distance column and keep the k nearest rows. */
+  /** Append a distance column and keep the k nearest rows. Nulls (malformed
+    * vectors, 0/0 divisions) sort last, matching the reference's convention of
+    * returning a maximal distance for bad input (`HaversineDistance.scala:37`). */
   def knn(df: DataFrame, dist: Column, k: Int, tieBreak: Column): DataFrame =
     df.withColumn(DistanceCol, dist)
-      .orderBy(col(DistanceCol).asc, tieBreak.asc)
+      .orderBy(col(DistanceCol).asc_nulls_last, tieBreak.asc_nulls_last)
       .limit(k)
 
   /** Boolean-prefiltered kNN — the reference's `BooleanFilterScanExpression` →

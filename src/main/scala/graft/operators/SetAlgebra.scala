@@ -37,15 +37,17 @@ object SetAlgebra {
 
   /** Fuzzy union: full-outer join on id, merged distance = min of the two
     * sides (standard t-conorm), missing side defaults to `fuzzyDefault`
-    * (reference `FuzzyUnionExpression`, `:176-238`). */
+    * (reference `FuzzyUnionExpression`, `:176-238`; default 0.0 matches the
+    * reference's `fuzzydefault` option). */
   def fuzzyUnion(left: DataFrame, right: DataFrame, idCol: String,
-                 distCol: String = "distance", fuzzyDefault: Double = 1.0): DataFrame =
+                 distCol: String = "distance", fuzzyDefault: Double = 0.0): DataFrame =
     fuzzyMerge(left, right, idCol, distCol, fuzzyDefault, useMin = true)
 
   /** Fuzzy intersection: same join, merged distance = max (t-norm)
-    * (reference `FuzzyIntersectExpression`, `:289-351`). */
+    * (reference `FuzzyIntersectExpression`, `:289-351`; default 0.0 matches
+    * the reference's `fuzzydefault` option). */
   def fuzzyIntersect(left: DataFrame, right: DataFrame, idCol: String,
-                     distCol: String = "distance", fuzzyDefault: Double = 1.0): DataFrame =
+                     distCol: String = "distance", fuzzyDefault: Double = 0.0): DataFrame =
     fuzzyMerge(left, right, idCol, distCol, fuzzyDefault, useMin = false)
 
   private def fuzzyMerge(left: DataFrame, right: DataFrame, idCol: String,
