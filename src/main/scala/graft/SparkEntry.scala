@@ -1,13 +1,478 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Distances
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the LLM-pipeline battery), each with a DuckDB-oracle
+  * SQL equivalent where SQL-expressible.
+  *
+  * Conventions keeping the Spark result and the DuckDB oracle
+  * hash-comparable:
+  *  - every floating-point output column is `round(_, 4..6)` in BOTH
+  *    engines (absorbs summation-order ulp drift);
+  *  - every query has a deterministic total ORDER BY (unrounded sort
+  *    keys, then ids);
+  *  - aggregate / computed columns carry identical aliases on both sides;
+  *  - timestamps are formatted to strings on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: exact Manhattan kNN, k=100. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    knnQuery(Distances.manhattan, 100)(spark, "/root/testdata/sf0.001")
+
+  // ---- shared helpers -----------------------------------------------------
+
+  /** The canonical query vector: embedding of vec_id 0 from the same sf
+    * directory, broadcast as a 1-row frame so the whole query stays one
+    * distributed plan (no driver collect). */
+  private def withQueryVec(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb.crossJoin(broadcast(
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))))
+  }
+
+  private def knnQuery(dist: (Column, Column) => Column, k: Int,
+                       roundTo: Int = 4)(spark: SparkSession, dir: String): DataFrame =
+    Knn.knn(withQueryVec(spark, dir), dist(col("embedding"), col("qv")), k, col("vec_id"))
+      .select(col("vec_id"), round(col(Knn.DistanceCol), roundTo).as("distance"))
+
+  /** DuckDB-side elementwise fold over the 64-dim embedding vs query. */
+  private def duckSum(expr: String): String =
+    s"list_sum(list_transform(generate_series(1,64), i -> $expr))"
+  private val dx = "CAST(e.embedding[i] AS DOUBLE)"
+  private val dq = "CAST(q.qv[i] AS DOUBLE)"
+  private def duckKnn(distExpr: String, k: Int, where: String = "",
+                      roundTo: Int = 4): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(d, $roundTo) AS distance FROM (
+       |  SELECT e.vec_id, $distExpr AS d FROM embeddings e, q $where
+       |) ORDER BY d, vec_id LIMIT $k""".stripMargin
+
+  private val duckDot = duckSum(s"$dx * $dq")
+  private val duckNormE = s"sqrt(${duckSum(s"$dx * $dx")})"
+  private val duckNormQ = s"sqrt(${duckSum(s"$dq * $dq")})"
+
+  // ---- the battery --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational operators (SURVEY §2.1, §2.2, §2.5) ---
+    "q1_agg" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "projection_filter" -> ((s, d) => Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    "count_lineitem" -> ((s, d) => Projections.countRows(Tables.lineitem(s, d))),
+
+    "exists_highvalue" -> ((s, d) => Projections.existsRows(
+      Tables.orders(s, d).filter(col("o_totalprice") > 400000))),
+
+    "distinct_flags" -> ((s, d) => Projections.distinctRows(
+      Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "predicate_in_lt" -> ((s, d) => Tables.lineitem(s, d)
+      .filter(BooleanPredicates.conjunction(Seq(
+        BooleanPredicates.Predicate("l_returnflag", "in", Seq("A", "N")),
+        BooleanPredicates.Predicate("l_quantity", "<", Seq(5.0)))))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    "predicate_like" -> ((s, d) => Tables.orders(s, d)
+      .filter(BooleanPredicates.toColumn(
+        BooleanPredicates.Predicate("o_orderpriority", "like", Seq("1%"))))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")),
+
+    "predicate_daterange" -> ((s, d) => Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      .orderBy("o_orderkey")),
+
+    "topk_orders" -> ((s, d) => Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+
+    "events_hourly" -> ((s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "hour")),
+
+    // --- set algebra (SURVEY §2.4) ---
+    "set_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      SetAlgebra.union(
+        o.filter(col("o_totalprice") > 450000).select(col("o_orderkey").as("id")),
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey").as("id")),
+        "id").orderBy("id")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      SetAlgebra.intersect(
+        o.filter(col("o_totalprice") > 450000).select(col("o_orderkey").as("id")),
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey").as("id")),
+        "id").orderBy("id")
+    }),
+
+    "set_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      SetAlgebra.except(
+        o.filter(col("o_totalprice") > 450000).select(col("o_orderkey").as("id")),
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey").as("id")),
+        "id").orderBy("id")
+    }),
+
+    "fuzzy_union" -> ((s, d) => fuzzyInputs(s, d) match {
+      case (l, r) => SetAlgebra.fuzzyUnion(l, r, "id")
+        .select(col("id"), round(col("distance"), 6).as("distance")).orderBy("id")
+    }),
+
+    "fuzzy_intersect" -> ((s, d) => fuzzyInputs(s, d) match {
+      case (l, r) => SetAlgebra.fuzzyIntersect(l, r, "id")
+        .select(col("id"), round(col("distance"), 6).as("distance")).orderBy("id")
+    }),
+
+    "vote_topk" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      SetAlgebra.vote(Seq(
+        o.filter(col("o_totalprice") > 450000).select(col("o_orderkey").as("id")),
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey").as("id")),
+        o.filter(col("o_orderstatus") === "F").select(col("o_orderkey").as("id"))),
+        "id", 500)
+        .select(col("id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // --- sequential kNN, 12 distances (SURVEY §2.1, §2.7) ---
+    "knn_manhattan" -> knnQuery(Distances.manhattan, 100),
+    "knn_euclidean" -> knnQuery(Distances.euclidean, 100),
+    "knn_sqeuclidean" -> knnQuery(Distances.sqEuclidean, 100),
+    "knn_chebyshev" -> knnQuery(Distances.chebyshev, 100),
+    "knn_cosine" -> knnQuery(Distances.cosine, 100, roundTo = 6),
+    "knn_minkowski3" -> knnQuery(Distances.minkowski(_, _, 3.0), 100),
+    "knn_hamming" -> knnQuery(Distances.hamming, 100),
+    "knn_spannorm" -> knnQuery(Distances.spanNorm, 100),
+    "knn_correlation" -> knnQuery(Distances.correlation, 100, roundTo = 6),
+    "knn_chisquared" -> knnQuery((a, b) =>
+      Distances.chiSquared(posify(a), posify(b)), 100),
+    "knn_kl" -> knnQuery((a, b) =>
+      Distances.kullbackLeibler(posify(a), posify(b)), 100),
+    "knn_jaccard" -> knnQuery((a, b) =>
+      Distances.jaccard(posify(a), posify(b)), 100, roundTo = 6),
+
+    // --- Boolean-filtered kNN + candidate rerank (SURVEY §2.1, §2.3) ---
+    "knn_filtered" -> ((s, d) =>
+      Knn.knnFiltered(withQueryVec(s, d), col("label") < 5,
+        Distances.manhattan(col("embedding"), col("qv")), 50, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))),
+
+    "knn_rerank_half" -> ((s, d) => {
+      val base = withQueryVec(s, d)
+      Knn.rerank(base, base.filter(col("vec_id") % 2 === 0), "vec_id",
+        Distances.manhattan(col("embedding"), col("qv")), 50)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
+    // --- ANN batch search + embedding near-dup (LLM pipeline) ---
+    "ann_batch_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") <= 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "vec_id", "qid", "embedding", "qv", Distances.euclidean, 10)
+        .select(col("qid"), col("vec_id"),
+          round(col("distance"), 4).as("distance"), col("rank").as("rnk"))
+        .orderBy("qid", "rnk")
+    }),
+
+    "cosine_neardup" -> ((s, d) =>
+      Ann.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // --- dedup + text analysis (LLM pipeline) ---
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("content_hash")),
+
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.dropExactDups(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")),
+
+    "minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 3)
+        .orderBy("id_a", "id_b")),
+
+    "text_stats" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("token_cnt"),
+        round(TextAnalysis.avgWordLen(col("text")), 4).as("avg_word_len"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+      .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")),
+
+    "lang_id" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")),
+  )
+
+  private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
+
+  private def fuzzyInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val l = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("id"),
+        (col("o_totalprice") / 1000000.0).as("distance"))
+    val r = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("id"))
+      .agg((sum("l_quantity") / 100.0).as("distance"))
+      .filter(col("distance") > 1.0)
+    (l, r)
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val duckPos = "abs(CAST(e.embedding[i] AS DOUBLE)) + 1.0"
+  private val duckPosQ = "abs(CAST(q.qv[i] AS DOUBLE)) + 1.0"
+  private val duckToks =
+    "string_split_regex(lower(trim(text)), '\\s+')"
+  private val duckNorm =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val duckShingles =
+    s"""list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       | ELSE list_transform(generate_series(1, len(toks)-2),
+       |   i -> array_to_string(toks[i:i+2], ' ')) END)""".stripMargin
+  private val duckStops =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base, round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "projection_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "count_lineitem" -> "SELECT count(*) AS n FROM lineitem",
+
+    "exists_highvalue" ->
+      """SELECT count(*) > 0 AS "exists" FROM
+        | (SELECT 1 FROM orders WHERE o_totalprice > 400000 LIMIT 1)""".stripMargin,
+
+    "distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "predicate_in_lt" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |WHERE l_returnflag IN ('A','N') AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "predicate_like" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |WHERE o_orderpriority LIKE '1%'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "predicate_daterange" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type, hour ORDER BY event_type, hour""".stripMargin,
+
+    "set_union" ->
+      """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
+        | SELECT o_orderkey AS id FROM orders WHERE o_totalprice > 450000
+        | UNION ALL
+        | SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) ORDER BY id""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
+        | SELECT o_orderkey AS id FROM orders WHERE o_totalprice > 450000
+        | INTERSECT
+        | SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) ORDER BY id""".stripMargin,
+
+    "set_except" ->
+      """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
+        | SELECT o_orderkey AS id FROM orders WHERE o_totalprice > 450000
+        | EXCEPT
+        | SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) ORDER BY id""".stripMargin,
+
+    "fuzzy_union" -> fuzzyOracle("least"),
+    "fuzzy_intersect" -> fuzzyOracle("greatest"),
+
+    "vote_topk" ->
+      """SELECT id, round(1.0 - count(*) / 3.0, 6) AS distance FROM (
+        | SELECT o_orderkey AS id FROM orders WHERE o_totalprice > 450000
+        | UNION ALL SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY id ORDER BY 1.0 - count(*) / 3.0, id LIMIT 500""".stripMargin,
+
+    "knn_manhattan" -> duckKnn(duckSum(s"abs($dx - $dq)"), 100),
+    "knn_euclidean" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "knn_sqeuclidean" -> duckKnn(duckSum(s"($dx - $dq)*($dx - $dq)"), 100),
+    "knn_chebyshev" -> duckKnn(
+      s"list_aggregate(list_transform(generate_series(1,64), i -> abs($dx - $dq)), 'max')", 100),
+    "knn_cosine" -> duckKnn(
+      s"""CASE WHEN $duckNormE < 1e-5 OR $duckNormQ < 1e-5 THEN 0.0
+         | ELSE 1.0 - ($duckDot) / ($duckNormE * $duckNormQ) END""".stripMargin,
+      100, roundTo = 6),
+    "knn_minkowski3" -> duckKnn(
+      s"power(${duckSum(s"power(abs($dx - $dq), 3.0)")}, 1.0/3.0)", 100),
+    "knn_hamming" -> duckKnn(
+      duckSum(s"CASE WHEN $dx != $dq THEN 1.0 ELSE 0.0 END"), 100),
+    "knn_spannorm" -> duckKnn(
+      s"""list_aggregate(list_transform(generate_series(1,64), i -> $dx - $dq), 'max')
+         | - list_aggregate(list_transform(generate_series(1,64), i -> $dx - $dq), 'min')""".stripMargin,
+      100),
+    "knn_correlation" -> {
+      val meanE = s"(${duckSum(dx)} / 64.0)"
+      val meanQ = s"(${duckSum(dq)} / 64.0)"
+      val cDot = duckSum(s"($dx - $meanE) * ($dq - $meanQ)")
+      val cNormE = s"sqrt(${duckSum(s"($dx - $meanE) * ($dx - $meanE)")})"
+      val cNormQ = s"sqrt(${duckSum(s"($dq - $meanQ) * ($dq - $meanQ)")})"
+      duckKnn(
+        s"""CASE WHEN $cNormE < 1e-5 OR $cNormQ < 1e-5 THEN 0.0
+           | ELSE 1.0 - ($cDot) / ($cNormE * $cNormQ) END""".stripMargin,
+        100, roundTo = 6)
+    },
+    "knn_chisquared" -> duckKnn(duckSum(
+      s"""CASE WHEN ($duckPos) + ($duckPosQ) > 0
+         | THEN (($duckPos) - ($duckPosQ)) * (($duckPos) - ($duckPosQ)) / (($duckPos) + ($duckPosQ))
+         | ELSE 0.0 END""".stripMargin), 100),
+    "knn_kl" -> duckKnn(duckSum(
+      s"""CASE WHEN abs($duckPos) < 1e-5 OR abs($duckPosQ) < 1e-5 THEN 0.0
+         | ELSE ($duckPos) * ln(($duckPos) / ($duckPosQ)) END""".stripMargin), 100),
+    "knn_jaccard" -> duckKnn(
+      s"""1.0 - ${duckSum(s"least($duckPos, $duckPosQ)")}
+         | / ${duckSum(s"greatest($duckPos, $duckPosQ)")}""".stripMargin,
+      100, roundTo = 6),
+
+    "knn_filtered" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50, where = "WHERE e.label < 5"),
+    "knn_rerank_half" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,
+      where = "WHERE e.vec_id % 2 = 0"),
+
+    "ann_batch_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 4)
+         |SELECT qid, vec_id, round(d, 4) AS distance, rnk FROM (
+         |  SELECT qid, vec_id, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |  FROM (SELECT q.qid, e.vec_id,
+         |          sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")}) AS d
+         |        FROM embeddings e, q)
+         |) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "cosine_neardup" ->
+      """SELECT id_a, id_b, round(cs, 4) AS cos_sim FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CASE WHEN sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) < 1e-5
+        |        OR sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))) < 1e-5 THEN 0.0
+        |   ELSE list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))) END AS cs
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+        |) WHERE cs >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_exact_groups" ->
+      s"""SELECT md5($duckNorm) AS content_hash, count(*) AS cnt, min(doc_id) AS keep_id
+         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""SELECT doc_id FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5($duckNorm) ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "minhash_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh)) * 1.0
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         | FROM d a, d b WHERE a.doc_id < b.doc_id
+         |) WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id, len(toks) AS token_cnt,
+         | round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks), 4) AS avg_word_len,
+         | round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS punct_ratio,
+         | round(CAST(len(list_filter(toks, t -> list_contains($duckStops, t))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+         |FROM (SELECT doc_id, text, $duckToks AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, round((
+         |  least(length(text) / 200.0, 1.0)
+         |  + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
+         |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
+         | ) / 3.0, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($duckToks, t -> list_contains(${markers.map(w => s"'$w'").mkString("[", ",", "]")}, t)))"
+      val ss = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+        .map { case (l, m) => l -> score(m) }
+      val maxExpr = s"greatest(${ss.map(_._2).mkString(", ")})"
+      val cases = ss.map { case (l, sc) => s"WHEN $sc = $maxExpr THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id, CASE WHEN $maxExpr = 0 THEN 'und' $cases END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+  )
+
+  private def fuzzyOracle(mergeFn: String): String =
+    s"""WITH l AS (SELECT o_orderkey AS id, o_totalprice / 1000000.0 AS d
+       |           FROM orders WHERE o_orderstatus = 'F'),
+       |     r AS (SELECT l_orderkey AS id, sum(l_quantity) / 100.0 AS d
+       |           FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) / 100.0 > 1.0)
+       |SELECT COALESCE(l.id, r.id) AS id,
+       |  round($mergeFn(COALESCE(l.d, 0.0), COALESCE(r.d, 0.0)), 6) AS distance
+       |FROM l FULL JOIN r ON l.id = r.id ORDER BY id""".stripMargin
 }
