@@ -35,24 +35,27 @@ object Distances {
   private def minArr(arr: Column): Column =
     array_min(arr)
 
-  /** Σ w·|x−y|  (reference `NormBasedDistance.scala` ManhattanDistance). */
+  /** Σ w·|x−y|  (reference `NormBasedDistance.scala` ManhattanDistance).
+    * Hot kernels (this + euclidean/sqEuclidean/chebyshev/dot/cosine/
+    * hamming/spanNorm) dispatch to the codegen'd [[VectorDistanceExpr]];
+    * the long tail and all weighted variants stay as higher-order
+    * functions. */
   def manhattan(a: Column, b: Column): Column =
-    sumArr(zip_with(a, b, (x, y) => abs(x.cast(D) - y.cast(D))))
+    VectorKernel(VectorKernel.Manhattan, a, b)
 
   def manhattanW(a: Column, b: Column, w: Column): Column =
     sumArr(zip_with(zipDiff(a, b), w, (d, wi) => wi.cast(D) * abs(d)))
 
   /** Σ w·(x−y)² — squared Euclidean (no sqrt). */
   def sqEuclidean(a: Column, b: Column): Column =
-    sumArr(zip_with(a, b, (x, y) => {
-      val d = x.cast(D) - y.cast(D); d * d
-    }))
+    VectorKernel(VectorKernel.SqEuclidean, a, b)
 
   def sqEuclideanW(a: Column, b: Column, w: Column): Column =
     sumArr(zip_with(zipDiff(a, b), w, (d, wi) => wi.cast(D) * d * d))
 
   /** √Σ w·(x−y)². */
-  def euclidean(a: Column, b: Column): Column = sqrt(sqEuclidean(a, b))
+  def euclidean(a: Column, b: Column): Column =
+    VectorKernel(VectorKernel.Euclidean, a, b)
 
   def euclideanW(a: Column, b: Column, w: Column): Column = sqrt(sqEuclideanW(a, b, w))
 
@@ -65,31 +68,24 @@ object Distances {
 
   /** max |w·(x−y)| (Chebyshev / p=∞). */
   def chebyshev(a: Column, b: Column): Column =
-    maxArr(zip_with(a, b, (x, y) => abs(x.cast(D) - y.cast(D))))
+    VectorKernel(VectorKernel.Chebyshev, a, b)
 
   def chebyshevW(a: Column, b: Column, w: Column): Column =
     maxArr(zip_with(zipDiff(a, b), w, (d, wi) => abs(wi.cast(D) * d)))
 
   /** x·y. */
   def dot(a: Column, b: Column): Column =
-    sumArr(zip_with(a, b, (x, y) => x.cast(D) * y.cast(D)))
+    VectorKernel(VectorKernel.Dot, a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** 1 − x·y/(‖x‖‖y‖); 0 when either norm ~0 (reference `CosineDistance.scala`). */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm2(a)
-    val nb = norm2(b)
-    when(na < 1e-5 || nb < 1e-5, lit(0.0))
-      .otherwise(lit(1.0) - dot(a, b) / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    VectorKernel(VectorKernel.CosineDist, a, b)
 
   /** Cosine similarity (not distance) — handy for ANN / dedup thresholds. */
-  def cosineSim(a: Column, b: Column): Column = {
-    val na = norm2(a)
-    val nb = norm2(b)
-    when(na < 1e-5 || nb < 1e-5, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+  def cosineSim(a: Column, b: Column): Column =
+    VectorKernel(VectorKernel.CosineSim, a, b)
 
   /** Σ w·(x−y)²/(x+y), 0-guarded (reference `ChiSquaredDistance.scala`). */
   def chiSquared(a: Column, b: Column): Column =
@@ -111,8 +107,7 @@ object Distances {
   /** Σ w·[x ≠ y] — exact inequality count, matching the reference
     * (`HammingDistance.scala:14-22`, `Σ(x≠y)·w`). */
   def hamming(a: Column, b: Column): Column =
-    sumArr(zip_with(a, b, (x, y) =>
-      when(x.cast(D) =!= y.cast(D), lit(1.0)).otherwise(lit(0.0))))
+    VectorKernel(VectorKernel.Hamming, a, b)
 
   /** 1 − Σmin(x,y)/Σmax(x,y) (reference `JaccardDistance.scala`). */
   def jaccard(a: Column, b: Column): Column =
@@ -129,10 +124,8 @@ object Distances {
     }))
 
   /** max(x−y) − min(x−y) (reference `SpanNormDistance.scala`). */
-  def spanNorm(a: Column, b: Column): Column = {
-    val d = zipDiff(a, b)
-    maxArr(d) - minArr(d)
-  }
+  def spanNorm(a: Column, b: Column): Column =
+    VectorKernel(VectorKernel.SpanNorm, a, b)
 
   /** Σ (y mod x) (reference `ModuloDistance.scala` — `w * (v2 % v1_q)`). */
   def modulo(a: Column, b: Column): Column =

@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd signature kernels for dedup: MinHash and SimHash over a
+  * pre-hashed token array (`array<long>`, one `xxhash64` per token done
+  * upstream in a single cheap `transform`).
+  *
+  * Why a custom expression: the pure-HOF formulation re-evaluates the
+  * shared shingle/base-hash subtree once per derived hash (interpreted
+  * higher-order functions get no common-subexpression elimination), which
+  * measured ~90 s for 500 docs. Here the whole signature is one primitive
+  * loop per row: O(tokens · numHashes) long arithmetic, no allocation
+  * besides the output array.
+  */
+object HashSig {
+  private val P = 2147483647L // 2^31 - 1
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Affine-family coefficients (a_s, b_s), deterministic. */
+  def coeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val as = Array.tabulate(numHashes)(s => java.lang.Math.floorMod(mix64(2L * s), P - 1) + 1)
+    val bs = Array.tabulate(numHashes)(s => java.lang.Math.floorMod(mix64(2L * s + 1), P))
+    (as, bs)
+  }
+
+  /** MinHash signature of the word-`n`-gram shingle multiset implied by
+    * the token-hash array. Shingle hash = polynomial combine of `n`
+    * consecutive token hashes (min over a multiset equals min over the
+    * set, so no dedup pass is needed). */
+  def minhash(tokenHashes: Column, n: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(tokenHashes), n, numHashes, 0))
+
+  /** LSH band keys derived from the MinHash signature, computed in the
+    * same kernel pass. Computing bands OUTSIDE the kernel (slicing a sig
+    * column) re-inlines the signature expression into every band under
+    * `CollapseProject` — a numBands× recompute measured at ~20 s for 500
+    * docs. Output: `array<long>` of length numBands, ready for
+    * `posexplode`. */
+  def minhashBands(tokenHashes: Column, n: Int, numHashes: Int, numBands: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(tokenHashes), n, numHashes, numBands))
+
+  /** 64-bit SimHash of the token-hash bag. */
+  def simhash(tokenHashes: Column): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(tokenHashes)))
+
+  /** Distinct word-`n`-gram shingle hashes (the set MinHash approximates) —
+    * the compact representation for exact Jaccard verification. */
+  def shingleHashes(tokenHashes: Column, n: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(tokenHashes), n))
+}
+
+trait TokenHashInput { self: UnaryExpression =>
+  def checkTokenInput(child: Expression, name: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<bigint> token hashes, got ${other.sql}")
+    }
+}
+
+/** MinHash signature kernel; with `numBands > 0` the output is the
+  * per-band LSH keys instead of the raw signature. */
+case class MinHashSigExpr(child: Expression, n: Int, numHashes: Int, numBands: Int)
+  extends UnaryExpression with TokenHashInput {
+
+  require(n >= 1 && numHashes >= 1)
+  require(numBands == 0 || numHashes % numBands == 0,
+    s"numBands=$numBands must divide numHashes=$numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = checkTokenInput(child, "minhash_sig")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = if (numBands > 0) "minhash_bands" else "minhash_sig"
+
+  @transient private lazy val (as, bs) = HashSig.coeffs(numHashes)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val out = MinHashSigExpr.compute(th.toLongArray(), n, numHashes, numBands, as, bs)
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""long[] out = graft.functions.MinHashSigExpr.compute(
+         |  $c.toLongArray(), $n, $numHashes, $numBands, $aRef, $bRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  private val P = 2147483647L
+  private val C = 1000003L
+
+  private def mixFinal(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(tokenHashes: Array[Long], n: Int, numHashes: Int, numBands: Int,
+              as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val nt = tokenHashes.length
+    val nsh = if (nt <= n) 1 else nt - n + 1
+    val win = math.min(n, nt)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < nsh) {
+      // polynomial combine of the window, folded into [0, P)
+      var h = 1125899906842597L
+      var j = 0
+      while (j < win) {
+        h = h * C + tokenHashes(i + j)
+        j += 1
+      }
+      val hp = java.lang.Math.floorMod(h, P)
+      var s = 0
+      while (s < numHashes) {
+        val v = java.lang.Math.floorMod(as(s) * hp + bs(s), P)
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    if (numBands == 0) sig
+    else {
+      val rpb = numHashes / numBands
+      val keys = new Array[Long](numBands)
+      var b = 0
+      while (b < numBands) {
+        var k = 1125899906842597L
+        var j = 0
+        while (j < rpb) {
+          k = k * C + sig(b * rpb + j)
+          j += 1
+        }
+        keys(b) = mixFinal(k)
+        b += 1
+      }
+      keys
+    }
+  }
+}
+
+/** Distinct polynomial window hashes of `n` consecutive token hashes —
+  * same combine as [[MinHashSigExpr]], deduplicated, insertion order. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression with TokenHashInput {
+
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = checkTokenInput(child, "shingle_hashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleHashesExpr.compute(input.asInstanceOf[ArrayData].toLongArray(), n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleHashesExpr.compute($c.toLongArray(), $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+  private val C = 1000003L
+
+  def compute(tokenHashes: Array[Long], n: Int): Array[Long] = {
+    val nt = tokenHashes.length
+    val nsh = if (nt <= n) 1 else nt - n + 1
+    val win = math.min(n, nt)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nsh * 2)
+    var i = 0
+    while (i < nsh) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < win) {
+        h = h * C + tokenHashes(i + j)
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}
+
+case class SimHashExpr(child: Expression)
+  extends UnaryExpression with TokenHashInput {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkTokenInput(child, "simhash")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashExpr.compute(input.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashExpr.compute($c.toLongArray());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashExpr {
+  def compute(tokenHashes: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokenHashes.length) {
+      val h = tokenHashes(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

@@ -39,10 +39,16 @@ object Ann {
     * the in-bucket verifier of the LSH variant below). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // Norms are computed once per row BEFORE the join (n·d work), so the
+    // O(n²) pair loop only pays a single fused dot product per pair.
+    val withNorm = df.select(col(idCol), col(vecCol),
+      Distances.norm2(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", Distances.cosineSim(col("v_a"), col("v_b")))
+      .withColumn("cos_sim",
+        when(col("n_a") < 1e-5 || col("n_b") < 1e-5, lit(0.0))
+          .otherwise(Distances.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }

@@ -44,24 +44,20 @@ object Dedup {
           i => array_join(slice(ts, i + 1, lit(n)), " "))))
   }
 
-  /** MinHash signature: element s = min over shingles of
-    * `xxhash64(shingle ++ saltₛ)`. Pure column expressions; one pass. */
-  def minhashSignature(text: Column, numHashes: Int, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    array((0 until numHashes).map { s =>
-      array_min(transform(sh, x => xxhash64(concat(x, lit(s.toString)))))
-    }: _*)
-  }
+  /** One `xxhash64` per token — the only string hashing in the dedup
+    * signature path; everything downstream is long arithmetic inside the
+    * codegen'd [[graft.functions.MinHashSigExpr]]/[[graft.functions.SimHashExpr]]. */
+  def tokenHashes(text: Column): Column =
+    transform(split(normalize(text), " "), t => xxhash64(t))
 
-  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.
-    * Docs sharing ≥1 band key are candidate near-dups. */
-  def bandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
-    array((0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(signature, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
-          .as("key"))
-    }: _*)
+  /** MinHash signature via the codegen kernel: shingle hash = polynomial
+    * combine of `n` consecutive token hashes, signature element s =
+    * `min((a_s·h + b_s) mod 2^31-1)`. The earlier pure-HOF formulation
+    * re-evaluated the shingle subtree per derived hash (no CSE on
+    * interpreted lambdas) and measured ~90 s for 500 docs; this is one
+    * primitive loop per row. */
+  def minhashSignature(text: Column, numHashes: Int, n: Int = 3): Column =
+    graft.functions.HashSig.minhash(tokenHashes(text), n, numHashes)
 
   /** Exact Jaccard similarity of the two docs' shingle sets. */
   def jaccardSim(a: Column, b: Column, n: Int = 3): Column = {
@@ -83,41 +79,33 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           threshold: Double, numHashes: Int = 96,
                           numBands: Int = 24, n: Int = 3): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), numHashes, n))
-      .withColumn("bk", explode(bandKeys(col("sig"), numBands, rowsPerBand)))
-      .select(col("id"), col("text"), col("bk.band"), col("bk.key"))
-    val a = sig.select(col("band"), col("key"), col("id").as("id_a"), col("text").as("text_a"))
-    val b = sig.select(col("band"), col("key"), col("id").as("id_b"), col("text").as("text_b"))
-    a.join(b, Seq("band", "key"))
+    // Candidate generation carries only (band, key, id) through the
+    // shuffle; shingle sets are re-joined by id afterwards, so the heavy
+    // arrays never ride the band explosion (24× per doc).
+    val banded = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.HashSig.minhashBands(
+        tokenHashes(col(textCol)), n, numHashes, numBands)).as(Seq("band", "key")))
+    val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b").distinct()
-      .withColumn("jaccard", jaccardSim(col("text_a"), col("text_b"), n))
+      .select("id_a", "id_b").distinct()
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), n).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        inter / (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash over the token bag: bit i of the fingerprint is the
-    * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). The Scala
-    * `shiftright` wrapper only takes an Int amount, so the column-amount
-    * shifts go through `call_function` to the SQL builtin. */
-  def simhash(text: Column): Column = {
-    val ts = split(normalize(text), " ")
-    def shr(x: Column, i: Column): Column = call_function("shiftright", x, i)
-    def shl(x: Column, i: Column): Column = call_function("shiftleft", x, i)
-    val bitVotes = aggregate(ts,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(shr(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(bitVotes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, shl(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+    * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Codegen'd
+    * kernel over the per-token hashes. */
+  def simhash(text: Column): Column =
+    graft.functions.HashSig.simhash(tokenHashes(text))
 
   /** SimHash near-dup candidate pairs: band the 64-bit fingerprint into
     * four 16-bit chunks (Hamming ≤ 3 ⇒ at least one chunk identical),
