@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, TextAnalysis}
+
+/** LLM-pipeline operators: dedup (exact, MinHash, SimHash), text
+  * analysis, and ANN search on synthetic corpora. */
+class DedupTextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "  The  Quick Brown Fox jumps over the lazy dog again and again ") // dup after normalize
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized content") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    g.length shouldBe 3
+    val big = g.filter(_.getLong(1) == 3L)
+    big.length shouldBe 1
+    big.head.getLong(2) shouldBe 0L // survivor = min id of {0,1,4}
+  }
+
+  test("dropExactDups keeps one row per content") {
+    Dedup.dropExactDups(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L, 3L)
+  }
+
+  test("minhash LSH finds near-dup pairs and none across unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // {0,1,4} mutual exact dups + each near-dup with 2
+    pairs should contain allOf ((0L, 1L), (0L, 4L), (1L, 4L))
+    pairs should contain((0L, 2L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("minhash jaccard of exact dups is 1.0") {
+    val j = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.4)
+      .filter($"id_a" === 0L && $"id_b" === 1L).head().getDouble(2)
+    j shouldBe 1.0
+  }
+
+  test("simhash of identical docs equal; near dups within hamming 3") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.find(p => p._1 == 0L && p._2 == 1L).get._3 shouldBe 0
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("token count and avg word length") {
+    val r = docs.filter($"doc_id" === 3L)
+      .select(TextAnalysis.tokenCount($"text"),
+        TextAnalysis.avgWordLen($"text")).head()
+    r.getInt(0) shouldBe 9
+    r.getDouble(1) shouldBe (("completelydifferentcontentaboutsparkqueryenginesatscale".length) / 9.0 +- 1e-9)
+  }
+
+  test("language id picks marker-matching language, und when none") {
+    val d = Seq((1L, "the cat and the dog of the house"),
+      (2L, "el perro de la casa y la playa"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextAnalysis.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(1L) shouldBe "en"
+    got(2L) shouldBe "es"
+    got(3L) shouldBe "und"
+  }
+
+  test("quality score is in [0,1] and rewards stopword-rich prose") {
+    val d = Seq((1L, "the cat and the dog of the house went to the market in town"),
+      (2L, ";;;;; !!!! ::::")).toDF("doc_id", "text")
+    val scores = d.select($"doc_id", TextAnalysis.qualityScore($"text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    scores(1L) should be > scores(2L)
+    all(scores.values) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("rolling fingerprint is order-sensitive, stable under case/space") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "  ALPHA   beta GAMMA ")).toDF("doc_id", "text")
+    val fp = d.select($"doc_id", TextAnalysis.rollingFingerprint($"text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp(1L) should not be fp(2L)
+    fp(1L) shouldBe fp(3L)
+  }
+
+  private val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).map { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK rank 1 is the query itself at distance 0") {
+    val queries = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val top = Ann.bruteForceTopK(vecs, queries, "vec_id", "qid", "embedding", "qv",
+      graft.functions.Distances.euclidean, 5)
+    top.count() shouldBe 15
+    val self = top.filter($"rank" === 1).collect()
+    self.foreach { r =>
+      r.getAs[Long]("qid") shouldBe r.getAs[Long]("vec_id")
+      r.getAs[Double]("distance") shouldBe 0.0
+    }
+  }
+
+  test("lsh cosine near-dup finds planted duplicates") {
+    val planted = vecs.union(
+      vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
+    val exact = Ann.cosineNearDupPairs(planted, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should contain((0L, 100L))
+    val lsh = Ann.lshCosineNearDupPairs(planted, "vec_id", "embedding", 0.99, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh should contain((0L, 100L))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Unit values for every distance function, weighted and unweighted —
+  * the reference's `DistanceTestSuite.scala:23-299` pattern. Vectors
+  * a=(1,2,3), b=(4,6,3), w=(2,0.5,1). */
+class DistanceSpec extends SparkSpec {
+
+  private val va = Seq(1.0, 2.0, 3.0)
+  private val vb = Seq(4.0, 6.0, 3.0)
+  private val vw = Seq(2.0, 0.5, 1.0)
+
+  private def eval(c: Column): Double = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("d")).head().getDouble(0)
+  }
+  private def ac = Distances.vecLit(va)
+  private def bc = Distances.vecLit(vb)
+  private def wc = Distances.vecLit(vw)
+
+  private def closeTo(got: Double, exp: Double): Unit =
+    math.abs(got - exp) should be < Epsilon
+
+  test("manhattan")    { closeTo(eval(Distances.manhattan(ac, bc)), 7.0) }
+  test("manhattanW")   { closeTo(eval(Distances.manhattanW(ac, bc, wc)), 2 * 3 + 0.5 * 4 + 0.0) }
+  test("sqEuclidean")  { closeTo(eval(Distances.sqEuclidean(ac, bc)), 25.0) }
+  test("sqEuclideanW") { closeTo(eval(Distances.sqEuclideanW(ac, bc, wc)), 2 * 9 + 0.5 * 16 + 0.0) }
+  test("euclidean")    { closeTo(eval(Distances.euclidean(ac, bc)), 5.0) }
+  test("chebyshev")    { closeTo(eval(Distances.chebyshev(ac, bc)), 4.0) }
+  test("chebyshevW")   { closeTo(eval(Distances.chebyshevW(ac, bc, wc)), 6.0) }
+  test("minkowski3")   { closeTo(eval(Distances.minkowski(ac, bc, 3.0)), math.cbrt(27 + 64)) }
+  test("dot")          { closeTo(eval(Distances.dot(ac, bc)), 25.0) }
+  test("cosine") {
+    closeTo(eval(Distances.cosine(ac, bc)), 1.0 - 25.0 / (math.sqrt(14) * math.sqrt(61)))
+  }
+  test("cosine of parallel vectors is 0") {
+    closeTo(eval(Distances.cosine(ac, Distances.vecLit(va.map(_ * 2)))), 0.0)
+  }
+  test("cosineSim")    { closeTo(eval(Distances.cosineSim(ac, bc)), 25.0 / (math.sqrt(14) * math.sqrt(61))) }
+  test("chiSquared")   { closeTo(eval(Distances.chiSquared(ac, bc)), 9.0 / 5 + 16.0 / 8) }
+  test("correlation") {
+    val ca = va.map(_ - 2.0)
+    val cb = vb.map(_ - 13.0 / 3)
+    val d = ca.zip(cb).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(ca.map(x => x * x).sum)
+    val nb = math.sqrt(cb.map(x => x * x).sum)
+    closeTo(eval(Distances.correlation(ac, bc)), 1.0 - d / (na * nb))
+  }
+  test("hamming")      { closeTo(eval(Distances.hamming(ac, bc)), 2.0) }
+  test("hamming is exact, not tolerance-based") {
+    closeTo(eval(Distances.hamming(ac, Distances.vecLit(Seq(1.0 + 1e-9, 2.0, 3.0)))), 1.0)
+  }
+  test("jaccard")      { closeTo(eval(Distances.jaccard(ac, bc)), 1.0 - 6.0 / 13.0) }
+  test("kullbackLeibler") {
+    closeTo(eval(Distances.kullbackLeibler(ac, bc)),
+      1 * math.log(1.0 / 4) + 2 * math.log(2.0 / 6) + 3 * math.log(1.0))
+  }
+  test("spanNorm")     { closeTo(eval(Distances.spanNorm(ac, bc)), 4.0) }
+  test("modulo")       { closeTo(eval(Distances.modulo(ac, bc)), (4 % 1) + (6 % 2) + (3 % 3)) }
+  test("moduloW")      { closeTo(eval(Distances.moduloW(ac, bc, wc)), 0.0) }
+
+  test("haversine Berlin to Paris within 1% of 878 km") {
+    val berlin = Distances.vecLit(Seq(52.5200, 13.4050))
+    val paris = Distances.vecLit(Seq(48.8566, 2.3522))
+    val got = eval(Distances.haversine(berlin, paris))
+    got should be(878000.0 +- 10000.0)
+  }
+  test("haversine wraps out-of-range longitude (190 == -170)") {
+    val p1 = Distances.vecLit(Seq(10.0, 190.0))
+    val p2 = Distances.vecLit(Seq(10.0, -170.0))
+    closeTo(eval(Distances.haversine(p1, p2)), 0.0)
+  }
+  test("haversine of short vector is +Infinity") {
+    eval(Distances.haversine(Distances.vecLit(Seq(1.0)), bc)).isPosInfinity shouldBe true
+  }
+
+  test("byName dispatch covers the registry, defaults to euclidean") {
+    closeTo(eval(Distances.byName("manhattan")(ac, bc)), 7.0)
+    closeTo(eval(Distances.byName("nonsense")(ac, bc)), 5.0)
+  }
+
+  test("float input arrays work (parquet embedding shape)") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 6.0f, 3.0f))).toDF("a", "b")
+    df.select(Distances.manhattan(col("a"), col("b"))).head().getDouble(0) shouldBe 7.0
+  }
+}
