@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.Distances
+import graft.index._
 import graft.operators._
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -206,6 +207,20 @@ object SparkEntry {
       Ann.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.5)
         .orderBy("id_a", "id_b")),
 
+    // --- vector index scans + exact rerank (SURVEY §2.6) ---
+    // Exact family (vaf/vav/vap): candidates are provably lossless, so the
+    // reranked result equals brute force and is oracle-checkable.
+    "index_vaf_knn" -> indexKnn(df => VAIndex.buildFixed(df, "vec_id", "embedding", p = 2.0)),
+    "index_vav_knn" -> indexKnn(df => VAIndex.buildVariable(df, "vec_id", "embedding", p = 2.0)),
+    "index_vap_knn" -> indexKnn(df => VAIndex.buildPlus(df, "vec_id", "embedding")),
+    // Approximate family: driver records rows-only (no oracle); recall is
+    // asserted in IndexSpec against the groundtruth corpus.
+    "index_ecp_knn" -> indexKnn(df => ECPIndex.build(df, "vec_id", "embedding")),
+    "index_pq_knn" -> indexKnn(df => PQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
+    "index_sh_knn" -> indexKnn(df => SHIndex.build(df, "vec_id", "embedding", nBits = 32), timesK = 10),
+    "index_lsh_knn" -> indexKnn(df => LSHIndex.build(df, "vec_id", "embedding", nTables = 12, nHashes = 3)),
+    "index_mi_knn" -> indexKnn(df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15), timesK = 10),
+
     // --- dedup + text analysis (LLM pipeline) ---
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
@@ -247,6 +262,19 @@ object SparkEntry {
   )
 
   private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
+
+  /** Build an index over embeddings, scan for the canonical query vector,
+    * exact-rerank with Euclidean, k=100. */
+  private def indexKnn(build: DataFrame => VectorIndex, timesK: Int = 5)
+  : (SparkSession, String) => DataFrame = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val idx = build(emb)
+    idx.knn(emb, "vec_id", Distances.euclidean(col("embedding"), Distances.vecLit(q)),
+        q, 100, timesK)
+      .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+  }
 
   private def fuzzyInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val l = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
@@ -390,6 +418,10 @@ object SparkEntry {
       s"""1.0 - ${duckSum(s"least($duckPos, $duckPosQ)")}
          | / ${duckSum(s"greatest($duckPos, $duckPosQ)")}""".stripMargin,
       100, roundTo = 6),
+
+    "index_vaf_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_vav_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_vap_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
 
     "knn_filtered" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50, where = "WHERE e.label < 5"),
     "knn_rerank_half" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,

@@ -1,0 +1,75 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** eCP cluster-pruning index — equivalent to an IVF-flat coarse
+  * quantizer. Build: KMeans leaders (≤ 200, reference
+  * `ECPIndexGenerator.scala:27-37`); every tuple assigned to its nearest
+  * leader. Scan: rank leaders by distance to the query, keep leaders
+  * until their member count covers `timesK·k`, emit their members as
+  * candidates (`ECPIndex.scala:44-67`).
+  *
+  * Scale: the assignment table is `(id, leader int)` — narrow; the scan
+  * is a leader-pruned filter (`isin` over ≤200 ints pushes into the
+  * scan). Centroids are O(leaders·dim) on the driver. Unlike the
+  * reference (driver-side sample KMeans), the fit is distributed MLlib.
+  */
+class ECPIndex(val assignments: DataFrame, // (id, leader)
+               val centroids: Array[(Int, Array[Double], Long)], // (leader, center, count)
+               idCol: String) extends VectorIndex {
+
+  override def indexType: String = "ecp"
+  override def isExact: Boolean = false
+
+  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
+    val need = k.toLong * timesK
+    val ranked = centroids.sortBy { case (_, c, _) => ECPIndex.sqDist(q, c) }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var covered = 0L
+    for ((leader, _, count) <- ranked if covered < need) {
+      chosen += leader
+      covered += count
+    }
+    assignments.filter(col("leader").isin(chosen.toSeq: _*)).select(col(idCol))
+  }
+
+  /** Recall diagnostic: fraction of `truth` ids inside the candidates. */
+  def recallOf(q: Seq[Double], k: Int, truth: Seq[Long], timesK: Int = VectorIndex.TimesK): Double = {
+    val cand = candidates(q, k, timesK).collect().map(_.getLong(0)).toSet
+    truth.count(cand.contains).toDouble / truth.size
+  }
+}
+
+object ECPIndex {
+
+  private[index] def sqDist(a: Seq[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Leaders = √n capped at 200 (reference `ECPIndexGenerator.scala:27`). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+            maxLeaders: Int = 200, seed: Long = 42L): ECPIndex = {
+    val n = df.count()
+    val numLeaders = math.max(2, math.min(math.sqrt(n.toDouble).toInt, maxLeaders))
+    val feats = df.select(col(idCol), array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(numLeaders).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    val assignments = model.transform(feats)
+      .select(col(idCol), col("prediction").as("leader"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = assignments.groupBy("leader").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray, counts.getOrElse(i, 0L))
+    }
+    new ECPIndex(assignments, centroids, idCol)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization index (reference `pq/PQIndexGenerator.scala:42-83`,
+  * `PQIndex.scala:38-64`): dimensions split into `nsq` sub-vectors, a
+  * KMeans codebook per sub-space, codes = one cluster id per sub-vector.
+  * Scan: asymmetric distance — per-sub-space lookup table of (query
+  * sub-vector → centroid) squared distances, summed over the code via a
+  * codegen kernel; top `timesK·k` ids become candidates for exact
+  * re-rank. (The reference computes `2 XOR nsqbits` = 10 clusters — a
+  * noted bug, SURVEY §7.3; we use a real power of two.)
+  *
+  * Scale: codes are `nsq` ints per row (byte-sized values); the lookup
+  * table is nsq·centroids doubles broadcast per query; KMeans fits are
+  * distributed MLlib per sub-space on a sample.
+  */
+class PQIndex(val codes: DataFrame, // (id, codes array<int>)
+              val codebooks: Array[Array[Array[Double]]], // [subspace][centroid][dim]
+              val subLen: Int,
+              idCol: String) extends VectorIndex {
+
+  override def indexType: String = "pq"
+  override def isExact: Boolean = false
+
+  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
+    val table: Array[Array[Double]] = codebooks.zipWithIndex.map { case (book, s) =>
+      val qs = q.slice(s * subLen, (s + 1) * subLen).toArray
+      book.map(c => ECPIndex.sqDist(qs.toSeq, c))
+    }
+    codes.select(col(idCol),
+        Bridge.column(PQAdcExpr(Bridge.expression(col("codes")), table)).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k * timesK)
+      .select(col(idCol))
+  }
+}
+
+object PQIndex {
+  /** Build with `nsq` sub-quantizers × `nCentroids` codewords, fit on a
+    * training sample. */
+  def build(df: DataFrame, idCol: String, vecCol: String, nsq: Int = 8,
+            nCentroids: Int = 16, sampleN: Int = 1000, seed: Long = 42L): PQIndex = {
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    require(dims % nsq == 0, s"dims $dims not divisible by nsq $nsq")
+    val subLen = dims / nsq
+    val n = df.count()
+    val sample = (if (n <= sampleN) df
+      else df.sample(withReplacement = false, sampleN.toDouble / n, seed))
+      .select(col(vecCol)).persist(StorageLevel.MEMORY_AND_DISK)
+    sample.count()
+
+    val codebooks = (0 until nsq).map { s =>
+      val sub = sample.select(
+        array_to_vector(slice(col(vecCol), s * subLen + 1, subLen).cast("array<double>"))
+          .as("features"))
+      new KMeans().setK(nCentroids).setSeed(seed + s).setMaxIter(10).fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    sample.unpersist()
+
+    val codes = df.select(col(idCol),
+        Bridge.column(PQEncodeExpr(Bridge.expression(col(vecCol)), codebooks, subLen)).as("codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new PQIndex(codes, codebooks, subLen, idCol)
+  }
+}
+
+/** Encode a vector: nearest codeword per sub-space. */
+case class PQEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]], subLen: Int)
+  extends UnaryExpression with VecArrayInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(child, "pq_encode", FloatType, DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val vec = Array.tabulate(v.numElements())(i =>
+      if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PQEncodeExpr.encode(vec, codebooks, subLen))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqBooks", codebooks, "double[][][]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""double[] vec = new double[$c.numElements()];
+         |for (int i = 0; i < vec.length; i++) vec[i] = (double) $c.$getter(i);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.index.PQEncodeExpr.encode(vec, $cbRef, $subLen));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PQEncodeExpr {
+  def encode(vec: Array[Double], codebooks: Array[Array[Array[Double]]], subLen: Int): Array[Int] = {
+    val nsq = codebooks.length
+    val out = new Array[Int](nsq)
+    var s = 0
+    while (s < nsq) {
+      val book = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        var d = 0.0
+        var i = 0
+        val off = s * subLen
+        while (i < subLen && off + i < vec.length) {
+          val diff = vec(off + i) - book(c)(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric distance: Σ_s table(s)(code_s). */
+case class PQAdcExpr(child: Expression, table: Array[Array[Double]])
+  extends UnaryExpression with VecArrayInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(child, "pq_adc", IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PQAdcExpr.adc(input.asInstanceOf[ArrayData].toIntArray(), table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pqTable", table, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.index.PQAdcExpr.adc($c.toIntArray(), $tRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PQAdcExpr {
+  def adc(codes: Array[Int], table: Array[Array[Double]]): Double = {
+    var s = 0.0
+    val n = math.min(codes.length, table.length)
+    var i = 0
+    while (i < n) { s += table(i)(codes(i)); i += 1 }
+    s
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.index._
+import graft.operators.Knn
+
+/** Index-family correctness on the groundtruth corpus, mirroring the
+  * reference's `QueryTestSuite.scala:77-228`: exact indexes (vaf/vav/vap)
+  * must reproduce brute force exactly; approximate indexes (ecp/pq/sh/
+  * lsh/mi) must at minimum contain the top-1 and report recall@k. */
+class IndexSpec extends SparkSpec {
+
+  private def res(name: String): String =
+    getClass.getResource(s"/groundtruth/$name").getPath
+
+  lazy val data: DataFrame = spark.read
+    .option("sep", "\t").option("header", "true")
+    .csv(res("data.tsv"))
+    .select(col("id").cast("long").as("tid"),
+      split(col("feature"), ",").cast("array<float>").as("vectorfield"))
+    .cache()
+
+  lazy val queryVec: Seq[Double] = {
+    val src = scala.io.Source.fromFile(res("nnquery.txt"))
+    try src.mkString.trim.split(",").toSeq.map(_.toDouble) finally src.close()
+  }
+
+  private val K = 100
+
+  private def dist = Distances.euclidean(col("vectorfield"), Distances.vecLit(queryVec))
+
+  lazy val bruteIds: Seq[Long] =
+    Knn.knn(data, dist, K, col("tid")).select("tid").collect().map(_.getLong(0)).toSeq
+
+  private def knnIds(idx: VectorIndex, timesK: Int = 5): Seq[Long] =
+    idx.knn(data, "tid", dist, queryVec, K, timesK)
+      .select("tid").collect().map(_.getLong(0)).toSeq
+
+  private def recall(ids: Seq[Long]): Double =
+    ids.count(bruteIds.toSet.contains).toDouble / K
+
+  test("vaf: exact — candidates are lossless, result equals brute force") {
+    val idx = VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0)
+    idx.isExact shouldBe true
+    val n = data.count()
+    val candN = idx.candidates(queryVec, K).count()
+    info(f"vaf pruning: $candN of $n rows survive the bound filter")
+    knnIds(idx) shouldBe bruteIds
+  }
+
+  test("vaf prunes a meaningful fraction of the table") {
+    val idx = VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0)
+    val candN = idx.candidates(queryVec, K).count()
+    candN.toDouble / data.count() should be < 0.7
+  }
+
+  test("vav: exact with variance-allocated bits") {
+    val idx = VAIndex.buildVariable(data, "tid", "vectorfield", p = 2.0)
+    knnIds(idx) shouldBe bruteIds
+  }
+
+  test("vap: exact after PCA rotation (L2-preserving)") {
+    val idx = VAIndex.buildPlus(data, "tid", "vectorfield")
+    knnIds(idx) shouldBe bruteIds
+  }
+
+  test("vaf conforms only to Minkowski distances") {
+    val idx = VAIndex.buildFixed(data, "tid", "vectorfield")
+    idx.conformsTo("euclidean") shouldBe true
+    idx.conformsTo("manhattan") shouldBe true
+    idx.conformsTo("cosine") shouldBe false
+  }
+
+  test("ecp: top-1 contained, recall reported") {
+    val idx = ECPIndex.build(data, "tid", "vectorfield")
+    val ids = knnIds(idx)
+    ids should contain(bruteIds.head)
+    info(f"ecp recall@$K = ${recall(ids)}%.3f")
+    recall(ids) should be > 0.2
+  }
+
+  test("pq: top-1 contained, recall reported") {
+    val idx = PQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16)
+    val ids = knnIds(idx)
+    ids should contain(bruteIds.head)
+    info(f"pq recall@$K = ${recall(ids)}%.3f")
+    recall(ids) should be > 0.5
+  }
+
+  test("sh: top-1 contained, recall reported") {
+    val idx = SHIndex.build(data, "tid", "vectorfield", nBits = 32)
+    val ids = knnIds(idx, timesK = 10)
+    info(f"sh recall@$K = ${recall(ids)}%.3f")
+    ids should contain(bruteIds.head)
+  }
+
+  test("lsh: top-1 contained, recall reported") {
+    val idx = LSHIndex.build(data, "tid", "vectorfield", nTables = 12, nHashes = 3)
+    val ids = knnIds(idx)
+    info(f"lsh recall@$K = ${recall(ids)}%.3f")
+    ids should contain(bruteIds.head)
+  }
+
+  test("mi: top-1 contained, recall reported") {
+    val idx = MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15)
+    val ids = knnIds(idx, timesK = 10)
+    info(f"mi recall@$K = ${recall(ids)}%.3f")
+    ids should contain(bruteIds.head)
+  }
+
+  test("stochastic vote over two index scans (reference StochasticIndexQueryExpression)") {
+    val ecp = ECPIndex.build(data, "tid", "vectorfield")
+    val lsh = LSHIndex.build(data, "tid", "vectorfield", nTables = 12, nHashes = 3)
+    val voted = graft.operators.SetAlgebra.vote(
+      Seq(ecp.candidates(queryVec, K), lsh.candidates(queryVec, K)), "tid", 500)
+    val reranked = Knn.rerank(data, voted, "tid", dist, K)
+      .select("tid").collect().map(_.getLong(0)).toSeq
+    reranked should contain(bruteIds.head)
+    info(f"vote recall@$K = ${recall(reranked)}%.3f")
+  }
+}
