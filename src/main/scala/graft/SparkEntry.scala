@@ -221,6 +221,68 @@ object SparkEntry {
     "index_lsh_knn" -> indexKnn(df => LSHIndex.build(df, "vec_id", "embedding", nTables = 12, nHashes = 3)),
     "index_mi_knn" -> indexKnn(df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15), timesK = 10),
 
+    // --- lifecycle / planner / progressive / partitioning / multimodal ---
+    "entity_lifecycle" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+      val e = graft.core.Entity.create(s, base, "li")
+      val src = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      e.insert(src.filter(col("l_returnflag") === "A"))
+      e.insert(src.filter(col("l_returnflag") =!= "A"))
+      e.deleteWhere(col("l_linestatus") === "F")
+      e.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "planner_hint_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val vaf = VAIndex.buildFixed(emb, "vec_id", "embedding", p = 2.0)
+      val plan = graft.plans.Planner.choose(
+        Seq(graft.plans.Planner.ExactHint), Seq(vaf), "euclidean")
+      graft.plans.Planner.run(plan, emb, "vec_id",
+          Distances.euclidean(col("embedding"), Distances.vecLit(q)), q, 100)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
+    "progressive_knn" -> ((s, d) => {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val dist = Distances.euclidean(col("embedding"), Distances.vecLit(q))
+      def seqPlan() = Knn.knn(emb, dist, 100, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+      val ecp = ECPIndex.build(emb, "vec_id", "embedding")
+      val best = graft.plans.Progressive.timed(s, Seq(
+        graft.plans.Progressive.PlanSpec("sequential", 1.0, () => seqPlan()),
+        graft.plans.Progressive.PlanSpec("index:ecp", 0.5,
+          () => ecp.knn(emb, "vec_id", dist, q, 100)
+            .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance")))),
+        deadlineMs = 300000)
+      // highest confidence wins => the exact sequential result
+      s.createDataFrame(java.util.Arrays.asList(best.result.get: _*), seqPlan().schema)
+    }),
+
+    "partition_pruned_scan" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/embp"
+      val centroids = graft.core.Partitioning.write(emb,
+        graft.core.Partitioning.Ecp("embedding", 8), out)
+      val pruned = graft.core.Partitioning.partitionSkipRead(
+        s.read.parquet(out), centroids, q, keep = 3)
+      Knn.knn(pruned, Distances.euclidean(col("embedding"), Distances.vecLit(q)),
+          50, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
+    "multimodal_decode" -> ((s, d) => {
+      val assets = Multimodal.syntheticAssets(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeAssets(assets, dim = 16)
+        .select(col("asset_id"), col("modality"), col("n_bytes"))
+        .orderBy("asset_id")
+    }),
+
     // --- dedup + text analysis (LLM pipeline) ---
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
@@ -262,6 +324,10 @@ object SparkEntry {
   )
 
   private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
+
+  private def queryVecOf(emb: DataFrame): Seq[Double] =
+    emb.filter(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
 
   /** Build an index over embeddings, scan for the canonical query vector,
     * exact-rerank with Euclidean, k=100. */
@@ -418,6 +484,20 @@ object SparkEntry {
       s"""1.0 - ${duckSum(s"least($duckPos, $duckPosQ)")}
          | / ${duckSum(s"greatest($duckPos, $duckPosQ)")}""".stripMargin,
       100, roundTo = 6),
+
+    "entity_lifecycle" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),2) AS qty
+        |FROM lineitem WHERE l_quantity >= 49 AND l_linestatus != 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "planner_hint_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "progressive_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     "index_vaf_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vav_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),

@@ -1,0 +1,178 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Entity lifecycle over Parquet — the reference's DDL/DML surface
+  * (`/root/reference/src/main/scala/org/vitrivr/adampro/data/entity/Entity.scala:295-450`,
+  * RPC `DataDefintion.scala`): create, insert (with system `ap_id`
+  * assignment), read, count, delete-by-predicate, vacuum, sparsify,
+  * drop.
+  *
+  * Storage layout: `<base>/<entity>/data_v<N>/` parquet + `_meta.json`.
+  * Every mutation writes a NEW versioned directory and then swaps the
+  * catalog pointer — the reference's write-new-storename-then-drop-old
+  * overwrite dance (`StorageHandler.scala:122-170`), which gives
+  * readers-at-old-version isolation and crash safety without a commit
+  * protocol. Stale versions are removed on the next successful swap.
+  *
+  * `ap_id` layout: `insertCount (15 bits) | monotonically_increasing_id
+  * (48 bits)` — unique for ≤32k insert batches × ≤32k partitions ×
+  * ≤2^33 rows per partition task (the reference packs
+  * nanotime|counter|rowindex, `Entity.scala:299-320`); assignment is
+  * fully distributed, no zipWithIndex pass.
+  */
+class Entity private(val name: String, base: Path, spark: SparkSession) {
+
+  import Entity._
+
+  private def dir: Path = base.resolve(name)
+  private def metaPath: Path = dir.resolve("_meta.json")
+
+  private def meta: Meta = readMeta(metaPath)
+  private def dataPath(v: Int): Path = dir.resolve(s"data_v$v")
+
+  def schema: StructType = read().schema
+
+  def read(): DataFrame = {
+    val m = meta
+    if (m.version == 0) spark.emptyDataFrame
+    else spark.read.parquet(dataPath(m.version).toString)
+  }
+
+  def count(): Long = if (meta.version == 0) 0L else read().count()
+
+  /** Append rows; assigns `ap_id` unless the frame already carries one. */
+  def insert(df: DataFrame): Entity = {
+    val m = meta
+    require(m.insertCount < (1 << 15) - 1, "insert-batch counter exhausted")
+    val batch = m.insertCount + 1
+    val withId =
+      if (df.columns.contains(ApId)) df
+      else df.withColumn(ApId,
+        lit(batch.toLong << 48).bitwiseOR(
+          monotonically_increasing_id().bitwiseAND(lit((1L << 48) - 1))))
+    val next = m.version + 1
+    val combined = if (m.version == 0) withId else read().unionByName(withId, allowMissingColumns = true)
+    combined.write.mode("overwrite").parquet(dataPath(next).toString)
+    swap(m.copy(version = next, insertCount = batch), m.version)
+    this
+  }
+
+  /** Delete rows matching the predicate — filter-NOT-and-overwrite
+    * (reference `Entity.scala:415-450`). Returns deleted-row count. */
+  def deleteWhere(predicate: Column): Long = {
+    val m = meta
+    if (m.version == 0) return 0L
+    val current = read()
+    val keep = current.filter(!coalesce(predicate, lit(false)))
+    val next = m.version + 1
+    keep.write.mode("overwrite").parquet(dataPath(next).toString)
+    val deleted = current.count() - keep.count()
+    swap(m.copy(version = next), m.version)
+    deleted
+  }
+
+  /** Rewrite + repartition (reference vacuum, `Entity.scala:376-386`). */
+  def vacuum(numPartitions: Int = 8): Entity = {
+    val m = meta
+    if (m.version == 0) return this
+    val next = m.version + 1
+    read().repartition(numPartitions).write.mode("overwrite")
+      .parquet(dataPath(next).toString)
+    swap(m.copy(version = next), m.version)
+    this
+  }
+
+  /** Dense vector attribute → sparse struct (indices, values, length) —
+    * reference sparsify (`EntityOp.scala:101-117`). Zero elements are
+    * dropped. */
+  def sparsify(vecCol: String): Entity = {
+    val m = meta
+    require(m.version > 0, "empty entity")
+    val df = read()
+    val zipped = filter(
+      zip_with(col(vecCol),
+        sequence(lit(0), size(col(vecCol)) - 1),
+        (v, i) => struct(v.as("v"), i.as("i"))),
+      s => s.getField("v") =!= 0.0f)
+    val sparse = struct(
+      transform(zipped, _.getField("i")).as("indices"),
+      transform(zipped, _.getField("v")).as("values"),
+      size(col(vecCol)).as("length"))
+    val next = m.version + 1
+    df.withColumn(vecCol, sparse).write.mode("overwrite").parquet(dataPath(next).toString)
+    swap(m.copy(version = next), m.version)
+    this
+  }
+
+  def drop(): Unit = deleteRecursively(dir)
+
+  private def swap(m: Meta, oldVersion: Int): Unit = {
+    writeMeta(metaPath, m)
+    if (oldVersion > 0) deleteRecursively(dataPath(oldVersion))
+  }
+}
+
+object Entity {
+  val ApId = "ap_id"
+
+  private[core] case class Meta(name: String, version: Int, insertCount: Int)
+
+  private def writeMeta(p: Path, m: Meta): Unit =
+    Files.write(p, s"""{"name":"${m.name}","version":${m.version},"insertCount":${m.insertCount}}"""
+      .getBytes(StandardCharsets.UTF_8))
+
+  private def readMeta(p: Path): Meta = {
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def field(k: String): String =
+      s.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}').replaceAll("\"", "")
+    Meta(field("name"), field("version").toInt, field("insertCount").toInt)
+  }
+
+  /** Create a new empty entity. Reserved `ap_*` names are rejected for
+    * user columns at insert time by construction (we add `ap_id`). */
+  def create(spark: SparkSession, base: String, name: String): Entity = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_]+"), s"invalid entity name: $name")
+    val dir = Paths.get(base).resolve(name)
+    require(!Files.exists(dir), s"entity $name already exists")
+    Files.createDirectories(dir)
+    writeMeta(dir.resolve("_meta.json"), Meta(name, 0, 0))
+    new Entity(name, Paths.get(base), spark)
+  }
+
+  def open(spark: SparkSession, base: String, name: String): Entity = {
+    val dir = Paths.get(base).resolve(name)
+    require(Files.exists(dir.resolve("_meta.json")), s"no such entity: $name")
+    new Entity(name, Paths.get(base), spark)
+  }
+
+  def exists(base: String, name: String): Boolean =
+    Files.exists(Paths.get(base).resolve(name).resolve("_meta.json"))
+
+  def list(base: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val b = Paths.get(base)
+    if (!Files.exists(b)) Nil
+    else {
+      val s = Files.list(b)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_meta.json")))
+        .map(_.getFileName.toString).toList
+      finally s.close()
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
+}

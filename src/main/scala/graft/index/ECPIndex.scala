@@ -46,7 +46,7 @@ class ECPIndex(val assignments: DataFrame, // (id, leader)
 
 object ECPIndex {
 
-  private[index] def sqDist(a: Seq[Double], b: Array[Double]): Double = {
+  private[graft] def sqDist(a: Seq[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support: opaque `binary`
+  * payload + typed metadata, with decode / feature-extraction / resize /
+  * frame-sampling as partition-batched transforms.
+  *
+  * The real codec step is STUBBED (no image/audio libraries in this
+  * container): `decodeStub` derives deterministic pseudo-metadata and
+  * features from the payload bytes. Everything AROUND the stub is the
+  * real production plumbing — output schemas, `mapPartitions` batch
+  * shape (the Scala analog of `mapInPandas`: one iterator per
+  * partition, streaming, no per-row task overhead), and partition
+  * sizing — so swapping in a real decoder is a one-function change.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: (asset_id, modality, payload, meta). */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB decoder — deterministic fake standing in for e.g. libjpeg +
+    * a vision tower. Derives (width, height, channels) and a `dim`-d
+    * feature vector from a rolling hash of the payload. Replace the
+    * body with a real codec to productionize; the signature is the
+    * contract. */
+  def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Int, Array[Float]) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = h * 31 + (payload(i) & 0xFF); i += 1 }
+    val width = 64 + java.lang.Math.floorMod(h, 1024L).toInt
+    val height = 64 + java.lang.Math.floorMod(h >> 10, 1024L).toInt
+    val channels = 1 + java.lang.Math.floorMod(h >> 20, 4L).toInt
+    val feats = new Array[Float](dim)
+    var z = h
+    var d = 0
+    while (d < dim) {
+      z = z * 6364136223846793005L + 1442695040888963407L
+      feats(d) = ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      d += 1
+    }
+    (width, height, channels, feats)
+  }
+
+  /** Decode + feature-extract over partition-sized batches. One
+    * decoder instantiation per partition (the expensive init a real
+    * codec would need), streaming rows through it. */
+  def decodeAssets(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    assets.select("asset_id", "modality", "payload").mapPartitions { rows =>
+      // real impl: initialize codec/model ONCE here, reuse across the batch
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val (w, h, c, f) = decodeStub(payload, dim)
+        Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
+          w, h, c, payload.length.toLong, f.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Resize metadata transform (dimension arithmetic is real; pixel
+    * work lives behind the decode stub). */
+  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide.toDouble) / greatest(col("width"), col("height")))
+    decoded
+      .withColumn("out_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling plan for video assets: every `everyN`-th frame index
+    * up to `maxFrames` — the real Spark-side shape (explode to one row
+    * per sampled frame; the frame grab itself is the stubbed codec). */
+  def sampleFrames(decoded: DataFrame, everyN: Int, maxFrames: Int): DataFrame =
+    decoded.filter(col("modality") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), least(lit(everyN * (maxFrames - 1)),
+          (col("n_bytes") / 1000).cast("int")), lit(everyN))))
+
+  /** Synthesize a deterministic asset table from any string column —
+    * test/bench substrate when no real binaries exist. */
+  def syntheticAssets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      map(lit("source"), lit("synthetic")).as("meta"))
+}

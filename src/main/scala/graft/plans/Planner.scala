@@ -1,0 +1,92 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.index.VectorIndex
+import graft.operators.Knn
+
+/** Access-path selection — the reference's hint-driven + empirical
+  * planner (`HintBasedScanExpression.scala:93-176`, `QueryHints.scala:12-68`,
+  * naive measured-cost scoring `NaiveHeuristics.scala:120-151`).
+  *
+  * Hints are walked in order until a usable plan is found; `IndexHint`
+  * expands to the reference's priority list vaf→vav→vap→pq→ecp→sh→lsh→mi;
+  * fallback is the exact sequential scan. `Empirical` scores candidate
+  * paths from recorded (time, recall) measurements — smaller is better:
+  * `time · (2 − recall)`.
+  */
+object Planner {
+
+  sealed trait Hint
+  case object SequentialHint extends Hint
+  case object ExactHint extends Hint // any exact plan: exact index, else sequential
+  case object IndexHint extends Hint // any conforming index, priority order
+  case class SpecificIndexHint(indexType: String) extends Hint
+  case object EmpiricalHint extends Hint
+
+  /** Reference index priority (`QueryHints.scala:19-38`). */
+  val IndexPriority: Seq[String] = Seq("vaf", "vav", "vap", "pq", "ecp", "sh", "lsh", "mi")
+
+  sealed trait Plan { def describe: String }
+  case class SequentialPlan() extends Plan { val describe = "sequential" }
+  case class IndexPlan(index: VectorIndex) extends Plan {
+    def describe: String = s"index:${index.indexType}"
+  }
+
+  final case class Measurement(timeNanos: Long, recall: Double)
+
+  /** Measured-cost table keyed by plan description. */
+  private val stats = TrieMap.empty[String, List[Measurement]]
+
+  def record(plan: Plan, m: Measurement): Unit =
+    stats.updateWith(plan.describe)(prev => Some(m :: prev.getOrElse(Nil).take(19)))
+
+  def score(plan: Plan): Double = stats.get(plan.describe) match {
+    case None | Some(Nil) => Double.MaxValue
+    case Some(ms) =>
+      val t = ms.map(_.timeNanos.toDouble).sum / ms.size
+      val r = ms.map(_.recall).sum / ms.size
+      t * (2.0 - r)
+  }
+
+  def measurements(plan: Plan): Seq[Measurement] = stats.getOrElse(plan.describe, Nil)
+
+  /** Walk hints in order; first usable plan wins (reference
+    * `HintBasedScanExpression.getPlan`). Conformity = distance-family
+    * match + index availability (`isQueryConform`). */
+  def choose(hints: Seq[Hint], indexes: Seq[VectorIndex], distName: String): Plan = {
+    def conforming(seq: Seq[VectorIndex]): Seq[VectorIndex] =
+      seq.filter(_.conformsTo(distName))
+    def byPriority(seq: Seq[VectorIndex]): Option[VectorIndex] =
+      IndexPriority.flatMap(t => seq.find(_.indexType == t)).headOption
+
+    hints.iterator.flatMap[Option[Plan]] {
+      case SequentialHint => Iterator(Some(SequentialPlan()))
+      case ExactHint =>
+        Iterator(byPriority(conforming(indexes).filter(_.isExact)).map(IndexPlan.apply)
+          .orElse(Some(SequentialPlan())))
+      case IndexHint =>
+        Iterator(byPriority(conforming(indexes)).map(IndexPlan.apply))
+      case SpecificIndexHint(t) =>
+        Iterator(conforming(indexes).find(_.indexType == t).map(IndexPlan.apply))
+      case EmpiricalHint =>
+        val candidates = SequentialPlan() +: conforming(indexes).map(IndexPlan.apply)
+        Iterator(Some(candidates.minBy(score)))
+    }.flatten.nextOption().getOrElse(SequentialPlan())
+  }
+
+  /** Execute a chosen plan as a kNN query, recording the measurement. */
+  def run(plan: Plan, entity: DataFrame, idCol: String, dist: Column,
+          q: Seq[Double], k: Int): DataFrame = plan match {
+    case SequentialPlan() => Knn.knn(entity, dist, k, org.apache.spark.sql.functions.col(idCol))
+    case IndexPlan(idx) => idx.knn(entity, idCol, dist, q, k)
+  }
+
+  /** Introspection: all candidate paths with scores (reference
+    * `getScoredExecutionPath`, `DataQuery.scala:384`). */
+  def scoredPaths(indexes: Seq[VectorIndex], distName: String): Seq[(String, Double)] =
+    (SequentialPlan() +: indexes.filter(_.conformsTo(distName)).map(IndexPlan.apply))
+      .map(p => p.describe -> score(p))
+}

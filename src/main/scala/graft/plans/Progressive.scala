@@ -1,0 +1,109 @@
+package graft.plans
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import scala.concurrent.{ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+/** Progressive / parallel / timed multi-plan execution — the reference's
+  * `ParallelQueryHandler.scala:37-139`, `TimedScanExpression.scala:19-67`:
+  * launch every candidate plan concurrently (one Spark job group each,
+  * racing on the fair scheduler), surface each completion as a
+  * `ProgressiveObservation`, and for timed queries return the
+  * best-confidence result available at the deadline, cancelling the
+  * rest via job-group cancel (`DataQuery.scala:412-417`).
+  */
+object Progressive {
+
+  final case class Observation(planDescription: String, confidence: Double,
+                               timeNanos: Long, result: Try[Array[Row]])
+
+  final case class PlanSpec(description: String, confidence: Double,
+                            run: () => DataFrame)
+
+  /** Launch all plans; invoke `onNext` per completion; return all
+    * observations once every plan finishes. */
+  def parallel(spark: SparkSession, plans: Seq[PlanSpec])
+              (onNext: Observation => Unit = _ => ())
+              (implicit ec: ExecutionContext): Seq[Observation] = {
+    val obs = new ConcurrentLinkedQueue[Observation]()
+    val latch = new CountDownLatch(plans.size)
+    plans.foreach { p =>
+      Future {
+        spark.sparkContext.setJobGroup(s"graft-${p.description}",
+          s"progressive plan ${p.description}", interruptOnCancel = true)
+        val t0 = System.nanoTime()
+        val r = Try(p.run().collect())
+        val o = Observation(p.description, p.confidence, System.nanoTime() - t0, r)
+        spark.sparkContext.clearJobGroup()
+        obs.add(o)
+        onNext(o)
+        latch.countDown()
+      }
+    }
+    latch.await()
+    import scala.jdk.CollectionConverters._
+    obs.asScala.toSeq
+  }
+
+  /** Timed query: best (highest-confidence, then fastest) successful
+    * result available within the deadline; remaining job groups are
+    * cancelled. Falls back to awaiting the FIRST completion if nothing
+    * lands in time (the reference blocks on at least one result). */
+  def timed(spark: SparkSession, plans: Seq[PlanSpec], deadlineMs: Long)
+           (implicit ec: ExecutionContext): Observation = {
+    val obs = new ConcurrentLinkedQueue[Observation]()
+    val first = new CountDownLatch(1)
+    val all = new CountDownLatch(plans.size)
+    plans.foreach { p =>
+      Future {
+        spark.sparkContext.setJobGroup(s"graft-${p.description}",
+          s"timed plan ${p.description}", interruptOnCancel = true)
+        val t0 = System.nanoTime()
+        val r = Try(p.run().collect())
+        obs.add(Observation(p.description, p.confidence, System.nanoTime() - t0, r))
+        spark.sparkContext.clearJobGroup()
+        first.countDown()
+        all.countDown()
+      }
+    }
+    all.await(deadlineMs, TimeUnit.MILLISECONDS)
+    if (obs.isEmpty) first.await()
+    plans.foreach(p => spark.sparkContext.cancelJobGroup(s"graft-${p.description}"))
+    import scala.jdk.CollectionConverters._
+    val done = obs.asScala.toSeq.filter(_.result.isSuccess)
+    if (done.nonEmpty) done.maxBy(o => (o.confidence, -o.timeNanos))
+    else obs.asScala.toSeq.head
+  }
+}
+
+/** Query-result cache keyed by a caller-provided fingerprint — the
+  * reference's `CacheExpression.scala:15-46` + `CacheManager`. LRU with
+  * a fixed capacity; entries are persisted DataFrames. */
+class ResultCache(capacity: Int = 100) {
+  private val lru = new java.util.LinkedHashMap[String, DataFrame](capacity, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+      val evict = size() > capacity
+      if (evict) Try(e.getValue.unpersist())
+      evict
+    }
+  }
+
+  def getOrElseCompute(key: String)(compute: => DataFrame): DataFrame = synchronized {
+    Option(lru.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val df = compute.persist()
+        lru.put(key, df)
+        df
+    }
+  }
+
+  def invalidate(key: String): Unit = synchronized {
+    Option(lru.remove(key)).foreach(df => Try(df.unpersist()))
+  }
+
+  def size: Int = synchronized(lru.size())
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Entity, ImportExport, RandomData}
+
+/** Entity DDL/DML lifecycle — reference `EntityTestSuite.scala:36-517`. */
+class EntitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft-entity").toString
+
+  test("create / insert / read-back round trip with ap_id assignment") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "users")
+    e.insert(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val back = e.read()
+    back.count() shouldBe 3
+    back.columns should contain(Entity.ApId)
+    back.select(Entity.ApId).distinct().count() shouldBe 3
+    e.drop()
+  }
+
+  test("two inserts produce distinct ap_ids and union of rows") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "twice")
+    e.insert(Seq(1, 2, 3).toDF("k"))
+    e.insert(Seq(4, 5).toDF("k"))
+    val back = e.read()
+    back.count() shouldBe 5
+    back.select(Entity.ApId).distinct().count() shouldBe 5
+    back.select("k").collect().map(_.getInt(0)).toSet shouldBe Set(1, 2, 3, 4, 5)
+    e.drop()
+  }
+
+  test("delete-by-predicate removes matching rows via version swap") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "del")
+    e.insert((1 to 10).toDF("k"))
+    val n = e.deleteWhere(col("k") % 2 === 0)
+    n shouldBe 5
+    e.read().select("k").collect().map(_.getInt(0)).toSet shouldBe Set(1, 3, 5, 7, 9)
+    e.drop()
+  }
+
+  test("vacuum rewrites with requested partition count") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "vac")
+    e.insert((1 to 100).toDF("k"))
+    e.vacuum(numPartitions = 3)
+    e.read().rdd.getNumPartitions shouldBe 3
+    e.count() shouldBe 100
+    e.drop()
+  }
+
+  test("sparsify converts dense vectors to (indices, values, length)") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "sparse")
+    e.insert(Seq((1L, Seq(0.0f, 2.5f, 0.0f, 1.5f))).toDF("k", "vec"))
+    e.sparsify("vec")
+    val r = e.read().select("vec.indices", "vec.values", "vec.length").head()
+    r.getSeq[Int](0) shouldBe Seq(1, 3)
+    r.getSeq[Float](1) shouldBe Seq(2.5f, 1.5f)
+    r.getInt(2) shouldBe 4
+    e.drop()
+  }
+
+  test("exists / list / duplicate-create rejection") {
+    val base = freshBase()
+    Entity.create(spark, base, "one")
+    Entity.create(spark, base, "two")
+    Entity.exists(base, "one") shouldBe true
+    Entity.exists(base, "none") shouldBe false
+    Entity.list(base).toSet shouldBe Set("one", "two")
+    an[IllegalArgumentException] should be thrownBy Entity.create(spark, base, "one")
+    an[IllegalArgumentException] should be thrownBy Entity.create(spark, base, "bad name!")
+  }
+
+  test("import csv into entity and export parquet") {
+    val base = freshBase()
+    val csvDir = Files.createTempDirectory("graft-csv")
+    Files.write(csvDir.resolve("in.csv"), "k,v\n1,x\n2,y\n".getBytes)
+    val df = ImportExport.importTable(spark, "csv", csvDir.toString,
+      Map("header" -> "true", "inferSchema" -> "true"))
+    val e = Entity.create(spark, base, "imported")
+    ImportExport.importInto(e, df)
+    e.count() shouldBe 2
+    val out = Files.createTempDirectory("graft-out").toString + "/exp"
+    ImportExport.export(e.read(), "parquet", out)
+    spark.read.parquet(out).count() shouldBe 2
+    e.drop()
+  }
+
+  test("random data generator is deterministic and distributed") {
+    val a = RandomData.generate(spark, 100, 8).collect()
+    val b = RandomData.generate(spark, 100, 8).collect()
+    a.map(_.toString).toSeq shouldBe b.map(_.toString).toSeq
+    a.length shouldBe 100
+    all(a.map(_.getSeq[Float](1).size)) shouldBe 8
+    val g = RandomData.generateGaussian(spark, 1000, 4)
+      .select(explode(col("feature")).as("x")).agg(avg("x"), stddev("x")).head()
+    g.getDouble(0) should be(0.0 +- 0.15)
+    g.getDouble(1) should be(1.0 +- 0.15)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Partitioning, RandomData}
+import graft.functions.Distances
+import graft.index._
+import graft.plans.{Planner, Progressive, ResultCache}
+
+/** Planner hints + measured-cost scoring, progressive/timed execution,
+  * result cache, and partitioners. */
+class PlannerSpec extends SparkSpec {
+
+  import Planner._
+
+  lazy val data = RandomData.generate(spark, 2000, 8).cache()
+  lazy val q: Seq[Double] = Seq.fill(8)(0.5)
+  private def dist = Distances.euclidean(col("feature"), Distances.vecLit(q))
+
+  lazy val vaf = VAIndex.buildFixed(data, "id", "feature", p = 2.0)
+  lazy val ecp = ECPIndex.build(data, "id", "feature")
+
+  test("hint walk: sequential, exact, index priority, specific, fallback") {
+    choose(Seq(SequentialHint), Seq(vaf, ecp), "euclidean") shouldBe a[SequentialPlan]
+    choose(Seq(ExactHint), Seq(ecp, vaf), "euclidean") shouldBe IndexPlan(vaf)
+    choose(Seq(IndexHint), Seq(ecp, vaf), "euclidean") shouldBe IndexPlan(vaf) // vaf before ecp
+    choose(Seq(SpecificIndexHint("ecp")), Seq(ecp, vaf), "euclidean") shouldBe IndexPlan(ecp)
+    choose(Seq(SpecificIndexHint("pq")), Seq(ecp, vaf), "euclidean") shouldBe a[SequentialPlan] // fallback
+  }
+
+  test("conformity: vaf skipped for cosine, ecp accepted") {
+    choose(Seq(IndexHint), Seq(vaf, ecp), "cosine") shouldBe IndexPlan(ecp)
+    choose(Seq(ExactHint), Seq(vaf, ecp), "cosine") shouldBe a[SequentialPlan]
+  }
+
+  test("empirical scoring prefers the measured-faster plan") {
+    record(SequentialPlan(), Measurement(100000000L, 1.0))
+    record(IndexPlan(ecp), Measurement(1000000L, 0.9))
+    choose(Seq(EmpiricalHint), Seq(ecp), "euclidean") shouldBe IndexPlan(ecp)
+    scoredPaths(Seq(ecp), "euclidean").map(_._1) should contain allOf ("sequential", "index:ecp")
+  }
+
+  test("plans execute: chosen index plan returns k rows matching brute force top-1") {
+    val plan = choose(Seq(ExactHint), Seq(vaf), "euclidean")
+    val r = Planner.run(plan, data, "id", dist, q, 10).select("id").collect().map(_.getLong(0))
+    val brute = graft.operators.Knn.knn(data, dist, 10, col("id"))
+      .select("id").collect().map(_.getLong(0))
+    r.toSeq shouldBe brute.toSeq
+  }
+
+  test("progressive parallel: all plans observed, results delivered") {
+    var seen = List.empty[String]
+    val obs = Progressive.parallel(spark, Seq(
+      Progressive.PlanSpec("sequential", 1.0,
+        () => graft.operators.Knn.knn(data, dist, 5, col("id"))),
+      Progressive.PlanSpec("index:ecp", 0.5,
+        () => ecp.knn(data, "id", dist, q, 5)))) { o =>
+      seen.synchronized { seen = o.planDescription :: seen }
+    }
+    obs.size shouldBe 2
+    obs.foreach(_.result.isSuccess shouldBe true)
+    seen.toSet shouldBe Set("sequential", "index:ecp")
+  }
+
+  test("timed query returns best-confidence result within deadline") {
+    val o = Progressive.timed(spark, Seq(
+      Progressive.PlanSpec("sequential", 1.0,
+        () => graft.operators.Knn.knn(data, dist, 5, col("id"))),
+      Progressive.PlanSpec("index:ecp", 0.5,
+        () => ecp.knn(data, "id", dist, q, 5))), deadlineMs = 60000)
+    o.result.isSuccess shouldBe true
+    o.confidence shouldBe 1.0 // sequential wins on confidence
+  }
+
+  test("result cache memoizes by fingerprint and invalidates") {
+    val cache = new ResultCache(2)
+    var computes = 0
+    def make() = { computes += 1; data.limit(3) }
+    cache.getOrElseCompute("q1")(make()).count() shouldBe 3
+    cache.getOrElseCompute("q1")(make()).count() shouldBe 3
+    computes shouldBe 1
+    cache.invalidate("q1")
+    cache.getOrElseCompute("q1")(make())
+    computes shouldBe 2
+  }
+
+  test("ecp partitioning writes cluster dirs and partition-skip prunes input files") {
+    val out = Files.createTempDirectory("graft-part").toString + "/tbl"
+    Partitioning.write(data, Partitioning.Ecp("feature", 8), out)
+    val idx = ECPIndex.build(data.withColumn("__rid", monotonically_increasing_id()),
+      "__rid", "feature", maxLeaders = 8)
+    val table = spark.read.parquet(out)
+    val pruned = Partitioning.partitionSkipRead(table, idx.centroids, q, keep = 2)
+    pruned.count() should be > 0L
+    pruned.count() should be < data.count()
+    // physical layout: one directory per leader
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("ap_partition="))
+    dirs.length should be > 1
+  }
+
+  test("hash and random repartition modes") {
+    Partitioning.repartition(data, Partitioning.Hash(Seq("intfield"), 4)).rdd.getNumPartitions shouldBe 4
+    Partitioning.repartition(data, Partitioning.Random(6)).rdd.getNumPartitions shouldBe 6
+  }
+}
