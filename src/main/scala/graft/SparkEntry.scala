@@ -184,6 +184,14 @@ object SparkEntry {
         Distances.manhattan(col("embedding"), col("qv")), 50, col("vec_id"))
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))),
 
+    "prefilter_isin_knn" -> ((s, d) => {
+      val base = withQueryVec(s, d)
+      val candidates = base.filter(col("vec_id") % 3 === 0).select("vec_id")
+      val filtered = Prefilter(base, candidates, "vec_id", Prefilter.ChunkedIsin)
+      Knn.knn(filtered, Distances.manhattan(col("embedding"), col("qv")), 50, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
     "knn_rerank_half" -> ((s, d) => {
       val base = withQueryVec(s, d)
       Knn.rerank(base, base.filter(col("vec_id") % 2 === 0), "vec_id",
@@ -506,6 +514,8 @@ object SparkEntry {
     "knn_filtered" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50, where = "WHERE e.label < 5"),
     "knn_rerank_half" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,
       where = "WHERE e.vec_id % 2 = 0"),
+    "prefilter_isin_knn" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,
+      where = "WHERE e.vec_id % 3 = 0"),
 
     "ann_batch_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 4)

@@ -28,4 +28,28 @@ object Projections {
   /** `df.distinct()` (`DistinctOperationProjection`, `:103-115`). */
   def distinctRows(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
     project(df, cols).distinct()
+
+  /** Entity preview (`Entity.scala:261`). */
+  def preview(df: DataFrame, k: Int = 100): DataFrame = df.limit(k)
+
+  /** Empty result relation `(ap_id, ap_distance)` — the reference's
+    * `EmptyExpression` (`AggregationExpression.scala:397-412`). */
+  def emptyResult(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ap_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ap_distance", org.apache.spark.sql.types.DoubleType))))
+
+  /** Approximate distinct-count / frequency sketches — the reference's
+    * countMinSketch helper surface (`ECPIndexGenerator.scala:73`). */
+  def countMinSketch(df: DataFrame, colName: String, eps: Double = 0.01,
+                     confidence: Double = 0.95, seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch(colName, eps, confidence, seed)
+
+  /** Element-wise centroid of a vector column — eCP "centroid" leader
+    * recentering (`ECPIndexGenerator.scala:54-71`) as one aggregation. */
+  def centroid(df: DataFrame, vecCol: String): Seq[Double] =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim").agg(avg("v").as("m"))
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
 }

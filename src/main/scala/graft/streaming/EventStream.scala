@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream shape
+  * `(event_id, ts, user_id, event_type, value, props)`.
+  *
+  * The reference has no dataflow streaming (its "streaming" is gRPC
+  * result pagination, SURVEY §2.8); this module is the north-star
+  * extension: the same engine operators expressed over unbounded input
+  * with watermarks and managed state. Everything here works identically
+  * on a bounded DataFrame (batch) and a streaming Dataset — the
+  * transformations are pure, and Structured Streaming handles
+  * incrementalization.
+  */
+object EventStream {
+
+  /** Tumbling-window counts per event type with a watermark bounding
+    * state: the streaming analog of the `events_hourly` batch query. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), window_))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("cnt"), col("total_value"))
+
+  /** Sliding-window mean value per type. */
+  def slidingMeans(events: DataFrame, window_ : String = "1 hour",
+                   slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), window_, slide))
+      .agg(avg("value").as("mean_value"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("mean_value"), col("cnt"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, events: Long, total: Double)
+
+  /** Per-user running totals via `mapGroupsWithState` — arbitrary
+    * stateful processing. Pass `idleTimeout` to evict idle users' state
+    * on a processing-time timeout (the state-bounding requirement at
+    * 100 TB); `None` keeps state indefinitely. */
+  def runningTotals(events: Dataset[UserEvent],
+                    idleTimeout: Option[String] = None): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](timeoutConf) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            var n = prev.events
+            var t = prev.total
+            rows.foreach { e => n += 1; t += e.value }
+            val next = UserRunning(uid, n, t)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Prefilter, Projections}
+import graft.streaming.EventStream
+
+/** Structured-Streaming operators (MemoryStream-driven) and the
+  * sequential-scan prefilter trichotomy. */
+class StreamingPrefilterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate a streamed batch with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.windowedCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, ts(5), "click", 1.0), (2L, ts(10), "click", 2.0),
+        (3L, ts(20), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+      rows shouldBe Set(("click", 2L, 3.0), ("view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("running totals keep per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("run_totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(EventStream.UserEvent(1L, ts(1), 10.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.UserEvent(1L, ts(2), 5.0),
+        EventStream.UserEvent(2L, ts(3), 7.0))
+      q.processAllAvailable()
+      val byUser = spark.table("run_totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      byUser(1L) shouldBe ((2L, 15.0))
+      byUser(2L) shouldBe ((1L, 7.0))
+    } finally q.stop()
+  }
+
+  test("sliding means produce overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.slidingMeans(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("slide_means")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, ts(5), "click", 4.0))
+      q.processAllAvailable()
+      // a single event lands in two overlapping hour windows
+      spark.table("slide_means").count() shouldBe 2
+    } finally q.stop()
+  }
+
+  private lazy val base = (1L to 1000L).toDF("id")
+  private lazy val wanted = Seq(5L, 10L, 700L).toDF("id")
+
+  test("prefilter strategies agree (bloom is a superset)") {
+    val semi = Prefilter(base, wanted, "id", Prefilter.SemiJoin)
+      .collect().map(_.getLong(0)).toSet
+    val isin = Prefilter(base, wanted, "id", Prefilter.ChunkedIsin)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Prefilter(base, wanted, "id", Prefilter.Bloom)
+      .collect().map(_.getLong(0)).toSet
+    semi shouldBe Set(5L, 10L, 700L)
+    isin shouldBe semi
+    bloom.intersect(semi) shouldBe semi // bloom may over-admit, never drop
+    Prefilter.auto(base, wanted, "id").count() should be >= 3L
+  }
+
+  test("preview, empty relation, sketch helpers") {
+    Projections.preview(base, 7).count() shouldBe 7
+    val empty = Projections.emptyResult(spark)
+    empty.count() shouldBe 0
+    empty.columns.toSeq shouldBe Seq("ap_id", "ap_distance")
+    val cms = Projections.countMinSketch(base.withColumn("k", col("id") % 10), "k")
+    cms.estimateCount(3L) should be >= 100L
+    val c = Projections.centroid(
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).toDF("v"), "v")
+    c shouldBe Seq(2.0, 3.0)
+  }
+}
