@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen compiler, parquet reader paths) so the
+    // alphabetically-first query doesn't absorb the fixed startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     // A failed query records -1.0, never a wall time — regressions must not
     // hide as speedups (round-1 verdict item 6).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape diagnostic: prints the formatted physical plan of headline
+  * queries and asserts the scale-critical shapes (pushed filters,
+  * TakeOrderedAndProject for top-k, broadcast for small dims). Run:
+  * `sbt "runMain graft.Plans /root/testdata/sf0.001"`. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val checks: Seq[(String, String, Seq[String])] = Seq(
+      ("knn_manhattan", "TakeOrderedAndProject", Seq("TakeOrderedAndProject")),
+      ("projection_filter", "PushedFilters reach parquet", Seq("PushedFilters: [", "GreaterThan(l_quantity")),
+      ("q1_agg", "partial aggregation before shuffle", Seq("partial_sum", "HashAggregate")),
+      ("set_intersect", "semi join (broadcast-able)", Seq("LeftSemi")),
+      ("knn_rerank_half", "rerank candidates via semi join", Seq("LeftSemi")),
+      ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")))
+
+    var failed = 0
+    checks.foreach { case (name, what, markers) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val missing = markers.filterNot(plan.contains)
+      if (missing.isEmpty) println(s"[plan-ok] $name: $what")
+      else {
+        failed += 1
+        println(s"[plan-MISS] $name: expected $missing\n$plan")
+      }
+    }
+    println(if (failed == 0) "[plans] all shapes OK" else s"[plans] $failed MISSING")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -60,8 +60,8 @@ object ECPIndex {
     val n = df.count()
     val numLeaders = math.max(2, math.min(math.sqrt(n.toDouble).toInt, maxLeaders))
     val feats = df.select(col(idCol), array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(numLeaders).setSeed(seed).setMaxIter(10)
-      .fit(feats)
+    val model = new KMeans().setK(numLeaders).setSeed(seed).setMaxIter(8)
+      .setInitMode("random").fit(feats)
     val assignments = model.transform(feats)
       .select(col(idCol), col("prediction").as("leader"))
       .persist(StorageLevel.MEMORY_AND_DISK)
