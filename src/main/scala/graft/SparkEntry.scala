@@ -179,6 +179,57 @@ object SparkEntry {
       Distances.jaccard(posify(a), posify(b)), 100, roundTo = 6),
 
     // --- Boolean-filtered kNN + candidate rerank (SURVEY §2.1, §2.3) ---
+    "knn_manhattan_weighted" -> ((s, d) => {
+      val w = Distances.vecLit((1 to 64).map(i => (i % 4 + 1) * 0.25))
+      Knn.knn(withQueryVec(s, d),
+          Distances.manhattanW(col("embedding"), col("qv"), w), 100, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
+    "stream_windowed_counts" -> ((s, d) =>
+      // batch execution of the Structured Streaming operator — identical
+      // code path runs incrementally over readStream input
+      graft.streaming.EventStream.windowedCounts(Tables.events(s, d))
+        .select(col("event_type"),
+          date_format(col("window_start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("cnt"), round(col("total_value"), 4).as("total_value"))
+        .orderBy("event_type", "hour")),
+
+    "text_bpeish_tokens" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_cnt"))
+      .orderBy("doc_id")),
+
+    "ann_ivf_topk" -> ((s, d) => {
+      // IVF-flat = eCP coarse quantizer per query + exact rerank
+      val emb = Tables.embeddings(s, d)
+      val idx = ECPIndex.build(emb, "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      queries.map { case (qid, q) =>
+        idx.knn(emb, "vec_id", Distances.euclidean(col("embedding"), Distances.vecLit(q)), q, 10)
+          .select(lit(qid).as("qid"), col("vec_id"),
+            round(col(Knn.DistanceCol), 4).as("distance"))
+      }.reduce(_ union _).orderBy("qid", "distance", "vec_id")
+    }),
+
+    "index_vote_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val dist = Distances.euclidean(col("embedding"), Distances.vecLit(q))
+      val ecp = ECPIndex.build(emb, "vec_id", "embedding")
+      val pq = PQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16)
+      val voted = SetAlgebra.vote(
+        Seq(ecp.candidates(q, 100), pq.candidates(q, 100)), "vec_id", 500)
+      Knn.rerank(emb, voted, "vec_id", dist, 100)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
+    "lsh_cosine_neardup" -> ((s, d) =>
+      Ann.lshCosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        0.5, dim = 64).orderBy("id_a", "id_b")),
+
     "knn_filtered" -> ((s, d) =>
       Knn.knnFiltered(withQueryVec(s, d), col("label") < 5,
         Distances.manhattan(col("embedding"), col("qv")), 50, col("vec_id"))
@@ -516,6 +567,31 @@ object SparkEntry {
       where = "WHERE e.vec_id % 2 = 0"),
     "prefilter_isin_knn" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,
       where = "WHERE e.vec_id % 3 = 0"),
+
+    "knn_manhattan_weighted" -> duckKnn(
+      duckSum(s"((i % 4 + 1) * 0.25) * abs($dx - $dq)"), 100),
+
+    "stream_windowed_counts" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        | count(*) AS cnt, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY event_type, hour ORDER BY event_type, hour""".stripMargin,
+
+    "text_bpeish_tokens" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+'))
+        |  + length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS bpeish_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lsh_cosine_neardup" ->
+      """SELECT id_a, id_b, round(cs, 4) AS cos_sim FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CASE WHEN sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) < 1e-5
+        |        OR sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))) < 1e-5 THEN 0.0
+        |   ELSE list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))) END AS cs
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+        |) WHERE cs >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "ann_batch_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 4)

@@ -1,0 +1,120 @@
+package graft.api
+
+import scala.concurrent.ExecutionContext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.{Entity, Partitioning}
+import graft.functions.Distances
+import graft.index._
+import graft.operators._
+import graft.plans.{Planner, Progressive, ResultCache}
+
+/** Programmatic API mirroring the reference's `communication/api` surface
+  * (`EntityOp`, `IndexOp`, `QueryOp` — `QueryOp.scala:34-161`): a user of
+  * ADAMpro's Scala API can switch to these entry points one-for-one.
+  * gRPC transport is intentionally out of scope (SURVEY §7.1) — this is
+  * the seam a thin server would wrap.
+  */
+object EntityOps {
+  def create(spark: SparkSession, base: String, name: String): Entity =
+    Entity.create(spark, base, name)
+  def open(spark: SparkSession, base: String, name: String): Entity =
+    Entity.open(spark, base, name)
+  def exists(base: String, name: String): Boolean = Entity.exists(base, name)
+  def list(base: String): Seq[String] = Entity.list(base)
+  def insert(e: Entity, df: DataFrame): Entity = e.insert(df)
+  def count(e: Entity): Long = e.count()
+  def delete(e: Entity, predicate: Column): Long = e.deleteWhere(predicate)
+  def vacuum(e: Entity, partitions: Int = 8): Entity = e.vacuum(partitions)
+  def sparsify(e: Entity, vecCol: String): Entity = e.sparsify(vecCol)
+  def drop(e: Entity): Unit = e.drop()
+  def preview(e: Entity, k: Int = 100): DataFrame = Projections.preview(e.read(), k)
+  def repartition(df: DataFrame, mode: Partitioning.Mode): DataFrame =
+    Partitioning.repartition(df, mode)
+}
+
+object IndexOps {
+  /** Index factory by type name — reference `IndexTypes.scala:20-45`. */
+  def create(indexType: String, df: DataFrame, idCol: String, vecCol: String): VectorIndex =
+    indexType.toLowerCase match {
+      case "vaf" => VAIndex.buildFixed(df, idCol, vecCol)
+      case "vav" => VAIndex.buildVariable(df, idCol, vecCol)
+      case "vap" => VAIndex.buildPlus(df, idCol, vecCol)
+      case "ecp" => ECPIndex.build(df, idCol, vecCol)
+      case "pq" => PQIndex.build(df, idCol, vecCol)
+      case "sh" => SHIndex.build(df, idCol, vecCol)
+      case "lsh" => LSHIndex.build(df, idCol, vecCol)
+      case "mi" => MIIndex.build(df, idCol, vecCol)
+      case other => throw new IllegalArgumentException(s"unknown index type: $other")
+    }
+
+  /** Build every structure (reference `generateAllIndexes`). */
+  def createAll(df: DataFrame, idCol: String, vecCol: String): Seq[VectorIndex] =
+    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi").map(create(_, df, idCol, vecCol))
+}
+
+final case class NnQuery(vecCol: String, q: Seq[Double], distName: String, k: Int,
+                         weights: Option[Seq[Double]] = None)
+
+object QueryOps {
+  private val cache = new ResultCache()
+
+  def distanceColumn(nnq: NnQuery): Column = nnq.weights match {
+    case Some(w) if nnq.distName == "manhattan" =>
+      Distances.manhattanW(col(nnq.vecCol), Distances.vecLit(nnq.q), Distances.vecLit(w))
+    case _ => Distances.byName(nnq.distName)(col(nnq.vecCol), Distances.vecLit(nnq.q))
+  }
+
+  /** Exact sequential kNN (reference `QueryOp.sequential`). */
+  def sequential(entity: DataFrame, idCol: String, nnq: NnQuery): DataFrame =
+    Knn.knn(entity, distanceColumn(nnq), nnq.k, col(idCol))
+
+  /** Scan a specific index with exact rerank (reference `QueryOp.index`). */
+  def index(entity: DataFrame, idCol: String, idx: VectorIndex, nnq: NnQuery): DataFrame =
+    idx.knn(entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
+
+  /** Hint-planned kNN (reference `QueryOp.expression` + hint grammar). */
+  def planned(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],
+              hints: Seq[Planner.Hint], nnq: NnQuery): DataFrame = {
+    val plan = Planner.choose(hints, indexes, nnq.distName)
+    Planner.run(plan, entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
+  }
+
+  /** Boolean query (reference `QueryOp.booleanQuery`). */
+  def booleanQuery(entity: DataFrame, predicates: Seq[BooleanPredicates.Predicate]): DataFrame =
+    entity.filter(BooleanPredicates.conjunction(predicates))
+
+  /** Filtered kNN — Boolean predicate + ranking combined. */
+  def filteredKnn(entity: DataFrame, idCol: String,
+                  predicates: Seq[BooleanPredicates.Predicate], nnq: NnQuery): DataFrame =
+    Knn.knnFiltered(entity, BooleanPredicates.conjunction(predicates),
+      distanceColumn(nnq), nnq.k, col(idCol))
+
+  /** All plans racing; observations as they land (reference
+    * `QueryOp.parallel` / progressive). */
+  def parallel(spark: SparkSession, entity: DataFrame, idCol: String,
+               indexes: Seq[VectorIndex], nnq: NnQuery)
+              (onNext: Progressive.Observation => Unit = _ => ())
+              (implicit ec: ExecutionContext): Seq[Progressive.Observation] =
+    Progressive.parallel(spark, planSpecs(entity, idCol, indexes, nnq))(onNext)
+
+  /** Best result by a deadline (reference `QueryOp.timedParallel`). */
+  def timedParallel(spark: SparkSession, entity: DataFrame, idCol: String,
+                    indexes: Seq[VectorIndex], nnq: NnQuery, deadlineMs: Long)
+                   (implicit ec: ExecutionContext): Progressive.Observation =
+    Progressive.timed(spark, planSpecs(entity, idCol, indexes, nnq), deadlineMs)
+
+  /** Memoized execution keyed by a query fingerprint (reference
+    * `CacheExpression`). */
+  def cached(fingerprint: String)(compute: => DataFrame): DataFrame =
+    cache.getOrElseCompute(fingerprint)(compute)
+
+  private def planSpecs(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],
+                        nnq: NnQuery): Seq[Progressive.PlanSpec] =
+    Progressive.PlanSpec("sequential", 1.0, () => sequential(entity, idCol, nnq)) +:
+      indexes.filter(_.conformsTo(nnq.distName)).map(idx =>
+        Progressive.PlanSpec(s"index:${idx.indexType}", idx.confidence,
+          () => index(entity, idCol, idx, nnq)))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+import graft.api._
+import graft.core.RandomData
+import graft.operators.BooleanPredicates.Predicate
+import graft.plans.Planner
+
+/** End-to-end API facade: the reference `EntityOp`/`IndexOp`/`QueryOp`
+  * surface exercised as a user would. */
+class OpsSpec extends SparkSpec {
+
+  lazy val data = RandomData.generate(spark, 1500, 8).cache()
+  private val q = Seq.fill(8)(0.5)
+  private def nnq = NnQuery("feature", q, "euclidean", 10)
+
+  test("entity ops: create→insert→count→preview→drop") {
+    val base = Files.createTempDirectory("graft-ops").toString
+    val e = EntityOps.create(spark, base, "ops_e")
+    EntityOps.insert(e, data.limit(50))
+    EntityOps.count(e) shouldBe 50
+    EntityOps.preview(e, 5).count() shouldBe 5
+    EntityOps.exists(base, "ops_e") shouldBe true
+    EntityOps.drop(e)
+  }
+
+  test("index factory builds every type; unknown rejected") {
+    val idx = IndexOps.create("ecp", data, "id", "feature")
+    idx.indexType shouldBe "ecp"
+    an[IllegalArgumentException] should be thrownBy
+      IndexOps.create("btree", data, "id", "feature")
+  }
+
+  test("sequential vs planned(exact-index) agree") {
+    val vaf = IndexOps.create("vaf", data, "id", "feature")
+    val seq = QueryOps.sequential(data, "id", nnq).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val planned = QueryOps.planned(data, "id", Seq(vaf),
+      Seq(Planner.ExactHint), nnq).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    planned shouldBe seq
+  }
+
+  test("boolean + filtered kNN") {
+    QueryOps.booleanQuery(data, Seq(Predicate("intfield", "<", Seq(100))))
+      .count() should be > 0L
+    val r = QueryOps.filteredKnn(data, "id",
+      Seq(Predicate("intfield", "<", Seq(500))), nnq)
+    r.count() shouldBe 10
+  }
+
+  test("weighted query routes through the weighted kernel") {
+    val w = NnQuery("feature", q, "manhattan", 5, weights = Some(Seq.fill(8)(0.0)))
+    val dists = QueryOps.sequential(data, "id", w)
+      .select("distance").collect().map(_.getDouble(0))
+    all(dists) shouldBe 0.0
+  }
+
+  test("timedParallel returns the exact result when all plans finish") {
+    val ecp = IndexOps.create("ecp", data, "id", "feature")
+    val o = QueryOps.timedParallel(spark, data, "id", Seq(ecp), nnq, 60000)
+    o.planDescription shouldBe "sequential"
+    o.result.get.length shouldBe 10
+  }
+
+  test("cached query computes once") {
+    var n = 0
+    def make() = { n += 1; data.limit(2) }
+    QueryOps.cached("fp1")(make()).count() shouldBe 2
+    QueryOps.cached("fp1")(make()).count() shouldBe 2
+    n shouldBe 1
+  }
+}
