@@ -60,6 +60,65 @@ object HashSig {
     * the compact representation for exact Jaccard verification. */
   def shingleHashes(tokenHashes: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(tokenHashes), n))
+
+  /** Signed-random-hyperplane signature (≤64 bits packed into a Long)
+    * over an `array<float|double>` vector column. */
+  def hyperplaneSig(vec: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(HyperplaneSigExpr(Bridge.expression(vec), planes))
+}
+
+/** bit b = sign(v · planes(b)), packed to a Long. */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  require(planes.length <= 64, "signature is packed into a Long")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires array<float|double>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val vec = Array.tabulate(v.numElements())(i =>
+      if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+    HyperplaneSigExpr.sig(vec, planes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""double[] vec = new double[$c.numElements()];
+         |for (int i = 0; i < vec.length; i++) vec[i] = (double) $c.$getter(i);
+         |${ev.value} = graft.functions.HyperplaneSigExpr.sig(vec, $pRef);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSigExpr {
+  def sig(vec: Array[Double], planes: Array[Array[Double]]): Long = {
+    var out = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var d = 0.0
+      var i = 0
+      val n = math.min(vec.length, p.length)
+      while (i < n) { d += vec(i) * p(i); i += 1 }
+      if (d > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 trait TokenHashInput { self: UnaryExpression =>

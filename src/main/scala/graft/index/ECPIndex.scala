@@ -1,7 +1,5 @@
 package graft.index
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -54,21 +52,31 @@ object ECPIndex {
     s
   }
 
-  /** Leaders = √n capped at 200 (reference `ECPIndexGenerator.scala:27`). */
+  /** Leaders = √n capped at 200 (reference `ECPIndexGenerator.scala:27`).
+    * Leaders are trained locally on a bounded sample (the reference
+    * samples √n tuples too); the full-corpus ASSIGNMENT is one
+    * distributed pass through the codegen nearest-centroid kernel
+    * ([[PQEncodeExpr]] with a single full-width subspace). */
   def build(df: DataFrame, idCol: String, vecCol: String,
-            maxLeaders: Int = 200, seed: Long = 42L): ECPIndex = {
+            maxLeaders: Int = 200, seed: Long = 42L,
+            sampleN: Int = VectorIndex.DefaultTrainingSize): ECPIndex = {
     val n = df.count()
     val numLeaders = math.max(2, math.min(math.sqrt(n.toDouble).toInt, maxLeaders))
-    val feats = df.select(col(idCol), array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(numLeaders).setSeed(seed).setMaxIter(8)
-      .setInitMode("random").fit(feats)
-    val assignments = model.transform(feats)
-      .select(col(idCol), col("prediction").as("leader"))
+    val sampleRows = (if (n <= sampleN) df
+      else df.sample(withReplacement = false, sampleN.toDouble / n, seed))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = PQIndex.lloyd(sampleRows, numLeaders, iters = 10, seed = seed)
+    val dims = sampleRows.head.length
+    val assignments = df.select(col(idCol),
+        org.apache.spark.sql.graft.Bridge.column(PQEncodeExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+          Array(centers), dims)).getItem(0).as("leader"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = assignments.groupBy("leader").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray, counts.getOrElse(i, 0L))
+    val centroids = centers.zipWithIndex.map { case (c, i) =>
+      (i, c, counts.getOrElse(i, 0L))
     }
     new ECPIndex(assignments, centroids, idCol)
   }

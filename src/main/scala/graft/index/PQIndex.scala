@@ -49,7 +49,7 @@ class PQIndex(val codes: DataFrame, // (id, codes array<int>)
 object PQIndex {
 
   /** Deterministic local Lloyd's k-means for bounded codebook training. */
-  private[index] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
                            seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "empty training sample")
     val dim = points.head.length

@@ -1,7 +1,5 @@
 package graft.index
 
-import org.apache.spark.ml.feature.{PCA, PCAModel}
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -68,21 +66,51 @@ object SHIndex {
     sig
   }
 
+  /** PCA via local Breeze `eigSym` of the sample covariance — exactly
+    * the reference's training path (`SHIndexGenerator.scala:66-83` uses
+    * Breeze eig on a collected sample). The full corpus is touched only
+    * by ONE distributed pass computing signatures (rotation fused into
+    * the [[SHSigExpr]] kernel). */
   def build(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 32,
-            sampleN: Int = 1000): SHIndex = {
+            sampleN: Int = 1000, seed: Long = 42L): SHIndex = {
     require(nBits <= 64, "signature is packed into a Long")
-    val dims = df.select(size(col(vecCol))).head().getInt(0)
-    val feats = df.select(col(idCol), array_to_vector(col(vecCol)).as("features"))
-    val model: PCAModel = new PCA().setK(dims).setInputCol("features").setOutputCol("pc").fit(feats)
-    val pcArr = Array.tabulate(model.pc.numRows, model.pc.numCols)((i, j) => model.pc(i, j))
-    val rotated = model.transform(feats)
-      .select(col(idCol), vector_to_array(col("pc")).as("rot"))
+    val n = df.count()
+    val sample = (if (n <= sampleN) df
+      else df.sample(withReplacement = false, sampleN.toDouble / n, seed))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dims = sample.head.length
 
-    val stats = rotated.select(posexplode(col("rot")).as(Seq("dim", "v")))
-      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
-      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val mins = Array.tabulate(dims)(d => stats(d)._1)
-    val ranges = Array.tabulate(dims)(d => stats(d)._2 - stats(d)._1)
+    // covariance of the centered sample
+    val mean = new Array[Double](dims)
+    sample.foreach(v => (0 until dims).foreach(d => mean(d) += v(d)))
+    (0 until dims).foreach(d => mean(d) /= sample.length)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dims) {
+        var j = i
+        while (j < dims) {
+          val x = (v(i) - mean(i)) * (v(j) - mean(j))
+          cov(i, j) += x
+          if (i != j) cov(j, i) += x
+          j += 1
+        }
+        i += 1
+      }
+    }
+    cov :/= (sample.length - 1).toDouble
+    val eig = breeze.linalg.eigSym(cov)
+    // descending eigenvalue order; components as columns of pc
+    val order = (0 until dims).sortBy(d => -eig.eigenvalues(d))
+    val pcArr = Array.tabulate(dims, dims)((i, j) => eig.eigenvectors(i, order(j)))
+
+    def rotate(v: Array[Double]): Array[Double] =
+      Array.tabulate(dims)(j => (0 until dims).map(i => v(i) * pcArr(i)(j)).sum)
+    val rotatedSample = sample.map(rotate)
+    val mins = Array.tabulate(dims)(d => rotatedSample.map(_(d)).min)
+    val maxs = Array.tabulate(dims)(d => rotatedSample.map(_(d)).max)
+    val ranges = Array.tabulate(dims)(d => maxs(d) - mins(d))
 
     // lowest-eigenvalue (smallest-frequency) modes: rank (comp, freq) by
     // freq / range — reference eigenfunction enumeration (SHIndexGenerator.scala:85-104)
@@ -91,14 +119,10 @@ object SHIndex {
       (1 to maxFreq).map(f => (c, f, f.toDouble / math.max(ranges(c), 1e-12)))
     }.sortBy(_._3).take(nBits).map(m => (m._1, m._2)).toArray
 
-    val sigCol = Bridge.column(graft.index.SHSigExpr(
-      Bridge.expression(col("rot")), pcIdentity(dims), mins, ranges, modes))
-    // rot column already rotated: pass identity rotation to the kernel
-    val sigs = rotated.select(col(idCol), sigCol.as("sig"))
+    val sigs = df.select(col(idCol),
+        Bridge.column(graft.index.SHSigExpr(
+          Bridge.expression(col(vecCol)), pcArr, mins, ranges, modes)).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     new SHIndex(sigs, pcArr, mins, ranges, modes, idCol)
   }
-
-  private def pcIdentity(n: Int): Array[Array[Double]] =
-    Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
 }

@@ -53,25 +53,15 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
-  /** Signed random hyperplane signature: bit b = sign(v · h_b), packed to
-    * a Long. Deterministic pseudo-random hyperplanes derived from the
-    * (seed, bit, dim) triple via a splitmix-style integer mix, so the
-    * signature needs no fitted model and is reproducible cluster-wide. */
-  def hyperplaneSignature(vec: Column, numBits: Int, dim: Int, seed: Long = 42L): Column = {
-    def gauss(b: Int, d: Int): Double = {
-      // Box–Muller over two splitmix64-mixed uniforms
+  /** Deterministic pseudo-random Gaussian hyperplanes, derived from the
+    * (seed, bit, dim) triple via splitmix64 + Box–Muller — no fitted
+    * model, reproducible cluster-wide. */
+  def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(numBits, dim) { (b, d) =>
       val u1 = mix(seed + b * 1000003L + d * 7919L)
       val u2 = mix(seed + b * 1000003L + d * 7919L + 1L)
       math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
     }
-    val bits = (0 until numBits).map { b =>
-      val dotProd = (0 until dim).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(gauss(b, d))
-      }.reduce(_ + _)
-      when(dotProd > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
 
   private def mix(z0: Long): Double = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -81,27 +71,36 @@ object Ann {
     ((z >>> 11).toDouble / (1L << 53).toDouble) + 1e-12
   }
 
-  /** LSH-bucketed cosine near-dup pairs: bucket on the hyperplane
-    * signature chunks (banding), verify cosine within buckets. Same
-    * output contract as [[cosineNearDupPairs]]; recall < 1 is possible
-    * by construction — tune bands/bits per corpus. */
+  /** LSH-bucketed cosine near-dup pairs: bucket on chunks of the packed
+    * hyperplane signature (banding), then verify true cosine. Candidates
+    * carry only ids through the band shuffle; vectors are re-joined by
+    * id after the pair `distinct` (same scale shape as the MinHash
+    * path). Recall < 1 is possible by construction — tune bands/bits. */
   def lshCosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, dim: Int, numBits: Int = 16,
-                            numBands: Int = 8): DataFrame = {
+                            threshold: Double, dim: Int, numBits: Int = 64,
+                            numBands: Int = 16, seed: Long = 42L): DataFrame = {
     val bitsPerBand = numBits / numBands
     val mask = (1L << bitsPerBand) - 1
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", hyperplaneSignature(col("v"), numBits, dim))
-      .withColumn("band", explode(sequence(lit(0), lit(numBands - 1))))
+    val planes = hyperplanes(numBits, dim, seed)
+    val banded = df.select(col(idCol).as("id"),
+        graft.functions.HashSig.hyperplaneSig(col(vecCol), planes).as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
       .withColumn("chunk",
         call_function("shiftright", col("sig"), col("band") * bitsPerBand)
           .bitwiseAND(mask))
-    val a = sig.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band", "chunk"))
+      .select("id", "band", "chunk")
+    val cand = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("chunk"), col("id").as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
-      .withColumn("cos_sim", Distances.cosineSim(col("v_a"), col("v_b")))
+      .select("id_a", "id_b").distinct()
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Distances.norm2(col(vecCol)).as("nrm"))
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos_sim",
+        when(col("n_a") < 1e-5 || col("n_b") < 1e-5, lit(0.0))
+          .otherwise(Distances.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Pluggable storage-handler seam — the reference's engine abstraction
+  * (`/root/reference/src/main/scala/org/vitrivr/adampro/storage/StorageHandler.scala`,
+  * engines in `storage/engine/`: Parquet, ORC, Avro, JDBC, Solr, …).
+  *
+  * v1 ships the file-format handlers (Parquet/ORC/JSON/CSV); the trait
+  * is the extension point a JDBC/Solr/Cassandra handler would implement
+  * (each maps to a Spark DataSource, so predicates pushed via `.filter`
+  * reach the source through Catalyst — no engine-specific pushdown
+  * plumbing needed, unlike the reference's per-engine predicate
+  * rendering, e.g. `PostgresqlEngine.scala:180-187`).
+  */
+trait StorageHandler {
+  def name: String
+  def create(spark: SparkSession, storename: String, df: DataFrame): Unit =
+    write(spark, storename, df, overwrite = true)
+  def read(spark: SparkSession, storename: String,
+           predicates: Seq[Column] = Nil): DataFrame
+  def write(spark: SparkSession, storename: String, df: DataFrame,
+            overwrite: Boolean): Unit
+  def drop(spark: SparkSession, storename: String): Unit
+  def exists(spark: SparkSession, storename: String): Boolean
+}
+
+/** File-format handler over a Spark DataSource format. */
+class FileFormatHandler(val name: String, format: String,
+                        options: Map[String, String] = Map.empty) extends StorageHandler {
+
+  override def read(spark: SparkSession, storename: String,
+                    predicates: Seq[Column]): DataFrame = {
+    val df = spark.read.options(options).format(format).load(storename)
+    predicates.foldLeft(df)(_ filter _) // pushed to the source by Catalyst
+  }
+
+  override def write(spark: SparkSession, storename: String, df: DataFrame,
+                     overwrite: Boolean): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "append")
+      .options(options).format(format).save(storename)
+
+  override def drop(spark: SparkSession, storename: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storename)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  override def exists(spark: SparkSession, storename: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storename)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** Handler registry (reference `listStorageHandlers`). */
+object StorageHandlers {
+  val parquet = new FileFormatHandler("parquet", "parquet")
+  val orc = new FileFormatHandler("orc", "orc")
+  val json = new FileFormatHandler("json", "json")
+  val csv = new FileFormatHandler("csv", "csv",
+    Map("header" -> "true", "inferSchema" -> "true"))
+
+  val all: Map[String, StorageHandler] =
+    Seq(parquet, orc, json, csv).map(h => h.name -> h).toMap
+
+  def apply(name: String): StorageHandler =
+    all.getOrElse(name, throw new IllegalArgumentException(s"no handler: $name"))
+
+  /** Move data between engines (reference `transferStorageHandler`,
+    * `Transferer.scala`). */
+  def transfer(spark: SparkSession, from: StorageHandler, fromStore: String,
+               to: StorageHandler, toStore: String): Unit =
+    to.write(spark, toStore, from.read(spark, fromStore), overwrite = true)
+}
