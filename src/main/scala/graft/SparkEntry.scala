@@ -351,6 +351,10 @@ object SparkEntry {
       Dedup.dropExactDups(Tables.documents(s, d), "text", "doc_id")
         .select("doc_id").orderBy("doc_id")),
 
+    "dedup_pipeline" -> ((s, d) =>
+      Dedup.dedupPipeline(Tables.documents(s, d), "text", "doc_id",
+        minQuality = 0.5, threshold = 0.5).orderBy("doc_id")),
+
     "minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
@@ -622,6 +626,29 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          |QUALIFY row_number() OVER (PARTITION BY md5($duckNorm) ORDER BY doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_pipeline" -> {
+      val quality =
+        s"""( least(length(text) / 200.0, 1.0)
+           |  + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
+           |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
+           | ) / 3.0""".stripMargin
+      s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $quality >= 0.5),
+         |ex AS (SELECT doc_id, text FROM q
+         |       QUALIFY row_number() OVER (PARTITION BY md5($duckNorm) ORDER BY doc_id) = 1),
+         |d AS (SELECT doc_id, $duckShingles AS sh FROM
+         |      (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM ex)),
+         |pairs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh)) * 1.0
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         | FROM d a, d b WHERE a.doc_id < b.doc_id
+         |),
+         |drops AS (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.5)
+         |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM drops)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "minhash_neardup" ->
       s"""WITH d AS (

@@ -101,6 +101,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** End-to-end training-data dedup pipeline: quality floor → exact
+    * dedup (keep min id per normalized content) → near-dup drop (the
+    * higher id of every verified MinHash pair is removed). Returns the
+    * surviving ids. Every stage is the scale-shaped operator above —
+    * one pipeline, no driver-side loops. */
+  def dedupPipeline(df: DataFrame, textCol: String, idCol: String,
+                    minQuality: Double, threshold: Double): DataFrame = {
+    val quality = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val exact = dropExactDups(quality, textCol, idCol)
+    val drops = minhashNearDupPairs(exact, textCol, idCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(drops, Seq(idCol), "left_anti").select(idCol)
+  }
+
   /** 64-bit SimHash over the token bag: bit i of the fingerprint is the
     * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Codegen'd
     * kernel over the per-token hashes. */

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Distances, GraftFunctions, SparseVectors}
+
+/** SQL-registered kernels + sparse vector densify. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("vec_* kernels callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.0))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      """SELECT vec_manhattan(a, b) AS m, vec_euclidean(a, b) AS e,
+        |       vec_cosinesim(a, b) AS cs FROM vecs""".stripMargin).head()
+    r.getDouble(0) shouldBe 7.0
+    r.getDouble(1) shouldBe 5.0
+    r.getDouble(2) shouldBe (25.0 / (math.sqrt(14) * math.sqrt(61)) +- Epsilon)
+  }
+
+  test("signature kernels callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash(transform(split('a b c', ' '), t -> xxhash64(t))) AS sh,
+        |       size(minhash_sig(transform(split('a b c d', ' '), t -> xxhash64(t)), 3, 8)) AS ms,
+        |       size(shingle_hashes(transform(split('a b c d', ' '), t -> xxhash64(t)), 3)) AS ns
+        |""".stripMargin).head()
+    r.getLong(0) should not be 0L
+    r.getInt(1) shouldBe 8
+    r.getInt(2) shouldBe 2 // 4 tokens -> 2 trigram shingles
+  }
+
+  test("densify restores sparsified vectors; distances agree") {
+    val dense = Seq((1L, Seq(0.0f, 2.5f, 0.0f, 1.5f)), (2L, Seq(1.0f, 0.0f, 0.0f, 3.0f)))
+      .toDF("id", "vec")
+    val sparse = dense.select(col("id"), struct(
+      filter(zip_with(col("vec"), sequence(lit(0), org.apache.spark.sql.functions.size(col("vec")) - 1),
+        (v, i) => struct(v.as("v"), i.as("i"))), s => s.getField("v") =!= 0.0f)
+        .as("z")).as("tmp"))
+      .select(col("id"), struct(
+        transform(col("tmp.z"), _.getField("i")).as("indices"),
+        transform(col("tmp.z"), _.getField("v")).as("values"),
+        lit(4).as("length")).as("svec"))
+    val back = sparse.select(col("id"), SparseVectors.densify(col("svec")).as("vec"))
+    val orig = dense.orderBy("id").collect().map(_.getSeq[Float](1))
+    val rest = back.orderBy("id").collect().map(_.getSeq[Float](1))
+    rest.toSeq shouldBe orig.toSeq
+
+    val q = Distances.vecLit(Seq(1.0, 1.0, 1.0, 1.0))
+    val d1 = dense.select(Distances.manhattan(col("vec"), q)).collect().map(_.getDouble(0))
+    val d2 = back.select(Distances.manhattan(col("vec"), q)).collect().map(_.getDouble(0))
+    d2.toSeq shouldBe d1.toSeq
+  }
+
+  test("densify works from SQL too") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT densify(named_struct(
+        |  'indices', array(1, 3), 'values', array(CAST(2.5 AS FLOAT), CAST(1.5 AS FLOAT)),
+        |  'length', 4)) AS v""".stripMargin).head().getSeq[Float](0)
+    r shouldBe Seq(0.0f, 2.5f, 0.0f, 1.5f)
+  }
+}
