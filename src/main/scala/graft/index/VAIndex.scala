@@ -130,8 +130,9 @@ object VAIndex {
                     totalBits: Int = -1, sampleN: Int = VectorIndex.DefaultTrainingSize): VAIndex = {
     val dims = dimsOf(df, vecCol)
     val budget = if (totalBits > 0) totalBits else defaultBits(dims) * dims
+    val n = math.max(1L, df.count())
     val variances = df.sample(withReplacement = false,
-        math.min(1.0, sampleN.toDouble / math.max(1L, df.count())), seed = 42L)
+        math.min(1.0, sampleN.toDouble / n), seed = 42L)
       .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("dim").agg(variance(col("v").cast("double")).as("s2"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
