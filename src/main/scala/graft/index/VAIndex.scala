@@ -73,8 +73,7 @@ object VAIndex {
     * marks are the sample min/max stretched slightly so every value
     * falls inside a cell. */
   private def trainMarks(df: DataFrame, vecCol: String, bitsPerDim: Array[Int],
-                         sampleN: Int): Array[Array[Double]] = {
-    val n = df.count()
+                         sampleN: Int, n: Long): Array[Array[Double]] = {
     val sampled =
       if (n <= sampleN) df
       else df.sample(withReplacement = false, sampleN.toDouble / n, seed = 42L)
@@ -106,8 +105,9 @@ object VAIndex {
 
   private def buildFrom(df: DataFrame, idCol: String, vecCol: String,
                         bitsPerDim: Array[Int], p: Double, sampleN: Int,
-                        typ: String, rotate: Option[Array[Array[Double]]]): VAIndex = {
-    val marks = trainMarks(df, vecCol, bitsPerDim, sampleN)
+                        typ: String, rotate: Option[Array[Array[Double]]],
+                        n: Long): VAIndex = {
+    val marks = trainMarks(df, vecCol, bitsPerDim, sampleN, n)
     val cells = df.select(col(idCol), VAExprs.cells(col(vecCol), marks).as("cells"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     new VAIndex(cells, marks, p, idCol, typ, rotate)
@@ -121,7 +121,7 @@ object VAIndex {
                  bits: Int = -1, sampleN: Int = VectorIndex.DefaultTrainingSize): VAIndex = {
     val dims = dimsOf(df, vecCol)
     val b = if (bits > 0) bits else defaultBits(dims)
-    buildFrom(df, idCol, vecCol, Array.fill(dims)(b), p, sampleN, "vaf", None)
+    buildFrom(df, idCol, vecCol, Array.fill(dims)(b), p, sampleN, "vaf", None, df.count())
   }
 
   /** Variable-bits VA-file (`vav`): bits ∝ per-dim variance share
@@ -131,17 +131,18 @@ object VAIndex {
     val dims = dimsOf(df, vecCol)
     val budget = if (totalBits > 0) totalBits else defaultBits(dims) * dims
     val n = math.max(1L, df.count())
+    // var_samp of a single-value group is null — treat as zero variance
     val variances = df.sample(withReplacement = false,
         math.min(1.0, sampleN.toDouble / n), seed = 42L)
       .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .groupBy("dim").agg(variance(col("v").cast("double")).as("s2"))
+      .groupBy("dim").agg(coalesce(variance(col("v").cast("double")), lit(0.0)).as("s2"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val total = variances.values.sum
     val bitsPerDim = Array.tabulate(dims) { d =>
       val share = if (total <= 0) 1.0 / dims else variances.getOrElse(d, 0.0) / total
       math.max(1, math.min(10, 1 + math.round(share * (budget - dims)).toInt))
     }
-    buildFrom(df, idCol, vecCol, bitsPerDim, p, sampleN, "vav", None)
+    buildFrom(df, idCol, vecCol, bitsPerDim, p, sampleN, "vav", None, n)
   }
 
   /** VA+ (`vap`): PCA rotation (energy-compacting, distance-preserving
@@ -155,8 +156,7 @@ object VAIndex {
     val rotatedDf = model.transform(feats)
       .select(col(idCol), vector_to_array(col("pc")).as("rot"))
     val pcRows = Array.tabulate(model.pc.numRows, model.pc.numCols)((i, j) => model.pc(i, j))
-    val idx = buildFrom(rotatedDf, idCol, "rot", Array.fill(dims)(defaultBits(dims)),
-      2.0, sampleN, "vap", Some(pcRows))
-    idx
+    buildFrom(rotatedDf, idCol, "rot", Array.fill(dims)(defaultBits(dims)),
+      2.0, sampleN, "vap", Some(pcRows), df.count())
   }
 }

@@ -7,14 +7,8 @@ import org.scalatest.matchers.should.Matchers
 /** Shared local SparkSession for all suites (mirrors the reference's
   * single shared session in `AdamTestBase.scala:28-30`). */
 object SharedSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    graft.core.GraftSession.builder("local[4]", 4).appName("graft-test").getOrCreate()
 }
 
 abstract class SparkSpec extends AnyFunSuite with Matchers {
