@@ -116,6 +116,34 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("event_type", "hour")),
 
+    "q3_shipping" -> ((s, d) => {
+      // TPC-H Q3 shape: small dims broadcast into the fact scan
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(100)
+    }),
+
+    "event_sessions" -> ((s, d) => {
+      // sessionization: a new session starts after a 30-minute gap
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("sessions"), count(lit(1)).as("events"))
+        .orderBy("user_id")
+    }),
+
     // --- set algebra (SURVEY §2.4) ---
     "set_union" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -476,6 +504,24 @@ object SparkEntry {
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         | count(*) AS cnt
         |FROM events GROUP BY event_type, hour ORDER BY event_type, hour""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 100""".stripMargin,
+
+    "event_sessions" ->
+      """SELECT user_id, sum(new_session) AS sessions, count(*) AS events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |       FROM events)
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "set_union" ->
       """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
