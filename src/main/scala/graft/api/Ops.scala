@@ -61,10 +61,25 @@ final case class NnQuery(vecCol: String, q: Seq[Double], distName: String, k: In
 object QueryOps {
   private val cache = new ResultCache()
 
-  def distanceColumn(nnq: NnQuery): Column = nnq.weights match {
-    case Some(w) if nnq.distName == "manhattan" =>
-      Distances.manhattanW(col(nnq.vecCol), Distances.vecLit(nnq.q), Distances.vecLit(w))
-    case _ => Distances.byName(nnq.distName)(col(nnq.vecCol), Distances.vecLit(nnq.q))
+  def distanceColumn(nnq: NnQuery): Column = {
+    val v = col(nnq.vecCol)
+    val q = Distances.vecLit(nnq.q)
+    nnq.weights match {
+      case None => Distances.byName(nnq.distName)(v, q)
+      case Some(ws) =>
+        val w = Distances.vecLit(ws)
+        nnq.distName.toLowerCase match {
+          case "manhattan" | "minkowski-1" => Distances.manhattanW(v, q, w)
+          case "euclidean" | "minkowski-2" => Distances.euclideanW(v, q, w)
+          case "sqeuclidean" => Distances.sqEuclideanW(v, q, w)
+          case "chebyshev" | "minkowski-inf" => Distances.chebyshevW(v, q, w)
+          case "modulo" => Distances.moduloW(v, q, w)
+          case m if m.startsWith("minkowski-") =>
+            Distances.minkowskiW(v, q, w, m.stripPrefix("minkowski-").toDouble)
+          case other => throw new IllegalArgumentException(
+            s"no weighted variant of distance '$other' — drop the weights or use a Minkowski-family distance")
+        }
+    }
   }
 
   /** Exact sequential kNN (reference `QueryOp.sequential`). */

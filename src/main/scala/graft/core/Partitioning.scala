@@ -26,6 +26,26 @@ object Partitioning {
   /** Cluster-locality partitioning on a vector column via KMeans leaders. */
   case class Ecp(vecCol: String, nClusters: Int) extends Mode
 
+  /** Leader centroids trained on a bounded sample; the assignment is a
+    * pure per-row kernel (nearest centroid), so there is NO id join —
+    * joining two independent `monotonically_increasing_id` evaluations
+    * is not row-stable when the input contains shuffles. */
+  private def ecpAssign(df: DataFrame, vecCol: String, k: Int)
+  : (DataFrame, Array[(Int, Array[Double], Long)]) = {
+    val n = math.max(1L, df.count())
+    val sample = (if (n <= 5000) df
+      else df.sample(withReplacement = false, 5000.0 / n, seed = 42L))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = graft.index.PQIndex.lloyd(sample, math.max(2, k), iters = 10, seed = 42L)
+    val dims = sample.head.length
+    val assigned = df.withColumn(PartitionCol,
+      org.apache.spark.sql.graft.Bridge.column(graft.index.PQEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+        Array(centers), dims)).getItem(0))
+    (assigned, centers.zipWithIndex.map { case (c, i) => (i, c, 0L) })
+  }
+
   /** Returns the repartitioned frame; Ecp additionally appends the
     * `ap_partition` leader column (callers write with
     * `partitionBy(PartitionCol)`). */
@@ -33,26 +53,17 @@ object Partitioning {
     case Hash(cols, n) => df.repartition(n, cols.map(col): _*)
     case Random(n) => df.repartition(n)
     case Ecp(vecCol, k) =>
-      val idx = ECPIndex.build(df.withColumn("__rid", monotonically_increasing_id()),
-        "__rid", vecCol, maxLeaders = k)
-      df.withColumn("__rid", monotonically_increasing_id())
-        .join(idx.assignments.withColumnRenamed("leader", PartitionCol), "__rid")
-        .drop("__rid")
-        .repartition(col(PartitionCol))
+      ecpAssign(df, vecCol, k)._1.repartition(col(PartitionCol))
   }
 
   /** Write with physical layout matching the partitioning mode; for Ecp
     * returns the leader centroids (needed for partition-skip reads). */
   def write(df: DataFrame, mode: Mode, path: String): Array[(Int, Array[Double], Long)] = mode match {
     case Ecp(vecCol, k) =>
-      val idx = ECPIndex.build(df.withColumn("__rid", monotonically_increasing_id()),
-        "__rid", vecCol, maxLeaders = k)
-      df.withColumn("__rid", monotonically_increasing_id())
-        .join(idx.assignments.withColumnRenamed("leader", PartitionCol), "__rid")
-        .drop("__rid")
-        .repartition(col(PartitionCol))
+      val (assigned, centroids) = ecpAssign(df, vecCol, k)
+      assigned.repartition(col(PartitionCol))
         .write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
-      idx.centroids
+      centroids
     case m =>
       repartition(df, m).write.mode("overwrite").parquet(path)
       Array.empty

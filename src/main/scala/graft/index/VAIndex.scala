@@ -36,9 +36,22 @@ class VAIndex(val cellsDf: DataFrame, // (id, cells)
 
   override def isExact: Boolean = true
 
-  /** Minkowski-p only (reference `VAIndex.scala:137-143`). */
-  override def conformsTo(distName: String): Boolean =
-    Set("manhattan", "euclidean", "sqeuclidean", "minkowski").exists(distName.toLowerCase.startsWith)
+  /** Conforms only to the Minkowski distance matching the BUILT `p` —
+    * bounds computed with the wrong p can prune the true neighbour while
+    * still claiming exactness (reference `VAIndex.scala:137-143` limits
+    * to Minkowski; we additionally pin p). VA+ is L2-only regardless
+    * (PCA rotation preserves only the 2-norm). */
+  override def conformsTo(distName: String): Boolean = {
+    val name = distName.toLowerCase
+    val pOfName: Option[Double] = name match {
+      case "manhattan" | "minkowski-1" => Some(1.0)
+      case "euclidean" | "sqeuclidean" | "minkowski-2" => Some(2.0)
+      case m if m.startsWith("minkowski-") =>
+        m.stripPrefix("minkowski-").toDoubleOption
+      case _ => None
+    }
+    pOfName.contains(p) && (indexType != "vap" || p == 2.0)
+  }
 
   private def rotated(q: Seq[Double]): Array[Double] = rotate match {
     case None => q.toArray
@@ -69,23 +82,33 @@ object VAIndex {
   def defaultBits(dims: Int): Int =
     math.max(5, math.ceil(5 + 0.5 * (math.log(dims / 10.0) / math.log(2)))).toInt
 
-  /** Equifrequent marks per dimension from a training sample; outer
-    * marks are the sample min/max stretched slightly so every value
-    * falls inside a cell. */
+  /** Equifrequent INTERIOR marks from a training sample; OUTER marks are
+    * the exact global per-dimension min/max (one partial-aggregated pass
+    * over the full table, no explode shuffle) — a value outside the
+    * sample range must still land in a valid cell with true bounds or
+    * the lossless-candidates guarantee breaks for corpora larger than
+    * the sample. */
   private def trainMarks(df: DataFrame, vecCol: String, bitsPerDim: Array[Int],
                          sampleN: Int, n: Long): Array[Array[Double]] = {
+    val dims = bitsPerDim.length
     val sampled =
       if (n <= sampleN) df
       else df.sample(withReplacement = false, sampleN.toDouble / n, seed = 42L)
-    val dims = bitsPerDim.length
     val exploded = sampled.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("dim"), col("v").cast("double").as("v"))
     val maxCells = bitsPerDim.map(1 << _).max
     val pcts = (0 to maxCells).map(_.toDouble / maxCells).toArray
     val rows = exploded.groupBy("dim")
-      .agg(percentile_approx(col("v"), lit(pcts), lit(10000)).as("qs"),
-        min("v").as("mn"), max("v").as("mx"))
+      .agg(percentile_approx(col("v"), lit(pcts), lit(10000)).as("qs"))
       .collect()
+
+    // exact global extrema: 2·dims aggregates in one pass
+    val extremaCols = (0 until dims).flatMap { d =>
+      val e = element_at(col(vecCol), d + 1).cast("double")
+      Seq(min(e).as(s"mn$d"), max(e).as(s"mx$d"))
+    }
+    val ext = df.agg(extremaCols.head, extremaCols.tail: _*).head()
+
     val marks = new Array[Array[Double]](dims)
     rows.foreach { r =>
       val d = r.getInt(0)
@@ -93,8 +116,8 @@ object VAIndex {
       val cells = 1 << bitsPerDim(d)
       // resample the maxCells-grid quantiles down to this dim's cell count
       val m = Array.tabulate(cells + 1)(i => qs(i * maxCells / cells))
-      m(0) = r.getDouble(2) - 1e-6
-      m(cells) = r.getDouble(3) + 1e-6
+      m(0) = ext.getDouble(2 * d) - 1e-6
+      m(cells) = ext.getDouble(2 * d + 1) + 1e-6
       // enforce strictly non-decreasing marks
       var i = 1
       while (i <= cells) { if (m(i) < m(i - 1)) m(i) = m(i - 1); i += 1 }

@@ -109,7 +109,11 @@ object Dedup {
   def dedupPipeline(df: DataFrame, textCol: String, idCol: String,
                     minQuality: Double, threshold: Double): DataFrame = {
     val quality = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    // referenced by the band self-join (2×), the shingle join, and the
+    // final anti-join — persist or every reference re-runs the quality
+    // scan + exact-dedup window shuffle
     val exact = dropExactDups(quality, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drops = minhashNearDupPairs(exact, textCol, idCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
     exact.join(drops, Seq(idCol), "left_anti").select(idCol)

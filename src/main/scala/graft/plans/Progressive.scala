@@ -57,20 +57,30 @@ object Progressive {
     val obs = new ConcurrentLinkedQueue[Observation]()
     val first = new CountDownLatch(1)
     val all = new CountDownLatch(plans.size)
+    // Plans still queued in the ExecutionContext when the deadline fires
+    // must not start afterwards — cancelJobGroup only reaches RUNNING
+    // jobs, so a queued future would otherwise run to completion with
+    // its result discarded.
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     plans.foreach { p =>
       Future {
-        spark.sparkContext.setJobGroup(s"graft-${p.description}",
-          s"timed plan ${p.description}", interruptOnCancel = true)
-        val t0 = System.nanoTime()
-        val r = Try(p.run().collect())
-        obs.add(Observation(p.description, p.confidence, System.nanoTime() - t0, r))
-        spark.sparkContext.clearJobGroup()
-        first.countDown()
-        all.countDown()
+        if (cancelled.get()) {
+          all.countDown()
+        } else {
+          spark.sparkContext.setJobGroup(s"graft-${p.description}",
+            s"timed plan ${p.description}", interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          val r = Try(p.run().collect())
+          obs.add(Observation(p.description, p.confidence, System.nanoTime() - t0, r))
+          spark.sparkContext.clearJobGroup()
+          first.countDown()
+          all.countDown()
+        }
       }
     }
     all.await(deadlineMs, TimeUnit.MILLISECONDS)
     if (obs.isEmpty) first.await()
+    cancelled.set(true)
     plans.foreach(p => spark.sparkContext.cancelJobGroup(s"graft-${p.description}"))
     import scala.jdk.CollectionConverters._
     val done = obs.asScala.toSeq.filter(_.result.isSuccess)

@@ -67,11 +67,24 @@ class IndexSpec extends SparkSpec {
     knnIds(idx) shouldBe bruteIds
   }
 
-  test("vaf conforms only to Minkowski distances") {
-    val idx = VAIndex.buildFixed(data, "tid", "vectorfield")
-    idx.conformsTo("euclidean") shouldBe true
-    idx.conformsTo("manhattan") shouldBe true
-    idx.conformsTo("cosine") shouldBe false
+  test("vaf conforms only to the Minkowski distance it was built with") {
+    val l2 = VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0)
+    l2.conformsTo("euclidean") shouldBe true
+    l2.conformsTo("sqeuclidean") shouldBe true
+    l2.conformsTo("manhattan") shouldBe false // wrong p: bounds would over-prune
+    l2.conformsTo("cosine") shouldBe false
+    val l1 = VAIndex.buildFixed(data, "tid", "vectorfield", p = 1.0)
+    l1.conformsTo("manhattan") shouldBe true
+    l1.conformsTo("euclidean") shouldBe false
+  }
+
+  test("vaf with p=1 is exact for Manhattan queries") {
+    val idx = VAIndex.buildFixed(data, "tid", "vectorfield", p = 1.0)
+    val mdist = Distances.manhattan(col("vectorfield"), Distances.vecLit(queryVec))
+    val brute = Knn.knn(data, mdist, K, col("tid"))
+      .select("tid").collect().map(_.getLong(0)).toSeq
+    idx.knn(data, "tid", mdist, queryVec, K)
+      .select("tid").collect().map(_.getLong(0)).toSeq shouldBe brute
   }
 
   test("ecp: top-1 contained, recall reported") {

@@ -90,11 +90,9 @@ class PlannerSpec extends SparkSpec {
 
   test("ecp partitioning writes cluster dirs and partition-skip prunes input files") {
     val out = Files.createTempDirectory("graft-part").toString + "/tbl"
-    Partitioning.write(data, Partitioning.Ecp("feature", 8), out)
-    val idx = ECPIndex.build(data.withColumn("__rid", monotonically_increasing_id()),
-      "__rid", "feature", maxLeaders = 8)
+    val centroids = Partitioning.write(data, Partitioning.Ecp("feature", 8), out)
     val table = spark.read.parquet(out)
-    val pruned = Partitioning.partitionSkipRead(table, idx.centroids, q, keep = 2)
+    val pruned = Partitioning.partitionSkipRead(table, centroids, q, keep = 2)
     pruned.count() should be > 0L
     pruned.count() should be < data.count()
     // physical layout: one directory per leader
