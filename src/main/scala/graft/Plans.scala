@@ -18,7 +18,8 @@ object Plans {
       ("q1_agg", "partial aggregation before shuffle", Seq("partial_sum", "HashAggregate")),
       ("set_intersect", "semi join (broadcast-able)", Seq("LeftSemi")),
       ("knn_rerank_half", "rerank candidates via semi join", Seq("LeftSemi")),
-      ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")))
+      ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")),
+      ("q3_shipping", "small dimension broadcast into fact join", Seq("BroadcastHashJoin")))
 
     var failed = 0
     checks.foreach { case (name, what, markers) =>
