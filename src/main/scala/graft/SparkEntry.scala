@@ -205,6 +205,10 @@ object SparkEntry {
       Distances.kullbackLeibler(posify(a), posify(b)), 100),
     "knn_jaccard" -> knnQuery((a, b) =>
       Distances.jaccard(posify(a), posify(b)), 100, roundTo = 6),
+    "knn_modulo" -> knnQuery((a, b) =>
+      Distances.modulo(posify(a), posify(b)), 100),
+    "knn_haversine" -> knnQuery((a, b) =>
+      Distances.haversine(geoify(a), geoify(b)), 100, roundTo = 2),
 
     // --- Boolean-filtered kNN + candidate rerank (SURVEY §2.1, §2.3) ---
     "knn_manhattan_weighted" -> ((s, d) => {
@@ -416,6 +420,12 @@ object SparkEntry {
 
   private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
 
+  /** Derive an in-range (lat, lng) pair from the first two embedding
+    * dims so the haversine kernel gets geo-plausible input. */
+  private def geoify(v: Column): Column = array(
+    element_at(v, 1).cast("double") * 20.0,
+    element_at(v, 2).cast("double") * 40.0)
+
   private def queryVecOf(emb: DataFrame): Seq[Double] =
     emb.filter(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
@@ -610,6 +620,22 @@ object SparkEntry {
     "index_vaf_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vav_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vap_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+
+    // Distances.modulo(a, b) = Σ (b mod a), reference w*(v2 % v1)
+    "knn_modulo" -> duckKnn(duckSum(s"fmod($duckPosQ, $duckPos)"), 100),
+    "knn_haversine" -> {
+      // mirror Distances.haversine exactly: lat clamp, lng wrap, R=6371000
+      def lat(e: String) = s"radians(greatest(-90.0, least(90.0, CAST($e[1] AS DOUBLE) * 20.0)))"
+      def lng(e: String) =
+        s"""radians(CASE WHEN fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        s"""(power(sin((${lat("e.embedding")} - ${lat("q.qv")}) / 2), 2)
+           | + cos(${lat("q.qv")}) * cos(${lat("e.embedding")})
+           |   * power(sin((${lng("e.embedding")} - ${lng("q.qv")}) / 2), 2))""".stripMargin
+      duckKnn(s"2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h))", 100, roundTo = 2)
+    },
 
     "knn_filtered" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50, where = "WHERE e.label < 5"),
     "knn_rerank_half" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,
