@@ -233,17 +233,15 @@ object SparkEntry {
       .orderBy("doc_id")),
 
     "ann_ivf_topk" -> ((s, d) => {
-      // IVF-flat = eCP coarse quantizer per query + exact rerank
+      // IVF-flat = eCP coarse quantizer; whole query batch in ONE job
       val emb = Tables.embeddings(s, d)
       val idx = ECPIndex.build(emb, "vec_id", "embedding")
       val queries = emb.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-      queries.map { case (qid, q) =>
-        idx.knn(emb, "vec_id", Distances.euclidean(col("embedding"), Distances.vecLit(q)), q, 10)
-          .select(lit(qid).as("qid"), col("vec_id"),
-            round(col(Knn.DistanceCol), 4).as("distance"))
-      }.reduce(_ union _).orderBy("qid", "distance", "vec_id")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+      Ann.ivfTopK(emb, idx, "vec_id", "embedding", queries, k = 10)
+        .select(col("qid"), col("vec_id"), round(col("distance"), 4).as("distance"))
+        .orderBy("qid", "distance", "vec_id")
     }),
 
     "index_vote_knn" -> ((s, d) => {

@@ -23,8 +23,8 @@ class ECPIndex(val assignments: DataFrame, // (id, leader)
   override def indexType: String = "ecp"
   override def isExact: Boolean = false
 
-  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
-    val need = k.toLong * timesK
+  /** Leaders nearest the query until their member counts cover `need`. */
+  def chooseLeaders(q: Seq[Double], need: Long): Seq[Int] = {
     val ranked = centroids.sortBy { case (_, c, _) => ECPIndex.sqDist(q, c) }
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     var covered = 0L
@@ -32,7 +32,12 @@ class ECPIndex(val assignments: DataFrame, // (id, leader)
       chosen += leader
       covered += count
     }
-    assignments.filter(col("leader").isin(chosen.toSeq: _*)).select(col(idCol))
+    chosen.toSeq
+  }
+
+  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
+    val chosen = chooseLeaders(q, k.toLong * timesK)
+    assignments.filter(col("leader").isin(chosen: _*)).select(col(idCol))
   }
 
   /** Recall diagnostic: fraction of `truth` ids inside the candidates. */

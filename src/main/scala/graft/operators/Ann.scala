@@ -53,6 +53,31 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Batched IVF top-k: ONE distributed job for the whole query batch —
+    * per-query leader sets chosen on the driver (centroids are small),
+    * broadcast as (qid, leader) pairs into the assignment table, exact
+    * distances + per-query window rank over the joined candidates. The
+    * per-query-sequential alternative costs Q job launches. */
+  def ivfTopK(corpus: DataFrame, idx: graft.index.ECPIndex, idCol: String, vecCol: String,
+              queries: Seq[(Long, Seq[Double])], k: Int,
+              timesK: Int = graft.index.VectorIndex.TimesK): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val leaderPairs = queries.flatMap { case (qid, q) =>
+      idx.chooseLeaders(q, k.toLong * timesK).map(l => (qid, l))
+    }.toDF("qid", "leader")
+    val qDf = queries.toDF("qid", "qv")
+    val cands = idx.assignments.join(broadcast(leaderPairs), "leader").select("qid", idCol)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("distance").asc_nulls_last, col(idCol).asc)
+    cands.join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(qDf), "qid")
+      .withColumn("distance", Distances.euclidean(col(vecCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("distance"), col("rank"))
+  }
+
   /** Deterministic pseudo-random Gaussian hyperplanes, derived from the
     * (seed, bit, dim) triple via splitmix64 + Box–Muller — no fitted
     * model, reproducible cluster-wide. */

@@ -111,6 +111,20 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("batched ivfTopK finds each query itself at rank 1") {
+    val emb = vecs.withColumnRenamed("vec_id", "id")
+    val idx = graft.index.ECPIndex.build(emb, "id", "embedding")
+    val queries = emb.filter($"id" < 3)
+      .select($"id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val top = graft.operators.Ann.ivfTopK(emb, idx, "id", "embedding", queries, k = 5)
+    top.count() shouldBe 15
+    top.filter($"rank" === 1).collect().foreach { r =>
+      r.getAs[Long]("qid") shouldBe r.getAs[Long]("id")
+      r.getAs[Double]("distance") shouldBe 0.0
+    }
+  }
+
   test("lsh cosine near-dup finds planted duplicates") {
     val planted = vecs.union(
       vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
