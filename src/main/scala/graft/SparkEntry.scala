@@ -307,7 +307,7 @@ object SparkEntry {
     "index_ecp_knn" -> indexKnn(df => ECPIndex.build(df, "vec_id", "embedding")),
     "index_pq_knn" -> indexKnn(df => PQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
     "index_sh_knn" -> indexKnn(df => SHIndex.build(df, "vec_id", "embedding", nBits = 32), timesK = 10),
-    "index_lsh_knn" -> indexKnn(df => LSHIndex.build(df, "vec_id", "embedding", nTables = 12, nHashes = 3)),
+    "index_lsh_knn" -> indexKnn(df => LSHIndex.build(df, "vec_id", "embedding")),
     "index_mi_knn" -> indexKnn(df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15), timesK = 10),
 
     // --- lifecycle / planner / progressive / partitioning / multimodal ---

@@ -47,8 +47,8 @@ class LSHIndex(val tables: DataFrame, // (id, table, key)
 }
 
 object LSHIndex {
-  def build(df: DataFrame, idCol: String, vecCol: String, nTables: Int = 8,
-            nHashes: Int = 4, wOpt: Double = -1.0, sampleN: Int = 500,
+  def build(df: DataFrame, idCol: String, vecCol: String, nTables: Int = 16,
+            nHashes: Int = 2, wOpt: Double = -1.0, sampleN: Int = 500,
             seed: Long = 42L): LSHIndex = {
     val dims = df.select(size(col(vecCol))).head().getInt(0)
     val projections = Array.tabulate(nTables, nHashes, dims)((t, h, d) =>
@@ -70,7 +70,7 @@ object LSHIndex {
           val b = s(rnd.nextInt(s.length))
           math.sqrt(ECPIndex.sqDist(a.toSeq, b))
         }
-        math.max(1e-9, pairs.sum / pairs.size / 2.0)
+        math.max(1e-9, pairs.sum / pairs.size * 0.75)
       }
 
     val scaledOffsets = offsets.map(_.map(_ * w))

@@ -111,7 +111,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("lsh: top-1 contained, recall reported") {
-    val idx = LSHIndex.build(data, "tid", "vectorfield", nTables = 12, nHashes = 3)
+    val idx = LSHIndex.build(data, "tid", "vectorfield")
     val ids = knnIds(idx)
     info(f"lsh recall@$K = ${recall(ids)}%.3f")
     ids should contain(bruteIds.head)
@@ -126,7 +126,7 @@ class IndexSpec extends SparkSpec {
 
   test("stochastic vote over two index scans (reference StochasticIndexQueryExpression)") {
     val ecp = ECPIndex.build(data, "tid", "vectorfield")
-    val lsh = LSHIndex.build(data, "tid", "vectorfield", nTables = 12, nHashes = 3)
+    val lsh = LSHIndex.build(data, "tid", "vectorfield")
     val voted = graft.operators.SetAlgebra.vote(
       Seq(ecp.candidates(queryVec, K), lsh.candidates(queryVec, K)), "tid", 500)
     val reranked = Knn.rerank(data, voted, "tid", dist, K)
