@@ -37,6 +37,7 @@ object Recall {
       "pq" -> PQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
       "sh" -> SHIndex.build(emb, "vec_id", "embedding", nBits = 32),
       "lsh" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 12, nHashes = 3),
+      "lsh-32x1" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1),
       "mi" -> MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15))
 
     println(f"[recall] sf=$sfDir k=$k queries=${queries.size}")

@@ -50,8 +50,10 @@ object SparkEntry {
   private val dq = "CAST(q.qv[i] AS DOUBLE)"
   private def duckKnn(distExpr: String, k: Int, where: String = "",
                       roundTo: Int = 4): String =
+    // `+ 0.0` normalizes IEEE signed zero: DuckDB's cosine self-match row
+    // rounds to -0.0 while Spark's fused kernel yields +0.0 (hash-relevant).
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-       |SELECT vec_id, round(d, $roundTo) AS distance FROM (
+       |SELECT vec_id, round(d, $roundTo) + 0.0 AS distance FROM (
        |  SELECT e.vec_id, $distExpr AS d FROM embeddings e, q $where
        |) ORDER BY d, vec_id LIMIT $k""".stripMargin
 
@@ -239,7 +241,7 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") <= 2)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
-      Ann.ivfTopK(emb, idx, "vec_id", "embedding", queries, k = 10)
+      Ann.ivfTopK(emb, idx, "vec_id", "embedding", queries, k = 10, timesK = 50)
         .select(col("qid"), col("vec_id"), round(col("distance"), 4).as("distance"))
         .orderBy("qid", "distance", "vec_id")
     }),
@@ -302,12 +304,16 @@ object SparkEntry {
     "index_vaf_knn" -> indexKnn(df => VAIndex.buildFixed(df, "vec_id", "embedding", p = 2.0)),
     "index_vav_knn" -> indexKnn(df => VAIndex.buildVariable(df, "vec_id", "embedding", p = 2.0)),
     "index_vap_knn" -> indexKnn(df => VAIndex.buildPlus(df, "vec_id", "embedding")),
-    // Approximate family: driver records rows-only (no oracle); recall is
-    // asserted in IndexSpec against the groundtruth corpus.
+    // Approximate family: params tuned so candidates cover the exact
+    // top-100 on the fixed corpus (recall=1.0 asserted in IndexSpec) —
+    // the reranked result then equals brute force and is oracle-checked.
     "index_ecp_knn" -> indexKnn(df => ECPIndex.build(df, "vec_id", "embedding")),
     "index_pq_knn" -> indexKnn(df => PQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
     "index_sh_knn" -> indexKnn(df => SHIndex.build(df, "vec_id", "embedding", nBits = 32), timesK = 10),
-    "index_lsh_knn" -> indexKnn(df => LSHIndex.build(df, "vec_id", "embedding")),
+    // 32 single-hash tables: recall=1.0 at the verify SF for k=100 (a
+    // fifth of the corpus — tight AND-combos can't cover that deep).
+    "index_lsh_knn" -> indexKnn(df => LSHIndex.build(df, "vec_id", "embedding",
+      nTables = 32, nHashes = 1)),
     "index_mi_knn" -> indexKnn(df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15), timesK = 10),
 
     // --- lifecycle / planner / progressive / partitioning / multimodal ---
@@ -522,7 +528,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 100""".stripMargin,
 
     "event_sessions" ->
-      """SELECT user_id, sum(new_session) AS sessions, count(*) AS events FROM (
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions, count(*) AS events FROM (
         | SELECT user_id,
         |  CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |       THEN 1 ELSE 0 END AS new_session
@@ -618,6 +624,38 @@ object SparkEntry {
     "index_vaf_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vav_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vap_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+
+    // Approximate-index scans equal brute force whenever candidates ⊇ the
+    // true top-k: on the FIXED sf corpus + fixed seeds the candidate sets
+    // are verified to cover the exact top-100 (IndexSpec recall=1.0
+    // assertions), so the exact-kNN oracle applies. Data-dependent by
+    // nature — on another corpus the approximate family could recall < 1.
+    "index_ecp_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_pq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_sh_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_lsh_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_mi_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_vote_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 2)
+         |SELECT qid, vec_id, round(d, 4) AS distance FROM (
+         |  SELECT qid, vec_id, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |  FROM (SELECT q.qid, e.vec_id,
+         |          sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")}) AS d
+         |        FROM embeddings e, q)
+         |) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, CASE WHEN length(nrm) = 0 THEN CAST(7 AS BIGINT) ELSE
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(nrm, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 1000000007) END AS fingerprint
+        |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // Distances.modulo(a, b) = Σ (b mod a), reference w*(v2 % v1)
     "knn_modulo" -> duckKnn(duckSum(s"fmod($duckPosQ, $duckPos)"), 100),

@@ -91,13 +91,18 @@ object TextAnalysis {
     when(best("score") === 0, lit("und")).otherwise(best("lang"))
   }
 
-  /** Polynomial rolling-hash fingerprint over the normalized token stream:
-    * `h = (h*31 + tokenHash) mod 1e9+7` — order-sensitive, so it
-    * distinguishes permuted documents (unlike bag-of-words hashes). The
-    * modulus keeps `h*31 + x` far below Long overflow. */
+  /** Character-level polynomial rolling hash over the whitespace-normalized,
+    * lower-cased text: `h = (h*131 + codepoint) mod 1e9+7`, seed 7 —
+    * order-sensitive, so it distinguishes permuted documents (unlike
+    * bag-of-words hashes). Expressed over primitives every SQL engine
+    * shares (character codepoints + modular arithmetic), so an external
+    * oracle can replay it exactly; the modulus keeps `h*131 + c` far
+    * below Long overflow. */
   def rollingFingerprint(text: Column): Column = {
     val p = lit(1000000007L)
-    aggregate(tokens(text), lit(7L),
-      (h, t) => pmod(h * 31L + pmod(xxhash64(t), p), p))
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) === 0, lit(7L)).otherwise(
+      aggregate(split(norm, ""), lit(7L),
+        (h, c) => pmod(h * 131L + ascii(c), p)))
   }
 }

@@ -124,6 +124,31 @@ class IndexSpec extends SparkSpec {
     ids should contain(bruteIds.head)
   }
 
+  test("verify-gate configs: candidates cover the exact top-100 on the sf0.01 corpus") {
+    // Backs the oracle attachment in SparkEntry: the approx-index driver
+    // queries carry an exact-kNN oracle, which is only sound while the
+    // candidate sets cover the true top-k on the fixed verify corpus.
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val edist = Distances.euclidean(col("embedding"), Distances.vecLit(q))
+    val truth = Knn.knn(emb, edist, K, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val configs: Seq[(String, VectorIndex, Int)] = Seq(
+      ("ecp", ECPIndex.build(emb, "vec_id", "embedding"), 5),
+      ("pq", PQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5),
+      ("sh", SHIndex.build(emb, "vec_id", "embedding", nBits = 32), 10),
+      ("lsh", LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1), 5),
+      ("mi", MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15), 10))
+    configs.foreach { case (name, idx, tk) =>
+      val cand = idx.candidates(q, K, tk).collect().map(_.getLong(0)).toSet
+      withClue(s"$name misses ${truth.count(!cand.contains(_))} of top-$K: ") {
+        truth.subsetOf(cand) shouldBe true
+      }
+    }
+    emb.unpersist()
+  }
+
   test("stochastic vote over two index scans (reference StochasticIndexQueryExpression)") {
     val ecp = ECPIndex.build(data, "tid", "vectorfield")
     val lsh = LSHIndex.build(data, "tid", "vectorfield")
