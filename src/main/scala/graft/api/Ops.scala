@@ -53,6 +53,12 @@ object IndexOps {
   /** Build every structure (reference `generateAllIndexes`). */
   def createAll(df: DataFrame, idCol: String, vecCol: String): Seq[VectorIndex] =
     Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi").map(create(_, df, idCol, vecCol))
+
+  // Persistence through the entity store (reference `Index.scala:442-471`)
+  def save(e: Entity, name: String, idx: VectorIndex): Entity = e.saveIndex(name, idx)
+  def load(e: Entity, name: String): IndexStore.Loaded = e.loadIndex(name)
+  def list(e: Entity): Seq[String] = e.listIndexes
+  def drop(e: Entity, name: String): Unit = e.dropIndex(name)
 }
 
 final case class NnQuery(vecCol: String, q: Seq[Double], distName: String, k: Int,

@@ -14,11 +14,13 @@ import org.apache.spark.sql.types.StructType
   * drop.
   *
   * Storage layout: `<base>/<entity>/data_v<N>/` parquet + `_meta.json`.
-  * Every mutation writes a NEW versioned directory and then swaps the
-  * catalog pointer — the reference's write-new-storename-then-drop-old
-  * overwrite dance (`StorageHandler.scala:122-170`), which gives
-  * readers-at-old-version isolation and crash safety without a commit
-  * protocol. Stale versions are removed on the next successful swap.
+  * Inserts APPEND part files into the live version directory (O(batch));
+  * every whole-table mutation (delete/vacuum/sparsify) writes a NEW
+  * versioned directory and then swaps the catalog pointer — the
+  * reference's write-new-storename-then-drop-old overwrite dance
+  * (`StorageHandler.scala:122-170`), which gives readers-at-old-version
+  * isolation and crash safety without a commit protocol. Stale versions
+  * are removed on the next successful swap.
   *
   * `ap_id` layout: `insertCount (15 bits) | monotonically_increasing_id
   * (48 bits)` — unique for ≤32k insert batches × ≤32k partitions ×
@@ -46,7 +48,17 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
 
   def count(): Long = if (meta.version == 0) 0L else read().count()
 
-  /** Append rows; assigns `ap_id` unless the frame already carries one. */
+  /** Append rows; assigns `ap_id` unless the frame already carries one.
+    *
+    * Cost is O(batch), not O(table): new part files land in the live
+    * `data_v<N>` directory via `SaveMode.Append` — the reference appends
+    * too (`ParquetEngine` via `StorageHandler.scala:122-170`, overwrite
+    * dance only for overwrites). At 100 TB a read-union-rewrite insert
+    * would be a scale-killer. The versioned-swap path is kept for the
+    * mutating ops (delete/vacuum/sparsify). If the batch's column set
+    * differs from the stored schema, we fall back to a one-off
+    * union-rewrite (schema evolution is rare; appending mixed-schema
+    * files would make reads schema-nondeterministic). */
   def insert(df: DataFrame): Entity = {
     val m = meta
     require(m.insertCount < (1 << 15) - 1, "insert-batch counter exhausted")
@@ -56,10 +68,18 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       else df.withColumn(ApId,
         lit(batch.toLong << 48).bitwiseOR(
           monotonically_increasing_id().bitwiseAND(lit((1L << 48) - 1))))
-    val next = m.version + 1
-    val combined = if (m.version == 0) withId else read().unionByName(withId, allowMissingColumns = true)
-    combined.write.mode("overwrite").parquet(dataPath(next).toString)
-    swap(m.copy(version = next, insertCount = batch), m.version)
+    if (m.version == 0) {
+      withId.write.mode("overwrite").parquet(dataPath(1).toString)
+      swap(m.copy(version = 1, insertCount = batch), 0)
+    } else if (read().columns.sorted.sameElements(withId.columns.sorted)) {
+      withId.write.mode("append").parquet(dataPath(m.version).toString)
+      writeMeta(metaPath, m.copy(insertCount = batch))
+    } else { // schema drift: align via union and rewrite once
+      val next = m.version + 1
+      read().unionByName(withId, allowMissingColumns = true)
+        .write.mode("overwrite").parquet(dataPath(next).toString)
+      swap(m.copy(version = next, insertCount = batch), m.version)
+    }
     this
   }
 
@@ -72,7 +92,9 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val keep = current.filter(!coalesce(predicate, lit(false)))
     val next = m.version + 1
     keep.write.mode("overwrite").parquet(dataPath(next).toString)
-    val deleted = current.count() - keep.count()
+    // both counts are parquet metadata-only scans (no recompute of `keep`)
+    val deleted = current.count() -
+      spark.read.parquet(dataPath(next).toString).count()
     swap(m.copy(version = next), m.version)
     deleted
   }
@@ -111,6 +133,27 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   }
 
   def drop(): Unit = deleteRecursively(dir)
+
+  // ---- index persistence (reference `Index.scala:442-471`, `:162-169`) ----
+
+  /** (version, insertCount) — any mutation moves it, which is what flags
+    * persisted indexes stale. */
+  def stamp: (Int, Int) = { val m = meta; (m.version, m.insertCount) }
+
+  /** Persist an index built over this entity; records the current stamp. */
+  def saveIndex(name: String, idx: graft.index.VectorIndex): Entity = {
+    graft.index.IndexStore.save(dir.toString, name, idx, stamp)
+    this
+  }
+
+  /** Reload a persisted index; `stale` is true iff the entity mutated
+    * (insert/delete/vacuum/sparsify) since the index was saved. */
+  def loadIndex(name: String): graft.index.IndexStore.Loaded =
+    graft.index.IndexStore.load(spark, dir.toString, name, Some(stamp))
+
+  def listIndexes: Seq[String] = graft.index.IndexStore.list(dir.toString)
+
+  def dropIndex(name: String): Unit = graft.index.IndexStore.drop(dir.toString, name)
 
   private def swap(m: Meta, oldVersion: Int): Unit = {
     writeMeta(metaPath, m)

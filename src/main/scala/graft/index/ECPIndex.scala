@@ -18,7 +18,7 @@ import org.apache.spark.storage.StorageLevel
   */
 class ECPIndex(val assignments: DataFrame, // (id, leader)
                val centroids: Array[(Int, Array[Double], Long)], // (leader, center, count)
-               idCol: String) extends VectorIndex {
+               val idCol: String) extends VectorIndex {
 
   override def indexType: String = "ecp"
   override def isExact: Boolean = false

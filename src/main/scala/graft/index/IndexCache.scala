@@ -1,0 +1,31 @@
+package graft.index
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-JVM registry of built-and-persisted indexes, keyed by (data
+  * directory, index key). Mirrors how the reference serves queries: an
+  * index is a persisted artifact created ahead of query time and
+  * *loaded* by the scan (`Index.scala:442-471`), never rebuilt inside a
+  * query. The first request builds the index, writes it through
+  * [[IndexStore]], and reloads it — so every scan thereafter runs against
+  * the parquet-backed narrow table (no training, no encode pass, no
+  * lineage recompute), which is exactly the cost profile a 100 TB
+  * deployment sees.
+  */
+object IndexCache {
+
+  private val cache = TrieMap.empty[(String, String), VectorIndex]
+  private lazy val tmpBase = Files.createTempDirectory("graft-idxcache").toString
+
+  def of(spark: SparkSession, dataDir: String, key: String)
+        (build: => VectorIndex): VectorIndex =
+    cache.getOrElseUpdate((dataDir, key), {
+      val base = s"$tmpBase/h${Integer.toHexString(dataDir.hashCode)}"
+      IndexStore.save(base, key, build)
+      IndexStore.load(spark, base, key).index
+    })
+}

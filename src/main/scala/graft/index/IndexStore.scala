@@ -1,0 +1,125 @@
+package graft.index
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Index persistence through the entity store — the reference writes every
+  * index as a table via its storage handler and reloads it on open
+  * (`/root/reference/src/main/scala/org/vitrivr/adampro/data/index/Index.scala:442-471`),
+  * flagging it stale when the entity mutates underneath it (`:162-169`).
+  *
+  * Layout: `<entityDir>/index_<name>/data/` holds the index's narrow
+  * DataFrame as parquet (the only O(n) state — `(id, cells|codes|sig|...)`);
+  * `meta.bin` holds the driver-side metadata (marks, codebooks,
+  * projections, centroids — all O(KB..MB)) plus the entity version stamp
+  * the index was built at. A reloaded index scans straight from parquet:
+  * no training, no encode pass — the build cost is paid once at create
+  * time, which is what makes repeated kNN queries cheap at any scale.
+  *
+  * Staleness: `load` compares the saved stamp with the caller's current
+  * stamp; a mismatch (insert/delete/vacuum since build) marks the index
+  * stale. A stale index still scans (its candidates simply predate the
+  * mutation — same semantics as the reference, which keeps stale indexes
+  * queryable but deprioritized) — callers such as the planner can filter
+  * on the flag.
+  */
+object IndexStore {
+
+  final case class Loaded(index: VectorIndex, stale: Boolean)
+
+  /** Everything needed to rebuild an index object minus its DataFrame. */
+  private final case class SavedMeta(indexType: String, idCol: String,
+                                     stamp: (Int, Int), blob: Serializable)
+
+  private def indexDir(baseDir: String, name: String): Path =
+    Paths.get(baseDir).resolve(s"index_$name")
+
+  def save(baseDir: String, name: String, idx: VectorIndex,
+           stamp: (Int, Int) = (0, 0)): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"), s"invalid index name: $name")
+    val dir = indexDir(baseDir, name)
+    Files.createDirectories(dir)
+    val (df, blob) = idx match {
+      case va: VAIndex => (va.cellsDf, (va.marks, va.p, va.indexType, va.rotate))
+      case pq: PQIndex => (pq.codes, (pq.codebooks, pq.subLen))
+      case sh: SHIndex => (sh.sigs, (sh.pc, sh.mins, sh.ranges, sh.modes))
+      case lsh: LSHIndex => (lsh.tables, (lsh.projections, lsh.offsets, lsh.w))
+      case ecp: ECPIndex => (ecp.assignments, ecp.centroids)
+      case mi: MIIndex => (mi.postings, (mi.refPoints, mi.ki, mi.ks))
+      case other => throw new IllegalArgumentException(
+        s"index type ${other.indexType} is not persistable")
+    }
+    df.write.mode("overwrite").parquet(dir.resolve("data").toString)
+    val out = new ObjectOutputStream(Files.newOutputStream(dir.resolve("meta.bin")))
+    try out.writeObject(SavedMeta(idx.indexType, idx.idCol, stamp,
+      blob.asInstanceOf[Serializable]))
+    finally out.close()
+  }
+
+  /** Reload an index; `currentStamp` (from the owning entity) drives the
+    * stale flag — `None` skips the check (ad-hoc stores). */
+  def load(spark: SparkSession, baseDir: String, name: String,
+           currentStamp: Option[(Int, Int)] = None): Loaded = {
+    val dir = indexDir(baseDir, name)
+    require(Files.exists(dir.resolve("meta.bin")), s"no such index: $name")
+    // resolve classes through the context classloader — plain
+    // ObjectInputStream breaks under sbt's layered classloaders
+    val in = new ObjectInputStream(Files.newInputStream(dir.resolve("meta.bin"))) {
+      override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] =
+        Class.forName(desc.getName, false, Thread.currentThread.getContextClassLoader)
+    }
+    val meta = try in.readObject().asInstanceOf[SavedMeta] finally in.close()
+    val df = spark.read.parquet(dir.resolve("data").toString)
+    val idx: VectorIndex = (meta.indexType, meta.blob) match {
+      case ("vaf" | "vav" | "vap", b) =>
+        val (marks, p, typ, rotate) = b.asInstanceOf[
+          (Array[Array[Double]], Double, String, Option[Array[Array[Double]]])]
+        new VAIndex(df, marks, p, meta.idCol, typ, rotate)
+      case ("pq", b) =>
+        val (books, subLen) = b.asInstanceOf[(Array[Array[Array[Double]]], Int)]
+        new PQIndex(df, books, subLen, meta.idCol)
+      case ("sh", b) =>
+        val (pc, mins, ranges, modes) = b.asInstanceOf[
+          (Array[Array[Double]], Array[Double], Array[Double], Array[(Int, Int)])]
+        new SHIndex(df, pc, mins, ranges, modes, meta.idCol)
+      case ("lsh", b) =>
+        val (proj, off, w) = b.asInstanceOf[
+          (Array[Array[Array[Double]]], Array[Array[Double]], Double)]
+        new LSHIndex(df, proj, off, w, meta.idCol)
+      case ("ecp", b) =>
+        new ECPIndex(df, b.asInstanceOf[Array[(Int, Array[Double], Long)]], meta.idCol)
+      case ("mi", b) =>
+        val (refs, ki, ks) = b.asInstanceOf[(Array[Array[Double]], Int, Int)]
+        new MIIndex(df, refs, ki, ks, meta.idCol)
+      case (other, _) => throw new IllegalArgumentException(s"unknown index type: $other")
+    }
+    Loaded(idx, currentStamp.exists(_ != meta.stamp))
+  }
+
+  def exists(baseDir: String, name: String): Boolean =
+    Files.exists(indexDir(baseDir, name).resolve("meta.bin"))
+
+  def list(baseDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val b = Paths.get(baseDir)
+    if (!Files.exists(b)) Nil
+    else {
+      val s = Files.list(b)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("index_")).map(_.stripPrefix("index_")).toList
+      finally s.close()
+    }
+  }
+
+  def drop(baseDir: String, name: String): Unit = {
+    val p = indexDir(baseDir, name)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
+}

@@ -27,7 +27,7 @@ class LSHIndex(val tables: DataFrame, // (id, table, key)
                val projections: Array[Array[Array[Double]]], // [table][hash][dim]
                val offsets: Array[Array[Double]],
                val w: Double,
-               idCol: String) extends VectorIndex {
+               val idCol: String) extends VectorIndex {
 
   override def indexType: String = "lsh"
   override def isExact: Boolean = false

@@ -23,7 +23,7 @@ import org.apache.spark.storage.StorageLevel
 class MIIndex(val postings: DataFrame, // (id, refs array<int> in rank order)
               val refPoints: Array[Array[Double]],
               val ki: Int, val ks: Int,
-              idCol: String) extends VectorIndex {
+              val idCol: String) extends VectorIndex {
 
   override def indexType: String = "mi"
   override def isExact: Boolean = false

@@ -28,7 +28,7 @@ import org.apache.spark.storage.StorageLevel
 class PQIndex(val codes: DataFrame, // (id, codes array<int>)
               val codebooks: Array[Array[Array[Double]]], // [subspace][centroid][dim]
               val subLen: Int,
-              idCol: String) extends VectorIndex {
+              val idCol: String) extends VectorIndex {
 
   override def indexType: String = "pq"
   override def isExact: Boolean = false

@@ -20,7 +20,7 @@ class SHIndex(val sigs: DataFrame, // (id, sig long)
               val pc: Array[Array[Double]], // rotation [inDim][outDim]
               val mins: Array[Double], val ranges: Array[Double],
               val modes: Array[(Int, Int)], // (component, frequency multiple)
-              idCol: String) extends VectorIndex {
+              val idCol: String) extends VectorIndex {
 
   override def indexType: String = "sh"
   override def isExact: Boolean = false

@@ -30,9 +30,9 @@ import org.apache.spark.storage.StorageLevel
 class VAIndex(val cellsDf: DataFrame, // (id, cells)
               val marks: Array[Array[Double]],
               val p: Double,
-              idCol: String,
+              val idCol: String,
               override val indexType: String,
-              rotate: Option[Array[Array[Double]]] = None) extends VectorIndex {
+              val rotate: Option[Array[Array[Double]]] = None) extends VectorIndex {
 
   override def isExact: Boolean = true
 

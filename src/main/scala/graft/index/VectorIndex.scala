@@ -19,6 +19,9 @@ import graft.operators.Knn
 trait VectorIndex {
   def indexType: String
 
+  /** Entity id column the index's narrow table is keyed by. */
+  def idCol: String
+
   /** Exact indexes guarantee candidates ⊇ the true top-k. */
   def isExact: Boolean
 

@@ -37,6 +37,26 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("insert is O(batch): second insert appends, batch-1 files untouched") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "appnd")
+    e.insert((1 to 10).toDF("k"))
+    val dataDir = new java.io.File(base, "appnd/data_v1")
+    def parts() = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = parts()
+    before should not be empty
+    e.insert((11 to 15).toDF("k"))
+    val after = parts()
+    after.size should be > before.size // new files appended...
+    before.foreach { case (name, mtime) =>  // ...old files not rewritten
+      after(name) shouldBe mtime
+    }
+    e.read().count() shouldBe 15
+    e.read().select(Entity.ApId).distinct().count() shouldBe 15
+    e.drop()
+  }
+
   test("delete-by-predicate removes matching rows via version swap") {
     val base = freshBase()
     val e = Entity.create(spark, base, "del")
@@ -66,6 +86,29 @@ class EntitySpec extends SparkSpec {
     r.getSeq[Int](0) shouldBe Seq(1, 3)
     r.getSeq[Float](1) shouldBe Seq(2.5f, 1.5f)
     r.getInt(2) shouldBe 4
+    e.drop()
+  }
+
+  test("entity-attached index persists, reloads, and goes stale on insert") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "vecs")
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat)))
+    e.insert(rows.toDF("vid", "vec"))
+    val idx = graft.index.VAIndex.buildFixed(e.read(), "vid", "vec", p = 2.0)
+    e.saveIndex("va_main", idx)
+    e.listIndexes shouldBe Seq("va_main")
+
+    val fresh = e.loadIndex("va_main")
+    fresh.stale shouldBe false
+    val q = rows.head._2.map(_.toDouble)
+    fresh.index.candidates(q, 10).count() should be > 0L
+
+    e.insert(Seq((100L, Seq.fill(8)(1.0f))).toDF("vid", "vec"))
+    e.loadIndex("va_main").stale shouldBe true // reference Index.scala:162-169
+
+    e.dropIndex("va_main")
+    e.listIndexes shouldBe empty
     e.drop()
   }
 

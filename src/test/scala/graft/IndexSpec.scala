@@ -124,6 +124,32 @@ class IndexSpec extends SparkSpec {
     ids should contain(bruteIds.head)
   }
 
+  test("index persistence: every family round-trips through IndexStore") {
+    val base = java.nio.file.Files.createTempDirectory("graft-idxstore").toString
+    val family: Seq[(String, VectorIndex)] = Seq(
+      "vaf" -> VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0),
+      "vap" -> VAIndex.buildPlus(data, "tid", "vectorfield"),
+      "ecp" -> ECPIndex.build(data, "tid", "vectorfield"),
+      "pq" -> PQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
+      "sh" -> SHIndex.build(data, "tid", "vectorfield", nBits = 32),
+      "lsh" -> LSHIndex.build(data, "tid", "vectorfield"),
+      "mi" -> MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15))
+    family.foreach { case (name, built) =>
+      IndexStore.save(base, name, built)
+      val reopened = IndexStore.load(spark, base, name).index
+      reopened.indexType shouldBe built.indexType
+      reopened.idCol shouldBe "tid"
+      withClue(s"$name reopened scan differs: ") {
+        reopened.candidates(queryVec, K).collect().map(_.getLong(0)).sorted shouldBe
+          built.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
+      }
+    }
+    IndexStore.list(base).toSet shouldBe family.map(_._1).toSet
+    IndexStore.drop(base, "pq")
+    IndexStore.exists(base, "pq") shouldBe false
+    IndexStore.exists(base, "vaf") shouldBe true
+  }
+
   test("verify-gate configs: candidates cover the exact top-100 on the sf0.01 corpus") {
     // Backs the oracle attachment in SparkEntry: the approx-index driver
     // queries carry an exact-kNN oracle, which is only sound while the
