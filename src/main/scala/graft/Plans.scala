@@ -19,7 +19,11 @@ object Plans {
       ("set_intersect", "semi join (broadcast-able)", Seq("LeftSemi")),
       ("knn_rerank_half", "rerank candidates via semi join", Seq("LeftSemi")),
       ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")),
-      ("q3_shipping", "small dimension broadcast into fact join", Seq("BroadcastHashJoin")))
+      ("q3_shipping", "small dimension broadcast into fact join", Seq("BroadcastHashJoin")),
+      ("ann_batch_topk", "map-side partial bounded top-k, no qid window funnel",
+        Seq("ObjectHashAggregate", "partial_bounded_topk")),
+      ("ann_ivf_topk", "IVF candidates aggregated map-side",
+        Seq("ObjectHashAggregate", "partial_bounded_topk")))
 
     var failed = 0
     checks.foreach { case (name, what, markers) =>

@@ -220,6 +220,21 @@ object SparkEntry {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
     }),
 
+    "knn_chisquared_weighted" -> ((s, d) => {
+      val w = Distances.vecLit((1 to 64).map(i => (i % 4 + 1) * 0.25))
+      Knn.knn(withQueryVec(s, d),
+          Distances.chiSquaredW(posify(col("embedding")), posify(col("qv")), w),
+          100, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
+    "knn_hamming_weighted" -> ((s, d) => {
+      val w = Distances.vecLit((1 to 64).map(i => (i % 4 + 1) * 0.25))
+      Knn.knn(withQueryVec(s, d),
+          Distances.hammingW(col("embedding"), col("qv"), w), 100, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
     "stream_windowed_counts" -> ((s, d) =>
       // batch execution of the Structured Streaming operator — identical
       // code path runs incrementally over readStream input
@@ -701,6 +716,12 @@ object SparkEntry {
 
     "knn_manhattan_weighted" -> duckKnn(
       duckSum(s"((i % 4 + 1) * 0.25) * abs($dx - $dq)"), 100),
+    "knn_chisquared_weighted" -> duckKnn(duckSum(
+      s"""((i % 4 + 1) * 0.25) * (CASE WHEN ($duckPos) + ($duckPosQ) > 0
+         | THEN (($duckPos) - ($duckPosQ)) * (($duckPos) - ($duckPosQ)) / (($duckPos) + ($duckPosQ))
+         | ELSE 0.0 END)""".stripMargin), 100),
+    "knn_hamming_weighted" -> duckKnn(
+      duckSum(s"((i % 4 + 1) * 0.25) * (CASE WHEN $dx != $dq THEN 1.0 ELSE 0.0 END)"), 100),
 
     "stream_windowed_counts" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

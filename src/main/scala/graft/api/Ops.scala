@@ -80,6 +80,11 @@ object QueryOps {
           case "sqeuclidean" => Distances.sqEuclideanW(v, q, w)
           case "chebyshev" | "minkowski-inf" => Distances.chebyshevW(v, q, w)
           case "modulo" => Distances.moduloW(v, q, w)
+          case "chisquared" => Distances.chiSquaredW(v, q, w)
+          case "hamming" => Distances.hammingW(v, q, w)
+          // reference parity: Jaccard warns-and-ignores weights, KL's
+          // elementwise term never multiplies w — both resolve unweighted
+          case "jaccard" | "kullbackleibler" => Distances.byName(nnq.distName)(v, q)
           case m if m.startsWith("minkowski-") =>
             Distances.minkowskiW(v, q, w, m.stripPrefix("minkowski-").toDouble)
           case other => throw new IllegalArgumentException(

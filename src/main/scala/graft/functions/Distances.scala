@@ -94,6 +94,14 @@ object Distances {
       when(xd + yd > 0, (xd - yd) * (xd - yd) / (xd + yd)).otherwise(lit(0.0))
     }))
 
+  /** Weighted chi-squared — the reference weights the elementwise term
+    * (`ChiSquaredDistance.scala:15-17`: `w·(x−y)²/(x+y)`). */
+  def chiSquaredW(a: Column, b: Column, w: Column): Column =
+    sumArr(zip_with(zip_with(a, b, (x, y) => {
+      val xd = x.cast(D); val yd = y.cast(D)
+      when(xd + yd > 0, (xd - yd) * (xd - yd) / (xd + yd)).otherwise(lit(0.0))
+    }), w, (e, wi) => wi.cast(D) * e))
+
   /** 1 − Pearson = cosine distance of mean-centered vectors
     * (reference `CorrelationDistance.scala`). */
   def correlation(a: Column, b: Column): Column = {
@@ -109,7 +117,18 @@ object Distances {
   def hamming(a: Column, b: Column): Column =
     VectorKernel(VectorKernel.Hamming, a, b)
 
-  /** 1 − Σmin(x,y)/Σmax(x,y) (reference `JaccardDistance.scala`). */
+  /** Weighted Hamming (reference `HammingDistance.scala:14-21`:
+    * `Σ w·[x≠y]`; we keep the unweighted kernel's exact-inequality test). */
+  def hammingW(a: Column, b: Column, w: Column): Column =
+    sumArr(zip_with(zip_with(a, b,
+      (x, y) => when(x.cast(D) === y.cast(D), lit(0.0)).otherwise(lit(1.0))), w,
+      (e, wi) => wi.cast(D) * e))
+
+  /** 1 − Σmin(x,y)/Σmax(x,y) (reference `JaccardDistance.scala`).
+    * NOTE: the reference IGNORES weights for Jaccard (warns and drops,
+    * `JaccardDistance.scala:20-25`) and for KL (its elementwise term
+    * never multiplies `w`, `KullbackLeiblerDivergence.scala:15-21`) —
+    * weighted requests for either resolve to the unweighted form. */
   def jaccard(a: Column, b: Column): Column =
     lit(1.0) - sumArr(zip_with(a, b, (x, y) => least(x.cast(D), y.cast(D)))) /
       sumArr(zip_with(a, b, (x, y) => greatest(x.cast(D), y.cast(D))))

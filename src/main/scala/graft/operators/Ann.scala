@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Distances
+import graft.functions.{BoundedTopK, Distances}
 
 /** Approximate-nearest-neighbour search over an embedding column
   * (`array<float>`): batch brute-force top-k as the exact baseline, an
@@ -12,27 +11,31 @@ import graft.functions.Distances
   * variant as the scale path.
   *
   * Scale design: the brute-force path is a broadcast of the (small) query
-  * set against a full scan — Spark plans the per-query top-k as a window
-  * rank over data shuffled by query id, which is fine while the query
-  * batch is small; the LSH path buckets both sides so the join touches
-  * only same-bucket pairs. Neither path ever collects vectors to the
-  * driver.
+  * set against a full scan; the per-query top-k runs as a bounded-heap
+  * aggregate ([[graft.functions.BoundedTopK]]) with map-side partials,
+  * so the shuffle carries O(partitions·Q·k) pairs — NOT the full crossed
+  * relation funneled onto Q partitions, which is what a window rank
+  * would do. The LSH path buckets both sides so the join touches only
+  * same-bucket pairs. Neither path ever collects vectors to the driver.
   */
 object Ann {
 
+  /** Explode a `bounded_topk` result back to (qid, id, distance, rank). */
+  private def explodeTopK(grouped: DataFrame, qIdCol: String, idCol: String): DataFrame =
+    grouped.select(col(qIdCol), posexplode(col("tops")).as(Seq("r0", "t")))
+      .select(col(qIdCol), col("t.id").as(idCol), col("t.distance").as("distance"),
+        (col("r0") + 1).cast("int").as("rank"))
+
   /** Brute-force exact top-k per query: cross the (broadcast) query set
-    * with the corpus, rank by distance within each query. */
+    * with the corpus, bounded-heap aggregate per query id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      qIdCol: String, vecCol: String, qVecCol: String,
-                     dist: (Column, Column) => Column, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("distance", dist(col(vecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("distance").asc_nulls_last, col(idCol).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("distance"), col("rank"))
-  }
+                     dist: (Column, Column) => Column, k: Int): DataFrame =
+    explodeTopK(
+      corpus.crossJoin(broadcast(queries))
+        .groupBy(col(qIdCol))
+        .agg(BoundedTopK.topk(dist(col(vecCol), col(qVecCol)), col(idCol), k).as("tops")),
+      qIdCol, idCol)
 
   /** All pairs (a < b) with cosine similarity ≥ threshold — embedding
     * near-duplicate detection, exact O(n²/2) variant for modest n (or as
@@ -56,8 +59,8 @@ object Ann {
   /** Batched IVF top-k: ONE distributed job for the whole query batch —
     * per-query leader sets chosen on the driver (centroids are small),
     * broadcast as (qid, leader) pairs into the assignment table, exact
-    * distances + per-query window rank over the joined candidates. The
-    * per-query-sequential alternative costs Q job launches. */
+    * distances + per-query bounded-heap top-k over the joined candidates.
+    * The per-query-sequential alternative costs Q job launches. */
   def ivfTopK(corpus: DataFrame, idx: graft.index.ECPIndex, idCol: String, vecCol: String,
               queries: Seq[(Long, Seq[Double])], k: Int,
               timesK: Int = graft.index.VectorIndex.TimesK): DataFrame = {
@@ -68,14 +71,13 @@ object Ann {
     }.toDF("qid", "leader")
     val qDf = queries.toDF("qid", "qv")
     val cands = idx.assignments.join(broadcast(leaderPairs), "leader").select("qid", idCol)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("distance").asc_nulls_last, col(idCol).asc)
-    cands.join(corpus.select(col(idCol), col(vecCol)), idCol)
-      .join(broadcast(qDf), "qid")
-      .withColumn("distance", Distances.euclidean(col(vecCol), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col(idCol), col("distance"), col("rank"))
+    explodeTopK(
+      cands.join(corpus.select(col(idCol), col(vecCol)), idCol)
+        .join(broadcast(qDf), "qid")
+        .groupBy(col("qid"))
+        .agg(BoundedTopK.topk(
+          Distances.euclidean(col(vecCol), col("qv")), col(idCol), k).as("tops")),
+      "qid", idCol)
   }
 
   /** Deterministic pseudo-random Gaussian hyperplanes, derived from the

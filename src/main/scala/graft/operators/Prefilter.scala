@@ -27,7 +27,14 @@ object Prefilter {
   val BloomFpp = 0.05
   val IsinChunk = 500
 
-  def apply(df: DataFrame, candidates: DataFrame, idCol: String, method: Method): DataFrame =
+  /** Max candidate ids the chunked-isin strategy will collect to the
+    * driver. The reference only renders IN-lists under a cardinality cap;
+    * without one, a caller with 10⁸ candidates OOMs the driver. Above the
+    * cap the call degrades to the distributed semi-join (same result set). */
+  val IsinMaxIds = 100000L
+
+  def apply(df: DataFrame, candidates: DataFrame, idCol: String, method: Method,
+            isinMaxIds: Long = IsinMaxIds): DataFrame =
     method match {
       case SemiJoin =>
         df.join(candidates.select(idCol).distinct(), Seq(idCol), "left_semi")
@@ -38,11 +45,15 @@ object Prefilter {
         // prefilter for candidates-then-rerank, same as the reference.
         df.filter(mightContain(col(idCol)))
       case ChunkedIsin =>
-        val ids = candidates.select(idCol).distinct().collect().map(_.get(0))
-        if (ids.isEmpty) df.limit(0)
-        else ids.grouped(IsinChunk)
-          .map(chunk => col(idCol).isin(chunk.toSeq: _*))
-          .reduce(_ || _) match { case cond => df.filter(cond) }
+        val distinctIds = candidates.select(idCol).distinct()
+        if (distinctIds.count() > isinMaxIds) apply(df, distinctIds, idCol, SemiJoin)
+        else {
+          val ids = distinctIds.collect().map(_.get(0))
+          if (ids.isEmpty) df.limit(0)
+          else ids.grouped(IsinChunk)
+            .map(chunk => col(idCol).isin(chunk.toSeq: _*))
+            .reduce(_ || _) match { case cond => df.filter(cond) }
+        }
     }
 
   /** Cardinality-based auto selection (reference heuristic). */

@@ -37,11 +37,19 @@ object Planner {
 
   final case class Measurement(timeNanos: Long, recall: Double)
 
-  /** Measured-cost table keyed by plan description. */
+  /** Measured-cost table keyed by plan description. Fed by
+    * [[Progressive]] executions (every completed plan run lands here) —
+    * the reference trains its scan-method scorers from measured queries
+    * the same way (`NaiveOptimizerHeuristics.adaptScanMethods`). */
   private val stats = TrieMap.empty[String, List[Measurement]]
 
-  def record(plan: Plan, m: Measurement): Unit =
-    stats.updateWith(plan.describe)(prev => Some(m :: prev.getOrElse(Nil).take(19)))
+  def record(plan: Plan, m: Measurement): Unit = record(plan.describe, m)
+
+  def record(planDescription: String, m: Measurement): Unit =
+    stats.updateWith(planDescription)(prev => Some(m :: prev.getOrElse(Nil).take(19)))
+
+  /** Drop all measurements (test isolation / fresh training). */
+  def clearMeasurements(): Unit = stats.clear()
 
   def score(plan: Plan): Double = stats.get(plan.describe) match {
     case None | Some(Nil) => Double.MaxValue

@@ -23,6 +23,14 @@ object Progressive {
   final case class PlanSpec(description: String, confidence: Double,
                             run: () => DataFrame)
 
+  /** Every completed plan execution trains the empirical planner: the
+    * measured wall time plus the plan's confidence (the exactness proxy
+    * the reference also scores by) land in [[Planner]]'s measured-cost
+    * table, so `EmpiricalHint` choices improve as queries run. */
+  private def record(o: Observation): Unit =
+    if (o.result.isSuccess)
+      Planner.record(o.planDescription, Planner.Measurement(o.timeNanos, o.confidence))
+
   /** Launch all plans; invoke `onNext` per completion; return all
     * observations once every plan finishes. */
   def parallel(spark: SparkSession, plans: Seq[PlanSpec])
@@ -38,6 +46,7 @@ object Progressive {
         val r = Try(p.run().collect())
         val o = Observation(p.description, p.confidence, System.nanoTime() - t0, r)
         spark.sparkContext.clearJobGroup()
+        record(o)
         obs.add(o)
         onNext(o)
         latch.countDown()
@@ -71,8 +80,10 @@ object Progressive {
             s"timed plan ${p.description}", interruptOnCancel = true)
           val t0 = System.nanoTime()
           val r = Try(p.run().collect())
-          obs.add(Observation(p.description, p.confidence, System.nanoTime() - t0, r))
+          val o = Observation(p.description, p.confidence, System.nanoTime() - t0, r)
+          obs.add(o)
           spark.sparkContext.clearJobGroup()
+          record(o)
           first.countDown()
           all.countDown()
         }

@@ -42,6 +42,8 @@ class DistanceSpec extends SparkSpec {
   }
   test("cosineSim")    { closeTo(eval(Distances.cosineSim(ac, bc)), 25.0 / (math.sqrt(14) * math.sqrt(61))) }
   test("chiSquared")   { closeTo(eval(Distances.chiSquared(ac, bc)), 9.0 / 5 + 16.0 / 8) }
+  test("chiSquaredW")  { closeTo(eval(Distances.chiSquaredW(ac, bc, wc)), 2 * 9.0 / 5 + 0.5 * 16.0 / 8) }
+  test("hammingW")     { closeTo(eval(Distances.hammingW(ac, bc, wc)), 2 * 1.0 + 0.5 * 1.0) }
   test("correlation") {
     val ca = va.map(_ - 2.0)
     val cb = vb.map(_ - 13.0 / 3)

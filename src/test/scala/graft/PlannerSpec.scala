@@ -38,10 +38,30 @@ class PlannerSpec extends SparkSpec {
   }
 
   test("empirical scoring prefers the measured-faster plan") {
+    // progressive runs elsewhere in the suite feed the same global table
+    Planner.clearMeasurements()
     record(SequentialPlan(), Measurement(100000000L, 1.0))
     record(IndexPlan(ecp), Measurement(1000000L, 0.9))
     choose(Seq(EmpiricalHint), Seq(ecp), "euclidean") shouldBe IndexPlan(ecp)
     scoredPaths(Seq(ecp), "euclidean").map(_._1) should contain allOf ("sequential", "index:ecp")
+  }
+
+  test("empirical hint flips from sequential to index after progressive training") {
+    Planner.clearMeasurements()
+    // untrained: every score is MaxValue, first candidate (sequential) wins
+    choose(Seq(EmpiricalHint), Seq(ecp), "euclidean") shouldBe a[SequentialPlan]
+    // run both plans through Progressive — each completed run records a
+    // (time, confidence) measurement; the sleep makes sequential
+    // decisively the slower path regardless of machine load
+    Progressive.parallel(spark, Seq(
+      Progressive.PlanSpec("sequential", 1.0,
+        () => { Thread.sleep(3000); graft.operators.Knn.knn(data, dist, 5, col("id")) }),
+      Progressive.PlanSpec("index:ecp", 0.5,
+        () => ecp.knn(data, "id", dist, q, 5))))()
+    Planner.measurements(SequentialPlan()) should not be empty
+    Planner.measurements(IndexPlan(ecp)) should not be empty
+    choose(Seq(EmpiricalHint), Seq(ecp), "euclidean") shouldBe IndexPlan(ecp)
+    Planner.clearMeasurements()
   }
 
   test("plans execute: chosen index plan returns k rows matching brute force top-1") {

@@ -83,6 +83,17 @@ class StreamingPrefilterSpec extends SparkSpec {
     Prefilter.auto(base, wanted, "id").count() should be >= 3L
   }
 
+  test("chunked-isin above the cardinality cap degrades to a semi-join") {
+    val many = (1L to 500L).toDF("id")
+    val capped = Prefilter(base, many, "id", Prefilter.ChunkedIsin, isinMaxIds = 100)
+    // above the cap: no driver collect, plan is the distributed semi-join
+    capped.queryExecution.executedPlan.toString should include("LeftSemi")
+    capped.count() shouldBe 500
+    val under = Prefilter(base, wanted, "id", Prefilter.ChunkedIsin, isinMaxIds = 100)
+    under.queryExecution.executedPlan.toString should not include "LeftSemi"
+    under.count() shouldBe 3
+  }
+
   test("preview, empty relation, sketch helpers") {
     Projections.preview(base, 7).count() shouldBe 7
     val empty = Projections.emptyResult(spark)
