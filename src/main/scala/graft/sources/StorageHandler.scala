@@ -52,6 +52,53 @@ class FileFormatHandler(val name: String, format: String,
   }
 }
 
+/** JDBC storage handler — the first non-file engine, the seam the
+  * reference fills with PostgreSQL (`storage/engine/PostgresqlEngine.scala`).
+  * Backed by Spark's JDBC DataSource, so predicate pushdown to the remote
+  * database comes from Catalyst (`PushedFilters` on the JDBC scan) instead
+  * of the reference's hand-rendered per-engine SQL
+  * (`PostgresqlEngine.scala:180-187`). `url` addresses the database;
+  * `storename` is the table. Works against any DriverManager-visible
+  * driver (embedded Derby ships with Spark's jars). */
+class JdbcHandler(val name: String, url: String,
+                  options: Map[String, String] = Map.empty) extends StorageHandler {
+
+  private def opts(storename: String): Map[String, String] =
+    options ++ Map("url" -> url, "dbtable" -> storename)
+
+  override def read(spark: SparkSession, storename: String,
+                    predicates: Seq[Column]): DataFrame = {
+    val df = spark.read.format("jdbc").options(opts(storename)).load()
+    predicates.foldLeft(df)(_ filter _) // pushed to the database by Catalyst
+  }
+
+  override def write(spark: SparkSession, storename: String, df: DataFrame,
+                     overwrite: Boolean): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "append")
+      .format("jdbc").options(opts(storename)).save()
+
+  override def drop(spark: SparkSession, storename: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $storename") finally st.close()
+    } finally conn.close()
+  }
+
+  override def exists(spark: SparkSession, storename: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // unquoted identifiers are case-normalized per-database; probe both
+      val meta = conn.getMetaData
+      def probe(n: String) = {
+        val rs = meta.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+      probe(storename) || probe(storename.toUpperCase) || probe(storename.toLowerCase)
+    } finally conn.close()
+  }
+}
+
 /** Handler registry (reference `listStorageHandlers`). */
 object StorageHandlers {
   val parquet = new FileFormatHandler("parquet", "parquet")

@@ -48,4 +48,30 @@ class StorageHandlerSpec extends SparkSpec {
   test("unknown handler rejected") {
     an[IllegalArgumentException] should be thrownBy StorageHandlers("cassandra")
   }
+
+  test("jdbc handler round-trips against embedded Derby with pushdown") {
+    val dbDir = Files.createTempDirectory("graft-derby").toString + "/db"
+    System.setProperty("derby.stream.error.file", "/dev/null")
+    val h = new graft.sources.JdbcHandler("jdbc", s"jdbc:derby:$dbDir;create=true")
+    h.exists(spark, "tbl") shouldBe false
+    h.write(spark, "tbl", df, overwrite = true)
+    h.exists(spark, "tbl") shouldBe true
+    h.read(spark, "tbl").count() shouldBe 2
+    // append then overwrite semantics
+    h.write(spark, "tbl", df, overwrite = false)
+    h.read(spark, "tbl").count() shouldBe 4
+    h.write(spark, "tbl", df, overwrite = true)
+    h.read(spark, "tbl").count() shouldBe 2
+    // predicate reaches the database scan, not a post-filter
+    val got = h.read(spark, "tbl", Seq(col("x") > 2.0))
+    got.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    got.queryExecution.executedPlan.toString should include("PushedFilters: [")
+    // transfer from a file engine into the database
+    val from = Files.createTempDirectory("graft-j-from").toString + "/t"
+    StorageHandlers("parquet").write(spark, from, df, overwrite = true)
+    StorageHandlers.transfer(spark, StorageHandlers("parquet"), from, h, "tbl2")
+    h.read(spark, "tbl2").count() shouldBe 2
+    h.drop(spark, "tbl")
+    h.exists(spark, "tbl") shouldBe false
+  }
 }
