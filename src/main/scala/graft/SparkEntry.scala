@@ -383,6 +383,23 @@ object SparkEntry {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
     }),
 
+    "vertical_reassembly" -> ((s, d) => {
+      // per-attribute handler assignment: scalar group in parquet, price
+      // group in ORC; reassembly = pk join (reference Entity.scala:91-110)
+      val base = java.nio.file.Files.createTempDirectory("graft-vert").toString
+      val groups = Seq(
+        graft.core.Vertical.Group("meta", Seq("o_orderstatus", "o_orderpriority")),
+        graft.core.Vertical.Group("price", Seq("o_totalprice"),
+          graft.sources.StorageHandlers("orc")))
+      graft.core.Vertical.write(Tables.orders(s, d), "o_orderkey", groups, base,
+        numPartitions = 8)
+      graft.core.Vertical.read(s, "o_orderkey", groups, base,
+          Seq("o_orderstatus", "o_totalprice"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "multimodal_decode" -> ((s, d) => {
       val assets = Multimodal.syntheticAssets(Tables.documents(s, d), "doc_id", "text")
       Multimodal.decodeAssets(assets, dim = 16)
@@ -432,6 +449,21 @@ object SparkEntry {
       .select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")),
+
+    // --- full-text search (reference routes TEXTTYPE to Solr; native here) ---
+    "text_match_all" -> ((s, d) =>
+      TextSearch.matchAll(Tables.documents(s, d), "text", Seq("vector", "join"))
+        .select("doc_id").orderBy("doc_id")),
+
+    "text_phrase" -> ((s, d) =>
+      TextSearch.phraseMatch(Tables.documents(s, d), "text", Seq("fast", "table"))
+        .select("doc_id").orderBy("doc_id")),
+
+    "text_bm25" -> ((s, d) =>
+      TextSearch.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+          Seq("vector", "join", "hash"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")),
   )
 
   private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
@@ -650,6 +682,10 @@ object SparkEntry {
     "planner_hint_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "progressive_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
 
+    "vertical_reassembly" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "multimodal_decode" ->
       """SELECT doc_id AS asset_id,
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -832,6 +868,31 @@ object SparkEntry {
          |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
          | ) / 3.0, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_match_all" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_phrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
+         |  i -> toks[i] = 'fast' AND toks[i+1] = 'table')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+         |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |posts AS (SELECT doc_id, term, count(*) AS tf
+         |          FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |          WHERE term IN ('vector','join','hash') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM posts GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+         |FROM posts JOIN dfreq USING (term) JOIN dl USING (doc_id), c
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "lang_id" -> {
       def score(markers: Seq[String]) =

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text search over a TEXTTYPE attribute — the capability the
+  * reference delegates wholesale to Solr
+  * (`/root/reference/src/main/scala/org/vitrivr/adampro/storage/engine/SolrEngine.scala:31`,
+  * queried through `apache.solr` handler attributes), re-expressed as
+  * native Spark relational algebra so it scales with the cluster instead
+  * of a sidecar search service:
+  *
+  *  - boolean term match (ALL/ANY) is a pure Catalyst array predicate on
+  *    the scan — no join, no index, whole-stage codegen'd;
+  *  - phrase match tests token adjacency with HOF position arithmetic;
+  *  - ranked retrieval builds posting lists (one explode + hash agg) and
+  *    scores BM25 with a broadcast of the (tiny) query-term statistics;
+  *    the per-doc score is a map-side partial sum and the top-k plans as
+  *    TakeOrderedAndProject.
+  */
+object TextSearch {
+
+  /** Posting lists `(term, doc_id, tf, positions)` — the inverted-index
+    * relation. Positions are kept for phrase/proximity scoring. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+
+  private def toks(textCol: String): Column = TextAnalysis.tokens(col(textCol))
+
+  /** Docs containing every query term (Solr `q=+a +b`). */
+  def matchAll(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
+    docs.filter(terms.map(t => array_contains(toks(textCol), t.toLowerCase)).reduce(_ && _))
+  }
+
+  /** Docs containing at least one query term (Solr `q=a b`). */
+  def matchAny(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
+    docs.filter(terms.map(t => array_contains(toks(textCol), t.toLowerCase)).reduce(_ || _))
+  }
+
+  /** Docs containing the exact phrase (adjacent tokens, in order). The
+    * existence test walks candidate start offsets with HOF arithmetic —
+    * per-row work, zero shuffle. */
+  def phraseMatch(docs: DataFrame, textCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val n = phrase.size
+    val t = toks(textCol)
+    val hit = exists(sequence(lit(1), size(t) - (n - 1)), i =>
+      phrase.zipWithIndex.map { case (term, j) =>
+        element_at(t, i + j) === lit(term.toLowerCase)
+      }.reduce(_ && _))
+    docs.filter(size(t) >= n && hit)
+  }
+
+  /** BM25 scores `(doc_id, score)` for every document matching ≥1 query
+    * term: postings filtered to the query terms, document-frequency stats
+    * broadcast back in, per-doc partial-summed score. Two jobs total
+    * (corpus-size scalars + the scoring pass) for any corpus size. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
+    val lowered = terms.map(_.toLowerCase)
+    val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+    val n = corpus.getLong(0)
+    val avgdl = corpus.getDouble(1)
+
+    val posts = postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*))
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    posts.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .withColumn("contrib",
+        idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+  }
+
+  /** Ranked retrieval: BM25 top-k, `TakeOrderedAndProject` plan shape. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+}

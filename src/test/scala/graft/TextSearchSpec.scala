@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextSearch
+
+/** Full-text operators: postings, boolean/phrase match, BM25 ranking. */
+class TextSearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark joins the fast table"),
+    (2L, "the slow table scans the table"),
+    (3L, "fast table fast table fast"),
+    (4L, "nothing relevant here")).toDF("doc_id", "text")
+
+  test("postings carry tf and sorted positions") {
+    val p = TextSearch.postings(docs, "doc_id", "text")
+    val row = p.filter(col("term") === "table" && col("doc_id") === 2L).head()
+    row.getAs[Long]("tf") shouldBe 2
+    row.getSeq[Int](row.fieldIndex("positions")) shouldBe Seq(2, 5)
+  }
+
+  test("matchAll requires every term; matchAny any") {
+    TextSearch.matchAll(docs, "text", Seq("fast", "table"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 3L)
+    TextSearch.matchAny(docs, "text", Seq("spark", "slow"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 2L)
+  }
+
+  test("phraseMatch is adjacency- and order-sensitive") {
+    TextSearch.phraseMatch(docs, "text", Seq("fast", "table"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 3L)
+    // doc 2 has both words but never adjacent in order
+    TextSearch.phraseMatch(docs, "text", Seq("table", "scans"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Seq(2L)
+    TextSearch.phraseMatch(docs, "text", Seq("scans", "table"))
+      .count() shouldBe 0 // wrong order ("scans the table" is not adjacent)
+  }
+
+  test("bm25: higher tf ranks higher; non-matching docs absent") {
+    val top = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("fast"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    top shouldBe Seq(3L, 1L) // doc 3 has tf=3 vs doc 1's tf=1
+    TextSearch.bm25Scores(docs, "doc_id", "text", Seq("fast"))
+      .filter(col("doc_id") === 4L).count() shouldBe 0
+  }
+
+  test("bm25 top-k plans as TakeOrderedAndProject with partial aggregation") {
+    val plan = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("fast"), 5)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should include("partial_sum")
+  }
+}
