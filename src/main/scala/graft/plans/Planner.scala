@@ -25,6 +25,8 @@ object Planner {
   case object IndexHint extends Hint // any conforming index, priority order
   case class SpecificIndexHint(indexType: String) extends Hint
   case object EmpiricalHint extends Hint
+  /** Score by the learned linear cost model at corpus size `n`. */
+  case class LearnedHint(n: Long) extends Hint
 
   /** Reference index priority (`QueryHints.scala:19-38`). */
   val IndexPriority: Seq[String] = Seq("vaf", "vav", "vap", "pq", "ecp", "sh", "lsh", "mi")
@@ -35,7 +37,7 @@ object Planner {
     def describe: String = s"index:${index.indexType}"
   }
 
-  final case class Measurement(timeNanos: Long, recall: Double)
+  final case class Measurement(timeNanos: Long, recall: Double, n: Long = 0L)
 
   /** Measured-cost table keyed by plan description. Fed by
     * [[Progressive]] executions (every completed plan run lands here) —
@@ -61,6 +63,42 @@ object Planner {
 
   def measurements(plan: Plan): Seq[Measurement] = stats.getOrElse(plan.describe, Nil)
 
+  /** Learned cost model: per-plan ordinary-least-squares fit of
+    * `time ~ a + b·n` over the recorded measurements — the reference's
+    * `lr` scorer next to the naive averager
+    * (`query/planner/...: naive/lr/svm trained by measured queries`).
+    * Extrapolates across corpus sizes, which the naive average cannot:
+    * a sequential scan measured at two small sizes already reveals its
+    * slope, so the model prefers a flat-cost index at sizes never
+    * measured. Falls back to the naive average when the measurements
+    * carry no size spread. */
+  def predictedTime(plan: Plan, n: Long): Double = stats.get(plan.describe) match {
+    case None | Some(Nil) => Double.MaxValue
+    case Some(ms) =>
+      val sized = ms.filter(_.n > 0)
+      val spread = sized.map(_.n).distinct.size
+      if (spread < 2) ms.map(_.timeNanos.toDouble).sum / ms.size
+      else {
+        val xs = sized.map(_.n.toDouble)
+        val ys = sized.map(_.timeNanos.toDouble)
+        val mx = xs.sum / xs.size
+        val my = ys.sum / ys.size
+        val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          math.max(xs.map(x => (x - mx) * (x - mx)).sum, 1e-9)
+        val a = my - b * mx
+        math.max(0.0, a + b * n)
+      }
+  }
+
+  /** LR-scored cost: predicted time at size `n`, recall-penalized like
+    * the naive score. */
+  def scoreLR(plan: Plan, n: Long): Double = stats.get(plan.describe) match {
+    case None | Some(Nil) => Double.MaxValue
+    case Some(ms) =>
+      val r = ms.map(_.recall).sum / ms.size
+      predictedTime(plan, n) * (2.0 - r)
+  }
+
   /** Walk hints in order; first usable plan wins (reference
     * `HintBasedScanExpression.getPlan`). Conformity = distance-family
     * match + index availability (`isQueryConform`). */
@@ -82,6 +120,9 @@ object Planner {
       case EmpiricalHint =>
         val candidates = SequentialPlan() +: conforming(indexes).map(IndexPlan.apply)
         Iterator(Some(candidates.minBy(score)))
+      case LearnedHint(n) =>
+        val candidates = SequentialPlan() +: conforming(indexes).map(IndexPlan.apply)
+        Iterator(Some(candidates.minBy(scoreLR(_, n))))
     }.flatten.nextOption().getOrElse(SequentialPlan())
   }
 

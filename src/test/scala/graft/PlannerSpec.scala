@@ -64,6 +64,24 @@ class PlannerSpec extends SparkSpec {
     Planner.clearMeasurements()
   }
 
+  test("learned scorer extrapolates: index wins at sizes never measured") {
+    Planner.clearMeasurements()
+    // sequential cost grows with n (measured at two small sizes);
+    // the index is flat. Naive averaging would prefer sequential at ANY
+    // size (avg 15ms vs 20ms); the linear model sees the slope.
+    record(SequentialPlan(), Measurement(10000000L, 1.0, n = 10000L))
+    record(SequentialPlan(), Measurement(20000000L, 1.0, n = 20000L))
+    record(IndexPlan(ecp), Measurement(20000000L, 1.0, n = 10000L))
+    record(IndexPlan(ecp), Measurement(20000000L, 1.0, n = 20000L))
+    choose(Seq(EmpiricalHint), Seq(ecp), "euclidean") shouldBe a[SequentialPlan]
+    // at n=1M the fitted sequential line predicts ~1s vs the flat 20ms
+    Planner.predictedTime(SequentialPlan(), 1000000L) should be > 5.0e8
+    choose(Seq(LearnedHint(1000000L)), Seq(ecp), "euclidean") shouldBe IndexPlan(ecp)
+    // and at tiny n sequential still wins under the same model
+    choose(Seq(LearnedHint(5000L)), Seq(ecp), "euclidean") shouldBe a[SequentialPlan]
+    Planner.clearMeasurements()
+  }
+
   test("plans execute: chosen index plan returns k rows matching brute force top-1") {
     val plan = choose(Seq(ExactHint), Seq(vaf), "euclidean")
     val r = Planner.run(plan, data, "id", dist, q, 10).select("id").collect().map(_.getLong(0))

@@ -1,0 +1,86 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.api.Server
+
+/** JSON-over-HTTP front door: DDL/DML/query round trip through the wire
+  * protocol (the reference's gRPC DataDefinition/DataQuery surface). */
+class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val base = Files.createTempDirectory("graft-srv").toString
+  private lazy val server = Server.start(spark, base)
+  private lazy val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  private def post(path: String, body: String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.port}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+  }
+
+  test("entity DDL/DML + boolean and knn queries over the wire") {
+    post("/entity/create", """{"name":"wire"}""").get("ok").asBoolean() shouldBe true
+
+    val rows = (0 until 50).map(i =>
+      s"""{"vid":$i,"grp":${i % 3},"vec":[${i % 7}.0,${(i * 3) % 5}.0]}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"wire","rows":$rows}""")
+      .get("inserted").asInt() shouldBe 50
+
+    post("/entity/count", """{"name":"wire"}""").get("count").asLong() shouldBe 50
+    post("/entity/list", "{}").get("entities").get(0).asText() shouldBe "wire"
+
+    val bool = post("/query/boolean",
+      """{"entity":"wire","predicates":[{"attribute":"grp","op":"=","values":[1]}]}""")
+    bool.get("rows").size() shouldBe 17
+
+    val knn = post("/query/knn",
+      """{"entity":"wire","idCol":"vid","vecCol":"vec","q":[0.0,0.0],"k":5,"dist":"manhattan"}""")
+    knn.get("rows").size() shouldBe 5
+    knn.get("rows").get(0).get("distance").asDouble() shouldBe 0.0 // vid 0 is (0,0)
+
+    post("/entity/delete",
+      """{"name":"wire","predicates":[{"attribute":"grp","op":"=","values":[2]}]}""")
+      .get("deleted").asLong() shouldBe 16
+    post("/entity/count", """{"name":"wire"}""").get("count").asLong() shouldBe 34
+  }
+
+  test("stored index scan over the wire with staleness flag") {
+    post("/entity/create", """{"name":"widx"}""")
+    val rows = (0 until 80).map(i =>
+      s"""{"vid":$i,"vec":[${i % 9}.0,${(i * 2) % 7}.0,${i % 4}.0]}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"widx","rows":$rows}""")
+    post("/index/create",
+      """{"entity":"widx","name":"main","type":"vaf","idCol":"vid","vecCol":"vec"}""")
+      .get("index").asText() shouldBe "main"
+    post("/index/list", """{"entity":"widx"}""").get("indexes").get(0).asText() shouldBe "main"
+
+    val q1 = post("/query/knn",
+      """{"entity":"widx","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3,"index":"main"}""")
+    q1.get("stale").asBoolean() shouldBe false
+    q1.get("rows").size() shouldBe 3
+
+    post("/entity/insert", """{"name":"widx","rows":[{"vid":999,"vec":[0.0,0.0,0.0]}]}""")
+    post("/query/knn",
+      """{"entity":"widx","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3,"index":"main"}""")
+      .get("stale").asBoolean() shouldBe true
+  }
+
+  test("bad requests return ok=false with an error") {
+    val r = post("/entity/count", """{"name":"nope"}""")
+    r.get("ok").asBoolean() shouldBe false
+    r.get("error").asText() should include("nope")
+    post("/no/such", "{}").get("ok").asBoolean() shouldBe false
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+}
