@@ -387,6 +387,59 @@ object SparkEntry {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
     }),
 
+    "entity_vacuum" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-vac").toString
+      val e = graft.core.Entity.create(s, base, "li")
+      e.insert(Tables.lineitem(s, d).filter(col("l_quantity") >= 49))
+      e.vacuum(numPartitions = 4) // rewrite must preserve content exactly
+      e.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "sparse_roundtrip" -> ((s, d) => {
+      // sparsify → densify round trip preserves every element
+      val base = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+      val e = graft.core.Entity.create(s, base, "emb")
+      e.insert(Tables.embeddings(s, d).select("vec_id", "embedding"))
+      e.sparsify("embedding")
+      e.read().select(col("vec_id"),
+          round(aggregate(graft.functions.SparseVectors.densify(col("embedding")),
+            lit(0.0), (a, x) => a + x.cast("double")), 4).as("vec_sum"))
+        .orderBy("vec_id")
+    }),
+
+    "centroid_by_label" -> ((s, d) => Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(round(avg("v"), 6).as("m"))
+      .orderBy("label", "dim")),
+
+    "import_export_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-ie").toString + "/docs"
+      graft.core.ImportExport.export(Tables.documents(s, d), "json", out)
+      graft.core.ImportExport.importTable(s, "json", out)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "random_gen_stats" -> ((s, d) =>
+      // the RNG itself has no cross-engine oracle; its CONTRACT does
+      graft.core.RandomData.generate(s, 500, 16)
+        .agg(count(lit(1)).as("n"), min(size(col("feature"))).as("dmin"),
+          max(size(col("feature"))).as("dmax"))),
+
+    "prefilter_bloom_knn" -> ((s, d) => {
+      // Bloom pre-prune (may over-admit) + exact semi-join verify + kNN:
+      // the correctness-preserving two-stage composition
+      val base = withQueryVec(s, d)
+      val candidates = base.filter(col("vec_id") % 5 === 0).select("vec_id")
+      val admitted = Prefilter(base, candidates, "vec_id", Prefilter.Bloom)
+      val verified = Prefilter(admitted, candidates, "vec_id", Prefilter.SemiJoin)
+      Knn.knn(verified, Distances.manhattan(col("embedding"), col("qv")), 50, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
     "vertical_reassembly" -> ((s, d) => {
       // per-attribute handler assignment: scalar group in parquet, price
       // group in ORC; reassembly = pk join (reference Entity.scala:91-110)
@@ -692,6 +745,29 @@ object SparkEntry {
     "vertical_reassembly" ->
       """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "entity_vacuum" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),2) AS qty
+        |FROM lineitem WHERE l_quantity >= 49
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sparse_roundtrip" ->
+      """SELECT vec_id, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "centroid_by_label" ->
+      """SELECT label, i - 1 AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        |FROM embeddings, generate_series(1, 64) AS t(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "import_export_roundtrip" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id",
+
+    "random_gen_stats" ->
+      "SELECT CAST(500 AS BIGINT) AS n, CAST(16 AS INT) AS dmin, CAST(16 AS INT) AS dmax",
+
+    "prefilter_bloom_knn" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,
+      where = "WHERE e.vec_id % 5 = 0"),
 
     "multimodal_decode" ->
       """SELECT doc_id AS asset_id,
