@@ -244,6 +244,15 @@ object SparkEntry {
           col("cnt"), round(col("total_value"), 4).as("total_value"))
         .orderBy("event_type", "hour")),
 
+    "event_session_windows" -> ((s, d) =>
+      // native session_window aggregation, batch execution of the
+      // streaming operator (same code path runs over readStream input)
+      graft.streaming.EventStream.sessionWindows(Tables.events(s, d))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("events"))
+        .orderBy("user_id", "session_start")),
+
     "text_bpeish_tokens" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_cnt"))
@@ -841,6 +850,23 @@ object SparkEntry {
          | ELSE 0.0 END)""".stripMargin), 100),
     "knn_hamming_weighted" -> duckKnn(
       duckSum(s"((i % 4 + 1) * 0.25) * (CASE WHEN $dx != $dq THEN 1.0 ELSE 0.0 END)"), 100),
+
+    // session_window is half-open [start, last + gap): a gap of EXACTLY
+    // 30 min starts a new session, hence >= in the break condition
+    "event_session_windows" ->
+      """WITH w AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |           FROM events),
+        |b AS (SELECT user_id, ts,
+        |        CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |             THEN 1 ELSE 0 END AS brk FROM w),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "stream_windowed_counts" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -38,6 +38,33 @@ object EventStream {
       .select(col("event_type"), col("window.start").as("window_start"),
         col("mean_value"), col("cnt"))
 
+  /** Gap-based sessionization via the native `session_window` aggregate —
+    * the streaming analog of the batch `event_sessions` query. A session
+    * extends while consecutive events arrive within `gap`; the watermark
+    * closes (and garbage-collects) sessions whose gap has provably
+    * passed. Works identically on bounded input. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("events"))
+
+  /** Streaming exact dedup for a document stream: normalized content
+    * hash, duplicates dropped within the watermark horizon — the state
+    * store only keeps hashes younger than the watermark, which is what
+    * makes exact dedup feasible on an unbounded 100 TB/day feed (global
+    * exact dedup needs the batch operator). */
+  def dedupDocStream(docs: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

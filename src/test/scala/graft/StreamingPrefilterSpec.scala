@@ -67,6 +67,42 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge events within the gap, split beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = EventStream.sessionWindows(events, gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      // user 1: 10:01,10:05 (one session) then 10:30 (new session);
+      // user 2: a single event
+      mem.addData((1L, ts(1)), (1L, ts(5)), (1L, ts(30)), (2L, ts(7)))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+      rows shouldBe Seq((1L, 1L), (1L, 2L), (2L, 1L))
+    } finally q.stop()
+  }
+
+  test("streaming doc dedup drops duplicate content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupDocStream(docs, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), "Same  Doc"), (2L, ts(2), "same doc"), // dup (normalized)
+        (3L, ts(3), "other doc"))
+      q.processAllAvailable()
+      mem.addData((4L, ts(4), "SAME DOC")) // dup again, later micro-batch
+      q.processAllAvailable()
+      spark.table("dedup_stream").select("doc_id").collect()
+        .map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    } finally q.stop()
+  }
+
   private lazy val base = (1L to 1000L).toDF("id")
   private lazy val wanted = Seq(5L, 10L, 700L).toDF("id")
 
