@@ -23,7 +23,9 @@ object Plans {
       ("ann_batch_topk", "map-side partial bounded top-k, no qid window funnel",
         Seq("ObjectHashAggregate", "partial_bounded_topk")),
       ("ann_ivf_topk", "IVF candidates aggregated map-side",
-        Seq("ObjectHashAggregate", "partial_bounded_topk")))
+        Seq("ObjectHashAggregate", "partial_bounded_topk")),
+      ("text_bm25", "posting partial aggregation + broadcast term stats",
+        Seq("partial_count", "BroadcastHashJoin")))
 
     var failed = 0
     checks.foreach { case (name, what, markers) =>

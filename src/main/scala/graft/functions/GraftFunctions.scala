@@ -48,6 +48,11 @@ object GraftFunctions {
         case Seq(sv) => DensifyExpr(sv)
         case args => throw new IllegalArgumentException(
           s"densify(sparseStruct) expects 1 arg, got ${args.length}")
+      },
+      "bounded_topk" -> {
+        case Seq(d, id, k) => BoundedTopK(d, id, intArg(k, "k"))
+        case args => throw new IllegalArgumentException(
+          s"bounded_topk(distance, id, k) expects 3 args, got ${args.length}")
       })
 
   /** Register into a live session's function registry. */

@@ -33,6 +33,21 @@ class SqlFunctionsSpec extends SparkSpec {
     r.getInt(2) shouldBe 2 // 4 tokens -> 2 trigram shingles
   }
 
+  test("bounded_topk callable from SQL as a grouped aggregate") {
+    GraftFunctions.register(spark)
+    (1L to 20L).map(i => (i % 2, i, (i % 5).toDouble))
+      .toDF("g", "id", "d").createOrReplaceTempView("scored")
+    val rows = spark.sql(
+      """SELECT g, t.id, t.distance
+        |FROM (SELECT g, bounded_topk(d, id, 2) AS tops FROM scored GROUP BY g)
+        |LATERAL VIEW explode(tops) AS t
+        |ORDER BY g, t.distance, t.id""".stripMargin).collect()
+    rows.length shouldBe 4
+    // group 0: ids 10, 20 have d=0; group 1: ids 5, 15 have d=0
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((0L, 10L), (0L, 20L), (1L, 5L), (1L, 15L))
+  }
+
   test("densify restores sparsified vectors; distances agree") {
     val dense = Seq((1L, Seq(0.0f, 2.5f, 0.0f, 1.5f)), (2L, Seq(1.0f, 0.0f, 0.0f, 3.0f)))
       .toDF("id", "vec")
