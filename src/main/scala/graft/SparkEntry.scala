@@ -490,6 +490,15 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 
+    "corpus_neardup" -> ((s, d) => {
+      // admission check: incoming docs (id >= 400) vs the ingested corpus
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.indexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id")
+      Dedup.nearDupAgainstCorpus(docs.filter(col("doc_id") >= 400),
+          "text", "doc_id", idx, 0.5)
+        .orderBy("in_id", "corpus_id")
+    }),
+
     "simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 3)
         .orderBy("id_a", "id_b")),
@@ -959,6 +968,19 @@ object SparkEntry {
          |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
          | FROM d a, d b WHERE a.doc_id < b.doc_id
          |) WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // same exact-all-pairs-vs-banded caveat as minhash_neardup above
+    "corpus_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |)
+         |SELECT in_id, corpus_id, round(j, 4) AS jaccard FROM (
+         | SELECT a.doc_id AS in_id, b.doc_id AS corpus_id,
+         |  len(list_intersect(a.sh, b.sh)) * 1.0
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         | FROM d a, d b WHERE a.doc_id >= 400 AND b.doc_id < 400
+         |) WHERE j >= 0.5 ORDER BY in_id, corpus_id""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id, len(toks) AS token_cnt,

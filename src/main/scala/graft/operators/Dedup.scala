@@ -119,6 +119,55 @@ object Dedup {
     exact.join(drops, Seq(idCol), "left_anti").select(idCol)
   }
 
+  /** A reference corpus prepared for incoming-vs-corpus near-dup checks:
+    * band keys and shingle sets, computed once and persisted. */
+  final case class CorpusIndex(banded: DataFrame, // (band, key, corpus_id)
+                               shingles: DataFrame, // (corpus_id, sh)
+                               numHashes: Int, numBands: Int, n: Int)
+
+  /** Band + shingle a static reference corpus once (both persisted) —
+    * the build side of [[nearDupAgainstCorpus]]. */
+  def indexCorpus(corpus: DataFrame, textCol: String, idCol: String,
+                  numHashes: Int = 96, numBands: Int = 24, n: Int = 3): CorpusIndex = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val banded = corpus.select(col(idCol).as("corpus_id"),
+        posexplode(graft.functions.HashSig.minhashBands(
+          tokenHashes(col(textCol)), n, numHashes, numBands)).as(Seq("band", "key")))
+      .persist(MEMORY_AND_DISK)
+    val sh = corpus.select(col(idCol).as("corpus_id"),
+        graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), n).as("sh_c"))
+      .persist(MEMORY_AND_DISK)
+    CorpusIndex(banded, sh, numHashes, numBands, n)
+  }
+
+  /** Near-dup flags for incoming docs against a static reference corpus —
+    * the admission check of a training-data pipeline ("is this
+    * newly-crawled doc a near-duplicate of anything already ingested?").
+    * Incoming rows band inline and equi-join the prepared corpus on
+    * (band, key); candidates verify exact Jaccard against the corpus
+    * shingles. Emits `(in_id, corpus_id, jaccard)` per verified pair.
+    *
+    * Works unchanged on a streaming `incoming` frame via `foreachBatch`
+    * (the join is stream-static, the corpus side is the prepared index;
+    * no stream-side state) — see DedupTextSpec's streaming case. */
+  def nearDupAgainstCorpus(incoming: DataFrame, textCol: String, idCol: String,
+                           idx: CorpusIndex, threshold: Double): DataFrame = {
+    val inBanded = incoming.select(col(idCol).as("in_id"),
+      posexplode(graft.functions.HashSig.minhashBands(
+        tokenHashes(col(textCol)), idx.n, idx.numHashes, idx.numBands)).as(Seq("band", "key")))
+    val cand = inBanded.join(idx.banded, Seq("band", "key"))
+      .select("in_id", "corpus_id").distinct()
+    val inSh = incoming.select(col(idCol).as("in_id"),
+      graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), idx.n).as("sh_i"))
+    val inter = size(array_intersect(col("sh_i"), col("sh_c"))).cast("double")
+    cand.join(inSh, Seq("in_id"))
+      .join(idx.shingles, Seq("corpus_id"))
+      .withColumn("jaccard",
+        inter / (size(col("sh_i")) + size(col("sh_c")) - inter).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("in_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash over the token bag: bit i of the fingerprint is the
     * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Codegen'd
     * kernel over the per-token hashes. */

@@ -125,6 +125,44 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("incoming-vs-corpus near-dup flags dups, passes novel docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed query engines and joins"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.indexCorpus(corpus, "text", "doc_id")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (11L, "a totally novel document with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.nearDupAgainstCorpus(incoming, "text", "doc_id", idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flagged shouldBe Set((10L, 1L))
+  }
+
+  test("incoming-vs-corpus near-dup runs on a stream via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.indexCorpus(corpus, "text", "doc_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.nearDupAgainstCorpus(batch, "text", "doc_id", idx, 0.5)
+          .collect().foreach(r => seen.synchronized {
+            seen += ((r.getLong(0), r.getLong(1)))
+          })
+      }.start()
+    try {
+      mem.addData((20L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (21L, "unrelated novel text that matches nothing from before at all"))
+      q.processAllAvailable()
+      seen.toSet shouldBe Set((20L, 1L))
+    } finally q.stop()
+  }
+
   test("lsh cosine near-dup finds planted duplicates") {
     val planted = vecs.union(
       vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
