@@ -61,6 +61,18 @@ object IndexOps {
   def drop(e: Entity, name: String): Unit = e.dropIndex(name)
 }
 
+/** Planner training + introspection (reference `QueryPlannerOp`). */
+object PlannerOps {
+  def train(spark: SparkSession, entity: DataFrame, idCol: String, vecCol: String,
+            indexes: Seq[VectorIndex], distName: String = "euclidean",
+            k: Int = 100, nQueries: Int = 3)
+           (implicit ec: ExecutionContext): Int =
+    Planner.train(spark, entity, idCol, vecCol, indexes, distName, k, nQueries)
+
+  def scoredPaths(indexes: Seq[VectorIndex], distName: String): Seq[(String, Double)] =
+    Planner.scoredPaths(indexes, distName)
+}
+
 final case class NnQuery(vecCol: String, q: Seq[Double], distName: String, k: Int,
                          weights: Option[Seq[Double]] = None)
 

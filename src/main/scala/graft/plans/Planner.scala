@@ -133,6 +133,34 @@ object Planner {
     case IndexPlan(idx) => idx.knn(entity, idCol, dist, q, k)
   }
 
+  /** Auto-training sweep — the reference's planner training loop
+    * (`QueryPlannerOp.trainIndexes`: generate queries, measure every
+    * plan, feed the scorers). Samples `nQueries` query vectors from the
+    * entity itself, races the sequential plan and every conforming index
+    * through [[Progressive.parallel]] (each completed run records a
+    * size-tagged measurement), leaving `EmpiricalHint`/`LearnedHint`
+    * genuinely trained for this corpus. Returns the measurement count. */
+  def train(spark: org.apache.spark.sql.SparkSession, entity: DataFrame,
+            idCol: String, vecCol: String, indexes: Seq[VectorIndex],
+            distName: String = "euclidean", k: Int = 100, nQueries: Int = 3)
+           (implicit ec: scala.concurrent.ExecutionContext): Int = {
+    import org.apache.spark.sql.functions.col
+    val n = entity.count()
+    val qs = entity.select(col(vecCol).cast("array<double>"))
+      .limit(nQueries).collect().map(_.getSeq[Double](0).toSeq)
+    val dist = graft.functions.Distances.byName(distName)
+    qs.foreach { q =>
+      val d = dist(col(vecCol), graft.functions.Distances.vecLit(q))
+      val specs = Progressive.PlanSpec("sequential", 1.0,
+        () => Knn.knn(entity, d, k, col(idCol)), n) +:
+        indexes.filter(_.conformsTo(distName)).map(i =>
+          Progressive.PlanSpec(s"index:${i.indexType}", i.confidence,
+            () => i.knn(entity, idCol, d, q, k), n))
+      Progressive.parallel(spark, specs)()
+    }
+    qs.length * (1 + indexes.count(_.conformsTo(distName)))
+  }
+
   /** Introspection: all candidate paths with scores (reference
     * `getScoredExecutionPath`, `DataQuery.scala:384`). */
   def scoredPaths(indexes: Seq[VectorIndex], distName: String): Seq[(String, Double)] =

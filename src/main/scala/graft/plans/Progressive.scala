@@ -21,15 +21,17 @@ object Progressive {
                                timeNanos: Long, result: Try[Array[Row]])
 
   final case class PlanSpec(description: String, confidence: Double,
-                            run: () => DataFrame)
+                            run: () => DataFrame, rows: Long = 0L)
 
   /** Every completed plan execution trains the empirical planner: the
     * measured wall time plus the plan's confidence (the exactness proxy
-    * the reference also scores by) land in [[Planner]]'s measured-cost
-    * table, so `EmpiricalHint` choices improve as queries run. */
-  private def record(o: Observation): Unit =
+    * the reference also scores by) and the corpus size land in
+    * [[Planner]]'s measured-cost table, so `EmpiricalHint`/`LearnedHint`
+    * choices improve as queries run. */
+  private def record(p: PlanSpec, o: Observation): Unit =
     if (o.result.isSuccess)
-      Planner.record(o.planDescription, Planner.Measurement(o.timeNanos, o.confidence))
+      Planner.record(o.planDescription,
+        Planner.Measurement(o.timeNanos, o.confidence, p.rows))
 
   /** Launch all plans; invoke `onNext` per completion; return all
     * observations once every plan finishes. */
@@ -46,7 +48,7 @@ object Progressive {
         val r = Try(p.run().collect())
         val o = Observation(p.description, p.confidence, System.nanoTime() - t0, r)
         spark.sparkContext.clearJobGroup()
-        record(o)
+        record(p, o)
         obs.add(o)
         onNext(o)
         latch.countDown()
@@ -83,7 +85,7 @@ object Progressive {
           val o = Observation(p.description, p.confidence, System.nanoTime() - t0, r)
           obs.add(o)
           spark.sparkContext.clearJobGroup()
-          record(o)
+          record(p, o)
           first.countDown()
           all.countDown()
         }

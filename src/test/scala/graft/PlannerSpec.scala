@@ -64,6 +64,21 @@ class PlannerSpec extends SparkSpec {
     Planner.clearMeasurements()
   }
 
+  test("auto-training sweep records size-tagged measurements for every plan") {
+    Planner.clearMeasurements()
+    val recorded = Planner.train(spark, data, "id", "feature", Seq(vaf, ecp), nQueries = 2)
+    recorded shouldBe 6 // 2 queries × (sequential + 2 conforming indexes)
+    Seq(SequentialPlan(), IndexPlan(vaf), IndexPlan(ecp)).foreach { p =>
+      val ms = Planner.measurements(p)
+      withClue(p.describe) {
+        ms should not be empty
+        all(ms.map(_.n)) shouldBe data.count()
+        Planner.scoreLR(p, data.count()) should be < Double.MaxValue
+      }
+    }
+    Planner.clearMeasurements()
+  }
+
   test("learned scorer extrapolates: index wins at sizes never measured") {
     Planner.clearMeasurements()
     // sequential cost grows with n (measured at two small sizes);
