@@ -17,4 +17,8 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 50L * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
+      // bucketed catalog tables (co-located joins) land in a temp
+      // warehouse, not the process working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
 }

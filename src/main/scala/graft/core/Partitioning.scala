@@ -69,6 +69,17 @@ object Partitioning {
       Array.empty
   }
 
+  /** Write a catalog table bucketed (and per-bucket sorted) by the join
+    * key. Two tables bucketed the same way equi-join with NO exchange —
+    * the bucketed scan reports hash partitioning, so Catalyst plans the
+    * join shuffle-free. THE co-location tool for repeated big-join keys
+    * at 100 TB: pay one layout write, never shuffle that join again. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Partition-skip scan over an Ecp-layout table: keep only the
     * partitions whose leaders are nearest the query (reference
     * `Index.scala:242-251`, `ECPPartitioner.getPartitions`). The isin

@@ -153,6 +153,28 @@ class PlannerSpec extends SparkSpec {
     dirs.length should be > 1
   }
 
+  test("bucketed tables equi-join with no exchange (co-located join)") {
+    import spark.implicits._
+    val left = (1L to 5000L).map(i => (i, i * 2.0)).toDF("k", "x")
+    val right = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    Partitioning.writeBucketed(left, "buck_left", "k", 8)
+    Partitioning.writeBucketed(right, "buck_right", "k", 8)
+    // broadcast would hide the co-location win on a toy table — force the
+    // sort-merge path a 100 TB-sized join would take
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val joined = spark.table("buck_left").join(spark.table("buck_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan) { plan should not include "Exchange" }
+      joined.count() shouldBe 5000
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE buck_left")
+      spark.sql("DROP TABLE buck_right")
+    }
+  }
+
   test("hash and random repartition modes") {
     Partitioning.repartition(data, Partitioning.Hash(Seq("intfield"), 4)).rdd.getNumPartitions shouldBe 4
     Partitioning.repartition(data, Partitioning.Random(6)).rdd.getNumPartitions shouldBe 6
