@@ -130,6 +130,21 @@ class StreamingPrefilterSpec extends SparkSpec {
     under.count() shouldBe 3
   }
 
+  test("salted join equals plain join on skewed keys") {
+    // 90% of probe rows share one hot key
+    val probe = (1L to 1000L).map(i => (if (i % 10 == 0) i % 7 else 1L, i))
+      .toDF("k", "payload")
+    val build = (0L to 6L).map(k => (k, s"dim_$k")).toDF("k", "v")
+    val plain = probe.join(build, "k")
+    val salted = graft.operators.Skew.saltedJoin(probe, build, "k", nSalts = 8)
+    salted.count() shouldBe plain.count()
+    salted.columns.toSet shouldBe plain.columns.toSet
+    // the physical join key carries the salt, spreading the hot key
+    salted.queryExecution.executedPlan.toString should include("ap_salt")
+    salted.select("payload").collect().map(_.getLong(0)).sorted shouldBe
+      plain.select("payload").collect().map(_.getLong(0)).sorted
+  }
+
   test("preview, empty relation, sketch helpers") {
     Projections.preview(base, 7).count() shouldBe 7
     val empty = Projections.emptyResult(spark)
