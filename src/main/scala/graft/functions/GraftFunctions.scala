@@ -64,11 +64,15 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the SQL function surface plus
+  * the transparent kNN index-acceleration rule (a no-op until an index
+  * is registered with [[graft.plans.KnnIndexRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.KnnIndexRewrite)
+  }
 }
