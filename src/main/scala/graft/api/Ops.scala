@@ -109,9 +109,16 @@ object QueryOps {
   def sequential(entity: DataFrame, idCol: String, nnq: NnQuery): DataFrame =
     Knn.knn(entity, distanceColumn(nnq), nnq.k, col(idCol))
 
-  /** Scan a specific index with exact rerank (reference `QueryOp.index`). */
-  def index(entity: DataFrame, idCol: String, idx: VectorIndex, nnq: NnQuery): DataFrame =
+  /** Scan a specific index with exact rerank (reference `QueryOp.index`).
+    * Refuses a non-conforming distance family — e.g. L2-built VA bounds
+    * over a Manhattan query would prune true neighbours and return
+    * silently wrong results (reference `isQueryConform`). */
+  def index(entity: DataFrame, idCol: String, idx: VectorIndex, nnq: NnQuery): DataFrame = {
+    require(idx.conformsTo(nnq.distName),
+      s"index ${idx.indexType} does not answer distance '${nnq.distName}' " +
+        "— scan would be silently lossy; use a conforming index or the sequential plan")
     idx.knn(entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
+  }
 
   /** Hint-planned kNN (reference `QueryOp.expression` + hint grammar). */
   def planned(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],

@@ -49,6 +49,14 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
 
   private val mapper = new ObjectMapper()
 
+  // The http executor runs handlers concurrently but Entity mutation is
+  // read-modify-write on the catalog meta — serialize mutations per
+  // entity (reads stay concurrent; a reader mid-swap sees the old
+  // version, which the versioned layout makes safe).
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withEntityLock[T](name: String)(f: => T): T =
+    locks.computeIfAbsent(name, _ => new Object).synchronized(f)
+
   private def handle(ex: HttpExchange): Unit = {
     val reply =
       try {
@@ -97,12 +105,14 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     val out = mapper.createObjectNode()
     path match {
       case "/entity/create" =>
-        Entity.create(spark, base, req.get("name").asText())
+        withEntityLock(req.get("name").asText()) {
+          Entity.create(spark, base, req.get("name").asText())
+        }
         out.put("name", req.get("name").asText())
       case "/entity/insert" =>
         val rows = req.get("rows").elements().asScala.map(_.toString).toSeq
         val df = spark.read.json(spark.createDataset(rows)(Encoders.STRING))
-        entity(req).insert(df)
+        withEntityLock(req.get("name").asText()) { entity(req).insert(df) }
         out.put("inserted", rows.size)
       case "/entity/list" =>
         val arr = out.putArray("entities")
@@ -110,19 +120,22 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/entity/count" =>
         out.put("count", entity(req).count())
       case "/entity/delete" =>
-        out.put("deleted",
-          entity(req).deleteWhere(BooleanPredicates.conjunction(predicatesOf(req))))
+        out.put("deleted", withEntityLock(req.get("name").asText()) {
+          entity(req).deleteWhere(BooleanPredicates.conjunction(predicatesOf(req)))
+        })
       case "/entity/preview" =>
         val k = if (req.has("k")) req.get("k").asInt() else 100
         out.set("rows", rowsNode(entity(req).read().limit(k)))
       case "/entity/drop" =>
-        entity(req).drop()
+        withEntityLock(req.get("name").asText()) { entity(req).drop() }
         out.put("dropped", req.get("name").asText())
       case "/index/create" =>
-        val e = entity(req, "entity")
-        val idx = IndexOps.create(req.get("type").asText(), e.read(),
-          req.get("idCol").asText(), req.get("vecCol").asText())
-        e.saveIndex(req.get("name").asText(), idx)
+        withEntityLock(req.get("entity").asText()) {
+          val e = entity(req, "entity")
+          val idx = IndexOps.create(req.get("type").asText(), e.read(),
+            req.get("idCol").asText(), req.get("vecCol").asText())
+          e.saveIndex(req.get("name").asText(), idx)
+        }
         out.put("index", req.get("name").asText())
       case "/index/list" =>
         val arr = out.putArray("indexes")

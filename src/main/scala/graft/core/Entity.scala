@@ -68,13 +68,15 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       else df.withColumn(ApId,
         lit(batch.toLong << 48).bitwiseOR(
           monotonically_increasing_id().bitwiseAND(lit((1L << 48) - 1))))
+    def schemaKey(df: DataFrame): Set[(String, String)] =
+      df.schema.fields.map(f => f.name -> f.dataType.sql).toSet
     if (m.version == 0) {
       withId.write.mode("overwrite").parquet(dataPath(1).toString)
       swap(m.copy(version = 1, insertCount = batch), 0)
-    } else if (read().columns.sorted.sameElements(withId.columns.sorted)) {
+    } else if (schemaKey(read()) == schemaKey(withId)) {
       withId.write.mode("append").parquet(dataPath(m.version).toString)
       writeMeta(metaPath, m.copy(insertCount = batch))
-    } else { // schema drift: align via union and rewrite once
+    } else { // schema drift (names OR types): align via union and rewrite once
       val next = m.version + 1
       read().unionByName(withId, allowMissingColumns = true)
         .write.mode("overwrite").parquet(dataPath(next).toString)

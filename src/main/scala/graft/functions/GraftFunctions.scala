@@ -50,7 +50,12 @@ object GraftFunctions {
           s"densify(sparseStruct) expects 1 arg, got ${args.length}")
       },
       "bounded_topk" -> {
-        case Seq(d, id, k) => BoundedTopK(d, id, intArg(k, "k"))
+        // cast here — raw SQL args may be int/float and the aggregate's
+        // update() trusts double/long buffers
+        case Seq(d, id, k) => BoundedTopK(
+          org.apache.spark.sql.catalyst.expressions.Cast(d, org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(id, org.apache.spark.sql.types.LongType),
+          intArg(k, "k"))
         case args => throw new IllegalArgumentException(
           s"bounded_topk(distance, id, k) expects 3 args, got ${args.length}")
       })

@@ -83,6 +83,16 @@ case class BoundedTopK(left: Expression, right: Expression, k: Int,
 
   require(k > 0, s"k must be positive, got $k")
 
+  // children must already be double/long — every entry point
+  // (BoundedTopK.topk, the SQL builder) casts; update() trusts the types
+  override def checkInputDataTypes():
+  org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bounded_topk expects (double, bigint), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
   override def prettyName: String = "bounded_topk"
   override def nullable: Boolean = false
   override def dataType: DataType = BoundedTopK.OutType

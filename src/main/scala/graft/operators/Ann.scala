@@ -27,7 +27,10 @@ object Ann {
         (col("r0") + 1).cast("int").as("rank"))
 
   /** Brute-force exact top-k per query: cross the (broadcast) query set
-    * with the corpus, bounded-heap aggregate per query id. */
+    * with the corpus, bounded-heap aggregate per query id. Rows whose
+    * distance evaluates to null (malformed vectors) are EXCLUDED — the
+    * single-query [[Knn.knn]] instead ranks them last; for a batch ANN
+    * result a malformed row is noise, not a meaningful neighbour. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      qIdCol: String, vecCol: String, qVecCol: String,
                      dist: (Column, Column) => Column, k: Int): DataFrame =

@@ -123,7 +123,14 @@ object Dedup {
     * band keys and shingle sets, computed once and persisted. */
   final case class CorpusIndex(banded: DataFrame, // (band, key, corpus_id)
                                shingles: DataFrame, // (corpus_id, sh)
-                               numHashes: Int, numBands: Int, n: Int)
+                               numHashes: Int, numBands: Int, n: Int) {
+    /** Drop the cached relations (call when retiring/rebuilding the
+      * index — each build persists two frames). */
+    def release(): Unit = {
+      banded.unpersist()
+      shingles.unpersist()
+    }
+  }
 
   /** Band + shingle a static reference corpus once (both persisted) —
     * the build side of [[nearDupAgainstCorpus]]. */

@@ -46,14 +46,14 @@ object Prefilter {
         df.filter(mightContain(col(idCol)))
       case ChunkedIsin =>
         val distinctIds = candidates.select(idCol).distinct()
-        if (distinctIds.count() > isinMaxIds) apply(df, distinctIds, idCol, SemiJoin)
-        else {
-          val ids = distinctIds.collect().map(_.get(0))
-          if (ids.isEmpty) df.limit(0)
-          else ids.grouped(IsinChunk)
-            .map(chunk => col(idCol).isin(chunk.toSeq: _*))
-            .reduce(_ || _) match { case cond => df.filter(cond) }
-        }
+        // one job: collect at most cap+1 ids; overflow = above the cap
+        val cap = math.min(isinMaxIds, Int.MaxValue - 1L).toInt
+        val ids = distinctIds.limit(cap + 1).collect().map(_.get(0))
+        if (ids.length > isinMaxIds) apply(df, distinctIds, idCol, SemiJoin)
+        else if (ids.isEmpty) df.limit(0)
+        else ids.grouped(IsinChunk)
+          .map(chunk => col(idCol).isin(chunk.toSeq: _*))
+          .reduce(_ || _) match { case cond => df.filter(cond) }
     }
 
   /** Cardinality-based auto selection (reference heuristic). */

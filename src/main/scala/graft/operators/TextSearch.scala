@@ -66,6 +66,9 @@ object TextSearch {
     val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
     val corpus = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
     val n = corpus.getLong(0)
+    if (n == 0) // avg(dl) of zero rows is null — return the empty frame
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
     val avgdl = corpus.getDouble(1)
 
     val posts = postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*))

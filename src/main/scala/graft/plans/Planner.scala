@@ -156,7 +156,9 @@ object Planner {
         indexes.filter(_.conformsTo(distName)).map(i =>
           Progressive.PlanSpec(s"index:${i.indexType}", i.confidence,
             () => i.knn(entity, idCol, d, q, k), n))
-      Progressive.parallel(spark, specs)()
+      // one plan at a time: racing them would contend for the same
+      // cores and bias every timing the cost models train on
+      specs.foreach(spec => Progressive.parallel(spark, Seq(spec))())
     }
     qs.length * (1 + indexes.count(_.conformsTo(distName)))
   }

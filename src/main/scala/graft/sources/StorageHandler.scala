@@ -77,8 +77,16 @@ class JdbcHandler(val name: String, url: String,
     df.write.mode(if (overwrite) "overwrite" else "append")
       .format("jdbc").options(opts(storename)).save()
 
+  /** Direct connections must carry the same credentials/options the
+    * Spark source uses (user/password/...). */
+  private def connect(): java.sql.Connection = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, props)
+  }
+
   override def drop(spark: SparkSession, storename: String): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = connect()
     try {
       val st = conn.createStatement()
       try st.executeUpdate(s"DROP TABLE $storename") finally st.close()
@@ -86,7 +94,7 @@ class JdbcHandler(val name: String, url: String,
   }
 
   override def exists(spark: SparkSession, storename: String): Boolean = {
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = connect()
     try {
       // unquoted identifiers are case-normalized per-database; probe both
       val meta = conn.getMetaData

@@ -57,6 +57,17 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("insert with a type-drifted column falls back to union-rewrite, not mixed files") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "drift")
+    e.insert((1 to 5).toDF("k"))
+    e.insert(Seq(6.5, 7.5).toDF("k")) // same name, wider type
+    val back = e.read()
+    back.count() shouldBe 7 // readable — no mixed-type parquet directory
+    back.schema("k").dataType.typeName shouldBe "double"
+    e.drop()
+  }
+
   test("delete-by-predicate removes matching rows via version swap") {
     val base = freshBase()
     val e = Entity.create(spark, base, "del")

@@ -48,6 +48,18 @@ class SqlFunctionsSpec extends SparkSpec {
       Seq((0L, 10L), (0L, 20L), (1L, 5L), (1L, 15L))
   }
 
+  test("bounded_topk from SQL casts int distance/id inputs") {
+    GraftFunctions.register(spark)
+    Seq((0, 1, 5), (0, 2, 3), (0, 3, 9)).toDF("g", "id", "d")
+      .createOrReplaceTempView("int_scored")
+    val rows = spark.sql(
+      """SELECT t.id FROM (SELECT g, bounded_topk(d, id, 2) AS tops
+        |                  FROM int_scored GROUP BY g)
+        |LATERAL VIEW explode(tops) AS t ORDER BY t.distance""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    rows shouldBe Seq(2L, 1L)
+  }
+
   test("densify restores sparsified vectors; distances agree") {
     val dense = Seq((1L, Seq(0.0f, 2.5f, 0.0f, 1.5f)), (2L, Seq(1.0f, 0.0f, 0.0f, 3.0f)))
       .toDF("id", "vec")

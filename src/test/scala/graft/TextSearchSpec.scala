@@ -47,6 +47,11 @@ class TextSearchSpec extends SparkSpec {
       .filter(col("doc_id") === 4L).count() shouldBe 0
   }
 
+  test("bm25 on an empty corpus returns an empty frame, not an NPE") {
+    val empty = docs.filter(col("doc_id") < 0)
+    TextSearch.bm25Scores(empty, "doc_id", "text", Seq("fast")).count() shouldBe 0
+  }
+
   test("bm25 top-k plans as TakeOrderedAndProject with partial aggregation") {
     val plan = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("fast"), 5)
       .queryExecution.executedPlan.toString
