@@ -336,6 +336,7 @@ object SparkEntry {
     "index_sh_knn" -> indexKnn("sh", timesK = 10),
     "index_lsh_knn" -> indexKnn("lsh"),
     "index_mi_knn" -> indexKnn("mi", timesK = 10),
+    "index_ivfpq_knn" -> indexKnn("ivfpq"),
 
     // --- lifecycle / planner / progressive / partitioning / multimodal ---
     "entity_lifecycle" -> ((s, d) => {
@@ -570,7 +571,8 @@ object SparkEntry {
     // 32 single-hash tables: recall=1.0 at the verify SF for k=100 (a
     // fifth of the corpus — tight AND-combos can't cover that deep).
     "lsh" -> (df => LSHIndex.build(df, "vec_id", "embedding", nTables = 32, nHashes = 1)),
-    "mi" -> (df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15)))
+    "mi" -> (df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15)),
+    "ivfpq" -> (df => IVFPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)))
 
   private def cachedIndex(s: SparkSession, d: String, key: String): VectorIndex =
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
@@ -814,6 +816,7 @@ object SparkEntry {
     "index_lsh_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_mi_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vote_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_ivfpq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
 
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 2)

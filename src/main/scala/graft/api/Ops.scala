@@ -47,6 +47,7 @@ object IndexOps {
       case "sh" => SHIndex.build(df, idCol, vecCol)
       case "lsh" => LSHIndex.build(df, idCol, vecCol)
       case "mi" => MIIndex.build(df, idCol, vecCol)
+      case "ivfpq" => IVFPQIndex.build(df, idCol, vecCol)
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
 

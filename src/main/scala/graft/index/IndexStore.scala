@@ -47,6 +47,8 @@ object IndexStore {
       case sh: SHIndex => (sh.sigs, (sh.pc, sh.mins, sh.ranges, sh.modes))
       case lsh: LSHIndex => (lsh.tables, (lsh.projections, lsh.offsets, lsh.w))
       case ecp: ECPIndex => (ecp.assignments, ecp.centroids)
+      case ivfpq: IVFPQIndex =>
+        (ivfpq.assignments, (ivfpq.centroids, ivfpq.codebooks, ivfpq.subLen))
       case mi: MIIndex => (mi.postings, (mi.refPoints, mi.ki, mi.ks))
       case other => throw new IllegalArgumentException(
         s"index type ${other.indexType} is not persistable")
@@ -90,6 +92,10 @@ object IndexStore {
         new LSHIndex(df, proj, off, w, meta.idCol)
       case ("ecp", b) =>
         new ECPIndex(df, b.asInstanceOf[Array[(Int, Array[Double], Long)]], meta.idCol)
+      case ("ivfpq", b) =>
+        val (cents, books, subLen) = b.asInstanceOf[
+          (Array[(Int, Array[Double], Long)], Array[Array[Array[Double]]], Int)]
+        new IVFPQIndex(df, cents, books, subLen, meta.idCol)
       case ("mi", b) =>
         val (refs, ki, ks) = b.asInstanceOf[(Array[Array[Double]], Int, Int)]
         new MIIndex(df, refs, ki, ks, meta.idCol)

