@@ -63,7 +63,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val req = if (body.isEmpty) mapper.createObjectNode() else mapper.readTree(body)
         val out = route(ex.getRequestURI.getPath, req)
-        out.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("ok", true)
+        out.put("ok", true)
         (200, out)
       } catch {
         case NonFatal(e) =>
@@ -101,7 +101,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     arr
   }
 
-  private def route(path: String, req: JsonNode): JsonNode = {
+  private def route(path: String, req: JsonNode)
+  : com.fasterxml.jackson.databind.node.ObjectNode = {
     val out = mapper.createObjectNode()
     path match {
       case "/entity/create" =>

@@ -24,16 +24,8 @@ class ECPIndex(val assignments: DataFrame, // (id, leader)
   override def isExact: Boolean = false
 
   /** Leaders nearest the query until their member counts cover `need`. */
-  def chooseLeaders(q: Seq[Double], need: Long): Seq[Int] = {
-    val ranked = centroids.sortBy { case (_, c, _) => ECPIndex.sqDist(q, c) }
-    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var covered = 0L
-    for ((leader, _, count) <- ranked if covered < need) {
-      chosen += leader
-      covered += count
-    }
-    chosen.toSeq
-  }
+  def chooseLeaders(q: Seq[Double], need: Long): Seq[Int] =
+    ECPIndex.coverLeaders(centroids, q, need)
 
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val chosen = chooseLeaders(q, k.toLong * timesK)
@@ -48,6 +40,20 @@ class ECPIndex(val assignments: DataFrame, // (id, leader)
 }
 
 object ECPIndex {
+
+  /** Nearest leaders until their member counts cover `need` — shared by
+    * the eCP scan and the IVF family's coarse probe. */
+  private[graft] def coverLeaders(centroids: Array[(Int, Array[Double], Long)],
+                                  q: Seq[Double], need: Long): Seq[Int] = {
+    val ranked = centroids.sortBy { case (_, c, _) => sqDist(q, c) }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var covered = 0L
+    for ((leader, _, count) <- ranked if covered < need) {
+      chosen += leader
+      covered += count
+    }
+    chosen.toSeq
+  }
 
   private[graft] def sqDist(a: Seq[Double], b: Array[Double]): Double = {
     var s = 0.0

@@ -33,26 +33,12 @@ class IVFPQIndex(val assignments: DataFrame, // (id, leader, codes)
   override def indexType: String = "ivfpq"
   override def isExact: Boolean = false
 
-  private def chooseLeaders(q: Seq[Double], need: Long): Seq[Int] = {
-    val ranked = centroids.sortBy { case (_, c, _) => ECPIndex.sqDist(q, c) }
-    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var covered = 0L
-    for ((leader, _, count) <- ranked if covered < need) {
-      chosen += leader
-      covered += count
-    }
-    chosen.toSeq
-  }
-
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
-    val probed = chooseLeaders(q, k.toLong * timesK)
+    val probed = ECPIndex.coverLeaders(centroids, q, k.toLong * timesK)
     val byCenter = centroids.map(c => c._1 -> c._2).toMap
     val branches = probed.map { l =>
       val qr = q.toArray.zip(byCenter(l)).map { case (x, c) => x - c } // residual
-      val table = codebooks.zipWithIndex.map { case (book, s) =>
-        val qs = qr.slice(s * subLen, (s + 1) * subLen)
-        book.map(c => ECPIndex.sqDist(qs.toSeq, c))
-      }
+      val table = PQIndex.adcTable(codebooks, subLen, qr)
       assignments.filter(col("leader") === l)
         .select(col(idCol),
           Bridge.column(PQAdcExpr(Bridge.expression(col("codes")), table)).as("adc"))

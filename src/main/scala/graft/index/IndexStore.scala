@@ -119,13 +119,6 @@ object IndexStore {
     }
   }
 
-  def drop(baseDir: String, name: String): Unit = {
-    val p = indexDir(baseDir, name)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
-  }
+  def drop(baseDir: String, name: String): Unit =
+    graft.core.Entity.deleteRecursively(indexDir(baseDir, name))
 }

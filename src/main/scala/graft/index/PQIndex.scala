@@ -34,10 +34,7 @@ class PQIndex(val codes: DataFrame, // (id, codes array<int>)
   override def isExact: Boolean = false
 
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
-    val table: Array[Array[Double]] = codebooks.zipWithIndex.map { case (book, s) =>
-      val qs = q.slice(s * subLen, (s + 1) * subLen).toArray
-      book.map(c => ECPIndex.sqDist(qs.toSeq, c))
-    }
+    val table = PQIndex.adcTable(codebooks, subLen, q.toArray)
     codes.select(col(idCol),
         Bridge.column(PQAdcExpr(Bridge.expression(col("codes")), table)).as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
@@ -47,6 +44,15 @@ class PQIndex(val codes: DataFrame, // (id, codes array<int>)
 }
 
 object PQIndex {
+
+  /** Per-subspace (query sub-vector → codeword) squared-distance lookup
+    * table — shared by the PQ and IVF-PQ asymmetric-distance scans. */
+  private[index] def adcTable(codebooks: Array[Array[Array[Double]]], subLen: Int,
+                              q: Array[Double]): Array[Array[Double]] =
+    codebooks.zipWithIndex.map { case (book, s) =>
+      val qs = q.slice(s * subLen, (s + 1) * subLen)
+      book.map(c => ECPIndex.sqDist(qs.toSeq, c))
+    }
 
   /** Deterministic local Lloyd's k-means for bounded codebook training. */
   private[graft] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,

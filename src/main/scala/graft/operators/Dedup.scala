@@ -59,13 +59,15 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, n: Int = 3): Column =
     graft.functions.HashSig.minhash(tokenHashes(text), n, numHashes)
 
-  /** Exact Jaccard similarity of the two docs' shingle sets. */
-  def jaccardSim(a: Column, b: Column, n: Int = 3): Column = {
-    val sa = shingles(a, n)
-    val sb = shingles(b, n)
+  /** Jaccard similarity of two shingle(-hash) set columns. */
+  private def setJaccard(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / (size(sa) + size(sb) - inter).cast("double")
   }
+
+  /** Exact Jaccard similarity of the two docs' shingle sets. */
+  def jaccardSim(a: Column, b: Column, n: Int = 3): Column =
+    setJaccard(shingles(a, n), shingles(b, n))
 
   /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
     *
@@ -91,12 +93,10 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val sh = df.select(col(idCol).as("id"),
       graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), n).as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        inter / (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+      .withColumn("jaccard", setJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -166,11 +166,9 @@ object Dedup {
       .select("in_id", "corpus_id").distinct()
     val inSh = incoming.select(col(idCol).as("in_id"),
       graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), idx.n).as("sh_i"))
-    val inter = size(array_intersect(col("sh_i"), col("sh_c"))).cast("double")
     cand.join(inSh, Seq("in_id"))
       .join(idx.shingles, Seq("corpus_id"))
-      .withColumn("jaccard",
-        inter / (size(col("sh_i")) + size(col("sh_c")) - inter).cast("double"))
+      .withColumn("jaccard", setJaccard(col("sh_i"), col("sh_c")))
       .filter(col("jaccard") >= threshold)
       .select(col("in_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -51,9 +51,9 @@ object Prefilter {
         val ids = distinctIds.limit(cap + 1).collect().map(_.get(0))
         if (ids.length > isinMaxIds) apply(df, distinctIds, idCol, SemiJoin)
         else if (ids.isEmpty) df.limit(0)
-        else ids.grouped(IsinChunk)
+        else df.filter(ids.grouped(IsinChunk)
           .map(chunk => col(idCol).isin(chunk.toSeq: _*))
-          .reduce(_ || _) match { case cond => df.filter(cond) }
+          .reduce(_ || _))
     }
 
   /** Cardinality-based auto selection (reference heuristic). */

@@ -100,7 +100,7 @@ object TextAnalysis {
     * below Long overflow. */
   def rollingFingerprint(text: Column): Column = {
     val p = lit(1000000007L)
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val norm = Dedup.normalize(text)
     when(length(norm) === 0, lit(7L)).otherwise(
       aggregate(split(norm, ""), lit(7L),
         (h, c) => pmod(h * 131L + ascii(c), p)))

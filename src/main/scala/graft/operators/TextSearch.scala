@@ -50,9 +50,9 @@ object TextSearch {
     * regex-quoted. */
   def phraseMatch(docs: DataFrame, textCol: String, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     val quoted = phrase.map(t => java.util.regex.Pattern.quote(t.toLowerCase))
-    docs.filter(norm.rlike("(^| )" + quoted.mkString(" ") + "( |$)"))
+    docs.filter(Dedup.normalize(col(textCol))
+      .rlike("(^| )" + quoted.mkString(" ") + "( |$)"))
   }
 
   /** BM25 scores `(doc_id, score)` for every document matching ≥1 query
@@ -68,7 +68,7 @@ object TextSearch {
     val n = corpus.getLong(0)
     if (n == 0) // avg(dl) of zero rows is null — return the empty frame
       return docs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score"))
     val avgdl = corpus.getDouble(1)
 
     val posts = postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*))

@@ -77,9 +77,6 @@ object KnnIndexRewrite extends Rule[LogicalPlan] {
       case _ => Nil
     }.headOption
 
-  /** Distance-name view of a kernel kind, for index conformity checks. */
-  private def distName(kind: String): String = kind
-
   private def queryVec(e: Expression): Option[Seq[Double]] = e match {
     case Literal(ad: ArrayData, ArrayType(DoubleType, _)) =>
       Some(ad.toDoubleArray().toSeq)
@@ -125,7 +122,8 @@ object KnnIndexRewrite extends Rule[LogicalPlan] {
         q <- queryVec(kernel.right)
         path <- scanPath(proj)
         reg <- registry.get(path)
-        if reg.vecCol == vecAttr.name && reg.index.conformsTo(distName(kernel.kind))
+        // kernel kinds ARE distance names for conformity purposes
+        if reg.vecCol == vecAttr.name && reg.index.conformsTo(kernel.kind)
       } yield {
         val spark = SparkSession.active
         val childDf = Bridge.ofRows(spark, proj)
