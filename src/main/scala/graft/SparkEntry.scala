@@ -299,6 +299,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
     }),
 
+    "knn_radius" -> ((s, d) => {
+      // range query through the VA-file's jobless range prune + exact
+      // verify; compares on the 4-dp-rounded distance on both sides,
+      // with prune slack covering the rounding half-step
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val vaf = cachedIndex(s, d, "vaf").asInstanceOf[VAIndex]
+      val pruned = emb.join(vaf.rangeCandidates(q, 1.2501), Seq("vec_id"), "left_semi")
+      Knn.radius(pruned,
+          round(Distances.euclidean(col("embedding"), Distances.vecLit(q)), 4),
+          1.25, col("vec_id"))
+        .select(col("vec_id"), col(Knn.DistanceCol).as("distance"))
+    }),
+
     "knn_rerank_half" -> ((s, d) => {
       val base = withQueryVec(s, d)
       Knn.rerank(base, base.filter(col("vec_id") % 2 === 0), "vec_id",
@@ -853,6 +867,13 @@ object SparkEntry {
            |   * power(sin((${lng("e.embedding")} - ${lng("q.qv")}) / 2), 2))""".stripMargin
       duckKnn(s"2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h))", 100, roundTo = 2)
     },
+
+    "knn_radius" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, rd AS distance FROM (
+         |  SELECT e.vec_id, round(sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")}), 4) AS rd
+         |  FROM embeddings e, q
+         |) WHERE rd <= 1.25 ORDER BY rd, vec_id""".stripMargin,
 
     "knn_filtered" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50, where = "WHERE e.label < 5"),
     "knn_rerank_half" -> duckKnn(duckSum(s"abs($dx - $dq)"), 50,

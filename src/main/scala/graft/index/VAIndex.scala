@@ -64,6 +64,16 @@ class VAIndex(val cellsDf: DataFrame, // (id, cells)
       }
   }
 
+  /** Lossless RANGE candidates: rows whose lower bound ≤ r — one narrow
+    * scan, no bounding job at all (the kNN scan needs the k-th-ub
+    * threshold phase; a range query's threshold is given). */
+  def rangeCandidates(q: Seq[Double], r: Double): DataFrame = {
+    val qr = rotated(q)
+    cellsDf.select(col(idCol), VAExprs.bounds(col("cells"), marks, qr, p).as("b"))
+      .filter(col("b").getItem(0) <= r)
+      .select(col(idCol))
+  }
+
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val qr = rotated(q)
     val bounds = cellsDf.select(col(idCol),

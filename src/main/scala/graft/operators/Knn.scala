@@ -36,6 +36,15 @@ object Knn {
   def knnFiltered(df: DataFrame, predicate: Column, dist: Column, k: Int, tieBreak: Column): DataFrame =
     knn(df.filter(predicate), dist, k, tieBreak)
 
+  /** Radius (range) search: every row within distance `r`, nearest
+    * first. The filter is a plain Catalyst predicate, so an index's
+    * lossless range candidates (`VAIndex.rangeCandidates`) compose as a
+    * semi-join prefilter exactly like the kNN path. */
+  def radius(df: DataFrame, dist: Column, r: Double, tieBreak: Column): DataFrame =
+    df.withColumn(DistanceCol, dist)
+      .filter(col(DistanceCol) <= r)
+      .orderBy(col(DistanceCol).asc_nulls_last, tieBreak.asc_nulls_last)
+
   /** Candidate re-rank: exact kNN restricted to candidate ids — the
     * candidates-then-rerank shape every approximate index scan is wrapped in
     * (`IndexScanExpression.rewrite`, `IndexScanExpression.scala:89-98`).

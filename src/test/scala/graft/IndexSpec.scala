@@ -51,6 +51,20 @@ class IndexSpec extends SparkSpec {
     knnIds(idx) shouldBe bruteIds
   }
 
+  test("vaf range candidates are lossless for radius queries") {
+    val idx = VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0)
+    // radius enclosing ~50 rows so the prune has something to prune
+    val r = data.select(dist.as("d")).orderBy("d").limit(50)
+      .agg(max("d")).head().getDouble(0)
+    val truth = data.select(col("tid"), dist.as("d")).filter(col("d") <= r)
+      .collect().map(_.getLong(0)).toSet
+    truth should not be empty
+    val cand = idx.rangeCandidates(queryVec, r).collect().map(_.getLong(0)).toSet
+    truth.subsetOf(cand) shouldBe true
+    cand.size should be < data.count().toInt
+    info(f"range prune: ${cand.size} candidates for ${truth.size} true matches")
+  }
+
   test("vaf prunes a meaningful fraction of the table") {
     val idx = VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0)
     val candN = idx.candidates(queryVec, K).count()
