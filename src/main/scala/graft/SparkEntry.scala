@@ -582,9 +582,11 @@ object SparkEntry {
     "ecp" -> (df => ECPIndex.build(df, "vec_id", "embedding")),
     "pq" -> (df => PQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
     "sh" -> (df => SHIndex.build(df, "vec_id", "embedding", nBits = 32)),
-    // 32 single-hash tables: recall=1.0 at the verify SF for k=100 (a
-    // fifth of the corpus — tight AND-combos can't cover that deep).
-    "lsh" -> (df => LSHIndex.build(df, "vec_id", "embedding", nTables = 32, nHashes = 1)),
+    // 8 single-hash tables + multi-probe(2): recall=1.0 at the verify SF
+    // for k=100 with a 4x smaller table relation than the 32-table
+    // equivalent (tight AND-combos can't cover a fifth of the corpus).
+    "lsh" -> (df => LSHIndex.build(df, "vec_id", "embedding",
+      nTables = 8, nHashes = 1, probes = 2)),
     "mi" -> (df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15)),
     "ivfpq" -> (df => IVFPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)))
 

@@ -45,7 +45,7 @@ object IndexStore {
       case va: VAIndex => (va.cellsDf, (va.marks, va.p, va.indexType, va.rotate))
       case pq: PQIndex => (pq.codes, (pq.codebooks, pq.subLen))
       case sh: SHIndex => (sh.sigs, (sh.pc, sh.mins, sh.ranges, sh.modes))
-      case lsh: LSHIndex => (lsh.tables, (lsh.projections, lsh.offsets, lsh.w))
+      case lsh: LSHIndex => (lsh.tables, (lsh.projections, lsh.offsets, lsh.w, lsh.probes))
       case ecp: ECPIndex => (ecp.assignments, ecp.centroids)
       case ivfpq: IVFPQIndex =>
         (ivfpq.assignments, (ivfpq.centroids, ivfpq.codebooks, ivfpq.subLen))
@@ -87,9 +87,9 @@ object IndexStore {
           (Array[Array[Double]], Array[Double], Array[Double], Array[(Int, Int)])]
         new SHIndex(df, pc, mins, ranges, modes, meta.idCol)
       case ("lsh", b) =>
-        val (proj, off, w) = b.asInstanceOf[
-          (Array[Array[Array[Double]]], Array[Array[Double]], Double)]
-        new LSHIndex(df, proj, off, w, meta.idCol)
+        val (proj, off, w, probes) = b.asInstanceOf[
+          (Array[Array[Array[Double]]], Array[Array[Double]], Double, Int)]
+        new LSHIndex(df, proj, off, w, meta.idCol, probes)
       case ("ecp", b) =>
         new ECPIndex(df, b.asInstanceOf[Array[(Int, Array[Double], Long)]], meta.idCol)
       case ("ivfpq", b) =>

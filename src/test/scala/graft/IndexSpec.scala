@@ -131,6 +131,17 @@ class IndexSpec extends SparkSpec {
     ids should contain(bruteIds.head)
   }
 
+  test("multi-probe lsh matches many-table recall with 4x fewer table entries") {
+    val manyTables = LSHIndex.build(data, "tid", "vectorfield", nTables = 32, nHashes = 1)
+    val probed = LSHIndex.build(data, "tid", "vectorfield",
+      nTables = 8, nHashes = 1, probes = 2)
+    probed.tables.count() shouldBe manyTables.tables.count() / 4
+    val rMany = recall(knnIds(manyTables))
+    val rProbed = recall(knnIds(probed))
+    info(f"lsh 32x1 recall@$K = $rMany%.3f vs 8x1+probe2 = $rProbed%.3f")
+    rProbed should be >= rMany - 0.05 // query-side probing buys the recall back
+  }
+
   test("mi: top-1 contained, recall reported") {
     val idx = MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15)
     val ids = knnIds(idx, timesK = 10)
@@ -179,7 +190,8 @@ class IndexSpec extends SparkSpec {
       ("ecp", ECPIndex.build(emb, "vec_id", "embedding"), 5),
       ("pq", PQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5),
       ("sh", SHIndex.build(emb, "vec_id", "embedding", nBits = 32), 10),
-      ("lsh", LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1), 5),
+      ("lsh", LSHIndex.build(emb, "vec_id", "embedding",
+        nTables = 8, nHashes = 1, probes = 2), 5),
       ("mi", MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15), 10),
       ("ivfpq", IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5))
     configs.foreach { case (name, idx, tk) =>
