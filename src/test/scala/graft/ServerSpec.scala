@@ -72,6 +72,27 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .get("stale").asBoolean() shouldBe true
   }
 
+  test("full-text query modes over the wire") {
+    post("/entity/create", """{"name":"wtxt"}""")
+    post("/entity/insert",
+      """{"name":"wtxt","rows":[
+        |{"doc_id":1,"body":"spark joins the fast table"},
+        |{"doc_id":2,"body":"the slow table"},
+        |{"doc_id":3,"body":"nothing here"}]}""".stripMargin)
+    post("/query/text",
+      """{"entity":"wtxt","textCol":"body","mode":"all","terms":["fast","table"]}""")
+      .get("rows").size() shouldBe 1
+    post("/query/text",
+      """{"entity":"wtxt","textCol":"body","mode":"any","terms":["fast","slow"]}""")
+      .get("rows").size() shouldBe 2
+    post("/query/text",
+      """{"entity":"wtxt","textCol":"body","mode":"phrase","terms":["fast","table"]}""")
+      .get("rows").size() shouldBe 1
+    val bm = post("/query/text",
+      """{"entity":"wtxt","textCol":"body","idCol":"doc_id","mode":"bm25","terms":["table"],"k":5}""")
+    bm.get("rows").size() shouldBe 2
+  }
+
   test("bad requests return ok=false with an error") {
     val r = post("/entity/count", """{"name":"nope"}""")
     r.get("ok").asBoolean() shouldBe false
