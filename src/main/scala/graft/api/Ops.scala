@@ -132,6 +132,20 @@ object QueryOps {
   def booleanQuery(entity: DataFrame, predicates: Seq[BooleanPredicates.Predicate]): DataFrame =
     entity.filter(BooleanPredicates.conjunction(predicates))
 
+  /** Full-text query dispatch — `mode`: all | any | phrase | bm25
+    * (bm25 needs `idCol`). The capability the reference fronts through
+    * Solr handler params on its external scan. */
+  def text(entity: DataFrame, textCol: String, mode: String, terms: Seq[String],
+           idCol: String = "", k: Int = 10): DataFrame = mode match {
+    case "all" => TextSearch.matchAll(entity, textCol, terms)
+    case "any" => TextSearch.matchAny(entity, textCol, terms)
+    case "phrase" => TextSearch.phraseMatch(entity, textCol, terms)
+    case "bm25" =>
+      require(idCol.nonEmpty, "bm25 requires idCol")
+      TextSearch.bm25TopK(entity, idCol, textCol, terms, k)
+    case other => throw new IllegalArgumentException(s"unknown text mode: $other")
+  }
+
   /** Filtered kNN — Boolean predicate + ranking combined. */
   def filteredKnn(entity: DataFrame, idCol: String,
                   predicates: Seq[BooleanPredicates.Predicate], nnq: NnQuery): DataFrame =

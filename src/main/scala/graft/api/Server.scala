@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.core.Entity
-import graft.operators.{BooleanPredicates, TextSearch}
+import graft.operators.BooleanPredicates
 
 /** Thin JSON-over-HTTP front door wrapping the programmatic API — the
   * seam the reference fills with gRPC (`communication/rpc/
@@ -147,21 +147,13 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         out.set("rows", rowsNode(
           QueryOps.booleanQuery(entity(req, "entity").read(), predicatesOf(req))))
       case "/query/text" =>
-        // full-text front door (the reference exposes this through its
-        // Solr handler params); mode: all | any | phrase | bm25
-        val e = entity(req, "entity")
-        val textCol = req.get("textCol").asText()
-        val terms = req.get("terms").elements().asScala.map(_.asText()).toSeq
-        val result = req.get("mode").asText() match {
-          case "all" => TextSearch.matchAll(e.read(), textCol, terms)
-          case "any" => TextSearch.matchAny(e.read(), textCol, terms)
-          case "phrase" => TextSearch.phraseMatch(e.read(), textCol, terms)
-          case "bm25" =>
-            val k = if (req.has("k")) req.get("k").asInt() else 10
-            TextSearch.bm25TopK(e.read(), req.get("idCol").asText(), textCol, terms, k)
-          case other => throw new IllegalArgumentException(s"unknown text mode: $other")
-        }
-        out.set("rows", rowsNode(result))
+        out.set("rows", rowsNode(QueryOps.text(
+          entity(req, "entity").read(),
+          req.get("textCol").asText(),
+          req.get("mode").asText(),
+          req.get("terms").elements().asScala.map(_.asText()).toSeq,
+          idCol = if (req.has("idCol")) req.get("idCol").asText() else "",
+          k = if (req.has("k")) req.get("k").asInt() else 10)))
       case "/query/knn" =>
         val e = entity(req, "entity")
         val q = req.get("q").elements().asScala.map(_.asDouble()).toSeq

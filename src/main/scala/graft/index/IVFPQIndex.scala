@@ -1,8 +1,13 @@
 package graft.index
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 import org.apache.spark.storage.StorageLevel
 
 /** IVF-PQ: eCP coarse quantizer + product-quantized RESIDUALS — the
@@ -33,21 +38,61 @@ class IVFPQIndex(val assignments: DataFrame, // (id, leader, codes)
   override def indexType: String = "ivfpq"
   override def isExact: Boolean = false
 
+  /** Coarse probe + residual ADC both rank by squared Euclidean — any
+    * other metric would get a near-random candidate set. */
+  override def conformsTo(distName: String): Boolean =
+    Set("euclidean", "sqeuclidean", "minkowski-2").contains(distName.toLowerCase)
+
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val probed = ECPIndex.coverLeaders(centroids, q, k.toLong * timesK)
     val byCenter = centroids.map(c => c._1 -> c._2).toMap
-    val branches = probed.map { l =>
-      val qr = q.toArray.zip(byCenter(l)).map { case (x, c) => x - c } // residual
-      val table = PQIndex.adcTable(codebooks, subLen, qr)
-      assignments.filter(col("leader") === l)
-        .select(col(idCol),
-          Bridge.column(PQAdcExpr(Bridge.expression(col("codes")), table)).as("adc"))
+    // per-probed-leader residual ADC tables, indexed by leader id — ONE
+    // isin-filtered scan with a leader-keyed kernel, not one pass per
+    // probed leader (200 probes must not mean 200 scans)
+    val tables = new Array[Array[Array[Double]]](centroids.length)
+    probed.foreach { l =>
+      val qr = q.toArray.zip(byCenter(l)).map { case (x, c) => x - c }
+      tables(l) = PQIndex.adcTable(codebooks, subLen, qr)
     }
-    branches.reduce(_ unionByName _)
+    assignments.filter(col("leader").isin(probed: _*))
+      .select(col(idCol),
+        Bridge.column(IVFPQAdcExpr(Bridge.expression(col("codes")),
+          Bridge.expression(col("leader")), tables)).as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k * timesK)
       .select(col(idCol))
   }
+}
+
+/** Leader-keyed asymmetric distance: `Σ_s tables(leader)(s)(code_s)` —
+  * lets one scan serve every probed leader's residual table. */
+case class IVFPQAdcExpr(left: Expression, right: Expression,
+                        tables: Array[Array[Array[Double]]])
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(IntegerType, containsNull = false) ||
+        left.dataType == ArrayType(IntegerType, containsNull = true)) {
+      if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"leader must be int, got ${right.dataType.sql}")
+    } else TypeCheckResult.TypeCheckFailure(s"codes must be array<int>, got ${left.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ivfpq_adc"
+
+  override protected def nullSafeEval(codes: Any, leader: Any): Any =
+    PQAdcExpr.adc(codes.asInstanceOf[ArrayData].toIntArray(),
+      tables(leader.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("ivfpqTables", tables, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (codes, leader) =>
+      s"${ev.value} = graft.index.PQAdcExpr.adc($codes.toIntArray(), $tRef[$leader]);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object IVFPQIndex {

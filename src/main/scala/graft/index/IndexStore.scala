@@ -86,10 +86,18 @@ object IndexStore {
         val (pc, mins, ranges, modes) = b.asInstanceOf[
           (Array[Array[Double]], Array[Double], Array[Double], Array[(Int, Int)])]
         new SHIndex(df, pc, mins, ranges, modes, meta.idCol)
-      case ("lsh", b) =>
-        val (proj, off, w, probes) = b.asInstanceOf[
-          (Array[Array[Array[Double]]], Array[Array[Double]], Double, Int)]
-        new LSHIndex(df, proj, off, w, meta.idCol, probes)
+      case ("lsh", b) => b match {
+        case (proj, off, w, probes) =>
+          new LSHIndex(df, proj.asInstanceOf[Array[Array[Array[Double]]]],
+            off.asInstanceOf[Array[Array[Double]]], w.asInstanceOf[Double],
+            meta.idCol, probes.asInstanceOf[Int])
+        case (proj, off, w) => // pre-multi-probe artifact: probes = 0
+          new LSHIndex(df, proj.asInstanceOf[Array[Array[Array[Double]]]],
+            off.asInstanceOf[Array[Array[Double]]], w.asInstanceOf[Double],
+            meta.idCol)
+        case other => throw new IllegalArgumentException(
+          s"unrecognized lsh metadata: ${other.getClass}")
+      }
       case ("ecp", b) =>
         new ECPIndex(df, b.asInstanceOf[Array[(Int, Array[Double], Long)]], meta.idCol)
       case ("ivfpq", b) =>

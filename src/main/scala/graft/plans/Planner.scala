@@ -28,8 +28,24 @@ object Planner {
   /** Score by the learned linear cost model at corpus size `n`. */
   case class LearnedHint(n: Long) extends Hint
 
-  /** Reference index priority (`QueryHints.scala:19-38`). */
-  val IndexPriority: Seq[String] = Seq("vaf", "vav", "vap", "pq", "ecp", "sh", "lsh", "mi")
+  /** Reference index priority (`QueryHints.scala:19-38`), extended with
+    * the ivfpq structure after its plain-PQ sibling. */
+  val IndexPriority: Seq[String] =
+    Seq("vaf", "vav", "vap", "pq", "ivfpq", "ecp", "sh", "lsh", "mi")
+
+  /** Hint grammar — the reference's `QueryHints.withName` string surface
+    * (`QueryHints.scala:40-68`): RPC callers pass hints by name. */
+  def hintByName(name: String): Option[Hint] = name.toLowerCase.trim match {
+    case "sequential" | "sequential_query" => Some(SequentialHint)
+    case "exact" | "exact_query" => Some(ExactHint)
+    case "index" | "index_query" | "inexact" | "inexact_query" => Some(IndexHint)
+    case "empirical" => Some(EmpiricalHint)
+    case t if IndexPriority.contains(t) => Some(SpecificIndexHint(t))
+    case _ => None
+  }
+
+  /** Parse a hint list, dropping unknown names (reference behaviour). */
+  def hintsByName(names: Seq[String]): Seq[Hint] = names.flatMap(hintByName)
 
   sealed trait Plan { def describe: String }
   case class SequentialPlan() extends Plan { val describe = "sequential" }

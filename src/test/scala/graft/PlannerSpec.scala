@@ -32,6 +32,13 @@ class PlannerSpec extends SparkSpec {
     choose(Seq(SpecificIndexHint("pq")), Seq(ecp, vaf), "euclidean") shouldBe a[SequentialPlan] // fallback
   }
 
+  test("hint grammar parses reference hint names, drops unknown") {
+    Planner.hintsByName(Seq("sequential", "INDEX_QUERY", "ecp", "bogus", "empirical")) shouldBe
+      Seq(SequentialHint, IndexHint, SpecificIndexHint("ecp"), EmpiricalHint)
+    Planner.hintByName("exact") shouldBe Some(ExactHint)
+    Planner.hintByName("nope") shouldBe None
+  }
+
   test("conformity: vaf skipped for cosine, ecp accepted") {
     choose(Seq(IndexHint), Seq(vaf, ecp), "cosine") shouldBe IndexPlan(ecp)
     choose(Seq(ExactHint), Seq(vaf, ecp), "cosine") shouldBe a[SequentialPlan]
