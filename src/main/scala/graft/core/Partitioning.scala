@@ -25,6 +25,11 @@ object Partitioning {
   case class Random(n: Int) extends Mode
   /** Cluster-locality partitioning on a vector column via KMeans leaders. */
   case class Ecp(vecCol: String, nClusters: Int) extends Mode
+  /** Deterministic layout keyed by an existing (categorical) column —
+    * the production shape for date/tenant/label partition pruning, and
+    * the only mode whose pruned reads are LOSSLESS for predicates on
+    * the key (Ecp leader-skip is approximate by construction). */
+  case class ByColumn(keyCol: String) extends Mode
 
   /** Leader centroids trained on a bounded sample; the assignment is a
     * pure per-row kernel (nearest centroid), so there is NO id join —
@@ -54,6 +59,8 @@ object Partitioning {
     case Random(n) => df.repartition(n)
     case Ecp(vecCol, k) =>
       ecpAssign(df, vecCol, k)._1.repartition(col(PartitionCol))
+    case ByColumn(c) =>
+      df.withColumn(PartitionCol, col(c)).repartition(col(PartitionCol))
   }
 
   /** Write with physical layout matching the partitioning mode; for Ecp
@@ -64,6 +71,10 @@ object Partitioning {
       assigned.repartition(col(PartitionCol))
         .write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
       centroids
+    case ByColumn(_) =>
+      repartition(df, mode)
+        .write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
+      Array.empty
     case m =>
       repartition(df, m).write.mode("overwrite").parquet(path)
       Array.empty
@@ -91,4 +102,11 @@ object Partitioning {
       .take(keep).map(_._1)
     df.filter(col(PartitionCol).isin(nearest.toSeq: _*))
   }
+
+  /** Partition-skip by explicit key values over a [[ByColumn]] layout:
+    * plain Catalyst partition pruning — only matching directories are
+    * listed and scanned, and (unlike leader-skip) the result is exactly
+    * the rows whose key is in `keys`. */
+  def partitionSkipKeys(df: DataFrame, keys: Seq[Any]): DataFrame =
+    df.filter(col(PartitionCol).isin(keys: _*))
 }

@@ -56,6 +56,13 @@ object HashSig {
   def simhash(tokenHashes: Column): Column =
     Bridge.column(SimHashExpr(Bridge.expression(tokenHashes)))
 
+  /** 60-bit portable SimHash over a token-STRING array — every step is
+    * replayable by a vanilla SQL engine (char-level rolling hash +
+    * affine bit hashes, all arithmetic within 63 bits), so cross-engine
+    * oracles can recompute the exact signature. */
+  def simhashPortable(tokens: Column): Column =
+    Bridge.column(SimHashPortableExpr(Bridge.expression(tokens)))
+
   /** Distinct word-`n`-gram shingle hashes (the set MinHash approximates) —
     * the compact representation for exact Jaccard verification. */
   def shingleHashes(tokenHashes: Column, n: Int): Column =
@@ -269,6 +276,83 @@ object ShingleHashesExpr {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}
+
+/** 60-bit SimHash whose every arithmetic step has an exact twin in
+  * plain ANSI-ish SQL (no 64-bit wraparound, no engine-specific hash):
+  *
+  *  - token base hash `r` = seeded char rolling hash
+  *    `h := (h·131 + codepoint) mod (10^9+7)`, seed 7 — the same
+  *    primitive the rolling document fingerprint uses;
+  *  - bit `i` vote = `+1` if `(a_i·r + b_i) mod p > p/2` else `-1`,
+  *    with `a_i = (2654435761·(i+1)) mod p`,
+  *    `b_i = (40503·(i+1) + 2531011) mod p` — products stay under
+  *    2^63, so any BIGINT engine replays them losslessly;
+  *  - bit `i` of the signature = (Σ votes > 0). 60 bits keep the
+  *    packed signature non-negative in a signed 64-bit integer.
+  */
+case class SimHashPortableExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_portable requires array<string> tokens, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_portable"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashPortableExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashPortableExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashPortableExpr {
+  val P = 1000000007L
+  val Bits = 60
+  private val as = Array.tabulate(Bits)(i => (2654435761L * (i + 1)) % P)
+  private val bs = Array.tabulate(Bits)(i => (40503L * (i + 1) + 2531011L) % P)
+
+  /** Seeded codepoint rolling hash, identical to the document
+    * fingerprint primitive (empty token folds to the bare seed). */
+  def tokenHash(s: String): Long = {
+    var h = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = tokens.numElements()
+    val half = P / 2 // 500000003; votes split on v > half
+    var t = 0
+    while (t < n) {
+      val r = tokenHash(tokens.getUTF8String(t).toString)
+      var i = 0
+      while (i < Bits) {
+        if ((as(i) * r + bs(i)) % P > half) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < Bits) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
     out
   }
 }

@@ -173,22 +173,26 @@ object Dedup {
       .select(col("in_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the token bag: bit i of the fingerprint is the
-    * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Codegen'd
-    * kernel over the per-token hashes. */
+  /** 60-bit SimHash over the token bag: bit i of the fingerprint is the
+    * sign of Σ_tokens vote_i(token). The per-token vote derives from a
+    * char-level rolling hash + affine bit hashes — every step replayable
+    * by a vanilla SQL engine (see
+    * [[graft.functions.SimHashPortableExpr]]), so the near-dup result is
+    * exactly cross-checkable. Codegen'd single-pass kernel per row. */
   def simhash(text: Column): Column =
-    graft.functions.HashSig.simhash(tokenHashes(text))
+    graft.functions.HashSig.simhashPortable(split(normalize(text), " "))
 
-  /** SimHash near-dup candidate pairs: band the 64-bit fingerprint into
-    * four 16-bit chunks (Hamming ≤ 3 ⇒ at least one chunk identical),
-    * bucket-join, verify true Hamming distance ≤ maxHamming. */
+  /** SimHash near-dup pairs: band the 60-bit fingerprint into four
+    * 15-bit chunks (Hamming ≤ 3 ⇒ at least one chunk identical by
+    * pigeonhole, so for maxHamming ≤ 3 the banding is EXACT, not
+    * approximate), bucket-join, verify true Hamming ≤ maxHamming. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", simhash(col("text")))
     val banded = withSig.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk",
-        call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(0xFFFFL))
+        call_function("shiftright", col("sim"), col("band") * 15).bitwiseAND(0x7FFFL))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "chunk"))

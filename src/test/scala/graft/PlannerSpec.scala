@@ -160,6 +160,28 @@ class PlannerSpec extends SparkSpec {
     dirs.length should be > 1
   }
 
+  test("ByColumn layout: key-skip is lossless and prunes parquet directories") {
+    // Backs the exact-Euclidean oracle on the partition_pruned_scan
+    // driver query: the pruned read must be EXACTLY the label-subset and
+    // must reach the scan as partition pruning, not a post-scan filter.
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = Files.createTempDirectory("graft-bycol").toString + "/embp"
+    Partitioning.write(emb, Partitioning.ByColumn("label"), out)
+    val table = spark.read.parquet(out)
+    val pruned = Partitioning.partitionSkipKeys(table, Seq(0, 1, 2))
+      .select("vec_id")
+    pruned.collect().map(_.getLong(0)).sorted shouldBe
+      emb.filter(col("label") <= 2).select("vec_id").collect().map(_.getLong(0)).sorted
+    // directory-level pruning: the executed scan touched strictly fewer
+    // files than the table holds, and the skip reached the scan node as
+    // a partition filter (not a post-scan data filter)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    scan.metadata("PartitionFilters") should include(Partitioning.PartitionCol)
+    scan.metrics("numFiles").value should be < table.inputFiles.length.toLong
+  }
+
   test("bucketed tables equi-join with no exchange (co-located join)") {
     import spark.implicits._
     val left = (1L to 5000L).map(i => (i, i * 2.0)).toDF("k", "x")
