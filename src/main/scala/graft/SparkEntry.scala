@@ -443,6 +443,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "knn_sparse" -> ((s, d) => {
+      // the sparse struct is scanned DIRECTLY by the sparse kernel —
+      // no densify in the plan, O(nnz) work per row on sparse data
+      // (reference Distance.scala:26-55 sparse path). The sparsified
+      // entity is a one-time layout artifact, reused across scans.
+      val q = queryVecOf(Tables.embeddings(s, d))
+      val base = sparseLayouts.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("graft-sparseknn").toString
+        val e = graft.core.Entity.create(s, dir, "emb")
+        e.insert(Tables.embeddings(s, d).select("vec_id", "embedding"))
+        e.sparsify("embedding")
+        dir
+      })
+      val e = graft.core.Entity.open(s, base, "emb")
+      Knn.knn(e.read(),
+          graft.functions.SparseDistances.toQuery("euclidean", col("embedding"), q),
+          100, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+    }),
+
     "centroid_by_label" -> ((s, d) => Tables.embeddings(s, d)
       .select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
@@ -604,6 +624,9 @@ object SparkEntry {
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
 
   private val partLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val sparseLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val corpusIndexes =
@@ -831,6 +854,11 @@ object SparkEntry {
     // scan, so the oracle is a plain filtered kNN — no recall caveat
     "partition_pruned_scan" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 50,
       where = "WHERE e.label IN (0, 1, 2)"),
+
+    // the sparse kernel's recomposed sum (base + nonzero walk) differs
+    // from left-to-right dense summation only in float rounding order;
+    // round(…, 4) absorbs it (asserted to ~1e-9 in DistanceSpec)
+    "knn_sparse" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
 
     "index_vaf_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vav_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),

@@ -58,8 +58,15 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     * mutating ops (delete/vacuum/sparsify). If the batch's column set
     * differs from the stored schema, we fall back to a one-off
     * union-rewrite (schema evolution is rare; appending mixed-schema
-    * files would make reads schema-nondeterministic). */
-  def insert(df: DataFrame): Entity = {
+    * files would make reads schema-nondeterministic).
+    *
+    * O(batch) appends accumulate small part files; when the live
+    * directory exceeds `autoVacuumMaxParts` of them the insert triggers
+    * a compacting [[vacuum]] — the reference's auto-vacuum after
+    * repeated inserts (`Entity.scala:376-386`, default 100). The
+    * part-file count is a directory listing, metadata-only. */
+  def insert(df: DataFrame,
+             autoVacuumMaxParts: Int = Entity.AutoVacuumMaxParts): Entity = {
     val m = meta
     require(m.insertCount < (1 << 15) - 1, "insert-batch counter exhausted")
     val batch = m.insertCount + 1
@@ -76,6 +83,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     } else if (schemaKey(read()) == schemaKey(withId)) {
       withId.write.mode("append").parquet(dataPath(m.version).toString)
       writeMeta(metaPath, m.copy(insertCount = batch))
+      if (partFileCount(dataPath(m.version)) > autoVacuumMaxParts) vacuum()
     } else { // schema drift (names OR types): align via union and rewrite once
       val next = m.version + 1
       read().unionByName(withId, allowMissingColumns = true)
@@ -161,10 +169,21 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     writeMeta(metaPath, m)
     if (oldVersion > 0) deleteRecursively(dataPath(oldVersion))
   }
+
+  /** Metadata-only compaction check: number of data part files in the
+    * live version directory. */
+  private def partFileCount(p: Path): Int = {
+    val files = p.toFile.listFiles()
+    if (files == null) 0 else files.count(_.getName.startsWith("part-"))
+  }
 }
 
 object Entity {
   val ApId = "ap_id"
+
+  /** Part-file count above which an append triggers a compacting vacuum
+    * (reference auto-vacuum default, `Entity.scala:376-386`). */
+  val AutoVacuumMaxParts = 100
 
   private[core] case class Meta(name: String, version: Int, insertCount: Int)
 

@@ -83,10 +83,13 @@ object Dedup {
                           numBands: Int = 24, n: Int = 3): DataFrame = {
     // Candidate generation carries only (band, key, id) through the
     // shuffle; shingle sets are re-joined by id afterwards, so the heavy
-    // arrays never ride the band explosion (24× per doc).
+    // arrays never ride the band explosion (24× per doc). The banded
+    // relation feeds BOTH sides of the self-join — persist it, or the
+    // signature kernel runs twice over the corpus.
     val banded = df.select(col(idCol).as("id"),
       posexplode(graft.functions.HashSig.minhashBands(
         tokenHashes(col(textCol)), n, numHashes, numBands)).as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))

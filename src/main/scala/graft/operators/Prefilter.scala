@@ -56,11 +56,15 @@ object Prefilter {
           .reduce(_ || _))
     }
 
-  /** Cardinality-based auto selection (reference heuristic). */
+  /** Cardinality-based auto selection (reference heuristic): Bloom for
+    * small sets (broadcast bitset, no shuffle), chunked-isin in the
+    * middle band (literal IN-lists push into the source scan), the
+    * distributed semi-join above the collect cap. */
   def auto(df: DataFrame, candidates: DataFrame, idCol: String): DataFrame = {
     val n = candidates.count()
     val method =
       if (n <= BloomMaxIds) Bloom
+      else if (n <= IsinMaxIds) ChunkedIsin
       else SemiJoin
     apply(df, candidates, idCol, method)
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.Distances
+import graft.functions.{Distances, SparseDistances, VectorKernel}
 
 /** Unit values for every distance function, weighted and unweighted —
   * the reference's `DistanceTestSuite.scala:23-299` pattern. Vectors
@@ -89,5 +89,61 @@ class DistanceSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 6.0f, 3.0f))).toDF("a", "b")
     df.select(Distances.manhattan(col("a"), col("b"))).head().getDouble(0) shouldBe 7.0
+  }
+
+  // ---- sparse kernels: must agree with the dense path without densify ----
+
+  private def sparseLit(idx: Seq[Int], vs: Seq[Double], len: Int): Column =
+    struct(array(idx.map(lit): _*).as("indices"),
+      array(vs.map(lit): _*).as("values"), lit(len).as("length"))
+
+  private val sIdx = Seq(1, 4)
+  private val sVs = Seq(2.0, -3.0)
+  private val sDense = Seq(0.0, 2.0, 0.0, 0.0, -3.0, 0.0)
+  private val sIdx2 = Seq(0, 4, 5)
+  private val sVs2 = Seq(1.0, 4.0, -1.0)
+  private val sDense2 = Seq(1.0, 0.0, 0.0, 0.0, 4.0, -1.0)
+  private val sq = Seq(0.5, -1.0, 2.0, 0.0, 1.5, -2.5)
+  private val sparseKinds =
+    Seq("manhattan", "sqeuclidean", "euclidean", "dot", "cosine", "cosinesim")
+
+  test("sparse-vs-dense-query kernels equal the dense kernels") {
+    val sv = sparseLit(sIdx, sVs, 6)
+    sparseKinds.foreach { k =>
+      withClue(k) {
+        closeTo(eval(SparseDistances.toQuery(k, sv, sq)),
+          eval(VectorKernel(k, Distances.vecLit(sDense), Distances.vecLit(sq))))
+      }
+    }
+    closeTo(eval(SparseDistances.toQuery(SparseDistances.Minkowski, sv, sq, 3.0)),
+      eval(Distances.minkowski(Distances.vecLit(sDense), Distances.vecLit(sq), 3.0)))
+  }
+
+  test("sparse-vs-sparse merge walk equals the dense kernels") {
+    val sv = sparseLit(sIdx, sVs, 6)
+    val sv2 = sparseLit(sIdx2, sVs2, 6)
+    sparseKinds.foreach { k =>
+      withClue(k) {
+        closeTo(eval(SparseDistances.pairwise(k, sv, sv2)),
+          eval(VectorKernel(k, Distances.vecLit(sDense), Distances.vecLit(sDense2))))
+      }
+    }
+    closeTo(eval(SparseDistances.pairwise(SparseDistances.Minkowski, sv, sv2, 3.0)),
+      eval(Distances.minkowski(Distances.vecLit(sDense), Distances.vecLit(sDense2), 3.0)))
+  }
+
+  test("sparse kernel over a sparsified float entity column (no densify)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sparsedist").toString
+    val e = graft.core.Entity.create(spark, base, "v")
+    e.insert(Seq((1L, Seq(1.0f, 0.0f, 3.0f)), (2L, Seq(0.0f, 2.0f, 0.0f)))
+      .toDF("id", "vec"))
+    e.sparsify("vec")
+    val q = Seq(1.0, 1.0, 1.0)
+    val got = e.read()
+      .select($"id", SparseDistances.toQuery("euclidean", $"vec", q).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got(1L) should be(math.sqrt(0.0 + 1.0 + 4.0) +- 1e-9)
+    got(2L) should be(math.sqrt(1.0 + 1.0 + 1.0) +- 1e-9)
   }
 }

@@ -57,6 +57,29 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("auto-vacuum compacts when appended part files exceed the cap") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "autovac")
+    // each batch has 4 rows in 4 partitions -> 4 part files (empty
+    // partitions write nothing); cap 10 must trip on the insert that
+    // pushes the live dir past it
+    (0 to 3).foreach { i =>
+      val rows = (1 to 4).map(j => (i * 10 + j, s"v$i$j"))
+      e.insert(rows.toDF("k", "v").repartition(4), autoVacuumMaxParts = 10)
+    }
+    def liveParts(): Int = {
+      val (v, _) = e.stamp
+      val files = new java.io.File(s"$base/autovac/data_v$v").listFiles()
+      files.count(_.getName.startsWith("part-"))
+    }
+    liveParts() should be <= 10 // compaction fired
+    e.stamp._1 should be > 1 // vacuum swapped to a new version
+    // content preserved exactly
+    e.read().select("k").collect().map(_.getInt(0)).sorted shouldBe
+      (0 to 3).flatMap(i => (1 to 4).map(j => i * 10 + j)).sorted
+    e.drop()
+  }
+
   test("insert with a type-drifted column falls back to union-rewrite, not mixed files") {
     val base = freshBase()
     val e = Entity.create(spark, base, "drift")

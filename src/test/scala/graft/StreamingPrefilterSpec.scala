@@ -119,6 +119,16 @@ class StreamingPrefilterSpec extends SparkSpec {
     Prefilter.auto(base, wanted, "id").count() should be >= 3L
   }
 
+  test("auto picks chunked-isin in the middle cardinality band") {
+    // 6000 candidates: above the Bloom cap (5000), under the isin
+    // collect cap (100k) — auto must push IN-lists, not plan a join
+    val big = (1L to 7000L).toDF("id")
+    val mid = (1L to 6000L).toDF("id")
+    val picked = Prefilter.auto(big, mid, "id")
+    picked.queryExecution.executedPlan.toString should not include "Join"
+    picked.count() shouldBe 6000
+  }
+
   test("chunked-isin above the cardinality cap degrades to a semi-join") {
     val many = (1L to 500L).toDF("id")
     val capped = Prefilter(base, many, "id", Prefilter.ChunkedIsin, isinMaxIds = 100)
