@@ -42,6 +42,29 @@ import graft.operators.BooleanPredicates
   * |                   |  terms: [..], idCol? k? (bm25)}                  |
   * | /query/knn        | {entity, idCol, vecCol, q: [x,…], dist?, k?,     |
   * |                   |  index?  (stored index name; exact rerank)}      |
+  * | /query/page       | {pageToken}                                      |
+  * | /entity/insert/stream | newline-delimited JSON rows (body streamed)  |
+  * | /query/progressive    | {entity, idCol, vecCol, q, dist?, k?,        |
+  * |                       |  timedDeadlineMs?} → chunked JSON lines      |
+  *
+  * Result paging mirrors the reference's stepped result shipping
+  * (`MessageParser.scala:502-503`: MAX_RESULTS 50000, STEP_SIZE 500):
+  * query responses carry at most [[Server.PageSize]] rows plus a
+  * `pageToken`; `/query/page` walks the remainder. Tokens index a
+  * bounded LRU of collected result sets — the collect happened anyway
+  * (≤ maxResults rows), paging only bounds the per-response payload.
+  *
+  * `/entity/insert/stream` reads the body INCREMENTALLY (one JSON row
+  * per line) and commits a batch every [[Server.InsertBatch]] rows with
+  * a per-batch ack — the reference's acked `streamInsert`
+  * (`DataDefintion.scala:170-221`); driver memory stays O(batch) no
+  * matter the body size.
+  *
+  * `/query/progressive` streams one JSON line per plan observation as
+  * plans finish (chunked transfer), then a terminal `done` line — the
+  * reference's `doProgressiveQuery`/`doParallelQuery` observation
+  * streaming (`DataQuery.scala:264-358`) over
+  * [[graft.plans.Progressive.parallel]].
   */
 class Server private(spark: SparkSession, base: String, http: HttpServer,
                      maxResults: Int) {
@@ -59,26 +82,30 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
   private def withEntityLock[T](name: String)(f: => T): T =
     locks.computeIfAbsent(name, _ => new Object).synchronized(f)
 
-  private def handle(ex: HttpExchange): Unit = {
-    val reply =
-      try {
-        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        val req = if (body.isEmpty) mapper.createObjectNode() else mapper.readTree(body)
-        val out = route(ex.getRequestURI.getPath, req)
-        out.put("ok", true)
-        (200, out)
-      } catch {
-        case NonFatal(e) =>
-          val err = mapper.createObjectNode()
-          err.put("ok", false)
-          err.put("error", String.valueOf(e.getMessage))
-          (400, err)
-      }
-    val bytes = mapper.writeValueAsBytes(reply._2)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(reply._1, bytes.length)
-    ex.getResponseBody.write(bytes)
-    ex.close()
+  private def handle(ex: HttpExchange): Unit = ex.getRequestURI.getPath match {
+    // the two streaming endpoints manage the exchange themselves
+    case "/entity/insert/stream" => handleStreamInsert(ex)
+    case "/query/progressive" => handleProgressive(ex)
+    case path =>
+      val reply =
+        try {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val req = if (body.isEmpty) mapper.createObjectNode() else mapper.readTree(body)
+          val out = route(path, req)
+          out.put("ok", true)
+          (200, out)
+        } catch {
+          case NonFatal(e) =>
+            val err = mapper.createObjectNode()
+            err.put("ok", false)
+            err.put("error", String.valueOf(e.getMessage))
+            (400, err)
+        }
+      val bytes = mapper.writeValueAsBytes(reply._2)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(reply._1, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
   }
 
   private def entity(req: JsonNode, field: String = "name"): Entity =
@@ -101,6 +128,192 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     df.toJSON.limit(maxResults + 1).collect().take(maxResults) // paging cap
       .foreach(r => arr.add(mapper.readTree(r)))
     arr
+  }
+
+  // ---- result paging (reference MAX_RESULTS/STEP_SIZE shipping) ----
+
+  /** token → (remaining JSON rows, next offset); bounded LRU so
+    * abandoned cursors can't accumulate. */
+  private val pages =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Array[String], Int)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Array[String], Int)]): Boolean =
+          size() > Server.MaxOpenCursors
+      })
+
+  /** Emit the first ≤PageSize rows; stash the remainder under a token. */
+  private def pagedRows(out: com.fasterxml.jackson.databind.node.ObjectNode,
+                        df: DataFrame): Unit = {
+    val rows = df.toJSON.limit(maxResults + 1).collect().take(maxResults)
+    emitPage(out, rows, 0)
+  }
+
+  private def emitPage(out: com.fasterxml.jackson.databind.node.ObjectNode,
+                       rows: Array[String], offset: Int): Unit = {
+    val arr = out.putArray("rows")
+    val end = math.min(offset + Server.PageSize, rows.length)
+    (offset until end).foreach(i => arr.add(mapper.readTree(rows(i))))
+    out.put("totalRows", rows.length)
+    if (end < rows.length) {
+      val token = java.util.UUID.randomUUID().toString
+      pages.put(token, (rows, end))
+      out.put("pageToken", token)
+    }
+  }
+
+  private def nextPage(out: com.fasterxml.jackson.databind.node.ObjectNode,
+                       token: String): Unit = {
+    val entry = pages.remove(token)
+    if (entry == null) throw new IllegalArgumentException(s"unknown or expired pageToken")
+    emitPage(out, entry._1, entry._2)
+  }
+
+  // ---- streaming insert (reference streamInsert per-batch acks) ----
+
+  private def handleStreamInsert(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    var status = 200
+    try {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val name = params.getOrElse("entity",
+        throw new IllegalArgumentException("entity query param required"))
+      val batchSize = params.get("batchSize").map(_.toInt).getOrElse(Server.InsertBatch)
+      val acks = out.putArray("acks")
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(ex.getRequestBody, StandardCharsets.UTF_8))
+      val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+      var batchNo = 0
+      var total = 0
+      var failed = false
+      def commit(): Unit = if (buf.nonEmpty && !failed) {
+        batchNo += 1
+        val ack = acks.addObject()
+        ack.put("batch", batchNo)
+        ack.put("rows", buf.size)
+        try {
+          val df = spark.read.json(spark.createDataset(buf.toSeq)(Encoders.STRING))
+          withEntityLock(name) { Entity.open(spark, base, name).insert(df) }
+          total += buf.size
+          ack.put("code", "OK")
+        } catch {
+          case NonFatal(e) => // earlier batches stay committed (reference ack model)
+            ack.put("code", "ERROR")
+            ack.put("message", String.valueOf(e.getMessage))
+            failed = true
+        }
+        buf.clear()
+      }
+      var line = reader.readLine()
+      while (line != null && !failed) {
+        if (line.trim.nonEmpty) {
+          buf += line
+          if (buf.size >= batchSize) commit()
+        }
+        line = reader.readLine()
+      }
+      commit()
+      out.put("inserted", total)
+      out.put("ok", !failed)
+    } catch {
+      case NonFatal(e) =>
+        status = 400
+        out.put("ok", false)
+        out.put("error", String.valueOf(e.getMessage))
+    }
+    val bytes = mapper.writeValueAsBytes(out)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  // ---- progressive query (observation streaming over chunked HTTP) ----
+
+  private def handleProgressive(ex: HttpExchange): Unit = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var streaming = false // headers sent: errors must go on the stream, not as 400
+    try {
+      // parse BEFORE the response headers go out — bad requests get a plain 400
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val req = mapper.readTree(body)
+      val e = entity(req, "entity")
+      val idCol = req.get("idCol").asText()
+      val nnq = NnQuery(req.get("vecCol").asText(),
+        req.get("q").elements().asScala.map(_.asDouble()).toSeq,
+        if (req.has("dist")) req.get("dist").asText() else "euclidean",
+        if (req.has("k")) req.get("k").asInt() else 10)
+      val indexes = e.listIndexes.map(n => e.loadIndex(n))
+        .filterNot(_.stale).map(_.index)
+      val frame = e.read()
+
+      ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0) // length 0 => chunked: lines flush as plans land
+      streaming = true
+      val os = ex.getResponseBody
+      def writeLine(n: JsonNode): Unit = os.synchronized {
+        os.write(mapper.writeValueAsBytes(n)); os.write('\n'); os.flush()
+      }
+      def obsNode(o: graft.plans.Progressive.Observation): JsonNode = {
+        val n = mapper.createObjectNode()
+        n.put("source", o.planDescription)
+        n.put("confidence", o.confidence)
+        n.put("timeMs", o.timeNanos / 1000000)
+        o.result match {
+          case scala.util.Success(rows) =>
+            n.put("ok", true)
+            n.put("rowCount", rows.length)
+            val arr = n.putArray("rows")
+            rows.take(Server.PageSize).foreach { r =>
+              val rn = arr.addObject()
+              r.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+                r.get(i) match {
+                  case null => rn.putNull(f)
+                  case v: Long => rn.put(f, v)
+                  case v: Int => rn.put(f, v)
+                  case v: Double => rn.put(f, v)
+                  case v: Float => rn.put(f, v.toDouble)
+                  case v: Boolean => rn.put(f, v)
+                  case v: String => rn.put(f, v)
+                  case v => rn.put(f, String.valueOf(v)) // arrays/structs: rendered
+                }
+              }
+            }
+          case scala.util.Failure(err) =>
+            n.put("ok", false)
+            n.put("error", String.valueOf(err.getMessage))
+        }
+        n
+      }
+      if (req.has("timedDeadlineMs")) {
+        // best-by-deadline: single winning observation (QueryOp.timedParallel)
+        val best = QueryOps.timedParallel(spark, frame, idCol, indexes, nnq,
+          req.get("timedDeadlineMs").asLong())
+        writeLine(obsNode(best))
+      } else {
+        QueryOps.parallel(spark, frame, idCol, indexes, nnq)(o => writeLine(obsNode(o)))
+      }
+      val done = mapper.createObjectNode()
+      done.put("done", true)
+      done.put("ok", true)
+      writeLine(done)
+    } catch {
+      case NonFatal(err) =>
+        val n = mapper.createObjectNode()
+        n.put("ok", false)
+        n.put("error", String.valueOf(err.getMessage))
+        val bytes = mapper.writeValueAsBytes(n)
+        if (streaming) {
+          ex.getResponseBody.write(bytes); ex.getResponseBody.write('\n')
+        } else {
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(400, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+    } finally ex.close()
   }
 
   private def route(path: String, req: JsonNode)
@@ -144,8 +357,10 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         val arr = out.putArray("indexes")
         entity(req, "entity").listIndexes.foreach(arr.add)
       case "/query/boolean" =>
-        out.set("rows", rowsNode(
-          QueryOps.booleanQuery(entity(req, "entity").read(), predicatesOf(req))))
+        pagedRows(out,
+          QueryOps.booleanQuery(entity(req, "entity").read(), predicatesOf(req)))
+      case "/query/page" =>
+        nextPage(out, req.get("pageToken").asText())
       case "/query/text" =>
         out.set("rows", rowsNode(QueryOps.text(
           entity(req, "entity").read(),
@@ -167,7 +382,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             out.put("stale", loaded.stale)
             QueryOps.index(e.read(), idCol, loaded.index, nnq)
           } else QueryOps.sequential(e.read(), idCol, nnq)
-        out.set("rows", rowsNode(result.select(col(idCol), col("distance"))))
+        pagedRows(out, result.select(col(idCol), col("distance")))
       case other => throw new IllegalArgumentException(s"no such endpoint: $other")
     }
     out
@@ -175,9 +390,18 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
 }
 
 object Server {
+  /** Rows per response page — reference STEP_SIZE (`MessageParser.scala:503`). */
+  val PageSize = 500
+  /** Rows per committed streaming-insert batch. */
+  val InsertBatch = 500
+  /** Bounded LRU of open page cursors. */
+  val MaxOpenCursors = 64
+  /** Default result cap — reference MAX_RESULTS (`MessageParser.scala:502`). */
+  val MaxResults = 50000
+
   /** Start on `port` (0 = ephemeral); entities live under `base`. */
   def start(spark: SparkSession, base: String, port: Int = 0,
-            maxResults: Int = 10000): Server = {
+            maxResults: Int = MaxResults): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val server = new Server(spark, base, http, maxResults)
     http.createContext("/", (ex: HttpExchange) => server.handle(ex))

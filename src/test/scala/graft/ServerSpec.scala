@@ -93,6 +93,87 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     bm.get("rows").size() shouldBe 2
   }
 
+  test("query results page at 500 rows with a walkable pageToken") {
+    post("/entity/create", """{"name":"wpage"}""")
+    // 3 batches of 400 = 1200 matching rows -> pages 500/500/200
+    (0 until 3).foreach { b =>
+      val rows = (0 until 400).map(i => s"""{"vid":${b * 400 + i},"grp":1}""")
+        .mkString("[", ",", "]")
+      post("/entity/insert", s"""{"name":"wpage","rows":$rows}""")
+    }
+    val p1 = post("/query/boolean",
+      """{"entity":"wpage","predicates":[{"attribute":"grp","op":"=","values":[1]}]}""")
+    p1.get("rows").size() shouldBe 500
+    p1.get("totalRows").asInt() shouldBe 1200
+    p1.has("pageToken") shouldBe true
+    val p2 = post("/query/page", s"""{"pageToken":"${p1.get("pageToken").asText()}"}""")
+    p2.get("rows").size() shouldBe 500
+    p2.has("pageToken") shouldBe true
+    val p3 = post("/query/page", s"""{"pageToken":"${p2.get("pageToken").asText()}"}""")
+    p3.get("rows").size() shouldBe 200
+    p3.has("pageToken") shouldBe false // cursor exhausted
+    // all 1200 distinct ids arrived exactly once across the pages
+    val seen = Seq(p1, p2, p3).flatMap { p =>
+      import scala.jdk.CollectionConverters._
+      p.get("rows").elements().asScala.map(_.get("vid").asInt()).toSeq
+    }
+    seen.distinct.size shouldBe 1200
+    // a consumed token is gone
+    post("/query/page", s"""{"pageToken":"${p1.get("pageToken").asText()}"}""")
+      .get("ok").asBoolean() shouldBe false
+  }
+
+  test("streaming insert commits per-batch with acks") {
+    post("/entity/create", """{"name":"wstream"}""")
+    val body = (0 until 1250).map(i => s"""{"vid":$i,"v":"r$i"}""").mkString("\n")
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.port}/entity/insert/stream?entity=wstream&batchSize=500"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+    resp.get("ok").asBoolean() shouldBe true
+    resp.get("inserted").asInt() shouldBe 1250
+    resp.get("acks").size() shouldBe 3 // 500 + 500 + 250
+    import scala.jdk.CollectionConverters._
+    resp.get("acks").elements().asScala.foreach(_.get("code").asText() shouldBe "OK")
+    post("/entity/count", """{"name":"wstream"}""").get("count").asLong() shouldBe 1250
+  }
+
+  test("progressive query streams per-plan observations then done") {
+    post("/entity/create", """{"name":"wprog"}""")
+    val rows = (0 until 60).map(i =>
+      s"""{"vid":$i,"vec":[${i % 9}.0,${(i * 2) % 7}.0,${i % 4}.0]}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"wprog","rows":$rows}""")
+    post("/index/create",
+      """{"entity":"wprog","name":"m","type":"ecp","idCol":"vid","vecCol":"vec"}""")
+    val lines = post0("/query/progressive",
+      """{"entity":"wprog","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3}""")
+      .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+    lines.length shouldBe 3 // sequential + index:ecp observations + done
+    val obs = lines.filterNot(_.has("done"))
+    obs.map(_.get("source").asText()).toSet shouldBe Set("sequential", "index:ecp")
+    obs.foreach { o =>
+      o.get("ok").asBoolean() shouldBe true
+      o.get("rowCount").asInt() shouldBe 3
+      o.get("rows").size() shouldBe 3
+    }
+    lines.last.get("done").asBoolean() shouldBe true
+    // timed variant returns the single best observation
+    val timed = post0("/query/progressive",
+      """{"entity":"wprog","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3,"timedDeadlineMs":60000}""")
+      .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+    timed.length shouldBe 2
+    timed.head.get("source").asText() shouldBe "sequential" // confidence 1.0 wins
+    timed.last.get("done").asBoolean() shouldBe true
+  }
+
+  /** POST returning the raw (possibly multi-line) body. */
+  private def post0(path: String, body: String): String = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.port}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
   test("bad requests return ok=false with an error") {
     val r = post("/entity/count", """{"name":"nope"}""")
     r.get("ok").asBoolean() shouldBe false
