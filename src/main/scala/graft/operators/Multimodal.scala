@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * payload + typed metadata, with decode / feature-extraction / resize /
   * frame-sampling as partition-batched transforms.
   *
-  * The real codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives deterministic pseudo-metadata and
-  * features from the payload bytes. Everything AROUND the stub is the
-  * real production plumbing — output schemas, `mapPartitions` batch
-  * shape (the Scala analog of `mapInPandas`: one iterator per
-  * partition, streaming, no per-row task overhead), and partition
-  * sizing — so swapping in a real decoder is a one-function change.
+  * IMAGE decode is REAL: the JDK's `javax.imageio` (PNG/BMP/JPEG/GIF —
+  * no external libraries) yields true width/height/channels and a
+  * luminance-histogram feature vector from actual pixels. Audio/video
+  * codecs are STUBBED (`decodeStub` derives deterministic
+  * pseudo-metadata from the payload bytes) — no such libraries exist in
+  * this container. Everything around the codecs is the production
+  * plumbing — output schemas, `mapPartitions` batch shape (the Scala
+  * analog of `mapInPandas`: one iterator per partition, streaming, no
+  * per-row task overhead), partition sizing — so swapping in a real
+  * audio/video decoder is a one-function change.
   */
 object Multimodal {
 
@@ -58,17 +61,59 @@ object Multimodal {
     (width, height, channels, feats)
   }
 
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF): true
+    * (width, height, channels) from the decoded raster plus a `dim`-bin
+    * normalized luminance histogram computed from the actual pixels —
+    * a genuine, model-free feature vector. Returns None for payloads
+    * ImageIO cannot parse (callers fall back to the stub). Per-pixel
+    * `getRGB` is fine for thumbnails/metadata extraction; a bulk
+    * pipeline would read raster scanlines instead. */
+  def decodeImage(payload: Array[Byte], dim: Int): Option[(Int, Int, Int, Array[Float])] = {
+    if (payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getRaster.getNumBands
+        val hist = new Array[Float](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(math.min(dim - 1, lum * dim / 256)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toDouble * h).toFloat
+        var d = 0
+        while (d < dim) { hist(d) /= n; d += 1 }
+        Some((w, h, channels, hist))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode + feature-extract over partition-sized batches. One
     * decoder instantiation per partition (the expensive init a real
-    * codec would need), streaming rows through it. */
+    * codec would need), streaming rows through it. Image payloads
+    * decode for real via [[decodeImage]]; audio/video (and
+    * unparseable image bytes) take the deterministic stub. */
   def decodeAssets(assets: DataFrame, dim: Int = 16): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     assets.select("asset_id", "modality", "payload").mapPartitions { rows =>
       // real impl: initialize codec/model ONCE here, reuse across the batch
       rows.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-        val (w, h, c, f) = decodeStub(payload, dim)
-        Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
+        val modality = r.getAs[String]("modality")
+        val (w, h, c, f) =
+          (if (modality == "image") decodeImage(payload, dim) else None)
+            .getOrElse(decodeStub(payload, dim))
+        Row(r.getAs[Long]("asset_id"), modality,
           w, h, c, payload.length.toLong, f.toSeq)
       }
     }(enc)

@@ -44,6 +44,38 @@ class MultimodalSpec extends SparkSpec {
     frames.count() should be > 0L
   }
 
+  private def pngBytes(w: Int, h: Int, format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000) // checkerboard
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG/BMP payloads decode to true dimensions, channels, and pixel histogram") {
+    val rows = Seq(
+      (10L, "image", pngBytes(20, 12), Map("src" -> "gen")),
+      (11L, "image", pngBytes(7, 5, "bmp"), Map("src" -> "gen")),
+      (12L, "image", "not an image".getBytes, Map("src" -> "gen")) // falls back to stub
+    ).toDF("asset_id", "modality", "payload", "meta")
+    val got = Multimodal.decodeAssets(rows, dim = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got(10L).getAs[Int]("width") shouldBe 20
+    got(10L).getAs[Int]("height") shouldBe 12
+    got(10L).getAs[Int]("channels") shouldBe 3
+    // checkerboard: half the pixels pure black (bin 0), half pure white (last bin)
+    val hist = got(10L).getAs[collection.Seq[Float]]("features")
+    hist(0) shouldBe 0.5f +- 1e-4f
+    hist(3) shouldBe 0.5f +- 1e-4f
+    hist.sum shouldBe 1.0f +- 1e-4f
+    got(11L).getAs[Int]("width") shouldBe 7
+    got(11L).getAs[Int]("height") shouldBe 5
+    // unparseable image bytes degrade to the deterministic stub, not a crash
+    got(12L).getAs[Int]("width") should be >= 64
+  }
+
   test("decoded features feed the ANN operators directly") {
     val decoded = Multimodal.decodeAssets(assets, dim = 8)
     val pairs = graft.operators.Ann.cosineNearDupPairs(decoded, "asset_id", "features", -1.0)
