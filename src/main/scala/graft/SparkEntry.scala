@@ -406,16 +406,18 @@ object SparkEntry {
       // requires keep = ALL clusters, so it cannot carry this oracle.
       val emb = Tables.embeddings(s, d)
       val q = queryVecOf(emb)
-      // the partitioned physical layout is a one-time artifact (like an
-      // index build) — written once per (JVM, data dir), reused by scans
+      // the partitioned entity is a one-time artifact (like an index
+      // build) — created once per (JVM, data dir), reused by scans;
+      // pruned reads go through Entity.readPrunedKeys
       val out = partLayouts.getOrElseUpdate(d, {
-        val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/embp"
-        graft.core.Partitioning.write(emb,
-          graft.core.Partitioning.ByColumn("label"), dir)
+        val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+        val e = graft.core.Entity.create(s, dir, "embp")
+        e.insert(emb)
+        e.partitionLayout(graft.core.Partitioning.ByColumn("label"))
         dir
       })
-      val pruned = graft.core.Partitioning.partitionSkipKeys(
-        s.read.parquet(out), Seq(0, 1, 2))
+      val pruned = graft.core.Entity.open(s, out, "embp")
+        .readPrunedKeys(Seq(0, 1, 2))
       Knn.knn(pruned, Distances.euclidean(col("embedding"), Distances.vecLit(q)),
           50, col("vec_id"))
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))

@@ -34,6 +34,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
 
   private def dir: Path = base.resolve(name)
   private def metaPath: Path = dir.resolve("_meta.json")
+  private def layoutPath: Path = dir.resolve("_layout.json")
 
   private def meta: Meta = readMeta(metaPath)
   private def dataPath(v: Int): Path = dir.resolve(s"data_v$v")
@@ -45,6 +46,87 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     if (m.version == 0) spark.emptyDataFrame
     else spark.read.parquet(dataPath(m.version).toString)
   }
+
+  // ---- cluster-partitioned physical layout (reference repartitionEntity,
+  // `DataDefintion.scala:489-560` + `ECPPartitioner.scala:27-105`) ----
+
+  /** The persisted directory-layout descriptor, if this entity was
+    * [[partitionLayout]]-ed. */
+  def layout: Option[Layout] = readLayout(layoutPath)
+
+  /** Rewrite the entity with a physical partition layout that survives
+    * inserts and mutations:
+    *  - `Ecp(vecCol, k)`: KMeans leaders trained once and persisted;
+    *    every row lands in its nearest leader's parquet directory, and
+    *    [[readPruned]] serves leader-skip scans as plain Catalyst
+    *    partition pruning;
+    *  - `ByColumn(key)`: one directory per key value — lossless
+    *    key-skip via [[readPrunedKeys]];
+    *  - `Hash`/`Random`: plain repartitioned rewrite, no directory
+    *    layout (clears any previous one). */
+  def partitionLayout(mode: Partitioning.Mode): Entity = {
+    val m = meta
+    require(m.version > 0, "empty entity")
+    val df = read().drop(Partitioning.PartitionCol)
+    val next = m.version + 1
+    mode match {
+      case Partitioning.Ecp(vecCol, k) =>
+        val centers = Partitioning.trainLeaders(df, vecCol, k)
+        Partitioning.assignLeaders(df, vecCol, centers)
+          .repartition(col(Partitioning.PartitionCol))
+          .write.mode("overwrite").partitionBy(Partitioning.PartitionCol)
+          .parquet(dataPath(next).toString)
+        writeLayout(layoutPath, Layout("ecp", vecCol, centers))
+      case Partitioning.ByColumn(c) =>
+        df.withColumn(Partitioning.PartitionCol, col(c))
+          .repartition(col(Partitioning.PartitionCol))
+          .write.mode("overwrite").partitionBy(Partitioning.PartitionCol)
+          .parquet(dataPath(next).toString)
+        writeLayout(layoutPath, Layout("bycolumn", c, Array.empty))
+      case other =>
+        Partitioning.repartition(df, other)
+          .write.mode("overwrite").parquet(dataPath(next).toString)
+        Files.deleteIfExists(layoutPath)
+    }
+    swap(m.copy(version = next), m.version)
+    this
+  }
+
+  /** Leader-skip read over an Ecp layout: scan only the `keep`
+    * partitions whose leaders are nearest `q` (approximate — a pruned
+    * neighbour can live in a skipped cluster). */
+  def readPruned(q: Seq[Double], keep: Int): DataFrame = {
+    val l = layout.getOrElse(throw new IllegalStateException(s"$name has no layout"))
+    require(l.mode == "ecp", s"readPruned needs an ecp layout, found ${l.mode}")
+    val centroids = l.centroids.zipWithIndex.map { case (c, i) => (i, c, 0L) }
+    Partitioning.partitionSkipRead(read(), centroids, q, keep)
+  }
+
+  /** Key-skip read over any directory layout — lossless for ByColumn
+    * (exactly the rows whose key is in `keys`). */
+  def readPrunedKeys(keys: Seq[Any]): DataFrame = {
+    require(layout.isDefined, s"$name has no layout")
+    Partitioning.partitionSkipKeys(read(), keys)
+  }
+
+  /** Assign the layout's partition column to a batch (no-op without a
+    * directory layout). */
+  private def assignPartition(df: DataFrame): DataFrame = layout match {
+    case Some(_) if df.columns.contains(Partitioning.PartitionCol) => df
+    case Some(Layout("ecp", vecCol, centers)) =>
+      Partitioning.assignLeaders(df, vecCol, centers)
+    case Some(Layout("bycolumn", c, _)) =>
+      df.withColumn(Partitioning.PartitionCol, col(c))
+    case _ => df
+  }
+
+  /** Layout-aware rewrite: partitioned entities keep their directory
+    * layout through delete/vacuum/sparsify rewrites. */
+  private def writeData(df: DataFrame, path: Path): Unit =
+    if (layout.isDefined && df.columns.contains(Partitioning.PartitionCol))
+      df.write.mode("overwrite").partitionBy(Partitioning.PartitionCol)
+        .parquet(path.toString)
+    else df.write.mode("overwrite").parquet(path.toString)
 
   def count(): Long = if (meta.version == 0) 0L else read().count()
 
@@ -70,24 +152,26 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val m = meta
     require(m.insertCount < (1 << 15) - 1, "insert-batch counter exhausted")
     val batch = m.insertCount + 1
-    val withId =
+    val withId = assignPartition(
       if (df.columns.contains(ApId)) df
       else df.withColumn(ApId,
         lit(batch.toLong << 48).bitwiseOR(
-          monotonically_increasing_id().bitwiseAND(lit((1L << 48) - 1))))
+          monotonically_increasing_id().bitwiseAND(lit((1L << 48) - 1)))))
     def schemaKey(df: DataFrame): Set[(String, String)] =
       df.schema.fields.map(f => f.name -> f.dataType.sql).toSet
     if (m.version == 0) {
       withId.write.mode("overwrite").parquet(dataPath(1).toString)
       swap(m.copy(version = 1, insertCount = batch), 0)
     } else if (schemaKey(read()) == schemaKey(withId)) {
-      withId.write.mode("append").parquet(dataPath(m.version).toString)
+      // layout-aware append: batches land in their partition directories
+      val w = withId.write.mode("append")
+      (if (layout.isDefined) w.partitionBy(Partitioning.PartitionCol) else w)
+        .parquet(dataPath(m.version).toString)
       writeMeta(metaPath, m.copy(insertCount = batch))
       if (partFileCount(dataPath(m.version)) > autoVacuumMaxParts) vacuum()
     } else { // schema drift (names OR types): align via union and rewrite once
       val next = m.version + 1
-      read().unionByName(withId, allowMissingColumns = true)
-        .write.mode("overwrite").parquet(dataPath(next).toString)
+      writeData(read().unionByName(withId, allowMissingColumns = true), dataPath(next))
       swap(m.copy(version = next, insertCount = batch), m.version)
     }
     this
@@ -101,7 +185,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val current = read()
     val keep = current.filter(!coalesce(predicate, lit(false)))
     val next = m.version + 1
-    keep.write.mode("overwrite").parquet(dataPath(next).toString)
+    writeData(keep, dataPath(next))
     // both counts are parquet metadata-only scans (no recompute of `keep`)
     val deleted = current.count() -
       spark.read.parquet(dataPath(next).toString).count()
@@ -109,13 +193,17 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     deleted
   }
 
-  /** Rewrite + repartition (reference vacuum, `Entity.scala:376-386`). */
+  /** Rewrite + repartition (reference vacuum, `Entity.scala:376-386`).
+    * Layout entities compact within their partition directories (one
+    * shuffle partition per layout key) instead of a flat repartition. */
   def vacuum(numPartitions: Int = 8): Entity = {
     val m = meta
     if (m.version == 0) return this
     val next = m.version + 1
-    read().repartition(numPartitions).write.mode("overwrite")
-      .parquet(dataPath(next).toString)
+    val df =
+      if (layout.isDefined) read().repartition(col(Partitioning.PartitionCol))
+      else read().repartition(numPartitions)
+    writeData(df, dataPath(next))
     swap(m.copy(version = next), m.version)
     this
   }
@@ -137,7 +225,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       transform(zipped, _.getField("v")).as("values"),
       size(col(vecCol)).as("length"))
     val next = m.version + 1
-    df.withColumn(vecCol, sparse).write.mode("overwrite").parquet(dataPath(next).toString)
+    writeData(df.withColumn(vecCol, sparse), dataPath(next))
     swap(m.copy(version = next), m.version)
     this
   }
@@ -171,10 +259,12 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   }
 
   /** Metadata-only compaction check: number of data part files in the
-    * live version directory. */
+    * live version directory (depth 2 covers partition subdirectories). */
   private def partFileCount(p: Path): Int = {
-    val files = p.toFile.listFiles()
-    if (files == null) 0 else files.count(_.getName.startsWith("part-"))
+    if (!Files.exists(p)) return 0
+    val s = Files.walk(p, 2)
+    try s.filter(f => f.getFileName.toString.startsWith("part-")).count().toInt
+    finally s.close()
   }
 }
 
@@ -186,6 +276,34 @@ object Entity {
   val AutoVacuumMaxParts = 100
 
   private[core] case class Meta(name: String, version: Int, insertCount: Int)
+
+  /** Persisted directory-layout descriptor: `mode` ∈ {ecp, bycolumn},
+    * `keyCol` = vector column (ecp) or partition key (bycolumn),
+    * `centroids` = trained leaders (ecp only). */
+  final case class Layout(mode: String, keyCol: String, centroids: Array[Array[Double]])
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeLayout(p: Path, l: Layout): Unit = {
+    val root = jackson.createObjectNode()
+    root.put("mode", l.mode)
+    root.put("keyCol", l.keyCol)
+    val cs = root.putArray("centroids")
+    l.centroids.foreach { c =>
+      val row = cs.addArray()
+      c.foreach(row.add)
+    }
+    Files.write(p, jackson.writeValueAsBytes(root))
+  }
+
+  private def readLayout(p: Path): Option[Layout] = {
+    if (!Files.exists(p)) return None
+    val root = jackson.readTree(Files.readAllBytes(p))
+    import scala.jdk.CollectionConverters._
+    val centroids = root.get("centroids").elements().asScala
+      .map(row => row.elements().asScala.map(_.asDouble()).toArray).toArray
+    Some(Layout(root.get("mode").asText(), root.get("keyCol").asText(), centroids))
+  }
 
   private def writeMeta(p: Path, m: Meta): Unit =
     Files.write(p, s"""{"name":"${m.name}","version":${m.version},"insertCount":${m.insertCount}}"""

@@ -31,24 +31,35 @@ object Partitioning {
     * the key (Ecp leader-skip is approximate by construction). */
   case class ByColumn(keyCol: String) extends Mode
 
-  /** Leader centroids trained on a bounded sample; the assignment is a
-    * pure per-row kernel (nearest centroid), so there is NO id join —
-    * joining two independent `monotonically_increasing_id` evaluations
-    * is not row-stable when the input contains shuffles. */
-  private def ecpAssign(df: DataFrame, vecCol: String, k: Int)
-  : (DataFrame, Array[(Int, Array[Double], Long)]) = {
+  /** KMeans leaders trained on a bounded sample (≤5000 rows). */
+  def trainLeaders(df: DataFrame, vecCol: String, k: Int): Array[Array[Double]] = {
     val n = math.max(1L, df.count())
     val sample = (if (n <= 5000) df
       else df.sample(withReplacement = false, 5000.0 / n, seed = 42L))
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val centers = graft.index.PQIndex.lloyd(sample, math.max(2, k), iters = 10, seed = 42L)
-    val dims = sample.head.length
-    val assigned = df.withColumn(PartitionCol,
+    graft.index.PQIndex.lloyd(sample, math.max(2, k), iters = 10, seed = 42L)
+  }
+
+  /** Nearest-leader assignment with FIXED centroids — a pure per-row
+    * codegen kernel, reusable for appends to an already-partitioned
+    * table. There is NO id join — joining two independent
+    * `monotonically_increasing_id` evaluations is not row-stable when
+    * the input contains shuffles. */
+  def assignLeaders(df: DataFrame, vecCol: String,
+                    centers: Array[Array[Double]]): DataFrame =
+    df.withColumn(PartitionCol,
       org.apache.spark.sql.graft.Bridge.column(graft.index.PQEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
-        Array(centers), dims)).getItem(0))
-    (assigned, centers.zipWithIndex.map { case (c, i) => (i, c, 0L) })
+        Array(centers), centers.head.length)).getItem(0))
+
+  /** Leader centroids trained on a bounded sample; assignment via
+    * [[assignLeaders]]. */
+  private def ecpAssign(df: DataFrame, vecCol: String, k: Int)
+  : (DataFrame, Array[(Int, Array[Double], Long)]) = {
+    val centers = trainLeaders(df, vecCol, k)
+    (assignLeaders(df, vecCol, centers),
+      centers.zipWithIndex.map { case (c, i) => (i, c, 0L) })
   }
 
   /** Returns the repartitioned frame; Ecp additionally appends the

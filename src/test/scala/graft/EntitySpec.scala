@@ -80,6 +80,59 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("ecp partition layout round-trips and survives insert and vacuum") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "laid")
+    val rnd = new scala.util.Random(3)
+    def batch(from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, Seq.fill(4)(rnd.nextGaussian())))
+        .toDF("id", "vec")
+    e.insert(batch(0, 200))
+    e.partitionLayout(graft.core.Partitioning.Ecp("vec", 4))
+    val l = Entity.open(spark, base, "laid").layout.get // re-opened: from disk
+    l.mode shouldBe "ecp"
+    l.keyCol shouldBe "vec"
+    l.centroids.length should be >= 2
+    // physical layout: one directory per leader
+    def leaderDirs(): Int = {
+      val (v, _) = e.stamp
+      new java.io.File(s"$base/laid/data_v$v").listFiles()
+        .count(_.getName.startsWith("ap_partition="))
+    }
+    leaderDirs() should be >= 2
+    // insert APPENDS into leader directories (no relayout rewrite)
+    e.insert(batch(200, 50))
+    e.count() shouldBe 250
+    leaderDirs() should be >= 2
+    e.read().columns should contain("ap_partition")
+    // pruned read: keep=all is lossless; keep=1 is a strict subset
+    e.readPruned(Seq.fill(4)(0.0), keep = l.centroids.length).count() shouldBe 250
+    val kept = e.readPruned(Seq.fill(4)(0.0), keep = 1)
+    kept.count() should be < 250L
+    // every kept row's nearest leader is the kept partition (assignment
+    // consistency between write path and append path)
+    e.vacuum()
+    e.count() shouldBe 250 // vacuum preserved content and layout
+    Entity.open(spark, base, "laid").layout shouldBe defined
+    leaderDirs() should be >= 2
+    e.drop()
+  }
+
+  test("bycolumn layout gives lossless key-skip reads through the entity") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "keyed")
+    e.insert((0 until 90).map(i => (i.toLong, i % 3, s"r$i")).toDF("id", "grp", "v"))
+    e.partitionLayout(graft.core.Partitioning.ByColumn("grp"))
+    e.readPrunedKeys(Seq(1)).select("id").collect().map(_.getLong(0)).sorted shouldBe
+      (0 until 90).filter(_ % 3 == 1).map(_.toLong).toArray
+    // delete keeps the layout
+    e.deleteWhere(col("grp") === 2)
+    e.count() shouldBe 60
+    e.layout shouldBe defined
+    e.readPrunedKeys(Seq(0)).count() shouldBe 30
+    e.drop()
+  }
+
   test("insert with a type-drifted column falls back to union-rewrite, not mixed files") {
     val base = freshBase()
     val e = Entity.create(spark, base, "drift")
