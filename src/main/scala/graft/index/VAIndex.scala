@@ -74,19 +74,35 @@ class VAIndex(val cellsDf: DataFrame, // (id, cells)
       .select(col(idCol))
   }
 
+  /** Memoized k-th-ub thresholds keyed by (query fingerprint, k). The
+    * threshold phase is a real Spark job; when the rewrite rule probes
+    * at OPTIMIZATION time, repeated identical queries would serialize on
+    * it — identical probes must be metadata-only. The cells relation is
+    * immutable per index instance (staleness rebuilds a new instance),
+    * so entries never invalidate; the map is bounded to keep a
+    * long-lived index from accumulating distinct-query entries. */
+  private val thresholds =
+    scala.collection.concurrent.TrieMap.empty[(Seq[Double], Int), Double]
+
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val qr = rotated(q)
     val bounds = cellsDf.select(col(idCol),
         VAExprs.bounds(col("cells"), marks, qr, p).as("b"))
       .select(col(idCol), col("b").getItem(0).as("lb"), col("b").getItem(1).as("ub"))
-    val kUbs = bounds.orderBy(col("ub").asc).limit(k)
-      .agg(max("ub")).head()
-    val threshold = if (kUbs.isNullAt(0)) Double.PositiveInfinity else kUbs.getDouble(0)
+    val threshold = thresholds.getOrElseUpdate((qr.toSeq, k), {
+      if (thresholds.size >= VAIndex.MaxCachedThresholds) thresholds.clear()
+      val kUbs = bounds.orderBy(col("ub").asc).limit(k)
+        .agg(max("ub")).head()
+      if (kUbs.isNullAt(0)) Double.PositiveInfinity else kUbs.getDouble(0)
+    })
     bounds.filter(col("lb") <= threshold).select(col(idCol))
   }
 }
 
 object VAIndex {
+
+  /** Cap on memoized bounding thresholds per index instance. */
+  val MaxCachedThresholds = 256
 
   /** Reference bits/dim formula (`VAFIndexGenerator.scala:62`). */
   def defaultBits(dims: Int): Int =

@@ -27,6 +27,9 @@ object Planner {
   case object EmpiricalHint extends Hint
   /** Score by the learned linear cost model at corpus size `n`. */
   case class LearnedHint(n: Long) extends Hint
+  /** Score by the Pegasos-SVM runtime model at corpus size `n` — the
+    * reference's third scorer (`SVMPlannerHeuristics`). */
+  case class SvmHint(n: Long) extends Hint
 
   /** Reference index priority (`QueryHints.scala:19-38`), extended with
     * the ivfpq structure after its plain-PQ sibling. */
@@ -115,6 +118,37 @@ object Planner {
       predictedTime(plan, n) * (2.0 - r)
   }
 
+  /** Feature map for the SVM runtime model: bias + corpus size scaled
+    * to O(1)–O(100) so the Pegasos regularizer doesn't drown the slope
+    * term (unscaled row counts make λ/2·‖w‖² dominate any fit). */
+  private def svmFeature(n: Long): Array[Double] = Array(1.0, n / 1e4)
+
+  /** Pegasos-predicted runtime (ms) at corpus size `n`: a fresh
+    * deterministic fit over the plan's size-tagged measurements — the
+    * online model retrained from the stats the sweep recorded. Falls
+    * back to the naive average (in ms) without size spread, mirroring
+    * [[predictedTime]]. */
+  def svmPredictedTime(plan: Plan, n: Long): Double = stats.get(plan.describe) match {
+    case None | Some(Nil) => Double.MaxValue
+    case Some(ms) =>
+      val sized = ms.filter(_.n > 0)
+      if (sized.map(_.n).distinct.size < 2) ms.map(_.timeNanos / 1e6).sum / ms.size
+      else {
+        val svm = new PegasosSVM(2)
+        svm.fit(sized.map(m => svmFeature(m.n)), sized.map(_.timeNanos / 1e6))
+        math.max(0.0, svm.predict(svmFeature(n)))
+      }
+  }
+
+  /** SVM-scored cost: Pegasos-predicted time at size `n`,
+    * recall-penalized like the other scorers. */
+  def scoreSVM(plan: Plan, n: Long): Double = stats.get(plan.describe) match {
+    case None | Some(Nil) => Double.MaxValue
+    case Some(ms) =>
+      val r = ms.map(_.recall).sum / ms.size
+      svmPredictedTime(plan, n) * (2.0 - r)
+  }
+
   /** Walk hints in order; first usable plan wins (reference
     * `HintBasedScanExpression.getPlan`). Conformity = distance-family
     * match + index availability (`isQueryConform`). */
@@ -139,6 +173,9 @@ object Planner {
       case LearnedHint(n) =>
         val candidates = SequentialPlan() +: conforming(indexes).map(IndexPlan.apply)
         Iterator(Some(candidates.minBy(scoreLR(_, n))))
+      case SvmHint(n) =>
+        val candidates = SequentialPlan() +: conforming(indexes).map(IndexPlan.apply)
+        Iterator(Some(candidates.minBy(scoreSVM(_, n))))
     }.flatten.nextOption().getOrElse(SequentialPlan())
   }
 

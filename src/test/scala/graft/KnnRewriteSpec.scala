@@ -59,6 +59,32 @@ class KnnRewriteSpec extends SparkSpec {
     } finally KnnIndexRewrite.clear()
   }
 
+  test("repeated identical queries reuse the cached bounding threshold (fewer jobs)") {
+    val idx = VAIndex.buildFixed(Tables.embeddings(spark, sfDir), "vec_id", "embedding", p = 2.0)
+    val q = Seq.tabulate(64)(i => i * 0.01)
+    def countJobs(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // listener events are async: give the bus a moment to drain
+        Thread.sleep(500)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val first = countJobs(idx.candidates(q, 100).collect())
+    val second = countJobs(idx.candidates(q, 100).collect())
+    withClue(s"first=$first second=$second: ") {
+      second should be < first // the k-th-ub bounding job was skipped
+    }
+    // a different (q, k) probes again and stays lossless
+    idx.candidates(q, 50).count() should be > 0L
+  }
+
   test("approximate indexes are rejected at registration") {
     val emb = Tables.embeddings(spark, sfDir)
     val ecp = graft.index.ECPIndex.build(emb, "vec_id", "embedding")

@@ -104,6 +104,38 @@ class PlannerSpec extends SparkSpec {
     Planner.clearMeasurements()
   }
 
+  test("pegasos svm learns a line and flips the plan like the reference OptimizerTestSuite") {
+    // the solver itself: deterministic fit of y = 3 + 2x
+    val svm = new graft.plans.PegasosSVM(2)
+    val xs = Seq(1.0, 2.0, 4.0, 8.0).map(x => Array(1.0, x))
+    svm.fit(xs, Seq(5.0, 7.0, 11.0, 19.0))
+    svm.predict(Array(1.0, 16.0)) shouldBe 35.0 +- 3.0
+    svm.steps should be > 0L
+
+    // the scorer: same slope/flat setup as the OLS test — sequential
+    // grows with n, index flat; SVM hint must flip at large n only
+    Planner.clearMeasurements()
+    record(SequentialPlan(), Measurement(10000000L, 1.0, n = 10000L))
+    record(SequentialPlan(), Measurement(20000000L, 1.0, n = 20000L))
+    record(IndexPlan(ecp), Measurement(20000000L, 1.0, n = 10000L))
+    record(IndexPlan(ecp), Measurement(20000000L, 1.0, n = 20000L))
+    // fitted sequential line at n=1M: ~1000 ms (slope 1ms per 1k rows)
+    Planner.svmPredictedTime(SequentialPlan(), 1000000L) should be > 300.0
+    choose(Seq(SvmHint(1000000L)), Seq(ecp), "euclidean") shouldBe IndexPlan(ecp)
+    choose(Seq(SvmHint(5000L)), Seq(ecp), "euclidean") shouldBe a[SequentialPlan]
+    Planner.clearMeasurements()
+  }
+
+  test("svm scorer is trained by the existing auto-training sweep") {
+    Planner.clearMeasurements()
+    Planner.train(spark, data, "id", "feature", Seq(ecp), nQueries = 2)
+    // one corpus size only -> falls back to the naive average, but the
+    // score must be finite (the sweep fed the model's stats)
+    Planner.scoreSVM(SequentialPlan(), data.count()) should be < Double.MaxValue
+    Planner.scoreSVM(IndexPlan(ecp), data.count()) should be < Double.MaxValue
+    Planner.clearMeasurements()
+  }
+
   test("plans execute: chosen index plan returns k rows matching brute force top-1") {
     val plan = choose(Seq(ExactHint), Seq(vaf), "euclidean")
     val r = Planner.run(plan, data, "id", dist, q, 10).select("id").collect().map(_.getLong(0))
