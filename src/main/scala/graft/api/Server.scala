@@ -142,11 +142,15 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           size() > Server.MaxOpenCursors
       })
 
-  /** Emit the first ≤PageSize rows; stash the remainder under a token. */
+  /** Emit the first ≤PageSize rows; stash the remainder under a token.
+    * `truncated: true` flags a result the maxResults cap cut short —
+    * without it a client paging to the end of an exactly-cap-sized
+    * response cannot tell complete from clipped. */
   private def pagedRows(out: com.fasterxml.jackson.databind.node.ObjectNode,
                         df: DataFrame): Unit = {
-    val rows = df.toJSON.limit(maxResults + 1).collect().take(maxResults)
-    emitPage(out, rows, 0)
+    val collected = df.toJSON.limit(maxResults + 1).collect()
+    if (collected.length > maxResults) out.put("truncated", true)
+    emitPage(out, collected.take(maxResults), 0)
   }
 
   private def emitPage(out: com.fasterxml.jackson.databind.node.ObjectNode,
@@ -177,7 +181,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     try {
       val q = Option(ex.getRequestURI.getQuery).getOrElse("")
       val params = q.split("&").filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
       }.toMap
       val name = params.getOrElse("entity",
         throw new IllegalArgumentException("entity query param required"))
@@ -254,8 +259,13 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       ex.sendResponseHeaders(200, 0) // length 0 => chunked: lines flush as plans land
       streaming = true
       val os = ex.getResponseBody
-      def writeLine(n: JsonNode): Unit = os.synchronized {
-        os.write(mapper.writeValueAsBytes(n)); os.write('\n'); os.flush()
+      // after a client disconnect further writes are pointless — go
+      // quiet and let the plans finish (Progressive counts its latch
+      // down regardless; the Try around onNext guards the callback)
+      val broken = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def writeLine(n: JsonNode): Unit = if (!broken.get()) os.synchronized {
+        try { os.write(mapper.writeValueAsBytes(n)); os.write('\n'); os.flush() }
+        catch { case _: java.io.IOException => broken.set(true) }
       }
       def obsNode(o: graft.plans.Progressive.Observation): JsonNode = {
         val n = mapper.createObjectNode()
@@ -362,13 +372,13 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/query/page" =>
         nextPage(out, req.get("pageToken").asText())
       case "/query/text" =>
-        out.set("rows", rowsNode(QueryOps.text(
+        pagedRows(out, QueryOps.text(
           entity(req, "entity").read(),
           req.get("textCol").asText(),
           req.get("mode").asText(),
           req.get("terms").elements().asScala.map(_.asText()).toSeq,
           idCol = if (req.has("idCol")) req.get("idCol").asText() else "",
-          k = if (req.has("k")) req.get("k").asInt() else 10)))
+          k = if (req.has("k")) req.get("k").asInt() else 10))
       case "/query/knn" =>
         val e = entity(req, "entity")
         val q = req.get("q").elements().asScala.map(_.asDouble()).toSeq

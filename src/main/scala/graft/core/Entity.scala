@@ -113,9 +113,12 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     * directory layout). */
   private def assignPartition(df: DataFrame): DataFrame = layout match {
     case Some(_) if df.columns.contains(Partitioning.PartitionCol) => df
-    case Some(Layout("ecp", vecCol, centers)) =>
+    // a drifted batch without the layout's key column CAN'T be assigned
+    // — leave it; the schema comparison then routes it through the
+    // union-rewrite fallback (its rows land in the null partition)
+    case Some(Layout("ecp", vecCol, centers)) if df.columns.contains(vecCol) =>
       Partitioning.assignLeaders(df, vecCol, centers)
-    case Some(Layout("bycolumn", c, _)) =>
+    case Some(Layout("bycolumn", c, _)) if df.columns.contains(c) =>
       df.withColumn(Partitioning.PartitionCol, col(c))
     case _ => df
   }
@@ -168,7 +171,14 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       (if (layout.isDefined) w.partitionBy(Partitioning.PartitionCol) else w)
         .parquet(dataPath(m.version).toString)
       writeMeta(metaPath, m.copy(insertCount = batch))
-      if (partFileCount(dataPath(m.version)) > autoVacuumMaxParts) vacuum()
+      // layout entities can never compact below one file per partition
+      // directory — scale the trigger with key cardinality or a
+      // >cap-key layout would vacuum (full rewrite) on EVERY insert
+      val effectiveCap =
+        if (layout.isDefined)
+          math.max(autoVacuumMaxParts, 2 * partitionDirCount(dataPath(m.version)))
+        else autoVacuumMaxParts
+      if (partFileCount(dataPath(m.version)) > effectiveCap) vacuum()
     } else { // schema drift (names OR types): align via union and rewrite once
       val next = m.version + 1
       writeData(read().unionByName(withId, allowMissingColumns = true), dataPath(next))
@@ -265,6 +275,14 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val s = Files.walk(p, 2)
     try s.filter(f => f.getFileName.toString.startsWith("part-")).count().toInt
     finally s.close()
+  }
+
+  /** Number of partition directories in a layout version dir. */
+  private def partitionDirCount(p: Path): Int = {
+    val files = p.toFile.listFiles()
+    if (files == null) 0
+    else files.count(f => f.isDirectory &&
+      f.getName.startsWith(s"${Partitioning.PartitionCol}="))
   }
 }
 

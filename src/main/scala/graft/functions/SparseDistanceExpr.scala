@@ -89,27 +89,46 @@ case class SparseQueryDistanceExpr(child: Expression, query: Array[Double],
 
   @transient private lazy val isFloat = SparseDistances.valuesAreFloat(child.dataType)
 
+  /** Query-side constants folded ONCE per plan, not per row — the whole
+    * point of the sparse kernel is O(nnz) per row, and an O(d) pass over
+    * the query inside the loop body would silently restore O(d):
+    * [Σ|q_i|, Σq_i², Σ|q_i|^p]. */
+  @transient private lazy val qConsts: Array[Double] = {
+    var b1 = 0.0; var qq = 0.0; var bp = 0.0
+    var i = 0
+    while (i < query.length) {
+      val a = math.abs(query(i))
+      b1 += a; qq += query(i) * query(i); bp += math.pow(a, p)
+      i += 1
+    }
+    Array(b1, qq, bp)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val (idx, vs) = SparseDistances.rowNnz(input.asInstanceOf[InternalRow], isFloat)
-    SparseQueryDistanceExpr.compute(idx, vs, query, kind, p)
+    SparseQueryDistanceExpr.compute(idx, vs, query, kind, p, qConsts)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("sparseQuery", query, "double[]")
-    val getter = if (isFloat) "toFloatArray" else "toDoubleArray"
-    val conv = if (isFloat)
-      "double[] vs = new double[fvs.length]; for (int z = 0; z < fvs.length; z++) vs[z] = (double) fvs[z];"
-    else ""
-    val vsDecl = if (isFloat) s"float[] fvs = $CHILD.getArray(1).$getter(); $conv"
-      else s"double[] vs = $CHILD.getArray(1).$getter();"
-    nullSafeCodeGen(ctx, ev, c =>
-      s"""int[] idx = $c.getArray(0).toIntArray();
-         |${vsDecl.replace(CHILD, c)}
+    val cRef = ctx.addReferenceObj("sparseQConsts", qConsts, "double[]")
+    val idx = ctx.freshName("idx")
+    val vs = ctx.freshName("vs")
+    val fvs = ctx.freshName("fvs")
+    val z = ctx.freshName("z")
+    nullSafeCodeGen(ctx, ev, c => {
+      val vsDecl =
+        if (isFloat)
+          s"""float[] $fvs = $c.getArray(1).toFloatArray();
+             |double[] $vs = new double[$fvs.length];
+             |for (int $z = 0; $z < $fvs.length; $z++) $vs[$z] = (double) $fvs[$z];""".stripMargin
+        else s"double[] $vs = $c.getArray(1).toDoubleArray();"
+      s"""int[] $idx = $c.getArray(0).toIntArray();
+         |$vsDecl
          |${ev.value} = graft.functions.SparseQueryDistanceExpr.compute(
-         |  idx, vs, $qRef, "$kind", $p);""".stripMargin)
+         |  $idx, $vs, $qRef, "$kind", $p, $cRef);""".stripMargin
+    })
   }
-
-  private val CHILD = "__child__"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -118,20 +137,12 @@ case class SparseQueryDistanceExpr(child: Expression, query: Array[Double],
 object SparseQueryDistanceExpr {
   import VectorKernel._
 
-  /** Zero-dim baseline Σ|q_i|^p for the requested power (computed per
-    * call on a ≤few-k query — cached by codegen only via JIT; cheap
-    * relative to a row batch, and keeping compute() pure keeps the
-    * interpreted and generated paths identical). */
-  private def base(q: Array[Double], pow: Double): Double = {
-    var s = 0.0; var i = 0
-    while (i < q.length) { s += math.pow(math.abs(q(i)), pow); i += 1 }
-    s
-  }
-
+  /** `consts` = plan-time-folded [Σ|q_i|, Σq_i², Σ|q_i|^p] — the
+    * per-row loop below touches ONLY the row's nonzeros. */
   def compute(idx: Array[Int], vs: Array[Double], q: Array[Double],
-              kind: String, p: Double): Double = kind match {
+              kind: String, p: Double, consts: Array[Double]): Double = kind match {
     case Manhattan =>
-      var s = base(q, 1.0); var i = 0
+      var s = consts(0); var i = 0
       while (i < idx.length) {
         val j = idx(i)
         if (j >= 0 && j < q.length) s += math.abs(vs(i) - q(j)) - math.abs(q(j))
@@ -140,11 +151,7 @@ object SparseQueryDistanceExpr {
       }
       s
     case SqEuclidean | Euclidean =>
-      var s = 0.0; var i = 0
-      var qq = 0.0
-      var k = 0
-      while (k < q.length) { qq += q(k) * q(k); k += 1 }
-      s = qq
+      var s = consts(1); var i = 0
       while (i < idx.length) {
         val j = idx(i)
         if (j >= 0 && j < q.length) s += vs(i) * vs(i) - 2.0 * vs(i) * q(j)
@@ -154,7 +161,7 @@ object SparseQueryDistanceExpr {
       val nn = math.max(s, 0.0) // recomposition can undershoot 0 by an ulp
       if (kind == Euclidean) math.sqrt(nn) else nn
     case SparseDistances.Minkowski =>
-      var s = base(q, p); var i = 0
+      var s = consts(2); var i = 0
       while (i < idx.length) {
         val j = idx(i)
         if (j >= 0 && j < q.length)
@@ -179,10 +186,7 @@ object SparseQueryDistanceExpr {
         if (j >= 0 && j < q.length) dot += vs(i) * q(j)
         i += 1
       }
-      var nq = 0.0
-      var k = 0
-      while (k < q.length) { nq += q(k) * q(k); k += 1 }
-      val snx = math.sqrt(nx); val snq = math.sqrt(nq)
+      val snx = math.sqrt(nx); val snq = math.sqrt(consts(1))
       val sim = if (snx < 1e-5 || snq < 1e-5) 0.0 else dot / (snx * snq)
       if (kind == CosineSim) sim
       else if (snx < 1e-5 || snq < 1e-5) 0.0
@@ -216,19 +220,28 @@ case class SparseSparseDistanceExpr(left: Expression, right: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def load(src: String, isFloat: Boolean, tag: String): String =
-      if (isFloat)
-        s"""float[] f$tag = $src.getArray(1).toFloatArray();
-           |double[] v$tag = new double[f$tag.length];
-           |for (int z = 0; z < f$tag.length; z++) v$tag[z] = (double) f$tag[z];""".stripMargin
-      else s"double[] v$tag = $src.getArray(1).toDoubleArray();"
+    // freshName everywhere: two sparse-distance expressions in one
+    // projection inline into the same generated method — fixed local
+    // names would collide and fail Janino compilation
+    val ia = ctx.freshName("ia")
+    val va = ctx.freshName("va")
+    val ib = ctx.freshName("ib")
+    val vb = ctx.freshName("vb")
+    def load(src: String, isFloat: Boolean, out: String): String =
+      if (isFloat) {
+        val f = ctx.freshName("f")
+        val z = ctx.freshName("z")
+        s"""float[] $f = $src.getArray(1).toFloatArray();
+           |double[] $out = new double[$f.length];
+           |for (int $z = 0; $z < $f.length; $z++) $out[$z] = (double) $f[$z];""".stripMargin
+      } else s"double[] $out = $src.getArray(1).toDoubleArray();"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""int[] ia = $a.getArray(0).toIntArray();
-         |${load(a, lFloat, "a")}
-         |int[] ib = $b.getArray(0).toIntArray();
-         |${load(b, rFloat, "b")}
+      s"""int[] $ia = $a.getArray(0).toIntArray();
+         |${load(a, lFloat, va)}
+         |int[] $ib = $b.getArray(0).toIntArray();
+         |${load(b, rFloat, vb)}
          |${ev.value} = graft.functions.SparseSparseDistanceExpr.compute(
-         |  ia, va, ib, vb, "$kind", $p);""".stripMargin)
+         |  $ia, $va, $ib, $vb, "$kind", $p);""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

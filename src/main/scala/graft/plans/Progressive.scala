@@ -42,16 +42,20 @@ object Progressive {
     val latch = new CountDownLatch(plans.size)
     plans.foreach { p =>
       Future {
-        spark.sparkContext.setJobGroup(s"graft-${p.description}",
-          s"progressive plan ${p.description}", interruptOnCancel = true)
-        val t0 = System.nanoTime()
-        val r = Try(p.run().collect())
-        val o = Observation(p.description, p.confidence, System.nanoTime() - t0, r)
-        spark.sparkContext.clearJobGroup()
-        record(p, o)
-        obs.add(o)
-        onNext(o)
-        latch.countDown()
+        // the latch MUST count down whatever happens — a throwing
+        // caller callback (e.g. a streaming client that disconnected
+        // mid-write) would otherwise wedge latch.await() forever
+        try {
+          spark.sparkContext.setJobGroup(s"graft-${p.description}",
+            s"progressive plan ${p.description}", interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          val r = Try(p.run().collect())
+          val o = Observation(p.description, p.confidence, System.nanoTime() - t0, r)
+          spark.sparkContext.clearJobGroup()
+          record(p, o)
+          obs.add(o)
+          Try(onNext(o))
+        } finally latch.countDown()
       }
     }
     latch.await()
@@ -77,7 +81,7 @@ object Progressive {
       Future {
         if (cancelled.get()) {
           all.countDown()
-        } else {
+        } else try {
           spark.sparkContext.setJobGroup(s"graft-${p.description}",
             s"timed plan ${p.description}", interruptOnCancel = true)
           val t0 = System.nanoTime()
@@ -86,6 +90,7 @@ object Progressive {
           obs.add(o)
           spark.sparkContext.clearJobGroup()
           record(p, o)
+        } finally {
           first.countDown()
           all.countDown()
         }

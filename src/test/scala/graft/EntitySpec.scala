@@ -133,6 +133,34 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("auto-vacuum does not livelock when layout keys exceed the part cap") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "manykeys")
+    // 30 distinct keys -> >= 30 part files forever; cap 10 must NOT
+    // trigger a full rewrite on every insert (vacuum can never compact
+    // below one file per partition directory)
+    e.insert((0 until 30).map(i => (i.toLong, i)).toDF("id", "grp"))
+    e.partitionLayout(graft.core.Partitioning.ByColumn("grp"))
+    val vAfterLayout = e.stamp._1
+    e.insert((100 until 130).map(i => (i.toLong, i - 100)).toDF("id", "grp"),
+      autoVacuumMaxParts = 10)
+    e.stamp._1 shouldBe vAfterLayout // append stayed O(batch): no vacuum swap
+    e.count() shouldBe 60
+    e.drop()
+  }
+
+  test("drifted batch without the layout key column falls back to union-rewrite") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "driftlay")
+    e.insert((0 until 10).map(i => (i.toLong, i % 2, s"v$i")).toDF("id", "grp", "v"))
+    e.partitionLayout(graft.core.Partitioning.ByColumn("grp"))
+    // batch lacks grp entirely: must not crash on partition assignment
+    e.insert(Seq((100L, "novel")).toDF("id", "v"))
+    e.count() shouldBe 11
+    e.read().filter(col("id") === 100L).count() shouldBe 1
+    e.drop()
+  }
+
   test("insert with a type-drifted column falls back to union-rewrite, not mixed files") {
     val base = freshBase()
     val e = Entity.create(spark, base, "drift")

@@ -144,6 +144,15 @@ class PlannerSpec extends SparkSpec {
     r.toSeq shouldBe brute.toSeq
   }
 
+  test("a throwing onNext callback cannot wedge parallel (client-disconnect shape)") {
+    val obs = Progressive.parallel(spark, Seq(
+      Progressive.PlanSpec("sequential", 1.0, () => data.limit(1)),
+      Progressive.PlanSpec("index:ecp", 0.5, () => data.limit(2))))(
+      _ => throw new java.io.IOException("client gone"))
+    obs.size shouldBe 2 // latch counted down despite the callback throwing
+    obs.foreach(_.result.isSuccess shouldBe true)
+  }
+
   test("progressive parallel: all plans observed, results delivered") {
     var seen = List.empty[String]
     val obs = Progressive.parallel(spark, Seq(
