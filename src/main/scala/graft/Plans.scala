@@ -25,7 +25,11 @@ object Plans {
       ("ann_ivf_topk", "IVF candidates aggregated map-side",
         Seq("ObjectHashAggregate", "partial_bounded_topk")),
       ("text_bm25", "posting partial aggregation + broadcast term stats",
-        Seq("partial_count", "BroadcastHashJoin")))
+        Seq("partial_count", "BroadcastHashJoin")),
+      ("knn_sparse", "sparse kernel scans the struct directly (no densify)",
+        Seq("sparse_euclidean", "TakeOrderedAndProject")),
+      ("partition_pruned_scan", "entity key-skip reaches the scan as partition pruning",
+        Seq("PartitionFilters: [", "ap_partition")))
 
     var failed = 0
     checks.foreach { case (name, what, markers) =>
