@@ -80,8 +80,10 @@ final case class NnQuery(vecCol: String, q: Seq[Double], distName: String, k: In
 object QueryOps {
   private val cache = new ResultCache()
 
-  def distanceColumn(nnq: NnQuery): Column = {
-    val v = col(nnq.vecCol)
+  def distanceColumn(nnq: NnQuery): Column = distanceOn(col(nnq.vecCol), nnq)
+
+  /** The dense distance expression over an arbitrary vector column. */
+  private def distanceOn(v: Column, nnq: NnQuery): Column = {
     val q = Distances.vecLit(nnq.q)
     nnq.weights match {
       case None => Distances.byName(nnq.distName)(v, q)
@@ -106,9 +108,45 @@ object QueryOps {
     }
   }
 
-  /** Exact sequential kNN (reference `QueryOp.sequential`). */
+  /** Map a distance name onto the sparse kernel family (kind, p) when a
+    * decomposable sparse form exists. */
+  private def sparseKind(distName: String): Option[(String, Double)] =
+    distName.toLowerCase match {
+      case "manhattan" | "minkowski-1" => Some((graft.functions.VectorKernel.Manhattan, 1.0))
+      case "euclidean" | "minkowski-2" => Some((graft.functions.VectorKernel.Euclidean, 2.0))
+      case "sqeuclidean" => Some((graft.functions.VectorKernel.SqEuclidean, 2.0))
+      case "dot" => Some((graft.functions.VectorKernel.Dot, 2.0))
+      case "cosine" => Some((graft.functions.VectorKernel.CosineDist, 2.0))
+      case "cosinesim" => Some((graft.functions.VectorKernel.CosineSim, 2.0))
+      case m if m.startsWith("minkowski-") =>
+        m.stripPrefix("minkowski-").toDoubleOption
+          .map((graft.functions.SparseDistances.Minkowski, _))
+      case _ => None
+    }
+
+  /** Distance column adapted to the entity's physical vector encoding:
+    * a SPARSIFIED entity (struct column) takes the O(nnz) sparse kernel
+    * directly for decomposable distances; non-decomposable or weighted
+    * queries densify per row; dense columns use [[distanceColumn]]. A
+    * reference user who sparsified an entity keeps querying it through
+    * the same endpoints. */
+  def distanceColumnFor(entity: DataFrame, nnq: NnQuery): Column =
+    entity.schema.find(_.name == nnq.vecCol).map(_.dataType) match {
+      case Some(_: org.apache.spark.sql.types.StructType) =>
+        sparseKind(nnq.distName) match {
+          case Some((kind, p)) if nnq.weights.isEmpty =>
+            graft.functions.SparseDistances.toQuery(kind, col(nnq.vecCol), nnq.q, p)
+          case _ =>
+            val dense = graft.functions.SparseVectors.densify(col(nnq.vecCol))
+            distanceOn(dense, nnq)
+        }
+      case _ => distanceColumn(nnq)
+    }
+
+  /** Exact sequential kNN (reference `QueryOp.sequential`) — sparse or
+    * dense vector encodings both served. */
   def sequential(entity: DataFrame, idCol: String, nnq: NnQuery): DataFrame =
-    Knn.knn(entity, distanceColumn(nnq), nnq.k, col(idCol))
+    Knn.knn(entity, distanceColumnFor(entity, nnq), nnq.k, col(idCol))
 
   /** Scan a specific index with exact rerank (reference `QueryOp.index`).
     * Refuses a non-conforming distance family — e.g. L2-built VA bounds
@@ -150,7 +188,7 @@ object QueryOps {
   def filteredKnn(entity: DataFrame, idCol: String,
                   predicates: Seq[BooleanPredicates.Predicate], nnq: NnQuery): DataFrame =
     Knn.knnFiltered(entity, BooleanPredicates.conjunction(predicates),
-      distanceColumn(nnq), nnq.k, col(idCol))
+      distanceColumnFor(entity, nnq), nnq.k, col(idCol))
 
   /** All plans racing; observations as they land (reference
     * `QueryOp.parallel` / progressive). */

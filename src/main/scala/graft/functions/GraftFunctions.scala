@@ -27,8 +27,52 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
+
+  /** Evaluate a foldable array expression (the query vector) to doubles. */
+  private def doubleArrayArg(e: Expression, what: String): Array[Double] = {
+    import org.apache.spark.sql.types._
+    require(e.foldable, s"$what must be a literal array")
+    val ad = e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(s"$what is not an array: $other")
+    }
+    e.dataType match {
+      case ArrayType(DoubleType, _) => ad.toDoubleArray()
+      case ArrayType(FloatType, _) => ad.toFloatArray().map(_.toDouble)
+      case ArrayType(IntegerType, _) => ad.toIntArray().map(_.toDouble)
+      case ArrayType(LongType, _) => ad.toLongArray().map(_.toDouble)
+      case other => throw new IllegalArgumentException(s"$what has non-numeric type ${other.sql}")
+    }
+  }
+
+  private def sparseQueryBuilder(kind: String): Seq[Expression] => Expression = {
+    case Seq(sv, q) => SparseQueryDistanceExpr(sv, doubleArrayArg(q, "query"), kind, 2.0)
+    case Seq(sv, q, p) if kind == SparseDistances.Minkowski =>
+      SparseQueryDistanceExpr(sv, doubleArrayArg(q, "query"), kind, doubleArg(p, "p"))
+    case args => throw new IllegalArgumentException(
+      s"sparse_$kind(sparseStruct, queryArray${if (kind == SparseDistances.Minkowski) ", p" else ""}) got ${args.length} args")
+  }
+
+  private def sparsePairBuilder(kind: String): Seq[Expression] => Expression = {
+    case Seq(a, b) => SparseSparseDistanceExpr(a, b, kind, 2.0)
+    case Seq(a, b, p) if kind == SparseDistances.Minkowski =>
+      SparseSparseDistanceExpr(a, b, kind, doubleArg(p, "p"))
+    case args => throw new IllegalArgumentException(
+      s"sparse_pair_$kind expects 2 sparse-struct args, got ${args.length}")
+  }
+
+  private val sparseKinds =
+    (SparseDistances.Kinds - SparseDistances.Minkowski).toSeq.sorted
+
   val builders: Seq[(String, Seq[Expression] => Expression)] =
-    VectorKernel.All.toSeq.sorted.map(k => s"vec_$k" -> vecBuilder(k)) ++ Seq(
+    VectorKernel.All.toSeq.sorted.map(k => s"vec_$k" -> vecBuilder(k)) ++
+    sparseKinds.map(k => s"sparse_$k" -> sparseQueryBuilder(k)) ++
+    sparseKinds.map(k => s"sparse_pair_$k" -> sparsePairBuilder(k)) ++ Seq(
       "minhash_sig" -> {
         case Seq(th, n, nh) => MinHashSigExpr(th, intArg(n, "n"), intArg(nh, "numHashes"), 0)
         case args => throw new IllegalArgumentException(
@@ -49,6 +93,8 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"densify(sparseStruct) expects 1 arg, got ${args.length}")
       },
+      "sparse_minkowski" -> sparseQueryBuilder(SparseDistances.Minkowski),
+      "sparse_pair_minkowski" -> sparsePairBuilder(SparseDistances.Minkowski),
       "bounded_topk" -> {
         // cast here — raw SQL args may be int/float and the aggregate's
         // update() trusts double/long buffers

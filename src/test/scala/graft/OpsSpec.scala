@@ -54,6 +54,29 @@ class OpsSpec extends SparkSpec {
     r.count() shouldBe 10
   }
 
+  test("sequential kNN over a sparsified entity matches the dense result") {
+    val base = Files.createTempDirectory("graft-ops-sparse").toString
+    val denseTop = QueryOps.sequential(data, "id", nnq)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val e = EntityOps.create(spark, base, "spq")
+    EntityOps.insert(e, data.select("id", "feature"))
+    EntityOps.sparsify(e, "feature")
+    val read = e.read()
+    // dispatched onto the sparse kernel: the plan must not densify
+    val plan = QueryOps.sequential(read, "id", nnq).queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("sparse_euclidean") }
+    plan should not include "densify"
+    QueryOps.sequential(read, "id", nnq)
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe denseTop
+    // non-decomposable distance on a sparse entity: densify fallback
+    val cheb = NnQuery("feature", q, "chebyshev", 10)
+    val chebPlan = QueryOps.sequential(read, "id", cheb).queryExecution.executedPlan.toString
+    withClue(chebPlan) { chebPlan should include("densify") }
+    QueryOps.sequential(read, "id", cheb).select("id").collect().map(_.getLong(0)).toSeq shouldBe
+      QueryOps.sequential(data, "id", cheb).select("id").collect().map(_.getLong(0)).toSeq
+    EntityOps.drop(e)
+  }
+
   test("weighted query routes through the weighted kernel") {
     val w = NnQuery("feature", q, "manhattan", 5, weights = Some(Seq.fill(8)(0.0)))
     val dists = QueryOps.sequential(data, "id", w)

@@ -174,6 +174,20 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     client.send(req, HttpResponse.BodyHandlers.ofString()).body()
   }
 
+  test("knn over a sparsified entity works through the wire (sparse dispatch)") {
+    post("/entity/create", """{"name":"wsparse"}""")
+    val rows = (0 until 40).map(i =>
+      s"""{"vid":$i,"vec":[${i % 5}.0,${(i * 2) % 7}.0,0.0]}""").mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"wsparse","rows":$rows}""")
+    graft.api.EntityOps.sparsify(
+      graft.core.Entity.open(spark, base, "wsparse"), "vec")
+    val knn = post("/query/knn",
+      """{"entity":"wsparse","idCol":"vid","vecCol":"vec","q":[0.0,0.0,0.0],"k":3}""")
+    knn.get("ok").asBoolean() shouldBe true
+    knn.get("rows").size() shouldBe 3
+    knn.get("rows").get(0).get("distance").asDouble() shouldBe 0.0 // vid 0 is the origin
+  }
+
   test("bad requests return ok=false with an error") {
     val r = post("/entity/count", """{"name":"nope"}""")
     r.get("ok").asBoolean() shouldBe false

@@ -82,6 +82,23 @@ class SqlFunctionsSpec extends SparkSpec {
     d2.toSeq shouldBe d1.toSeq
   }
 
+  test("sparse kernels callable from SQL") {
+    GraftFunctions.register(spark)
+    // sparse (0, 2, 0, -3) in a 4-dim space
+    Seq((Seq(1, 3), Seq(2.0, -3.0), 4)).toDF("indices", "values", "length")
+      .selectExpr("struct(indices, values, length) AS sv")
+      .createOrReplaceTempView("sparsevecs")
+    val r = spark.sql(
+      """SELECT sparse_manhattan(sv, array(1.0D, 1.0D, 1.0D, 1.0D)) AS m,
+        |       sparse_euclidean(sv, array(0.0D, 2.0D, 0.0D, -3.0D)) AS self,
+        |       sparse_minkowski(sv, array(1.0D, 1.0D, 1.0D, 1.0D), 1.0D) AS mk1,
+        |       sparse_pair_dot(sv, sv) AS dd FROM sparsevecs""".stripMargin).head()
+    r.getDouble(0) shouldBe (1.0 + 1.0 + 1.0 + 4.0) +- Epsilon
+    r.getDouble(1) shouldBe 0.0 +- Epsilon
+    r.getDouble(2) shouldBe r.getDouble(0) +- Epsilon // minkowski-1 == manhattan
+    r.getDouble(3) shouldBe (4.0 + 9.0) +- Epsilon
+  }
+
   test("densify works from SQL too") {
     GraftFunctions.register(spark)
     val r = spark.sql(
