@@ -286,6 +286,19 @@ object SparkEntry {
       Ann.lshCosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         0.5, dim = 64).orderBy("id_a", "id_b")),
 
+    "corpus_cosine_neardup" -> ((s, d) => {
+      // embedding admission check: incoming vectors (vec_id >= 400) vs
+      // the ingested corpus; the banded corpus index is a build-once
+      // artifact cached per data dir (cosine twin of corpus_neardup)
+      val emb = Tables.embeddings(s, d)
+      val idx = cosineCorpusIndexes.getOrElseUpdate(d,
+        Ann.indexCorpusCosine(emb.filter(col("vec_id") < 400),
+          "vec_id", "embedding", dim = 64))
+      Ann.cosineNearDupAgainstCorpus(emb.filter(col("vec_id") >= 400),
+          "vec_id", "embedding", idx, 0.5)
+        .orderBy("in_id", "corpus_id")
+    }),
+
     "knn_filtered" -> ((s, d) =>
       Knn.knnFiltered(withQueryVec(s, d), col("label") < 5,
         Distances.manhattan(col("embedding"), col("qv")), 50, col("vec_id"))
@@ -658,6 +671,9 @@ object SparkEntry {
   private val corpusIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusIndex]
 
+  private val cosineCorpusIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Ann.CosineCorpusIndex]
+
   /** Pre-build + persist every index for `dir` (untimed bench warmup). */
   def warmIndexes(s: SparkSession, d: String): Unit =
     indexBuilders.keys.toSeq.sorted.foreach(cachedIndex(s, d, _))
@@ -999,6 +1015,19 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))) END AS cs
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
         |) WHERE cs >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact incoming-vs-corpus cross pairs; same fixed-corpus banding
+    // caveat as the minhash admission check
+    "corpus_cosine_neardup" ->
+      """SELECT in_id, corpus_id, round(cs, 4) AS cos_sim FROM (
+        | SELECT a.vec_id AS in_id, b.vec_id AS corpus_id,
+        |  CASE WHEN sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)))) < 1e-5
+        |        OR sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))) < 1e-5 THEN 0.0
+        |   ELSE list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1,64), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))) END AS cs
+        | FROM embeddings a, embeddings b WHERE a.vec_id >= 400 AND b.vec_id < 400
+        |) WHERE cs >= 0.5 ORDER BY in_id, corpus_id""".stripMargin,
 
     "ann_batch_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 4)

@@ -101,6 +101,74 @@ object Ann {
     ((z >>> 11).toDouble / (1L << 53).toDouble) + 1e-12
   }
 
+  /** Band a frame's vectors into `(band, chunk, id)` rows under fixed
+    * hyperplanes — the shared candidate-generation step of the self-join
+    * and corpus-admission paths. */
+  private def bandSignatures(df: DataFrame, idCol: String, vecCol: String,
+                             planes: Array[Array[Double]], numBands: Int,
+                             bitsPerBand: Int, outId: String): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    df.select(col(idCol).as(outId),
+        graft.functions.HashSig.hyperplaneSig(col(vecCol), planes).as("sig"))
+      .select(col(outId), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
+      .withColumn("chunk",
+        call_function("shiftright", col("sig"), col("band") * bitsPerBand)
+          .bitwiseAND(mask))
+      .select(outId, "band", "chunk")
+  }
+
+  /** A reference embedding corpus prepared for incoming-vs-corpus
+    * near-dup checks: band keys + vectors with norms, computed once and
+    * persisted — the cosine twin of [[Dedup.CorpusIndex]]. */
+  final case class CosineCorpusIndex(banded: DataFrame, // (corpus_id, band, chunk)
+                                     vectors: DataFrame, // (corpus_id, v_c, n_c)
+                                     planes: Array[Array[Double]],
+                                     numBands: Int, bitsPerBand: Int) {
+    def release(): Unit = {
+      banded.unpersist()
+      vectors.unpersist()
+    }
+  }
+
+  /** Band + norm a static embedding corpus once (both persisted). */
+  def indexCorpusCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, numBits: Int = 64, numBands: Int = 16,
+                        seed: Long = 42L): CosineCorpusIndex = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bitsPerBand = numBits / numBands
+    val planes = hyperplanes(numBits, dim, seed)
+    val banded = bandSignatures(corpus, idCol, vecCol, planes, numBands,
+      bitsPerBand, "corpus_id").persist(MEMORY_AND_DISK)
+    val vectors = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("v_c"),
+      Distances.norm2(col(vecCol)).as("n_c")).persist(MEMORY_AND_DISK)
+    CosineCorpusIndex(banded, vectors, planes, numBands, bitsPerBand)
+  }
+
+  /** Embedding admission check: flag incoming vectors whose cosine
+    * similarity to anything already ingested reaches `threshold` — the
+    * "is this newly-embedded document a near-duplicate of the training
+    * corpus?" gate. Incoming rows band inline under the corpus's fixed
+    * hyperplanes and equi-join the prepared band index; only
+    * bucket-colliding (in, corpus) pairs pay the exact verify. The join
+    * is stream-static (zero stream-side state) — usable unchanged under
+    * `foreachBatch` like the MinHash admission check. */
+  def cosineNearDupAgainstCorpus(incoming: DataFrame, idCol: String, vecCol: String,
+                                 idx: CosineCorpusIndex, threshold: Double): DataFrame = {
+    val inBanded = bandSignatures(incoming, idCol, vecCol, idx.planes,
+      idx.numBands, idx.bitsPerBand, "in_id")
+    val cand = inBanded.join(idx.banded, Seq("band", "chunk"))
+      .select("in_id", "corpus_id").distinct()
+    val inVec = incoming.select(col(idCol).as("in_id"), col(vecCol).as("v_i"),
+      Distances.norm2(col(vecCol)).as("n_i"))
+    cand.join(inVec, Seq("in_id"))
+      .join(idx.vectors, Seq("corpus_id"))
+      .withColumn("cos_sim",
+        when(col("n_i") < 1e-5 || col("n_c") < 1e-5, lit(0.0))
+          .otherwise(Distances.dot(col("v_i"), col("v_c")) / (col("n_i") * col("n_c"))))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("in_id"), col("corpus_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** LSH-bucketed cosine near-dup pairs: bucket on chunks of the packed
     * hyperplane signature (banding), then verify true cosine. Candidates
     * carry only ids through the band shuffle; vectors are re-joined by
@@ -110,15 +178,8 @@ object Ann {
                             threshold: Double, dim: Int, numBits: Int = 64,
                             numBands: Int = 16, seed: Long = 42L): DataFrame = {
     val bitsPerBand = numBits / numBands
-    val mask = (1L << bitsPerBand) - 1
     val planes = hyperplanes(numBits, dim, seed)
-    val banded = df.select(col(idCol).as("id"),
-        graft.functions.HashSig.hyperplaneSig(col(vecCol), planes).as("sig"))
-      .select(col("id"), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
-      .withColumn("chunk",
-        call_function("shiftright", col("sig"), col("band") * bitsPerBand)
-          .bitwiseAND(mask))
-      .select("id", "band", "chunk")
+    val banded = bandSignatures(df, idCol, vecCol, planes, numBands, bitsPerBand, "id")
     val cand = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("chunk"), col("id").as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))

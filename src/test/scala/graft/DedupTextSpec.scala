@@ -163,6 +163,20 @@ class DedupTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cosine corpus admission check flags near-dup vectors, passes novel ones") {
+    val corpus = vecs.filter($"vec_id" < 40)
+    val idx = Ann.indexCorpusCosine(corpus, "vec_id", "embedding", dim = 16)
+    // incoming: an exact copy of corpus vec 3 plus an orthogonal-ish novel vector
+    val incoming = vecs.filter($"vec_id" === 3L)
+      .select(lit(100L).as("vec_id"), $"embedding")
+      .union(Seq((101L, Seq.fill(16)(0.0f).updated(0, 1.0f)))
+        .toDF("vec_id", "embedding"))
+    val flagged = Ann.cosineNearDupAgainstCorpus(incoming, "vec_id", "embedding", idx, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flagged shouldBe Set((100L, 3L))
+    idx.release()
+  }
+
   test("lsh cosine near-dup finds planted duplicates") {
     val planted = vecs.union(
       vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
