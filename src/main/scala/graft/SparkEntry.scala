@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.Distances
+import graft.api.QueryOps
 import graft.index._
 import graft.operators._
 
@@ -86,6 +87,27 @@ object SparkEntry {
     "distinct_flags" -> ((s, d) => Projections.distinctRows(
       Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"))
       .orderBy("l_returnflag", "l_linestatus")),
+
+    "entity_preview" -> ((s, d) =>
+      // preview over a deterministically-ordered frame so the k-row
+      // sample is oracle-comparable (reference previewData)
+      Projections.preview(Tables.documents(s, d).orderBy("doc_id"), 50)
+        .select("doc_id")),
+
+    "empty_relation" -> ((s, d) =>
+      // the empty-relation operator: a contradiction filter must plan
+      // and aggregate to a zero count, not error
+      Projections.countRows(Tables.lineitem(s, d).filter(lit(false)))),
+
+    "cached_query" -> ((s, d) => {
+      // result-cache node: both evaluations resolve through the cache;
+      // the returned frame must still equal the uncached computation
+      def compute() = Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+      QueryOps.cached(s"battery-agg-$d")(compute())
+      QueryOps.cached(s"battery-agg-$d")(compute())
+    }),
 
     "predicate_in_lt" -> ((s, d) => Tables.lineitem(s, d)
       .filter(BooleanPredicates.conjunction(Seq(
@@ -736,6 +758,16 @@ object SparkEntry {
     "distinct_flags" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "entity_preview" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50",
+
+    "empty_relation" ->
+      "SELECT CAST(0 AS BIGINT) AS n",
+
+    "cached_query" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "predicate_in_lt" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
