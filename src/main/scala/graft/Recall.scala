@@ -40,7 +40,8 @@ object Recall {
       "lsh-32x1" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1),
       "lsh-8x1p2" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 2),
       "lsh-8x1p3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 3),
-      "mi" -> MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15))
+      "mi" -> MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15),
+      "ivfpq" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16))
 
     println(f"[recall] sf=$sfDir k=$k queries=${queries.size}")
     indexes.foreach { case (name, idx) =>

@@ -177,6 +177,31 @@ class DedupTextSpec extends SparkSpec {
     idx.release()
   }
 
+  test("cosine corpus admission check runs on a stream via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = vecs.filter($"vec_id" < 40)
+    val idx = Ann.indexCorpusCosine(corpus, "vec_id", "embedding", dim = 16)
+    val planted = vecs.filter($"vec_id" === 5L)
+      .select($"embedding").head().getSeq[Float](0)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.cosineNearDupAgainstCorpus(batch, "vec_id", "embedding", idx, 0.99)
+          .collect().foreach(r => seen.synchronized {
+            seen += ((r.getLong(0), r.getLong(1)))
+          })
+      }.start()
+    try {
+      mem.addData((200L, planted), (201L, Seq.fill(16)(0.0f).updated(1, 1.0f)))
+      q.processAllAvailable()
+      seen.toSet shouldBe Set((200L, 5L))
+    } finally {
+      q.stop()
+      idx.release()
+    }
+  }
+
   test("lsh cosine near-dup finds planted duplicates") {
     val planted = vecs.union(
       vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
