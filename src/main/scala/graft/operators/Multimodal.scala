@@ -11,14 +11,17 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: the JDK's `javax.imageio` (PNG/BMP/JPEG/GIF —
   * no external libraries) yields true width/height/channels and a
-  * luminance-histogram feature vector from actual pixels. Audio/video
-  * codecs are STUBBED (`decodeStub` derives deterministic
-  * pseudo-metadata from the payload bytes) — no such libraries exist in
-  * this container. Everything around the codecs is the production
-  * plumbing — output schemas, `mapPartitions` batch shape (the Scala
-  * analog of `mapInPandas`: one iterator per partition, streaming, no
-  * per-row task overhead), partition sizing — so swapping in a real
-  * audio/video decoder is a one-function change.
+  * luminance-histogram feature vector from actual pixels. AUDIO decode
+  * is REAL for the formats the JDK ships (`javax.sound.sampled`, WAV/
+  * AIFF/AU): true sample rate, channels, frame count, and an amplitude
+  * histogram from the decoded PCM frames. VIDEO remains STUBBED
+  * (`decodeStub` derives deterministic pseudo-metadata from the payload
+  * bytes) — no video library exists in this container. Everything
+  * around the codecs is the production plumbing — output schemas,
+  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`: one
+  * iterator per partition, streaming, no per-row task overhead),
+  * partition sizing — so swapping in a real video decoder is a
+  * one-function change.
   */
 object Multimodal {
 
@@ -98,11 +101,50 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Real audio decode via the JDK's sampled-sound stack (WAV/AIFF/AU):
+    * maps onto the decoded schema as (width = sample rate Hz,
+    * height = frame count, channels), with a `dim`-bin normalized
+    * |amplitude| histogram over the decoded 16-bit PCM frames as the
+    * feature vector. Returns None for payloads the JDK cannot parse
+    * (callers fall back to the stub). */
+  def decodeAudio(payload: Array[Byte], dim: Int): Option[(Int, Int, Int, Array[Float])] = {
+    if (payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val rate = fmt.getSampleRate.toInt
+        val frames = math.min(ais.getFrameLength, Int.MaxValue.toLong).toInt
+        val hist = new Array[Float](dim)
+        if (fmt.getSampleSizeInBits == 16) {
+          val bytes = ais.readAllBytes()
+          val be = fmt.isBigEndian
+          var n = 0
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+            hist(math.min(dim - 1, math.abs(s.toInt) * dim / 32768)) += 1f
+            n += 1
+            i += 2
+          }
+          if (n > 0) {
+            var d = 0
+            while (d < dim) { hist(d) /= n; d += 1 }
+          }
+        }
+        Some((rate, frames, fmt.getChannels, hist))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode + feature-extract over partition-sized batches. One
     * decoder instantiation per partition (the expensive init a real
     * codec would need), streaming rows through it. Image payloads
-    * decode for real via [[decodeImage]]; audio/video (and
-    * unparseable image bytes) take the deterministic stub. */
+    * decode for real via [[decodeImage]], audio via [[decodeAudio]];
+    * video (and unparseable payloads) take the deterministic stub. */
   def decodeAssets(assets: DataFrame, dim: Int = 16): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     assets.select("asset_id", "modality", "payload").mapPartitions { rows =>
@@ -110,9 +152,12 @@ object Multimodal {
       rows.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val modality = r.getAs[String]("modality")
-        val (w, h, c, f) =
-          (if (modality == "image") decodeImage(payload, dim) else None)
-            .getOrElse(decodeStub(payload, dim))
+        val real = modality match {
+          case "image" => decodeImage(payload, dim)
+          case "audio" => decodeAudio(payload, dim)
+          case _ => None
+        }
+        val (w, h, c, f) = real.getOrElse(decodeStub(payload, dim))
         Row(r.getAs[Long]("asset_id"), modality,
           w, h, c, payload.length.toLong, f.toSeq)
       }

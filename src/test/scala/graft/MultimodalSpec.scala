@@ -76,6 +76,39 @@ class MultimodalSpec extends SparkSpec {
     got(12L).getAs[Int]("width") should be >= 64
   }
 
+  private def wavBytes(rate: Float, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * 16000).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV payloads decode to true rate, frames, channels, amplitude histogram") {
+    val rows = Seq(
+      (20L, "audio", wavBytes(8000f, 1600), Map("src" -> "gen")),
+      (21L, "audio", "not audio at all".getBytes, Map("src" -> "gen"))
+    ).toDF("asset_id", "modality", "payload", "meta")
+    val got = Multimodal.decodeAssets(rows, dim = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got(20L).getAs[Int]("width") shouldBe 8000 // sample rate
+    got(20L).getAs[Int]("height") shouldBe 1600 // frame count
+    got(20L).getAs[Int]("channels") shouldBe 1
+    val hist = got(20L).getAs[collection.Seq[Float]]("features")
+    hist.sum shouldBe 1.0f +- 1e-4f
+    hist(3) shouldBe 0.0f // sine amplitude capped at 16000/32768 < 0.75
+    // unparseable audio degrades to the stub, not a crash
+    got(21L).getAs[Int]("width") should be >= 64
+  }
+
   test("decoded features feed the ANN operators directly") {
     val decoded = Multimodal.decodeAssets(assets, dim = 8)
     val pairs = graft.operators.Ann.cosineNearDupPairs(decoded, "asset_id", "features", -1.0)
