@@ -28,8 +28,11 @@ object Plans {
         Seq("partial_count", "BroadcastHashJoin")),
       ("knn_sparse", "sparse kernel scans the struct directly (no densify)",
         Seq("sparse_euclidean", "TakeOrderedAndProject")),
+      // the filter must appear INSIDE the brackets — an empty
+      // "PartitionFilters: []" plus a post-scan filter would otherwise
+      // match both markers and hide a pruning regression
       ("partition_pruned_scan", "entity key-skip reaches the scan as partition pruning",
-        Seq("PartitionFilters: [", "ap_partition")))
+        Seq("PartitionFilters: [ap_partition")))
 
     var failed = 0
     checks.foreach { case (name, what, markers) =>

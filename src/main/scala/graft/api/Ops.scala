@@ -108,19 +108,18 @@ object QueryOps {
     }
   }
 
-  /** Map a distance name onto the sparse kernel family (kind, p) when a
-    * decomposable sparse form exists. */
+  /** Map a distance name onto the sparse kernel family (kind, p) —
+    * ONLY for names [[Distances.byName]] resolves to the same metric,
+    * so sparsifying an entity can never silently change what a query
+    * computes (byName defaults unknown names to euclidean; those must
+    * take the densify fallback and default identically). Similarities
+    * (dot/cosinesim) are deliberately absent: kNN sorts ascending. */
   private def sparseKind(distName: String): Option[(String, Double)] =
     distName.toLowerCase match {
       case "manhattan" | "minkowski-1" => Some((graft.functions.VectorKernel.Manhattan, 1.0))
       case "euclidean" | "minkowski-2" => Some((graft.functions.VectorKernel.Euclidean, 2.0))
-      case "sqeuclidean" => Some((graft.functions.VectorKernel.SqEuclidean, 2.0))
-      case "dot" => Some((graft.functions.VectorKernel.Dot, 2.0))
+      case "squaredeuclidean" => Some((graft.functions.VectorKernel.SqEuclidean, 2.0))
       case "cosine" => Some((graft.functions.VectorKernel.CosineDist, 2.0))
-      case "cosinesim" => Some((graft.functions.VectorKernel.CosineSim, 2.0))
-      case m if m.startsWith("minkowski-") =>
-        m.stripPrefix("minkowski-").toDoubleOption
-          .map((graft.functions.SparseDistances.Minkowski, _))
       case _ => None
     }
 
@@ -156,6 +155,12 @@ object QueryOps {
     require(idx.conformsTo(nnq.distName),
       s"index ${idx.indexType} does not answer distance '${nnq.distName}' " +
         "— scan would be silently lossy; use a conforming index or the sequential plan")
+    // indexes are built over dense vectors; refuse a sparsified entity
+    // up front instead of failing deep in the kernel type check
+    require(!entity.schema.find(_.name == nnq.vecCol)
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]),
+      s"entity column '${nnq.vecCol}' is sparsified — stored indexes cover the dense " +
+        "encoding; rebuild the index or use the sequential plan (sparse kernels)")
     idx.knn(entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
   }
 

@@ -27,13 +27,24 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
-  private def doubleArg(e: Expression, what: String): Double = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
-    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  /** Fold a numeric literal to double — SQL parses bare `2.5` as
+    * DECIMAL, so Decimal must be accepted alongside the primitive
+    * literal types or the natural invocation form throws. */
+  private def doubleArg(e: Expression, what: String): Double = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: Float, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+    }
   }
 
-  /** Evaluate a foldable array expression (the query vector) to doubles. */
+  /** Evaluate a foldable array expression (the query vector) to doubles.
+    * `array(1.0, 2.0)` in SQL is array<decimal>, so Decimal elements are
+    * first-class here too. */
   private def doubleArrayArg(e: Expression, what: String): Array[Double] = {
     import org.apache.spark.sql.types._
     require(e.foldable, s"$what must be a literal array")
@@ -46,12 +57,18 @@ object GraftFunctions {
       case ArrayType(FloatType, _) => ad.toFloatArray().map(_.toDouble)
       case ArrayType(IntegerType, _) => ad.toIntArray().map(_.toDouble)
       case ArrayType(LongType, _) => ad.toLongArray().map(_.toDouble)
+      case ArrayType(dt: DecimalType, _) =>
+        Array.tabulate(ad.numElements())(i =>
+          ad.get(i, dt).asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
       case other => throw new IllegalArgumentException(s"$what has non-numeric type ${other.sql}")
     }
   }
 
   private def sparseQueryBuilder(kind: String): Seq[Expression] => Expression = {
-    case Seq(sv, q) => SparseQueryDistanceExpr(sv, doubleArrayArg(q, "query"), kind, 2.0)
+    // minkowski REQUIRES its p — a silent 2-arg default would compute
+    // euclidean under a name promising an explicit power
+    case Seq(sv, q) if kind != SparseDistances.Minkowski =>
+      SparseQueryDistanceExpr(sv, doubleArrayArg(q, "query"), kind, 2.0)
     case Seq(sv, q, p) if kind == SparseDistances.Minkowski =>
       SparseQueryDistanceExpr(sv, doubleArrayArg(q, "query"), kind, doubleArg(p, "p"))
     case args => throw new IllegalArgumentException(
@@ -59,11 +76,12 @@ object GraftFunctions {
   }
 
   private def sparsePairBuilder(kind: String): Seq[Expression] => Expression = {
-    case Seq(a, b) => SparseSparseDistanceExpr(a, b, kind, 2.0)
+    case Seq(a, b) if kind != SparseDistances.Minkowski =>
+      SparseSparseDistanceExpr(a, b, kind, 2.0)
     case Seq(a, b, p) if kind == SparseDistances.Minkowski =>
       SparseSparseDistanceExpr(a, b, kind, doubleArg(p, "p"))
     case args => throw new IllegalArgumentException(
-      s"sparse_pair_$kind expects 2 sparse-struct args, got ${args.length}")
+      s"sparse_pair_$kind expects ${if (kind == SparseDistances.Minkowski) "3" else "2"} args, got ${args.length}")
   }
 
   private val sparseKinds =

@@ -109,34 +109,45 @@ object Multimodal {
     * (callers fall back to the stub). */
   def decodeAudio(payload: Array[Byte], dim: Int): Option[(Int, Int, Int, Array[Float])] = {
     if (payload.isEmpty) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       try {
+        val srcFmt = raw.getFormat
+        // unknown rate/length (AU streams may carry 0xFFFFFFFF headers):
+        // no trustworthy metadata — fall back to the stub, don't emit -1s
+        if (srcFmt.getSampleRate <= 0 || raw.getFrameLength < 0) return None
+        // non-16-bit encodings (8-bit PCM, u-law, a-law) transcode to
+        // PCM16 through the JDK's converters so the histogram is never
+        // silently all-zero; a format the JDK can't convert falls back
+        val ais =
+          if (srcFmt.getSampleSizeInBits == 16 &&
+            srcFmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED) raw
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, srcFmt.getSampleRate, 16,
+              srcFmt.getChannels, 2 * srcFmt.getChannels, srcFmt.getSampleRate, false), raw)
         val fmt = ais.getFormat
-        val rate = fmt.getSampleRate.toInt
-        val frames = math.min(ais.getFrameLength, Int.MaxValue.toLong).toInt
+        val rate = srcFmt.getSampleRate.toInt
+        val frames = math.min(raw.getFrameLength, Int.MaxValue.toLong).toInt
         val hist = new Array[Float](dim)
-        if (fmt.getSampleSizeInBits == 16) {
-          val bytes = ais.readAllBytes()
-          val be = fmt.isBigEndian
-          var n = 0
-          var i = 0
-          while (i + 1 < bytes.length) {
-            val s =
-              if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
-              else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
-            hist(math.min(dim - 1, math.abs(s.toInt) * dim / 32768)) += 1f
-            n += 1
-            i += 2
-          }
-          if (n > 0) {
-            var d = 0
-            while (d < dim) { hist(d) /= n; d += 1 }
-          }
+        val bytes = ais.readAllBytes()
+        val be = fmt.isBigEndian
+        var n = 0
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s =
+            if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+            else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+          hist(math.min(dim - 1, math.abs(s.toInt) * dim / 32768)) += 1f
+          n += 1
+          i += 2
         }
-        Some((rate, frames, fmt.getChannels, hist))
-      } finally ais.close()
+        if (n > 0) {
+          var d = 0
+          while (d < dim) { hist(d) /= n; d += 1 }
+        }
+        Some((rate, frames, srcFmt.getChannels, hist))
+      } finally raw.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

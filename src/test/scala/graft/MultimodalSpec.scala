@@ -109,6 +109,21 @@ class MultimodalSpec extends SparkSpec {
     got(21L).getAs[Int]("width") should be >= 64
   }
 
+  test("8-bit WAV transcodes to PCM16 for the histogram instead of zeroing features") {
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val pcm8 = Array.tabulate(800)(i => (math.sin(2 * math.Pi * i / 50) * 100).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, 800L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, frames, ch, hist)) = Multimodal.decodeAudio(bos.toByteArray, 4)
+    rate shouldBe 8000
+    frames shouldBe 800
+    ch shouldBe 1
+    hist.sum shouldBe 1.0f +- 1e-4f // transcoded frames, not an all-zero vector
+  }
+
   test("decoded features feed the ANN operators directly") {
     val decoded = Multimodal.decodeAssets(assets, dim = 8)
     val pairs = graft.operators.Ann.cosineNearDupPairs(decoded, "asset_id", "features", -1.0)

@@ -68,6 +68,10 @@ class OpsSpec extends SparkSpec {
     plan should not include "densify"
     QueryOps.sequential(read, "id", nnq)
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe denseTop
+    // index scans cover the dense encoding only: refuse up front
+    val vaf = IndexOps.create("vaf", data, "id", "feature")
+    an[IllegalArgumentException] should be thrownBy
+      QueryOps.index(read, "id", vaf, nnq)
     // non-decomposable distance on a sparse entity: densify fallback
     val cheb = NnQuery("feature", q, "chebyshev", 10)
     val chebPlan = QueryOps.sequential(read, "id", cheb).queryExecution.executedPlan.toString

@@ -97,6 +97,15 @@ class SqlFunctionsSpec extends SparkSpec {
     r.getDouble(1) shouldBe 0.0 +- Epsilon
     r.getDouble(2) shouldBe r.getDouble(0) +- Epsilon // minkowski-1 == manhattan
     r.getDouble(3) shouldBe (4.0 + 9.0) +- Epsilon
+    // the NATURAL literal forms: bare decimals parse as DECIMAL and
+    // must fold, and minkowski without its p must be an arity error,
+    // not a silent euclidean
+    spark.sql("SELECT sparse_manhattan(sv, array(1.0, 1.0, 1.0, 1.0)) FROM sparsevecs")
+      .head().getDouble(0) shouldBe r.getDouble(0) +- Epsilon
+    spark.sql("SELECT sparse_minkowski(sv, array(1.0, 1.0, 1.0, 1.0), 1.5) FROM sparsevecs")
+      .head().getDouble(0) should be > 0.0
+    an[Exception] should be thrownBy
+      spark.sql("SELECT sparse_minkowski(sv, array(1.0, 1.0, 1.0, 1.0)) FROM sparsevecs").head()
   }
 
   test("densify works from SQL too") {
