@@ -41,7 +41,8 @@ import graft.operators.BooleanPredicates
   * | /query/text       | {entity, textCol, mode: all|any|phrase|bm25,     |
   * |                   |  terms: [..], idCol? k? (bm25)}                  |
   * | /query/knn        | {entity, idCol, vecCol, q: [x,…], dist?, k?,     |
-  * |                   |  index?  (stored index name; exact rerank)}      |
+  * |                   |  index? (stored index name; exact rerank),       |
+  * |                   |  hints? (planner hint names, walked in order)}   |
   * | /query/page       | {pageToken}                                      |
   * | /entity/insert/stream | newline-delimited JSON rows (body streamed)  |
   * | /query/progressive    | {entity, idCol, vecCol, q, dist?, k?,        |
@@ -391,6 +392,15 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             val loaded = e.loadIndex(req.get("index").asText())
             out.put("stale", loaded.stale)
             QueryOps.index(e.read(), idCol, loaded.index, nnq)
+          } else if (req.has("hints")) {
+            // reference QueryMessage.hints: names walked in order by the
+            // planner over the entity's fresh stored indexes
+            val hints = graft.plans.Planner.hintsByName(
+              req.get("hints").elements().asScala.map(_.asText()).toSeq)
+            val indexes = e.listIndexes.map(e.loadIndex).filterNot(_.stale).map(_.index)
+            val plan = graft.plans.Planner.choose(hints, indexes, nnq.distName)
+            out.put("plan", plan.describe)
+            QueryOps.planned(e.read(), idCol, indexes, hints, nnq)
           } else QueryOps.sequential(e.read(), idCol, nnq)
         pagedRows(out, result.select(col(idCol), col("distance")))
       case other => throw new IllegalArgumentException(s"no such endpoint: $other")

@@ -174,6 +174,31 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     client.send(req, HttpResponse.BodyHandlers.ofString()).body()
   }
 
+  test("planner hints over the wire pick the index or sequential plan") {
+    post("/entity/create", """{"name":"whint"}""")
+    val rows = (0 until 80).map(i =>
+      s"""{"vid":$i,"vec":[${i % 9}.0,${(i * 2) % 7}.0,${i % 4}.0]}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"whint","rows":$rows}""")
+    post("/index/create",
+      """{"entity":"whint","name":"v","type":"vaf","idCol":"vid","vecCol":"vec"}""")
+    val seqR = post("/query/knn",
+      """{"entity":"whint","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":5,"hints":["sequential"]}""")
+    seqR.get("plan").asText() shouldBe "sequential"
+    val idxR = post("/query/knn",
+      """{"entity":"whint","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":5,"hints":["exact"]}""")
+    idxR.get("plan").asText() shouldBe "index:vaf"
+    // exact index + rerank: identical result set either way
+    import scala.jdk.CollectionConverters._
+    def ids(n: com.fasterxml.jackson.databind.JsonNode) =
+      n.get("rows").elements().asScala.map(_.get("vid").asLong()).toSeq
+    ids(idxR) shouldBe ids(seqR)
+    // unknown hint names drop; empty walk falls back to sequential
+    post("/query/knn",
+      """{"entity":"whint","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":5,"hints":["bogus"]}""")
+      .get("plan").asText() shouldBe "sequential"
+  }
+
   test("knn over a sparsified entity works through the wire (sparse dispatch)") {
     post("/entity/create", """{"name":"wsparse"}""")
     val rows = (0 until 40).map(i =>
