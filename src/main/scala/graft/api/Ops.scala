@@ -196,12 +196,14 @@ object QueryOps {
       distanceColumnFor(entity, nnq), nnq.k, col(idCol))
 
   /** All plans racing; observations as they land (reference
-    * `QueryOp.parallel` / progressive). */
+    * `QueryOp.parallel` / progressive). Optional hints restrict the
+    * racing set (reference `QueryHintsParallelPathChooser`). */
   def parallel(spark: SparkSession, entity: DataFrame, idCol: String,
-               indexes: Seq[VectorIndex], nnq: NnQuery)
+               indexes: Seq[VectorIndex], nnq: NnQuery,
+               hints: Seq[Planner.Hint] = Nil)
               (onNext: Progressive.Observation => Unit = _ => ())
               (implicit ec: ExecutionContext): Seq[Progressive.Observation] =
-    Progressive.parallel(spark, planSpecs(entity, idCol, indexes, nnq))(onNext)
+    Progressive.parallel(spark, planSpecsFor(entity, idCol, indexes, nnq, hints))(onNext)
 
   /** Best result by a deadline (reference `QueryOp.timedParallel`). */
   def timedParallel(spark: SparkSession, entity: DataFrame, idCol: String,
@@ -220,4 +222,19 @@ object QueryOps {
       indexes.filter(_.conformsTo(nnq.distName)).map(idx =>
         Progressive.PlanSpec(s"index:${idx.indexType}", idx.confidence,
           () => index(entity, idCol, idx, nnq)))
+
+  /** Restrict the racing plan set by hints — the reference's
+    * `QueryHintsParallelPathChooser` next to the hint-less
+    * `SimpleParallelPathChooser` (`DataQuery.scala:281-287`): each hint
+    * contributes the plan it would choose; no hints = race everything. */
+  def planSpecsFor(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],
+                   nnq: NnQuery, hints: Seq[Planner.Hint]): Seq[Progressive.PlanSpec] = {
+    val all = planSpecs(entity, idCol, indexes, nnq)
+    if (hints.isEmpty) all
+    else {
+      val chosen = hints.map(h => Planner.choose(Seq(h), indexes, nnq.distName).describe).toSet
+      val picked = all.filter(s => chosen.contains(s.description))
+      if (picked.nonEmpty) picked else all.take(1) // sequential fallback
+    }
+  }
 }

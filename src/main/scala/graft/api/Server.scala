@@ -305,7 +305,11 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           req.get("timedDeadlineMs").asLong())
         writeLine(obsNode(best))
       } else {
-        QueryOps.parallel(spark, frame, idCol, indexes, nnq)(o => writeLine(obsNode(o)))
+        val hints =
+          if (req.has("hints")) graft.plans.Planner.hintsByName(
+            req.get("hints").elements().asScala.map(_.asText()).toSeq)
+          else Nil
+        QueryOps.parallel(spark, frame, idCol, indexes, nnq, hints)(o => writeLine(obsNode(o)))
       }
       val done = mapper.createObjectNode()
       done.put("done", true)

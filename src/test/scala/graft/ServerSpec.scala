@@ -165,6 +165,12 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     timed.length shouldBe 2
     timed.head.get("source").asText() shouldBe "sequential" // confidence 1.0 wins
     timed.last.get("done").asBoolean() shouldBe true
+    // hints restrict the racing set (QueryHintsParallelPathChooser)
+    val hinted = post0("/query/progressive",
+      """{"entity":"wprog","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3,"hints":["ecp"]}""")
+      .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+    hinted.length shouldBe 2 // single hinted plan + done
+    hinted.head.get("source").asText() shouldBe "index:ecp"
   }
 
   /** POST returning the raw (possibly multi-line) body. */
