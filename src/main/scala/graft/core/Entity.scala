@@ -328,10 +328,9 @@ object Entity {
       .getBytes(StandardCharsets.UTF_8))
 
   private def readMeta(p: Path): Meta = {
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    def field(k: String): String =
-      s.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}').replaceAll("\"", "")
-    Meta(field("name"), field("version").toInt, field("insertCount").toInt)
+    val root = jackson.readTree(Files.readAllBytes(p))
+    Meta(root.get("name").asText(), root.get("version").asInt(),
+      root.get("insertCount").asInt())
   }
 
   /** Create a new empty entity. Reserved `ap_*` names are rejected for
