@@ -14,14 +14,15 @@ import org.apache.spark.sql.types._
   * luminance-histogram feature vector from actual pixels. AUDIO decode
   * is REAL for the formats the JDK ships (`javax.sound.sampled`, WAV/
   * AIFF/AU): true sample rate, channels, frame count, and an amplitude
-  * histogram from the decoded PCM frames. VIDEO remains STUBBED
-  * (`decodeStub` derives deterministic pseudo-metadata from the payload
-  * bytes) — no video library exists in this container. Everything
-  * around the codecs is the production plumbing — output schemas,
-  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`: one
-  * iterator per partition, streaming, no per-row task overhead),
-  * partition sizing — so swapping in a real video decoder is a
-  * one-function change.
+  * histogram from the decoded PCM frames. VIDEO container METADATA is
+  * REAL for RIFF/AVI (hand-parsed main header: true width, height,
+  * frame count); only per-frame PIXEL decode remains behind the
+  * deterministic stub (`decodeStub`) — no video codec exists in this
+  * container. Everything around the codecs is the production plumbing —
+  * output schemas, `mapPartitions` batch shape (the Scala analog of
+  * `mapInPandas`: one iterator per partition, streaming, no per-row
+  * task overhead), partition sizing — so swapping in a real frame
+  * decoder is a one-function change.
   */
 object Multimodal {
 
@@ -38,6 +39,7 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
@@ -151,11 +153,51 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL video container metadata via a minimal RIFF/AVI parse (no
+    * codec, no library): true width, height, and total frame count from
+    * the `avih` main header, validated against the RIFF/`AVI ` magic.
+    * Pixel access would need a codec this container doesn't have, so
+    * the feature vector is the byte-value distribution of the payload —
+    * a real, deterministic container-level signature, explicitly NOT
+    * pixel features. Returns None for non-AVI payloads. */
+  def decodeVideoMeta(payload: Array[Byte], dim: Int): Option[(Int, Int, Int, Int, Array[Float])] = {
+    if (payload.length < 72) return None
+    def fourcc(o: Int, s: String): Boolean =
+      payload(o) == s(0).toByte && payload(o + 1) == s(1).toByte &&
+        payload(o + 2) == s(2).toByte && payload(o + 3) == s(3).toByte
+    def u32(o: Int): Long =
+      (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+        ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    if (!fourcc(0, "RIFF") || !fourcc(8, "AVI ")) return None
+    var at = -1
+    var i = 12
+    while (at < 0 && i + 8 + 40 <= payload.length) {
+      if (fourcc(i, "avih")) at = i
+      i += 1
+    }
+    if (at < 0) return None
+    val p = at + 8 // skip fourcc + chunk size
+    val frames = u32(p + 16).toInt
+    val width = u32(p + 32).toInt
+    val height = u32(p + 36).toInt
+    if (width <= 0 || height <= 0 || frames < 0) return None
+    val hist = new Array[Float](dim)
+    var j = 0
+    while (j < payload.length) {
+      hist((payload(j) & 0xFF) * dim / 256) += 1f
+      j += 1
+    }
+    var d = 0
+    while (d < dim) { hist(d) /= payload.length; d += 1 }
+    Some((width, height, 3, frames, hist))
+  }
+
   /** Decode + feature-extract over partition-sized batches. One
     * decoder instantiation per partition (the expensive init a real
     * codec would need), streaming rows through it. Image payloads
-    * decode for real via [[decodeImage]], audio via [[decodeAudio]];
-    * video (and unparseable payloads) take the deterministic stub. */
+    * decode for real via [[decodeImage]], audio via [[decodeAudio]],
+    * video container metadata via [[decodeVideoMeta]]; unparseable
+    * payloads take the deterministic stub. */
   def decodeAssets(assets: DataFrame, dim: Int = 16): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     assets.select("asset_id", "modality", "payload").mapPartitions { rows =>
@@ -163,14 +205,18 @@ object Multimodal {
       rows.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val modality = r.getAs[String]("modality")
-        val real = modality match {
-          case "image" => decodeImage(payload, dim)
-          case "audio" => decodeAudio(payload, dim)
+        val real: Option[(Int, Int, Int, Int, Array[Float])] = modality match {
+          case "image" => decodeImage(payload, dim).map { case (w, h, c, f) => (w, h, c, 1, f) }
+          case "audio" => decodeAudio(payload, dim).map { case (w, h, c, f) => (w, h, c, h, f) }
+          case "video" => decodeVideoMeta(payload, dim)
           case _ => None
         }
-        val (w, h, c, f) = real.getOrElse(decodeStub(payload, dim))
+        val (w, h, c, fr, f) = real.getOrElse {
+          val (sw, sh, sc, sf) = decodeStub(payload, dim)
+          (sw, sh, sc, 1 + payload.length / 1000, sf)
+        }
         Row(r.getAs[Long]("asset_id"), modality,
-          w, h, c, payload.length.toLong, f.toSeq)
+          w, h, c, fr, payload.length.toLong, f.toSeq)
       }
     }(enc)
   }
@@ -186,13 +232,14 @@ object Multimodal {
   }
 
   /** Frame sampling plan for video assets: every `everyN`-th frame index
-    * up to `maxFrames` — the real Spark-side shape (explode to one row
-    * per sampled frame; the frame grab itself is the stubbed codec). */
+    * up to `maxFrames`, bounded by the container's TRUE frame count —
+    * the real Spark-side shape (explode to one row per sampled frame;
+    * the frame grab itself is the codec step). */
   def sampleFrames(decoded: DataFrame, everyN: Int, maxFrames: Int): DataFrame =
-    decoded.filter(col("modality") === "video")
+    decoded.filter(col("modality") === "video" && col("frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), least(lit(everyN * (maxFrames - 1)),
-          (col("n_bytes") / 1000).cast("int")), lit(everyN))))
+          col("frames") - 1), lit(everyN))))
 
   /** Synthesize a deterministic asset table from any string column —
     * test/bench substrate when no real binaries exist. */

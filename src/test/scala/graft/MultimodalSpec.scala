@@ -124,6 +124,44 @@ class MultimodalSpec extends SparkSpec {
     hist.sum shouldBe 1.0f +- 1e-4f // transcoded frames, not an all-zero vector
   }
 
+  private def aviBytes(width: Int, height: Int, frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xFF).toInt))
+    bos.write("RIFF".getBytes); le32(200)
+    bos.write("AVI ".getBytes)
+    bos.write("LIST".getBytes); le32(72)
+    bos.write("hdrl".getBytes)
+    bos.write("avih".getBytes); le32(56)
+    le32(33333) // dwMicroSecPerFrame
+    le32(0); le32(0); le32(0) // maxBytesPerSec, padding, flags
+    le32(frames) // dwTotalFrames (offset 16)
+    le32(0); le32(1); le32(0) // initialFrames, streams, suggestedBuffer
+    le32(width) // dwWidth (offset 32)
+    le32(height) // dwHeight (offset 36)
+    (0 until 16).foreach(_ => le32(0)) // reserved + pad out the payload
+    bos.toByteArray
+  }
+
+  test("real AVI payloads parse to true container metadata; sampling honors frame count") {
+    val rows = Seq(
+      (30L, "video", aviBytes(320, 240, 9), Map("src" -> "gen")),
+      (31L, "video", "definitely not an avi".getBytes, Map("src" -> "gen"))
+    ).toDF("asset_id", "modality", "payload", "meta")
+    val decoded = Multimodal.decodeAssets(rows, dim = 4)
+    val got = decoded.collect().map(r => r.getLong(0) -> r).toMap
+    got(30L).getAs[Int]("width") shouldBe 320
+    got(30L).getAs[Int]("height") shouldBe 240
+    got(30L).getAs[Int]("frames") shouldBe 9
+    got(30L).getAs[collection.Seq[Float]]("features").sum shouldBe 1.0f +- 1e-4f
+    got(31L).getAs[Int]("width") should be >= 64 // stub fallback
+    // every 2nd frame of 9 capped at 5 samples -> indices 0,2,4,6,8
+    val sampled = Multimodal.sampleFrames(decoded.filter($"asset_id" === 30L),
+      everyN = 2, maxFrames = 5)
+    sampled.select("frame_idx").collect().map(_.getInt(0)).sorted shouldBe
+      Array(0, 2, 4, 6, 8)
+  }
+
   test("decoded features feed the ANN operators directly") {
     val decoded = Multimodal.decodeAssets(assets, dim = 8)
     val pairs = graft.operators.Ann.cosineNearDupPairs(decoded, "asset_id", "features", -1.0)
