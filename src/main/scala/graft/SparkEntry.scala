@@ -567,6 +567,10 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 
+    "ngram_jaccard_neardup" -> ((s, d) =>
+      Dedup.ngramJaccardNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5)
+        .orderBy("id_a", "id_b")),
+
     "corpus_neardup" -> ((s, d) => {
       // admission check: incoming docs (id >= 400) vs the ingested corpus;
       // the corpus index is a build-once artifact (cached per data dir —
@@ -1120,6 +1124,21 @@ object SparkEntry {
     // pairs are verified to collide under the fixed seeds — a pair with
     // similarity exactly at the threshold on other data could miss.
     "minhash_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh)) * 1.0
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         | FROM d a, d b WHERE a.doc_id < b.doc_id
+         |) WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // NO recall caveat here: the Spark side is the prefix-filtered EXACT
+    // set-similarity join (lossless by the All-Pairs prefix lemma), so it
+    // matches the exact all-pairs answer on any corpus, not just this one.
+    "ngram_jaccard_neardup" ->
       s"""WITH d AS (
          |  SELECT doc_id, $duckShingles AS sh FROM
          |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)

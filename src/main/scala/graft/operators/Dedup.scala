@@ -104,6 +104,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard near-duplicate pairs via a prefix-filtered
+    * set-similarity self-join (the All-Pairs / PPJoin candidate rule).
+    *
+    * Where MinHash banding is probabilistic (recall < 1 by construction),
+    * this emits the exact all-pairs answer at the threshold without ever
+    * forming the n² product. Candidate rule: order every document's
+    * shingle set by one global total order — document frequency
+    * ascending, hash as tiebreak — and keep only the first
+    * `|S| - ceil(t·|S|) + 1` shingles (the "prefix"). Any pair with
+    * Jaccard ≥ t has overlap ≥ ⌈t·max(|A|,|B|)⌉, so their prefixes must
+    * share at least one shingle (pigeonhole over the common order) —
+    * losslessness is DedupTextSpec-asserted against the cartesian.
+    *
+    * Scale shape: postings lists are built only for prefix shingles,
+    * which the frequency ordering biases toward RARE shingles — the
+    * self-join on the shingle key touches short postings, and AQE
+    * splits any residual hot key. Ids only ride the postings; shingle
+    * sets re-join by id for verification, exactly like the MinHash path.
+    */
+  def ngramJaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                               threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs a positive threshold, got $threshold")
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    // rank within each doc by the global (df, s) order; keep the prefix.
+    // The 1e-9 slack only ever LENGTHENS the prefix if t·sz rounds up
+    // across an integer boundary in floating point — safe direction.
+    val w = Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)
+    val prefix = posting.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select("s", "id")
+    val cand = prefix.select(col("s"), col("id").as("id_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", setJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** End-to-end training-data dedup pipeline: quality floor → exact
     * dedup (keep min id per normalized content) → near-dup drop (the
     * higher id of every verified MinHash pair is removed). Returns the

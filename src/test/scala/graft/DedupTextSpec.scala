@@ -46,6 +46,47 @@ class DedupTextSpec extends SparkSpec {
     j shouldBe 1.0
   }
 
+  test("ngram jaccard prefix join is lossless vs the cartesian") {
+    // larger corpus with graded overlap so the prefix filter actually
+    // prunes: 12 docs, several near-threshold pairs
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+      (3L, "alpha beta gamma delta epsilon xi omicron pi rho sigma"),
+      (4L, "tau upsilon phi chi psi omega one two three four"),
+      (5L, "tau upsilon phi chi psi omega one two three five"),
+      (6L, "entirely disjoint vocabulary with no shared trigrams here"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 0
+      (8L, "one two three four five six seven eight nine ten"),
+      (9L, "one two three four five six seven eight nine eleven"),
+      (10L, "spark scans shuffle joins aggregate sort exchange partition"),
+      (11L, "spark scans shuffle joins aggregate sort exchange broadcast")
+    ).toDF("doc_id", "text")
+    // candidate generation is an equi-join on the shingle key — never a
+    // product, whatever the threshold
+    val plan = Dedup.ngramJaccardNearDupPairs(corpus, "text", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val got = Dedup.ngramJaccardNearDupPairs(corpus, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute-force exact all-pairs ground truth
+      val sh = corpus.select($"doc_id",
+        Dedup.shingles($"text", 3).as("sh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val want = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        j = sh(a).intersect(sh(b)).size.toDouble /
+          (sh(a).size + sh(b).size - sh(a).intersect(sh(b)).size)
+        if j >= t
+      } yield (a, b, math.round(j * 10000) / 10000.0)).toSet
+      got shouldBe want
+      withClue(s"t=$t expected some pruning survivors:") { want should not be empty }
+    }
+  }
+
   test("simhash of identical docs equal; near dups within hamming 3") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
