@@ -14,6 +14,14 @@ object Verify {
     // the driver always runs all of them)
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(',').toSet) else None
+    // a typo'd name would otherwise "pass" by checking nothing
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -164,12 +164,28 @@ object QueryOps {
     idx.knn(entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
   }
 
+  /** Choose the hint-walked plan for this entity. A SPARSIFIED entity
+    * (struct vector column) restricts the walk to the sequential plan —
+    * stored indexes cover the dense encoding, so an index plan would
+    * fail deep in the kernel type check. */
+  def choosePlan(entity: DataFrame, indexes: Seq[VectorIndex],
+                 hints: Seq[Planner.Hint], nnq: NnQuery): Planner.Plan = {
+    val sparse = entity.schema.find(_.name == nnq.vecCol)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    Planner.choose(hints, if (sparse) Nil else indexes, nnq.distName)
+  }
+
+  /** Execute an already-chosen plan with encoding-aware distance
+    * dispatch (sparse kernels for sparsified entities, like
+    * [[sequential]]). */
+  def runPlan(plan: Planner.Plan, entity: DataFrame, idCol: String,
+              nnq: NnQuery): DataFrame =
+    Planner.run(plan, entity, idCol, distanceColumnFor(entity, nnq), nnq.q, nnq.k)
+
   /** Hint-planned kNN (reference `QueryOp.expression` + hint grammar). */
   def planned(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],
-              hints: Seq[Planner.Hint], nnq: NnQuery): DataFrame = {
-    val plan = Planner.choose(hints, indexes, nnq.distName)
-    Planner.run(plan, entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
-  }
+              hints: Seq[Planner.Hint], nnq: NnQuery): DataFrame =
+    runPlan(choosePlan(entity, indexes, hints, nnq), entity, idCol, nnq)
 
   /** Boolean query (reference `QueryOp.booleanQuery`). */
   def booleanQuery(entity: DataFrame, predicates: Seq[BooleanPredicates.Predicate]): DataFrame =
@@ -205,11 +221,13 @@ object QueryOps {
               (implicit ec: ExecutionContext): Seq[Progressive.Observation] =
     Progressive.parallel(spark, planSpecsFor(entity, idCol, indexes, nnq, hints))(onNext)
 
-  /** Best result by a deadline (reference `QueryOp.timedParallel`). */
+  /** Best result by a deadline (reference `QueryOp.timedParallel`).
+    * Hints restrict the racing set exactly as in [[parallel]]. */
   def timedParallel(spark: SparkSession, entity: DataFrame, idCol: String,
-                    indexes: Seq[VectorIndex], nnq: NnQuery, deadlineMs: Long)
+                    indexes: Seq[VectorIndex], nnq: NnQuery, deadlineMs: Long,
+                    hints: Seq[Planner.Hint] = Nil)
                    (implicit ec: ExecutionContext): Progressive.Observation =
-    Progressive.timed(spark, planSpecs(entity, idCol, indexes, nnq), deadlineMs)
+    Progressive.timed(spark, planSpecsFor(entity, idCol, indexes, nnq, hints), deadlineMs)
 
   /** Memoized execution keyed by a query fingerprint (reference
     * `CacheExpression`). */
@@ -234,7 +252,11 @@ object QueryOps {
     else {
       val chosen = hints.map(h => Planner.choose(Seq(h), indexes, nnq.distName).describe).toSet
       val picked = all.filter(s => chosen.contains(s.description))
-      if (picked.nonEmpty) picked else all.take(1) // sequential fallback
+      // unreachable today (choose always yields a plan matching a spec
+      // by construction) — but fall back to the EXPLICIT sequential
+      // spec, not a positional head, if the invariant ever breaks
+      if (picked.nonEmpty) picked
+      else all.filter(_.description == "sequential")
     }
   }
 }

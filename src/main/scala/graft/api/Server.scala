@@ -46,7 +46,7 @@ import graft.operators.BooleanPredicates
   * | /query/page       | {pageToken}                                      |
   * | /entity/insert/stream | newline-delimited JSON rows (body streamed)  |
   * | /query/progressive    | {entity, idCol, vecCol, q, dist?, k?,        |
-  * |                       |  timedDeadlineMs?} → chunked JSON lines      |
+  * |                       |  timedDeadlineMs?, hints?} → chunked lines   |
   *
   * Result paging mirrors the reference's stepped result shipping
   * (`MessageParser.scala:502-503`: MAX_RESULTS 50000, STEP_SIZE 500):
@@ -299,16 +299,16 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         }
         n
       }
+      val hints =
+        if (req.has("hints")) graft.plans.Planner.hintsByName(
+          req.get("hints").elements().asScala.map(_.asText()).toSeq)
+        else Nil
       if (req.has("timedDeadlineMs")) {
         // best-by-deadline: single winning observation (QueryOp.timedParallel)
         val best = QueryOps.timedParallel(spark, frame, idCol, indexes, nnq,
-          req.get("timedDeadlineMs").asLong())
+          req.get("timedDeadlineMs").asLong(), hints)
         writeLine(obsNode(best))
       } else {
-        val hints =
-          if (req.has("hints")) graft.plans.Planner.hintsByName(
-            req.get("hints").elements().asScala.map(_.asText()).toSeq)
-          else Nil
         QueryOps.parallel(spark, frame, idCol, indexes, nnq, hints)(o => writeLine(obsNode(o)))
       }
       val done = mapper.createObjectNode()
@@ -398,13 +398,21 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             QueryOps.index(e.read(), idCol, loaded.index, nnq)
           } else if (req.has("hints")) {
             // reference QueryMessage.hints: names walked in order by the
-            // planner over the entity's fresh stored indexes
+            // planner over the entity's fresh stored indexes. Indexes
+            // load lazily — a sequential-only hint walk never touches
+            // the index store. The plan is chosen ONCE: the reported
+            // `plan` field is the plan that executes (a second walk
+            // could diverge when concurrent queries record planner
+            // measurements between the two calls).
             val hints = graft.plans.Planner.hintsByName(
               req.get("hints").elements().asScala.map(_.asText()).toSeq)
-            val indexes = e.listIndexes.map(e.loadIndex).filterNot(_.stale).map(_.index)
-            val plan = graft.plans.Planner.choose(hints, indexes, nnq.distName)
+            val frame = e.read()
+            val indexes =
+              if (hints.forall(_ == graft.plans.Planner.SequentialHint)) Nil
+              else e.listIndexes.map(e.loadIndex).filterNot(_.stale).map(_.index)
+            val plan = QueryOps.choosePlan(frame, indexes, hints, nnq)
             out.put("plan", plan.describe)
-            QueryOps.planned(e.read(), idCol, indexes, hints, nnq)
+            QueryOps.runPlan(plan, frame, idCol, nnq)
           } else QueryOps.sequential(e.read(), idCol, nnq)
         pagedRows(out, result.select(col(idCol), col("distance")))
       case other => throw new IllegalArgumentException(s"no such endpoint: $other")

@@ -125,6 +125,21 @@ object Dedup {
     */
   def ngramJaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                                threshold: Double, n: Int = 3): DataFrame = {
+    val (pairs, sh) = ngramJaccardPlan(df, textCol, idCol, threshold, n)
+    // Materialize the (pair-scale) verified result eagerly so the
+    // shingle cache can be released NOW — returning the lazy frame
+    // would pin one persisted copy of the corpus shingles per call for
+    // the session lifetime (the CorpusIndex.release() hazard).
+    val out = pairs.localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[ngramJaccardNearDupPairs]]: (verified
+    * pairs, the persisted shingle frame the caller must unpersist).
+    * Package-private so specs can assert the join shape pre-checkpoint. */
+  private[graft] def ngramJaccardPlan(df: DataFrame, textCol: String, idCol: String,
+                                      threshold: Double, n: Int): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs a positive threshold, got $threshold")
     val sh = df.select(col(idCol).as("id"),
@@ -140,17 +155,23 @@ object Dedup {
     val prefix = posting.join(freq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select("s", "id")
-    val cand = prefix.select(col("s"), col("id").as("id_a"))
-      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+      .select("s", "id", "sz")
+    // candidate join on the prefix shingle key, plus the All-Pairs
+    // LENGTH filter: J(A,B) ≥ t ⟹ min|S| ≥ t·max|S| (J ≤ min/max),
+    // so size-incompatible pairs drop before the distinct + verify
+    val cand = prefix.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
       .select("id_a", "id_b").distinct()
-    cand
+    val pairs = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", setJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    (pairs, sh)
   }
 
   /** End-to-end training-data dedup pipeline: quality floor → exact
