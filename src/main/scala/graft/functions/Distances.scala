@@ -103,14 +103,12 @@ object Distances {
     }), w, (e, wi) => wi.cast(D) * e))
 
   /** 1 − Pearson = cosine distance of mean-centered vectors
-    * (reference `CorrelationDistance.scala`). */
-  def correlation(a: Column, b: Column): Column = {
-    val ma = sumArr(transform(a, _.cast(D))) / size(a).cast(D)
-    val mb = sumArr(transform(b, _.cast(D))) / size(b).cast(D)
-    val ca = transform(a, x => x.cast(D) - ma)
-    val cb = transform(b, x => x.cast(D) - mb)
-    cosine(ca, cb)
-  }
+    * (reference `CorrelationDistance.scala`). Fused two-pass codegen
+    * kernel — the earlier HOF composition (interpreted `transform` to
+    * center, no CSE on the mean subtrees) allocated two arrays per row
+    * and measured ~7× slower than the cosine kernel on the same scan. */
+  def correlation(a: Column, b: Column): Column =
+    VectorKernel(VectorKernel.Correlation, a, b)
 
   /** Σ w·[x ≠ y] — exact inequality count, matching the reference
     * (`HammingDistance.scala:14-22`, `Σ(x≠y)·w`). */

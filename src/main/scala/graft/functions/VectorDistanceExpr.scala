@@ -36,8 +36,9 @@ object VectorKernel {
   val CosineSim = "cosinesim"
   val Hamming = "hamming"
   val SpanNorm = "spannorm"
+  val Correlation = "correlation"
   val All: Set[String] = Set(Manhattan, SqEuclidean, Euclidean, Chebyshev,
-    Dot, CosineDist, CosineSim, Hamming, SpanNorm)
+    Dot, CosineDist, CosineSim, Hamming, SpanNorm, Correlation)
 
   /** Column-level entry point. */
   def apply(kind: String, a: Column, b: Column): Column =
@@ -117,6 +118,24 @@ case class VectorDistanceExpr(left: Expression, right: Expression, kind: String)
           }
           mx - mn
         }
+      case VectorKernel.Correlation =>
+        // Two passes, matching the HOF formulation's arithmetic exactly:
+        // means over each FULL array (left-to-right double sums), then
+        // cosine distance of the centered values over the common prefix.
+        val la = xs.numElements(); val lb = ys.numElements()
+        var sx = 0.0; var sy = 0.0; var i = 0
+        while (i < la) { sx += x(i); i += 1 }
+        i = 0
+        while (i < lb) { sy += y(i); i += 1 }
+        val ma = sx / la; val mb = sy / lb
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        i = 0
+        while (i < n) {
+          val xc = x(i) - ma; val yc = y(i) - mb
+          dot += xc * yc; na += xc * xc; nb += yc * yc; i += 1
+        }
+        val sna = math.sqrt(na); val snb = math.sqrt(nb)
+        if (sna < 1e-5 || snb < 1e-5) 0.0 else 1.0 - dot / (sna * snb)
     }
   }
 
@@ -188,6 +207,35 @@ case class VectorDistanceExpr(left: Expression, right: Expression, kind: String)
              |  if (d < $mn) $mn = d;
              |}
              |${ev.value} = ($n == 0) ? 0.0 : $mx - $mn;""".stripMargin
+        case VectorKernel.Correlation =>
+          // Janino rejects re-declaring the same for-init variable in
+          // sequential loops within one block — each loop gets its own
+          // fresh index name.
+          val la = ctx.freshName("la")
+          val lb = ctx.freshName("lb")
+          val j1 = ctx.freshName("j1")
+          val j2 = ctx.freshName("j2")
+          val sx = ctx.freshName("sx")
+          val sy = ctx.freshName("sy")
+          val ma = ctx.freshName("ma")
+          val mb = ctx.freshName("mb")
+          val dot = ctx.freshName("dot")
+          val na = ctx.freshName("na")
+          val nb = ctx.freshName("nb")
+          val getXj1 = if (elemIsFloat(left)) s"(double) $a.getFloat($j1)" else s"$a.getDouble($j1)"
+          val getYj2 = if (elemIsFloat(right)) s"(double) $b.getFloat($j2)" else s"$b.getDouble($j2)"
+          s"""int $la = $a.numElements(); int $lb = $b.numElements();
+             |double $sx = 0.0; double $sy = 0.0;
+             |for (int $j1 = 0; $j1 < $la; $j1++) { $sx += $getXj1; }
+             |for (int $j2 = 0; $j2 < $lb; $j2++) { $sy += $getYj2; }
+             |double $ma = $sx / $la; double $mb = $sy / $lb;
+             |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $xs = $getX - $ma; $ys = $getY - $mb;
+             |  $dot += $xs * $ys; $na += $xs * $xs; $nb += $ys * $ys;
+             |}
+             |$na = java.lang.Math.sqrt($na); $nb = java.lang.Math.sqrt($nb);
+             |${ev.value} = ($na < 1e-5 || $nb < 1e-5) ? 0.0 : 1.0 - $dot / ($na * $nb);""".stripMargin
       }
       header + "\n" + body
     })

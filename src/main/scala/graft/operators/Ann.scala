@@ -179,11 +179,19 @@ object Ann {
                             numBands: Int = 16, seed: Long = 42L): DataFrame = {
     val bitsPerBand = numBits / numBands
     val planes = hyperplanes(numBits, dim, seed)
+    // The banded relation feeds both sides of the self-join; without a
+    // persist the hyperplane-signature kernel runs twice over the corpus.
+    // Candidates are id pairs only (tiny next to the corpus), so
+    // materialize them eagerly and release the cache before building the
+    // verify plan — same shape as Dedup.ngramJaccardNearDupPairs.
     val banded = bandSignatures(df, idCol, vecCol, planes, numBands, bitsPerBand, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("chunk"), col("id").as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint(true)
+    banded.unpersist()
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Distances.norm2(col(vecCol)).as("nrm"))
     cand

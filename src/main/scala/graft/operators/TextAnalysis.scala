@@ -91,6 +91,66 @@ object TextAnalysis {
     when(best("score") === 0, lit("und")).otherwise(best("lang"))
   }
 
+  /** Per-document repetition signals (the Gopher-style quality filters):
+    * duplicate-token fraction, most-frequent-token share, and duplicate
+    * bigram fraction. Shuffle-based (explode → count per (doc, gram) →
+    * re-aggregate per doc) rather than per-row HOF counting: at scale the
+    * per-row alternative is O(tokens²) in the interpreted-lambda engine,
+    * while this shape is two standard map-side-combined aggregations over
+    * O(total tokens) rows. Docs with fewer than 2 tokens get bigram
+    * fraction 0.
+    *
+    * Output: (id, token_cnt, dup_token_frac, top_token_frac,
+    * dup_bigram_frac), fractions rounded to 4.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val tok = toks.select(col("id"), explode(col("toks")).as("g"))
+    val tokStats = tok.groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        sum("cnt").as("token_cnt"),
+        count(lit(1)).as("distinct_toks"),
+        max("cnt").as("top_cnt"))
+    val bigrams = toks.select(col("id"),
+      explode(when(size(col("toks")) < 2, array[Column]())
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))).as("g"))
+    val biStats = bigrams.groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        sum("cnt").as("bigram_cnt"),
+        count(lit(1)).as("distinct_bigrams"))
+    tokStats.join(biStats, Seq("id"), "left")
+      .select(col("id"),
+        col("token_cnt"),
+        round((col("token_cnt") - col("distinct_toks")).cast("double") /
+          col("token_cnt"), 4).as("dup_token_frac"),
+        round(col("top_cnt").cast("double") / col("token_cnt"), 4).as("top_token_frac"),
+        coalesce(round((col("bigram_cnt") - col("distinct_bigrams")).cast("double") /
+          col("bigram_cnt"), 4), lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** PII patterns — deliberately simple cross-dialect regexes (Java
+    * `util.regex` on the Spark side, RE2 in typical external engines):
+    * email, NANP-style phone, dotted-quad IPv4. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of matches of `pattern` in the text. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace email/phone/IPv4 matches with typed redaction markers —
+    * applied in fixed order (email, phone, ip) so engines replaying the
+    * same order agree byte-for-byte. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Character-level polynomial rolling hash over the whitespace-normalized,
     * lower-cased text: `h = (h*131 + codepoint) mod 1e9+7`, seed 7 —
     * order-sensitive, so it distinguishes permuted documents (unlike
