@@ -98,13 +98,17 @@ object TextAnalysis {
     * per-row alternative is O(tokens²) in the interpreted-lambda engine,
     * while this shape is two standard map-side-combined aggregations over
     * O(total tokens) rows. Docs with fewer than 2 tokens get bigram
-    * fraction 0.
+    * fraction 0. Every input id appears exactly once in the output:
+    * null-text and empty-text docs (zero tokens after empty-token
+    * filtering) report token_cnt 0 and all-zero fractions.
     *
     * Output: (id, token_cnt, dup_token_frac, top_token_frac,
     * dup_bigram_frac), fractions rounded to 4.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val ids = df.select(col(idCol).as("id"))
+    val toks = df.select(col(idCol).as("id"),
+      filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
     val tok = toks.select(col("id"), explode(col("toks")).as("g"))
     val tokStats = tok.groupBy("id", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("id").agg(
@@ -112,7 +116,7 @@ object TextAnalysis {
         count(lit(1)).as("distinct_toks"),
         max("cnt").as("top_cnt"))
     val bigrams = toks.select(col("id"),
-      explode(when(size(col("toks")) < 2, array[Column]())
+      explode(when(size(col("toks")) < 2, typedlit(Seq.empty[String]))
         .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
           i => concat_ws(" ", element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2))))).as("g"))
@@ -120,12 +124,13 @@ object TextAnalysis {
       .groupBy("id").agg(
         sum("cnt").as("bigram_cnt"),
         count(lit(1)).as("distinct_bigrams"))
-    tokStats.join(biStats, Seq("id"), "left")
+    ids.join(tokStats, Seq("id"), "left").join(biStats, Seq("id"), "left")
       .select(col("id"),
-        col("token_cnt"),
-        round((col("token_cnt") - col("distinct_toks")).cast("double") /
-          col("token_cnt"), 4).as("dup_token_frac"),
-        round(col("top_cnt").cast("double") / col("token_cnt"), 4).as("top_token_frac"),
+        coalesce(col("token_cnt"), lit(0L)).as("token_cnt"),
+        coalesce(round((col("token_cnt") - col("distinct_toks")).cast("double") /
+          col("token_cnt"), 4), lit(0.0)).as("dup_token_frac"),
+        coalesce(round(col("top_cnt").cast("double") / col("token_cnt"), 4),
+          lit(0.0)).as("top_token_frac"),
         coalesce(round((col("bigram_cnt") - col("distinct_bigrams")).cast("double") /
           col("bigram_cnt"), 4), lit(0.0)).as("dup_bigram_frac"))
   }
@@ -163,6 +168,17 @@ object TextAnalysis {
     val norm = Dedup.normalize(text)
     when(length(norm) === 0, lit(7L)).otherwise(
       aggregate(split(norm, ""), lit(7L),
+        (h, c) => pmod(h * 131L + ascii(c), p)))
+  }
+
+  /** Same rolling hash over the RAW text — no case folding or whitespace
+    * collapsing. For sampling keys (see [[Sampling.keyHash]]) where keys
+    * differing only in case/whitespace must hash differently. Null text
+    * hashes to null (callers decide null policy). */
+  def rawRollingFingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    when(length(text) === 0, lit(7L)).otherwise(
+      aggregate(split(text, ""), lit(7L),
         (h, c) => pmod(h * 131L + ascii(c), p)))
   }
 }
