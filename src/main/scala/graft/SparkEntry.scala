@@ -623,6 +623,62 @@ object SparkEntry {
           Seq("vector", "join", "hash"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy("doc_id")),
+
+    // --- quality filtering + sampling (LLM pipeline, round-6 surface) ---
+    "repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id")),
+
+    "pii_scan" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), piiText.as("text"))
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRe).as("emails"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.PhoneRe).as("phones"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Re).as("ips"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+      .orderBy("doc_id")),
+
+    "sample_bernoulli" -> ((s, d) =>
+      Sampling.bernoulliSample(Tables.documents(s, d), "text", 0.25)
+        .select("doc_id").orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 0.2)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "quality_filter_verdicts" -> ((s, d) =>
+      TextAnalysis.qualityVerdicts(Tables.documents(s, d), "text", "doc_id",
+          minQuality = 0.5, maxDupTokenFrac = 0.6, maxTopTokenFrac = 0.15,
+          maxDupBigramFrac = 0.08, maxPii = 0)
+        .orderBy("id")),
+
+    "corpus_simhash_neardup" -> ((s, d) => {
+      // admission check, SimHash flavor: same build-once corpus-index
+      // contract as corpus_neardup / corpus_cosine_neardup
+      val docs = Tables.documents(s, d)
+      val idx = simhashCorpusIndexes.getOrElseUpdate(d,
+        Dedup.simhashIndexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id"))
+      Dedup.simhashAgainstCorpus(docs.filter(col("doc_id") >= 400),
+          "text", "doc_id", idx, 3)
+        .orderBy("in_id", "corpus_id")
+    }),
+
+    // --- geometry slice: WKT point attribute + Haversine radius scan ---
+    "geo_radius" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      // WKT round-trips the exact double (shortest-repr print + reparse),
+      // so the distance equals computing straight off the raw columns —
+      // which is exactly what the oracle does
+      val wkt = emb.select(col("vec_id"),
+        Geo.wktPoint(element_at(col("embedding"), 2).cast("double") * 40.0,
+          element_at(col("embedding"), 1).cast("double") * 20.0).as("wkt"))
+      wkt.select(col("vec_id"),
+          round(Geo.haversineMeters(Geo.wktLat(col("wkt")), Geo.wktLng(col("wkt")),
+            lit(q(0) * 20.0), lit(q(1) * 40.0)), 2).as("dist_m"))
+        .filter(col("dist_m") <= 250000.0)
+        .orderBy("vec_id")
+    }),
   )
 
   private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
@@ -700,6 +756,17 @@ object SparkEntry {
   private val cosineCorpusIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Ann.CosineCorpusIndex]
 
+  private val simhashCorpusIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Dedup.SimHashCorpusIndex]
+
+  /** Documents text with synthetic PII appended (email + IP + phone
+    * derived from doc_id) so the PII scan exercises real matches; every
+    * piece is replayable by the oracle's `||` concatenation. */
+  private def piiText: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail.example or 192.168."), (col("doc_id") % 254 + 1).cast("string"),
+    lit(".7 call 555-867-530"), (col("doc_id") % 10).cast("string"), lit("."))
+
   /** Pre-build + persist every index for `dir` (untimed bench warmup). */
   def warmIndexes(s: SparkSession, d: String): Unit =
     indexBuilders.keys.toSeq.sorted.foreach(cachedIndex(s, d, _))
@@ -740,6 +807,51 @@ object SparkEntry {
        |   i -> array_to_string(toks[i:i+2], ' ')) END)""".stripMargin
   private val duckStops =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Raw rolling key hash `h = (h·131 + codepoint) mod 1e9+7` (seed 7,
+    * NULL/empty → 7) — the DuckDB replay of
+    * [[graft.operators.Sampling.keyHash]]. */
+  private def duckRawHash(expr: String) =
+    s"""CASE WHEN $expr IS NULL OR length($expr) = 0 THEN CAST(7 AS BIGINT) ELSE
+       | list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |   list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |   (h, c) -> (h * 131 + c) % 1000000007) END""".stripMargin
+
+  /** Token/bigram repetition CTEs over `documents` — the DuckDB replay of
+    * [[graft.operators.TextAnalysis.repetitionSignals]]'s two
+    * aggregations. Yields `tk/ts/bs` for the select in [[duckRepCols]]. */
+  private val duckRepCtes =
+    s"""tk AS (SELECT doc_id, list_filter($duckToks, t -> length(t) > 0) AS toks
+       |       FROM documents),
+       |ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS token_cnt,
+       |              count(*) AS distinct_toks, max(cnt) AS top_cnt
+       |       FROM (SELECT doc_id, g, count(*) AS cnt
+       |             FROM (SELECT doc_id, unnest(toks) AS g FROM tk)
+       |             GROUP BY doc_id, g)
+       |       GROUP BY doc_id),
+       |bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS bigram_cnt,
+       |              count(*) AS distinct_bigrams
+       |       FROM (SELECT doc_id, g, count(*) AS cnt
+       |             FROM (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN [] ELSE
+       |                     list_transform(generate_series(1, len(toks)-1),
+       |                       i -> toks[i] || ' ' || toks[i+1]) END) AS g
+       |                   FROM tk)
+       |             GROUP BY doc_id, g)
+       |       GROUP BY doc_id)""".stripMargin
+
+  private val duckRepCols =
+    """coalesce(ts.token_cnt, 0) AS token_cnt,
+      | coalesce(round(CAST(ts.token_cnt - ts.distinct_toks AS DOUBLE) / ts.token_cnt, 4), 0.0) AS dup_token_frac,
+      | coalesce(round(CAST(ts.top_cnt AS DOUBLE) / ts.token_cnt, 4), 0.0) AS top_token_frac,
+      | coalesce(round(CAST(bs.bigram_cnt - bs.distinct_bigrams AS DOUBLE) / bs.bigram_cnt, 4), 0.0) AS dup_bigram_frac""".stripMargin
+
+  /** The synthetic-PII text of the `pii_scan` query, in DuckDB `||`.
+    * Single line: `||` at a line start would lose a pipe to the OUTER
+    * interpolating string's stripMargin. */
+  private val duckPiiText =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or 192.168.' " +
+      "|| CAST(doc_id % 254 + 1 AS VARCHAR) || '.7 call 555-867-530' " +
+      "|| CAST(doc_id % 10 AS VARCHAR) || '.'"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1240,6 +1352,110 @@ object SparkEntry {
       val cases = ss.map { case (l, sc) => s"WHEN $sc = $maxExpr THEN '$l'" }.mkString(" ")
       s"""SELECT doc_id, CASE WHEN $maxExpr = 0 THEN 'und' $cases END AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "repetition_signals" ->
+      s"""WITH $duckRepCtes
+         |SELECT d.doc_id AS id, $duckRepCols
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN ts ON d.doc_id = ts.doc_id
+         |LEFT JOIN bs ON d.doc_id = bs.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "pii_scan" ->
+      s"""WITH p AS (SELECT doc_id, $duckPiiText AS text FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS emails,
+         | len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS phones,
+         | len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS ips,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |   '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+         |   '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "sample_bernoulli" ->
+      s"""SELECT doc_id FROM
+         | (SELECT doc_id, ${duckRawHash("text")} AS h FROM documents)
+         |WHERE h % 10000 < 2500 ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS kh
+         |           FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang ORDER BY kh, doc_id) AS rn,
+         |        ceil(0.2 * count(*) OVER (PARTITION BY lang)) AS quota FROM h)
+         |SELECT doc_id, lang FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "quality_filter_verdicts" -> {
+      val quality =
+        s"""( least(length(text) / 200.0, 1.0)
+           |  + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
+           |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
+           | ) / 3.0""".stripMargin
+      val reason =
+        """CASE WHEN quality < 0.5 THEN 'low_quality'
+          |      WHEN dup_token_frac > 0.6 THEN 'dup_tokens'
+          |      WHEN top_token_frac > 0.15 THEN 'top_token'
+          |      WHEN dup_bigram_frac > 0.08 THEN 'dup_bigrams'
+          |      WHEN pii_cnt > 0 THEN 'pii'
+          |      ELSE 'ok' END""".stripMargin
+      s"""WITH $duckRepCtes,
+         |q AS (SELECT doc_id, round($quality, 4) AS quality,
+         |        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+         |          + len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
+         |          + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS pii_cnt
+         |      FROM documents),
+         |r AS (SELECT q.doc_id AS id, q.quality, q.pii_cnt, $duckRepCols
+         |      FROM q LEFT JOIN ts ON q.doc_id = ts.doc_id
+         |             LEFT JOIN bs ON q.doc_id = bs.doc_id)
+         |SELECT id, quality, token_cnt, dup_token_frac, top_token_frac,
+         |       dup_bigram_frac, pii_cnt,
+         |       ($reason) = 'ok' AS keep, $reason AS reason
+         |FROM r ORDER BY id""".stripMargin
+    },
+
+    // same portable-SimHash replay as simhash_neardup, restricted to the
+    // incoming (id >= 400) × corpus (id < 400) cross pairs
+    "corpus_simhash_neardup" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents),
+         |rs AS (SELECT doc_id, list_transform(toks, tok ->
+         |         CASE WHEN length(tok) = 0 THEN CAST(7 AS BIGINT) ELSE
+         |           list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |             list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |             (h, c) -> (h * 131 + c) % 1000000007) END) AS rs FROM tk),
+         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), i ->
+         |         CASE WHEN list_sum(list_transform(rs, r ->
+         |             CASE WHEN ((2654435761 * (i + 1)) % 1000000007 * r
+         |                        + (40503 * (i + 1) + 2531011) % 1000000007) % 1000000007
+         |                       > 500000003
+         |                  THEN 1 ELSE -1 END)) > 0
+         |              THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim
+         |        FROM rs)
+         |SELECT a.doc_id AS in_id, b.doc_id AS corpus_id,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |FROM sig a, sig b
+         |WHERE a.doc_id >= 400 AND b.doc_id < 400 AND bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY in_id, corpus_id""".stripMargin,
+
+    "geo_radius" -> {
+      def glat(e: String) = s"radians(greatest(-90.0, least(90.0, CAST($e[1] AS DOUBLE) * 20.0)))"
+      def glng(e: String) =
+        s"""radians(CASE WHEN fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        s"""(power(sin((${glat("e.embedding")} - ${glat("q.qv")}) / 2), 2)
+           | + cos(${glat("q.qv")}) * cos(${glat("e.embedding")})
+           |   * power(sin((${glng("e.embedding")} - ${glng("q.qv")}) / 2), 2))""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, dist_m FROM (
+         |  SELECT e.vec_id,
+         |         round(2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)), 2) AS dist_m
+         |  FROM embeddings e, q
+         |) WHERE dist_m <= 250000.0 ORDER BY vec_id""".stripMargin
     },
   )
 

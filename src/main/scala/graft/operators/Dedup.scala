@@ -174,14 +174,28 @@ object Dedup {
     (pairs, sh)
   }
 
-  /** End-to-end training-data dedup pipeline: quality floor → exact
-    * dedup (keep min id per normalized content) → near-dup drop (the
-    * higher id of every verified MinHash pair is removed). Returns the
-    * surviving ids. Every stage is the scale-shaped operator above —
-    * one pipeline, no driver-side loops. */
+  /** End-to-end training-data dedup pipeline: quality floor → optional
+    * repetition filter (Gopher-style duplicate-token / top-token ceilings
+    * via [[TextAnalysis.repetitionSignals]]) → exact dedup (keep min id
+    * per normalized content) → near-dup drop (the higher id of every
+    * verified MinHash pair is removed). Returns the surviving ids. Every
+    * stage is the scale-shaped operator above — one pipeline, no
+    * driver-side loops. The repetition stage defaults OFF (ceilings 1.0:
+    * dup fractions are < 1 and a ≤-check at 1.0 never drops). */
   def dedupPipeline(df: DataFrame, textCol: String, idCol: String,
-                    minQuality: Double, threshold: Double): DataFrame = {
-    val quality = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+                    minQuality: Double, threshold: Double,
+                    maxDupTokenFrac: Double = 1.0,
+                    maxTopTokenFrac: Double = 1.0): DataFrame = {
+    val floor = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val quality =
+      if (maxDupTokenFrac >= 1.0 && maxTopTokenFrac >= 1.0) floor
+      else {
+        val keepIds = TextAnalysis.repetitionSignals(floor, textCol, idCol)
+          .filter(col("dup_token_frac") <= maxDupTokenFrac &&
+            col("top_token_frac") <= maxTopTokenFrac)
+          .select(col("id").as(idCol))
+        floor.join(keepIds, Seq(idCol), "left_semi")
+      }
     // referenced by the band self-join (2×), the shingle join, and the
     // final anti-join — persist or every reference re-runs the quality
     // scan + exact-dedup window shuffle
@@ -255,6 +269,11 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.HashSig.simhashPortable(split(normalize(text), " "))
 
+  /** The 15-bit band chunks of a 60-bit SimHash fingerprint, as
+    * (band, chunk) columns appended after exploding band ∈ [0, 4). */
+  private def simhashChunk(sig: Column, band: Column): Column =
+    call_function("shiftright", sig, band * 15).bitwiseAND(0x7FFFL)
+
   /** SimHash near-dup pairs: band the 60-bit fingerprint into four
     * 15-bit chunks (Hamming ≤ 3 ⇒ at least one chunk identical by
     * pigeonhole, so for maxHamming ≤ 3 the banding is EXACT, not
@@ -264,8 +283,7 @@ object Dedup {
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", simhash(col("text")))
     val banded = withSig.withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk",
-        call_function("shiftright", col("sim"), col("band") * 15).bitwiseAND(0x7FFFL))
+      .withColumn("chunk", simhashChunk(col("sim"), col("band")))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "chunk"))
@@ -274,5 +292,47 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** A reference corpus prepared for incoming-vs-corpus SimHash checks:
+    * the banded (band, chunk, corpus_id, sim_c) relation, persisted once.
+    * SimHash sibling of [[CorpusIndex]] — one long per doc instead of a
+    * shingle set, so the index is even narrower. */
+  final case class SimHashCorpusIndex(banded: DataFrame) {
+    def release(): Unit = banded.unpersist()
+  }
+
+  /** Band a static reference corpus's SimHash fingerprints once —
+    * the build side of [[simhashAgainstCorpus]]. */
+  def simhashIndexCorpus(corpus: DataFrame, textCol: String, idCol: String): SimHashCorpusIndex = {
+    val banded = corpus
+      .select(col(idCol).as("corpus_id"), simhash(col(textCol)).as("sim_c"))
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", simhashChunk(col("sim_c"), col("band")))
+      .select("band", "chunk", "corpus_id", "sim_c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SimHashCorpusIndex(banded)
+  }
+
+  /** SimHash admission check: incoming docs vs a prepared corpus index.
+    * Incoming rows band inline and equi-join the corpus on (band, chunk);
+    * the 60-bit signatures ride the join (16 bytes/pair), so no re-join is
+    * needed for verification. Exact (not approximate) for maxHamming ≤ 3
+    * by the 4-band pigeonhole. Emits `(in_id, corpus_id, hamming)`.
+    *
+    * Works unchanged on a streaming `incoming` frame via `foreachBatch`
+    * (stream-static join against the persisted corpus side, no
+    * stream-side state) — mirrors [[nearDupAgainstCorpus]]. */
+  def simhashAgainstCorpus(incoming: DataFrame, textCol: String, idCol: String,
+                           idx: SimHashCorpusIndex, maxHamming: Int = 3): DataFrame = {
+    val inBanded = incoming
+      .select(col(idCol).as("in_id"), simhash(col(textCol)).as("sim_i"))
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", simhashChunk(col("sim_i"), col("band")))
+    inBanded.join(idx.banded, Seq("band", "chunk"))
+      .select("in_id", "corpus_id", "sim_i", "sim_c").distinct()
+      .withColumn("hamming", bit_count(col("sim_i").bitwiseXOR(col("sim_c"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("in_id", "corpus_id", "hamming")
   }
 }

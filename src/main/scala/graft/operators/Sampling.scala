@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * row sampling and exact per-stratum subsampling.
   *
   * Both are driven by a PORTABLE key hash (the char-level rolling hash of
-  * [[TextAnalysis.rollingFingerprint]], `h = (h·131 + codepoint) mod
-  * 1e9+7`) rather than `xxhash64`/`rand()`: the sample is reproducible
-  * across engines and across runs, re-runs on grown data keep previously
-  * selected rows selected (the keep decision depends only on the key),
-  * and an external SQL engine can replay the exact row set.
+  * [[TextAnalysis.rawRollingFingerprint]], `h = (h·131 + codepoint) mod
+  * 1e9+7` over the RAW stringified key) rather than `xxhash64`/`rand()`:
+  * the sample is reproducible across engines and across runs, re-runs on
+  * grown data keep previously selected rows selected (the keep decision
+  * depends only on the key), and an external SQL engine can replay the
+  * exact row set. The raw hash means keys differing only in case or
+  * whitespace ("A b" vs "a  B") hash — and sample — independently.
   *
   * Scale shape: Bernoulli sampling is a pure per-row filter — no shuffle,
   * fully codegen'd, prunes at the scan when combined with column
@@ -23,13 +25,17 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** The portable per-key hash in [0, 1e9+7), uniform enough for sampling
-    * at per-mill granularity. Key is stringified first. */
+    * at per-mill granularity. Key is stringified first; a NULL key hashes
+    * like the empty string (to the seed, 7) — null-keyed rows participate
+    * in sampling (all kept or all dropped together) rather than being
+    * silently filtered out. */
   def keyHash(key: Column): Column =
-    TextAnalysis.rollingFingerprint(key.cast("string"))
+    TextAnalysis.rawRollingFingerprint(coalesce(key.cast("string"), lit("")))
 
   /** Deterministic Bernoulli sample: keep rows whose key hashes into the
     * first `fraction` of the hash space. `fraction` is quantized to
-    * 1/10000 so the predicate is exact integer arithmetic. */
+    * 1/10000 so the predicate is exact integer arithmetic. Rows sharing a
+    * key (including all NULL-keyed rows) are kept or dropped together. */
   def bernoulliSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
     val cut = math.round(fraction * 10000).toInt
@@ -38,16 +44,29 @@ object Sampling {
 
   /** Exact stratified sample: per stratum keep `ceil(fraction · |stratum|)`
     * rows, chosen deterministically by (hash, key) order. One shuffle on
-    * the stratum key; count and rank share the same window frame. */
+    * the stratum key; count and rank share the same window frame.
+    * Intermediate rank/quota columns use generated names, so user columns
+    * named `rn`/`quota` pass through untouched.
+    *
+    * Determinism caveat: the SELECTED KEY multiset is fully deterministic,
+    * but among rows with IDENTICAL (stratum, key) the rank assignment at
+    * the quota boundary is arbitrary — if such rows differ in other
+    * columns, which physical row survives can vary between runs. Use a
+    * unique key column when full row-level determinism is required. */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(taken).next()
+    val rn = fresh("rn")
+    val quota = fresh("quota")
     val w = Window.partitionBy(col(strataCol))
     val order = Window.partitionBy(col(strataCol))
       .orderBy(keyHash(col(keyCol)).asc, col(keyCol).asc)
-    df.withColumn("rn", row_number().over(order))
-      .withColumn("quota", ceil(lit(fraction) * count(lit(1)).over(w)))
-      .filter(col("rn") <= col("quota"))
-      .drop("rn", "quota")
+    df.withColumn(rn, row_number().over(order))
+      .withColumn(quota, ceil(lit(fraction) * count(lit(1)).over(w)))
+      .filter(col(rn) <= col(quota))
+      .drop(rn, quota)
   }
 }

@@ -98,15 +98,17 @@ object TextAnalysis {
     * per-row alternative is O(tokens²) in the interpreted-lambda engine,
     * while this shape is two standard map-side-combined aggregations over
     * O(total tokens) rows. Docs with fewer than 2 tokens get bigram
-    * fraction 0. Every input id appears exactly once in the output:
-    * null-text and empty-text docs (zero tokens after empty-token
-    * filtering) report token_cnt 0 and all-zero fractions.
+    * fraction 0. Every DISTINCT input id (including NULL) appears exactly
+    * once in the output — rows sharing an id are merged into one logical
+    * document, and the spine joins are null-safe so null-id docs keep
+    * their real stats. Null-text and empty-text docs (zero tokens after
+    * empty-token filtering) report token_cnt 0 and all-zero fractions.
     *
     * Output: (id, token_cnt, dup_token_frac, top_token_frac,
     * dup_bigram_frac), fractions rounded to 4.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ids = df.select(col(idCol).as("id"))
+    val ids = df.select(col(idCol).as("id")).distinct()
     val toks = df.select(col(idCol).as("id"),
       filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
     val tok = toks.select(col("id"), explode(col("toks")).as("g"))
@@ -124,7 +126,13 @@ object TextAnalysis {
       .groupBy("id").agg(
         sum("cnt").as("bigram_cnt"),
         count(lit(1)).as("distinct_bigrams"))
-    ids.join(tokStats, Seq("id"), "left").join(biStats, Seq("id"), "left")
+    // <=> (null-safe equality) so the null-id group joins its stats back;
+    // stats-side keys renamed to keep the joined plan unambiguous
+    ids
+      .join(tokStats.withColumnRenamed("id", "__tok_id"),
+        col("id") <=> col("__tok_id"), "left")
+      .join(biStats.withColumnRenamed("id", "__bi_id"),
+        col("id") <=> col("__bi_id"), "left")
       .select(col("id"),
         coalesce(col("token_cnt"), lit(0L)).as("token_cnt"),
         coalesce(round((col("token_cnt") - col("distinct_toks")).cast("double") /
@@ -155,6 +163,44 @@ object TextAnalysis {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  /** Doc-level quality-filter verdicts: composes [[qualityScore]],
+    * [[repetitionSignals]], and the PII counters into a keep/drop decision
+    * with a reason — the standard "why was this document dropped"
+    * audit column of an LLM-data pipeline. Rules check in fixed order
+    * (quality floor, duplicate-token ceiling, top-token ceiling,
+    * duplicate-bigram ceiling, PII ceiling); `reason` is the FIRST failing
+    * rule, `ok` when all pass, `keep = (reason == 'ok')`.
+    *
+    * One row per distinct id (rows sharing an id merge, as in
+    * [[repetitionSignals]]; quality/PII for a merged id come from `min`/
+    * `sum` over its rows so the verdict is deterministic). Scale shape:
+    * the per-row columns are pure codegen; the only shuffles are
+    * repetitionSignals' two aggregations plus the id join.
+    */
+  def qualityVerdicts(df: DataFrame, textCol: String, idCol: String,
+                      minQuality: Double, maxDupTokenFrac: Double,
+                      maxTopTokenFrac: Double, maxDupBigramFrac: Double,
+                      maxPii: Int): DataFrame = {
+    val pii = piiCount(col(textCol), EmailRe) + piiCount(col(textCol), PhoneRe) +
+      piiCount(col(textCol), Ipv4Re)
+    val base = df.groupBy(col(idCol).as("id")).agg(
+      round(min(qualityScore(col(textCol))), 4).as("quality"),
+      sum(pii.cast("long")).as("pii_cnt"))
+    val rep = repetitionSignals(df, textCol, idCol)
+      .withColumnRenamed("id", "__rep_id")
+    base.join(rep, col("id") <=> col("__rep_id"), "left").drop("__rep_id")
+      .withColumn("reason",
+        when(col("quality") < minQuality, "low_quality")
+          .when(col("dup_token_frac") > maxDupTokenFrac, "dup_tokens")
+          .when(col("top_token_frac") > maxTopTokenFrac, "top_token")
+          .when(col("dup_bigram_frac") > maxDupBigramFrac, "dup_bigrams")
+          .when(col("pii_cnt") > maxPii, "pii")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("id", "quality", "token_cnt", "dup_token_frac", "top_token_frac",
+        "dup_bigram_frac", "pii_cnt", "keep", "reason")
+  }
 
   /** Character-level polynomial rolling hash over the whitespace-normalized,
     * lower-cased text: `h = (h*131 + codepoint) mod 1e9+7`, seed 7 —

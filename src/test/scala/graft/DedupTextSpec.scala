@@ -89,6 +89,76 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("simhash corpus admission flags near-dups, passes novel docs") {
+    val corpus = docs.filter($"doc_id" < 3)
+    val idx = Dedup.simhashIndexCorpus(corpus, "text", "doc_id")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 0,1
+      (11L, "an entirely unrelated report on columnar storage formats")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.simhashAgainstCorpus(incoming, "text", "doc_id", idx, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flagged should contain allOf ((10L, 0L), (10L, 1L))
+    flagged.map(_._1) should not contain 11L
+    idx.release()
+  }
+
+  test("simhash corpus admission runs on a stream via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Dedup.simhashIndexCorpus(docs.filter($"doc_id" < 3), "text", "doc_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.simhashAgainstCorpus(batch, "text", "doc_id", idx, 3)
+          .collect().foreach(r => seen.synchronized {
+            seen += ((r.getLong(0), r.getLong(1)))
+          })
+      }.start()
+    try {
+      mem.addData((20L, "the quick brown fox jumps over the lazy dog again and again"),
+        (21L, "novel text matching nothing in the reference corpus whatsoever"))
+      q.processAllAvailable()
+      seen.toSet should contain((20L, 0L))
+      seen.map(_._1) should not contain 21L
+    } finally { q.stop(); idx.release() }
+  }
+
+  test("dedupPipeline optional repetition stage drops dup-heavy docs") {
+    val mixed = Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (1L, "a varied, well formed sentence about query engines; it mentions " +
+        "the optimizer and the storage layer in passing detail for color.")
+    ).toDF("doc_id", "text")
+    // ceilings 1.0 = stage off: both survive the repetition check
+    Dedup.dedupPipeline(mixed, "text", "doc_id", 0.0, 0.9)
+      .as[Long].collect().toSet shouldBe Set(0L, 1L)
+    // tight dup-token ceiling: the all-same-token doc drops
+    Dedup.dedupPipeline(mixed, "text", "doc_id", 0.0, 0.9,
+        maxDupTokenFrac = 0.5, maxTopTokenFrac = 0.5)
+      .as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  test("qualityVerdicts: first failing rule wins, ok rows keep") {
+    val df = Seq(
+      (0L, "x"), // too short -> low_quality
+      // stopword-rich so the quality floor passes; dup-heavy so the
+      // SECOND rule (dup_tokens) is the one that fires
+      (1L, Seq.fill(6)("the spam and spam").mkString(" ")),
+      (2L, "the data pipeline reads a table of documents and writes the " +
+        "filtered rows to a new table for training runs with careful checks " +
+        "and a detailed audit trail for every drop decision made on the way.")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.qualityVerdicts(df, "text", "doc_id",
+      minQuality = 0.5, maxDupTokenFrac = 0.6, maxTopTokenFrac = 0.5,
+      maxDupBigramFrac = 0.9, maxPii = 0)
+    val byId = v.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Boolean]("keep"), r.getAs[String]("reason"))).toMap
+    byId(0L) shouldBe ((false, "low_quality"))
+    byId(1L) shouldBe ((false, "dup_tokens"))
+    byId(2L) shouldBe ((true, "ok"))
+  }
+
   test("simhash of identical docs equal; near dups within hamming 3") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Geo
+import graft.functions.Distances
+
+/** WKT point attributes + Haversine radius predicate (the minimal
+  * geometry slice of the reference's GEOMETRY/GEOGRAPHY types). */
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WKT point round-trips the exact double") {
+    val pts = Seq((1.5, -30.25), (0.1 + 0.2, 89.99999999), (-179.5e-3, 0.0))
+      .toDF("lng", "lat")
+    val r = pts.select(
+      Geo.wktPoint(col("lng"), col("lat")).as("wkt"),
+      col("lng"), col("lat"))
+      .select(Geo.wktLng(col("wkt")).as("lng2"), Geo.wktLat(col("wkt")).as("lat2"),
+        col("lng"), col("lat"))
+      .collect()
+    r.foreach { row =>
+      row.getDouble(0) shouldBe row.getDouble(2) // bit-exact, no tolerance
+      row.getDouble(1) shouldBe row.getDouble(3)
+    }
+  }
+
+  test("malformed WKT parses to null, not an error") {
+    val r = Seq("POINT (1 2)", "LINESTRING (0 0, 1 1)", "garbage", "POINT(1 2)")
+      .toDF("wkt")
+      .select(Geo.wktLng(col("wkt")).as("lng")).collect()
+    r(0).getDouble(0) shouldBe 1.0
+    r(1).isNullAt(0) shouldBe true
+    r(2).isNullAt(0) shouldBe true
+    r(3).isNullAt(0) shouldBe true // strict form: space after POINT required
+  }
+
+  test("scalar haversine agrees with the vector kernel and known distances") {
+    // Paris (48.8566, 2.3522) -> London (51.5074, -0.1278) ~ 343.5 km
+    val m = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("la", "lo", "lb", "lob")
+      .select(Geo.haversineMeters(col("la"), col("lo"), col("lb"), col("lob")))
+      .head().getDouble(0)
+    m shouldBe 343.5e3 +- 1e3
+    // agrees with Distances.haversine on the same pair (vector [lat, lng])
+    val v = Seq((Seq(48.8566, 2.3522), Seq(51.5074, -0.1278))).toDF("a", "b")
+      .select(Distances.haversine(col("a"), col("b"))).head().getDouble(0)
+    m shouldBe v // identical formula, bit-exact
+  }
+
+  test("radius predicate filters and pushes like a normal filter") {
+    val pts = Seq((1L, 48.8566, 2.3522), (2L, 51.5074, -0.1278), (3L, 40.7128, -74.006))
+      .toDF("id", "lat", "lng")
+    val near = pts.filter(Geo.withinRadius(col("lat"), col("lng"),
+        lit(48.8566), lit(2.3522), lit(400000.0)))
+      .select("id").as[Long].collect().toSet
+    near shouldBe Set(1L, 2L) // Paris itself + London; NYC excluded
+  }
+}

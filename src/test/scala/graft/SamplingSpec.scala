@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Deterministic-sampling + repetition-signal semantics: the round-7
+  * ADVICE edge cases (raw vs normalized key hashing, null keys, fraction
+  * extremes, reserved column names, duplicate/null id spines). */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyHash: keys differing only in case/whitespace hash independently") {
+    val r = Seq(("A b", "a  B"), ("Hello", "hello"), ("x y", "x  y"))
+      .toDF("k1", "k2")
+      .select(Sampling.keyHash(col("k1")).as("h1"), Sampling.keyHash(col("k2")).as("h2"))
+      .collect()
+    r.foreach { row => row.getLong(0) should not be row.getLong(1) }
+  }
+
+  test("keyHash: null key hashes like the empty string (seed 7), not null") {
+    val r = Seq[(Option[String], String)]((None, ""), (Some(""), ""))
+      .toDF("k", "pad")
+      .select(Sampling.keyHash(col("k")).as("h")).collect()
+    r.foreach(_.getLong(0) shouldBe 7L)
+  }
+
+  test("keyHash matches rawRollingFingerprint (manual replay)") {
+    // h = ((7*131 + 'A')*131 + ' ')*131 + 'b'  mod 1e9+7
+    val expect = (((7L * 131 + 'A') * 131 + ' ') * 131 + 'b') % 1000000007L
+    val h = Seq("A b").toDF("k").select(Sampling.keyHash(col("k"))).head().getLong(0)
+    h shouldBe expect
+  }
+
+  test("bernoulliSample: fraction 0 keeps nothing, fraction 1 keeps everything; null keys kept together") {
+    val df = Seq(Some("a"), Some("b"), None, None).toDF("k")
+    Sampling.bernoulliSample(df, "k", 0.0).count() shouldBe 0L
+    Sampling.bernoulliSample(df, "k", 1.0).count() shouldBe 4L
+    // null keys share hash 7 -> all-or-nothing at any cut
+    val nullKept = Sampling.bernoulliSample(df, "k", 0.5)
+      .filter(col("k").isNull).count()
+    nullKept should (be(0L) or be(2L))
+    // 7 % 10000 = 7 < 5000 -> nulls land in the keep half here
+    nullKept shouldBe 2L
+  }
+
+  test("bernoulliSample is deterministic and key-stable under corpus growth") {
+    val small = (1 to 50).map(i => s"doc $i").toDF("k")
+    val big = (1 to 200).map(i => s"doc $i").toDF("k")
+    val keptSmall = Sampling.bernoulliSample(small, "k", 0.3).as[String].collect().toSet
+    val keptBig = Sampling.bernoulliSample(big, "k", 0.3).as[String].collect().toSet
+    // previously selected rows stay selected when data grows
+    keptSmall.foreach(k => keptBig should contain(k))
+    keptSmall shouldBe Sampling.bernoulliSample(small, "k", 0.3).as[String].collect().toSet
+  }
+
+  test("stratifiedSample: exact ceil(fraction*n) per stratum, single-row strata keep 1") {
+    val df = (1 to 100).map(i => (if (i <= 90) "big" else if (i <= 99) "mid" else "solo", i))
+      .toDF("strat", "key")
+    val out = Sampling.stratifiedSample(df, "strat", "key", 0.2)
+      .groupBy("strat").count().as[(String, Long)].collect().toMap
+    out("big") shouldBe 18L  // ceil(0.2*90)
+    out("mid") shouldBe 2L   // ceil(0.2*9)
+    out("solo") shouldBe 1L  // ceil(0.2*1)
+  }
+
+  test("stratifiedSample: user columns named rn/quota survive intact") {
+    val df = (1 to 20).map(i => ("s", i, s"rn$i", i * 10)).toDF("strat", "key", "rn", "quota")
+    val out = Sampling.stratifiedSample(df, "strat", "key", 0.5)
+    out.columns.toSeq shouldBe Seq("strat", "key", "rn", "quota")
+    out.count() shouldBe 10L
+    // values untouched: rn column still matches its key row
+    out.select("key", "rn", "quota").as[(Int, String, Int)].collect().foreach {
+      case (k, rn, q) => rn shouldBe s"rn$k"; q shouldBe k * 10
+    }
+  }
+
+  test("repetitionSignals: one row per distinct id; duplicate-id rows merge") {
+    val df = Seq((1L, "a b c"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+    out.count() shouldBe 2L
+    // id 1 merged: tokens a b c a b c -> 6 tokens, 3 distinct, dup frac 0.5
+    val r1 = out.filter(col("id") === 1L).head()
+    r1.getAs[Long]("token_cnt") shouldBe 6L
+    r1.getAs[Double]("dup_token_frac") shouldBe 0.5 +- Epsilon
+  }
+
+  test("repetitionSignals: null id keeps its real stats (null-safe join)") {
+    val df = Seq((Some(1L), "a a a a"), (None, "b b b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+    out.count() shouldBe 2L
+    val rNull = out.filter(col("id").isNull).head()
+    rNull.getAs[Long]("token_cnt") shouldBe 4L
+    rNull.getAs[Double]("dup_token_frac") shouldBe 0.75 +- Epsilon
+    rNull.getAs[Double]("top_token_frac") shouldBe 1.0 +- Epsilon
+  }
+
+  test("repetitionSignals: null/empty/single-token edge docs") {
+    val df = Seq((1L, null), (2L, ""), (3L, "   "), (4L, "solo"), (5L, "x y x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .orderBy("id").collect()
+    out.length shouldBe 5
+    // null, empty, whitespace-only: token_cnt 0, all fractions 0
+    out.take(3).foreach { r =>
+      r.getAs[Long]("token_cnt") shouldBe 0L
+      r.getAs[Double]("dup_token_frac") shouldBe 0.0
+      r.getAs[Double]("top_token_frac") shouldBe 0.0
+      r.getAs[Double]("dup_bigram_frac") shouldBe 0.0
+    }
+    // single token: 1 token, no dup, top frac 1, bigram frac 0
+    out(3).getAs[Long]("token_cnt") shouldBe 1L
+    out(3).getAs[Double]("top_token_frac") shouldBe 1.0 +- Epsilon
+    out(3).getAs[Double]("dup_bigram_frac") shouldBe 0.0
+    // dup-heavy: x y x y -> 4 tokens 2 distinct; bigrams (x y, y x, x y) -> dup 1/3
+    out(4).getAs[Long]("token_cnt") shouldBe 4L
+    out(4).getAs[Double]("dup_token_frac") shouldBe 0.5 +- Epsilon
+    out(4).getAs[Double]("dup_bigram_frac") shouldBe 0.3333 +- Epsilon
+  }
+}
