@@ -96,43 +96,46 @@ object TextAnalysis {
     * bigram fraction. Shuffle-based (explode → count per (doc, gram) →
     * re-aggregate per doc) rather than per-row HOF counting: at scale the
     * per-row alternative is O(tokens²) in the interpreted-lambda engine,
-    * while this shape is two standard map-side-combined aggregations over
-    * O(total tokens) rows. Docs with fewer than 2 tokens get bigram
-    * fraction 0. Every DISTINCT input id (including NULL) appears exactly
-    * once in the output — rows sharing an id are merged into one logical
-    * document, and the spine joins are null-safe so null-id docs keep
-    * their real stats. Null-text and empty-text docs (zero tokens after
-    * empty-token filtering) report token_cnt 0 and all-zero fractions.
+    * while this shape is standard map-side-combined aggregation over
+    * O(total grams) rows. Tokens and bigrams ride ONE tagged explode
+    * (tag 0 = token, tag 1 = bigram), so the input is scanned and
+    * tokenized once and the whole computation is two shuffles — (id, tag,
+    * gram) counts, then per-id stats via conditional aggregates — plus
+    * the small id-spine join, which reuses the second shuffle's hash
+    * partitioning. Docs with fewer than 2 tokens get bigram fraction 0.
+    * Every DISTINCT input id (including NULL) appears exactly once in the
+    * output — rows sharing an id are merged into one logical document,
+    * and the spine join is null-safe so null-id docs keep their real
+    * stats. Null-text and empty-text docs (zero tokens after empty-token
+    * filtering) report token_cnt 0 and all-zero fractions.
     *
     * Output: (id, token_cnt, dup_token_frac, top_token_frac,
     * dup_bigram_frac), fractions rounded to 4.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val ids = df.select(col(idCol).as("id")).distinct()
-    val toks = df.select(col(idCol).as("id"),
-      filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
-    val tok = toks.select(col("id"), explode(col("toks")).as("g"))
-    val tokStats = tok.groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+    val toksCol = filter(tokens(col(textCol)), t => length(t) > 0)
+    val bigramsCol = when(size(toksCol) < 2, typedlit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(0), size(toksCol) - 2),
+        i => concat_ws(" ", element_at(toksCol, i + 1),
+          element_at(toksCol, i + 2))))
+    val grams = concat(
+      transform(toksCol, t => struct(lit(0).as("tag"), t.as("g"))),
+      transform(bigramsCol, b => struct(lit(1).as("tag"), b.as("g"))))
+    val gram = df.select(col(idCol).as("id"), explode(grams).as("tg"))
+      .select(col("id"), col("tg.tag").as("tag"), col("tg.g").as("g"))
+    val stats = gram.groupBy("id", "tag", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("id").agg(
-        sum("cnt").as("token_cnt"),
-        count(lit(1)).as("distinct_toks"),
-        max("cnt").as("top_cnt"))
-    val bigrams = toks.select(col("id"),
-      explode(when(size(col("toks")) < 2, typedlit(Seq.empty[String]))
-        .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2))))).as("g"))
-    val biStats = bigrams.groupBy("id", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("id").agg(
-        sum("cnt").as("bigram_cnt"),
-        count(lit(1)).as("distinct_bigrams"))
+        sum(when(col("tag") === 0, col("cnt"))).as("token_cnt"),
+        count(when(col("tag") === 0, lit(1))).as("distinct_toks"),
+        max(when(col("tag") === 0, col("cnt"))).as("top_cnt"),
+        sum(when(col("tag") === 1, col("cnt"))).as("bigram_cnt"),
+        count(when(col("tag") === 1, lit(1))).as("distinct_bigrams"))
     // <=> (null-safe equality) so the null-id group joins its stats back;
-    // stats-side keys renamed to keep the joined plan unambiguous
+    // stats-side key renamed to keep the joined plan unambiguous
     ids
-      .join(tokStats.withColumnRenamed("id", "__tok_id"),
-        col("id") <=> col("__tok_id"), "left")
-      .join(biStats.withColumnRenamed("id", "__bi_id"),
-        col("id") <=> col("__bi_id"), "left")
+      .join(stats.withColumnRenamed("id", "__st_id"),
+        col("id") <=> col("__st_id"), "left")
       .select(col("id"),
         coalesce(col("token_cnt"), lit(0L)).as("token_cnt"),
         coalesce(round((col("token_cnt") - col("distinct_toks")).cast("double") /
