@@ -32,7 +32,21 @@ object Plans {
       // "PartitionFilters: []" plus a post-scan filter would otherwise
       // match both markers and hide a pruning regression
       ("partition_pruned_scan", "entity key-skip reaches the scan as partition pruning",
-        Seq("PartitionFilters: [ap_partition")))
+        Seq("PartitionFilters: [ap_partition")),
+      ("repetition_signals_perrow", "per-row kernel stays in the scan stage",
+        Seq("repetition_stats")))
+
+    // negative shape: the per-row repetition kernel must not shuffle
+    // before its (presentation-only) global sort — strip the final Sort's
+    // own range exchange, then expect zero remaining exchanges
+    val perRowPlan = SparkEntry.queries("repetition_signals_perrow")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(perRowPlan).length
+    val rangeExchanges = "rangepartitioning".r.findAllIn(perRowPlan).length
+    if (exchanges > rangeExchanges) {
+      println(s"[plan-MISS] repetition_signals_perrow: unexpected shuffle\n$perRowPlan")
+      sys.exit(1)
+    } else println("[plan-ok] repetition_signals_perrow: zero non-sort exchanges")
 
     var failed = 0
     checks.foreach { case (name, what, markers) =>

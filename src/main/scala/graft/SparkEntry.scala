@@ -629,6 +629,10 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
         .orderBy("id")),
 
+    "repetition_signals_perrow" -> ((s, d) =>
+      TextAnalysis.repetitionSignalsPerRow(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id")),
+
     "pii_scan" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), piiText.as("text"))
       .select(col("doc_id"),
@@ -1355,6 +1359,16 @@ object SparkEntry {
     },
 
     "repetition_signals" ->
+      s"""WITH $duckRepCtes
+         |SELECT d.doc_id AS id, $duckRepCols
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN ts ON d.doc_id = ts.doc_id
+         |LEFT JOIN bs ON d.doc_id = bs.doc_id
+         |ORDER BY id""".stripMargin,
+
+    // doc_id is unique in `documents`, so the per-row kernel's answer
+    // equals the aggregation form's — one oracle body serves both
+    "repetition_signals_perrow" ->
       s"""WITH $duckRepCtes
          |SELECT d.doc_id AS id, $duckRepCols
          |FROM (SELECT DISTINCT doc_id FROM documents) d

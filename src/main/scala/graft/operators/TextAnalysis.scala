@@ -146,6 +146,32 @@ object TextAnalysis {
           col("bigram_cnt"), 4), lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Per-ROW repetition signals — the zero-shuffle scale path of
+    * [[repetitionSignals]] for the normal corpus layout where each row is
+    * its own document. One codegen'd hash-map pass per row
+    * ([[graft.functions.RepetitionStatsExpr]]): no explode, no shuffle,
+    * no join — the stats collapse into the scan, so at 100 TB this is a
+    * pure map stage. Emits one output row PER INPUT ROW with the id
+    * passed through verbatim (duplicate ids are NOT merged — use
+    * [[repetitionSignals]] when same-id rows form one logical document).
+    * Output schema and values are identical to [[repetitionSignals]] on
+    * unique-id input (spec-asserted). */
+  def repetitionSignalsPerRow(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = graft.functions.TextStats.repetitionStats(
+      filter(tokens(col(textCol)), t => length(t) > 0))
+    def frac(num: Column, den: Column): Column =
+      coalesce(when(den === 0, lit(0.0))
+        .otherwise(round(num.cast("double") / den, 4)), lit(0.0))
+    df.select(col(idCol).as("id"), st.as("st"))
+      .select(col("id"),
+        coalesce(col("st.token_cnt"), lit(0L)).as("token_cnt"),
+        frac(col("st.token_cnt") - col("st.distinct_toks"),
+          col("st.token_cnt")).as("dup_token_frac"),
+        frac(col("st.top_cnt"), col("st.token_cnt")).as("top_token_frac"),
+        frac(col("st.bigram_cnt") - col("st.distinct_bigrams"),
+          col("st.bigram_cnt")).as("dup_bigram_frac"))
+  }
+
   /** PII patterns — deliberately simple cross-dialect regexes (Java
     * `util.regex` on the Spark side, RE2 in typical external engines):
     * email, NANP-style phone, dotted-quad IPv4. */

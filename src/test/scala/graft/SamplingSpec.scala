@@ -95,6 +95,25 @@ class SamplingSpec extends SparkSpec {
     rNull.getAs[Double]("top_token_frac") shouldBe 1.0 +- Epsilon
   }
 
+  test("repetitionSignalsPerRow equals the aggregation form on unique-id input") {
+    val df = Seq(
+      (1L, "the quick brown fox the quick brown fox"),
+      (2L, "a a a a a a"),
+      (3L, "every token here is fully distinct right now"),
+      (4L, ""), (5L, "   "), (6L, "solo"), (7L, null))
+      .toDF("doc_id", "text")
+    val agg = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .orderBy("id").collect().map(_.toSeq)
+    val perRow = TextAnalysis.repetitionSignalsPerRow(df, "text", "doc_id")
+      .orderBy("id").collect().map(_.toSeq)
+    perRow shouldBe agg
+  }
+
+  test("repetitionSignalsPerRow passes duplicate ids through unmerged") {
+    val df = Seq((1L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    TextAnalysis.repetitionSignalsPerRow(df, "text", "doc_id").count() shouldBe 2L
+  }
+
   test("repetitionSignals: null/empty/single-token edge docs") {
     val df = Seq((1L, null), (2L, ""), (3L, "   "), (4L, "solo"), (5L, "x y x y"))
       .toDF("doc_id", "text")
