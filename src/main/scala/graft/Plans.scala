@@ -34,7 +34,9 @@ object Plans {
       ("partition_pruned_scan", "entity key-skip reaches the scan as partition pruning",
         Seq("PartitionFilters: [ap_partition")),
       ("repetition_signals_perrow", "per-row kernel stays in the scan stage",
-        Seq("repetition_stats")))
+        Seq("repetition_stats")),
+      ("kv_point_lookup", "KV lookup prunes to bucket dirs + pushes the key filter",
+        Seq("PartitionFilters: [__kv_bucket", "PushedFilters: [", "In(p_partkey")))
 
     // negative shape: the per-row repetition kernel must not shuffle
     // before its (presentation-only) global sort — strip the final Sort's

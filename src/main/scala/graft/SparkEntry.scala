@@ -667,6 +667,16 @@ object SparkEntry {
         .orderBy("in_id", "corpus_id")
     }),
 
+    "kv_point_lookup" -> ((s, d) => {
+      // LevelDB/PalDB-role point lookup: bucket-pruned + row-group-skipped
+      // read from the one-time key-value layout artifact
+      val dir = kvLayout(s, d)
+      kvHandler.get(s, dir, Seq(10L, 57L, 150L))
+        .select(col("p_partkey"), col("p_name"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy("p_partkey")
+    }),
+
     // --- geometry slice: WKT point attribute + Haversine radius scan ---
     "geo_radius" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -747,11 +757,26 @@ object SparkEntry {
       dir
     })
 
+  private val kvLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] val kvHandler = graft.sources.StorageHandlers.keyValue("p_partkey")
+
+  /** Key-value store over `part` — one-time layout artifact per
+    * (JVM, data dir), the embedded-KV-engine analogue. */
+  private def kvLayout(s: SparkSession, d: String): String =
+    kvLayouts.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-kv").toString
+      kvHandler.write(s, dir, Tables.part(s, d), overwrite = true)
+      dir
+    })
+
   /** Pre-build the one-time entity-layout artifacts (untimed bench
     * warmup, alongside [[warmIndexes]]). */
   def warmLayouts(s: SparkSession, d: String): Unit = {
     partLayout(s, d)
     sparseLayout(s, d)
+    kvLayout(s, d)
   }
 
   private val corpusIndexes =
@@ -1453,6 +1478,10 @@ object SparkEntry {
          |FROM sig a, sig b
          |WHERE a.doc_id >= 400 AND b.doc_id < 400 AND bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY in_id, corpus_id""".stripMargin,
+
+    "kv_point_lookup" ->
+      """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+        |FROM part WHERE p_partkey IN (10, 57, 150) ORDER BY p_partkey""".stripMargin,
 
     "geo_radius" -> {
       def glat(e: String) = s"radians(greatest(-90.0, least(90.0, CAST($e[1] AS DOUBLE) * 20.0)))"

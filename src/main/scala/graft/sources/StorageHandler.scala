@@ -107,6 +107,61 @@ class JdbcHandler(val name: String, url: String,
   }
 }
 
+/** Embedded key-value handler — the Spark-native answer to the
+  * reference's LevelDB/PalDB engines (`storage/engine/LevelDbEngine.scala:28`,
+  * `PalDbEngine.scala:30`), which exist to serve RANDOM (point-lookup)
+  * access. Instead of an external KV library, the store is
+  * bucket-partitioned, key-sorted parquet: rows land in
+  * `__kv_bucket=<hash(key) mod n>/` directories, sorted by key within
+  * each file.
+  *
+  * Point lookups ([[KeyValueHandler.get]]) recompute the keys' buckets
+  * with the same Catalyst `hash` kernel and filter on the partition
+  * column, so Catalyst prunes to the matching bucket DIRECTORIES
+  * (plan-asserted `PartitionFilters`) and the key filter's min/max
+  * row-group stats skip within them — at 100 TB a lookup touches
+  * 1/nBuckets of the data at directory level and a handful of row groups,
+  * no full scan, no external service. Full scans ([[read]]) behave like
+  * any parquet handler (the bucket column is dropped). */
+class KeyValueHandler(name: String, keyCol: String, nBuckets: Int = 64)
+  extends FileFormatHandler(name, "parquet") {
+  import org.apache.spark.sql.functions._
+
+  private val BucketCol = "__kv_bucket"
+
+  override def write(spark: SparkSession, storename: String, df: DataFrame,
+                     overwrite: Boolean): Unit = {
+    require(df.columns.contains(keyCol), s"key column $keyCol missing")
+    df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(nBuckets)))
+      .repartition(nBuckets, col(BucketCol))
+      .sortWithinPartitions(BucketCol, keyCol)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy(BucketCol).parquet(storename)
+  }
+
+  override def read(spark: SparkSession, storename: String,
+                    predicates: Seq[Column]): DataFrame = {
+    val df = spark.read.parquet(storename).drop(BucketCol)
+    predicates.foldLeft(df)(_ filter _)
+  }
+
+  /** Point lookup by key set: bucket-pruned + row-group-skipped. */
+  def get(spark: SparkSession, storename: String, keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "empty key set")
+    val keyLits = keys.map(lit)
+    // evaluate hash(key) % n with the exact kernel the writer used (one
+    // driver-local job over a 1-row relation; no hand-rolled murmur)
+    val buckets = spark.range(1).select(
+        keyLits.zipWithIndex.map { case (k, i) =>
+          pmod(hash(k), lit(nBuckets)).as(s"b$i")
+        }: _*)
+      .head().toSeq.map(_.asInstanceOf[Int]).distinct
+    spark.read.parquet(storename)
+      .filter(col(BucketCol).isin(buckets: _*) && col(keyCol).isin(keys: _*))
+      .drop(BucketCol)
+  }
+}
+
 /** Handler registry (reference `listStorageHandlers`). */
 object StorageHandlers {
   val parquet = new FileFormatHandler("parquet", "parquet")
@@ -114,6 +169,12 @@ object StorageHandlers {
   val json = new FileFormatHandler("json", "json")
   val csv = new FileFormatHandler("csv", "csv",
     Map("header" -> "true", "inferSchema" -> "true"))
+
+  /** Key-value store factory (bucketed by `keyCol`); instances are
+    * per-(key, buckets) so they are created at entity level rather than
+    * registered globally. */
+  def keyValue(keyCol: String, nBuckets: Int = 64): KeyValueHandler =
+    new KeyValueHandler("keyvalue", keyCol, nBuckets)
 
   val all: Map[String, StorageHandler] =
     Seq(parquet, orc, json, csv).map(h => h.name -> h).toMap

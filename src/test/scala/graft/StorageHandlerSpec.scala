@@ -27,6 +27,33 @@ class StorageHandlerSpec extends SparkSpec {
     }
   }
 
+  test("key-value handler: point lookups prune buckets; full read hides the bucket column") {
+    val h = StorageHandlers.keyValue("k", nBuckets = 8)
+    val store = Files.createTempDirectory("graft-kv-spec").toString + "/t"
+    val data = (0L until 100L).map(i => (i, s"v$i", i * 0.5)).toDF("k", "s", "x")
+    h.write(spark, store, data, overwrite = true)
+
+    // full read: same rows, no internal bucket column
+    val back = h.read(spark, store)
+    back.columns should not contain "__kv_bucket"
+    back.count() shouldBe 100
+
+    // point lookup returns exactly the requested keys
+    val got = h.get(spark, store, Seq(3L, 42L, 99L))
+    got.columns should not contain "__kv_bucket"
+    got.select("k", "s").as[(Long, String)].collect().toSet shouldBe
+      Set((3L, "v3"), (42L, "v42"), (99L, "v99"))
+
+    // the lookup plan prunes to the keys' bucket directories
+    val plan = h.get(spark, store, Seq(3L)).queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*__kv_bucket"
+
+    // appends land in the same layout and stay retrievable
+    h.write(spark, store, Seq((1000L, "v1000", 0.0)).toDF("k", "s", "x"), overwrite = false)
+    h.get(spark, store, Seq(1000L)).count() shouldBe 1
+    h.drop(spark, store)
+  }
+
   test("predicates are applied (and pushed) on handler reads") {
     val h = StorageHandlers("parquet")
     val store = Files.createTempDirectory("graft-pred").toString + "/t"
