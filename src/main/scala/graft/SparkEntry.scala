@@ -646,6 +646,11 @@ object SparkEntry {
       Sampling.bernoulliSample(Tables.documents(s, d), "text", 0.25)
         .select("doc_id").orderBy("doc_id")),
 
+    "sample_weighted_mix" -> ((s, d) =>
+      Sampling.weightedMix(Tables.documents(s, d), "lang", "text",
+          weights = Map("en" -> 0.5, "de" -> 0.2), defaultWeight = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 0.2)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -844,14 +849,15 @@ object SparkEntry {
   private val duckStops =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** Raw rolling key hash `h = (h·131 + codepoint) mod 1e9+7` (seed 7,
-    * NULL/empty → 7) — the DuckDB replay of
-    * [[graft.operators.Sampling.keyHash]]. */
+  /** Portable key hash — the DuckDB replay of
+    * [[graft.operators.Sampling.keyHash]]: rolling `h = (h·131 +
+    * codepoint) mod 1e9+7` (seed 7, NULL/empty → 7) finalized with the
+    * `· 2654435761 mod p` avalanche step. */
   private def duckRawHash(expr: String) =
-    s"""CASE WHEN $expr IS NULL OR length($expr) = 0 THEN CAST(7 AS BIGINT) ELSE
+    s"""((CASE WHEN $expr IS NULL OR length($expr) = 0 THEN CAST(7 AS BIGINT) ELSE
        | list_reduce(list_prepend(CAST(7 AS BIGINT),
        |   list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
-       |   (h, c) -> (h * 131 + c) % 1000000007) END""".stripMargin
+       |   (h, c) -> (h * 131 + c) % 1000000007) END) * 2654435761) % 1000000007""".stripMargin
 
   /** Token/bigram repetition CTEs over `documents` — the DuckDB replay of
     * [[graft.operators.TextAnalysis.repetitionSignals]]'s two
@@ -1424,6 +1430,13 @@ object SparkEntry {
       s"""SELECT doc_id FROM
          | (SELECT doc_id, ${duckRawHash("text")} AS h FROM documents)
          |WHERE h % 10000 < 2500 ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted_mix" ->
+      s"""SELECT doc_id, lang FROM
+         | (SELECT doc_id, lang, ${duckRawHash("text")} AS h FROM documents)
+         |WHERE h % 10000 < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+         |                   ELSE 1000 END)
+         |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""WITH h AS (SELECT doc_id, lang,

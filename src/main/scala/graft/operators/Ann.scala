@@ -190,6 +190,9 @@ object Ann {
       .join(banded.select(col("band"), col("chunk"), col("id").as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      // NB: localCheckpoint truncates lineage — on executor loss the job
+      // fails rather than recomputes. Acceptable for pair-scale data; a
+      // reliable-checkpoint dir would trade latency for recoverability.
       .localCheckpoint(true)
     banded.unpersist()
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -130,6 +130,8 @@ object Dedup {
     // shingle cache can be released NOW — returning the lazy frame
     // would pin one persisted copy of the corpus shingles per call for
     // the session lifetime (the CorpusIndex.release() hazard).
+    // NB: localCheckpoint truncates lineage — on executor loss the job
+    // fails rather than recomputes. Acceptable for pair-scale data.
     val out = pairs.localCheckpoint(true)
     sh.unpersist()
     out

@@ -26,11 +26,18 @@ object Sampling {
 
   /** The portable per-key hash in [0, 1e9+7), uniform enough for sampling
     * at per-mill granularity. Key is stringified first; a NULL key hashes
-    * like the empty string (to the seed, 7) — null-keyed rows participate
-    * in sampling (all kept or all dropped together) rather than being
-    * silently filtered out. */
+    * like the empty string — null-keyed rows participate in sampling (all
+    * kept or all dropped together) rather than being silently filtered
+    * out. The raw rolling hash is finalized with `h · 2654435761 mod p`:
+    * keys differing only in a trailing character yield CONSECUTIVE raw
+    * hashes (same prefix state, ±1 in the last step), which would
+    * correlate their `mod 10000` sampling residues; the multiplicative
+    * step scatters them while staying a BIJECTION mod the prime (distinct
+    * keys stay distinct) and replayable in 63-bit SQL arithmetic
+    * (p · 2654435761 < 2^62). */
   def keyHash(key: Column): Column =
-    TextAnalysis.rawRollingFingerprint(coalesce(key.cast("string"), lit("")))
+    pmod(TextAnalysis.rawRollingFingerprint(coalesce(key.cast("string"), lit("")))
+      * lit(2654435761L), lit(1000000007L))
 
   /** Deterministic Bernoulli sample: keep rows whose key hashes into the
     * first `fraction` of the hash space. `fraction` is quantized to
@@ -39,6 +46,25 @@ object Sampling {
   def bernoulliSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
     val cut = math.round(fraction * 10000).toInt
+    df.filter(pmod(keyHash(col(keyCol)), lit(10000)) < cut)
+  }
+
+  /** Domain-mix sampling: per-domain Bernoulli rates in one pass — the
+    * standard way training mixtures are rebalanced ("keep 50% of web,
+    * 100% of books, 10% of the rest"). Domains absent from `weights` use
+    * `defaultWeight`. Same portable hash and quantization as
+    * [[bernoulliSample]], so the kept set is deterministic, key-stable
+    * under corpus growth, and externally replayable; still a pure
+    * codegen'd per-row filter with zero shuffle. */
+  def weightedMix(df: DataFrame, domainCol: String, keyCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 0.0): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0.0 && w <= 1.0, s"weight out of range: $w"))
+    val cut = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultWeight * 10000).toInt)) { case (acc, (dom, w)) =>
+      when(col(domainCol) === dom, lit(math.round(w * 10000).toInt)).otherwise(acc)
+    }
     df.filter(pmod(keyHash(col(keyCol)), lit(10000)) < cut)
   }
 

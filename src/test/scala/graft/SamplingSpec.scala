@@ -18,18 +18,28 @@ class SamplingSpec extends SparkSpec {
     r.foreach { row => row.getLong(0) should not be row.getLong(1) }
   }
 
-  test("keyHash: null key hashes like the empty string (seed 7), not null") {
+  test("keyHash: null key hashes like the empty string, not null") {
     val r = Seq[(Option[String], String)]((None, ""), (Some(""), ""))
       .toDF("k", "pad")
       .select(Sampling.keyHash(col("k")).as("h")).collect()
-    r.foreach(_.getLong(0) shouldBe 7L)
+    // finalized seed: 7 * 2654435761 mod 1e9+7
+    r.foreach(_.getLong(0) shouldBe (7L * 2654435761L) % 1000000007L)
   }
 
-  test("keyHash matches rawRollingFingerprint (manual replay)") {
-    // h = ((7*131 + 'A')*131 + ' ')*131 + 'b'  mod 1e9+7
-    val expect = (((7L * 131 + 'A') * 131 + ' ') * 131 + 'b') % 1000000007L
+  test("keyHash matches the portable formula (manual replay)") {
+    // raw = ((7*131 + 'A')*131 + ' ')*131 + 'b' mod p; final = raw * 2654435761 mod p
+    val raw = (((7L * 131 + 'A') * 131 + ' ') * 131 + 'b') % 1000000007L
+    val expect = (raw * 2654435761L) % 1000000007L
     val h = Seq("A b").toDF("k").select(Sampling.keyHash(col("k"))).head().getLong(0)
     h shouldBe expect
+  }
+
+  test("keyHash decorrelates trailing-character neighbors (sampling uniformity)") {
+    // raw rolling hashes of "doc 201".."doc 300" come in runs of
+    // consecutive values; the avalanche step must break that up
+    val df = (201 to 300).map(i => s"doc $i").toDF("k")
+    val kept = Sampling.bernoulliSample(df, "k", 0.3).count()
+    kept.toDouble should (be > 10.0 and be < 60.0)
   }
 
   test("bernoulliSample: fraction 0 keeps nothing, fraction 1 keeps everything; null keys kept together") {
@@ -40,7 +50,7 @@ class SamplingSpec extends SparkSpec {
     val nullKept = Sampling.bernoulliSample(df, "k", 0.5)
       .filter(col("k").isNull).count()
     nullKept should (be(0L) or be(2L))
-    // 7 % 10000 = 7 < 5000 -> nulls land in the keep half here
+    // (7*2654435761 mod p) % 10000 = 201 < 5000 -> nulls land in the keep half
     nullKept shouldBe 2L
   }
 
@@ -52,6 +62,22 @@ class SamplingSpec extends SparkSpec {
     // previously selected rows stay selected when data grows
     keptSmall.foreach(k => keptBig should contain(k))
     keptSmall shouldBe Sampling.bernoulliSample(small, "k", 0.3).as[String].collect().toSet
+  }
+
+  test("weightedMix: per-domain rates; full/zero weights are exact; default applies") {
+    val df = (1 to 300).map(i =>
+      (s"doc $i", if (i <= 100) "web" else if (i <= 200) "books" else "code"))
+      .toDF("k", "dom")
+    val kept = Sampling.weightedMix(df, "dom", "k",
+      Map("web" -> 0.0, "books" -> 1.0), defaultWeight = 0.3)
+    val byDom = kept.groupBy("dom").count().as[(String, Long)].collect().toMap
+    byDom.get("web") shouldBe None        // weight 0: nothing
+    byDom("books") shouldBe 100L          // weight 1: everything
+    byDom("code") should (be > 10L and be < 60L) // ~30 of 100 at 0.3
+    // subset property: weightedMix at rate w on a domain == bernoulliSample(w)
+    val bern = Sampling.bernoulliSample(df.filter(col("dom") === "code"), "k", 0.3)
+      .select("k").as[String].collect().toSet
+    kept.filter(col("dom") === "code").select("k").as[String].collect().toSet shouldBe bern
   }
 
   test("stratifiedSample: exact ceil(fraction*n) per stratum, single-row strata keep 1") {
