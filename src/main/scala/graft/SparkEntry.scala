@@ -661,6 +661,12 @@ object SparkEntry {
           maxDupBigramFrac = 0.08, maxPii = 0)
         .orderBy("id")),
 
+    "quality_filter_verdicts_perrow" -> ((s, d) =>
+      TextAnalysis.qualityVerdictsPerRow(Tables.documents(s, d), "text", "doc_id",
+          minQuality = 0.5, maxDupTokenFrac = 0.6, maxTopTokenFrac = 0.15,
+          maxDupBigramFrac = 0.08, maxPii = 0)
+        .orderBy("id")),
+
     "corpus_simhash_neardup" -> ((s, d) => {
       // admission check, SimHash flavor: same build-once corpus-index
       // contract as corpus_neardup / corpus_cosine_neardup
@@ -894,6 +900,38 @@ object SparkEntry {
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or 192.168.' " +
       "|| CAST(doc_id % 254 + 1 AS VARCHAR) || '.7 call 555-867-530' " +
       "|| CAST(doc_id % 10 AS VARCHAR) || '.'"
+
+  /** Quality-verdict oracle, shared by `quality_filter_verdicts` (merge
+    * form) and `quality_filter_verdicts_perrow` (kernel form) — equal on
+    * the unique-doc_id corpus. */
+  private lazy val duckQualityVerdictsSql: String = {
+    val quality =
+      s"""( least(length(text) / 200.0, 1.0)
+         |  + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
+         |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
+         | ) / 3.0""".stripMargin
+    val reason =
+      """CASE WHEN quality < 0.5 THEN 'low_quality'
+        |      WHEN dup_token_frac > 0.6 THEN 'dup_tokens'
+        |      WHEN top_token_frac > 0.15 THEN 'top_token'
+        |      WHEN dup_bigram_frac > 0.08 THEN 'dup_bigrams'
+        |      WHEN pii_cnt > 0 THEN 'pii'
+        |      ELSE 'ok' END""".stripMargin
+    s"""WITH $duckRepCtes,
+       |q AS (SELECT doc_id, round($quality, 4) AS quality,
+       |        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+       |          + len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
+       |          + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS pii_cnt
+       |      FROM documents),
+       |r AS (SELECT q.doc_id AS id, q.quality, q.pii_cnt, $duckRepCols
+       |      FROM q LEFT JOIN ts ON q.doc_id = ts.doc_id
+       |             LEFT JOIN bs ON q.doc_id = bs.doc_id)
+       |SELECT id, quality, token_cnt, dup_token_frac, top_token_frac,
+       |       dup_bigram_frac, pii_cnt,
+       |       ($reason) = 'ok' AS keep, $reason AS reason
+       |FROM r ORDER BY id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1447,34 +1485,10 @@ object SparkEntry {
          |        ceil(0.2 * count(*) OVER (PARTITION BY lang)) AS quota FROM h)
          |SELECT doc_id, lang FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
-    "quality_filter_verdicts" -> {
-      val quality =
-        s"""( least(length(text) / 200.0, 1.0)
-           |  + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
-           |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
-           | ) / 3.0""".stripMargin
-      val reason =
-        """CASE WHEN quality < 0.5 THEN 'low_quality'
-          |      WHEN dup_token_frac > 0.6 THEN 'dup_tokens'
-          |      WHEN top_token_frac > 0.15 THEN 'top_token'
-          |      WHEN dup_bigram_frac > 0.08 THEN 'dup_bigrams'
-          |      WHEN pii_cnt > 0 THEN 'pii'
-          |      ELSE 'ok' END""".stripMargin
-      s"""WITH $duckRepCtes,
-         |q AS (SELECT doc_id, round($quality, 4) AS quality,
-         |        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
-         |          + len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
-         |          + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS pii_cnt
-         |      FROM documents),
-         |r AS (SELECT q.doc_id AS id, q.quality, q.pii_cnt, $duckRepCols
-         |      FROM q LEFT JOIN ts ON q.doc_id = ts.doc_id
-         |             LEFT JOIN bs ON q.doc_id = bs.doc_id)
-         |SELECT id, quality, token_cnt, dup_token_frac, top_token_frac,
-         |       dup_bigram_frac, pii_cnt,
-         |       ($reason) = 'ok' AS keep, $reason AS reason
-         |FROM r ORDER BY id""".stripMargin
-    },
+    "quality_filter_verdicts" -> duckQualityVerdictsSql,
+
+    // doc_id unique -> the per-row kernel equals the merge-form answer
+    "quality_filter_verdicts_perrow" -> duckQualityVerdictsSql,
 
     // same portable-SimHash replay as simhash_neardup, restricted to the
     // incoming (id >= 400) × corpus (id < 400) cross pairs

@@ -231,6 +231,48 @@ object TextAnalysis {
         "dup_bigram_frac", "pii_cnt", "keep", "reason")
   }
 
+  /** Per-ROW quality-filter verdicts — the zero-shuffle scale path of
+    * [[qualityVerdicts]] for unique-id corpora, built on the
+    * [[repetitionSignalsPerRow]] kernel: every column (quality score, PII
+    * counters, repetition stats, verdict) is a pure codegen expression,
+    * so the whole filter is a map stage over the scan — the shape you
+    * want for the first pass over 100 TB of raw crawl. One output row per
+    * input row (duplicate ids NOT merged). Schema and values match
+    * [[qualityVerdicts]] on unique-id input (spec-asserted). */
+  def qualityVerdictsPerRow(df: DataFrame, textCol: String, idCol: String,
+                            minQuality: Double, maxDupTokenFrac: Double,
+                            maxTopTokenFrac: Double, maxDupBigramFrac: Double,
+                            maxPii: Int): DataFrame = {
+    val st = graft.functions.TextStats.repetitionStats(
+      filter(tokens(col(textCol)), t => length(t) > 0))
+    val pii = (piiCount(col(textCol), EmailRe) + piiCount(col(textCol), PhoneRe) +
+      piiCount(col(textCol), Ipv4Re)).cast("long")
+    def frac(num: Column, den: Column): Column =
+      coalesce(when(den === 0, lit(0.0))
+        .otherwise(round(num.cast("double") / den, 4)), lit(0.0))
+    df.select(col(idCol).as("id"),
+        round(qualityScore(col(textCol)), 4).as("quality"),
+        pii.as("pii_cnt"), st.as("st"))
+      .select(col("id"), col("quality"),
+        coalesce(col("st.token_cnt"), lit(0L)).as("token_cnt"),
+        frac(col("st.token_cnt") - col("st.distinct_toks"),
+          col("st.token_cnt")).as("dup_token_frac"),
+        frac(col("st.top_cnt"), col("st.token_cnt")).as("top_token_frac"),
+        frac(col("st.bigram_cnt") - col("st.distinct_bigrams"),
+          col("st.bigram_cnt")).as("dup_bigram_frac"),
+        col("pii_cnt"))
+      .withColumn("reason",
+        when(col("quality") < minQuality, "low_quality")
+          .when(col("dup_token_frac") > maxDupTokenFrac, "dup_tokens")
+          .when(col("top_token_frac") > maxTopTokenFrac, "top_token")
+          .when(col("dup_bigram_frac") > maxDupBigramFrac, "dup_bigrams")
+          .when(col("pii_cnt") > maxPii, "pii")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("id", "quality", "token_cnt", "dup_token_frac", "top_token_frac",
+        "dup_bigram_frac", "pii_cnt", "keep", "reason")
+  }
+
   /** Character-level polynomial rolling hash over the whitespace-normalized,
     * lower-cased text: `h = (h*131 + codepoint) mod 1e9+7`, seed 7 —
     * order-sensitive, so it distinguishes permuted documents (unlike

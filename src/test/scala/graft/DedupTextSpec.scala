@@ -159,6 +159,21 @@ class DedupTextSpec extends SparkSpec {
     byId(2L) shouldBe ((true, "ok"))
   }
 
+  test("qualityVerdictsPerRow equals the merge form on unique-id input") {
+    val df = Seq(
+      (0L, "x"),
+      (1L, Seq.fill(6)("the spam and spam").mkString(" ")),
+      (2L, "the data pipeline reads a table of documents and writes the " +
+        "filtered rows to a new table for training runs with careful checks."),
+      (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Double, Double,
+      Double, Double, Int) => org.apache.spark.sql.DataFrame) =
+      f(df, "text", "doc_id", 0.5, 0.6, 0.15, 0.08, 0)
+        .orderBy("id").collect().map(_.toSeq)
+    run(TextAnalysis.qualityVerdictsPerRow) shouldBe run(TextAnalysis.qualityVerdicts)
+  }
+
   test("simhash of identical docs equal; near dups within hamming 3") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
