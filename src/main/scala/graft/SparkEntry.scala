@@ -797,6 +797,28 @@ object SparkEntry {
     kvLayout(s, d)
   }
 
+  /** Pre-build the corpus admission indexes (MinHash bands, cosine
+    * bands, SimHash bands) — like the vector indexes, these are
+    * build-once artifacts a deployment prepares ahead of query time, so
+    * the bench warms them untimed and the per-query numbers measure the
+    * admission JOIN, the steady-state cost. */
+  def warmCorpusIndexes(s: SparkSession, d: String): Unit = {
+    val docs = Tables.documents(s, d)
+    // persist is lazy — count() each cached relation so the signature
+    // kernels actually run during the untimed warmup
+    val mh = corpusIndexes.getOrElseUpdate(d,
+      Dedup.indexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id"))
+    mh.banded.count(); mh.shingles.count()
+    val sh = simhashCorpusIndexes.getOrElseUpdate(d,
+      Dedup.simhashIndexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id"))
+    sh.banded.count()
+    val emb = Tables.embeddings(s, d)
+    val cs = cosineCorpusIndexes.getOrElseUpdate(d,
+      Ann.indexCorpusCosine(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+        dim = 64))
+    cs.banded.count(); cs.vectors.count()
+  }
+
   private val corpusIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusIndex]
 

@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL surface for the graft expression kernels: registers `vec_*`,
-  * `minhash_sig`, `simhash`, `shingle_hashes`, and `densify` so they are
-  * callable from `spark.sql(...)` and `selectExpr`.
+  * `minhash_sig`, `simhash`, `shingle_hashes`, `repetition_stats`, and
+  * `densify` so they are callable from `spark.sql(...)` and `selectExpr`.
   *
   * Two wiring paths:
   *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -110,6 +110,11 @@ object GraftFunctions {
         case Seq(sv) => DensifyExpr(sv)
         case args => throw new IllegalArgumentException(
           s"densify(sparseStruct) expects 1 arg, got ${args.length}")
+      },
+      "repetition_stats" -> {
+        case Seq(toks) => RepetitionStatsExpr(toks)
+        case args => throw new IllegalArgumentException(
+          s"repetition_stats(tokens) expects 1 arg, got ${args.length}")
       },
       "sparse_minkowski" -> sparseQueryBuilder(SparseDistances.Minkowski),
       "sparse_pair_minkowski" -> sparsePairBuilder(SparseDistances.Minkowski),

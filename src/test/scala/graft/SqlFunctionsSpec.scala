@@ -33,6 +33,17 @@ class SqlFunctionsSpec extends SparkSpec {
     r.getInt(2) shouldBe 2 // 4 tokens -> 2 trigram shingles
   }
 
+  test("repetition_stats callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT repetition_stats(split('x y x y', ' ')) AS st").head().getStruct(0)
+    r.getAs[Long]("token_cnt") shouldBe 4L
+    r.getAs[Long]("distinct_toks") shouldBe 2L
+    r.getAs[Long]("top_cnt") shouldBe 2L
+    r.getAs[Long]("bigram_cnt") shouldBe 3L
+    r.getAs[Long]("distinct_bigrams") shouldBe 2L
+  }
+
   test("bounded_topk callable from SQL as a grouped aggregate") {
     GraftFunctions.register(spark)
     (1L to 20L).map(i => (i % 2, i, (i % 5).toDouble))
