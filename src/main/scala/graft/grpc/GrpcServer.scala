@@ -1,0 +1,285 @@
+package graft.grpc
+
+import java.io.{ByteArrayInputStream, InputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.sparkproject.connect.grpc.{MethodDescriptor, Server, ServerCallHandler, ServerServiceDefinition}
+import org.sparkproject.connect.grpc.inprocess.InProcessServerBuilder
+import org.sparkproject.connect.grpc.netty.NettyServerBuilder
+import org.sparkproject.connect.grpc.stub.{ServerCalls, StreamObserver}
+import org.sparkproject.connect.protobuf.{Descriptors, DynamicMessage}
+
+import graft.api.{NnQuery, QueryOps}
+import graft.core.Entity
+import graft.operators.Projections
+
+/** gRPC front door — the reference's primary wire protocol
+  * (`S/communication/rpc/DataDefintion.scala:40-230`, `DataQuery.scala:
+  * 73-171`), served over the grpc/protobuf runtime Spark ships (shaded
+  * `org.sparkproject.connect.*`). Method and message names mirror the
+  * reference's public usage sites; see [[Proto]] for the wire-parity
+  * caveat (no vendored `.proto` upstream, so field numbers are fresh).
+  *
+  * Implemented slice: `AdamDefinition.{createEntity, existsEntity,
+  * count, insert, streamInsert, dropEntity, listEntities}` and
+  * `AdamSearch.{doQuery, previewEntity}` — the create/insert/query round
+  * trip the reference's `RPCTestSuite` drives. Errors travel as
+  * payload-level `AckMessage(ERROR, …)`, matching the reference, not as
+  * gRPC status codes. Results `collect()` at most k / preview-n rows —
+  * bounded by construction.
+  */
+class GraftGrpcServer(spark: SparkSession, base: String) {
+  import Proto._
+
+  /** Declared attribute types per entity (set by createEntity) —
+    * the insert path coerces tuple values against this schema. */
+  private val schemas =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  // ---- wire plumbing -------------------------------------------------------
+
+  private def marshaller(desc: Descriptors.Descriptor) =
+    new MethodDescriptor.Marshaller[DynamicMessage] {
+      override def stream(value: DynamicMessage): InputStream =
+        new ByteArrayInputStream(value.toByteArray)
+      override def parse(s: InputStream): DynamicMessage =
+        DynamicMessage.parseFrom(desc, s)
+    }
+
+  private def method(service: String, name: String, req: String, resp: String,
+                     mt: MethodDescriptor.MethodType)
+  : MethodDescriptor[DynamicMessage, DynamicMessage] =
+    MethodDescriptor.newBuilder(marshaller(msg(req)), marshaller(msg(resp)))
+      .setFullMethodName(MethodDescriptor.generateFullMethodName(s"adam.$service", name))
+      .setType(mt).build()
+
+  private def unary(f: DynamicMessage => DynamicMessage)
+  : ServerCallHandler[DynamicMessage, DynamicMessage] =
+    ServerCalls.asyncUnaryCall(
+      new ServerCalls.UnaryMethod[DynamicMessage, DynamicMessage] {
+        override def invoke(req: DynamicMessage,
+                            obs: StreamObserver[DynamicMessage]): Unit = {
+          obs.onNext(f(req))
+          obs.onCompleted()
+        }
+      })
+
+  // ---- message helpers -----------------------------------------------------
+
+  private def str(m: DynamicMessage, name: String): String =
+    m.getField(m.getDescriptorForType.findFieldByName(name)).asInstanceOf[String]
+
+  private def sub(m: DynamicMessage, name: String): DynamicMessage =
+    m.getField(m.getDescriptorForType.findFieldByName(name))
+      .asInstanceOf[DynamicMessage]
+
+  private def ackOf(ok: Boolean, text: String = ""): DynamicMessage = ack(ok, text)
+
+  private def withAck(respType: String, ok: Boolean, text: String = "")
+  : DynamicMessage.Builder =
+    newMsg(respType).setField(msg(respType).findFieldByName("ack"), ackOf(ok, text))
+
+  private def attributeType(name: String): DataType = name.toLowerCase match {
+    case "string" | "text" => StringType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "boolean" => BooleanType
+    case "vector" | "feature" => ArrayType(FloatType, containsNull = false)
+    case other => throw new IllegalArgumentException(s"unknown attributetype: $other")
+  }
+
+  private def coerce(value: Any, dt: DataType): Any = (value, dt) match {
+    case (null, _) => null
+    case (v: Number, IntegerType) => v.intValue()
+    case (v: Number, LongType) => v.longValue()
+    case (v: Number, FloatType) => v.floatValue()
+    case (v: Number, DoubleType) => v.doubleValue()
+    case (v: Seq[_], ArrayType(FloatType, _)) => v.map(_.asInstanceOf[Float])
+    case (v, _) => v
+  }
+
+  private def entitySchema(name: String): StructType =
+    schemas.getOrElseUpdate(name, Entity.open(spark, base, name).read()
+      .drop("ap_id").schema)
+
+  private def doInsert(req: DynamicMessage): DynamicMessage = try {
+    val name = str(req, "entity")
+    val schema = entitySchema(name)
+    val tuplesF = req.getDescriptorForType.findFieldByName("tuples")
+    val rows = req.getField(tuplesF).asInstanceOf[java.util.List[_]].asScala.map { t =>
+      val data = dataMap(t.asInstanceOf[DynamicMessage], "TupleInsertMessage")
+      Row.fromSeq(schema.fields.toSeq.map(f => coerce(data.getOrElse(f.name, null), f.dataType)))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    Entity.open(spark, base, name).insert(df)
+    ackOf(ok = true)
+  } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+
+  /** k-row result frame → QueryResultsMessage (one info block). */
+  private def resultsMessage(df: DataFrame, source: String, queryid: String)
+  : DynamicMessage = {
+    val tupleDesc = msg("QueryResultTupleMessage")
+    val tuples = df.collect().toSeq.map { r => // bounded: k / preview-n rows
+      val b = DynamicMessage.newBuilder(tupleDesc)
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = r.get(i) match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case other => other
+        }
+        b.addRepeatedField(tupleDesc.findFieldByName("data"),
+          dataEntry("QueryResultTupleMessage", f.name, dataOf(v)))
+      }
+      b.build()
+    }
+    val infoDesc = msg("QueryResultInfoMessage")
+    val info = withAck("QueryResultInfoMessage", ok = true)
+      .setField(infoDesc.findFieldByName("queryid"), queryid)
+      .setField(infoDesc.findFieldByName("source"), source)
+    tuples.foreach(t => info.addRepeatedField(infoDesc.findFieldByName("results"), t))
+    withAck("QueryResultsMessage", ok = true)
+      .addRepeatedField(msg("QueryResultsMessage").findFieldByName("responses"),
+        info.build())
+      .build()
+  }
+
+  private def errorResults(text: String): DynamicMessage =
+    withAck("QueryResultsMessage", ok = false, text).build()
+
+  // ---- AdamDefinition ------------------------------------------------------
+
+  val definitionService: ServerServiceDefinition = {
+    val b = ServerServiceDefinition.builder("adam.AdamDefinition")
+    def u(name: String, req: String, resp: String)(f: DynamicMessage => DynamicMessage) =
+      b.addMethod(method("AdamDefinition", name, req, resp,
+        MethodDescriptor.MethodType.UNARY), unary(f))
+
+    u("CreateEntity", "CreateEntityMessage", "AckMessage") { req =>
+      try {
+        val name = str(req, "entity")
+        val attrsF = req.getDescriptorForType.findFieldByName("attributes")
+        val fields = req.getField(attrsF).asInstanceOf[java.util.List[_]].asScala.map { a =>
+          val am = a.asInstanceOf[DynamicMessage]
+          StructField(str(am, "name"), attributeType(str(am, "attributetype")))
+        }
+        require(fields.nonEmpty, "no attributes")
+        Entity.create(spark, base, name)
+        schemas.put(name, StructType(fields.toSeq))
+        ackOf(ok = true, name) // reference echoes the entityname on OK
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    u("ExistsEntity", "EntityNameMessage", "ExistsMessage") { req =>
+      val exists = Entity.exists(base, str(req, "entity"))
+      withAck("ExistsMessage", ok = true)
+        .setField(msg("ExistsMessage").findFieldByName("exists"),
+          java.lang.Boolean.valueOf(exists))
+        .build()
+    }
+
+    u("Count", "EntityNameMessage", "AckMessage") { req =>
+      try // reference carries the count in the ack message text
+        ackOf(ok = true, Entity.open(spark, base, str(req, "entity")).count().toString)
+      catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    u("Insert", "InsertMessage", "AckMessage")(doInsert)
+
+    u("DropEntity", "EntityNameMessage", "AckMessage") { req =>
+      try {
+        val name = str(req, "entity")
+        Entity.open(spark, base, name).drop()
+        schemas.remove(name)
+        ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    u("ListEntities", "EmptyMessage", "EntitiesMessage") { _ =>
+      val out = withAck("EntitiesMessage", ok = true)
+      Entity.list(base).sorted.foreach(n =>
+        out.addRepeatedField(msg("EntitiesMessage").findFieldByName("entities"), n))
+      out.build()
+    }
+
+    // bidirectional: one ack per insert message, like the reference's
+    // streamInsert (DataDefintion.scala:170-208)
+    b.addMethod(
+      method("AdamDefinition", "StreamInsert", "InsertMessage", "AckMessage",
+        MethodDescriptor.MethodType.BIDI_STREAMING),
+      ServerCalls.asyncBidiStreamingCall(
+        new ServerCalls.BidiStreamingMethod[DynamicMessage, DynamicMessage] {
+          override def invoke(resp: StreamObserver[DynamicMessage])
+          : StreamObserver[DynamicMessage] = new StreamObserver[DynamicMessage] {
+            override def onNext(req: DynamicMessage): Unit = resp.onNext(doInsert(req))
+            override def onError(t: Throwable): Unit = ()
+            override def onCompleted(): Unit = resp.onCompleted()
+          }
+        }))
+
+    b.build()
+  }
+
+  // ---- AdamSearch ----------------------------------------------------------
+
+  val searchService: ServerServiceDefinition = {
+    val b = ServerServiceDefinition.builder("adam.AdamSearch")
+    def u(name: String, req: String, resp: String)(f: DynamicMessage => DynamicMessage) =
+      b.addMethod(method("AdamSearch", name, req, resp,
+        MethodDescriptor.MethodType.UNARY), unary(f))
+
+    u("DoQuery", "QueryMessage", "QueryResultsMessage") { req =>
+      try {
+        val queryid = str(req, "queryid")
+        val entityName = str(sub(req, "from"), "entity")
+        val nnq = sub(req, "nnq")
+        val dv = sub(sub(nnq, "query"), "denseVector")
+        val q = dv.getField(msg("DenseVectorMessage").findFieldByName("vector"))
+          .asInstanceOf[java.util.List[java.lang.Float]].asScala
+          .map(_.doubleValue()).toSeq
+        val k = nnq.getField(nnq.getDescriptorForType.findFieldByName("k"))
+          .asInstanceOf[Int]
+        val dist = str(nnq, "distance")
+        val attribute = str(nnq, "attribute")
+        val df = Entity.open(spark, base, entityName).read()
+        val res = QueryOps.sequential(df, "ap_id",
+          NnQuery(attribute, q, if (dist.isEmpty) "euclidean" else dist,
+            if (k <= 0) 100 else k))
+        resultsMessage(res, "sequential scan", queryid)
+      } catch { case e: Exception => errorResults(e.getMessage) }
+    }
+
+    u("PreviewEntity", "PreviewMessage", "QueryResultsMessage") { req =>
+      try {
+        val n = req.getField(req.getDescriptorForType.findFieldByName("n"))
+          .asInstanceOf[Int]
+        val df = Entity.open(spark, base, str(req, "entity")).read()
+        resultsMessage(Projections.preview(df, if (n <= 0) 100 else n), "preview", "")
+      } catch { case e: Exception => errorResults(e.getMessage) }
+    }
+
+    b.build()
+  }
+
+  // ---- lifecycle -----------------------------------------------------------
+
+  /** In-process server (specs, embedded use). */
+  def startInProcess(name: String): Server =
+    InProcessServerBuilder.forName(name).directExecutor()
+      .addService(definitionService).addService(searchService)
+      .build().start()
+
+  /** TCP server on `port` (0 = ephemeral; read back via `getPort`). */
+  def startNetty(port: Int): Server =
+    NettyServerBuilder.forPort(port)
+      .addService(definitionService).addService(searchService)
+      .build().start()
+
+  /** Method descriptor lookup for clients (specs, tooling). */
+  def clientMethod(service: String, name: String, req: String, resp: String,
+                   mt: MethodDescriptor.MethodType = MethodDescriptor.MethodType.UNARY)
+  : MethodDescriptor[DynamicMessage, DynamicMessage] = method(service, name, req, resp, mt)
+}

@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import org.sparkproject.connect.grpc.{CallOptions, Channel, MethodDescriptor}
+import org.sparkproject.connect.grpc.inprocess.InProcessChannelBuilder
+import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
+import org.sparkproject.connect.protobuf.DynamicMessage
+
+import graft.grpc.{GraftGrpcServer, Proto}
+
+/** gRPC front-door round trip, mirroring the reference's
+  * `RPCTestSuite.scala:40-148` flow: createEntity → insert → count →
+  * exists → kNN query → drop, over a real channel (in-process transport
+  * for the battery, one TCP/netty round trip for the socket path). */
+class GrpcSpec extends SparkSpec {
+
+  private lazy val base = Files.createTempDirectory("graft-grpc").toString
+  private lazy val server = new GraftGrpcServer(spark, base)
+  private lazy val inproc = {
+    val s = server.startInProcess("graft-grpc-spec")
+    s // keep running for the suite; JVM exit cleans up
+  }
+  private lazy val channel: Channel = {
+    inproc
+    InProcessChannelBuilder.forName("graft-grpc-spec").directExecutor().build()
+  }
+
+  private def call(md: MethodDescriptor[DynamicMessage, DynamicMessage],
+                   req: DynamicMessage): DynamicMessage =
+    ClientCalls.blockingUnaryCall(channel, md, CallOptions.DEFAULT, req)
+
+  private def mdDef(name: String, req: String, resp: String) =
+    server.clientMethod("AdamDefinition", name, req, resp)
+  private def mdSearch(name: String, req: String, resp: String) =
+    server.clientMethod("AdamSearch", name, req, resp)
+
+  private def str(m: DynamicMessage, f: String): String =
+    m.getField(m.getDescriptorForType.findFieldByName(f)).asInstanceOf[String]
+  private def sub(m: DynamicMessage, f: String): DynamicMessage =
+    m.getField(m.getDescriptorForType.findFieldByName(f)).asInstanceOf[DynamicMessage]
+  private def ackOk(m: DynamicMessage): Boolean =
+    m.getField(m.getDescriptorForType.findFieldByName("code"))
+      .toString == "OK"
+
+  private def attr(n: String, t: String): DynamicMessage = {
+    val d = Proto.msg("AttributeDefinitionMessage")
+    DynamicMessage.newBuilder(d)
+      .setField(d.findFieldByName("name"), n)
+      .setField(d.findFieldByName("attributetype"), t).build()
+  }
+
+  private def vecMsg(v: Seq[Float]): DynamicMessage = {
+    val dvD = Proto.msg("DenseVectorMessage")
+    val dv = Proto.newMsg("DenseVectorMessage")
+    v.foreach(x => dv.addRepeatedField(dvD.findFieldByName("vector"),
+      java.lang.Float.valueOf(x)))
+    Proto.newMsg("VectorMessage")
+      .setField(Proto.msg("VectorMessage").findFieldByName("denseVector"), dv.build())
+      .build()
+  }
+
+  private def tuple(label: String, vec: Seq[Float]): DynamicMessage = {
+    val d = Proto.msg("TupleInsertMessage")
+    Proto.newMsg("TupleInsertMessage")
+      .addRepeatedField(d.findFieldByName("data"),
+        Proto.dataEntry("TupleInsertMessage", "label", Proto.dataOf(label)))
+      .addRepeatedField(d.findFieldByName("data"),
+        Proto.dataEntry("TupleInsertMessage", "vec", Proto.dataOf(vec)))
+      .build()
+  }
+
+  private def insertMsg(entity: String, tuples: Seq[DynamicMessage]): DynamicMessage = {
+    val d = Proto.msg("InsertMessage")
+    val b = Proto.newMsg("InsertMessage").setField(d.findFieldByName("entity"), entity)
+    tuples.foreach(t => b.addRepeatedField(d.findFieldByName("tuples"), t))
+    b.build()
+  }
+
+  private def entityName(n: String): DynamicMessage =
+    Proto.newMsg("EntityNameMessage")
+      .setField(Proto.msg("EntityNameMessage").findFieldByName("entity"), n).build()
+
+  test("createEntity -> insert -> count -> exists -> kNN -> drop round trip") {
+    val d = Proto.msg("CreateEntityMessage")
+    val created = call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcent")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    ackOk(created) shouldBe true
+    str(created, "message") shouldBe "rpcent" // reference echoes entityname
+
+    val ins = call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcent", (0 until 20).map(i =>
+        tuple(s"l$i", Seq.fill(4)(i.toFloat)))))
+    ackOk(ins) shouldBe true
+
+    val cnt = call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcent"))
+    ackOk(cnt) shouldBe true
+    str(cnt, "message") shouldBe "20"
+
+    val ex = call(mdDef("ExistsEntity", "EntityNameMessage", "ExistsMessage"),
+      entityName("rpcent"))
+    ex.getField(ex.getDescriptorForType.findFieldByName("exists"))
+      .asInstanceOf[Boolean] shouldBe true
+
+    // kNN over the wire: query [3,3,3,3], k=5 -> nearest is the i=3 tuple
+    val qd = Proto.msg("QueryMessage")
+    val nnqD = Proto.msg("NearestNeighbourQueryMessage")
+    val res = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      Proto.newMsg("QueryMessage")
+        .setField(qd.findFieldByName("queryid"), "q1")
+        .setField(qd.findFieldByName("from"),
+          Proto.newMsg("FromMessage")
+            .setField(Proto.msg("FromMessage").findFieldByName("entity"), "rpcent")
+            .build())
+        .setField(qd.findFieldByName("nnq"),
+          Proto.newMsg("NearestNeighbourQueryMessage")
+            .setField(nnqD.findFieldByName("attribute"), "vec")
+            .setField(nnqD.findFieldByName("query"), vecMsg(Seq(3f, 3f, 3f, 3f)))
+            .setField(nnqD.findFieldByName("distance"), "euclidean")
+            .setField(nnqD.findFieldByName("k"), Integer.valueOf(5))
+            .build())
+        .build())
+    ackOk(sub(res, "ack")) shouldBe true
+    val responses = res.getField(
+      res.getDescriptorForType.findFieldByName("responses"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
+    responses should have size 1
+    val tuples = responses.head.getField(
+      responses.head.getDescriptorForType.findFieldByName("results"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
+    tuples should have size 5
+    val rows = tuples.map(t => Proto.dataMap(t, "QueryResultTupleMessage"))
+    val dists = rows.map(_("distance").asInstanceOf[Double])
+    dists shouldBe dists.sorted
+    dists.head shouldBe 0.0 +- 1e-9 // exact match at i=3
+    rows.head("label") shouldBe "l3"
+
+    val dropped = call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpcent"))
+    ackOk(dropped) shouldBe true
+    val ex2 = call(mdDef("ExistsEntity", "EntityNameMessage", "ExistsMessage"),
+      entityName("rpcent"))
+    ex2.getField(ex2.getDescriptorForType.findFieldByName("exists"))
+      .asInstanceOf[Boolean] shouldBe false
+  }
+
+  test("streamInsert: one ack per message over a bidi stream") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcstream")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+
+    val md = server.clientMethod("AdamDefinition", "StreamInsert",
+      "InsertMessage", "AckMessage", MethodDescriptor.MethodType.BIDI_STREAMING)
+    val acks = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val done = new CountDownLatch(1)
+    val reqObs = ClientCalls.asyncBidiStreamingCall(
+      channel.newCall(md, CallOptions.DEFAULT),
+      new StreamObserver[DynamicMessage] {
+        override def onNext(m: DynamicMessage): Unit =
+          acks.synchronized { acks += ackOk(m) }
+        override def onError(t: Throwable): Unit = done.countDown()
+        override def onCompleted(): Unit = done.countDown()
+      })
+    reqObs.onNext(insertMsg("rpcstream", Seq(tuple("a", Seq(1f, 2f)))))
+    reqObs.onNext(insertMsg("rpcstream", Seq(tuple("b", Seq(3f, 4f)), tuple("c", Seq(5f, 6f)))))
+    reqObs.onCompleted()
+    done.await(60, TimeUnit.SECONDS) shouldBe true
+    acks.toSeq shouldBe Seq(true, true)
+    str(call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcstream")), "message") shouldBe "3"
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpcstream"))
+  }
+
+  test("netty TCP transport serves the same services") {
+    val tcp = server.startNetty(0)
+    try {
+      val ch = NettyChannelBuilder.forAddress("localhost", tcp.getPort)
+        .usePlaintext().build()
+      try {
+        val resp = ClientCalls.blockingUnaryCall(ch,
+          mdDef("ListEntities", "EmptyMessage", "EntitiesMessage"),
+          CallOptions.DEFAULT, Proto.newMsg("EmptyMessage").build())
+        ackOk(sub(resp, "ack")) shouldBe true
+      } finally ch.shutdownNow()
+    } finally tcp.shutdownNow()
+  }
+}
