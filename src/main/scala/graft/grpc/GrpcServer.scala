@@ -205,6 +205,36 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       out.build()
     }
 
+    u("ProtoExportData", "ProtoExportMessage", "AckMessage") { req =>
+      try {
+        ProtoImportExport.exportEntity(
+          Entity.open(spark, base, str(req, "entity")), str(req, "path"))
+        ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    // server-streaming: one ack per imported entity, like the reference's
+    // protoImportData (DataDefintion.scala:654-663)
+    b.addMethod(
+      method("AdamDefinition", "ProtoImportData", "ProtoImportMessage", "AckMessage",
+        MethodDescriptor.MethodType.SERVER_STREAMING),
+      ServerCalls.asyncServerStreamingCall(
+        new ServerCalls.ServerStreamingMethod[DynamicMessage, DynamicMessage] {
+          override def invoke(req: DynamicMessage,
+                              obs: StreamObserver[DynamicMessage]): Unit = {
+            val path = str(req, "path")
+            ProtoImportExport.listCatalogs(path).foreach { name =>
+              val a = try {
+                val e = ProtoImportExport.importEntity(spark, base, path, name)
+                schemas.remove(e.name)
+                ackOf(ok = true, name)
+              } catch { case ex: Exception => ackOf(ok = false, ex.getMessage) }
+              obs.onNext(a)
+            }
+            obs.onCompleted()
+          }
+        }))
+
     // bidirectional: one ack per insert message, like the reference's
     // streamInsert (DataDefintion.scala:170-208)
     b.addMethod(

@@ -144,6 +144,11 @@ object Proto {
     .addMessageType(message("PreviewMessage",
       field("entity", 1, Type.TYPE_STRING),
       field("n", 2, Type.TYPE_INT32)))
+    .addMessageType(message("ProtoImportMessage",
+      field("path", 1, Type.TYPE_STRING)))
+    .addMessageType(message("ProtoExportMessage",
+      field("path", 1, Type.TYPE_STRING),
+      field("entity", 2, Type.TYPE_STRING)))
     .build()
 
   val file: Descriptors.FileDescriptor =

@@ -185,6 +185,49 @@ class GrpcSpec extends SparkSpec {
       entityName("rpcstream"))
   }
 
+  test("proto export/import round-trips an entity through delimited frames") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcexp")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcexp", (0 until 10).map(i => tuple(s"e$i", Seq(i.toFloat, 2f * i)))))
+
+    val expDir = Files.createTempDirectory("graft-protoexp").toString
+    val pe = Proto.msg("ProtoExportMessage")
+    val exported = call(mdDef("ProtoExportData", "ProtoExportMessage", "AckMessage"),
+      Proto.newMsg("ProtoExportMessage")
+        .setField(pe.findFieldByName("path"), expDir)
+        .setField(pe.findFieldByName("entity"), "rpcexp").build())
+    ackOk(exported) shouldBe true
+
+    // drop, then re-import over the server-streaming call
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcexp"))
+    val im = server.clientMethod("AdamDefinition", "ProtoImportData",
+      "ProtoImportMessage", "AckMessage", MethodDescriptor.MethodType.SERVER_STREAMING)
+    val acks = ClientCalls.blockingServerStreamingCall(channel, im, CallOptions.DEFAULT,
+      Proto.newMsg("ProtoImportMessage")
+        .setField(Proto.msg("ProtoImportMessage").findFieldByName("path"), expDir)
+        .build()).asScala.toSeq
+    acks.map(ackOk) shouldBe Seq(true)
+    str(acks.head, "message") shouldBe "rpcexp"
+
+    // contents round-tripped exactly
+    str(call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcexp")), "message") shouldBe "10"
+    val back = graft.core.Entity.open(spark, base, "rpcexp").read()
+    back.columns.toSet shouldBe Set("label", "vec", "ap_id")
+    import org.apache.spark.sql.functions.col
+    val labels = back.select("label").collect().map(_.getString(0)).toSet
+    labels shouldBe (0 until 10).map(i => s"e$i").toSet
+    back.filter(col("label") === "e3").select("vec")
+      .head().getSeq[Float](0) shouldBe Seq(3f, 6f)
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcexp"))
+  }
+
   test("netty TCP transport serves the same services") {
     val tcp = server.startNetty(0)
     try {
