@@ -205,6 +205,19 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       out.build()
     }
 
+    u("Index", "IndexMessage", "AckMessage") { req =>
+      try {
+        val name = str(req, "entity")
+        val attribute = str(req, "attribute")
+        val indextype = str(req, "indextype")
+        val e = Entity.open(spark, base, name)
+        val idx = graft.api.IndexOps.create(indextype, e.read(), "ap_id", attribute)
+        val indexname = s"${indextype}_$attribute"
+        e.saveIndex(indexname, idx)
+        ackOf(ok = true, indexname) // reference echoes the index name
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
     u("ProtoExportData", "ProtoExportMessage", "AckMessage") { req =>
       try {
         ProtoImportExport.exportEntity(
@@ -265,20 +278,68 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       try {
         val queryid = str(req, "queryid")
         val entityName = str(sub(req, "from"), "entity")
-        val nnq = sub(req, "nnq")
-        val dv = sub(sub(nnq, "query"), "denseVector")
-        val q = dv.getField(msg("DenseVectorMessage").findFieldByName("vector"))
-          .asInstanceOf[java.util.List[java.lang.Float]].asScala
-          .map(_.doubleValue()).toSeq
-        val k = nnq.getField(nnq.getDescriptorForType.findFieldByName("k"))
-          .asInstanceOf[Int]
-        val dist = str(nnq, "distance")
-        val attribute = str(nnq, "attribute")
-        val df = Entity.open(spark, base, entityName).read()
-        val res = QueryOps.sequential(df, "ap_id",
-          NnQuery(attribute, q, if (dist.isEmpty) "euclidean" else dist,
-            if (k <= 0) 100 else k))
-        resultsMessage(res, "sequential scan", queryid)
+        val entity = Entity.open(spark, base, entityName)
+        val df = entity.read()
+        val qd = req.getDescriptorForType
+
+        // optional boolean query (reference prepareBQ,
+        // MessageParser.scala:348-381): conjunction of Where predicates
+        val preds: Seq[graft.operators.BooleanPredicates.Predicate] =
+          if (!req.hasField(qd.findFieldByName("bq"))) Nil
+          else sub(req, "bq").getField(
+            msg("BooleanQueryMessage").findFieldByName("where"))
+            .asInstanceOf[java.util.List[_]].asScala.toSeq.map { w =>
+              val wm = w.asInstanceOf[DynamicMessage]
+              val values = wm.getField(
+                msg("WhereMessage").findFieldByName("values"))
+                .asInstanceOf[java.util.List[_]].asScala.toSeq
+                .map(v => valueOf(v.asInstanceOf[DynamicMessage]))
+              graft.operators.BooleanPredicates.Predicate(
+                str(wm, "attribute"),
+                { val op = str(wm, "op"); if (op.isEmpty) "=" else op },
+                values)
+            }
+
+        // optional nearest-neighbour query
+        val nnqOpt: Option[NnQuery] =
+          if (!req.hasField(qd.findFieldByName("nnq"))) None
+          else {
+            val nnq = sub(req, "nnq")
+            val dv = sub(sub(nnq, "query"), "denseVector")
+            val q = dv.getField(msg("DenseVectorMessage").findFieldByName("vector"))
+              .asInstanceOf[java.util.List[java.lang.Float]].asScala
+              .map(_.doubleValue()).toSeq
+            val k = nnq.getField(nnq.getDescriptorForType.findFieldByName("k"))
+              .asInstanceOf[Int]
+            val dist = str(nnq, "distance")
+            Some(NnQuery(str(nnq, "attribute"), q,
+              if (dist.isEmpty) "euclidean" else dist, if (k <= 0) 100 else k))
+          }
+
+        // hints: a hint naming a saved index routes the scan through it
+        // (reference HintBasedScanExpression); anything else falls back
+        // to the sequential path
+        val hints = req.getField(qd.findFieldByName("hints"))
+          .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
+        val indexHint = hints.find(entity.listIndexes.contains)
+
+        val (res, source) = (nnqOpt, preds) match {
+          case (Some(nnq), Nil) if indexHint.isDefined =>
+            val loaded = entity.loadIndex(indexHint.get)
+            require(!loaded.stale, s"index ${indexHint.get} is stale")
+            (QueryOps.index(df, "ap_id", loaded.index, nnq),
+              s"index scan (${indexHint.get})")
+          case (Some(nnq), Nil) => (QueryOps.sequential(df, "ap_id", nnq),
+            "sequential scan")
+          case (Some(nnq), ps) => (QueryOps.filteredKnn(df, "ap_id", ps, nnq),
+            "boolean filter + sequential scan")
+          case (None, ps) if ps.nonEmpty =>
+            // page cap mirrors the HTTP front door (Server.scala): a bare
+            // boolean scan is unbounded, and the response must collect
+            (QueryOps.booleanQuery(df, ps).limit(500), "boolean scan")
+          case _ => throw new IllegalArgumentException("query needs nnq and/or bq")
+        }
+        resultsMessage(res, source, queryid)
       } catch { case e: Exception => errorResults(e.getMessage) }
     }
 

@@ -125,11 +125,25 @@ object Proto {
       field("k", 4, Type.TYPE_INT32)))
     .addMessageType(message("FromMessage",
       field("entity", 1, Type.TYPE_STRING)))
+    .addMessageType(message("WhereMessage",
+      field("attribute", 1, Type.TYPE_STRING),
+      field("op", 2, Type.TYPE_STRING),
+      field("values", 3, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.DataMessage")))
+    .addMessageType(message("BooleanQueryMessage",
+      field("where", 1, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.WhereMessage")))
     .addMessageType(message("QueryMessage",
       field("queryid", 1, Type.TYPE_STRING),
       field("from", 2, Type.TYPE_MESSAGE, typeName = ".adam.FromMessage"),
       field("nnq", 3, Type.TYPE_MESSAGE,
-        typeName = ".adam.NearestNeighbourQueryMessage")))
+        typeName = ".adam.NearestNeighbourQueryMessage"),
+      field("bq", 4, Type.TYPE_MESSAGE, typeName = ".adam.BooleanQueryMessage"),
+      field("hints", 5, Type.TYPE_STRING, Label.LABEL_REPEATED)))
+    .addMessageType(message("IndexMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("attribute", 2, Type.TYPE_STRING),
+      field("indextype", 3, Type.TYPE_STRING)))
     .addMessageType(queryResultTupleMessage)
     .addMessageType(message("QueryResultInfoMessage",
       field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),

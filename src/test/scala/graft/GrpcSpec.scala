@@ -185,6 +185,115 @@ class GrpcSpec extends SparkSpec {
       entityName("rpcstream"))
   }
 
+  private def queryMsg(entity: String, queryid: String,
+                       nnq: Option[(String, Seq[Float], String, Int)],
+                       where: Seq[(String, String, Seq[Any])] = Nil,
+                       hints: Seq[String] = Nil): DynamicMessage = {
+    val qd = Proto.msg("QueryMessage")
+    val b = Proto.newMsg("QueryMessage")
+      .setField(qd.findFieldByName("queryid"), queryid)
+      .setField(qd.findFieldByName("from"),
+        Proto.newMsg("FromMessage")
+          .setField(Proto.msg("FromMessage").findFieldByName("entity"), entity)
+          .build())
+    nnq.foreach { case (attr, q, dist, k) =>
+      val nnqD = Proto.msg("NearestNeighbourQueryMessage")
+      b.setField(qd.findFieldByName("nnq"),
+        Proto.newMsg("NearestNeighbourQueryMessage")
+          .setField(nnqD.findFieldByName("attribute"), attr)
+          .setField(nnqD.findFieldByName("query"), vecMsg(q))
+          .setField(nnqD.findFieldByName("distance"), dist)
+          .setField(nnqD.findFieldByName("k"), Integer.valueOf(k))
+          .build())
+    }
+    if (where.nonEmpty) {
+      val wD = Proto.msg("WhereMessage")
+      val bqD = Proto.msg("BooleanQueryMessage")
+      val bq = Proto.newMsg("BooleanQueryMessage")
+      where.foreach { case (attr, op, values) =>
+        val w = Proto.newMsg("WhereMessage")
+          .setField(wD.findFieldByName("attribute"), attr)
+          .setField(wD.findFieldByName("op"), op)
+        values.foreach(v => w.addRepeatedField(wD.findFieldByName("values"),
+          Proto.dataOf(v)))
+        bq.addRepeatedField(bqD.findFieldByName("where"), w.build())
+      }
+      b.setField(qd.findFieldByName("bq"), bq.build())
+    }
+    hints.foreach(h => b.addRepeatedField(qd.findFieldByName("hints"), h))
+    b.build()
+  }
+
+  private def resultRows(res: DynamicMessage): Seq[Map[String, Any]] = {
+    val responses = res.getField(
+      res.getDescriptorForType.findFieldByName("responses"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
+    responses.flatMap { info =>
+      info.getField(info.getDescriptorForType.findFieldByName("results"))
+        .asInstanceOf[java.util.List[_]].asScala
+        .map(t => Proto.dataMap(t.asInstanceOf[DynamicMessage],
+          "QueryResultTupleMessage"))
+    }.toSeq
+  }
+
+  test("doQuery: boolean filter, filtered kNN, and index-hinted scan") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcq")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcq", (0 until 40).map(i =>
+        tuple(if (i % 2 == 0) "even" else "odd", Seq.fill(8)(i.toFloat)))))
+
+    val md = mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage")
+
+    // boolean-only scan
+    val boolRes = call(md, queryMsg("rpcq", "b1", None,
+      where = Seq(("label", "=", Seq("even")))))
+    ackOk(sub(boolRes, "ack")) shouldBe true
+    val boolRows = resultRows(boolRes)
+    boolRows should have size 20
+    boolRows.map(_("label")).toSet shouldBe Set("even")
+
+    // boolean + kNN: nearest EVEN row to [5,...] is i=4 or 6 (tie -> 4 first by distance equal; both dist
+    // sqrt(8)); assert all results even and distances sorted
+    val fRes = call(md, queryMsg("rpcq", "f1",
+      Some(("vec", Seq.fill(8)(5f), "euclidean", 5)),
+      where = Seq(("label", "=", Seq("even")))))
+    val fRows = resultRows(fRes)
+    fRows should have size 5
+    fRows.map(_("label")).toSet shouldBe Set("even")
+    val fDists = fRows.map(_("distance").asInstanceOf[Double])
+    fDists shouldBe fDists.sorted
+
+    // index over the wire, then an index-hinted query
+    val idxD = Proto.msg("IndexMessage")
+    val idxAck = call(mdDef("Index", "IndexMessage", "AckMessage"),
+      Proto.newMsg("IndexMessage")
+        .setField(idxD.findFieldByName("entity"), "rpcq")
+        .setField(idxD.findFieldByName("attribute"), "vec")
+        .setField(idxD.findFieldByName("indextype"), "vaf")
+        .build())
+    ackOk(idxAck) shouldBe true
+    str(idxAck, "message") shouldBe "vaf_vec"
+
+    val iRes = call(md, queryMsg("rpcq", "i1",
+      Some(("vec", Seq.fill(8)(7f), "euclidean", 3)), hints = Seq("vaf_vec")))
+    ackOk(sub(iRes, "ack")) shouldBe true
+    val infos = iRes.getField(
+      iRes.getDescriptorForType.findFieldByName("responses"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
+    str(infos.head, "source") shouldBe "index scan (vaf_vec)"
+    val iRows = resultRows(iRes)
+    iRows should have size 3
+    iRows.head("distance").asInstanceOf[Double] shouldBe 0.0 +- 1e-9 // exact i=7
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcq"))
+  }
+
   test("proto export/import round-trips an entity through delimited frames") {
     val d = Proto.msg("CreateEntityMessage")
     call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
