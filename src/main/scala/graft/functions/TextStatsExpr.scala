@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,6 +31,69 @@ object TextStats {
   /** Per-row repetition counters over an `array<string>` token column. */
   def repetitionStats(tokens: Column): Column =
     Bridge.column(RepetitionStatsExpr(Bridge.expression(tokens)))
+
+  /** Tagged gram array (tag 0 = token, tag 1 = bigram) over an
+    * `array<string>` token column, built in one O(tokens) kernel pass.
+    * The pure-HOF formulation (`concat(transform(toks, …),
+    * transform(sequence(…), i => concat_ws(' ', element_at(toks, i+1),
+    * …)))`) re-evaluates the token subtree PER ELEMENT under the
+    * interpreted-lambda engine (no CSE) — O(tokens²) per document,
+    * measured 8 s for 5000 docs at sf0.1. */
+  def taggedGrams(tokens: Column): Column =
+    Bridge.column(TaggedGramsExpr(Bridge.expression(tokens)))
+}
+
+/** One-pass tagged token+bigram gram array; see [[TextStats.taggedGrams]]. */
+case class TaggedGramsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tagged_grams requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tag", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "tagged_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TaggedGramsExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TaggedGramsExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TaggedGramsExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. Null elements are
+    * skipped defensively (the caller filters empty tokens upstream). */
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef](math.max(1, 2 * n))
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      if (t != null) {
+        val tok = t.clone()
+        out.add(new GenericInternalRow(Array[Any](0, tok)))
+        if (prev != null) {
+          out.add(new GenericInternalRow(
+            Array[Any](1, UTF8String.concat(prev, Space, tok))))
+        }
+        prev = tok
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {

@@ -115,14 +115,10 @@ object TextAnalysis {
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val ids = df.select(col(idCol).as("id")).distinct()
     val toksCol = filter(tokens(col(textCol)), t => length(t) > 0)
-    val bigramsCol = when(size(toksCol) < 2, typedlit(Seq.empty[String]))
-      .otherwise(transform(sequence(lit(0), size(toksCol) - 2),
-        i => concat_ws(" ", element_at(toksCol, i + 1),
-          element_at(toksCol, i + 2))))
-    val grams = concat(
-      transform(toksCol, t => struct(lit(0).as("tag"), t.as("g"))),
-      transform(bigramsCol, b => struct(lit(1).as("tag"), b.as("g"))))
-    val gram = df.select(col(idCol).as("id"), explode(grams).as("tg"))
+    // one O(tokens) kernel pass — a pure-HOF gram build re-evaluates the
+    // token subtree per element (no CSE on interpreted lambdas): O(n²)
+    val gram = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextStats.taggedGrams(toksCol)).as("tg"))
       .select(col("id"), col("tg.tag").as("tag"), col("tg.g").as("g"))
     val stats = gram.groupBy("id", "tag", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("id").agg(
