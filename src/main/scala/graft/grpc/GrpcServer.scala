@@ -218,6 +218,36 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 
+    u("ExistsIndex", "IndexExistsMessage", "ExistsMessage") { req =>
+      val exists = try {
+        val e = Entity.open(spark, base, str(req, "entity"))
+        e.listIndexes.contains(s"${str(req, "indextype")}_${str(req, "attribute")}")
+      } catch { case _: Exception => false }
+      withAck("ExistsMessage", ok = true)
+        .setField(msg("ExistsMessage").findFieldByName("exists"),
+          java.lang.Boolean.valueOf(exists))
+        .build()
+    }
+
+    u("ListIndexes", "EntityNameMessage", "IndexesMessage") { req =>
+      try {
+        val names = Entity.open(spark, base, str(req, "entity")).listIndexes.sorted
+        val out = withAck("IndexesMessage", ok = true)
+        names.foreach(n =>
+          out.addRepeatedField(msg("IndexesMessage").findFieldByName("indexes"), n))
+        out.build()
+      } catch { case e: Exception =>
+        withAck("IndexesMessage", ok = false, e.getMessage).build()
+      }
+    }
+
+    u("DropIndex", "IndexNameMessage", "AckMessage") { req =>
+      try {
+        Entity.open(spark, base, str(req, "entity")).dropIndex(str(req, "index"))
+        ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
     u("ProtoExportData", "ProtoExportMessage", "AckMessage") { req =>
       try {
         ProtoImportExport.exportEntity(
@@ -274,7 +304,36 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       b.addMethod(method("AdamSearch", name, req, resp,
         MethodDescriptor.MethodType.UNARY), unary(f))
 
-    u("DoQuery", "QueryMessage", "QueryResultsMessage") { req =>
+    u("DoQuery", "QueryMessage", "QueryResultsMessage")(runQuery)
+
+    // streaming queries: one QueryResultsMessage per QueryMessage, like
+    // the reference's doStreamingQuery (DataQuery.scala:173-196)
+    b.addMethod(
+      method("AdamSearch", "DoStreamingQuery", "QueryMessage", "QueryResultsMessage",
+        MethodDescriptor.MethodType.BIDI_STREAMING),
+      ServerCalls.asyncBidiStreamingCall(
+        new ServerCalls.BidiStreamingMethod[DynamicMessage, DynamicMessage] {
+          override def invoke(resp: StreamObserver[DynamicMessage])
+          : StreamObserver[DynamicMessage] = new StreamObserver[DynamicMessage] {
+            override def onNext(req: DynamicMessage): Unit = resp.onNext(runQuery(req))
+            override def onError(t: Throwable): Unit = ()
+            override def onCompleted(): Unit = resp.onCompleted()
+          }
+        }))
+
+    u("PreviewEntity", "PreviewMessage", "QueryResultsMessage") { req =>
+      try {
+        val n = req.getField(req.getDescriptorForType.findFieldByName("n"))
+          .asInstanceOf[Int]
+        val df = Entity.open(spark, base, str(req, "entity")).read()
+        resultsMessage(Projections.preview(df, if (n <= 0) 100 else n), "preview", "")
+      } catch { case e: Exception => errorResults(e.getMessage) }
+    }
+
+    b.build()
+  }
+
+  private def runQuery(req: DynamicMessage): DynamicMessage = {
       try {
         val queryid = str(req, "queryid")
         val entityName = str(sub(req, "from"), "entity")
@@ -341,18 +400,6 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         }
         resultsMessage(res, source, queryid)
       } catch { case e: Exception => errorResults(e.getMessage) }
-    }
-
-    u("PreviewEntity", "PreviewMessage", "QueryResultsMessage") { req =>
-      try {
-        val n = req.getField(req.getDescriptorForType.findFieldByName("n"))
-          .asInstanceOf[Int]
-        val df = Entity.open(spark, base, str(req, "entity")).read()
-        resultsMessage(Projections.preview(df, if (n <= 0) 100 else n), "preview", "")
-      } catch { case e: Exception => errorResults(e.getMessage) }
-    }
-
-    b.build()
   }
 
   // ---- lifecycle -----------------------------------------------------------

@@ -144,6 +144,16 @@ object Proto {
       field("entity", 1, Type.TYPE_STRING),
       field("attribute", 2, Type.TYPE_STRING),
       field("indextype", 3, Type.TYPE_STRING)))
+    .addMessageType(message("IndexNameMessage",
+      field("index", 1, Type.TYPE_STRING),
+      field("entity", 2, Type.TYPE_STRING)))
+    .addMessageType(message("IndexExistsMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("attribute", 2, Type.TYPE_STRING),
+      field("indextype", 3, Type.TYPE_STRING)))
+    .addMessageType(message("IndexesMessage",
+      field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),
+      field("indexes", 2, Type.TYPE_STRING, Label.LABEL_REPEATED)))
     .addMessageType(queryResultTupleMessage)
     .addMessageType(message("QueryResultInfoMessage",
       field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),

@@ -291,7 +291,63 @@ class GrpcSpec extends SparkSpec {
     iRows should have size 3
     iRows.head("distance").asInstanceOf[Double] shouldBe 0.0 +- 1e-9 // exact i=7
 
+    // index DDL: exists / list / drop
+    val ieD = Proto.msg("IndexExistsMessage")
+    def idxExists(tp: String) = {
+      val r = call(mdDef("ExistsIndex", "IndexExistsMessage", "ExistsMessage"),
+        Proto.newMsg("IndexExistsMessage")
+          .setField(ieD.findFieldByName("entity"), "rpcq")
+          .setField(ieD.findFieldByName("attribute"), "vec")
+          .setField(ieD.findFieldByName("indextype"), tp).build())
+      r.getField(r.getDescriptorForType.findFieldByName("exists")).asInstanceOf[Boolean]
+    }
+    idxExists("vaf") shouldBe true
+    idxExists("pq") shouldBe false
+    val li = call(mdDef("ListIndexes", "EntityNameMessage", "IndexesMessage"),
+      entityName("rpcq"))
+    li.getField(li.getDescriptorForType.findFieldByName("indexes"))
+      .asInstanceOf[java.util.List[_]].asScala.toSeq shouldBe Seq("vaf_vec")
+    val inD = Proto.msg("IndexNameMessage")
+    ackOk(call(mdDef("DropIndex", "IndexNameMessage", "AckMessage"),
+      Proto.newMsg("IndexNameMessage")
+        .setField(inD.findFieldByName("index"), "vaf_vec")
+        .setField(inD.findFieldByName("entity"), "rpcq").build())) shouldBe true
+    idxExists("vaf") shouldBe false
+
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcq"))
+  }
+
+  test("doStreamingQuery: one result set per query over a bidi stream") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcsq")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcsq", (0 until 10).map(i => tuple(s"s$i", Seq(i.toFloat, i.toFloat)))))
+
+    val md = server.clientMethod("AdamSearch", "DoStreamingQuery",
+      "QueryMessage", "QueryResultsMessage", MethodDescriptor.MethodType.BIDI_STREAMING)
+    val results = scala.collection.mutable.ArrayBuffer.empty[DynamicMessage]
+    val done = new CountDownLatch(1)
+    val reqObs = ClientCalls.asyncBidiStreamingCall(
+      channel.newCall(md, CallOptions.DEFAULT),
+      new StreamObserver[DynamicMessage] {
+        override def onNext(m: DynamicMessage): Unit =
+          results.synchronized { results += m }
+        override def onError(t: Throwable): Unit = done.countDown()
+        override def onCompleted(): Unit = done.countDown()
+      })
+    reqObs.onNext(queryMsg("rpcsq", "s1", Some(("vec", Seq(2f, 2f), "euclidean", 1))))
+    reqObs.onNext(queryMsg("rpcsq", "s2", Some(("vec", Seq(9f, 9f), "euclidean", 1))))
+    reqObs.onCompleted()
+    done.await(60, TimeUnit.SECONDS) shouldBe true
+    results should have size 2
+    resultRows(results.head).head("label") shouldBe "s2"
+    resultRows(results(1)).head("label") shouldBe "s9"
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcsq"))
   }
 
   test("proto export/import round-trips an entity through delimited frames") {
