@@ -218,6 +218,78 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 
+    def propertiesMsg(ok: Boolean, text: String, props: Seq[(String, String)])
+    : DynamicMessage = {
+      val pd = msg("PropertiesMessage")
+      val entryD = pd.findNestedTypeByName("PropertiesEntry")
+      val b = withAck("PropertiesMessage", ok, text)
+      props.foreach { case (k, v) =>
+        b.addRepeatedField(pd.findFieldByName("properties"),
+          DynamicMessage.newBuilder(entryD)
+            .setField(entryD.findFieldByName("key"), k)
+            .setField(entryD.findFieldByName("value"), v).build())
+      }
+      b.build()
+    }
+
+    u("GetEntityProperties", "EntityPropertiesMessage", "PropertiesMessage") { req =>
+      try {
+        val e = Entity.open(spark, base, str(req, "entity"))
+        val (version, inserts) = e.stamp
+        propertiesMsg(ok = true, "", Seq(
+          "count" -> e.count().toString,
+          "version" -> version.toString,
+          "inserts" -> inserts.toString,
+          "schema" -> e.read().drop("ap_id").schema.fields
+            .map(f => s"${f.name}:${ProtoImportExport.typeNameOf(f.dataType)}")
+            .mkString(","),
+          "indexes" -> e.listIndexes.sorted.mkString(",")))
+      } catch { case e: Exception => propertiesMsg(ok = false, e.getMessage, Nil) }
+    }
+
+    u("GetIndexProperties", "IndexPropertiesMessage", "PropertiesMessage") { req =>
+      try {
+        val e = Entity.open(spark, base, str(req, "entity"))
+        val loaded = e.loadIndex(str(req, "index"))
+        propertiesMsg(ok = true, "", Seq(
+          "indextype" -> loaded.index.getClass.getSimpleName,
+          "stale" -> loaded.stale.toString))
+      } catch { case e: Exception => propertiesMsg(ok = false, e.getMessage, Nil) }
+    }
+
+    u("GenerateRandomData", "GenerateRandomDataMessage", "AckMessage") { req =>
+      try {
+        import org.apache.spark.sql.functions._
+        val name = str(req, "entity")
+        val d = req.getDescriptorForType
+        val n = req.getField(d.findFieldByName("ntuples")).asInstanceOf[Long]
+        val dims0 = req.getField(d.findFieldByName("dims")).asInstanceOf[Int]
+        val dims = if (dims0 <= 0) 16 else dims0
+        require(n > 0, "ntuples must be positive")
+        val schema = entitySchema(name)
+        // deterministic per-type filler (xxhash-derived, like RandomData)
+        val df0 = spark.range(n).toDF()
+        val df = schema.fields.foldLeft(df0) { (acc, f) =>
+          val h = xxhash64(col("id"), lit(f.name))
+          acc.withColumn(f.name, f.dataType match {
+            case StringType => concat(lit("s"), pmod(h, lit(1000L)))
+            case IntegerType => pmod(h, lit(1000L)).cast("int")
+            case LongType => pmod(h, lit(100000L))
+            case FloatType => (pmod(h, lit(1000000L)).cast("double") / 1e6).cast("float")
+            case DoubleType => pmod(h, lit(1000000L)).cast("double") / 1e6
+            case BooleanType => pmod(h, lit(2L)) === 1
+            case ArrayType(FloatType, _) =>
+              transform(sequence(lit(0), lit(dims - 1)), i =>
+                (pmod(xxhash64(col("id"), lit(f.name), i), lit(1000000L))
+                  .cast("double") / 1e6).cast("float"))
+            case other => throw new IllegalArgumentException(s"cannot fill $other")
+          })
+        }.select(schema.fieldNames.map(col).toSeq: _*)
+        Entity.open(spark, base, name).insert(df)
+        ackOf(ok = true, n.toString)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
     u("ExistsIndex", "IndexExistsMessage", "ExistsMessage") { req =>
       val exists = try {
         val e = Entity.open(spark, base, str(req, "entity"))

@@ -168,6 +168,24 @@ object Proto {
     .addMessageType(message("PreviewMessage",
       field("entity", 1, Type.TYPE_STRING),
       field("n", 2, Type.TYPE_INT32)))
+    .addMessageType(message("EntityPropertiesMessage",
+      field("entity", 1, Type.TYPE_STRING)))
+    .addMessageType(message("IndexPropertiesMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("index", 2, Type.TYPE_STRING)))
+    .addMessageType(DescriptorProto.newBuilder().setName("PropertiesMessage")
+      .addNestedType(DescriptorProto.newBuilder().setName("PropertiesEntry")
+        .setOptions(MessageOptions.newBuilder().setMapEntry(true))
+        .addField(field("key", 1, Type.TYPE_STRING))
+        .addField(field("value", 2, Type.TYPE_STRING)))
+      .addField(field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"))
+      .addField(field("properties", 2, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.PropertiesMessage.PropertiesEntry"))
+      .build())
+    .addMessageType(message("GenerateRandomDataMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("ntuples", 2, Type.TYPE_INT64),
+      field("dims", 3, Type.TYPE_INT32)))
     .addMessageType(message("ProtoImportMessage",
       field("path", 1, Type.TYPE_STRING)))
     .addMessageType(message("ProtoExportMessage",

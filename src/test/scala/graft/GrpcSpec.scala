@@ -317,6 +317,48 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcq"))
   }
 
+  test("entity/index properties and random-data generation over the wire") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcprops")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    val gd = Proto.msg("GenerateRandomDataMessage")
+    val gen = call(mdDef("GenerateRandomData", "GenerateRandomDataMessage", "AckMessage"),
+      Proto.newMsg("GenerateRandomDataMessage")
+        .setField(gd.findFieldByName("entity"), "rpcprops")
+        .setField(gd.findFieldByName("ntuples"), java.lang.Long.valueOf(25L))
+        .setField(gd.findFieldByName("dims"), Integer.valueOf(8))
+        .build())
+    ackOk(gen) shouldBe true
+
+    val props = call(mdDef("GetEntityProperties", "EntityPropertiesMessage",
+      "PropertiesMessage"),
+      Proto.newMsg("EntityPropertiesMessage")
+        .setField(Proto.msg("EntityPropertiesMessage").findFieldByName("entity"),
+          "rpcprops").build())
+    ackOk(sub(props, "ack")) shouldBe true
+    val pd = Proto.msg("PropertiesMessage")
+    val entryD = pd.findNestedTypeByName("PropertiesEntry")
+    val kv = props.getField(pd.findFieldByName("properties"))
+      .asInstanceOf[java.util.List[_]].asScala.map { e =>
+        val em = e.asInstanceOf[DynamicMessage]
+        em.getField(entryD.findFieldByName("key")).asInstanceOf[String] ->
+          em.getField(entryD.findFieldByName("value")).asInstanceOf[String]
+      }.toMap
+    kv("count") shouldBe "25"
+    kv("schema") shouldBe "label:string,vec:vector"
+
+    // vectors are real 8-dim arrays: a kNN over them works
+    val qRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      queryMsg("rpcprops", "p1", Some(("vec", Seq.fill(8)(0.5f), "euclidean", 3))))
+    resultRows(qRes) should have size 3
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcprops"))
+  }
+
   test("doStreamingQuery: one result set per query over a bidi stream") {
     val d = Proto.msg("CreateEntityMessage")
     call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
