@@ -290,6 +290,66 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 
+    u("SparsifyEntity", "SparsifyEntityMessage", "AckMessage") { req =>
+      try {
+        Entity.open(spark, base, str(req, "entity")).sparsify(str(req, "attribute"))
+        schemas.remove(str(req, "entity")) // stored schema changed shape
+        ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    u("VacuumEntity", "EntityNameMessage", "AckMessage") { req =>
+      try {
+        Entity.open(spark, base, str(req, "entity")).vacuum()
+        ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    u("Delete", "DeleteMessage", "AckMessage") { req =>
+      try {
+        val preds = req.getField(
+          req.getDescriptorForType.findFieldByName("predicates"))
+          .asInstanceOf[java.util.List[_]].asScala.toSeq.map { w =>
+            val wm = w.asInstanceOf[DynamicMessage]
+            val values = wm.getField(msg("WhereMessage").findFieldByName("values"))
+              .asInstanceOf[java.util.List[_]].asScala.toSeq
+              .map(v => valueOf(v.asInstanceOf[DynamicMessage]))
+            graft.operators.BooleanPredicates.Predicate(
+              str(wm, "attribute"),
+              { val op = str(wm, "op"); if (op.isEmpty) "=" else op },
+              values)
+          }
+        require(preds.nonEmpty, "delete needs at least one predicate")
+        val deleted = Entity.open(spark, base, str(req, "entity"))
+          .deleteWhere(graft.operators.BooleanPredicates.conjunction(preds))
+        ackOf(ok = true, deleted.toString) // reference echoes the count
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    u("RepartitionEntityData", "RepartitionMessage", "AckMessage") { req =>
+      try {
+        val d = req.getDescriptorForType
+        val n = req.getField(d.findFieldByName("numberOfPartitions")).asInstanceOf[Int]
+        val attrs = req.getField(d.findFieldByName("attributes"))
+          .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
+        val mode = str(req, "partitioner").toLowerCase match {
+          case "" | "hash" =>
+            require(attrs.nonEmpty, "hash partitioner needs attributes")
+            graft.core.Partitioning.Hash(attrs, math.max(n, 1))
+          case "random" => graft.core.Partitioning.Random(math.max(n, 1))
+          case "ecp" =>
+            require(attrs.nonEmpty, "ecp partitioner needs the vector attribute")
+            graft.core.Partitioning.Ecp(attrs.head, math.max(n, 1))
+          case "bycolumn" =>
+            require(attrs.nonEmpty, "bycolumn partitioner needs the key attribute")
+            graft.core.Partitioning.ByColumn(attrs.head)
+          case other => throw new IllegalArgumentException(s"unknown partitioner: $other")
+        }
+        Entity.open(spark, base, str(req, "entity")).partitionLayout(mode)
+        ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
     u("ExistsIndex", "IndexExistsMessage", "ExistsMessage") { req =>
       val exists = try {
         val e = Entity.open(spark, base, str(req, "entity"))

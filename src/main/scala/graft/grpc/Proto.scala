@@ -186,6 +186,18 @@ object Proto {
       field("entity", 1, Type.TYPE_STRING),
       field("ntuples", 2, Type.TYPE_INT64),
       field("dims", 3, Type.TYPE_INT32)))
+    .addMessageType(message("SparsifyEntityMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("attribute", 2, Type.TYPE_STRING)))
+    .addMessageType(message("DeleteMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("predicates", 2, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.WhereMessage")))
+    .addMessageType(message("RepartitionMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("numberOfPartitions", 2, Type.TYPE_INT32),
+      field("attributes", 3, Type.TYPE_STRING, Label.LABEL_REPEATED),
+      field("partitioner", 4, Type.TYPE_STRING)))
     .addMessageType(message("ProtoImportMessage",
       field("path", 1, Type.TYPE_STRING)))
     .addMessageType(message("ProtoExportMessage",

@@ -317,6 +317,59 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcq"))
   }
 
+  test("DML over the wire: delete by predicate, vacuum, sparsify, repartition") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcdml")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcdml", (0 until 30).map(i =>
+        tuple(if (i < 10) "drop_me" else "keep", Seq(i.toFloat, i.toFloat)))))
+
+    // delete by predicate; ack echoes the deleted count
+    val dd = Proto.msg("DeleteMessage")
+    val wD = Proto.msg("WhereMessage")
+    val w = Proto.newMsg("WhereMessage")
+      .setField(wD.findFieldByName("attribute"), "label")
+      .setField(wD.findFieldByName("op"), "=")
+    w.addRepeatedField(wD.findFieldByName("values"), Proto.dataOf("drop_me"))
+    val del = call(mdDef("Delete", "DeleteMessage", "AckMessage"),
+      Proto.newMsg("DeleteMessage")
+        .setField(dd.findFieldByName("entity"), "rpcdml")
+        .addRepeatedField(dd.findFieldByName("predicates"), w.build())
+        .build())
+    ackOk(del) shouldBe true
+    str(del, "message") shouldBe "10"
+    str(call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcdml")), "message") shouldBe "20"
+
+    ackOk(call(mdDef("VacuumEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpcdml"))) shouldBe true
+
+    val rp = Proto.msg("RepartitionMessage")
+    ackOk(call(mdDef("RepartitionEntityData", "RepartitionMessage", "AckMessage"),
+      Proto.newMsg("RepartitionMessage")
+        .setField(rp.findFieldByName("entity"), "rpcdml")
+        .setField(rp.findFieldByName("numberOfPartitions"), Integer.valueOf(4))
+        .addRepeatedField(rp.findFieldByName("attributes"), "label")
+        .setField(rp.findFieldByName("partitioner"), "bycolumn")
+        .build())) shouldBe true
+
+    val sp = Proto.msg("SparsifyEntityMessage")
+    ackOk(call(mdDef("SparsifyEntity", "SparsifyEntityMessage", "AckMessage"),
+      Proto.newMsg("SparsifyEntityMessage")
+        .setField(sp.findFieldByName("entity"), "rpcdml")
+        .setField(sp.findFieldByName("attribute"), "vec")
+        .build())) shouldBe true
+    str(call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcdml")), "message") shouldBe "20"
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcdml"))
+  }
+
   test("entity/index properties and random-data generation over the wire") {
     val d = Proto.msg("CreateEntityMessage")
     call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
