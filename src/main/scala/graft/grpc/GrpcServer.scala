@@ -290,6 +290,41 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 
+    u("AdaptScanMethods", "AdaptScanMethodsMessage", "AckMessage") { req =>
+      try {
+        val e = Entity.open(spark, base, str(req, "entity"))
+        val attribute = str(req, "attribute")
+        val indexes = e.listIndexes.sorted.map(n => e.loadIndex(n).index)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val n = graft.api.PlannerOps.train(spark, e.read(), "ap_id", attribute, indexes)
+        ackOf(ok = true, n.toString) // measurements recorded
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    u("GetScoredExecutionPath", "ScoredExecutionPathsRequest",
+      "ScoredExecutionPathsMessage") { req =>
+      try {
+        val e = Entity.open(spark, base, str(req, "entity"))
+        val dist = { val d = str(req, "distance"); if (d.isEmpty) "euclidean" else d }
+        val indexes = e.listIndexes.sorted.map(n => e.loadIndex(n).index)
+        val pd = msg("ScoredExecutionPathsMessage")
+        val pathD = msg("ScoredExecutionPathMessage")
+        val out = withAck("ScoredExecutionPathsMessage", ok = true)
+        graft.api.PlannerOps.scoredPaths(indexes, dist).foreach { case (scan, score) =>
+          out.addRepeatedField(pd.findFieldByName("paths"),
+            DynamicMessage.newBuilder(pathD)
+              .setField(pathD.findFieldByName("scan"), scan)
+              .setField(pathD.findFieldByName("score"),
+                java.lang.Double.valueOf(score))
+              .build())
+        }
+        out.build()
+      } catch { case e: Exception =>
+        withAck("ScoredExecutionPathsMessage", ok = false, e.getMessage).build()
+      }
+    }
+
     u("SparsifyEntity", "SparsifyEntityMessage", "AckMessage") { req =>
       try {
         Entity.open(spark, base, str(req, "entity")).sparsify(str(req, "attribute"))

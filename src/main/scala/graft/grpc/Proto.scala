@@ -198,6 +198,19 @@ object Proto {
       field("numberOfPartitions", 2, Type.TYPE_INT32),
       field("attributes", 3, Type.TYPE_STRING, Label.LABEL_REPEATED),
       field("partitioner", 4, Type.TYPE_STRING)))
+    .addMessageType(message("AdaptScanMethodsMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("attribute", 2, Type.TYPE_STRING)))
+    .addMessageType(message("ScoredExecutionPathsRequest",
+      field("entity", 1, Type.TYPE_STRING),
+      field("distance", 2, Type.TYPE_STRING)))
+    .addMessageType(message("ScoredExecutionPathMessage",
+      field("scan", 1, Type.TYPE_STRING),
+      field("score", 2, Type.TYPE_DOUBLE)))
+    .addMessageType(message("ScoredExecutionPathsMessage",
+      field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),
+      field("paths", 2, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.ScoredExecutionPathMessage")))
     .addMessageType(message("ProtoImportMessage",
       field("path", 1, Type.TYPE_STRING)))
     .addMessageType(message("ProtoExportMessage",

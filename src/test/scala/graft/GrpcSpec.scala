@@ -412,6 +412,56 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcprops"))
   }
 
+  test("planner training and scored paths over the wire") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcplan")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    val gd = Proto.msg("GenerateRandomDataMessage")
+    call(mdDef("GenerateRandomData", "GenerateRandomDataMessage", "AckMessage"),
+      Proto.newMsg("GenerateRandomDataMessage")
+        .setField(gd.findFieldByName("entity"), "rpcplan")
+        .setField(gd.findFieldByName("ntuples"), java.lang.Long.valueOf(200L))
+        .setField(gd.findFieldByName("dims"), Integer.valueOf(8)).build())
+    val idxD = Proto.msg("IndexMessage")
+    Seq("vaf", "ecp").foreach { tp =>
+      ackOk(call(mdDef("Index", "IndexMessage", "AckMessage"),
+        Proto.newMsg("IndexMessage")
+          .setField(idxD.findFieldByName("entity"), "rpcplan")
+          .setField(idxD.findFieldByName("attribute"), "vec")
+          .setField(idxD.findFieldByName("indextype"), tp).build())) shouldBe true
+    }
+
+    val asD = Proto.msg("AdaptScanMethodsMessage")
+    val trained = call(mdDef("AdaptScanMethods", "AdaptScanMethodsMessage", "AckMessage"),
+      Proto.newMsg("AdaptScanMethodsMessage")
+        .setField(asD.findFieldByName("entity"), "rpcplan")
+        .setField(asD.findFieldByName("attribute"), "vec").build())
+    ackOk(trained) shouldBe true
+    str(trained, "message").toInt should be > 0
+
+    val spD = Proto.msg("ScoredExecutionPathsRequest")
+    val paths = call(mdDef("GetScoredExecutionPath", "ScoredExecutionPathsRequest",
+      "ScoredExecutionPathsMessage"),
+      Proto.newMsg("ScoredExecutionPathsRequest")
+        .setField(spD.findFieldByName("entity"), "rpcplan")
+        .setField(spD.findFieldByName("distance"), "euclidean").build())
+    ackOk(sub(paths, "ack")) shouldBe true
+    val pathD = Proto.msg("ScoredExecutionPathMessage")
+    val scans = paths.getField(
+      paths.getDescriptorForType.findFieldByName("paths"))
+      .asInstanceOf[java.util.List[_]].asScala.map { p =>
+        val pm = p.asInstanceOf[DynamicMessage]
+        pm.getField(pathD.findFieldByName("scan")).asInstanceOf[String]
+      }.toSeq
+    scans should contain("sequential")
+    scans.exists(_.startsWith("index:")) shouldBe true
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcplan"))
+  }
+
   test("doStreamingQuery: one result set per query over a bidi stream") {
     val d = Proto.msg("CreateEntityMessage")
     call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
