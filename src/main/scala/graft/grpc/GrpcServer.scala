@@ -290,6 +290,43 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 
+    u("AvailableAttributeTypes", "EmptyMessage", "AvailableAttributeTypesMessage") { _ =>
+      val out = withAck("AvailableAttributeTypesMessage", ok = true)
+      Seq("string", "int", "long", "float", "double", "boolean", "vector")
+        .foreach(t => out.addRepeatedField(
+          msg("AvailableAttributeTypesMessage").findFieldByName("attributetypes"), t))
+      out.build()
+    }
+
+    u("ListStorageHandlers", "EmptyMessage", "StorageHandlersMessage") { _ =>
+      val out = withAck("StorageHandlersMessage", ok = true)
+      (graft.sources.StorageHandlers.all.keys.toSeq :+ "keyvalue").sorted
+        .foreach(h => out.addRepeatedField(
+          msg("StorageHandlersMessage").findFieldByName("handlers"), h))
+      out.build()
+    }
+
+    u("GenerateAllIndexes", "IndexMessage", "IndexesMessage") { req =>
+      try {
+        val name = str(req, "entity")
+        val attribute = str(req, "attribute")
+        val e = Entity.open(spark, base, name)
+        val df = e.read()
+        val types = Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi")
+        val names = types.map { tp =>
+          val idxName = s"${tp}_$attribute"
+          e.saveIndex(idxName, graft.api.IndexOps.create(tp, df, "ap_id", attribute))
+          idxName
+        }
+        val out = withAck("IndexesMessage", ok = true)
+        names.foreach(n =>
+          out.addRepeatedField(msg("IndexesMessage").findFieldByName("indexes"), n))
+        out.build()
+      } catch { case e: Exception =>
+        withAck("IndexesMessage", ok = false, e.getMessage).build()
+      }
+    }
+
     u("AdaptScanMethods", "AdaptScanMethodsMessage", "AckMessage") { req =>
       try {
         val e = Entity.open(spark, base, str(req, "entity"))

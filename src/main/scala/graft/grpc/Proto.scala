@@ -198,6 +198,12 @@ object Proto {
       field("numberOfPartitions", 2, Type.TYPE_INT32),
       field("attributes", 3, Type.TYPE_STRING, Label.LABEL_REPEATED),
       field("partitioner", 4, Type.TYPE_STRING)))
+    .addMessageType(message("AvailableAttributeTypesMessage",
+      field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),
+      field("attributetypes", 2, Type.TYPE_STRING, Label.LABEL_REPEATED)))
+    .addMessageType(message("StorageHandlersMessage",
+      field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),
+      field("handlers", 2, Type.TYPE_STRING, Label.LABEL_REPEATED)))
     .addMessageType(message("AdaptScanMethodsMessage",
       field("entity", 1, Type.TYPE_STRING),
       field("attribute", 2, Type.TYPE_STRING)))

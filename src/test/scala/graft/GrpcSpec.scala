@@ -538,6 +538,20 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcexp"))
   }
 
+  test("catalog RPCs: attribute types and storage handlers") {
+    val at = call(mdDef("AvailableAttributeTypes", "EmptyMessage",
+      "AvailableAttributeTypesMessage"), Proto.newMsg("EmptyMessage").build())
+    ackOk(sub(at, "ack")) shouldBe true
+    at.getField(at.getDescriptorForType.findFieldByName("attributetypes"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.toString) should
+      contain allOf ("string", "vector", "long")
+    val sh = call(mdDef("ListStorageHandlers", "EmptyMessage",
+      "StorageHandlersMessage"), Proto.newMsg("EmptyMessage").build())
+    sh.getField(sh.getDescriptorForType.findFieldByName("handlers"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.toString) should
+      contain allOf ("parquet", "orc", "keyvalue")
+  }
+
   test("netty TCP transport serves the same services") {
     val tcp = server.startNetty(0)
     try {
