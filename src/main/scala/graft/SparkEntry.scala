@@ -667,6 +667,21 @@ object SparkEntry {
           maxDupBigramFrac = 0.08, maxPii = 0)
         .orderBy("id")),
 
+    "sample_exact_n" -> ((s, d) =>
+      Sampling.exactSample(Tables.documents(s, d), "doc_id", 100)
+        .select("doc_id").orderBy("doc_id")),
+
+    "corpus_contamination" -> ((s, d) => {
+      // decontamination check: is a training doc contaminated with one of
+      // the benchmark items (docs >= 450)? one-sided containment, banded
+      val docs = Tables.documents(s, d)
+      val idx = benchIndexes.getOrElseUpdate(d,
+        Dedup.indexCorpus(docs.filter(col("doc_id") >= 450), "text", "doc_id"))
+      Dedup.contaminationAgainstCorpus(docs.filter(col("doc_id") < 450),
+          "text", "doc_id", idx, 0.5)
+        .orderBy("in_id", "corpus_id")
+    }),
+
     "corpus_simhash_neardup" -> ((s, d) => {
       // admission check, SimHash flavor: same build-once corpus-index
       // contract as corpus_neardup / corpus_cosine_neardup
@@ -809,6 +824,9 @@ object SparkEntry {
     val mh = corpusIndexes.getOrElseUpdate(d,
       Dedup.indexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id"))
     mh.banded.count(); mh.shingles.count()
+    val bench = benchIndexes.getOrElseUpdate(d,
+      Dedup.indexCorpus(docs.filter(col("doc_id") >= 450), "text", "doc_id"))
+    bench.banded.count(); bench.shingles.count()
     val sh = simhashCorpusIndexes.getOrElseUpdate(d,
       Dedup.simhashIndexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id"))
     sh.banded.count()
@@ -827,6 +845,9 @@ object SparkEntry {
 
   private val simhashCorpusIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.SimHashCorpusIndex]
+
+  private val benchIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusIndex]
 
   /** Documents text with synthetic PII appended (email + IP + phone
     * derived from doc_id) so the PII scan exercises real matches; every
@@ -1511,6 +1532,27 @@ object SparkEntry {
 
     // doc_id unique -> the per-row kernel equals the merge-form answer
     "quality_filter_verdicts_perrow" -> duckQualityVerdictsSql,
+
+    "sample_exact_n" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id FROM
+         |   (SELECT doc_id, ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |  ORDER BY h, doc_id LIMIT 100
+         |) ORDER BY doc_id""".stripMargin,
+
+    // exact one-sided containment |S(bench) ∩ S(doc)| / |S(bench)|; the
+    // Spark side's posting-count join is LOSSLESS (count = |∩| since
+    // shingle sets are distinct) — no banding, no recall caveat
+    "corpus_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |)
+         |SELECT in_id, corpus_id, round(c, 4) AS containment FROM (
+         | SELECT a.doc_id AS in_id, b.doc_id AS corpus_id,
+         |  len(list_intersect(b.sh, a.sh)) * 1.0 / len(b.sh) AS c
+         | FROM d a, d b WHERE a.doc_id < 450 AND b.doc_id >= 450
+         |) WHERE c >= 0.5 ORDER BY in_id, corpus_id""".stripMargin,
 
     // same portable-SimHash replay as simhash_neardup, restricted to the
     // incoming (id >= 400) × corpus (id < 400) cross pairs

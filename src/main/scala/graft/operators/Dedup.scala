@@ -262,6 +262,40 @@ object Dedup {
       .select(col("in_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark-contamination check: one-sided n-gram CONTAINMENT of the
+    * reference set's shingles in each incoming document —
+    * `|S(bench) ∩ S(doc)| / |S(bench)|` — the standard "is this training
+    * document contaminated with an eval benchmark item" test. Jaccard
+    * (and MinHash banding, which approximates it) underflags when the
+    * doc is much longer than the benchmark item, so the candidate step
+    * here is NOT the banded join: benchmark shingles post directly
+    * (benchmark sets are small — the corpus index's shingle table is the
+    * posting source), incoming shingles join them, and the per-pair
+    * match COUNT is exactly `|S(bench) ∩ S(doc)|` because shingle sets
+    * are distinct. LOSSLESS at any threshold, no verification pass.
+    *
+    * Scale shape: the exploded benchmark postings are tiny and
+    * broadcast-able, so the corpus side never shuffles — one broadcast
+    * join over the exploded incoming shingles plus one aggregation on
+    * the (rare) matching rows. Emits `(in_id, corpus_id, containment)`
+    * at or above the threshold. */
+  def contaminationAgainstCorpus(incoming: DataFrame, textCol: String, idCol: String,
+                                 idx: CorpusIndex, threshold: Double): DataFrame = {
+    val benchPost = idx.shingles.select(col("corpus_id"),
+      size(col("sh_c")).as("bench_sz"), explode(col("sh_c")).as("s"))
+    val inPost = incoming.select(col(idCol).as("in_id"),
+      explode(graft.functions.HashSig.shingleHashes(
+        tokenHashes(col(textCol)), idx.n)).as("s"))
+    inPost.join(broadcast(benchPost), Seq("s"))
+      .groupBy("in_id", "corpus_id", "bench_sz")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("containment",
+        col("overlap").cast("double") / col("bench_sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("in_id"), col("corpus_id"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** 60-bit SimHash over the token bag: bit i of the fingerprint is the
     * sign of Σ_tokens vote_i(token). The per-token vote derives from a
     * char-level rolling hash + affine bit hashes — every step replayable

@@ -68,6 +68,17 @@ object Sampling {
     df.filter(pmod(keyHash(col(keyCol)), lit(10000)) < cut)
   }
 
+  /** Deterministic exact-n sample: the n rows whose keys hash smallest
+    * (ties broken by the key itself). Plans as `TakeOrderedAndProject` —
+    * per-partition top-n then a k-row merge on the driver, no full sort,
+    * no shuffle of the relation. Unlike [[bernoulliSample]] the output
+    * size is EXACT; like it, the selection depends only on the keys, so
+    * it is stable under reordering and externally replayable. */
+  def exactSample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    df.orderBy(keyHash(col(keyCol)).asc, col(keyCol).asc).limit(n)
+  }
+
   /** Exact stratified sample: per stratum keep `ceil(fraction · |stratum|)`
     * rows, chosen deterministically by (hash, key) order. One shuffle on
     * the stratum key; count and rank share the same window frame.

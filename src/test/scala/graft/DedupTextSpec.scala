@@ -159,6 +159,25 @@ class DedupTextSpec extends SparkSpec {
     byId(2L) shouldBe ((true, "ok"))
   }
 
+  test("contamination check: containment flags a long doc containing a benchmark item") {
+    val bench = Seq(
+      (100L, "what is the capital of france paris is the capital of france"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.indexCorpus(bench, "text", "doc_id")
+    val training = Seq(
+      // long doc fully containing the benchmark item (low Jaccard, high containment)
+      (1L, "some web page preamble text here " +
+        "what is the capital of france paris is the capital of france " +
+        "and plenty of trailing boilerplate about cookies and privacy policies"),
+      (2L, "a completely unrelated document about spark query planning internals")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminationAgainstCorpus(training, "text", "doc_id", idx, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    flagged.map(p => (p._1, p._2)) shouldBe Array((1L, 100L))
+    flagged.head._3 should be >= 0.8
+    idx.release()
+  }
+
   test("qualityVerdictsPerRow equals the merge form on unique-id input") {
     val df = Seq(
       (0L, "x"),

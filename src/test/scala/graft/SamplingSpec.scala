@@ -80,6 +80,19 @@ class SamplingSpec extends SparkSpec {
     kept.filter(col("dom") === "code").select("k").as[String].collect().toSet shouldBe bern
   }
 
+  test("exactSample: exact n, deterministic, order-insensitive, TakeOrdered plan") {
+    val df = (1L to 500L).toDF("id")
+    val a = Sampling.exactSample(df, "id", 50).as[Long].collect().toSet
+    a.size shouldBe 50
+    // same selection regardless of input order
+    val b = Sampling.exactSample(df.orderBy(col("id").desc), "id", 50)
+      .as[Long].collect().toSet
+    b shouldBe a
+    // plans as per-partition top-n, not a global sort
+    Sampling.exactSample(df, "id", 50).queryExecution.executedPlan.toString should
+      include("TakeOrderedAndProject")
+  }
+
   test("stratifiedSample: exact ceil(fraction*n) per stratum, single-row strata keep 1") {
     val df = (1 to 100).map(i => (if (i <= 90) "big" else if (i <= 99) "mid" else "solo", i))
       .toDF("strat", "key")
