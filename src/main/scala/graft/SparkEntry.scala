@@ -673,11 +673,12 @@ object SparkEntry {
 
     "corpus_contamination" -> ((s, d) => {
       // decontamination check: is a training doc contaminated with one of
-      // the benchmark items (docs >= 450)? one-sided containment, banded
+      // the benchmark items? the benchmark side (docs 0-49) stays FIXED
+      // and small at every scale factor — the incoming side is what grows
       val docs = Tables.documents(s, d)
       val idx = benchIndexes.getOrElseUpdate(d,
-        Dedup.indexCorpus(docs.filter(col("doc_id") >= 450), "text", "doc_id"))
-      Dedup.contaminationAgainstCorpus(docs.filter(col("doc_id") < 450),
+        Dedup.indexCorpus(docs.filter(col("doc_id") < 50), "text", "doc_id"))
+      Dedup.contaminationAgainstCorpus(docs.filter(col("doc_id") >= 50),
           "text", "doc_id", idx, 0.5)
         .orderBy("in_id", "corpus_id")
     }),
@@ -825,7 +826,7 @@ object SparkEntry {
       Dedup.indexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id"))
     mh.banded.count(); mh.shingles.count()
     val bench = benchIndexes.getOrElseUpdate(d,
-      Dedup.indexCorpus(docs.filter(col("doc_id") >= 450), "text", "doc_id"))
+      Dedup.indexCorpus(docs.filter(col("doc_id") < 50), "text", "doc_id"))
     bench.banded.count(); bench.shingles.count()
     val sh = simhashCorpusIndexes.getOrElseUpdate(d,
       Dedup.simhashIndexCorpus(docs.filter(col("doc_id") < 400), "text", "doc_id"))
@@ -1551,7 +1552,7 @@ object SparkEntry {
          |SELECT in_id, corpus_id, round(c, 4) AS containment FROM (
          | SELECT a.doc_id AS in_id, b.doc_id AS corpus_id,
          |  len(list_intersect(b.sh, a.sh)) * 1.0 / len(b.sh) AS c
-         | FROM d a, d b WHERE a.doc_id < 450 AND b.doc_id >= 450
+         | FROM d a, d b WHERE a.doc_id >= 50 AND b.doc_id < 50
          |) WHERE c >= 0.5 ORDER BY in_id, corpus_id""".stripMargin,
 
     // same portable-SimHash replay as simhash_neardup, restricted to the
