@@ -36,7 +36,9 @@ object Plans {
       ("repetition_signals_perrow", "per-row kernel stays in the scan stage",
         Seq("repetition_stats")),
       ("kv_point_lookup", "KV lookup prunes to bucket dirs + pushes the key filter",
-        Seq("PartitionFilters: [__kv_bucket", "PushedFilters: [", "In(p_partkey")))
+        Seq("PartitionFilters: [__kv_bucket", "PushedFilters: [", "In(p_partkey")),
+      ("corpus_contamination", "benchmark postings broadcast; corpus side never shuffles",
+        Seq("BroadcastHashJoin")))
 
     // negative shape: the per-row repetition kernel must not shuffle
     // before its (presentation-only) global sort — strip the final Sort's
