@@ -104,8 +104,13 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
   }
 
   private def entitySchema(name: String): StructType =
-    schemas.getOrElseUpdate(name, Entity.open(spark, base, name).read()
-      .drop("ap_id").schema)
+    schemas.getOrElseUpdate(name, {
+      val s = Entity.open(spark, base, name).read().drop("ap_id").schema
+      require(s.fields.nonEmpty,
+        s"entity $name is empty and has no declared schema — createEntity " +
+          "with attributes (or insert through another API) first")
+      s
+    })
 
   private def doInsert(req: DynamicMessage): DynamicMessage = try {
     val name = str(req, "entity")

@@ -145,10 +145,15 @@ class KeyValueHandler(name: String, keyCol: String, nBuckets: Int = 64)
     predicates.foldLeft(df)(_ filter _)
   }
 
-  /** Point lookup by key set: bucket-pruned + row-group-skipped. */
+  /** Point lookup by key set: bucket-pruned + row-group-skipped. Key
+    * literals are cast to the STORED key column's type first — `hash` is
+    * type-sensitive (hash(10: Int) ≠ hash(10L)), so an uncast literal of
+    * the wrong width would probe the wrong bucket and silently miss. */
   def get(spark: SparkSession, storename: String, keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "empty key set")
-    val keyLits = keys.map(lit)
+    val stored = spark.read.parquet(storename)
+    val keyType = stored.schema(keyCol).dataType
+    val keyLits = keys.map(k => lit(k).cast(keyType))
     // evaluate hash(key) % n with the exact kernel the writer used (one
     // driver-local job over a 1-row relation; no hand-rolled murmur)
     val buckets = spark.range(1).select(
@@ -156,8 +161,8 @@ class KeyValueHandler(name: String, keyCol: String, nBuckets: Int = 64)
           pmod(hash(k), lit(nBuckets)).as(s"b$i")
         }: _*)
       .head().toSeq.map(_.asInstanceOf[Int]).distinct
-    spark.read.parquet(storename)
-      .filter(col(BucketCol).isin(buckets: _*) && col(keyCol).isin(keys: _*))
+    stored
+      .filter(col(BucketCol).isin(buckets: _*) && col(keyCol).isin(keyLits: _*))
       .drop(BucketCol)
   }
 }

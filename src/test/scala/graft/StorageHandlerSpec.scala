@@ -51,6 +51,10 @@ class StorageHandlerSpec extends SparkSpec {
     // appends land in the same layout and stay retrievable
     h.write(spark, store, Seq((1000L, "v1000", 0.0)).toDF("k", "s", "x"), overwrite = false)
     h.get(spark, store, Seq(1000L)).count() shouldBe 1
+
+    // literals of a narrower type must still hit: hash is type-sensitive,
+    // so get() casts keys to the stored column type before bucketing
+    h.get(spark, store, Seq(42: Int)).count() shouldBe 1
     h.drop(spark, store)
   }
 
