@@ -262,6 +262,25 @@ object Dedup {
       .select(col("in_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Extend a corpus index with newly admitted documents — the ingest
+    * side of the admission workflow (`foreachBatch`: flag incoming
+    * near-dups against the index, then extend it with the novel docs so
+    * the NEXT batch checks against them too). Bands + shingles of `docs`
+    * union into the index relations and are eagerly local-checkpointed,
+    * so repeated extension keeps a BOUNDED plan instead of a union tree
+    * growing one level per batch (same executor-loss tradeoff as the
+    * other localCheckpoint sites). The old index and the temporary
+    * build are released; use the RETURNED index afterwards. */
+  def extendCorpus(idx: CorpusIndex, docs: DataFrame, textCol: String,
+                   idCol: String): CorpusIndex = {
+    val add = indexCorpus(docs, textCol, idCol, idx.numHashes, idx.numBands, idx.n)
+    val banded = idx.banded.union(add.banded).localCheckpoint(true)
+    val sh = idx.shingles.union(add.shingles).localCheckpoint(true)
+    idx.release()
+    add.release()
+    CorpusIndex(banded, sh, idx.numHashes, idx.numBands, idx.n)
+  }
+
   /** Benchmark-contamination check: one-sided n-gram CONTAINMENT of the
     * reference set's shingles in each incoming document —
     * `|S(bench) ∩ S(doc)| / |S(bench)|` — the standard "is this training

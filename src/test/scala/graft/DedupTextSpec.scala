@@ -159,6 +159,34 @@ class DedupTextSpec extends SparkSpec {
     byId(2L) shouldBe ((true, "ok"))
   }
 
+  test("extendCorpus: admitted docs are visible to the next admission check") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    var idx = Dedup.indexCorpus(corpus, "text", "doc_id")
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"), // dup of 1
+      (11L, "an entirely novel report about columnar execution engines at scale"))
+      .toDF("doc_id", "text")
+    val flagged1 = Dedup.nearDupAgainstCorpus(batch1, "text", "doc_id", idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flagged1 shouldBe Set((10L, 1L))
+    // ingest the novel doc, then a near-dup of IT must flag on batch 2
+    idx = Dedup.extendCorpus(idx,
+      batch1.filter($"doc_id" === 11L), "text", "doc_id")
+    val batch2 = Seq(
+      (20L, "an entirely novel report about columnar execution engines at speed"))
+      .toDF("doc_id", "text")
+    val flagged2 = Dedup.nearDupAgainstCorpus(batch2, "text", "doc_id", idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flagged2 shouldBe Set((20L, 11L))
+    // the original corpus doc is still indexed after extension
+    Dedup.nearDupAgainstCorpus(batch1.filter($"doc_id" === 10L),
+        "text", "doc_id", idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((10L, 1L))
+    idx.release()
+  }
+
   test("contamination check: containment flags a long doc containing a benchmark item") {
     val bench = Seq(
       (100L, "what is the capital of france paris is the capital of france"))

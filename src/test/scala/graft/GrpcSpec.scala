@@ -552,6 +552,28 @@ class GrpcSpec extends SparkSpec {
       contain allOf ("parquet", "orc", "keyvalue")
   }
 
+  test("docs/graft_adam.proto stays in sync with the runtime schema (drift guard)") {
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("docs/graft_adam.proto")))
+    val protoMessages = "(?m)^message (\\w+)".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val runtimeMessages = Proto.file.getMessageTypes.asScala.map(_.getName).toSet
+    protoMessages shouldBe runtimeMessages
+
+    val protoRpcs = "(?m)^\\s*rpc (\\w+) ".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val served = (server.definitionService.getMethods.asScala ++
+      server.searchService.getMethods.asScala)
+      .map(_.getMethodDescriptor.getFullMethodName.split('/').last).toSet
+    protoRpcs shouldBe served
+
+    // service names match too
+    "(?m)^service (\\w+)".r.findAllMatchIn(text).map(_.group(1)).toSet shouldBe
+      Set(server.definitionService.getServiceDescriptor.getName,
+        server.searchService.getServiceDescriptor.getName)
+        .map(_.split('.').last)
+  }
+
   test("netty TCP transport serves the same services") {
     val tcp = server.startNetty(0)
     try {
