@@ -667,6 +667,11 @@ object SparkEntry {
           maxDupBigramFrac = 0.08, maxPii = 0)
         .orderBy("id")),
 
+    "sample_stratified_by" -> ((s, d) =>
+      Sampling.stratifiedSampleBy(Tables.documents(s, d), "lang", "doc_id",
+          fractions = Map("en" -> 0.5, "zh" -> 0.0), defaultFraction = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "sample_exact_n" -> ((s, d) =>
       Sampling.exactSample(Tables.documents(s, d), "doc_id", 100)
         .select("doc_id").orderBy("doc_id")),
@@ -1533,6 +1538,16 @@ object SparkEntry {
 
     // doc_id unique -> the per-row kernel equals the merge-form answer
     "quality_filter_verdicts_perrow" -> duckQualityVerdictsSql,
+
+    "sample_stratified_by" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS kh
+         |           FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang ORDER BY kh, doc_id) AS rn,
+         |        ceil((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.0 ELSE 0.1 END)
+         |             * count(*) OVER (PARTITION BY lang)) AS quota FROM h)
+         |SELECT doc_id, lang FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     "sample_exact_n" ->
       s"""SELECT doc_id FROM (

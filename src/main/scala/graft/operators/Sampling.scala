@@ -93,16 +93,32 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    stratifiedSampleBy(df, strataCol, keyCol, Map.empty, fraction)
+  }
+
+  /** [[stratifiedSample]] with PER-STRATUM fractions — exact weighted
+    * quotas (`ceil(f_s · |stratum s|)`), the exact-count twin of
+    * [[weightedMix]]. Strata absent from `fractions` use
+    * `defaultFraction`; a fraction of 0 drops the stratum entirely. */
+  def stratifiedSampleBy(df: DataFrame, strataCol: String, keyCol: String,
+                         fractions: Map[String, Double],
+                         defaultFraction: Double): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f"))
     val taken = df.columns.toSet
     def fresh(base: String): String =
       Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(taken).next()
     val rn = fresh("rn")
     val quota = fresh("quota")
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
     val w = Window.partitionBy(col(strataCol))
     val order = Window.partitionBy(col(strataCol))
       .orderBy(keyHash(col(keyCol)).asc, col(keyCol).asc)
     df.withColumn(rn, row_number().over(order))
-      .withColumn(quota, ceil(lit(fraction) * count(lit(1)).over(w)))
+      .withColumn(quota, ceil(frac * count(lit(1)).over(w)))
       .filter(col(rn) <= col(quota))
       .drop(rn, quota)
   }

@@ -144,6 +144,24 @@ class SamplingSpec extends SparkSpec {
     sums.foreach(_.getAs[Long]("n") should be > 0L)
   }
 
+  test("stratifiedSampleBy: per-stratum quotas; zero drops, default applies") {
+    val df = (1 to 300).map(i =>
+      (i, if (i <= 100) "web" else if (i <= 200) "books" else "code"))
+      .toDF("key", "dom")
+    val out = Sampling.stratifiedSampleBy(df, "dom", "key",
+        Map("web" -> 0.25, "books" -> 0.0), defaultFraction = 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    out("web") shouldBe 25L      // ceil(0.25*100)
+    out.get("books") shouldBe None // fraction 0: stratum dropped
+    out("code") shouldBe 50L     // default 0.5
+    // uniform map equals plain stratifiedSample
+    val a = Sampling.stratifiedSampleBy(df, "dom", "key", Map.empty, 0.2)
+      .select("key").as[Int].collect().toSet
+    val b = Sampling.stratifiedSample(df, "dom", "key", 0.2)
+      .select("key").as[Int].collect().toSet
+    a shouldBe b
+  }
+
   test("repetitionSignals: one row per distinct id; duplicate-id rows merge") {
     val df = Seq((1L, "a b c"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
