@@ -415,6 +415,41 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             QueryOps.runPlan(plan, frame, idCol, nnq)
           } else QueryOps.sequential(e.read(), idCol, nnq)
         pagedRows(out, result.select(col(idCol), col("distance")))
+      case "/pipeline/verdicts" =>
+        // per-row quality-filter verdicts (the zero-shuffle kernel form)
+        def d(name: String, dflt: Double) =
+          if (req.has(name)) req.get(name).asDouble() else dflt
+        pagedRows(out, graft.operators.TextAnalysis.qualityVerdictsPerRow(
+          entity(req, "entity").read(),
+          req.get("textCol").asText(), req.get("idCol").asText(),
+          minQuality = d("minQuality", 0.5),
+          maxDupTokenFrac = d("maxDupTokenFrac", 0.6),
+          maxTopTokenFrac = d("maxTopTokenFrac", 0.15),
+          maxDupBigramFrac = d("maxDupBigramFrac", 0.08),
+          maxPii = if (req.has("maxPii")) req.get("maxPii").asInt() else 0))
+      case "/pipeline/sample" =>
+        import graft.operators.Sampling
+        val e = entity(req, "entity").read()
+        val keyCol = req.get("keyCol").asText()
+        val sampled = req.get("mode").asText() match {
+          case "bernoulli" =>
+            Sampling.bernoulliSample(e, keyCol, req.get("fraction").asDouble())
+          case "stratified" =>
+            Sampling.stratifiedSample(e, req.get("strataCol").asText(), keyCol,
+              req.get("fraction").asDouble())
+          case "exact" => Sampling.exactSample(e, keyCol, req.get("n").asInt())
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        pagedRows(out, sampled)
+      case "/pipeline/dedup" =>
+        // surviving ids of the end-to-end dedup pipeline
+        pagedRows(out, graft.operators.Dedup.dedupPipeline(
+          entity(req, "entity").read(),
+          req.get("textCol").asText(), req.get("idCol").asText(),
+          minQuality =
+            if (req.has("minQuality")) req.get("minQuality").asDouble() else 0.0,
+          threshold =
+            if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
       case other => throw new IllegalArgumentException(s"no such endpoint: $other")
     }
     out

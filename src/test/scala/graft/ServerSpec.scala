@@ -4,6 +4,8 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.api.Server
@@ -217,6 +219,44 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     knn.get("ok").asBoolean() shouldBe true
     knn.get("rows").size() shouldBe 3
     knn.get("rows").get(0).get("distance").asDouble() shouldBe 0.0 // vid 0 is the origin
+  }
+
+  test("pipeline endpoints: verdicts, sampling, and dedup over the wire") {
+    post("/entity/create", """{"name":"pipe"}""").get("ok").asBoolean() shouldBe true
+    val rows = (0 until 40).map { i =>
+      val text = if (i % 4 == 0) "spam spam spam spam spam spam spam spam"
+        else s"the data pipeline number $i reads a table of documents and writes " +
+          "the filtered rows to a new table for training and audit"
+      s"""{"did":$i,"txt":"$text"}"""
+    }.mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"pipe","rows":$rows}""")
+      .get("inserted").asInt() shouldBe 40
+
+    val verdicts = post("/pipeline/verdicts",
+      """{"entity":"pipe","textCol":"txt","idCol":"did","minQuality":0.0,
+        |"maxDupTokenFrac":0.6}""".stripMargin)
+    verdicts.get("ok").asBoolean() shouldBe true
+    val vRows = verdicts.get("rows").elements().asScala.toSeq
+    vRows.size shouldBe 40
+    // the dup-heavy docs (every 4th) are dropped with a reason
+    vRows.count(_.get("reason").asText() == "dup_tokens") shouldBe 10
+    vRows.count(_.get("keep").asBoolean()) shouldBe 30
+
+    val sampled = post("/pipeline/sample",
+      """{"entity":"pipe","mode":"exact","keyCol":"did","n":7}""")
+    sampled.get("rows").size() shouldBe 7
+
+    val bern = post("/pipeline/sample",
+      """{"entity":"pipe","mode":"bernoulli","keyCol":"did","fraction":1.0}""")
+    bern.get("rows").size() shouldBe 40
+
+    val survivors = post("/pipeline/dedup",
+      """{"entity":"pipe","textCol":"txt","idCol":"did","threshold":0.8}""")
+    survivors.get("ok").asBoolean() shouldBe true
+    // the 10 identical spam docs collapse to one survivor
+    survivors.get("rows").size() shouldBe 31
+
+    post("/entity/drop", """{"name":"pipe"}""")
   }
 
   test("bad requests return ok=false with an error") {
