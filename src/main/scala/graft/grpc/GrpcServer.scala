@@ -584,12 +584,15 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
               if (dist.isEmpty) "euclidean" else dist, if (k <= 0) 100 else k))
           }
 
-        // hints: a hint naming a saved index routes the scan through it
-        // (reference HintBasedScanExpression); anything else falls back
-        // to the sequential path
+        // hints, in precedence order (reference HintBasedScanExpression):
+        // a hint naming a SAVED INDEX routes the scan through it directly;
+        // otherwise hints parse as PLANNER hints ("vaf", "ecp",
+        // "sequential", ...) and the hint walk picks the plan over the
+        // entity's fresh stored indexes — same semantics as the HTTP path
         val hints = req.getField(qd.findFieldByName("hints"))
           .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
         val indexHint = hints.find(entity.listIndexes.contains)
+        val plannerHints = graft.plans.Planner.hintsByName(hints)
 
         val (res, source) = (nnqOpt, preds) match {
           case (Some(nnq), Nil) if indexHint.isDefined =>
@@ -597,6 +600,13 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
             require(!loaded.stale, s"index ${indexHint.get} is stale")
             (QueryOps.index(df, "ap_id", loaded.index, nnq),
               s"index scan (${indexHint.get})")
+          case (Some(nnq), Nil) if plannerHints.nonEmpty =>
+            val indexes =
+              if (plannerHints.forall(_ == graft.plans.Planner.SequentialHint)) Nil
+              else entity.listIndexes.map(entity.loadIndex)
+                .filterNot(_.stale).map(_.index)
+            val plan = QueryOps.choosePlan(df, indexes, plannerHints, nnq)
+            (QueryOps.runPlan(plan, df, "ap_id", nnq), plan.describe)
           case (Some(nnq), Nil) => (QueryOps.sequential(df, "ap_id", nnq),
             "sequential scan")
           case (Some(nnq), ps) => (QueryOps.filteredKnn(df, "ap_id", ps, nnq),

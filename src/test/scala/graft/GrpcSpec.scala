@@ -291,6 +291,21 @@ class GrpcSpec extends SparkSpec {
     iRows should have size 3
     iRows.head("distance").asInstanceOf[Double] shouldBe 0.0 +- 1e-9 // exact i=7
 
+    // planner hints (type names, not index names) walk to the typed plan
+    val hRes = call(md, queryMsg("rpcq", "h1",
+      Some(("vec", Seq.fill(8)(7f), "euclidean", 3)), hints = Seq("vaf")))
+    ackOk(sub(hRes, "ack")) shouldBe true
+    val hInfos = hRes.getField(
+      hRes.getDescriptorForType.findFieldByName("responses"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
+    str(hInfos.head, "source") should startWith("index:vaf")
+    val sRes = call(md, queryMsg("rpcq", "h2",
+      Some(("vec", Seq.fill(8)(7f), "euclidean", 3)), hints = Seq("sequential")))
+    val sInfos = sRes.getField(
+      sRes.getDescriptorForType.findFieldByName("responses"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
+    str(sInfos.head, "source") shouldBe "sequential"
+
     // index DDL: exists / list / drop
     val ieD = Proto.msg("IndexExistsMessage")
     def idxExists(tp: String) = {

@@ -103,6 +103,34 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-row quality verdicts run natively on a stream (stateless map stage)") {
+    // the zero-shuffle kernel form needs no foreachBatch: it is a pure
+    // projection, so Structured Streaming accepts it directly
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val verdicts = graft.operators.TextAnalysis.qualityVerdictsPerRow(
+      docs, "text", "doc_id",
+      minQuality = 0.0, maxDupTokenFrac = 0.5, maxTopTokenFrac = 0.9,
+      maxDupBigramFrac = 0.9, maxPii = 0)
+    val q = verdicts.writeStream.format("memory").queryName("verdict_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "spam spam spam spam spam spam spam spam"),
+        (2L, "a varied sentence about the query engine and its storage layer"))
+      q.processAllAvailable()
+      mem.addData((3L, "another well formed line of text with the usual words in it"))
+      q.processAllAvailable()
+      val rows = spark.table("verdict_stream")
+        .select("id", "keep", "reason").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+      rows(1L) shouldBe ((false, "dup_tokens"))
+      rows(2L) shouldBe ((true, "ok"))
+      rows(3L) shouldBe ((true, "ok"))
+    } finally q.stop()
+  }
+
   private lazy val base = (1L to 1000L).toDF("id")
   private lazy val wanted = Seq(5L, 10L, 700L).toDF("id")
 
