@@ -450,6 +450,24 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             if (req.has("minQuality")) req.get("minQuality").asDouble() else 0.0,
           threshold =
             if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
+      case "/pipeline/pack" =>
+        pagedRows(out, graft.operators.Packing.chunkAssignments(
+          entity(req, "entity").read(),
+          req.get("idCol").asText(), req.get("tokenCol").asText(),
+          budget = if (req.has("budget")) req.get("budget").asLong() else 2048L,
+          nShards = if (req.has("shards")) req.get("shards").asInt() else 32))
+      case "/pipeline/contamination" =>
+        // benchmark entity is indexed per request here (the RPC/driver
+        // paths cache the index; over HTTP pass a small benchmark entity)
+        import graft.operators.Dedup
+        val bench = entity(req, "bench").read()
+        val idx = Dedup.indexCorpus(bench,
+          req.get("textCol").asText(), req.get("idCol").asText())
+        try pagedRows(out, Dedup.contaminationAgainstCorpus(
+          entity(req, "entity").read(),
+          req.get("textCol").asText(), req.get("idCol").asText(), idx,
+          if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
+        finally idx.release()
       case other => throw new IllegalArgumentException(s"no such endpoint: $other")
     }
     out

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Property-based cross-checks: the custom codegen kernels must agree
+  * with naive Scala reference implementations on arbitrary inputs —
+  * the per-row analogue of the DuckDB oracle, for the pieces a SQL
+  * engine can't replay directly. Raw ScalaCheck generators with fixed
+  * seeds (the scalatestplus bridge isn't in the offline cache), so every
+  * run checks the same 25 generated corpora reproducibly. */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val token: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val doc: Gen[List[String]] = Gen.chooseNum(0, 40).flatMap { n =>
+    // small alphabet of tokens so duplicates actually occur
+    Gen.listOfN(n, Gen.oneOf(Gen.const("a"), Gen.const("bb"), Gen.const("ccc"), token))
+  }
+  private val corpus: Gen[List[List[String]]] = Gen.listOfN(12, doc)
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  /** Naive reference for the five repetition counters. */
+  private def naiveStats(toks: List[String]): (Long, Long, Long, Long, Long) = {
+    val tokCounts = toks.groupBy(identity).view.mapValues(_.size)
+    val bigrams = if (toks.size < 2) Nil else toks.sliding(2).map(_.mkString(" ")).toList
+    val biCounts = bigrams.groupBy(identity).view.mapValues(_.size)
+    (toks.size.toLong, tokCounts.size.toLong,
+      if (toks.isEmpty) 0L else tokCounts.values.max.toLong,
+      bigrams.size.toLong, biCounts.size.toLong)
+  }
+
+  test("RepetitionStatsExpr matches the naive counters on arbitrary token lists") {
+    (1L to 25L).foreach { seed =>
+      val docs = sample(corpus, seed)
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "toks")
+      val got = df.select(col("id"),
+          graft.functions.TextStats.repetitionStats(col("toks")).as("st"))
+        .orderBy("id").collect()
+        .map { r => val st = r.getStruct(1)
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4)) }
+      withClue(s"seed $seed: ") { got.toList shouldBe docs.map(naiveStats) }
+    }
+  }
+
+  test("TaggedGramsExpr emits exactly the tokens and adjacent bigrams, in order") {
+    (1L to 25L).foreach { seed =>
+      val docs = sample(corpus, seed + 1000)
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "toks")
+      val got = df.select(col("id"),
+          graft.functions.TextStats.taggedGrams(col("toks")).as("g"))
+        .orderBy("id").collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](1)
+          .map(r => (r.getInt(0), r.getString(1))).toList)
+      val expected = docs.map { d =>
+        // kernel order: token, then the bigram ENDING at that token
+        d.zipWithIndex.flatMap { case (t, i) =>
+          if (i == 0) List((0, t)) else List((0, t), (1, s"${d(i - 1)} $t"))
+        }
+      }
+      withClue(s"seed $seed: ") { got.toList shouldBe expected }
+    }
+  }
+
+  test("keyHash stays in [0, 1e9+7) and distinct raw hashes stay distinct") {
+    val keyGen = Gen.listOfN(30, Gen.identifier.map(_.take(20)))
+    (1L to 25L).foreach { seed =>
+      val keys = sample(keyGen, seed + 2000).distinct
+      val hs = keys.toDF("k")
+        .select(Sampling.keyHash(col("k")).as("h"),
+          TextAnalysis.rawRollingFingerprint(coalesce(col("k"), lit(""))).as("raw"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      hs.foreach { case (h, _) => h should (be >= 0L and be < 1000000007L) }
+      // the avalanche multiply is a bijection mod the prime: distinct raw
+      // values must map to distinct finalized values (and vice versa)
+      withClue(s"seed $seed: ") {
+        hs.map(_._1).distinct.length shouldBe hs.map(_._2).distinct.length
+      }
+    }
+  }
+}

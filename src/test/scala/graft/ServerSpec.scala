@@ -256,6 +256,22 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // the 10 identical spam docs collapse to one survivor
     survivors.get("rows").size() shouldBe 31
 
+    // packing: one assignment row per doc, offsets integer-exact
+    val packed = post("/pipeline/pack",
+      """{"entity":"pipe","idCol":"did","tokenCol":"did","budget":64,"shards":2}""")
+    packed.get("ok").asBoolean() shouldBe true
+    packed.get("rows").size() shouldBe 40
+
+    // contamination: docs vs a small benchmark entity
+    post("/entity/create", """{"name":"bench"}""")
+    post("/entity/insert",
+      """{"name":"bench","rows":[{"did":1,"txt":"spam spam spam spam spam spam spam spam"}]}""")
+    val contaminated = post("/pipeline/contamination",
+      """{"entity":"pipe","bench":"bench","textCol":"txt","idCol":"did","threshold":0.8}""")
+    contaminated.get("ok").asBoolean() shouldBe true
+    contaminated.get("rows").size() shouldBe 10 // every spam doc contains the item
+
+    post("/entity/drop", """{"name":"bench"}""")
     post("/entity/drop", """{"name":"pipe"}""")
   }
 
