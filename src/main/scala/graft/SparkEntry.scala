@@ -1598,7 +1598,7 @@ object SparkEntry {
          |             ${duckRawHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |           FROM documents),
          |c AS (SELECT id, shard, tok,
-         |        sum(tok) OVER (PARTITION BY shard ORDER BY id) AS end_off FROM t)
+         |        CAST(sum(tok) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS end_off FROM t)
          |SELECT id, shard, end_off - tok AS start_off,
          |       (end_off - tok) // 512 AS first_chunk,
          |       CASE WHEN tok = 0 THEN 0

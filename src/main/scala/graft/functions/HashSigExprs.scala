@@ -101,10 +101,15 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
     val getter = if (isFloat) "getFloat" else "getDouble"
+    // fresh names: two instances of this expression in one generated
+    // method would otherwise redeclare `vec`/`i` (janino rejects it and
+    // the whole projection falls back to the interpreted path)
+    val vec = ctx.freshName("vec")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""double[] vec = new double[$c.numElements()];
-         |for (int i = 0; i < vec.length; i++) vec[i] = (double) $c.$getter(i);
-         |${ev.value} = graft.functions.HyperplaneSigExpr.sig(vec, $pRef);""".stripMargin)
+      s"""double[] $vec = new double[$c.numElements()];
+         |for (int $i = 0; $i < $vec.length; $i++) $vec[$i] = (double) $c.$getter($i);
+         |${ev.value} = graft.functions.HyperplaneSigExpr.sig($vec, $pRef);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -161,10 +166,13 @@ case class MinHashSigExpr(child: Expression, n: Int, numHashes: Int, numBands: I
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    // fresh name: a second instance in the same generated method would
+    // redeclare it (janino error → interpreted fallback)
+    val out = ctx.freshName("out")
     nullSafeCodeGen(ctx, ev, c => {
-      s"""long[] out = graft.functions.MinHashSigExpr.compute(
+      s"""long[] $out = graft.functions.MinHashSigExpr.compute(
          |  $c.toLongArray(), $n, $numHashes, $numBands, $aRef, $bRef);
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |""".stripMargin
     })
   }

@@ -118,14 +118,20 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     new GenericInternalRow(Array[Any](st(0), st(1), st(2), st(3), st(4)))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names: a second instance in the same generated method would
+    // redeclare them (janino error → interpreted fallback)
+    val st = ctx.freshName("st")
+    val vals = ctx.freshName("vals")
+    val k = ctx.freshName("k")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""long[] st = graft.functions.RepetitionStatsExpr.compute($c);
-         |Object[] vals = new Object[5];
-         |for (int k = 0; k < 5; k++) vals[k] = st[k];
+      s"""long[] $st = graft.functions.RepetitionStatsExpr.compute($c);
+         |Object[] $vals = new Object[5];
+         |for (int $k = 0; $k < 5; $k++) $vals[$k] = $st[$k];
          |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals);
+         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($vals);
          |""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

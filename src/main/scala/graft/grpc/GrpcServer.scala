@@ -39,6 +39,16 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
   private val schemas =
     scala.collection.concurrent.TrieMap.empty[String, StructType]
 
+  /** Close the server half of a bidi call whose client stream failed —
+    * without this the call would stay half-open for the channel's
+    * lifetime (the request observer's onError does NOT auto-terminate
+    * the response side). */
+  private def cancelCall(resp: StreamObserver[DynamicMessage], t: Throwable): Unit =
+    try resp.onError(org.sparkproject.connect.grpc.Status.CANCELLED
+      .withDescription(Option(t.getMessage).getOrElse(t.getClass.getSimpleName))
+      .withCause(t).asRuntimeException())
+    catch { case _: Exception => () } // already closed by the transport
+
   // ---- wire plumbing -------------------------------------------------------
 
   private def marshaller(desc: Descriptors.Descriptor) =
@@ -475,7 +485,7 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           override def invoke(req: DynamicMessage,
                               obs: StreamObserver[DynamicMessage]): Unit = {
             val path = str(req, "path")
-            ProtoImportExport.listCatalogs(path).foreach { name =>
+            ProtoImportExport.listCatalogs(spark, path).foreach { name =>
               val a = try {
                 val e = ProtoImportExport.importEntity(spark, base, path, name)
                 schemas.remove(e.name)
@@ -497,7 +507,7 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           override def invoke(resp: StreamObserver[DynamicMessage])
           : StreamObserver[DynamicMessage] = new StreamObserver[DynamicMessage] {
             override def onNext(req: DynamicMessage): Unit = resp.onNext(doInsert(req))
-            override def onError(t: Throwable): Unit = ()
+            override def onError(t: Throwable): Unit = cancelCall(resp, t)
             override def onCompleted(): Unit = resp.onCompleted()
           }
         }))
@@ -525,7 +535,7 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           override def invoke(resp: StreamObserver[DynamicMessage])
           : StreamObserver[DynamicMessage] = new StreamObserver[DynamicMessage] {
             override def onNext(req: DynamicMessage): Unit = resp.onNext(runQuery(req))
-            override def onError(t: Throwable): Unit = ()
+            override def onError(t: Throwable): Unit = cancelCall(resp, t)
             override def onCompleted(): Unit = resp.onCompleted()
           }
         }))

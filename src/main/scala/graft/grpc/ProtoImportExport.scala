@@ -1,10 +1,12 @@
 package graft.grpc
 
-import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream}
 
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -22,8 +24,31 @@ import graft.core.Entity
   * part files. The frame format within each file matches the
   * reference's (delimited protobuf), so files concatenate and split
   * freely.
+  *
+  * All I/O goes through the Hadoop `FileSystem` resolved from `path`
+  * (hadoopConfiguration broadcast to executors), so `path` may be any
+  * shared filesystem URI (hdfs://, s3a://, file:// on a shared mount) —
+  * executor-side `java.io.File` writes would scatter part files across
+  * executor-local disks on a real cluster.
   */
 object ProtoImportExport {
+
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
+    * ships it to executors so part-file I/O resolves the same
+    * FileSystem the driver did (Spark's own equivalent is
+    * `private[spark]`). */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   /** Spark type → wire `attributetype` string (inverse of
     * [[GraftGrpcServer]]'s attribute mapping). */
@@ -90,23 +115,28 @@ object ProtoImportExport {
   /** Export an entity to `<path>/<name>.catalog.bin` (one delimited
     * CreateEntityMessage) + `<path>/<name>/part-*.bin` (delimited
     * TupleInsertMessage frames, one file per partition, written on the
-    * executors). */
+    * executors through the Hadoop FileSystem for `path`). */
   def exportEntity(e: Entity, path: String): Unit = {
-    val dir = new File(path)
-    dir.mkdirs()
     val df = e.read().drop("ap_id")
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hadoopConf)
+    fs.mkdirs(dir)
     val schema = df.schema
-    val cat = new FileOutputStream(new File(dir, s"${e.name}.catalog.bin"))
+    val cat = fs.create(new Path(dir, s"${e.name}.catalog.bin"), true)
     try createEntityMessage(e.name, schema).writeDelimitedTo(cat) finally cat.close()
-    val target = new File(dir, e.name)
-    target.mkdirs()
-    val targetPath = target.getAbsolutePath
+    val target = new Path(dir, e.name)
+    fs.mkdirs(target)
+    val targetPath = target.toString
     val fieldNames = schema.fieldNames
+    val confBc = spark.sparkContext.broadcast(new SerializableHadoopConf(hadoopConf))
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val pid = TaskContext.getPartitionId()
-        val out = new BufferedOutputStream(new FileOutputStream(
-          new File(targetPath, f"part-$pid%05d.bin")))
+        val part = new Path(targetPath, f"part-$pid%05d.bin")
+        val pfs = part.getFileSystem(confBc.value.value)
+        val out = new BufferedOutputStream(pfs.create(part, true))
         try rows.foreach(r => tupleMessage(fieldNames, r).writeDelimitedTo(out))
         finally out.close()
       }
@@ -114,8 +144,9 @@ object ProtoImportExport {
   }
 
   /** Read the catalog next to `<path>/<name>/`: (entity name, schema). */
-  def readCatalog(catalogFile: File): (String, StructType) = {
-    val in = new BufferedInputStream(new FileInputStream(catalogFile))
+  def readCatalog(spark: SparkSession, catalogFile: Path): (String, StructType) = {
+    val fs = catalogFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new BufferedInputStream(fs.open(catalogFile))
     try {
       val b = Proto.newMsg("CreateEntityMessage")
       require(b.mergeDelimitedFrom(in), s"empty catalog: $catalogFile")
@@ -135,20 +166,29 @@ object ProtoImportExport {
   }
 
   /** Import `<path>/<name>.catalog.bin` + `<path>/<name>/part-*.bin`
-    * into a (new) entity under `base`, parsing part files in parallel.
+    * into a (new) entity under `base`, parsing part files in parallel
+    * (each executor opens its files through the shared FileSystem).
     * Returns the created entity. `as` overrides the entity name. */
   def importEntity(spark: SparkSession, base: String, path: String, name: String,
                    as: Option[String] = None): Entity = {
-    val dir = new File(path)
-    val (_, schema) = readCatalog(new File(dir, s"$name.catalog.bin"))
-    val files = Option(new File(dir, name).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".bin")).map(_.getAbsolutePath).sorted
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val (_, schema) = readCatalog(spark, new Path(dir, s"$name.catalog.bin"))
+    val partDir = new Path(dir, name)
+    val fs = partDir.getFileSystem(hadoopConf)
+    val files =
+      if (fs.exists(partDir))
+        fs.listStatus(partDir).filter(_.getPath.getName.endsWith(".bin"))
+          .map(_.getPath.toString).sorted.toSeq
+      else Seq.empty[String]
     val schemaTypes = schema.fields.map(f => (f.name, f.dataType))
+    val confBc = spark.sparkContext.broadcast(new SerializableHadoopConf(hadoopConf))
     val rows = spark.sparkContext
-      .parallelize(files.toSeq, math.max(files.length, 1))
+      .parallelize(files, math.max(files.length, 1))
       .flatMap { f =>
-        val in = new BufferedInputStream(new FileInputStream(f))
+        val p = new Path(f)
+        val in = new BufferedInputStream(
+          p.getFileSystem(confBc.value.value).open(p))
         try {
           val out = ArrayBuffer.empty[Row]
           var more = true
@@ -172,8 +212,11 @@ object ProtoImportExport {
   }
 
   /** All entity names with a catalog under `path`. */
-  def listCatalogs(path: String): Seq[String] =
-    Option(new File(path).listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".catalog.bin"))
-      .map(_.getName.stripSuffix(".catalog.bin")).sorted.toSeq
+  def listCatalogs(spark: SparkSession, path: String): Seq[String] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.getPath.getName.endsWith(".catalog.bin"))
+      .map(_.getPath.getName.stripSuffix(".catalog.bin")).sorted.toSeq
+  }
 }

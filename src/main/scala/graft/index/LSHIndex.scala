@@ -129,11 +129,16 @@ case class LSHKeysExpr(child: Expression, projections: Array[Array[Array[Double]
     val pRef = ctx.addReferenceObj("lshProj", projections, "double[][][]")
     val oRef = ctx.addReferenceObj("lshOff", offsets, "double[][]")
     val getter = if (isFloat) "getFloat" else "getDouble"
+    // fresh names: two instances of this expression in one generated
+    // method would otherwise redeclare `vec`/`i` (janino rejects it and
+    // the whole projection falls back to the interpreted path)
+    val vec = ctx.freshName("vec")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""double[] vec = new double[$c.numElements()];
-         |for (int i = 0; i < vec.length; i++) vec[i] = (double) $c.$getter(i);
+      s"""double[] $vec = new double[$c.numElements()];
+         |for (int $i = 0; $i < $vec.length; $i++) $vec[$i] = (double) $c.$getter($i);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.index.LSHKeysExpr.keys(vec, $pRef, $oRef, $w));""".stripMargin)
+         |  graft.index.LSHKeysExpr.keys($vec, $pRef, $oRef, $w));""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

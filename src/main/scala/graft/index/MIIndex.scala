@@ -81,11 +81,16 @@ case class MIEncodeExpr(child: Expression, refs: Array[Array[Double]], ki: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val rRef = ctx.addReferenceObj("miRefs", refs, "double[][]")
     val getter = if (isFloat) "getFloat" else "getDouble"
+    // fresh names: two instances of this expression in one generated
+    // method would otherwise redeclare `vec`/`i` (janino rejects it and
+    // the whole projection falls back to the interpreted path)
+    val vec = ctx.freshName("vec")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""double[] vec = new double[$c.numElements()];
-         |for (int i = 0; i < vec.length; i++) vec[i] = (double) $c.$getter(i);
+      s"""double[] $vec = new double[$c.numElements()];
+         |for (int $i = 0; $i < $vec.length; $i++) $vec[$i] = (double) $c.$getter($i);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.index.MIEncodeExpr.nearest(vec, $rRef, $ki));""".stripMargin)
+         |  graft.index.MIEncodeExpr.nearest($vec, $rRef, $ki));""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

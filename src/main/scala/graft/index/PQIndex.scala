@@ -154,11 +154,16 @@ case class PQEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqBooks", codebooks, "double[][][]")
     val getter = if (isFloat) "getFloat" else "getDouble"
+    // fresh names: two instances of this expression in one generated
+    // method would otherwise redeclare `vec`/`i` (janino rejects it and
+    // the whole projection falls back to the interpreted path)
+    val vec = ctx.freshName("vec")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""double[] vec = new double[$c.numElements()];
-         |for (int i = 0; i < vec.length; i++) vec[i] = (double) $c.$getter(i);
+      s"""double[] $vec = new double[$c.numElements()];
+         |for (int $i = 0; $i < $vec.length; $i++) $vec[$i] = (double) $c.$getter($i);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.index.PQEncodeExpr.encode(vec, $cbRef, $subLen));""".stripMargin)
+         |  graft.index.PQEncodeExpr.encode($vec, $cbRef, $subLen));""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -33,10 +33,15 @@ case class SHSigExpr(child: Expression, pc: Array[Array[Double]],
     val rgRef = ctx.addReferenceObj("shRanges", ranges, "double[]")
     val mdRef = ctx.addReferenceObj("shModes", modes, "scala.Tuple2[]")
     val getter = if (isFloat) "getFloat" else "getDouble"
+    // fresh names: two instances of this expression in one generated
+    // method would otherwise redeclare `vec`/`i` (janino rejects it and
+    // the whole projection falls back to the interpreted path)
+    val vec = ctx.freshName("vec")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""double[] vec = new double[$c.numElements()];
-         |for (int i = 0; i < vec.length; i++) vec[i] = (double) $c.$getter(i);
-         |${ev.value} = graft.index.SHIndex.signature(vec, $pcRef, $mnRef, $rgRef, $mdRef);
+      s"""double[] $vec = new double[$c.numElements()];
+         |for (int $i = 0; $i < $vec.length; $i++) $vec[$i] = (double) $c.$getter($i);
+         |${ev.value} = graft.index.SHIndex.signature($vec, $pcRef, $mnRef, $rgRef, $mdRef);
          |""".stripMargin)
   }
 

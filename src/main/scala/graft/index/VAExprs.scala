@@ -54,13 +54,18 @@ case class VACellsExpr(child: Expression, marks: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("vaMarks", marks, "double[][]")
     val getter = if (isFloat) "getFloat" else "getDouble"
+    // fresh names: a second instance in the same generated method would
+    // redeclare them (janino error → interpreted fallback)
+    val nd = ctx.freshName("nd")
+    val cells = ctx.freshName("cells")
+    val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""int nd = java.lang.Math.min($c.numElements(), $mRef.length);
-         |int[] cells = new int[nd];
-         |for (int d = 0; d < nd; d++) {
-         |  cells[d] = graft.index.VACellsExpr.cellOf((double) $c.$getter(d), $mRef[d]);
+      s"""int $nd = java.lang.Math.min($c.numElements(), $mRef.length);
+         |int[] $cells = new int[$nd];
+         |for (int $d = 0; $d < $nd; $d++) {
+         |  $cells[$d] = graft.index.VACellsExpr.cellOf((double) $c.$getter($d), $mRef[$d]);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(cells);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cells);
          |""".stripMargin)
   }
 

@@ -200,12 +200,19 @@ object Dedup {
       }
     // referenced by the band self-join (2×), the shingle join, and the
     // final anti-join — persist or every reference re-runs the quality
-    // scan + exact-dedup window shuffle
+    // scan + exact-dedup window shuffle. The cache is scoped to this
+    // call: survivors (ids only) are eagerly materialized via
+    // localCheckpoint, then `exact` is unpersisted — a lazily returned
+    // frame would pin the cached relation for the session lifetime
+    // (one leak per /pipeline/dedup request).
     val exact = dropExactDups(quality, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drops = minhashNearDupPairs(exact, textCol, idCol, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    exact.join(drops, Seq(idCol), "left_anti").select(idCol)
+    try {
+      val drops = minhashNearDupPairs(exact, textCol, idCol, threshold)
+        .select(col("id_b").as(idCol)).distinct()
+      exact.join(drops, Seq(idCol), "left_anti").select(idCol)
+        .localCheckpoint(true)
+    } finally exact.unpersist()
   }
 
   /** A reference corpus prepared for incoming-vs-corpus near-dup checks:

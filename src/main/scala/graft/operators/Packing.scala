@@ -27,12 +27,21 @@ object Packing {
 
   /** Chunk assignments for pack-then-chunk pretraining layout.
     * Output: (id, shard, start_off, first_chunk, n_chunks); zero-token
-    * docs report n_chunks 0 (they occupy no chunk). */
+    * docs report n_chunks 0 (they occupy no chunk).
+    *
+    * Duplicate ids are tolerated: the cumulative sum runs over a ROWS
+    * frame ordered by (id, tok), so tied ids get disjoint consecutive
+    * offsets instead of the default RANGE frame's shared end-offset
+    * (which would report overlapping starts and a wrong n_chunks for
+    * the earlier row). Two rows with identical (id, tok) receive the
+    * two interchangeable slots, so the output is still deterministic
+    * as a set. */
   def chunkAssignments(df: DataFrame, idCol: String, tokenCol: String,
                        budget: Long, nShards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(nShards > 0, s"nShards must be positive: $nShards")
-    val w = Window.partitionBy("shard").orderBy("id")
+    val w = Window.partitionBy("shard").orderBy("id", "tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def chunkOf(off: org.apache.spark.sql.Column) =
       call_function("div", off, lit(budget))
     df.select(col(idCol).as("id"), col(tokenCol).cast("long").as("tok"))

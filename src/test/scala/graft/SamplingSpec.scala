@@ -132,6 +132,18 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("n_chunks"))).toSeq shouldBe expected
   }
 
+  test("chunkAssignments: duplicate ids get disjoint consecutive offsets (ROWS frame)") {
+    import graft.operators.Packing
+    // three rows share id=7 in one shard; the default RANGE frame would
+    // hand all three the same cumulative end offset (overlapping starts)
+    val df = Seq((7L, 10L), (7L, 20L), (7L, 10L), (9L, 5L)).toDF("id", "tok")
+    val out = Packing.chunkAssignments(df, "id", "tok", budget = 16L, nShards = 1)
+      .orderBy("start_off").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("start_off"), r.getAs[Long]("n_chunks")))
+    // ordered by (id, tok): 10, 10, 20, then id=9's 5 — each slot disjoint
+    out.toSeq shouldBe Seq((7L, 0L, 1L), (7L, 10L, 2L), (7L, 20L, 2L), (9L, 40L, 1L))
+  }
+
   test("chunkAssignments: shards partition the stream; per-shard totals add up") {
     import graft.operators.Packing
     val df = (1L to 200L).map(i => (i, i % 7)).toDF("id", "tok")
