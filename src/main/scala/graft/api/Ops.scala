@@ -216,10 +216,11 @@ object QueryOps {
     * racing set (reference `QueryHintsParallelPathChooser`). */
   def parallel(spark: SparkSession, entity: DataFrame, idCol: String,
                indexes: Seq[VectorIndex], nnq: NnQuery,
-               hints: Seq[Planner.Hint] = Nil)
+               hints: Seq[Planner.Hint] = Nil, groupPrefix: String = "graft-")
               (onNext: Progressive.Observation => Unit = _ => ())
               (implicit ec: ExecutionContext): Seq[Progressive.Observation] =
-    Progressive.parallel(spark, planSpecsFor(entity, idCol, indexes, nnq, hints))(onNext)
+    Progressive.parallel(spark, planSpecsFor(entity, idCol, indexes, nnq, hints),
+      groupPrefix)(onNext)
 
   /** Best result by a deadline (reference `QueryOp.timedParallel`).
     * Hints restrict the racing set exactly as in [[parallel]]. */

@@ -35,16 +35,38 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   private def dir: Path = base.resolve(name)
   private def metaPath: Path = dir.resolve("_meta.json")
   private def layoutPath: Path = dir.resolve("_layout.json")
+  private def groupsPath: Path = dir.resolve("_groups.json")
 
   private def meta: Meta = readMeta(metaPath)
   private def dataPath(v: Int): Path = dir.resolve(s"data_v$v")
 
   def schema: StructType = read().schema
 
+  /** Attributes stored outside the primary parquet store, per handler —
+    * the reference's per-attribute storage-handler assignment
+    * (`Entity.scala:91-110`), populated by [[transferAttributes]]. */
+  def attributeGroups: Seq[AttributeGroup] = readGroups(groupsPath)
+
+  private def handlerFor(h: String): graft.sources.StorageHandler = h match {
+    // the KV store is keyed by the system id — that is what the
+    // reassembly join and point lookups address rows by
+    case "keyvalue" => graft.sources.StorageHandlers.keyValue(ApId)
+    case other => graft.sources.StorageHandlers(other)
+  }
+
   def read(): DataFrame = {
     val m = meta
     if (m.version == 0) spark.emptyDataFrame
-    else spark.read.parquet(dataPath(m.version).toString)
+    else {
+      val main = spark.read.parquet(dataPath(m.version).toString)
+      // vertical reassembly: equi-join each external group back on the
+      // system id (1:1 by construction — every store was written from
+      // the same full frame)
+      attributeGroups.foldLeft(main) { (acc, g) =>
+        acc.join(handlerFor(g.handler).read(spark, dir.resolve(g.store).toString)
+          .select((ApId +: g.attrs).map(col): _*), Seq(ApId))
+      }
+    }
   }
 
   // ---- cluster-partitioned physical layout (reference repartitionEntity,
@@ -89,6 +111,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
         Files.deleteIfExists(layoutPath)
     }
     swap(m.copy(version = next), m.version)
+    foldGroupsAfterRewrite()
     this
   }
 
@@ -131,6 +154,21 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
         .parquet(path.toString)
     else df.write.mode("overwrite").parquet(path.toString)
 
+
+  /** Whole-table rewrites write the REASSEMBLED frame back into the
+    * primary store, so any external attribute groups fold back into
+    * parquet automatically — afterwards their stores and the descriptor
+    * are dropped. (Mutations already pay O(table); keeping groups alive
+    * through them would mean per-handler predicate replay.) */
+  private def foldGroupsAfterRewrite(): Unit = {
+    val gs = attributeGroups
+    if (gs.nonEmpty) {
+      Files.deleteIfExists(groupsPath)
+      gs.foreach(g => scala.util.Try(
+        handlerFor(g.handler).drop(spark, dir.resolve(g.store).toString)))
+    }
+  }
+
   def count(): Long = if (meta.version == 0) 0L else read().count()
 
   /** Append rows; assigns `ap_id` unless the frame already carries one.
@@ -166,10 +204,24 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       withId.write.mode("overwrite").parquet(dataPath(1).toString)
       swap(m.copy(version = 1, insertCount = batch), 0)
     } else if (schemaKey(read()) == schemaKey(withId)) {
+      val groups = attributeGroups
+      // with external groups the batch is split per store; pin the
+      // assigned ids first — re-evaluating monotonically_increasing_id
+      // per store write could drift across actions
+      val pinned = if (groups.isEmpty) withId else withId.localCheckpoint(true)
+      val mainBatch =
+        if (groups.isEmpty) pinned
+        else {
+          val grouped = groups.flatMap(_.attrs).toSet
+          pinned.select(pinned.columns.filterNot(grouped.contains).map(col): _*)
+        }
       // layout-aware append: batches land in their partition directories
-      val w = withId.write.mode("append")
+      val w = mainBatch.write.mode("append")
       (if (layout.isDefined) w.partitionBy(Partitioning.PartitionCol) else w)
         .parquet(dataPath(m.version).toString)
+      groups.foreach(g => handlerFor(g.handler).write(spark,
+        dir.resolve(g.store).toString,
+        pinned.select((ApId +: g.attrs).map(col): _*), overwrite = false))
       writeMeta(metaPath, m.copy(insertCount = batch))
       // layout entities can never compact below one file per partition
       // directory — scale the trigger with key cardinality or a
@@ -200,6 +252,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val deleted = current.count() -
       spark.read.parquet(dataPath(next).toString).count()
     swap(m.copy(version = next), m.version)
+    foldGroupsAfterRewrite()
     deleted
   }
 
@@ -215,6 +268,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       else read().repartition(numPartitions)
     writeData(df, dataPath(next))
     swap(m.copy(version = next), m.version)
+    foldGroupsAfterRewrite()
     this
   }
 
@@ -237,7 +291,72 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val next = m.version + 1
     writeData(df.withColumn(vecCol, sparse), dataPath(next))
     swap(m.copy(version = next), m.version)
+    foldGroupsAfterRewrite()
     this
+  }
+
+  /** Migrate attributes to a different storage handler — the reference's
+    * `transferStorageHandler` (`DataDefintion.scala:704-720`,
+    * `storage/Transferer.scala`): the named attributes move out of the
+    * primary parquet store into a handler-owned store under the entity
+    * directory ("keyvalue" → bucket-pruned point-lookup store, "orc" →
+    * columnar ORC), and [[read]] reassembles them by an `ap_id`
+    * equi-join. Transferring to "parquet" folds attributes back into the
+    * primary store. One O(table) rewrite per call — the same cost shape
+    * as the reference's Transferer, which also copies the data.
+    *
+    * Handlers are restricted to the type-round-trip-safe set (parquet /
+    * orc / keyvalue): json and csv widen float→double on read, which
+    * would silently drift the entity schema. */
+  def transferAttributes(attrs: Seq[String], handlerName: String): Entity = {
+    val m = meta
+    require(m.version > 0, "empty entity")
+    require(attrs.nonEmpty && attrs.distinct.size == attrs.size,
+      "attributes must be non-empty and distinct")
+    require(!attrs.contains(ApId), "the system id cannot be transferred")
+    require(Set("parquet", "orc", "keyvalue").contains(handlerName),
+      s"unsupported transfer handler: $handlerName (parquet|orc|keyvalue)")
+    val full = read()
+    attrs.foreach(a =>
+      require(full.columns.contains(a), s"no such attribute: $a"))
+    val next = m.version + 1
+    // transferred attrs leave any group they were in; empty groups die;
+    // "parquet" target = primary store, so no new group is created
+    val kept = attributeGroups
+      .map(g => g.copy(attrs = g.attrs.filterNot(attrs.contains)))
+      .filter(_.attrs.nonEmpty)
+    val specs =
+      if (handlerName == "parquet") kept
+      else kept :+ AttributeGroup(handlerName, "", attrs)
+    // all stores are rebuilt under version-stamped names so every write
+    // targets a FRESH directory while `full` still lazily reads the old
+    // ones (write-new-then-swap, like every other mutation)
+    val rebuilt = specs.zipWithIndex.map { case (g, i) =>
+      g.copy(store = s"ext_v${next}_${i}_${g.handler}")
+    }
+    val grouped = rebuilt.flatMap(_.attrs).toSet
+    writeData(full.select(
+      full.columns.filterNot(grouped.contains).map(col): _*), dataPath(next))
+    rebuilt.foreach(g => handlerFor(g.handler).write(spark,
+      dir.resolve(g.store).toString,
+      full.select((ApId +: g.attrs).map(col): _*), overwrite = true))
+    val oldStores = attributeGroups
+    if (rebuilt.isEmpty) Files.deleteIfExists(groupsPath)
+    else writeGroups(groupsPath, rebuilt)
+    swap(m.copy(version = next), m.version)
+    oldStores.foreach(g => scala.util.Try(
+      handlerFor(g.handler).drop(spark, dir.resolve(g.store).toString)))
+    this
+  }
+
+  /** Bucket-pruned point lookup against a "keyvalue" attribute group —
+    * serves the LevelDB/PalDB random-access role after a
+    * [[transferAttributes]] to that handler. */
+  def kvLookup(ids: Seq[Any]): DataFrame = {
+    val g = attributeGroups.find(_.handler == "keyvalue").getOrElse(
+      throw new IllegalStateException(s"$name has no keyvalue group"))
+    graft.sources.StorageHandlers.keyValue(ApId)
+      .get(spark, dir.resolve(g.store).toString, ids)
   }
 
   def drop(): Unit = deleteRecursively(dir)
@@ -262,6 +381,17 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   def listIndexes: Seq[String] = graft.index.IndexStore.list(dir.toString)
 
   def dropIndex(name: String): Unit = graft.index.IndexStore.drop(dir.toString, name)
+
+  /** The index's narrow on-disk table (cache pinning, diagnostics). */
+  def indexData(name: String): DataFrame =
+    graft.index.IndexStore.dataFrame(spark, dir.toString, name)
+
+  /** Repartition a persisted index's table (reference
+    * `repartitionIndexData`); structure metadata and stamp survive. */
+  def repartitionIndex(name: String, mode: Partitioning.Mode): Entity = {
+    graft.index.IndexStore.repartitionData(spark, dir.toString, name, mode)
+    this
+  }
 
   private def swap(m: Meta, oldVersion: Int): Unit = {
     writeMeta(metaPath, m)
@@ -312,6 +442,31 @@ object Entity {
       c.foreach(row.add)
     }
     Files.write(p, jackson.writeValueAsBytes(root))
+  }
+
+  /** One external attribute group: the handler storing it, its store
+    * directory (relative to the entity dir), and the attributes. */
+  final case class AttributeGroup(handler: String, store: String, attrs: Seq[String])
+
+  private def writeGroups(p: Path, gs: Seq[AttributeGroup]): Unit = {
+    val root = jackson.createArrayNode()
+    gs.foreach { g =>
+      val n = root.addObject()
+      n.put("handler", g.handler)
+      n.put("store", g.store)
+      val a = n.putArray("attrs")
+      g.attrs.foreach(a.add)
+    }
+    Files.write(p, jackson.writeValueAsBytes(root))
+  }
+
+  private def readGroups(p: Path): Seq[AttributeGroup] = {
+    if (!Files.exists(p)) return Nil
+    import scala.jdk.CollectionConverters._
+    jackson.readTree(Files.readAllBytes(p)).elements().asScala.map { n =>
+      AttributeGroup(n.get("handler").asText(), n.get("store").asText(),
+        n.get("attrs").elements().asScala.map(_.asText()).toSeq)
+    }.toSeq
   }
 
   private def readLayout(p: Path): Option[Layout] = {

@@ -49,6 +49,23 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       .withCause(t).asRuntimeException())
     catch { case _: Exception => () } // already closed by the transport
 
+  /** Completed results by queryid, LRU-capped — serves `GetCachedResults`
+    * (reference caches query results by id, `DataQuery.scala:366-382`).
+    * Entries are fully materialized messages (k-row bounded), so the cap
+    * bounds memory at ~100 × k rows. */
+  private val queryResults = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, DynamicMessage](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DynamicMessage]): Boolean = size() > 100
+    })
+
+  /** Cancel thunks for running multi-plan queries, by queryid — lets
+    * `StopQuery` reach every racing job group of a progressive run. */
+  private val running = scala.collection.concurrent.TrieMap.empty[String, () => Unit]
+
+  /** Frames pinned by `CacheEntity`/`CacheIndex` (idempotent per key). */
+  private val cachedFrames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   // ---- wire plumbing -------------------------------------------------------
 
   private def marshaller(desc: Descriptors.Descriptor) =
@@ -136,18 +153,23 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
   } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
 
   /** k-row result frame → QueryResultsMessage (one info block). */
-  private def resultsMessage(df: DataFrame, source: String, queryid: String)
+  /** Pre-collected rows → QueryResultsMessage; `confidence`/`timeMs`
+    * mirror the reference's per-observation result info
+    * (`MessageParser.prepareResults`). */
+  private def rowsMessage(rows: Seq[Row], fieldNames: Seq[String],
+                          source: String, queryid: String,
+                          confidence: Double = 1.0, timeMs: Long = 0L)
   : DynamicMessage = {
     val tupleDesc = msg("QueryResultTupleMessage")
-    val tuples = df.collect().toSeq.map { r => // bounded: k / preview-n rows
+    val tuples = rows.map { r => // bounded: k / preview-n rows
       val b = DynamicMessage.newBuilder(tupleDesc)
-      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      fieldNames.zipWithIndex.foreach { case (f, i) =>
         val v = r.get(i) match {
           case s: scala.collection.Seq[_] => s.toSeq
           case other => other
         }
         b.addRepeatedField(tupleDesc.findFieldByName("data"),
-          dataEntry("QueryResultTupleMessage", f.name, dataOf(v)))
+          dataEntry("QueryResultTupleMessage", f, dataOf(v)))
       }
       b.build()
     }
@@ -155,12 +177,19 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
     val info = withAck("QueryResultInfoMessage", ok = true)
       .setField(infoDesc.findFieldByName("queryid"), queryid)
       .setField(infoDesc.findFieldByName("source"), source)
+      .setField(infoDesc.findFieldByName("confidence"),
+        java.lang.Double.valueOf(confidence))
+      .setField(infoDesc.findFieldByName("time"), java.lang.Long.valueOf(timeMs))
     tuples.foreach(t => info.addRepeatedField(infoDesc.findFieldByName("results"), t))
     withAck("QueryResultsMessage", ok = true)
       .addRepeatedField(msg("QueryResultsMessage").findFieldByName("responses"),
         info.build())
       .build()
   }
+
+  private def resultsMessage(df: DataFrame, source: String, queryid: String)
+  : DynamicMessage =
+    rowsMessage(df.collect().toSeq, df.schema.fieldNames.toSeq, source, queryid)
 
   private def errorResults(text: String): DynamicMessage =
     withAck("QueryResultsMessage", ok = false, text).build()
@@ -437,6 +466,46 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 
+    // index-table repartition (reference repartitionIndexData,
+    // DataDefintion.scala:489-527): hash on the given attributes (the
+    // narrow table's id by default) or random; the directory-layout
+    // modes (ecp/bycolumn) are entity-level — an index table carries no
+    // vector column to cluster by
+    u("RepartitionIndexData", "RepartitionMessage", "AckMessage") { req =>
+      try {
+        val d = req.getDescriptorForType
+        val n = math.max(
+          req.getField(d.findFieldByName("numberOfPartitions")).asInstanceOf[Int], 1)
+        val attrs = req.getField(d.findFieldByName("attributes"))
+          .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
+        val mode = str(req, "partitioner").toLowerCase match {
+          case "" | "hash" =>
+            graft.core.Partitioning.Hash(
+              if (attrs.nonEmpty) attrs else Seq(Entity.ApId), n)
+          case "random" => graft.core.Partitioning.Random(n)
+          case other => throw new IllegalArgumentException(
+            s"index repartition supports hash|random, got: $other")
+        }
+        val index = str(req, "index")
+        Entity.open(spark, base, str(req, "entity")).repartitionIndex(index, mode)
+        ackOf(ok = true, index)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    // attribute migration between storage handlers (reference
+    // transferStorageHandler, DataDefintion.scala:704-720 +
+    // storage/Transferer.scala)
+    u("TransferStorageHandler", "TransferStorageHandlerMessage", "AckMessage") { req =>
+      try {
+        val attrs = req.getField(
+          req.getDescriptorForType.findFieldByName("attributes"))
+          .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
+        Entity.open(spark, base, str(req, "entity"))
+          .transferAttributes(attrs, str(req, "handler"))
+        ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
     u("ExistsIndex", "IndexExistsMessage", "ExistsMessage") { req =>
       val exists = try {
         val e = Entity.open(spark, base, str(req, "entity"))
@@ -549,12 +618,166 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => errorResults(e.getMessage) }
     }
 
+    // ---- progressive / parallel / batch + query lifecycle (reference
+    // DataQuery.scala:252-426) ---------------------------------------------
+
+    // one server-streaming body for both: every completed plan becomes a
+    // streamed QueryResultsMessage carrying source/confidence/time. The
+    // difference mirrors the reference's path choosers — DoProgressiveQuery
+    // races EVERY conforming plan (SimpleParallelPathChooser),
+    // DoParallelQuery lets the hints restrict the racing set
+    // (QueryHintsParallelPathChooser).
+    def multiPlanCall(useHints: Boolean) =
+      new ServerCalls.ServerStreamingMethod[DynamicMessage, DynamicMessage] {
+        override def invoke(req: DynamicMessage,
+                            obs: StreamObserver[DynamicMessage]): Unit = {
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val queryid = try str(req, "queryid") catch { case _: Exception => "" }
+          try {
+            val entity = Entity.open(spark, base, str(sub(req, "from"), "entity"))
+            val qd = req.getDescriptorForType
+            require(req.hasField(qd.findFieldByName("nnq")),
+              "nearest neighbour query necessary for parallel query")
+            val nnq = parseNnq(sub(req, "nnq"))
+            val hints =
+              if (!useHints) Nil
+              else graft.plans.Planner.hintsByName(
+                req.getField(qd.findFieldByName("hints"))
+                  .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq)
+            val indexes = entity.listIndexes.map(entity.loadIndex)
+              .filterNot(_.stale).map(_.index)
+            val specs = graft.api.QueryOps.planSpecsFor(
+              entity.read(), Entity.ApId, indexes, nnq, hints)
+            val prefix = if (queryid.isEmpty) "graft-" else s"graft-$queryid-"
+            if (queryid.nonEmpty) running.put(queryid, () =>
+              specs.foreach(p =>
+                spark.sparkContext.cancelJobGroup(s"$prefix${p.description}")))
+            try {
+              graft.plans.Progressive.parallel(spark, specs, prefix) { o =>
+                obs.onNext(o.result match {
+                  case scala.util.Success(rows) =>
+                    rowsMessage(rows.toSeq,
+                      rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil),
+                      o.planDescription, queryid, o.confidence,
+                      o.timeNanos / 1000000)
+                  case scala.util.Failure(err) =>
+                    errorResults(s"${o.planDescription}: ${err.getMessage}")
+                })
+              }
+              obs.onCompleted()
+            } finally if (queryid.nonEmpty) running.remove(queryid)
+          } catch {
+            case e: Exception =>
+              obs.onNext(errorResults(e.getMessage)); obs.onCompleted()
+          }
+        }
+      }
+
+    b.addMethod(method("AdamSearch", "DoProgressiveQuery", "QueryMessage",
+        "QueryResultsMessage", MethodDescriptor.MethodType.SERVER_STREAMING),
+      ServerCalls.asyncServerStreamingCall(multiPlanCall(useHints = false)))
+    b.addMethod(method("AdamSearch", "DoParallelQuery", "QueryMessage",
+        "QueryResultsMessage", MethodDescriptor.MethodType.SERVER_STREAMING),
+      ServerCalls.asyncServerStreamingCall(multiPlanCall(useHints = true)))
+
+    u("DoBatchQuery", "BatchedQueryMessage", "BatchedQueryResultsMessage") { req =>
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val queries = req.getField(
+        req.getDescriptorForType.findFieldByName("queries"))
+        .asInstanceOf[java.util.List[_]].asScala
+        .map(_.asInstanceOf[DynamicMessage]).toSeq
+      // concurrent like the reference's request.queries.par; per-query
+      // errors land as error acks in their slot, never fail the batch
+      val futures = queries.map(q => scala.concurrent.Future(runQuery(q)))
+      val out = newMsg("BatchedQueryResultsMessage")
+      val rf = msg("BatchedQueryResultsMessage").findFieldByName("results")
+      futures.foreach(f => out.addRepeatedField(rf,
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      out.build()
+    }
+
+    u("StopQuery", "StopQueryMessage", "AckMessage") { req =>
+      val qid = str(req, "queryid")
+      spark.sparkContext.cancelJobGroup(qid) // a running DoQuery
+      running.get(qid).foreach(_.apply())    // racing progressive groups
+      ackOf(ok = true, qid)
+    }
+    u("StopAllQueries", "EmptyMessage", "AckMessage") { _ =>
+      spark.sparkContext.cancelAllJobs()
+      ackOf(ok = true)
+    }
+    u("Ping", "EmptyMessage", "AckMessage")(_ => ackOf(ok = true))
+
+    u("CacheEntity", "EntityNameMessage", "AckMessage") { req =>
+      try {
+        val name = str(req, "entity")
+        cachedFrames.getOrElseUpdate(s"entity:$name", {
+          val df = Entity.open(spark, base, name).read().persist()
+          df.count() // materialize now — that is what the cache call means
+          df
+        })
+        ackOf(ok = true, name)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+    u("CacheIndex", "IndexNameMessage", "AckMessage") { req =>
+      try {
+        val entityName = str(req, "entity")
+        val index = str(req, "index")
+        cachedFrames.getOrElseUpdate(s"index:$entityName/$index", {
+          val df = Entity.open(spark, base, entityName).indexData(index).persist()
+          df.count()
+          df
+        })
+        ackOf(ok = true, entityName) // reference echoes the entity name
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+    u("GetCachedResults", "CachedResultsMessage", "QueryResultsMessage") { req =>
+      Option(queryResults.get(str(req, "queryid")))
+        .getOrElse(errorResults(s"query ${str(req, "queryid")} not cached"))
+    }
+
     b.build()
   }
 
+  private def parseNnq(nnq: DynamicMessage): NnQuery = {
+    val dv = sub(sub(nnq, "query"), "denseVector")
+    val q = dv.getField(msg("DenseVectorMessage").findFieldByName("vector"))
+      .asInstanceOf[java.util.List[java.lang.Float]].asScala
+      .map(_.doubleValue()).toSeq
+    val k = nnq.getField(nnq.getDescriptorForType.findFieldByName("k"))
+      .asInstanceOf[Int]
+    val dist = str(nnq, "distance")
+    NnQuery(str(nnq, "attribute"), q,
+      if (dist.isEmpty) "euclidean" else dist, if (k <= 0) 100 else k)
+  }
+
+  private def ackIsOk(m: DynamicMessage): Boolean = {
+    val ack = m.getField(m.getDescriptorForType.findFieldByName("ack"))
+      .asInstanceOf[DynamicMessage]
+    ack.getField(msg("AckMessage").findFieldByName("code"))
+      .asInstanceOf[Descriptors.EnumValueDescriptor].getName == "OK"
+  }
+
   private def runQuery(req: DynamicMessage): DynamicMessage = {
+    val queryid = try str(req, "queryid") catch { case _: Exception => "" }
+    // per-query job group: a non-empty queryid makes this call
+    // cancellable via StopQuery (reference cancels by job id,
+    // DataQuery.scala:412-417); completed results are kept for
+    // GetCachedResults
+    val out =
+      if (queryid.isEmpty) runQueryBody(req, queryid)
+      else {
+        spark.sparkContext.setJobGroup(queryid, s"doQuery $queryid",
+          interruptOnCancel = true)
+        try runQueryBody(req, queryid)
+        finally spark.sparkContext.clearJobGroup()
+      }
+    if (queryid.nonEmpty && ackIsOk(out)) queryResults.put(queryid, out)
+    out
+  }
+
+  private def runQueryBody(req: DynamicMessage, queryid: String): DynamicMessage = {
       try {
-        val queryid = str(req, "queryid")
         val entityName = str(sub(req, "from"), "entity")
         val entity = Entity.open(spark, base, entityName)
         val df = entity.read()
@@ -581,18 +804,7 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         // optional nearest-neighbour query
         val nnqOpt: Option[NnQuery] =
           if (!req.hasField(qd.findFieldByName("nnq"))) None
-          else {
-            val nnq = sub(req, "nnq")
-            val dv = sub(sub(nnq, "query"), "denseVector")
-            val q = dv.getField(msg("DenseVectorMessage").findFieldByName("vector"))
-              .asInstanceOf[java.util.List[java.lang.Float]].asScala
-              .map(_.doubleValue()).toSeq
-            val k = nnq.getField(nnq.getDescriptorForType.findFieldByName("k"))
-              .asInstanceOf[Int]
-            val dist = str(nnq, "distance")
-            Some(NnQuery(str(nnq, "attribute"), q,
-              if (dist.isEmpty) "euclidean" else dist, if (k <= 0) 100 else k))
-          }
+          else Some(parseNnq(sub(req, "nnq")))
 
         // hints, in precedence order (reference HintBasedScanExpression):
         // a hint naming a SAVED INDEX routes the scan through it directly;

@@ -160,7 +160,9 @@ object Proto {
       field("queryid", 2, Type.TYPE_STRING),
       field("source", 3, Type.TYPE_STRING),
       field("results", 4, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
-        ".adam.QueryResultTupleMessage")))
+        ".adam.QueryResultTupleMessage"),
+      field("confidence", 5, Type.TYPE_DOUBLE),
+      field("time", 6, Type.TYPE_INT64)))
     .addMessageType(message("QueryResultsMessage",
       field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),
       field("responses", 2, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
@@ -197,7 +199,8 @@ object Proto {
       field("entity", 1, Type.TYPE_STRING),
       field("numberOfPartitions", 2, Type.TYPE_INT32),
       field("attributes", 3, Type.TYPE_STRING, Label.LABEL_REPEATED),
-      field("partitioner", 4, Type.TYPE_STRING)))
+      field("partitioner", 4, Type.TYPE_STRING),
+      field("index", 5, Type.TYPE_STRING)))
     .addMessageType(message("AvailableAttributeTypesMessage",
       field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),
       field("attributetypes", 2, Type.TYPE_STRING, Label.LABEL_REPEATED)))
@@ -217,6 +220,20 @@ object Proto {
       field("ack", 1, Type.TYPE_MESSAGE, typeName = ".adam.AckMessage"),
       field("paths", 2, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
         ".adam.ScoredExecutionPathMessage")))
+    .addMessageType(message("BatchedQueryMessage",
+      field("queries", 1, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.QueryMessage")))
+    .addMessageType(message("BatchedQueryResultsMessage",
+      field("results", 1, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.QueryResultsMessage")))
+    .addMessageType(message("StopQueryMessage",
+      field("queryid", 1, Type.TYPE_STRING)))
+    .addMessageType(message("CachedResultsMessage",
+      field("queryid", 1, Type.TYPE_STRING)))
+    .addMessageType(message("TransferStorageHandlerMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("attributes", 2, Type.TYPE_STRING, Label.LABEL_REPEATED),
+      field("handler", 3, Type.TYPE_STRING)))
     .addMessageType(message("ProtoImportMessage",
       field("path", 1, Type.TYPE_STRING)))
     .addMessageType(message("ProtoExportMessage",

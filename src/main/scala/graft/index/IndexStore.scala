@@ -129,4 +129,29 @@ object IndexStore {
 
   def drop(baseDir: String, name: String): Unit =
     graft.core.Entity.deleteRecursively(indexDir(baseDir, name))
+
+  /** The index's narrow on-disk table, read directly (cache pinning). */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                name: String): org.apache.spark.sql.DataFrame = {
+    val dir = indexDir(baseDir, name)
+    require(Files.exists(dir.resolve("meta.bin")), s"no such index: $name")
+    spark.read.parquet(dir.resolve("data").toString)
+  }
+
+  /** Rewrite a persisted index's narrow table under a new partitioning
+    * (reference `repartitionIndexData`, `DataDefintion.scala:489-527`):
+    * the structure metadata (marks/codebooks/centroids) is untouched, so
+    * the stamp — and therefore staleness — is preserved. Write-new-then-
+    * swap, same crash-safety dance as entity mutations. */
+  def repartitionData(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                      name: String, mode: graft.core.Partitioning.Mode): Unit = {
+    val dir = indexDir(baseDir, name)
+    require(Files.exists(dir.resolve("meta.bin")), s"no such index: $name")
+    val df = spark.read.parquet(dir.resolve("data").toString)
+    val tmp = dir.resolve("data_tmp")
+    graft.core.Partitioning.repartition(df, mode)
+      .write.mode("overwrite").parquet(tmp.toString)
+    graft.core.Entity.deleteRecursively(dir.resolve("data"))
+    Files.move(tmp, dir.resolve("data"))
+  }
 }

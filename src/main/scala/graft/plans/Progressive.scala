@@ -34,8 +34,14 @@ object Progressive {
         Planner.Measurement(o.timeNanos, o.confidence, p.rows))
 
   /** Launch all plans; invoke `onNext` per completion; return all
-    * observations once every plan finishes. */
-  def parallel(spark: SparkSession, plans: Seq[PlanSpec])
+    * observations once every plan finishes.
+    *
+    * `groupPrefix` names the Spark job groups (`<prefix><description>`) —
+    * a wire front door passes a per-query prefix so `stopQuery(queryid)`
+    * can cancel exactly this run's groups (reference
+    * `DataQuery.scala:412-417` cancels by job id). */
+  def parallel(spark: SparkSession, plans: Seq[PlanSpec],
+               groupPrefix: String = "graft-")
               (onNext: Observation => Unit = _ => ())
               (implicit ec: ExecutionContext): Seq[Observation] = {
     val obs = new ConcurrentLinkedQueue[Observation]()
@@ -46,7 +52,7 @@ object Progressive {
         // caller callback (e.g. a streaming client that disconnected
         // mid-write) would otherwise wedge latch.await() forever
         try {
-          spark.sparkContext.setJobGroup(s"graft-${p.description}",
+          spark.sparkContext.setJobGroup(s"$groupPrefix${p.description}",
             s"progressive plan ${p.description}", interruptOnCancel = true)
           val t0 = System.nanoTime()
           val r = Try(p.run().collect())

@@ -567,6 +567,284 @@ class GrpcSpec extends SparkSpec {
       contain allOf ("parquet", "orc", "keyvalue")
   }
 
+  private def infos(res: DynamicMessage): Seq[DynamicMessage] =
+    res.getField(res.getDescriptorForType.findFieldByName("responses"))
+      .asInstanceOf[java.util.List[_]].asScala
+      .map(_.asInstanceOf[DynamicMessage]).toSeq
+
+  test("progressive and parallel queries stream per-plan observations") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcprog")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    val gd = Proto.msg("GenerateRandomDataMessage")
+    call(mdDef("GenerateRandomData", "GenerateRandomDataMessage", "AckMessage"),
+      Proto.newMsg("GenerateRandomDataMessage")
+        .setField(gd.findFieldByName("entity"), "rpcprog")
+        .setField(gd.findFieldByName("ntuples"), java.lang.Long.valueOf(200L))
+        .setField(gd.findFieldByName("dims"), Integer.valueOf(8)).build())
+    val idxD = Proto.msg("IndexMessage")
+    Seq("vaf", "ecp").foreach { tp =>
+      ackOk(call(mdDef("Index", "IndexMessage", "AckMessage"),
+        Proto.newMsg("IndexMessage")
+          .setField(idxD.findFieldByName("entity"), "rpcprog")
+          .setField(idxD.findFieldByName("attribute"), "vec")
+          .setField(idxD.findFieldByName("indextype"), tp).build())) shouldBe true
+    }
+
+    val mdProg = server.clientMethod("AdamSearch", "DoProgressiveQuery",
+      "QueryMessage", "QueryResultsMessage",
+      MethodDescriptor.MethodType.SERVER_STREAMING)
+    val obs = ClientCalls.blockingServerStreamingCall(channel, mdProg,
+      CallOptions.DEFAULT,
+      queryMsg("rpcprog", "prog1", Some(("vec", Seq.fill(8)(0.5f), "euclidean", 3))))
+      .asScala.toSeq
+    obs.size should be >= 3 // sequential + vaf + ecp all race
+    obs.foreach(o => ackOk(sub(o, "ack")) shouldBe true)
+    val infoD = Proto.msg("QueryResultInfoMessage")
+    val byShape = obs.flatMap(infos).map { i =>
+      (str(i, "source"),
+        i.getField(infoD.findFieldByName("confidence")).asInstanceOf[Double],
+        i.getField(infoD.findFieldByName("time")).asInstanceOf[Long])
+    }
+    byShape.map(_._1) should contain("sequential")
+    byShape.map(_._1).exists(_.startsWith("index:")) shouldBe true
+    byShape.find(_._1 == "sequential").get._2 shouldBe 1.0 // exact plan
+    obs.foreach(o => resultRows(o) should have size 3)
+
+    // parallel query: the hint set restricts the racing plans
+    val mdPar = server.clientMethod("AdamSearch", "DoParallelQuery",
+      "QueryMessage", "QueryResultsMessage",
+      MethodDescriptor.MethodType.SERVER_STREAMING)
+    val seqOnly = ClientCalls.blockingServerStreamingCall(channel, mdPar,
+      CallOptions.DEFAULT,
+      queryMsg("rpcprog", "par1", Some(("vec", Seq.fill(8)(0.5f), "euclidean", 3)),
+        hints = Seq("sequential"))).asScala.toSeq
+    seqOnly should have size 1
+    str(infos(seqOnly.head).head, "source") shouldBe "sequential"
+
+    // a progressive query without nnq is refused on the stream
+    val bad = ClientCalls.blockingServerStreamingCall(channel, mdProg,
+      CallOptions.DEFAULT, queryMsg("rpcprog", "progbad", None)).asScala.toSeq
+    bad should have size 1
+    ackOk(sub(bad.head, "ack")) shouldBe false
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpcprog"))
+  }
+
+  test("batch query runs every slot; per-query errors stay in their slot") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcbatch")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcbatch", (0 until 10).map(i =>
+        tuple(s"b$i", Seq(i.toFloat, i.toFloat)))))
+
+    val bqD = Proto.msg("BatchedQueryMessage")
+    val req = Proto.newMsg("BatchedQueryMessage")
+    Seq(
+      queryMsg("rpcbatch", "bq1", Some(("vec", Seq(2f, 2f), "euclidean", 1))),
+      queryMsg("no_such_entity", "bq2", Some(("vec", Seq(0f, 0f), "euclidean", 1))),
+      queryMsg("rpcbatch", "bq3", Some(("vec", Seq(9f, 9f), "euclidean", 1)))
+    ).foreach(q => req.addRepeatedField(bqD.findFieldByName("queries"), q))
+    val res = call(mdSearch("DoBatchQuery", "BatchedQueryMessage",
+      "BatchedQueryResultsMessage"), req.build())
+    val slots = res.getField(
+      res.getDescriptorForType.findFieldByName("results"))
+      .asInstanceOf[java.util.List[_]].asScala
+      .map(_.asInstanceOf[DynamicMessage]).toSeq
+    slots should have size 3
+    ackOk(sub(slots(0), "ack")) shouldBe true
+    resultRows(slots(0)).head("label") shouldBe "b2"
+    ackOk(sub(slots(1), "ack")) shouldBe false // bad slot errs alone
+    ackOk(sub(slots(2), "ack")) shouldBe true
+    resultRows(slots(2)).head("label") shouldBe "b9"
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpcbatch"))
+  }
+
+  test("ping, result cache by queryid, entity/index cache, and stop RPCs") {
+    ackOk(call(mdSearch("Ping", "EmptyMessage", "AckMessage"),
+      Proto.newMsg("EmptyMessage").build())) shouldBe true
+
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpccache")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpccache", (0 until 12).map(i =>
+        tuple(s"c$i", Seq(i.toFloat, i.toFloat)))))
+
+    // a completed DoQuery is replayable from the result cache, verbatim
+    val live = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      queryMsg("rpccache", "cq1", Some(("vec", Seq(4f, 4f), "euclidean", 2))))
+    ackOk(sub(live, "ack")) shouldBe true
+    val crD = Proto.msg("CachedResultsMessage")
+    val cached = call(mdSearch("GetCachedResults", "CachedResultsMessage",
+      "QueryResultsMessage"),
+      Proto.newMsg("CachedResultsMessage")
+        .setField(crD.findFieldByName("queryid"), "cq1").build())
+    ackOk(sub(cached, "ack")) shouldBe true
+    resultRows(cached) shouldBe resultRows(live)
+    val miss = call(mdSearch("GetCachedResults", "CachedResultsMessage",
+      "QueryResultsMessage"),
+      Proto.newMsg("CachedResultsMessage")
+        .setField(crD.findFieldByName("queryid"), "nope").build())
+    ackOk(sub(miss, "ack")) shouldBe false
+
+    // entity + index cache pins
+    ackOk(call(mdSearch("CacheEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpccache"))) shouldBe true
+    val idxD = Proto.msg("IndexMessage")
+    call(mdDef("Index", "IndexMessage", "AckMessage"),
+      Proto.newMsg("IndexMessage")
+        .setField(idxD.findFieldByName("entity"), "rpccache")
+        .setField(idxD.findFieldByName("attribute"), "vec")
+        .setField(idxD.findFieldByName("indextype"), "vaf").build())
+    val inD = Proto.msg("IndexNameMessage")
+    val cacheIdx = call(mdSearch("CacheIndex", "IndexNameMessage", "AckMessage"),
+      Proto.newMsg("IndexNameMessage")
+        .setField(inD.findFieldByName("index"), "vaf_vec")
+        .setField(inD.findFieldByName("entity"), "rpccache").build())
+    ackOk(cacheIdx) shouldBe true
+    str(cacheIdx, "message") shouldBe "rpccache" // reference echoes entityname
+    ackOk(call(mdSearch("CacheIndex", "IndexNameMessage", "AckMessage"),
+      Proto.newMsg("IndexNameMessage")
+        .setField(inD.findFieldByName("index"), "ghost")
+        .setField(inD.findFieldByName("entity"), "rpccache").build())) shouldBe false
+
+    // stop RPCs: harmless for unknown ids, and a progressive query issued
+    // with a queryid survives a concurrent stop (stream still terminates,
+    // each observation either completes or reports the cancellation)
+    val sqD = Proto.msg("StopQueryMessage")
+    ackOk(call(mdSearch("StopQuery", "StopQueryMessage", "AckMessage"),
+      Proto.newMsg("StopQueryMessage")
+        .setField(sqD.findFieldByName("queryid"), "ghost-query").build())) shouldBe true
+    val mdProg = server.clientMethod("AdamSearch", "DoProgressiveQuery",
+      "QueryMessage", "QueryResultsMessage",
+      MethodDescriptor.MethodType.SERVER_STREAMING)
+    val got = new CountDownLatch(1)
+    val doneStream = new CountDownLatch(1)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    ClientCalls.asyncServerStreamingCall(
+      channel.newCall(mdProg, CallOptions.DEFAULT),
+      queryMsg("rpccache", "stopme", Some(("vec", Seq(1f, 1f), "euclidean", 2))),
+      new StreamObserver[DynamicMessage] {
+        override def onNext(m: DynamicMessage): Unit = {
+          seen.incrementAndGet(); got.countDown()
+        }
+        override def onError(t: Throwable): Unit = doneStream.countDown()
+        override def onCompleted(): Unit = doneStream.countDown()
+      })
+    got.await(60, TimeUnit.SECONDS) shouldBe true
+    ackOk(call(mdSearch("StopQuery", "StopQueryMessage", "AckMessage"),
+      Proto.newMsg("StopQueryMessage")
+        .setField(sqD.findFieldByName("queryid"), "stopme").build())) shouldBe true
+    doneStream.await(60, TimeUnit.SECONDS) shouldBe true
+    seen.get() should be >= 1
+    ackOk(call(mdSearch("StopAllQueries", "EmptyMessage", "AckMessage"),
+      Proto.newMsg("EmptyMessage").build())) shouldBe true
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpccache"))
+  }
+
+  test("index repartition and attribute transfer between storage handlers") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcxfer")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcxfer", (0 until 30).map(i =>
+        tuple(s"x$i", Seq.fill(4)(i.toFloat)))))
+    val idxD = Proto.msg("IndexMessage")
+    call(mdDef("Index", "IndexMessage", "AckMessage"),
+      Proto.newMsg("IndexMessage")
+        .setField(idxD.findFieldByName("entity"), "rpcxfer")
+        .setField(idxD.findFieldByName("attribute"), "vec")
+        .setField(idxD.findFieldByName("indextype"), "vaf").build())
+
+    // repartition the index's narrow table; the hinted scan still serves
+    val rpD = Proto.msg("RepartitionMessage")
+    val rp = call(mdDef("RepartitionIndexData", "RepartitionMessage", "AckMessage"),
+      Proto.newMsg("RepartitionMessage")
+        .setField(rpD.findFieldByName("entity"), "rpcxfer")
+        .setField(rpD.findFieldByName("index"), "vaf_vec")
+        .setField(rpD.findFieldByName("numberOfPartitions"), Integer.valueOf(4))
+        .setField(rpD.findFieldByName("partitioner"), "hash").build())
+    ackOk(rp) shouldBe true
+    str(rp, "message") shouldBe "vaf_vec"
+    val iRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      queryMsg("rpcxfer", "xf1", Some(("vec", Seq.fill(4)(7f), "euclidean", 3)),
+        hints = Seq("vaf_vec")))
+    ackOk(sub(iRes, "ack")) shouldBe true
+    resultRows(iRes).head("label") shouldBe "x7"
+    // ecp/bycolumn are entity-level layouts — refused for an index table
+    ackOk(call(mdDef("RepartitionIndexData", "RepartitionMessage", "AckMessage"),
+      Proto.newMsg("RepartitionMessage")
+        .setField(rpD.findFieldByName("entity"), "rpcxfer")
+        .setField(rpD.findFieldByName("index"), "vaf_vec")
+        .setField(rpD.findFieldByName("partitioner"), "ecp").build())) shouldBe false
+
+    // migrate `label` parquet -> embedded KV; reads reassemble by ap_id
+    val txD = Proto.msg("TransferStorageHandlerMessage")
+    val tx = call(mdDef("TransferStorageHandler", "TransferStorageHandlerMessage",
+      "AckMessage"),
+      Proto.newMsg("TransferStorageHandlerMessage")
+        .setField(txD.findFieldByName("entity"), "rpcxfer")
+        .addRepeatedField(txD.findFieldByName("attributes"), "label")
+        .setField(txD.findFieldByName("handler"), "keyvalue").build())
+    ackOk(tx) shouldBe true
+    str(call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcxfer")), "message") shouldBe "30"
+    val bRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      queryMsg("rpcxfer", "xf2", None, where = Seq(("label", "=", Seq("x11")))))
+    resultRows(bRes) should have size 1
+
+    // the KV group serves bucket-pruned point lookups by ap_id
+    val e = graft.core.Entity.open(spark, base, "rpcxfer")
+    e.attributeGroups.map(_.handler) shouldBe Seq("keyvalue")
+    val someId = e.read().select("ap_id").limit(1).collect().head.getLong(0)
+    val kvRow = e.kvLookup(Seq(someId)).collect()
+    kvRow should have length 1
+    kvRow.head.getAs[String]("label") should startWith("x")
+
+    // transfer back to parquet folds the group into the primary store
+    ackOk(call(mdDef("TransferStorageHandler", "TransferStorageHandlerMessage",
+      "AckMessage"),
+      Proto.newMsg("TransferStorageHandlerMessage")
+        .setField(txD.findFieldByName("entity"), "rpcxfer")
+        .addRepeatedField(txD.findFieldByName("attributes"), "label")
+        .setField(txD.findFieldByName("handler"), "parquet").build())) shouldBe true
+    graft.core.Entity.open(spark, base, "rpcxfer").attributeGroups shouldBe empty
+    str(call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcxfer")), "message") shouldBe "30"
+    // json/csv are export formats, not group stores (float->double drift)
+    ackOk(call(mdDef("TransferStorageHandler", "TransferStorageHandlerMessage",
+      "AckMessage"),
+      Proto.newMsg("TransferStorageHandlerMessage")
+        .setField(txD.findFieldByName("entity"), "rpcxfer")
+        .addRepeatedField(txD.findFieldByName("attributes"), "label")
+        .setField(txD.findFieldByName("handler"), "csv").build())) shouldBe false
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpcxfer"))
+  }
+
   test("docs/graft_adam.proto stays in sync with the runtime schema (drift guard)") {
     val text = new String(Files.readAllBytes(
       java.nio.file.Paths.get("docs/graft_adam.proto")))

@@ -167,6 +167,29 @@ class PlannerSpec extends SparkSpec {
     seen.toSet shouldBe Set("sequential", "index:ecp")
   }
 
+  test("job-group cancel interrupts a running plan (the StopQuery path)") {
+    import spark.implicits._
+    // one partition that blocks long past the test budget: only a real
+    // job-group cancel (interruptOnCancel) can finish this quickly
+    val slow = Progressive.PlanSpec("slowscan", 1.0, () =>
+      spark.range(0, 4, 1, 1).as[Long].mapPartitions { it =>
+        Thread.sleep(120000); it
+      }.toDF("id"))
+    val fut = scala.concurrent.Future(
+      Progressive.parallel(spark, Seq(slow), "canceltest-")())
+    // cancelJobGroup only reaches ACTIVE jobs — keep cancelling until
+    // the racing future observes the interruption
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!fut.isCompleted && System.nanoTime() < deadline) {
+      spark.sparkContext.cancelJobGroup("canceltest-slowscan")
+      Thread.sleep(200)
+    }
+    val obs = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(30, "s"))
+    obs.size shouldBe 1
+    obs.head.result.isFailure shouldBe true // cancelled, not completed
+  }
+
   test("timed query returns best-confidence result within deadline") {
     val o = Progressive.timed(spark, Seq(
       Progressive.PlanSpec("sequential", 1.0,
