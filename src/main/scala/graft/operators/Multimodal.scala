@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
   * is REAL for the formats the JDK ships (`javax.sound.sampled`, WAV/
   * AIFF/AU): true sample rate, channels, frame count, and an amplitude
   * histogram from the decoded PCM frames. VIDEO container METADATA is
-  * REAL for RIFF/AVI (hand-parsed main header: true width, height,
-  * frame count); only per-frame PIXEL decode remains behind the
-  * deterministic stub (`decodeStub`) — no video codec exists in this
-  * container. Everything around the codecs is the production plumbing —
+  * REAL for both container families: RIFF/AVI (hand-parsed main header:
+  * true width, height, frame count) and MP4/ISO-BMFF (ISO/IEC 14496-12
+  * box walk: movie duration, per-track handler + sample-entry codec
+  * fourcc, video width/height, sample count); only per-frame PIXEL
+  * decode remains behind the deterministic stub (`decodeStub`) — no
+  * video codec exists in either container. Everything around the codecs
+  * is the production plumbing —
   * output schemas, `mapPartitions` batch shape (the Scala analog of
   * `mapInPandas`: one iterator per partition, streaming, no per-row
   * task overhead), partition sizing — so swapping in a real frame
@@ -192,6 +195,113 @@ object Multimodal {
     Some((width, height, 3, frames, hist))
   }
 
+  /** One parsed MP4 track: `handler` fourcc from `hdlr` ("vide",
+    * "soun"), sample-entry (codec) fourcc from `stsd` ("avc1", "mp4a"),
+    * presentation width/height from `tkhd`, sample count from `stsz`. */
+  final case class Mp4Track(handler: String, codec: String,
+                            width: Int, height: Int, samples: Int)
+
+  /** Parsed MP4 movie-level metadata. */
+  final case class Mp4Info(durationMs: Long, tracks: Seq[Mp4Track])
+
+  /** REAL MP4/ISO-BMFF container metadata (ISO/IEC 14496-12 box walk —
+    * no codec, no library): validated by the leading `ftyp`/`styp` box,
+    * then `moov`/`mvhd` for timescale-normalized duration and one
+    * [[Mp4Track]] per `trak`. Returns None for payloads that are not a
+    * well-formed BMFF stream. Big-endian throughout (unlike AVI). */
+  def mp4Info(payload: Array[Byte]): Option[Mp4Info] = try {
+    val n = payload.length
+    if (n < 16) return None
+    def u32(o: Int): Long =
+      ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+        ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def cc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // direct children of the byte range [start, end): (type, payloadStart, payloadEnd)
+    def children(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val sz0 = u32(i)
+        val typ = cc(i + 4)
+        val (hdr, sz) =
+          if (sz0 == 1 && i + 16 <= end) (16L, u64(i + 8)) // 64-bit largesize
+          else if (sz0 == 0) (8L, (end - i).toLong)        // box runs to end
+          else (8L, sz0)
+        if (sz < hdr || i + sz > end) ok = false // malformed tail: stop
+        else {
+          out += ((typ, (i + hdr).toInt, (i + sz).toInt))
+          i = (i + sz).toInt
+        }
+      }
+      out.toSeq
+    }
+    val top = children(0, n)
+    if (top.isEmpty || (top.head._1 != "ftyp" && top.head._1 != "styp")) return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val kids = children(moov._2, moov._3)
+    val durationMs = kids.find(_._1 == "mvhd").map { case (_, s, _) =>
+      val version = payload(s) & 0xFF
+      if (version == 1) { // 64-bit times
+        val ts = u32(s + 20); val d = u64(s + 28)
+        if (ts > 0) d * 1000 / ts else 0L
+      } else {
+        val ts = u32(s + 12); val d = u32(s + 16)
+        if (ts > 0) d * 1000 / ts else 0L
+      }
+    }.getOrElse(0L)
+    val tracks = kids.filter(_._1 == "trak").map { case (_, ts, te) =>
+      val tk = children(ts, te)
+      // width/height are the LAST 8 bytes of tkhd (16.16 fixed), which
+      // holds for both its v0 and v1 layouts
+      val (w, h) = tk.find(_._1 == "tkhd").map { case (_, s, e) =>
+        ((u32(e - 8) >> 16).toInt, (u32(e - 4) >> 16).toInt)
+      }.getOrElse((0, 0))
+      val mdiaKids = tk.find(_._1 == "mdia")
+        .map(m => children(m._2, m._3)).getOrElse(Nil)
+      // hdlr: version/flags u32, pre_defined u32, handler_type fourcc
+      val handler = mdiaKids.find(_._1 == "hdlr")
+        .map { case (_, s, _) => cc(s + 8) }.getOrElse("")
+      val stbl = for {
+        mi <- mdiaKids.find(_._1 == "minf")
+        st <- children(mi._2, mi._3).find(_._1 == "stbl")
+      } yield children(st._2, st._3)
+      // stsd: version/flags u32, entry_count u32, then the first sample
+      // entry's size u32 + format fourcc = the codec identifier
+      val codec = stbl.flatMap(_.find(_._1 == "stsd"))
+        .map { case (_, s, _) => cc(s + 12) }.getOrElse("")
+      // stsz: version/flags u32, sample_size u32, sample_count u32
+      val samples = stbl.flatMap(_.find(_._1 == "stsz"))
+        .map { case (_, s, _) => u32(s + 8).toInt }.getOrElse(0)
+      Mp4Track(handler, codec, w, h, samples)
+    }
+    if (tracks.isEmpty) None else Some(Mp4Info(durationMs, tracks))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** MP4 metadata mapped onto the decoded-asset shape: video track's
+    * width/height and sample (frame) count, `channels` reporting the
+    * container's track count; feature vector is the payload byte-value
+    * distribution (a container-level signature, like the AVI path —
+    * explicitly NOT pixel features). */
+  def decodeMp4Meta(payload: Array[Byte], dim: Int): Option[(Int, Int, Int, Int, Array[Float])] =
+    mp4Info(payload).map { info =>
+      val vid = info.tracks.find(_.handler == "vide")
+        .orElse(info.tracks.find(_.width > 0))
+      val (w, h) = vid.map(t => (t.width, t.height)).getOrElse((0, 0))
+      val frames = vid.map(_.samples).getOrElse(0)
+      val hist = new Array[Float](dim)
+      var j = 0
+      while (j < payload.length) {
+        hist((payload(j) & 0xFF) * dim / 256) += 1f
+        j += 1
+      }
+      var d = 0
+      while (d < dim) { hist(d) /= payload.length; d += 1 }
+      (w, h, info.tracks.size, frames, hist)
+    }
+
   /** Decode + feature-extract over partition-sized batches. One
     * decoder instantiation per partition (the expensive init a real
     * codec would need), streaming rows through it. Image payloads
@@ -208,7 +318,8 @@ object Multimodal {
         val real: Option[(Int, Int, Int, Int, Array[Float])] = modality match {
           case "image" => decodeImage(payload, dim).map { case (w, h, c, f) => (w, h, c, 1, f) }
           case "audio" => decodeAudio(payload, dim).map { case (w, h, c, f) => (w, h, c, h, f) }
-          case "video" => decodeVideoMeta(payload, dim)
+          case "video" =>
+            decodeVideoMeta(payload, dim).orElse(decodeMp4Meta(payload, dim))
           case _ => None
         }
         val (w, h, c, fr, f) = real.getOrElse {

@@ -162,6 +162,70 @@ class MultimodalSpec extends SparkSpec {
       Array(0, 2, 4, 6, 8)
   }
 
+  // minimal but well-formed ISO-BMFF writer: big-endian box sizes, the
+  // exact field layouts Multimodal.mp4Info reads (ISO/IEC 14496-12)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    be32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+  }
+  private def mp4Bytes(w: Int, h: Int, videoFrames: Int, audioSamples: Int): Array[Byte] = {
+    val zeros = (n: Int) => Array.fill[Byte](n)(0)
+    val mvhd = box("mvhd", zeros(4), zeros(8), // v0 + creation/modification
+      be32(600), be32(3000), // timescale 600, duration 3000 -> 5000 ms
+      zeros(80)) // rate/volume/reserved/matrix/predefined/nextTrackId
+    def trak(handler: String, codec: String, tw: Int, th: Int, samples: Int) = {
+      val tkhd = box("tkhd", zeros(76), // v0 fields + matrix
+        be32(tw.toLong << 16), be32(th.toLong << 16)) // 16.16 fixed w/h
+      val hdlr = box("hdlr", zeros(8), handler.getBytes("ISO-8859-1"), zeros(13))
+      val stsd = box("stsd", zeros(4), be32(1), // entry_count
+        be32(16), codec.getBytes("ISO-8859-1"), zeros(8)) // sample entry
+      val stsz = box("stsz", zeros(4), be32(0), be32(samples))
+      box("trak", tkhd,
+        box("mdia", hdlr, box("minf", box("stbl", stsd, stsz))))
+    }
+    box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0), "isom".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd,
+        trak("vide", "avc1", w, h, videoFrames),
+        trak("soun", "mp4a", 0, 0, audioSamples)) ++
+      box("mdat", zeros(32))
+  }
+
+  test("MP4/ISO-BMFF payloads parse to true duration, tracks, codecs, and dimensions") {
+    val bytes = mp4Bytes(640, 360, 150, 234)
+    val info = Multimodal.mp4Info(bytes).get
+    info.durationMs shouldBe 5000L
+    info.tracks should have size 2
+    val vid = info.tracks.find(_.handler == "vide").get
+    vid.codec shouldBe "avc1"
+    vid.width shouldBe 640
+    vid.height shouldBe 360
+    vid.samples shouldBe 150
+    val aud = info.tracks.find(_.handler == "soun").get
+    aud.codec shouldBe "mp4a"
+    aud.samples shouldBe 234
+
+    // not a BMFF stream -> None (ftyp magic gate), and AVI stays on its path
+    Multimodal.mp4Info("mp4? definitely not".getBytes) shouldBe None
+    Multimodal.mp4Info(aviBytes(320, 240, 9)) shouldBe None
+
+    // the decode dispatcher serves MP4 through the video modality
+    val rows = Seq(
+      (40L, "video", bytes, Map("src" -> "gen")),
+      (41L, "video", aviBytes(320, 240, 9), Map("src" -> "gen"))
+    ).toDF("asset_id", "modality", "payload", "meta")
+    val got = Multimodal.decodeAssets(rows, dim = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got(40L).getAs[Int]("width") shouldBe 640
+    got(40L).getAs[Int]("height") shouldBe 360
+    got(40L).getAs[Int]("channels") shouldBe 2 // container track count
+    got(40L).getAs[Int]("frames") shouldBe 150
+    got(40L).getAs[collection.Seq[Float]]("features").sum shouldBe 1.0f +- 1e-4f
+    got(41L).getAs[Int]("width") shouldBe 320 // AVI path untouched
+  }
+
   test("decoded features feed the ANN operators directly") {
     val decoded = Multimodal.decodeAssets(assets, dim = 8)
     val pairs = graft.operators.Ann.cosineNearDupPairs(decoded, "asset_id", "features", -1.0)
