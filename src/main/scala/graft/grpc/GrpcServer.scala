@@ -378,8 +378,21 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val indexes = e.listIndexes.sorted.map(n => e.loadIndex(n).index)
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.global
-        val n = graft.api.PlannerOps.train(spark, e.read(), "ap_id", attribute, indexes)
-        ackOf(ok = true, n.toString) // measurements recorded
+        val frame = e.read()
+        val n = graft.api.PlannerOps.train(spark, frame, "ap_id", attribute, indexes)
+        // the same sweep also trains the dedup-path chooser over the
+        // vector attribute (two sample sizes -> power-law fit), so the
+        // LLM-pipeline surface adapts alongside the kNN scan methods
+        val dim = frame.select(attribute).limit(1).collect()
+          .headOption.map(_.getSeq[Any](0).size).getOrElse(0)
+        val total = frame.count()
+        val m =
+          if (dim > 0 && total >= 8)
+            graft.plans.DedupPlanner.train(frame, Entity.ApId, attribute,
+              threshold = 0.9, dim = dim,
+              sizes = Seq((total / 4).toInt.max(2), total.toInt.min(5000)))
+          else 0
+        ackOf(ok = true, (n + m).toString) // measurements recorded
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 

@@ -222,3 +222,103 @@ object Planner {
     (SequentialPlan() +: indexes.filter(_.conformsTo(distName)).map(IndexPlan.apply))
       .map(p => p.describe -> score(p))
 }
+
+/** Measured-cost choice between the EXACT all-pairs and BANDED-LSH
+  * cosine near-dup paths — the planner's adapt-scan-methods idea
+  * (reference `QueryPlannerOp.trainIndexes`) extended to the
+  * LLM-pipeline surface, where the "scan methods" are dedup plans.
+  *
+  * The kNN planner's linear runtime model would misprice the exact path
+  * (O(n²) pair loop); each dedup path instead gets a POWER-LAW fit over
+  * its size-tagged measurements — log-log least squares, so `t(n) =
+  * e^a · n^b` recovers b≈2 for exact and b≈1 for banded from two sample
+  * sizes, and the crossover emerges from measurements rather than a
+  * hardcoded threshold. Untrained, the choice falls back to a
+  * documented size cutoff.
+  */
+object DedupPlanner {
+  val Exact = "dedup:cosine_exact"
+  val Banded = "dedup:cosine_banded"
+
+  /** Corpus size above which the UNTRAINED default flips to banded —
+    * the exact path's pair loop is n²/2 fused dot products. */
+  val UntrainedCutoff = 2000L
+
+  private val stats = TrieMap.empty[String, List[(Long, Long)]] // (n, nanos)
+
+  def record(path: String, n: Long, nanos: Long): Unit =
+    stats.updateWith(path) {
+      case Some(ms) => Some((n, nanos) :: ms)
+      case None => Some(List((n, nanos)))
+    }
+
+  def clearMeasurements(): Unit = stats.clear()
+
+  def measurementCount: Int = stats.values.map(_.size).sum
+
+  /** Power-law predicted nanos at size `n`; mean of raw measurements
+    * when there is no size spread; MaxValue when untrained. */
+  def predictedNanos(path: String, n: Long): Double = stats.get(path) match {
+    case None | Some(Nil) => Double.MaxValue
+    case Some(ms) =>
+      val usable = ms.filter { case (sz, t) => sz > 0 && t > 0 }
+      if (usable.map(_._1).distinct.size < 2)
+        ms.map(_._2.toDouble).sum / ms.size
+      else {
+        val xs = usable.map { case (sz, _) => math.log(sz.toDouble) }
+        val ys = usable.map { case (_, t) => math.log(t.toDouble) }
+        val mx = xs.sum / xs.size
+        val my = ys.sum / ys.size
+        val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          math.max(xs.map(x => (x - mx) * (x - mx)).sum, 1e-9)
+        val a = my - b * mx
+        math.exp(a + b * math.log(math.max(n, 1L).toDouble))
+      }
+  }
+
+  /** The path predicted cheaper at corpus size `n` (both trained);
+    * otherwise the size-cutoff default. */
+  def choose(n: Long): String = {
+    val e = predictedNanos(Exact, n)
+    val b = predictedNanos(Banded, n)
+    if (e == Double.MaxValue || b == Double.MaxValue)
+      if (n > UntrainedCutoff) Banded else Exact
+    else if (e <= b) Exact
+    else Banded
+  }
+
+  /** Measure both paths on samples of `df` at each size (one at a time,
+    * like [[Planner.train]] — racing would bias the timings). Returns
+    * the number of measurements recorded. */
+  def train(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+            dim: Int, sizes: Seq[Int]): Int = {
+    import org.apache.spark.sql.functions.col
+    sizes.foreach { s =>
+      // pin the sample so both paths time the same materialized rows,
+      // not limit+scan variance
+      val sample = df.select(col(idCol), col(vecCol)).limit(s).localCheckpoint(true)
+      val n = sample.count()
+      def time(run: => Long): Long = {
+        val t0 = System.nanoTime(); run; System.nanoTime() - t0
+      }
+      record(Exact, n, time(
+        graft.operators.Ann.cosineNearDupPairs(sample, idCol, vecCol, threshold).count()))
+      record(Banded, n, time(
+        graft.operators.Ann.lshCosineNearDupPairs(sample, idCol, vecCol, threshold, dim).count()))
+    }
+    2 * sizes.size
+  }
+
+  /** Near-dup pairs through the measured choice for this corpus' size;
+    * returns (chosen path, pairs). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, dim: Int): (String, DataFrame) = {
+    val n = df.count()
+    choose(n) match {
+      case Exact =>
+        (Exact, graft.operators.Ann.cosineNearDupPairs(df, idCol, vecCol, threshold))
+      case banded =>
+        (banded, graft.operators.Ann.lshCosineNearDupPairs(df, idCol, vecCol, threshold, dim))
+    }
+  }
+}

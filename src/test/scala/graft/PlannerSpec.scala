@@ -167,6 +167,42 @@ class PlannerSpec extends SparkSpec {
     seen.toSet shouldBe Set("sequential", "index:ecp")
   }
 
+  test("dedup-path planner: power-law fit flips exact -> banded with size") {
+    import graft.plans.DedupPlanner
+    DedupPlanner.clearMeasurements()
+    // untrained: documented size-cutoff default
+    DedupPlanner.choose(500) shouldBe DedupPlanner.Exact
+    DedupPlanner.choose(50000) shouldBe DedupPlanner.Banded
+
+    // synthetic measurements with honest growth shapes:
+    // exact t(n) = n² ns, banded t(n) = 1000·n ns -> crossover at n = 1000
+    Seq(1000L, 4000L).foreach { n =>
+      DedupPlanner.record(DedupPlanner.Exact, n, n * n)
+      DedupPlanner.record(DedupPlanner.Banded, n, 1000L * n)
+    }
+    // the log-log fit recovers the quadratic: t(2000) ≈ 4e6 ns
+    DedupPlanner.predictedNanos(DedupPlanner.Exact, 2000) shouldBe 4e6 +- 1e5
+    DedupPlanner.choose(100) shouldBe DedupPlanner.Exact     // 1e4 vs 1e5 ns
+    DedupPlanner.choose(100000) shouldBe DedupPlanner.Banded // 1e10 vs 1e8 ns
+
+    // real training sweep on the corpus records both paths at both sizes
+    DedupPlanner.clearMeasurements()
+    DedupPlanner.train(data.withColumnRenamed("feature", "emb"), "id", "emb",
+      threshold = 0.95, dim = 8, sizes = Seq(100, 400)) shouldBe 4
+    DedupPlanner.measurementCount shouldBe 4
+    // whichever path the measurements pick, the planned operator returns
+    // verified cosine pairs (subset-of-exact by construction)
+    val (path, pairs) = DedupPlanner.nearDupPairs(
+      data.withColumnRenamed("feature", "emb").limit(300), "id", "emb", 0.95, 8)
+    Set(DedupPlanner.Exact, DedupPlanner.Banded) should contain(path)
+    val exact = graft.operators.Ann.cosineNearDupPairs(
+      data.withColumnRenamed("feature", "emb").limit(300), "id", "emb", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.subsetOf(exact) shouldBe true
+  }
+
   test("job-group cancel interrupts a running plan (the StopQuery path)") {
     import spark.implicits._
     // one partition that blocks long past the test budget: only a real
