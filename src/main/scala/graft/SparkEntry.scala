@@ -651,6 +651,12 @@ object SparkEntry {
           weights = Map("en" -> 0.5, "de" -> 0.2), defaultWeight = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "sample_weighted_len" -> ((s, d) =>
+      // soft length filter: keep probability = min(1, n_chars / 4000)
+      Sampling.weightedBernoulli(Tables.documents(s, d), "text",
+          least(lit(1.0), col("n_chars") / lit(4000.0)))
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 0.2)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -705,6 +711,13 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).as("tok_cnt")),
         "doc_id", "tok_cnt", budget = 512L, nShards = 8)
         .orderBy("id")),
+
+    "pack_chunk_rows" -> ((s, d) =>
+      Packing.chunkRows(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("tok_cnt")),
+        "doc_id", "tok_cnt", budget = 512L, nShards = 8)
+        .orderBy("id", "chunk_idx")),
 
     "kv_point_lookup" -> ((s, d) => {
       // LevelDB/PalDB-role point lookup: bucket-pruned + row-group-skipped
@@ -1525,6 +1538,14 @@ object SparkEntry {
          |                   ELSE 1000 END)
          |ORDER BY doc_id""".stripMargin,
 
+    // floor on BOTH engines: DuckDB's double->int CAST rounds while
+    // Spark's truncates, so the cut is an explicit floor everywhere
+    "sample_weighted_len" ->
+      s"""SELECT doc_id, n_chars FROM
+         | (SELECT doc_id, n_chars, ${duckRawHash("text")} AS h FROM documents)
+         |WHERE h % 10000 < floor(least(1.0, n_chars / 4000.0) * 10000)
+         |ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |             ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS kh
@@ -1604,6 +1625,22 @@ object SparkEntry {
          |       CASE WHEN tok = 0 THEN 0
          |            ELSE (end_off - 1) // 512 - (end_off - tok) // 512 + 1 END AS n_chunks
          |FROM c ORDER BY id""".stripMargin,
+
+    "pack_chunk_rows" ->
+      s"""WITH t AS (SELECT doc_id AS id, CAST(len($duckToks) AS BIGINT) AS tok,
+         |             ${duckRawHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |           FROM documents),
+         |c AS (SELECT id, shard, tok,
+         |        CAST(sum(tok) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS end_off FROM t),
+         |b AS (SELECT id, shard, tok, end_off, end_off - tok AS start_off
+         |      FROM c WHERE tok > 0),
+         |r AS (SELECT id, shard, start_off, end_off,
+         |        unnest(generate_series(start_off // 512, (end_off - 1) // 512)) AS ci
+         |      FROM b)
+         |SELECT id, shard, CAST(ci AS BIGINT) AS chunk_idx,
+         |       CAST(least(end_off, (ci + 1) * 512) -
+         |            greatest(start_off, ci * 512) AS BIGINT) AS tok_in_chunk
+         |FROM r ORDER BY id, chunk_idx""".stripMargin,
 
     "kv_point_lookup" ->
       """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice

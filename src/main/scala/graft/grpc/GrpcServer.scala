@@ -829,6 +829,29 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val indexHint = hints.find(entity.listIndexes.contains)
         val plannerHints = graft.plans.Planner.hintsByName(hints)
 
+        // timed query (reference TimedScanExpression via QueryMessage.time,
+        // `MessageParser.scala:116-124`): race every conforming plan and
+        // answer with the best-confidence result available at the
+        // deadline, cancelling the rest — the wire face of
+        // Progressive.timed. Boolean-filtered queries fall through to the
+        // single-plan path (the reference times the nnq scan too).
+        val timeLimitMs = req.getField(qd.findFieldByName("time"))
+          .asInstanceOf[Long]
+        if (timeLimitMs > 0 && nnqOpt.isDefined && preds.isEmpty) {
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val indexes = entity.listIndexes.map(entity.loadIndex)
+            .filterNot(_.stale).map(_.index)
+          val o = QueryOps.timedParallel(spark, df, Entity.ApId, indexes,
+            nnqOpt.get, timeLimitMs, plannerHints)
+          return (o.result match {
+            case scala.util.Success(rows) =>
+              rowsMessage(rows.toSeq,
+                rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil),
+                o.planDescription, queryid, o.confidence, o.timeNanos / 1000000)
+            case scala.util.Failure(err) => errorResults(err.getMessage)
+          })
+        }
+
         val (res, source) = (nnqOpt, preds) match {
           case (Some(nnq), Nil) if indexHint.isDefined =>
             val loaded = entity.loadIndex(indexHint.get)

@@ -139,7 +139,8 @@ object Proto {
       field("nnq", 3, Type.TYPE_MESSAGE,
         typeName = ".adam.NearestNeighbourQueryMessage"),
       field("bq", 4, Type.TYPE_MESSAGE, typeName = ".adam.BooleanQueryMessage"),
-      field("hints", 5, Type.TYPE_STRING, Label.LABEL_REPEATED)))
+      field("hints", 5, Type.TYPE_STRING, Label.LABEL_REPEATED),
+      field("time", 6, Type.TYPE_INT64)))
     .addMessageType(message("IndexMessage",
       field("entity", 1, Type.TYPE_STRING),
       field("attribute", 2, Type.TYPE_STRING),

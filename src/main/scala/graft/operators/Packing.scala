@@ -36,22 +36,54 @@ object Packing {
     * the earlier row). Two rows with identical (id, tok) receive the
     * two interchangeable slots, so the output is still deterministic
     * as a set. */
-  def chunkAssignments(df: DataFrame, idCol: String, tokenCol: String,
-                       budget: Long, nShards: Int): DataFrame = {
+  private def chunkOf(off: org.apache.spark.sql.Column, budget: Long) =
+    call_function("div", off, lit(budget))
+
+  /** Shared offset frame: (id, shard, tok, end_off) after the per-shard
+    * cumulative sum — the one shuffle both public forms build on. */
+  private def offsets(df: DataFrame, idCol: String, tokenCol: String,
+                      budget: Long, nShards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(nShards > 0, s"nShards must be positive: $nShards")
     val w = Window.partitionBy("shard").orderBy("id", "tok")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def chunkOf(off: org.apache.spark.sql.Column) =
-      call_function("div", off, lit(budget))
     df.select(col(idCol).as("id"), col(tokenCol).cast("long").as("tok"))
       .withColumn("shard", pmod(Sampling.keyHash(col("id")), lit(nShards)))
       .withColumn("end_off", sum("tok").over(w))
+  }
+
+  def chunkAssignments(df: DataFrame, idCol: String, tokenCol: String,
+                       budget: Long, nShards: Int): DataFrame =
+    offsets(df, idCol, tokenCol, budget, nShards)
       .select(col("id"), col("shard"),
         (col("end_off") - col("tok")).as("start_off"),
-        chunkOf(col("end_off") - col("tok")).as("first_chunk"),
+        chunkOf(col("end_off") - col("tok"), budget).as("first_chunk"),
         when(col("tok") === 0, lit(0L))
-          .otherwise(chunkOf(col("end_off") - 1) -
-            chunkOf(col("end_off") - col("tok")) + 1).as("n_chunks"))
+          .otherwise(chunkOf(col("end_off") - 1, budget) -
+            chunkOf(col("end_off") - col("tok"), budget) + 1).as("n_chunks"))
+
+  /** The chunk-boundary map a packing pipeline materializes for the
+    * loader: ONE ROW PER (document, chunk) the document occupies —
+    * (id, shard, chunk_idx, tok_in_chunk), where `tok_in_chunk` is how
+    * many of the document's tokens land in that chunk (partial at both
+    * straddled boundaries). Zero-token documents emit nothing.
+    *
+    * Plan shape: the same single shard-keyed window shuffle as
+    * [[chunkAssignments]] plus a codegen `explode(sequence(...))` — the
+    * fan-out is bounded by ceil(tok/budget)+1 rows per document, so
+    * output stays O(total tokens / budget + documents). Per-chunk token
+    * sums then reconcile: grouping by (shard, chunk_idx) must give
+    * `budget` for every interior chunk. */
+  def chunkRows(df: DataFrame, idCol: String, tokenCol: String,
+                budget: Long, nShards: Int): DataFrame = {
+    val off = offsets(df, idCol, tokenCol, budget, nShards)
+      .filter(col("tok") > 0)
+      .withColumn("start_off", col("end_off") - col("tok"))
+    off
+      .withColumn("chunk_idx", explode(sequence(
+        chunkOf(col("start_off"), budget), chunkOf(col("end_off") - 1, budget))))
+      .select(col("id"), col("shard"), col("chunk_idx"),
+        (least(col("end_off"), (col("chunk_idx") + 1) * budget) -
+          greatest(col("start_off"), col("chunk_idx") * budget)).as("tok_in_chunk"))
   }
 }

@@ -68,6 +68,21 @@ object Sampling {
     df.filter(pmod(keyHash(col(keyCol)), lit(10000)) < cut)
   }
 
+  /** Per-ROW weighted Bernoulli sample: keep probability =
+    * `clamp(weight, 0, 1)` evaluated per row — the continuous
+    * generalization of [[weightedMix]]'s per-domain rates (e.g. keep
+    * probability proportional to a quality or length score, the
+    * standard soft quality filter over raw crawl). Same portable hash
+    * and 1/10000 quantization (`floor` on both engines — DuckDB's
+    * double→int CAST rounds, Spark's truncates, so the shared replay
+    * uses an explicit floor); still a pure codegen per-row filter with
+    * zero shuffle. A NULL weight keeps nothing — rows opt in. */
+  def weightedBernoulli(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    val cut = floor(least(greatest(coalesce(weight.cast("double"), lit(0.0)),
+      lit(0.0)), lit(1.0)) * 10000)
+    df.filter(pmod(keyHash(col(keyCol)), lit(10000)) < cut)
+  }
+
   /** Deterministic exact-n sample: the n rows whose keys hash smallest
     * (ties broken by the key itself). Plans as `TakeOrderedAndProject` —
     * per-partition top-n then a k-row merge on the driver, no full sort,

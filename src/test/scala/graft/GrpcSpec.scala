@@ -631,6 +631,22 @@ class GrpcSpec extends SparkSpec {
     bad should have size 1
     ackOk(sub(bad.head, "ack")) shouldBe false
 
+    // timed query through DoQuery (QueryMessage.time): the single
+    // best-confidence result available at the deadline
+    val qmD = Proto.msg("QueryMessage")
+    val timedReq = DynamicMessage.newBuilder(
+      queryMsg("rpcprog", "timed1", Some(("vec", Seq.fill(8)(0.5f), "euclidean", 3))))
+      .setField(qmD.findFieldByName("time"), java.lang.Long.valueOf(60000L))
+      .build()
+    val tRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"), timedReq)
+    ackOk(sub(tRes, "ack")) shouldBe true
+    val tInfo = infos(tRes).head
+    // sequential and vaf are both exact — whichever finished faster wins
+    str(tInfo, "source") should (equal("sequential") or startWith("index:"))
+    tInfo.getField(infoD.findFieldByName("confidence"))
+      .asInstanceOf[Double] shouldBe 1.0
+    resultRows(tRes) should have size 3
+
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
       entityName("rpcprog"))
   }

@@ -132,6 +132,51 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("n_chunks"))).toSeq shouldBe expected
   }
 
+  test("weightedBernoulli: per-row keep probability, clamped, null drops") {
+    val df = (1 to 400).map(i => (i, s"k$i",
+      if (i % 4 == 0) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(i / 400.0))).toDF("id", "key", "w")
+    // weight 1 keeps everything with a non-null weight >= 1; weight 0 / null keep nothing
+    Sampling.weightedBernoulli(df, "key", lit(1.0)).count() shouldBe 400
+    Sampling.weightedBernoulli(df, "key", lit(0.0)).count() shouldBe 0
+    Sampling.weightedBernoulli(df, "key", col("w") * 0.0).count() shouldBe 0
+    Sampling.weightedBernoulli(df, "key", lit(5.0)).count() shouldBe 400 // clamped to 1
+    // null weights opt out even when others keep
+    val kept = Sampling.weightedBernoulli(df, "key", col("w"))
+      .select("id").as[Int].collect()
+    kept.foreach(_ % 4 should not be 0)
+    // a constant weight equals the plain Bernoulli sample
+    Sampling.weightedBernoulli(df, "key", lit(0.3)).select("id").as[Int].collect().toSet shouldBe
+      Sampling.bernoulliSample(df, "key", 0.3).select("id").as[Int].collect().toSet
+  }
+
+  test("chunkRows: per-doc chunk rows reconcile with assignments; interior chunks are full") {
+    import graft.operators.Packing
+    val df = Seq((1L, 100L), (2L, 500L), (3L, 30L), (4L, 0L), (5L, 1200L))
+      .toDF("id", "tok")
+    val rows = Packing.chunkRows(df, "id", "tok", budget = 512L, nShards = 1)
+    val asg = Packing.chunkAssignments(df, "id", "tok", budget = 512L, nShards = 1)
+    // zero-token docs emit nothing; per-doc row count equals n_chunks
+    val perDoc = rows.groupBy("id")
+      .agg(count(lit(1)).as("n"), sum("tok_in_chunk").as("toks"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    perDoc.get(4L) shouldBe None
+    val byId = asg.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[Long]("n_chunks")).toMap
+    perDoc.foreach { case (id, (n, _)) => n shouldBe byId(id) }
+    // per-doc token share sums back to the doc's token count
+    perDoc(1L)._2 shouldBe 100L
+    perDoc(2L)._2 shouldBe 500L
+    perDoc(5L)._2 shouldBe 1200L
+    // every interior chunk of the shard stream is exactly full
+    val byChunk = rows.groupBy("shard", "chunk_idx")
+      .agg(sum("tok_in_chunk").as("toks"))
+      .orderBy("chunk_idx").collect()
+      .map(r => r.getAs[Long]("chunk_idx") -> r.getAs[Long]("toks"))
+    // total stream = 1830 tokens -> chunks 0..2 full (512), chunk 3 partial
+    byChunk.toSeq shouldBe Seq((0L, 512L), (1L, 512L), (2L, 512L), (3L, 294L))
+  }
+
   test("chunkAssignments: duplicate ids get disjoint consecutive offsets (ROWS frame)") {
     import graft.operators.Packing
     // three rows share id=7 in one shard; the default RANGE frame would
