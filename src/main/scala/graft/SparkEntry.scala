@@ -571,6 +571,13 @@ object SparkEntry {
       Dedup.ngramJaccardNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 
+    "dedup_components" -> ((s, d) =>
+      // clustering step over the LOSSLESS pair generator, so the oracle's
+      // recursive closure sees the identical edge set
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5))
+        .orderBy("id")),
+
     "corpus_neardup" -> ((s, d) => {
       // admission check: incoming docs (id >= 400) vs the ingested corpus;
       // the corpus index is a build-once artifact (cached per data dir —
@@ -1403,6 +1410,31 @@ object SparkEntry {
          |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
          | FROM d a, d b WHERE a.doc_id < b.doc_id
          |) WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // recursive reachability closure over the exact pair set: component =
+    // min id reachable through near-dup edges (nodes appearing in pairs)
+    "dedup_components" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |),
+         |e AS (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   len(list_intersect(a.sh, b.sh)) * 1.0
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         | ) WHERE j >= 0.5
+         |),
+         |ed AS (SELECT id_a AS s, id_b AS t FROM e
+         |       UNION SELECT id_b, id_a FROM e),
+         |r AS (
+         |  SELECT s AS id, t AS reach FROM ed
+         |  UNION
+         |  SELECT r.id, ed.t FROM r JOIN ed ON r.reach = ed.s
+         |)
+         |SELECT id, CAST(least(id, min(reach)) AS BIGINT) AS component
+         |FROM r GROUP BY id ORDER BY id""".stripMargin,
 
     // same exact-all-pairs-vs-banded caveat as minhash_neardup above
     "corpus_neardup" ->

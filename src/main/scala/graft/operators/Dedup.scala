@@ -397,4 +397,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("in_id", "corpus_id", "hamming")
   }
+
+  /** Connected components over a near-dup pair graph — the CLUSTERING
+    * step after pair generation: near-duplicate similarity is not
+    * transitive, but dedup treats it as an equivalence ("A~B, B~C ⇒ keep
+    * one of {A,B,C}"), so every node gets the MINIMUM id reachable
+    * through edges as its `component` (the canonical representative;
+    * survivors are exactly the rows with `id == component`).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * adopts the min of its own label and its neighbours' labels; one
+    * shuffle-join + one aggregation per round, labels eagerly
+    * localCheckpointed so the plan never grows with iterations.
+    * Converges in O(graph diameter) rounds; near-dup cluster graphs are
+    * shallow (duplicates of a common source link to each other), so a
+    * handful of rounds suffices even at corpus scale — the 100 TB cost
+    * driver is the EDGE join, and edges are id pairs only, tiny next to
+    * the corpus. Throws rather than returning unconverged labels if
+    * `maxIter` rounds do not reach a fixpoint (a pathological
+    * diameter-`maxIter` chain).
+    *
+    * Output: `(id, component)` for every node that appears in `pairs`
+    * (isolated rows are trivially their own component — union them in if
+    * a total mapping is needed). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // symmetric edge list, reused every round
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")).localCheckpoint(true)
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val neighborMin = sym
+          .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
+          .groupBy("src").agg(min("nl").as("nmin"))
+          .withColumnRenamed("src", "id")
+        val updated = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nmin"), col("component")))
+              .as("component"))
+          .localCheckpoint(true)
+        done = updated
+          .join(labels.withColumnRenamed("component", "old"), "id")
+          .filter(col("component") =!= col("old")).isEmpty
+        labels = updated
+        iter += 1
+      }
+      require(done, s"label propagation did not converge in $maxIter rounds")
+      labels
+    } finally sym.unpersist()
+  }
 }

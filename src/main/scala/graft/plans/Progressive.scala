@@ -119,7 +119,7 @@ object Progressive {
 class ResultCache(capacity: Int = 100) {
   private val lru = new java.util.LinkedHashMap[String, DataFrame](capacity, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean = {
-      val evict = size() > capacity
+      val evict = this.size() > capacity
       if (evict) Try(e.getValue.unpersist())
       evict
     }

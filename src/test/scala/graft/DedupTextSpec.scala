@@ -387,4 +387,27 @@ class DedupTextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     lsh should contain((0L, 100L))
   }
+
+  test("connectedComponents: min-label clustering over a near-dup pair graph") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (5L, 4L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.size shouldBe 10 // every node appearing in an edge
+    Seq(1L, 2L, 3L).foreach(comp(_) shouldBe 1L)
+    Seq(10L, 11L).foreach(comp(_) shouldBe 10L)
+    Seq(20L, 21L, 22L).foreach(comp(_) shouldBe 20L)
+    Seq(4L, 5L).foreach(comp(_) shouldBe 4L)
+    // survivors are exactly the canonical representatives
+    comp.count { case (id, c) => id == c } shouldBe 4
+
+    // a 12-node chain needs multi-round propagation to one component
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("id_a", "id_b")
+    Dedup.connectedComponents(chain).select("component").distinct()
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // and an unconvergeable budget throws instead of lying
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.connectedComponents(chain, maxIter = 2)
+  }
 }
