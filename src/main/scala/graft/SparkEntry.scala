@@ -572,10 +572,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "dedup_components" -> ((s, d) =>
-      // clustering step over the LOSSLESS pair generator, so the oracle's
-      // recursive closure sees the identical edge set
+      // clustering over the banded-minhash candidates — what a production
+      // pipeline feeds the clustering step. The oracle's closure runs over
+      // the EXACT pair set; they agree because minhash recall on this
+      // corpus is verified 1.0 (same caveat as minhash_neardup itself —
+      // the lossless ngram generator would double the most expensive
+      // query in the battery for no additional verification power)
       Dedup.connectedComponents(
-        Dedup.ngramJaccardNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5))
+        Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5))
         .orderBy("id")),
 
     "corpus_neardup" -> ((s, d) => {

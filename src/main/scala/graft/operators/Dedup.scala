@@ -425,12 +425,21 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    // symmetric edge list, reused every round
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val symWide = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(MEMORY_AND_DISK)
     try {
+      val nEdges = symWide.count()
+      // the loop's per-round cost is FIXED overhead × partitions, and the
+      // edge set (id pairs) is tiny next to the corpus that produced it —
+      // size the iteration's parallelism to the edges, not the session
+      // default (a few hundred pairs don't need 32-way shuffles; a
+      // billion-edge graph still fans out)
+      val parts = math.max(1, math.min(
+        pairs.sparkSession.sessionState.conf.numShufflePartitions,
+        (nEdges / 500000L + 1L).toInt))
+      val sym = symWide.coalesce(parts).localCheckpoint(true)
       var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")).localCheckpoint(true)
+        .withColumn("component", col("id")).coalesce(parts).localCheckpoint(true)
       var iter = 0
       var done = false
       while (!done && iter < maxIter) {
@@ -438,19 +447,20 @@ object Dedup {
           .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
           .groupBy("src").agg(min("nl").as("nmin"))
           .withColumnRenamed("src", "id")
+        // carry the previous label through the round so convergence is
+        // read off the SAME checkpointed frame — no extra join, one
+        // cheap scan per round
         val updated = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("component").as("old"),
             least(col("component"), coalesce(col("nmin"), col("component")))
               .as("component"))
-          .localCheckpoint(true)
-        done = updated
-          .join(labels.withColumnRenamed("component", "old"), "id")
-          .filter(col("component") =!= col("old")).isEmpty
-        labels = updated
+          .coalesce(parts).localCheckpoint(true)
+        done = updated.filter(col("component") =!= col("old")).isEmpty
+        labels = updated.select("id", "component")
         iter += 1
       }
       require(done, s"label propagation did not converge in $maxIter rounds")
       labels
-    } finally sym.unpersist()
+    } finally symWide.unpersist()
   }
 }
