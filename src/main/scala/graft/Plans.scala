@@ -38,19 +38,25 @@ object Plans {
       ("kv_point_lookup", "KV lookup prunes to bucket dirs + pushes the key filter",
         Seq("PartitionFilters: [__kv_bucket", "PushedFilters: [", "In(p_partkey")),
       ("corpus_contamination", "benchmark postings broadcast; corpus side never shuffles",
-        Seq("BroadcastHashJoin")))
+        Seq("BroadcastHashJoin")),
+      ("pack_chunk_rows", "chunk rows stay on the one shard-keyed window shuffle",
+        Seq("Window", "Generate explode")))
 
-    // negative shape: the per-row repetition kernel must not shuffle
-    // before its (presentation-only) global sort — strip the final Sort's
-    // own range exchange, then expect zero remaining exchanges
-    val perRowPlan = SparkEntry.queries("repetition_signals_perrow")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    val exchanges = "Exchange".r.findAllIn(perRowPlan).length
-    val rangeExchanges = "rangepartitioning".r.findAllIn(perRowPlan).length
-    if (exchanges > rangeExchanges) {
-      println(s"[plan-MISS] repetition_signals_perrow: unexpected shuffle\n$perRowPlan")
-      sys.exit(1)
-    } else println("[plan-ok] repetition_signals_perrow: zero non-sort exchanges")
+    // negative shape: these must not shuffle before their
+    // (presentation-only) global sort — strip the final Sort's own range
+    // exchange, then expect zero remaining exchanges
+    Seq(("repetition_signals_perrow", "zero non-sort exchanges"),
+        ("sample_weighted_len", "weighted sample is a pure codegen filter"))
+      .foreach { case (name, what) =>
+      val perRowPlan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(perRowPlan).length
+      val rangeExchanges = "rangepartitioning".r.findAllIn(perRowPlan).length
+      if (exchanges > rangeExchanges) {
+        println(s"[plan-MISS] $name: unexpected shuffle\n$perRowPlan")
+        sys.exit(1)
+      } else println(s"[plan-ok] $name: $what")
+    }
 
     var failed = 0
     checks.foreach { case (name, what, markers) =>
