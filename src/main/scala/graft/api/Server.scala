@@ -438,6 +438,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             Sampling.stratifiedSample(e, req.get("strataCol").asText(), keyCol,
               req.get("fraction").asDouble())
           case "exact" => Sampling.exactSample(e, keyCol, req.get("n").asInt())
+          case "weighted" => // per-row keep probability from a column
+            Sampling.weightedBernoulli(e, keyCol, col(req.get("weightCol").asText()))
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, sampled)
@@ -451,11 +453,27 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           threshold =
             if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
       case "/pipeline/pack" =>
-        pagedRows(out, graft.operators.Packing.chunkAssignments(
+        // per-document assignments by default; rows=true emits the
+        // loader-facing (document, chunk) boundary map instead
+        val packFn =
+          if (req.has("rows") && req.get("rows").asBoolean())
+            graft.operators.Packing.chunkRows _
+          else graft.operators.Packing.chunkAssignments _
+        pagedRows(out, packFn(
           entity(req, "entity").read(),
           req.get("idCol").asText(), req.get("tokenCol").asText(),
-          budget = if (req.has("budget")) req.get("budget").asLong() else 2048L,
-          nShards = if (req.has("shards")) req.get("shards").asInt() else 32))
+          if (req.has("budget")) req.get("budget").asLong() else 2048L,
+          if (req.has("shards")) req.get("shards").asInt() else 32))
+      case "/pipeline/components" =>
+        // near-dup clustering: banded-minhash pairs -> min-label
+        // connected components (id, component = canonical representative)
+        import graft.operators.Dedup
+        pagedRows(out, Dedup.connectedComponents(
+          Dedup.minhashNearDupPairs(
+            entity(req, "entity").read(),
+            req.get("textCol").asText(), req.get("idCol").asText(),
+            if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
+          .orderBy("id"))
       case "/pipeline/contamination" =>
         // benchmark entity is indexed per request here (the RPC/driver
         // paths cache the index; over HTTP pass a small benchmark entity)

@@ -262,6 +262,31 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     packed.get("ok").asBoolean() shouldBe true
     packed.get("rows").size() shouldBe 40
 
+    // chunk-boundary rows: every doc spans >= 1 chunk; per-doc token
+    // shares sum back to the token column
+    val packRows = post("/pipeline/pack",
+      """{"entity":"pipe","idCol":"did","tokenCol":"did","budget":64,"shards":2,"rows":true}""")
+    packRows.get("ok").asBoolean() shouldBe true
+    val pr = packRows.get("rows").elements().asScala.toSeq
+    pr.size should be >= 39 // doc 0 has zero tokens -> no rows
+    pr.map(_.get("tok_in_chunk").asLong()).sum shouldBe (1 until 40).sum.toLong
+
+    // weighted sampling from a column of per-row probabilities
+    val weighted = post("/pipeline/sample",
+      """{"entity":"pipe","mode":"weighted","keyCol":"did","weightCol":"did"}""")
+    weighted.get("ok").asBoolean() shouldBe true
+    // did >= 1 clamps to probability 1.0; only did=0 (weight 0) drops
+    weighted.get("rows").size() shouldBe 39
+
+    // near-dup clustering: the 10 identical spam docs form ONE component
+    // whose representative is the smallest id (0), everything else solo
+    val comps = post("/pipeline/components",
+      """{"entity":"pipe","textCol":"txt","idCol":"did","threshold":0.8}""")
+    comps.get("ok").asBoolean() shouldBe true
+    val cRows = comps.get("rows").elements().asScala.toSeq
+    cRows.size shouldBe 10 // only nodes appearing in near-dup pairs
+    cRows.map(_.get("component").asLong()).toSet shouldBe Set(0L)
+
     // contamination: docs vs a small benchmark entity
     post("/entity/create", """{"name":"bench"}""")
     post("/entity/insert",
