@@ -47,6 +47,18 @@ import graft.operators.BooleanPredicates
   * | /entity/insert/stream | newline-delimited JSON rows (body streamed)  |
   * | /query/progressive    | {entity, idCol, vecCol, q, dist?, k?,        |
   * |                       |  timedDeadlineMs?, hints?} → chunked lines   |
+  * | /pipeline/verdicts    | {entity, textCol, idCol, minQuality?,        |
+  * |                       |  maxDupTokenFrac?, maxTopTokenFrac?,         |
+  * |                       |  maxDupBigramFrac?, maxPii?}                 |
+  * | /pipeline/sample      | {entity, keyCol, mode: bernoulli|stratified  |
+  * |                       |  |exact|weighted, fraction?/n?/weightCol?,   |
+  * |                       |  strataCol?}                                 |
+  * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
+  * |                       |  threshold?}                                 |
+  * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
+  * |                       |  rows?: true → (doc, chunk) boundary map}    |
+  * | /pipeline/components  | {entity, textCol, idCol, threshold?}         |
+  * | /pipeline/contamination | {entity, bench, textCol, idCol, threshold?}|
   *
   * Result paging mirrors the reference's stepped result shipping
   * (`MessageParser.scala:502-503`: MAX_RESULTS 50000, STEP_SIZE 500):

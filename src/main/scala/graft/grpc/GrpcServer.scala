@@ -238,6 +238,12 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val name = str(req, "entity")
         Entity.open(spark, base, name).drop()
         schemas.remove(name)
+        // release any frames CacheEntity/CacheIndex pinned for it — a
+        // dropped entity must not keep blocks resident
+        (cachedFrames.remove(s"entity:$name").toSeq ++
+          cachedFrames.keys.filter(_.startsWith(s"index:$name/")).toSeq
+            .flatMap(cachedFrames.remove))
+          .foreach(df => scala.util.Try(df.unpersist()))
         ackOf(ok = true)
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
@@ -544,7 +550,11 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
 
     u("DropIndex", "IndexNameMessage", "AckMessage") { req =>
       try {
-        Entity.open(spark, base, str(req, "entity")).dropIndex(str(req, "index"))
+        val entityName = str(req, "entity")
+        val index = str(req, "index")
+        Entity.open(spark, base, entityName).dropIndex(index)
+        cachedFrames.remove(s"index:$entityName/$index")
+          .foreach(df => scala.util.Try(df.unpersist()))
         ackOf(ok = true)
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
