@@ -316,7 +316,11 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     require(!attrs.contains(ApId), "the system id cannot be transferred")
     require(Set("parquet", "orc", "keyvalue").contains(handlerName),
       s"unsupported transfer handler: $handlerName (parquet|orc|keyvalue)")
-    val full = read()
+    // the reassembled frame feeds the main rewrite plus one write per
+    // group — persist it for the duration or each store write re-runs
+    // the read (and its reassembly joins)
+    val full = read().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     attrs.foreach(a =>
       require(full.columns.contains(a), s"no such attribute: $a"))
     val next = m.version + 1
@@ -346,6 +350,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     swap(m.copy(version = next), m.version)
     oldStores.foreach(g => scala.util.Try(
       handlerFor(g.handler).drop(spark, dir.resolve(g.store).toString)))
+    } finally full.unpersist()
     this
   }
 
