@@ -772,8 +772,9 @@ class GrpcSpec extends SparkSpec {
     ackOk(call(mdSearch("StopAllQueries", "EmptyMessage", "AckMessage"),
       Proto.newMsg("EmptyMessage").build())) shouldBe true
 
-    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
-      entityName("rpccache"))
+    // dropping the entity releases its pinned entity+index cache frames
+    ackOk(call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"),
+      entityName("rpccache"))) shouldBe true
   }
 
   test("index repartition and attribute transfer between storage handlers") {
