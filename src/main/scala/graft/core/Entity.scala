@@ -215,13 +215,17 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
           val grouped = groups.flatMap(_.attrs).toSet
           pinned.select(pinned.columns.filterNot(grouped.contains).map(col): _*)
         }
+      // group stores are written BEFORE the main append: a failed group
+      // write then leaves only invisible orphans (read()'s inner join by
+      // ap_id skips group rows with no main row), whereas main-first would
+      // silently drop the whole batch from reassembly if a group write died
+      groups.foreach(g => handlerFor(g.handler).write(spark,
+        dir.resolve(g.store).toString,
+        pinned.select((ApId +: g.attrs).map(col): _*), overwrite = false))
       // layout-aware append: batches land in their partition directories
       val w = mainBatch.write.mode("append")
       (if (layout.isDefined) w.partitionBy(Partitioning.PartitionCol) else w)
         .parquet(dataPath(m.version).toString)
-      groups.foreach(g => handlerFor(g.handler).write(spark,
-        dir.resolve(g.store).toString,
-        pinned.select((ApId +: g.attrs).map(col): _*), overwrite = false))
       writeMeta(metaPath, m.copy(insertCount = batch))
       // layout entities can never compact below one file per partition
       // directory — scale the trigger with key cardinality or a
@@ -230,7 +234,12 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
         if (layout.isDefined)
           math.max(autoVacuumMaxParts, 2 * partitionDirCount(dataPath(m.version)))
         else autoVacuumMaxParts
-      if (partFileCount(dataPath(m.version)) > effectiveCap) vacuum()
+      // vacuum is a whole-table rewrite that folds attribute groups back
+      // into the primary store — auto-triggering it from an insert would
+      // silently drop a keyvalue/JDBC layout the user set up explicitly,
+      // so with groups present compaction stays an explicit vacuum() call
+      if (groups.isEmpty &&
+          partFileCount(dataPath(m.version)) > effectiveCap) vacuum()
     } else { // schema drift (names OR types): align via union and rewrite once
       val next = m.version + 1
       writeData(read().unionByName(withId, allowMissingColumns = true), dataPath(next))

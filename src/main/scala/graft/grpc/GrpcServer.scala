@@ -396,7 +396,10 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           if (dim > 0 && total >= 8)
             graft.plans.DedupPlanner.train(frame, Entity.ApId, attribute,
               threshold = 0.9, dim = dim,
-              sizes = Seq((total / 4).toInt.max(2), total.toInt.min(5000)))
+              // cap BEFORE toInt: the exact path is O(n²) over the sample, and
+              // an uncapped total.toInt overflows past 2^31 rows
+              sizes = Seq(math.min(total / 4, 1250L).toInt.max(2),
+                math.min(total, 5000L).toInt))
           else 0
         ackOf(ok = true, (n + m).toString) // measurements recorded
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
@@ -675,9 +678,12 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
             if (queryid.nonEmpty) running.put(queryid, () =>
               specs.foreach(p =>
                 spark.sparkContext.cancelJobGroup(s"$prefix${p.description}")))
+            // StreamObserver is not thread-safe and the racing plans complete
+            // on independent Futures — serialize every emission on one lock
+            val emitLock = new Object
             try {
               graft.plans.Progressive.parallel(spark, specs, prefix) { o =>
-                obs.onNext(o.result match {
+                val msg = o.result match {
                   case scala.util.Success(rows) =>
                     rowsMessage(rows.toSeq,
                       rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil),
@@ -685,9 +691,10 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
                       o.timeNanos / 1000000)
                   case scala.util.Failure(err) =>
                     errorResults(s"${o.planDescription}: ${err.getMessage}")
-                })
+                }
+                emitLock.synchronized(obs.onNext(msg))
               }
-              obs.onCompleted()
+              emitLock.synchronized(obs.onCompleted())
             } finally if (queryid.nonEmpty) running.remove(queryid)
           } catch {
             case e: Exception =>

@@ -151,7 +151,14 @@ object IndexStore {
     val tmp = dir.resolve("data_tmp")
     graft.core.Partitioning.repartition(df, mode)
       .write.mode("overwrite").parquet(tmp.toString)
-    graft.core.Entity.deleteRecursively(dir.resolve("data"))
-    Files.move(tmp, dir.resolve("data"))
+    // swap via rename-aside so there is never an instant with no live
+    // data dir: a crash before the tmp move leaves data_old restorable,
+    // a crash after it leaves only stale data_old to sweep
+    val old = dir.resolve("data_old")
+    graft.core.Entity.deleteRecursively(old) // stale leftover from a prior crash
+    Files.move(dir.resolve("data"), old)
+    try Files.move(tmp, dir.resolve("data"))
+    catch { case e: Throwable => Files.move(old, dir.resolve("data")); throw e }
+    graft.core.Entity.deleteRecursively(old)
   }
 }

@@ -206,4 +206,69 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  // ---- SemDeDup: clustered semantic deduplication (Abbas et al. 2023,
+  // "SemDeDup: Data-efficient learning at web-scale through semantic
+  // deduplication") — assign every embedding to its nearest centroid,
+  // then find near-duplicate pairs only WITHIN each cluster. The cluster
+  // pass turns the O(n²) global pair search into Σ O(|cluster|²), the
+  // property that makes embedding dedup tractable at corpus scale. ----
+
+  /** Nearest-centroid assignment as a pure projection: the centroid set
+    * is tiny (k vectors), so each row evaluates k fused cosine kernels
+    * inline — zero shuffle, zero join, fully codegen. Ties break to the
+    * LOWEST centroid index (deterministic). Zero-norm rows score 0
+    * against every centroid and land by the tie rule.
+    * Returns the input plus `cluster` (int) and `centroid_sim` (double). */
+  def assignClusters(df: DataFrame, vecCol: String,
+                     centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val nrm = Distances.norm2(col(vecCol))
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val sim =
+        if (cn < 1e-5) lit(0.0)
+        else when(nrm < 1e-5, lit(0.0))
+          .otherwise(Distances.dot(col(vecCol), Distances.vecLit(c)) / (nrm * cn))
+      // struct orders by (sim, -idx): sort desc ⇒ max sim, then min idx
+      struct(sim.as("s"), lit(-i).as("ni"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    df.withColumn("cluster", (-best.getField("ni")).cast("int"))
+      .withColumn("centroid_sim", best.getField("s"))
+  }
+
+  /** Within-cluster near-duplicate pairs: one shuffle on the cluster key,
+    * then per-cluster pair enumeration with an exact cosine verify. At
+    * 100 TB, k grows with the corpus (k ≈ √n keeps clusters bounded), so
+    * no single task ever sees more than one cluster's pairs. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val assigned = assignClusters(df, vecCol, centroids)
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"),
+        Distances.norm2(col(vecCol)).as("nrm"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        when(col("n_a") < 1e-5 || col("n_b") < 1e-5, lit(0.0))
+          .otherwise(Distances.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** SemDeDup survivors under the greedy lowest-id rule: a row is dropped
+    * iff some lower-id row in its cluster reaches the threshold. The rule
+    * is local to each pair (no transitive chase), so it is exactly
+    * reproducible by any engine — and at scale it is one left-anti join
+    * of ids against the (tiny) dropped-id set. */
+  def semanticDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val dropped = semanticDedupPairs(df, idCol, vecCol, centroids, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -244,8 +244,10 @@ object Multimodal {
     val kids = children(moov._2, moov._3)
     val durationMs = kids.find(_._1 == "mvhd").map { case (_, s, _) =>
       val version = payload(s) & 0xFF
-      if (version == 1) { // 64-bit times
-        val ts = u32(s + 20); val d = u64(s + 28)
+      if (version == 1) {
+        // v1 layout (ISO 14496-12 §8.2.2): creation u64 @ +4,
+        // modification u64 @ +12, timescale u32 @ +20, duration u64 @ +24
+        val ts = u32(s + 20); val d = u64(s + 24)
         if (ts > 0) d * 1000 / ts else 0L
       } else {
         val ts = u32(s + 12); val d = u32(s + 16)

@@ -80,6 +80,33 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("insert with attribute groups never auto-vacuums the groups away") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "grpvac")
+    e.insert((0 until 20).map(i => (i.toLong, s"d$i")).toDF("id", "doc"))
+    e.transferAttributes(Seq("doc"), "keyvalue")
+    val vAfterTransfer = e.stamp._1
+    // many tiny batches past the cap: with a keyvalue group present the
+    // auto-vacuum must NOT fire (it would fold the group back to parquet)
+    (0 until 4).foreach { b =>
+      e.insert((0 until 4).map(i => (100L + b * 10 + i, s"n$b$i"))
+        .toDF("id", "doc").repartition(4), autoVacuumMaxParts = 2)
+    }
+    e.stamp._1 shouldBe vAfterTransfer // no vacuum swap
+    e.attributeGroups.map(_.handler) shouldBe Seq("keyvalue")
+    e.count() shouldBe 36
+    // the appended rows reassemble with their group attribute, and the
+    // point-lookup path still serves them
+    val newId = e.read().filter(col("doc") === "n00").select(Entity.ApId)
+      .collect().head.getLong(0)
+    e.kvLookup(Seq(newId)).collect().head.getAs[String]("doc") shouldBe "n00"
+    // explicit vacuum is still allowed and folds the group deliberately
+    e.vacuum()
+    e.attributeGroups shouldBe empty
+    e.count() shouldBe 36
+    e.drop()
+  }
+
   test("ecp partition layout round-trips and survives insert and vacuum") {
     val base = freshBase()
     val e = Entity.create(spark, base, "laid")

@@ -193,6 +193,28 @@ class MultimodalSpec extends SparkSpec {
       box("mdat", zeros(32))
   }
 
+  test("version-1 mvhd (64-bit times) reads duration from the v1 offset") {
+    val zeros = (n: Int) => Array.fill[Byte](n)(0)
+    val be64 = (v: Long) => be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    // v1 layout: version=1+flags, creation u64, modification u64,
+    // timescale u32 @ +20, duration u64 @ +24
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0), be64(0L), be64(0L),
+      be32(90000), be64(90000L * 123), zeros(80))
+    val bytes =
+      box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+        box("moov", mvhdV1, {
+          val tkhd = box("tkhd", zeros(76), be32(64L << 16), be32(48L << 16))
+          val hdlr = box("hdlr", zeros(8), "vide".getBytes("ISO-8859-1"), zeros(13))
+          val stsd = box("stsd", zeros(4), be32(1),
+            be32(16), "avc1".getBytes("ISO-8859-1"), zeros(8))
+          val stsz = box("stsz", zeros(4), be32(0), be32(7))
+          box("trak", tkhd, box("mdia", hdlr, box("minf", box("stbl", stsd, stsz))))
+        })
+    val info = Multimodal.mp4Info(bytes).get
+    info.durationMs shouldBe 123000L
+    info.tracks.head.samples shouldBe 7
+  }
+
   test("MP4/ISO-BMFF payloads parse to true duration, tracks, codecs, and dimensions") {
     val bytes = mp4Bytes(640, 360, 150, 234)
     val info = Multimodal.mp4Info(bytes).get
