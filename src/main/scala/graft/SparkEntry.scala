@@ -598,6 +598,24 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 3)
         .orderBy("id_a", "id_b")),
 
+    "repeated_chunks" -> ((s, d) =>
+      Dedup.repeatedChunks(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("chunk_hash")),
+
+    "semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.semanticDedupPairs(emb, "vec_id", "embedding",
+          seedCentroids(emb, 16), 0.35)
+        .orderBy("cluster", "id_a", "id_b")
+    }),
+
+    "semantic_dedup_survivors" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.semanticDedupSurvivors(emb, "vec_id", "embedding",
+          seedCentroids(emb, 16), 0.35)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     "text_stats" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("token_cnt"),
@@ -769,6 +787,14 @@ object SparkEntry {
   private def queryVecOf(emb: DataFrame): Seq[Double] =
     emb.filter(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
+
+  /** The k lowest-id embeddings double as deterministic cluster seeds for
+    * the SemDeDup queries — a stand-in for trained k-means centroids that
+    * the SQL oracle can reproduce exactly (bounded k-row collect). */
+  private def seedCentroids(emb: DataFrame, k: Int): Seq[Seq[Double]] =
+    emb.filter(col("vec_id") < k).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
 
   /** The index configurations the driver battery scans — built ONCE per
     * (JVM, data dir) and served from the persisted store thereafter
@@ -1381,6 +1407,71 @@ object SparkEntry {
          |drops AS (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.5)
          |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM drops)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "repeated_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, md5(array_to_string(t[s+1:s+20], ' ')) AS chunk_hash
+        |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-20, 10)) AS s
+        |        FROM toks WHERE len(t) >= 20)
+        |)
+        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits,
+        |  min(doc_id) AS first_doc
+        |FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
+
+    "semantic_dedup" -> {
+      val dotNC = duckSum("CAST(n.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotCC = duckSum("CAST(c.cv[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotNN = duckSum("CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)")
+      val dotAB = duckSum("CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)")
+      s"""WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |            embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |n AS (SELECT vec_id, embedding, sqrt($dotNN) AS nrm FROM embeddings),
+         |sim AS (SELECT n.vec_id, c.cid,
+         |  CASE WHEN sqrt($dotCC) < 1e-5 OR n.nrm < 1e-5 THEN 0.0
+         |       ELSE $dotNC / (n.nrm * sqrt($dotCC)) END AS cs
+         |  FROM n, c),
+         |best AS (SELECT vec_id, cid AS cluster FROM sim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1),
+         |nb AS (SELECT b.cluster, n.vec_id, n.embedding, n.nrm
+         |       FROM n JOIN best b ON n.vec_id = b.vec_id)
+         |SELECT cluster, id_a, id_b, round(cs, 4) AS cos_sim FROM (
+         |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN a.nrm < 1e-5 OR b.nrm < 1e-5 THEN 0.0
+         |         ELSE $dotAB / (a.nrm * b.nrm) END AS cs
+         |  FROM nb a JOIN nb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |) WHERE cs >= 0.35 ORDER BY cluster, id_a, id_b""".stripMargin
+    },
+
+    "semantic_dedup_survivors" -> {
+      val dotNC = duckSum("CAST(n.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotCC = duckSum("CAST(c.cv[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotNN = duckSum("CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)")
+      val dotAB = duckSum("CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)")
+      s"""WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |            embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |n AS (SELECT vec_id, embedding, sqrt($dotNN) AS nrm FROM embeddings),
+         |sim AS (SELECT n.vec_id, c.cid,
+         |  CASE WHEN sqrt($dotCC) < 1e-5 OR n.nrm < 1e-5 THEN 0.0
+         |       ELSE $dotNC / (n.nrm * sqrt($dotCC)) END AS cs
+         |  FROM n, c),
+         |best AS (SELECT vec_id, cid AS cluster FROM sim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1),
+         |nb AS (SELECT b.cluster, n.vec_id, n.embedding, n.nrm
+         |       FROM n JOIN best b ON n.vec_id = b.vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN a.nrm < 1e-5 OR b.nrm < 1e-5 THEN 0.0
+         |         ELSE $dotAB / (a.nrm * b.nrm) END AS cs
+         |  FROM nb a JOIN nb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE cs >= 0.35)
+         |ORDER BY vec_id""".stripMargin
     },
 
     // NOTE: the minhash/lsh/pipeline oracles are exact all-pairs answers;

@@ -35,6 +35,36 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Cross-document repeated spans at chunk granularity: slide a
+    * `window`-token window with `stride` over each normalized document,
+    * hash each full window, and report every chunk seen in ≥2 distinct
+    * documents — the tractable relative of exact-substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), with the suffix array replaced by strided chunk
+    * hashing that an engine can run as one groupBy.
+    *
+    * Scale shape: tokenization is a per-row projection; the start
+    * offsets explode BEFORE the window text is built (no higher-order
+    * lambda re-evaluating the token array per element — that pattern is
+    * an O(tokens²) interpreter trap), so each (row, start) pair does
+    * O(window) work; only (doc, 32-byte hash) pairs reach the single
+    * groupBy shuffle. Memory per task is one document's tokens. */
+  def repeatedChunks(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 20, stride: Int = 10): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = df.select(col(idCol).as("doc"), split(normalize(col(textCol)), " ").as("t"))
+      .filter(size(col("t")) >= window)
+    toks
+      .select(col("doc"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - window, lit(stride))).as("s"))
+      .select(col("doc"),
+        md5(array_join(slice(col("t"), col("s") + 1, lit(window)), " ")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc")).as("n_docs"), count(lit(1)).as("n_hits"),
+        min(col("doc")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Word n-gram shingles of the normalized text (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val ts = split(normalize(text), " ")

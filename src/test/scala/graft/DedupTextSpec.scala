@@ -388,6 +388,55 @@ class DedupTextSpec extends SparkSpec {
     lsh should contain((0L, 100L))
   }
 
+  test("repeatedChunks reports cross-document windows only, with exact counts") {
+    val mk = (n: Int, tag: String) =>
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = mk(20, "s") // exactly one full 20-token window
+    val d = Seq(
+      (0L, shared),                       // window at start 0
+      (1L, mk(10, "a") + " " + shared),   // same window at start 10
+      (2L, mk(25, "b")),                  // long but unshared
+      (3L, mk(5, "c"))                    // too short for any window
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedChunks(d, "doc_id", "text", window = 20, stride = 10)
+      .collect()
+    out.length shouldBe 1 // only the shared window crosses documents
+    out.head.getLong(1) shouldBe 2L  // n_docs
+    out.head.getLong(2) shouldBe 2L  // n_hits
+    out.head.getLong(3) shouldBe 0L  // first_doc
+    // a within-document repeat alone (same chunk twice in ONE doc) stays out
+    val selfRep = Seq((7L, shared + " " + shared)).toDF("doc_id", "text")
+    Dedup.repeatedChunks(selfRep, "doc_id", "text", 20, 20).count() shouldBe 0L
+  }
+
+  test("semantic dedup: clusters assign to nearest centroid; dups only in-cluster") {
+    val c0 = Seq.fill(16)(1.0); val c1 = Seq.fill(16)(-1.0)
+    // rows 0/1 near c0 and near-identical; row 2 near c0 but distinct;
+    // row 3 near c1; row 4 zero vector (ties to cluster 0 by the rule)
+    val rows = Seq(
+      (0L, Seq.fill(16)(1.0f)),
+      (1L, (Seq.fill(15)(1.0f) :+ 0.9f)),
+      (2L, (Seq.fill(8)(1.0f) ++ Seq.fill(8)(-0.2f))),
+      (3L, Seq.fill(16)(-1.0f)),
+      (4L, Seq.fill(16)(0.0f))
+    ).toDF("vec_id", "embedding")
+    val assigned = Ann.assignClusters(rows, "embedding", Seq(c0, c1))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assigned(0L) shouldBe 0
+    assigned(1L) shouldBe 0
+    assigned(3L) shouldBe 1
+    assigned(4L) shouldBe 0 // zero-norm: sim 0 everywhere, lowest index wins
+    val pairs = Ann.semanticDedupPairs(rows, "vec_id", "embedding",
+      Seq(c0, c1), 0.99).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    pairs shouldBe Set((0L, 1L)) // 0–3 are near-opposite; 2 is below threshold
+    // survivors drop exactly the higher id of the one in-cluster dup pair
+    Ann.semanticDedupSurvivors(rows, "vec_id", "embedding", Seq(c0, c1), 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(0L, 2L, 3L, 4L)
+  }
+
   test("connectedComponents: min-label clustering over a near-dup pair graph") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (5L, 4L))
       .toDF("id_a", "id_b")
