@@ -40,7 +40,13 @@ object Plans {
       ("corpus_contamination", "benchmark postings broadcast; corpus side never shuffles",
         Seq("BroadcastHashJoin")),
       ("pack_chunk_rows", "chunk rows stay on the one shard-keyed window shuffle",
-        Seq("Window", "Generate explode")))
+        Seq("Window", "Generate explode")),
+      ("repeated_chunks", "start offsets explode before window hashing; one groupBy",
+        Seq("Generate explode", "md5", "HashAggregate")),
+      ("semantic_dedup", "centroid assignment inline in the scan projection (no join)",
+        Seq("sort_array")),
+      ("corpus_mix_report", "map-side partial aggregation on (source, lang)",
+        Seq("partial_count", "HashAggregate")))
 
     // negative shape: these must not shuffle before their
     // (presentation-only) global sort — strip the final Sort's own range

@@ -602,6 +602,18 @@ object SparkEntry {
       Dedup.repeatedChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy("chunk_hash")),
 
+    "dedup_keep_longest" -> ((s, d) =>
+      Dedup.dropExactDupsBy(Tables.documents(s, d), "text", "doc_id",
+          length(col("text")))
+        .select("doc_id").orderBy("doc_id")),
+
+    "corpus_mix_report" -> ((s, d) => Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy("source", "lang")),
+
     "semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.semanticDedupPairs(emb, "vec_id", "embedding",
@@ -1423,6 +1435,18 @@ object SparkEntry {
         |  min(doc_id) AS first_doc
         |FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    "dedup_keep_longest" ->
+      s"""SELECT doc_id FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5($duckNorm)
+         |  ORDER BY length(text) DESC, doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix_report" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         | CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens
+         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "semantic_dedup" -> {
       val dotNC = duckSum("CAST(n.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")

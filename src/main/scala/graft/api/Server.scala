@@ -498,6 +498,35 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           req.get("textCol").asText(), req.get("idCol").asText(), idx,
           if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
         finally idx.release()
+      case "/pipeline/chunks" =>
+        // cross-document repeated spans (strided chunk hashing)
+        pagedRows(out, graft.operators.Dedup.repeatedChunks(
+          entity(req, "entity").read(),
+          req.get("idCol").asText(), req.get("textCol").asText(),
+          window = if (req.has("window")) req.get("window").asInt() else 20,
+          stride = if (req.has("stride")) req.get("stride").asInt() else 10)
+          .orderBy("chunk_hash"))
+      case "/pipeline/semantic_dedup" =>
+        // SemDeDup over an embedding column; centroids = the k lowest-id
+        // rows (k-row bounded collect), pairs=true emits the pair list
+        // instead of the surviving rows
+        import graft.operators.Ann
+        val e = entity(req, "entity").read()
+        val idCol = req.get("idCol").asText()
+        val vecCol = req.get("vecCol").asText()
+        val k = if (req.has("k")) req.get("k").asInt() else 16
+        val threshold =
+          if (req.has("threshold")) req.get("threshold").asDouble() else 0.9
+        val centroids = e.orderBy(col(idCol)).limit(k)
+          .select(col(vecCol).cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toSeq).toSeq
+        val outDf =
+          if (req.has("pairs") && req.get("pairs").asBoolean())
+            Ann.semanticDedupPairs(e, idCol, vecCol, centroids, threshold)
+              .orderBy("cluster", "id_a", "id_b")
+          else Ann.semanticDedupSurvivors(e, idCol, vecCol, centroids, threshold)
+            .orderBy(col(idCol))
+        pagedRows(out, outDf)
       case other => throw new IllegalArgumentException(s"no such endpoint: $other")
     }
     out

@@ -35,6 +35,18 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Exact dedup keeping the best row per content group under an
+    * arbitrary priority (longest text, highest quality score, …), id
+    * ascending as the deterministic tie-break — production pipelines
+    * keep the best duplicate, not the first-seen one. Same single
+    * window shuffle as [[dropExactDups]]. */
+  def dropExactDupsBy(df: DataFrame, textCol: String, idCol: String,
+                      priority: Column): DataFrame = {
+    val w = Window.partitionBy(md5(normalize(col(textCol))))
+      .orderBy(priority.desc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** Cross-document repeated spans at chunk granularity: slide a
     * `window`-token window with `stride` over each normalized document,
     * hash each full window, and report every chunk seen in ≥2 distinct

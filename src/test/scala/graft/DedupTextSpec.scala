@@ -31,6 +31,14 @@ class DedupTextSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L, 3L)
   }
 
+  test("dropExactDupsBy keeps the best-priority duplicate, not the first") {
+    // {0,1,4} share normalized content; 4's raw text is the longest
+    // (extra whitespace), so length-priority keeps 4 instead of 0
+    Dedup.dropExactDupsBy(docs, "text", "doc_id",
+        org.apache.spark.sql.functions.length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(4L, 2L, 3L)
+  }
+
   test("minhash LSH finds near-dup pairs and none across unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -296,8 +296,44 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     contaminated.get("ok").asBoolean() shouldBe true
     contaminated.get("rows").size() shouldBe 10 // every spam doc contains the item
 
+    // repeated chunks: the 10 identical spam docs share their one 8-token
+    // window; the 30 distinct docs share exactly the two windows that
+    // avoid their varying "$i" token (starts 8 and 12)
+    val chunks = post("/pipeline/chunks",
+      """{"entity":"pipe","textCol":"txt","idCol":"did","window":8,"stride":4}""")
+    chunks.get("ok").asBoolean() shouldBe true
+    val chRows = chunks.get("rows").elements().asScala.toSeq
+    chRows.size shouldBe 3
+    chRows.map(_.get("n_docs").asLong()).sorted shouldBe Seq(10L, 30L, 30L)
+
     post("/entity/drop", """{"name":"bench"}""")
     post("/entity/drop", """{"name":"pipe"}""")
+  }
+
+  test("semantic dedup over the wire: survivors and pair forms") {
+    post("/entity/create", """{"name":"sem"}""").get("ok").asBoolean() shouldBe true
+    // ids 0/1 double as the k=2 centroids; 2 near-dups 0, 4 near-dups 1,
+    // 3 sits between clusters below the threshold
+    post("/entity/insert",
+      """{"name":"sem","rows":[
+        |{"vid":0,"v":[1.0,0.0,0.0,0.0]},
+        |{"vid":1,"v":[0.0,1.0,0.0,0.0]},
+        |{"vid":2,"v":[1.0,0.001,0.0,0.0]},
+        |{"vid":3,"v":[0.9,0.9,0.0,0.0]},
+        |{"vid":4,"v":[0.0,1.0,0.001,0.0]}]}""".stripMargin)
+      .get("inserted").asInt() shouldBe 5
+    val surv = post("/pipeline/semantic_dedup",
+      """{"entity":"sem","idCol":"vid","vecCol":"v","k":2,"threshold":0.999}""")
+    surv.get("ok").asBoolean() shouldBe true
+    surv.get("rows").elements().asScala.map(_.get("vid").asInt()).toSeq shouldBe
+      Seq(0, 1, 3)
+    val pairs = post("/pipeline/semantic_dedup",
+      """{"entity":"sem","idCol":"vid","vecCol":"v","k":2,"threshold":0.999,"pairs":true}""")
+    pairs.get("ok").asBoolean() shouldBe true
+    pairs.get("rows").elements().asScala
+      .map(r => (r.get("id_a").asInt(), r.get("id_b").asInt())).toSeq shouldBe
+      Seq((0, 2), (1, 4))
+    post("/entity/drop", """{"name":"sem"}""")
   }
 
   test("bad requests return ok=false with an error") {
