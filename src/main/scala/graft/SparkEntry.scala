@@ -628,6 +628,18 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    "corpus_semantic_neardup" -> ((s, d) => {
+      // cluster-pruned admission: incoming (vec_id >= 400) checks only
+      // its own centroid cell of the pre-assigned corpus (vec_id < 400)
+      val emb = Tables.embeddings(s, d)
+      val idx = semanticCorpusIndexes.getOrElseUpdate(d,
+        Ann.indexCorpusSemantic(emb.filter(col("vec_id") < 400),
+          "vec_id", "embedding", seedCentroids(emb, 16)))
+      Ann.semanticNearDupAgainstCorpus(emb.filter(col("vec_id") >= 400),
+          "vec_id", "embedding", idx, 0.35)
+        .orderBy("in_id", "corpus_id")
+    }),
+
     "text_stats" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("token_cnt"),
@@ -903,6 +915,10 @@ object SparkEntry {
       Ann.indexCorpusCosine(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
         dim = 64))
     cs.banded.count(); cs.vectors.count()
+    val sem = semanticCorpusIndexes.getOrElseUpdate(d,
+      Ann.indexCorpusSemantic(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+        seedCentroids(emb, 16)))
+    sem.assigned.count()
   }
 
   private val corpusIndexes =
@@ -913,6 +929,9 @@ object SparkEntry {
 
   private val simhashCorpusIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.SimHashCorpusIndex]
+
+  private val semanticCorpusIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Ann.SemanticCorpusIndex]
 
   private val benchIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusIndex]
@@ -1470,6 +1489,31 @@ object SparkEntry {
          |         ELSE $dotAB / (a.nrm * b.nrm) END AS cs
          |  FROM nb a JOIN nb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |) WHERE cs >= 0.35 ORDER BY cluster, id_a, id_b""".stripMargin
+    },
+
+    "corpus_semantic_neardup" -> {
+      val dotNC = duckSum("CAST(n.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotCC = duckSum("CAST(c.cv[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotNN = duckSum("CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)")
+      val dotAB = duckSum("CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)")
+      s"""WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |            embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |n AS (SELECT vec_id, embedding, sqrt($dotNN) AS nrm FROM embeddings),
+         |sim AS (SELECT n.vec_id, c.cid,
+         |  CASE WHEN sqrt($dotCC) < 1e-5 OR n.nrm < 1e-5 THEN 0.0
+         |       ELSE $dotNC / (n.nrm * sqrt($dotCC)) END AS cs
+         |  FROM n, c),
+         |best AS (SELECT vec_id, cid AS cluster FROM sim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1),
+         |nb AS (SELECT b.cluster, n.vec_id, n.embedding, n.nrm
+         |       FROM n JOIN best b ON n.vec_id = b.vec_id)
+         |SELECT in_id, corpus_id, round(cs, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id AS in_id, b.vec_id AS corpus_id,
+         |    CASE WHEN a.nrm < 1e-5 OR b.nrm < 1e-5 THEN 0.0
+         |         ELSE $dotAB / (a.nrm * b.nrm) END AS cs
+         |  FROM nb a JOIN nb b ON a.cluster = b.cluster
+         |  WHERE a.vec_id >= 400 AND b.vec_id < 400
+         |) WHERE cs >= 0.35 ORDER BY in_id, corpus_id""".stripMargin
     },
 
     "semantic_dedup_survivors" -> {

@@ -260,6 +260,46 @@ object Ann {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** A reference embedding corpus pre-assigned to centroid cells for
+    * cluster-pruned admission checks — the SemDeDup twin of
+    * [[CosineCorpusIndex]], with IVF-style cell pruning in place of
+    * hyperplane banding. */
+  final case class SemanticCorpusIndex(assigned: DataFrame, // (cluster, corpus_id, v_c, n_c)
+                                       centroids: Seq[Seq[Double]]) {
+    def release(): Unit = assigned.unpersist()
+  }
+
+  /** Assign + norm a static corpus once (persisted). */
+  def indexCorpusSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: Seq[Seq[Double]]): SemanticCorpusIndex = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val assigned = assignClusters(corpus, vecCol, centroids)
+      .select(col("cluster"), col(idCol).as("corpus_id"), col(vecCol).as("v_c"),
+        Distances.norm2(col(vecCol)).as("n_c"))
+      .persist(MEMORY_AND_DISK)
+    SemanticCorpusIndex(assigned, centroids)
+  }
+
+  /** Cluster-pruned embedding admission check: an incoming vector is
+    * compared ONLY against corpus vectors in its own centroid cell —
+    * exact within the cell, and the cross-cell misses are the same ones
+    * SemDeDup itself accepts. The join is an equi-join on the cluster
+    * key with the corpus side persisted, so per incoming row the work is
+    * O(|cell|), not O(|corpus|); stream-static safe under `foreachBatch`
+    * like the banded variants. */
+  def semanticNearDupAgainstCorpus(incoming: DataFrame, idCol: String, vecCol: String,
+                                   idx: SemanticCorpusIndex, threshold: Double): DataFrame = {
+    val in = assignClusters(incoming, vecCol, idx.centroids)
+      .select(col("cluster"), col(idCol).as("in_id"), col(vecCol).as("v_i"),
+        Distances.norm2(col(vecCol)).as("n_i"))
+    in.join(idx.assigned, Seq("cluster"))
+      .withColumn("cos_sim",
+        when(col("n_i") < 1e-5 || col("n_c") < 1e-5, lit(0.0))
+          .otherwise(Distances.dot(col("v_i"), col("v_c")) / (col("n_i") * col("n_c"))))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("in_id"), col("corpus_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** SemDeDup survivors under the greedy lowest-id rule: a row is dropped
     * iff some lower-id row in its cluster reaches the threshold. The rule
     * is local to each pair (no transitive chase), so it is exactly

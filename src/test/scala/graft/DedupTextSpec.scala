@@ -385,6 +385,44 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("semantic (cluster-pruned) corpus admission flags same-cell dups only") {
+    val corpus = vecs.filter($"vec_id" < 40)
+    val centroids = corpus.orderBy($"vec_id").limit(4)
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val idx = Ann.indexCorpusSemantic(corpus, "vec_id", "embedding", centroids)
+    // an exact copy of corpus vec 7 lands in vec 7's cell and is flagged;
+    // a fresh orthogonal-ish vector passes
+    val incoming = vecs.filter($"vec_id" === 7L)
+      .select(lit(100L).as("vec_id"), $"embedding")
+      .union(Seq((101L, Seq.fill(16)(0.0f).updated(0, 1.0f)))
+        .toDF("vec_id", "embedding"))
+    val flagged = Ann.semanticNearDupAgainstCorpus(incoming, "vec_id", "embedding", idx, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flagged shouldBe Set((100L, 7L))
+
+    // stream-static under foreachBatch, like the banded admission checks
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    val planted = vecs.filter($"vec_id" === 7L).select($"embedding").head().getSeq[Float](0)
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.semanticNearDupAgainstCorpus(batch, "vec_id", "embedding", idx, 0.99)
+          .collect().foreach(r => seen.synchronized {
+            seen += ((r.getLong(0), r.getLong(1)))
+          })
+      }.start()
+    try {
+      mem.addData((200L, planted))
+      q.processAllAvailable()
+      seen.toSet shouldBe Set((200L, 7L))
+    } finally {
+      q.stop()
+      idx.release()
+    }
+  }
+
   test("lsh cosine near-dup finds planted duplicates") {
     val planted = vecs.union(
       vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
