@@ -68,6 +68,61 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("assignClusters matches a naive argmax-cosine assignment on random vectors") {
+    val vec: Gen[List[Double]] =
+      Gen.listOfN(6, Gen.chooseNum(-5, 5).map(_.toDouble))
+    val body: Gen[(List[List[Double]], List[List[Double]])] = for {
+      cents <- Gen.listOfN(4, vec)
+      rows <- Gen.listOfN(20, vec)
+    } yield (cents, rows)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na < 1e-5 || nb < 1e-5) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    (1L to 25L).foreach { seed =>
+      val (cents, rows) = sample(body, seed + 3000)
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("id", "v")
+      val got = graft.operators.Ann.assignClusters(df, "v", cents)
+        .select("id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expected = rows.zipWithIndex.map { case (v, i) =>
+        // naive rule: max cosine, ties to the LOWEST centroid index
+        val sims = cents.map(c => cos(v.map(_.toFloat.toDouble), c))
+        i.toLong -> sims.zipWithIndex.maxBy { case (s, ci) => (s, -ci) }._2
+      }.toMap
+      withClue(s"seed $seed: ") { got shouldBe expected }
+    }
+  }
+
+  test("repeatedChunks matches a naive sliding-window count on random corpora") {
+    (1L to 25L).foreach { seed =>
+      val docs = sample(corpus, seed + 4000)
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val (w, s) = (5, 2)
+      val got = graft.operators.Dedup.repeatedChunks(df, "doc_id", "text", w, s)
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val windows = docs.zipWithIndex.flatMap { case (d, i) =>
+        if (d.size < w) Nil
+        else (0 to (d.size - w) by s).map(st =>
+          (i.toLong, d.slice(st, st + w).mkString(" ")))
+      }
+      val expected = windows.groupBy(_._2).collect {
+        case (chunk, hits) if hits.map(_._1).distinct.size >= 2 =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          md -> ((hits.map(_._1).distinct.size.toLong, hits.size.toLong,
+            hits.map(_._1).min))
+      }
+      withClue(s"seed $seed: ") { got shouldBe expected }
+    }
+  }
+
   test("keyHash stays in [0, 1e9+7) and distinct raw hashes stay distinct") {
     val keyGen = Gen.listOfN(30, Gen.identifier.map(_.take(20)))
     (1L to 25L).foreach { seed =>
