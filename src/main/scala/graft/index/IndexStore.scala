@@ -73,6 +73,7 @@ object IndexStore {
         Class.forName(desc.getName, false, Thread.currentThread.getContextClassLoader)
     }
     val meta = try in.readObject().asInstanceOf[SavedMeta] finally in.close()
+    recoverData(dir)
     val df = spark.read.parquet(dir.resolve("data").toString)
     val idx: VectorIndex = (meta.indexType, meta.blob) match {
       case ("vaf" | "vav" | "vap", b) =>
@@ -135,7 +136,20 @@ object IndexStore {
                 name: String): org.apache.spark.sql.DataFrame = {
     val dir = indexDir(baseDir, name)
     require(Files.exists(dir.resolve("meta.bin")), s"no such index: $name")
+    recoverData(dir)
     spark.read.parquet(dir.resolve("data").toString)
+  }
+
+  /** Heal a half-finished [[repartitionData]] swap: a hard kill between
+    * the two renames leaves `data_old` (complete, pre-swap) but no
+    * `data` — restore it. A leftover `data_tmp` or a `data_old`
+    * NEXT TO a live `data` is just stale debris; it is swept by the
+    * next repartition and harmless to readers, which only ever open
+    * `data`. */
+  private def recoverData(dir: Path): Unit = {
+    val data = dir.resolve("data")
+    val old = dir.resolve("data_old")
+    if (!Files.exists(data) && Files.exists(old)) Files.move(old, data)
   }
 
   /** Rewrite a persisted index's narrow table under a new partitioning
@@ -147,6 +161,7 @@ object IndexStore {
                       name: String, mode: graft.core.Partitioning.Mode): Unit = {
     val dir = indexDir(baseDir, name)
     require(Files.exists(dir.resolve("meta.bin")), s"no such index: $name")
+    recoverData(dir) // heal a half-finished previous swap first
     val df = spark.read.parquet(dir.resolve("data").toString)
     val tmp = dir.resolve("data_tmp")
     graft.core.Partitioning.repartition(df, mode)

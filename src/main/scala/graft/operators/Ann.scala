@@ -238,6 +238,14 @@ object Ann {
       .withColumn("centroid_sim", best.getField("s"))
   }
 
+  /** Train `k` centroids for the SemDeDup family on a bounded sample —
+    * deterministic Lloyd's k-means (fixed seed, ≤5000-row sample),
+    * reusing the eCP leader trainer. With trained centroids the
+    * clustered dedup is self-contained: callers need no external
+    * centroid source. */
+  def trainSemanticCentroids(df: DataFrame, vecCol: String, k: Int): Seq[Seq[Double]] =
+    graft.core.Partitioning.trainLeaders(df, vecCol, k).map(_.toSeq).toSeq
+
   /** Within-cluster near-duplicate pairs: one shuffle on the cluster key,
     * then per-cluster pair enumeration with an exact cosine verify. At
     * 100 TB, k grows with the corpus (k ≈ √n keeps clusters bounded), so

@@ -385,6 +385,24 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("trained k-means centroids make semantic dedup self-contained") {
+    val centroids = Ann.trainSemanticCentroids(vecs, "embedding", k = 4)
+    centroids should have size 4
+    // every cluster is a real cell: assignment spreads the corpus
+    val planted = vecs.union(
+      vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
+    val byCluster = Ann.assignClusters(planted, "embedding", centroids)
+      .groupBy("cluster").count().collect()
+    byCluster.length should be >= 2
+    // an identical copy always shares its original's cell, so the
+    // clustered pass finds it with no recall caveat for exact dups
+    Ann.semanticDedupPairs(planted, "vec_id", "embedding", centroids, 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet should
+      contain((0L, 100L))
+    // and training is deterministic: same data, same centroids
+    Ann.trainSemanticCentroids(vecs, "embedding", k = 4) shouldBe centroids
+  }
+
   test("semantic (cluster-pruned) corpus admission flags same-cell dups only") {
     val corpus = vecs.filter($"vec_id" < 40)
     val centroids = corpus.orderBy($"vec_id").limit(4)

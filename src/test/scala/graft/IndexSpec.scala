@@ -174,6 +174,23 @@ class IndexSpec extends SparkSpec {
     IndexStore.drop(base, "pq")
     IndexStore.exists(base, "pq") shouldBe false
     IndexStore.exists(base, "vaf") shouldBe true
+
+    // crash recovery: a hard kill between repartitionData's two renames
+    // leaves data_old but no data — the next open must heal the swap
+    val vafDir = java.nio.file.Paths.get(base, "index_vaf")
+    java.nio.file.Files.move(vafDir.resolve("data"), vafDir.resolve("data_old"))
+    val healed = IndexStore.load(spark, base, "vaf").index
+    healed.candidates(queryVec, K).count() should be > 0L
+    java.nio.file.Files.exists(vafDir.resolve("data")) shouldBe true
+    java.nio.file.Files.exists(vafDir.resolve("data_old")) shouldBe false
+    // and a repartition over the healed index still round-trips
+    IndexStore.repartitionData(spark, base, "vaf",
+      graft.core.Partitioning.Random(3))
+    IndexStore.dataFrame(spark, base, "vaf").rdd.getNumPartitions shouldBe 3
+    IndexStore.load(spark, base, "vaf").index
+      .candidates(queryVec, K).collect().map(_.getLong(0)).sorted shouldBe
+      family.toMap.apply("vaf").candidates(queryVec, K)
+        .collect().map(_.getLong(0)).sorted
   }
 
   test("verify-gate configs: candidates cover the exact top-100 on the sf0.01 corpus") {
