@@ -507,9 +507,10 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           stride = if (req.has("stride")) req.get("stride").asInt() else 10)
           .orderBy("chunk_hash"))
       case "/pipeline/semantic_dedup" =>
-        // SemDeDup over an embedding column; centroids = the k lowest-id
-        // rows (k-row bounded collect), pairs=true emits the pair list
-        // instead of the surviving rows
+        // SemDeDup over an embedding column; centroids default to the k
+        // lowest-id rows (k-row bounded collect), train=true fits
+        // deterministic k-means on a bounded sample instead; pairs=true
+        // emits the pair list instead of the surviving rows
         import graft.operators.Ann
         val e = entity(req, "entity").read()
         val idCol = req.get("idCol").asText()
@@ -517,9 +518,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         val k = if (req.has("k")) req.get("k").asInt() else 16
         val threshold =
           if (req.has("threshold")) req.get("threshold").asDouble() else 0.9
-        val centroids = e.orderBy(col(idCol)).limit(k)
-          .select(col(vecCol).cast("array<double>"))
-          .collect().map(_.getSeq[Double](0).toSeq).toSeq
+        val centroids =
+          if (req.has("train") && req.get("train").asBoolean())
+            Ann.trainSemanticCentroids(e, vecCol, k)
+          else e.orderBy(col(idCol)).limit(k)
+            .select(col(vecCol).cast("array<double>"))
+            .collect().map(_.getSeq[Double](0).toSeq).toSeq
         val outDf =
           if (req.has("pairs") && req.get("pairs").asBoolean())
             Ann.semanticDedupPairs(e, idCol, vecCol, centroids, threshold)

@@ -333,6 +333,15 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     pairs.get("rows").elements().asScala
       .map(r => (r.get("id_a").asInt(), r.get("id_b").asInt())).toSeq shouldBe
       Seq((0, 2), (1, 4))
+    // trained-centroid form: identical copies always share a cell, so
+    // the exact dup pairs survive k-means clustering too
+    val trained = post("/pipeline/semantic_dedup",
+      """{"entity":"sem","idCol":"vid","vecCol":"v","k":2,"threshold":0.999,
+        |"train":true,"pairs":true}""".stripMargin)
+    trained.get("ok").asBoolean() shouldBe true
+    trained.get("rows").elements().asScala
+      .map(r => (r.get("id_a").asInt(), r.get("id_b").asInt())).toSet shouldBe
+      Set((0, 2), (1, 4))
     post("/entity/drop", """{"name":"sem"}""")
   }
 
