@@ -614,6 +614,14 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
       .orderBy("source", "lang")),
 
+    "length_quantiles" -> ((s, d) => Tables.documents(s, d)
+      // exact interpolated percentiles (rank = p·(n−1)) — both engines
+      // implement the same continuous-quantile definition
+      .groupBy(col("source"))
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+      .orderBy("source")),
+
     "semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.semanticDedupPairs(emb, "vec_id", "embedding",
@@ -1466,6 +1474,11 @@ object SparkEntry {
          | CAST(sum(n_chars) AS BIGINT) AS total_chars,
          | CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens
          |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "length_quantiles" ->
+      """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        | round(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "semantic_dedup" -> {
       val dotNC = duckSum("CAST(n.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")

@@ -285,6 +285,52 @@ object Dedup {
     CorpusIndex(banded, sh, numHashes, numBands, n)
   }
 
+  /** Persist a prepared corpus index: the banded and shingle relations
+    * as parquet plus a tiny JSON meta. Incremental ingestion
+    * ([[extendCorpus]]) then survives process restarts, the way the
+    * vector indexes persist through `IndexStore` — a training pipeline
+    * builds the admission index once and every later crawl batch (or a
+    * different job entirely) reloads it instead of re-signaturing the
+    * whole ingested corpus. */
+  def saveCorpusIndex(idx: CorpusIndex, dir: String): Unit = {
+    import java.nio.file.Files
+    val p = java.nio.file.Paths.get(dir)
+    Files.createDirectories(p)
+    // write-new-then-swap: the index being saved may lazily READ from
+    // this very directory (an extend→save cycle on a loaded index), so
+    // the new relations land in *_tmp before the live dirs move aside
+    idx.banded.write.mode("overwrite").parquet(p.resolve("banded_tmp").toString)
+    idx.shingles.write.mode("overwrite").parquet(p.resolve("shingles_tmp").toString)
+    Seq("banded", "shingles").foreach { name =>
+      val live = p.resolve(name)
+      val old = p.resolve(s"${name}_old")
+      graft.core.Entity.deleteRecursively(old)
+      if (Files.exists(live)) Files.move(live, old)
+      try Files.move(p.resolve(s"${name}_tmp"), live)
+      catch { case e: Throwable =>
+        if (Files.exists(old)) Files.move(old, live); throw e }
+      graft.core.Entity.deleteRecursively(old)
+    }
+    Files.write(p.resolve("meta.json"),
+      s"""{"numHashes":${idx.numHashes},"numBands":${idx.numBands},"n":${idx.n}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Reload a [[saveCorpusIndex]] artifact (both relations persisted). */
+  def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession, dir: String): CorpusIndex = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.exists(p.resolve("meta.json")),
+      s"no corpus index at $dir")
+    val j = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(p.resolve("meta.json")),
+        java.nio.charset.StandardCharsets.UTF_8))
+    CorpusIndex(
+      spark.read.parquet(p.resolve("banded").toString).persist(MEMORY_AND_DISK),
+      spark.read.parquet(p.resolve("shingles").toString).persist(MEMORY_AND_DISK),
+      j.get("numHashes").asInt, j.get("numBands").asInt, j.get("n").asInt)
+  }
+
   /** Near-dup flags for incoming docs against a static reference corpus —
     * the admission check of a training-data pipeline ("is this
     * newly-crawled doc a near-duplicate of anything already ingested?").

@@ -195,6 +195,47 @@ class DedupTextSpec extends SparkSpec {
     idx.release()
   }
 
+  test("corpus index persists to disk and serves admission after reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusidx").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val built = Dedup.indexCorpus(corpus, "text", "doc_id")
+    Dedup.saveCorpusIndex(built, dir)
+    built.release()
+    val idx = Dedup.loadCorpusIndex(spark, dir)
+    idx.numHashes shouldBe 96
+    idx.numBands shouldBe 24
+    idx.n shouldBe 3
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (11L, "an entirely novel report about columnar execution engines at scale"))
+      .toDF("doc_id", "text")
+    Dedup.nearDupAgainstCorpus(batch, "text", "doc_id", idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((10L, 1L))
+    // extend → save → reload: the incremental ingestion cycle a restarted
+    // pipeline runs; the new doc must be visible after the round trip
+    val extended = Dedup.extendCorpus(idx,
+      batch.filter($"doc_id" === 11L), "text", "doc_id")
+    Dedup.saveCorpusIndex(extended, dir)
+    extended.release()
+    val reloaded = Dedup.loadCorpusIndex(spark, dir)
+    Dedup.nearDupAgainstCorpus(
+        Seq((20L, "an entirely novel report about columnar execution engines at speed"))
+          .toDF("doc_id", "text"), "text", "doc_id", reloaded, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((20L, 11L))
+    // save-over-self with a fully LAZY loaded index (no action in
+    // between): the write-new-then-swap must not eat its own source
+    Dedup.saveCorpusIndex(Dedup.loadCorpusIndex(spark, dir), dir)
+    val again = Dedup.loadCorpusIndex(spark, dir)
+    // doc 11 was ingested above, so it now self-flags alongside 10's dup
+    Dedup.nearDupAgainstCorpus(batch, "text", "doc_id", again, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((10L, 1L), (11L, 11L))
+    again.release()
+    reloaded.release()
+  }
+
   test("contamination check: containment flags a long doc containing a benchmark item") {
     val bench = Seq(
       (100L, "what is the capital of france paris is the capital of france"))
