@@ -614,6 +614,10 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
       .orderBy("source", "lang")),
 
+    "unigram_logppl" -> ((s, d) =>
+      TextAnalysis.unigramLogPerplexity(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
     "length_quantiles" -> ((s, d) => Tables.documents(s, d)
       // exact interpolated percentiles (rank = p·(n−1)) — both engines
       // implement the same continuous-quantile definition
@@ -1474,6 +1478,15 @@ object SparkEntry {
          | CAST(sum(n_chars) AS BIGINT) AS total_chars,
          | CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens
          |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "unigram_logppl" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_filter($duckToks, t -> length(t) > 0)) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+         |SELECT doc_id, round(avg(-ln(cnt / total)), 4) AS log_ppl
+         |FROM tk JOIN freq USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "length_quantiles" ->
       """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS p50,

@@ -498,6 +498,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           req.get("textCol").asText(), req.get("idCol").asText(), idx,
           if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
         finally idx.release()
+      case "/pipeline/logppl" =>
+        // corpus-frequency unigram LM scores (CCNet-style filter proxy)
+        pagedRows(out, graft.operators.TextAnalysis.unigramLogPerplexity(
+          entity(req, "entity").read(),
+          req.get("textCol").asText(), req.get("idCol").asText())
+          .orderBy("id"))
       case "/pipeline/chunks" =>
         // cross-document repeated spans (strided chunk hashing)
         pagedRows(out, graft.operators.Dedup.repeatedChunks(

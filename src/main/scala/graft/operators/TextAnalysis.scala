@@ -142,6 +142,28 @@ object TextAnalysis {
           col("bigram_cnt"), 4), lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Per-document unigram LM score: mean −ln p(token) under the corpus's
+    * OWN unigram distribution — the deterministic proxy for CCNet-style
+    * LM perplexity filtering (outlier docs whose tokens are rare in the
+    * corpus score high and get reviewed/dropped; boilerplate scores low).
+    *
+    * Scale shape: one explode of token instances, a token-keyed count
+    * (map-side combined), the scalar total broadcast, then a token-keyed
+    * join back and a per-doc average — two shuffles over token keys, the
+    * canonical frequency-join shape. No vocabulary ever collects to the
+    * driver. Docs with zero tokens are absent from the output (no
+    * instances to average). */
+  def unigramLogPerplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(round(avg(-log(col("cnt") / col("total"))), 4).as("log_ppl"))
+  }
+
   /** Per-ROW repetition signals — the zero-shuffle scale path of
     * [[repetitionSignals]] for the normal corpus layout where each row is
     * its own document. One codegen'd hash-map pass per row

@@ -296,6 +296,19 @@ class DedupTextSpec extends SparkSpec {
     got(3L) shouldBe "und"
   }
 
+  test("unigram log-perplexity matches hand-computed corpus frequencies") {
+    val d = Seq((0L, "a a b"), (1L, "b c"), (2L, "   ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .unigramLogPerplexity(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // freq: a=2, b=2, c=1, total=5
+    got(0L) shouldBe BigDecimal(-math.log(2.0 / 5))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(1L) shouldBe BigDecimal((-math.log(2.0 / 5) - math.log(1.0 / 5)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.keySet shouldBe Set(0L, 1L) // zero-token doc has no score
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich prose") {
     val d = Seq((1L, "the cat and the dog of the house went to the market in town"),
       (2L, ";;;;; !!!! ::::")).toDF("doc_id", "text")

@@ -296,6 +296,16 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     contaminated.get("ok").asBoolean() shouldBe true
     contaminated.get("rows").size() shouldBe 10 // every spam doc contains the item
 
+    // unigram LM scores: every doc scored; the 10 identical spam docs
+    // share one (low) score, tokens frequent in the corpus
+    val ppl = post("/pipeline/logppl",
+      """{"entity":"pipe","textCol":"txt","idCol":"did"}""")
+    ppl.get("ok").asBoolean() shouldBe true
+    val pplRows = ppl.get("rows").elements().asScala.toSeq
+    pplRows.size shouldBe 40
+    pplRows.filter(_.get("id").asInt() % 4 == 0)
+      .map(_.get("log_ppl").asDouble()).distinct.size shouldBe 1
+
     // repeated chunks: the 10 identical spam docs share their one 8-token
     // window; the 30 distinct docs share exactly the two windows that
     // avoid their varying "$i" token (starts 8 and 12)
