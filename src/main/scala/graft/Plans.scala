@@ -46,7 +46,11 @@ object Plans {
       ("semantic_dedup", "centroid assignment inline in the scan projection (no join)",
         Seq("sort_array")),
       ("corpus_mix_report", "map-side partial aggregation on (source, lang)",
-        Seq("partial_count", "HashAggregate")))
+        Seq("partial_count", "HashAggregate")),
+      ("unigram_logppl", "token-keyed partial counts; scalar total broadcast",
+        Seq("partial_count", "BroadcastNestedLoopJoin")),
+      ("knn_doc_lookup", "top-k bounds BEFORE the metadata join; doc side broadcast",
+        Seq("TakeOrderedAndProject", "BroadcastHashJoin")))
 
     // negative shape: these must not shuffle before their
     // (presentation-only) global sort — strip the final Sort's own range

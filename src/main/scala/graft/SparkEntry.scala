@@ -618,6 +618,31 @@ object SparkEntry {
       TextAnalysis.unigramLogPerplexity(Tables.documents(s, d), "text", "doc_id")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
+    "top_bigrams" -> ((s, d) => {
+      // most frequent bigrams across the corpus — the boilerplate
+      // detector a pipeline runs before writing filter rules; ties
+      // break on the gram text for a deterministic cut
+      val docs = Tables.documents(s, d)
+      docs.select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram").asc).limit(50)
+    }),
+
+    "knn_doc_lookup" -> ((s, d) => {
+      // similarity search with metadata return: top-20 nearest
+      // embeddings joined back to their documents (vec_id = doc_id on
+      // the synthetic tables) — the result a retrieval caller actually
+      // wants. The doc side joins AFTER the top-k, so only k rows join.
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val top = Knn.knn(emb, Distances.euclidean(col("embedding"),
+        Distances.vecLit(q)), 20, col("vec_id"))
+      top.join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"),
+          col("lang"), col("source"))
+        .orderBy("distance", "vec_id")
+    }),
+
     "length_quantiles" -> ((s, d) => Tables.documents(s, d)
       // exact interpolated percentiles (rank = p·(n−1)) — both engines
       // implement the same continuous-quantile definition
@@ -1478,6 +1503,26 @@ object SparkEntry {
          | CAST(sum(n_chars) AS BIGINT) AS total_chars,
          | CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens
          |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "top_bigrams" ->
+      s"""WITH sh AS (
+         | SELECT unnest(list_distinct(
+         |  CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |   ELSE list_transform(generate_series(1, len(toks)-1),
+         |     i -> array_to_string(toks[i:i+1], ' ')) END)) AS bigram
+         | FROM (SELECT string_split($duckNorm, ' ') AS toks FROM documents)
+         |)
+         |SELECT bigram, count(*) AS n_docs FROM sh GROUP BY bigram
+         |ORDER BY n_docs DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "knn_doc_lookup" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |top AS (
+         | SELECT e.vec_id, sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")}) AS d
+         | FROM embeddings e, q ORDER BY d, vec_id LIMIT 20)
+         |SELECT t.vec_id, round(d, 4) AS distance, doc.lang, doc.source
+         |FROM top t JOIN documents doc ON t.vec_id = doc.doc_id
+         |ORDER BY distance, vec_id""".stripMargin,
 
     "unigram_logppl" ->
       s"""WITH tk AS (SELECT doc_id,
