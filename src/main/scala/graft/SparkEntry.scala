@@ -618,15 +618,12 @@ object SparkEntry {
       TextAnalysis.unigramLogPerplexity(Tables.documents(s, d), "text", "doc_id")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
-    "top_bigrams" -> ((s, d) => {
+    "top_bigrams" -> ((s, d) =>
       // most frequent bigrams across the corpus — the boilerplate
       // detector a pipeline runs before writing filter rules; ties
       // break on the gram text for a deterministic cut
-      val docs = Tables.documents(s, d)
-      docs.select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("n_docs").desc, col("bigram").asc).limit(50)
-    }),
+      Dedup.topNgrams(Tables.documents(s, d), "text", "doc_id", n = 2, k = 50)
+        .withColumnRenamed("ngram", "bigram")),
 
     "knn_doc_lookup" -> ((s, d) => {
       // similarity search with metadata return: top-20 nearest

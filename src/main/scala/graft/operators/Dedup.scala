@@ -77,6 +77,30 @@ object Dedup {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Corpus-wide most frequent word n-grams (counted once per document)
+    * — the boilerplate detector a pipeline runs before writing filter
+    * rules. Same shingle semantics as [[shingles]] (short docs collapse
+    * to one whole-text shingle), but built explode-first: the
+    * interpreted-HOF form re-evaluates the token subtree per element
+    * (O(tokens²) per row — measured, see SCALING.md), while here each
+    * (row, offset) pair slices an already-bound attribute once. */
+  def topNgrams(df: DataFrame, textCol: String, idCol: String,
+                n: Int, k: Int): DataFrame = {
+    require(n > 0 && k > 0, "n and k must be positive")
+    val norm = df.select(col(idCol).as("doc"),
+      split(normalize(col(textCol)), " ").as("t"))
+    val small = norm.filter(size(col("t")) <= n)
+      .select(col("doc"), array_join(col("t"), " ").as("ngram"))
+    val big = norm.filter(size(col("t")) > n)
+      .select(col("doc"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("s"))
+      .select(col("doc"),
+        array_join(slice(col("t"), col("s") + 1, lit(n)), " ").as("ngram"))
+    small.union(big).distinct() // per-doc distinct, like shingles()
+      .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram").asc).limit(k)
+  }
+
   /** Word n-gram shingles of the normalized text (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val ts = split(normalize(text), " ")
