@@ -65,6 +65,29 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Watermarked stream-stream interval join: correlate each left event
+    * with right events of the SAME user within `(0, within]` after it —
+    * the click→conversion attribution shape. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so Spark can size the join state buffers and
+    * garbage-collect rows whose match window has provably passed — the
+    * requirement for running this on two unbounded 100 TB/day feeds.
+    * Works identically on bounded frames (batch backfill). */
+  def correlate(left: DataFrame, right: DataFrame, within: String,
+                watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("user_id"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("user_id"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      l("user_id") === r("user_id") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(l("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

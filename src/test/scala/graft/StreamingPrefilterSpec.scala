@@ -103,6 +103,33 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates events within the bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long, String)]
+    val memR = MemoryStream[(Long, Timestamp, Long, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val q = EventStream.correlate(
+        memL.toDF().toDF(cols: _*), memR.toDF().toDF(cols: _*),
+        within = "10 minutes")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    try {
+      // user 1: click at t5, purchase at t9 (within 10m) and t40 (beyond);
+      // user 2: purchase with NO prior click — never correlated
+      memL.addData((1L, ts(5), 1L, "click"))
+      memR.addData((100L, ts(9), 1L, "purchase"), (101L, ts(40), 1L, "purchase"),
+        (102L, ts(9), 2L, "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks far past every match window to flush
+      memL.addData((2L, ts(300), 9L, "click"))
+      memR.addData((199L, ts(300), 9L, "noise"))
+      q.processAllAvailable()
+      val rows = spark.table("correlated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      rows shouldBe Set((1L, 1L, 100L))
+    } finally q.stop()
+  }
+
   test("per-row quality verdicts run natively on a stream (stateless map stage)") {
     // the zero-shuffle kernel form needs no foreachBatch: it is a pure
     // projection, so Structured Streaming accepts it directly
