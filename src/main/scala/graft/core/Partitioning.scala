@@ -30,6 +30,14 @@ object Partitioning {
     * the only mode whose pruned reads are LOSSLESS for predicates on
     * the key (Ecp leader-skip is approximate by construction). */
   case class ByColumn(keyCol: String) extends Mode
+  /** Z-order (Morton-curve) clustering on two numeric columns: rows are
+    * range-partitioned AND sorted by the interleaved bits of each
+    * column's min-max-normalized 16-bit value, so every output file
+    * covers a small rectangle in (c1, c2) space — parquet min/max
+    * row-group stats then prune scans filtered on EITHER column (a
+    * single-column sort only helps its own column). The lakehouse
+    * multi-dimension clustering tool at 100 TB. */
+  case class ZOrder(col1: String, col2: String, n: Int) extends Mode
 
   /** KMeans leaders trained on a bounded sample (≤5000 rows). */
   def trainLeaders(df: DataFrame, vecCol: String, k: Int): Array[Array[Double]] = {
@@ -62,6 +70,33 @@ object Partitioning {
       centers.zipWithIndex.map { case (c, i) => (i, c, 0L) })
   }
 
+  /** Interleave the low 16 bits of two longs (Morton code) with the
+    * standard bit-spread magic numbers — pure Column arithmetic, stays
+    * in codegen. */
+  private def morton(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      // 0x0000ffff -> one zero bit between every payload bit
+      val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+      (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-value column: each input min-max-normalized to 16 bits (one tiny
+    * two-value agg collected per column pair), then bit-interleaved. */
+  private def zValue(df: DataFrame, c1: String, c2: String): Column = {
+    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), floor(
+        (col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+    morton(norm(c1, r.getDouble(0), r.getDouble(1)),
+      norm(c2, r.getDouble(2), r.getDouble(3)))
+  }
+
   /** Returns the repartitioned frame; Ecp additionally appends the
     * `ap_partition` leader column (callers write with
     * `partitionBy(PartitionCol)`). */
@@ -72,6 +107,14 @@ object Partitioning {
       ecpAssign(df, vecCol, k)._1.repartition(col(PartitionCol))
     case ByColumn(c) =>
       df.withColumn(PartitionCol, col(c)).repartition(col(PartitionCol))
+    case ZOrder(c1, c2, n) =>
+      // range-partition + in-partition sort on the Morton code: files
+      // cover small (c1, c2) rectangles; the helper column is dropped
+      // so the layout is invisible to readers beyond the stats
+      df.withColumn("__zv", zValue(df, c1, c2))
+        .repartitionByRange(n, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .drop("__zv")
   }
 
   /** Write with physical layout matching the partitioning mode; for Ecp

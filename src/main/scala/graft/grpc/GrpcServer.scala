@@ -481,6 +481,9 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           case "bycolumn" =>
             require(attrs.nonEmpty, "bycolumn partitioner needs the key attribute")
             graft.core.Partitioning.ByColumn(attrs.head)
+          case "zorder" =>
+            require(attrs.size >= 2, "zorder partitioner needs two attributes")
+            graft.core.Partitioning.ZOrder(attrs(0), attrs(1), math.max(n, 1))
           case other => throw new IllegalArgumentException(s"unknown partitioner: $other")
         }
         Entity.open(spark, base, str(req, "entity")).partitionLayout(mode)

@@ -373,6 +373,17 @@ class GrpcSpec extends SparkSpec {
         .setField(rp.findFieldByName("partitioner"), "bycolumn")
         .build())) shouldBe true
 
+    // zorder layout over the wire (degenerate two-copies-of-one-column
+    // case; the locality property itself is covered in PlannerSpec)
+    ackOk(call(mdDef("RepartitionEntityData", "RepartitionMessage", "AckMessage"),
+      Proto.newMsg("RepartitionMessage")
+        .setField(rp.findFieldByName("entity"), "rpcdml")
+        .setField(rp.findFieldByName("numberOfPartitions"), Integer.valueOf(4))
+        .addRepeatedField(rp.findFieldByName("attributes"), "ap_id")
+        .addRepeatedField(rp.findFieldByName("attributes"), "ap_id")
+        .setField(rp.findFieldByName("partitioner"), "zorder")
+        .build())) shouldBe true
+
     val sp = Proto.msg("SparsifyEntityMessage")
     ackOk(call(mdDef("SparsifyEntity", "SparsifyEntityMessage", "AckMessage"),
       Proto.newMsg("SparsifyEntityMessage")

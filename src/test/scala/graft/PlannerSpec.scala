@@ -308,4 +308,34 @@ class PlannerSpec extends SparkSpec {
     Partitioning.repartition(data, Partitioning.Hash(Seq("intfield"), 4)).rdd.getNumPartitions shouldBe 4
     Partitioning.repartition(data, Partitioning.Random(6)).rdd.getNumPartitions shouldBe 6
   }
+
+  test("zorder repartition clusters both dimensions into small rectangles") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y").repartition(8) // scrambled input
+    val z = Partitioning.repartition(grid, Partitioning.ZOrder("x", "y", 16))
+    z.rdd.getNumPartitions shouldBe 16
+    z.columns.toSeq shouldBe Seq("x", "y") // helper column dropped
+    z.count() shouldBe 4096
+    // every output partition's bounding box must cover a SMALL rectangle
+    // of the 64x64 grid — a contiguous Morton range of length L has
+    // bbox area O(L); random placement would give ~4096 per partition
+    import org.apache.spark.sql.functions.{spark_partition_id, min => mn, max => mx}
+    val boxes = z.withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(mn("x").as("x0"), mx("x").as("x1"), mn("y").as("y0"), mx("y").as("y1"))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    boxes.foreach { case (x0, x1, y0, y1) =>
+      val area = (x1 - x0 + 1).toLong * (y1 - y0 + 1)
+      area should be <= 1024L // 4x the ideal 256-cell tile, far below 4096
+    }
+    // a single-dimension sort CANNOT bound the other dimension: with the
+    // same budget, sorting by x alone leaves full-range y boxes
+    val bySort = grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+    val yRanges = bySort.withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(mn("y").as("y0"), mx("y").as("y1")).collect()
+      .map(r => r.getInt(2) - r.getInt(1) + 1)
+    yRanges.max shouldBe 64 // x-sort gives no y locality — zorder does
+  }
 }
