@@ -799,6 +799,24 @@ object SparkEntry {
         "doc_id", "tok_cnt", budget = 512L, nShards = 8)
         .orderBy("id")),
 
+    "pipeline_end_to_end" -> ((s, d) => {
+      // the whole training-data pipeline as ONE declarative plan:
+      // quality floor → exact dedup → SemDeDup survivors (over the
+      // docs' embeddings) → sequence packing of what remains. Every
+      // stage is the verified operator above; Catalyst fuses the lot.
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val floor = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val ex = Dedup.dropExactDups(floor, "text", "doc_id")
+      val joined = ex.join(emb, col("doc_id") === col("vec_id"))
+      val surv = Ann.semanticDedupSurvivors(joined, "doc_id", "embedding",
+        seedCentroids(emb, 16), 0.35)
+      Packing.chunkAssignments(
+        surv.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tok_cnt")),
+        "doc_id", "tok_cnt", budget = 512L, nShards = 8)
+        .orderBy("id")
+    }),
+
     "pack_chunk_rows" -> ((s, d) =>
       Packing.chunkRows(
         Tables.documents(s, d).select(col("doc_id"),
@@ -1876,6 +1894,50 @@ object SparkEntry {
          |FROM sig a, sig b
          |WHERE a.doc_id >= 400 AND b.doc_id < 400 AND bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY in_id, corpus_id""".stripMargin,
+
+    "pipeline_end_to_end" -> {
+      val quality =
+        s"""( least(length(text) / 200.0, 1.0)
+           |  + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
+           |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
+           | ) / 3.0""".stripMargin
+      val dotNC = duckSum("CAST(n.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotCC = duckSum("CAST(c.cv[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)")
+      val dotEE = duckSum("CAST(em.embedding[i] AS DOUBLE)*CAST(em.embedding[i] AS DOUBLE)")
+      val dotAB = duckSum("CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)")
+      s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $quality >= 0.5),
+         |ex AS (SELECT doc_id, text FROM q
+         |       QUALIFY row_number() OVER (PARTITION BY md5($duckNorm) ORDER BY doc_id) = 1),
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |       embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |n AS (SELECT e.doc_id, e.text, em.embedding, sqrt($dotEE) AS nrm
+         |      FROM ex e JOIN embeddings em ON e.doc_id = em.vec_id),
+         |sim AS (SELECT n.doc_id, c.cid,
+         |  CASE WHEN sqrt($dotCC) < 1e-5 OR n.nrm < 1e-5 THEN 0.0
+         |       ELSE $dotNC / (n.nrm * sqrt($dotCC)) END AS cs
+         |  FROM n, c),
+         |best AS (SELECT doc_id, cid AS cluster FROM sim
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cs DESC, cid ASC) = 1),
+         |nb AS (SELECT b.cluster, n.doc_id, n.text, n.embedding, n.nrm
+         |       FROM n JOIN best b ON n.doc_id = b.doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN a.nrm < 1e-5 OR b.nrm < 1e-5 THEN 0.0
+         |         ELSE $dotAB / (a.nrm * b.nrm) END AS cs
+         |  FROM nb a JOIN nb b ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+         |surv AS (SELECT doc_id, text FROM nb
+         |  WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE cs >= 0.35)),
+         |t AS (SELECT doc_id AS id, CAST(len($duckToks) AS BIGINT) AS tok,
+         |        ${duckRawHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM surv),
+         |packed AS (SELECT id, shard, tok,
+         |  CAST(sum(tok) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS end_off FROM t)
+         |SELECT id, shard, end_off - tok AS start_off,
+         |       (end_off - tok) // 512 AS first_chunk,
+         |       CASE WHEN tok = 0 THEN 0
+         |            ELSE (end_off - 1) // 512 - (end_off - tok) // 512 + 1 END AS n_chunks
+         |FROM packed ORDER BY id""".stripMargin
+    },
 
     "pack_chunks" ->
       s"""WITH t AS (SELECT doc_id AS id, CAST(len($duckToks) AS BIGINT) AS tok,
