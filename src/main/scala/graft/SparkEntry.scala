@@ -808,7 +808,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val floor = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
       val ex = Dedup.dropExactDups(floor, "text", "doc_id")
+      // the cleaned frame feeds the pair join twice (a/b sides) and the
+      // final anti-join — materialize it ONCE, call-scoped, or the
+      // quality scan + dedup window + join replay per reference (same
+      // pattern as dedupPipeline's internal checkpoint)
       val joined = ex.join(emb, col("doc_id") === col("vec_id"))
+        .localCheckpoint(true)
       val surv = Ann.semanticDedupSurvivors(joined, "doc_id", "embedding",
         seedCentroids(emb, 16), 0.35)
       Packing.chunkAssignments(
