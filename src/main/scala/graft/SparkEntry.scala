@@ -618,6 +618,11 @@ object SparkEntry {
       TextAnalysis.unigramLogPerplexity(Tables.documents(s, d), "text", "doc_id")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
+    "chunk_text" -> ((s, d) =>
+      TextAnalysis.chunkText(Tables.documents(s, d), "text", "doc_id",
+          window = 128, stride = 96)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id", "chunk_idx")),
+
     "top_bigrams" -> ((s, d) =>
       // most frequent bigrams across the corpus — the boilerplate
       // detector a pipeline runs before writing filter rules; ties
@@ -1543,6 +1548,17 @@ object SparkEntry {
          |SELECT t.vec_id, round(d, 4) AS distance, doc.lang, doc.source
          |FROM top t JOIN documents doc ON t.vec_id = doc.doc_id
          |ORDER BY distance, vec_id""".stripMargin,
+
+    "chunk_text" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter($duckToks, t -> length(t) > 0) AS t FROM documents),
+         |w AS (SELECT doc_id, t,
+         |  unnest(generate_series(0, CAST(ceil(len(t) / 96.0) AS BIGINT) * 96 - 96, 96)) AS s
+         |  FROM toks WHERE len(t) > 0)
+         |SELECT doc_id, s // 96 AS chunk_idx,
+         |  array_to_string(t[s+1:s+128], ' ') AS chunk_text,
+         |  least(128, len(t) - s) AS n_tokens
+         |FROM w WHERE s < len(t) ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "unigram_logppl" ->
       s"""WITH tk AS (SELECT doc_id,

@@ -142,6 +142,32 @@ object TextAnalysis {
           col("bigram_cnt"), 4), lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Overlapping text chunks for embedding/RAG pipelines: token windows
+    * of `window` tokens advancing by `stride` (< window ⇒ overlap), the
+    * final partial window kept so no tail text is lost. Explode-first
+    * like [[Dedup.repeatedChunks]] — no HOF re-evaluation. Output:
+    * (id, chunk_idx, chunk_text, n_tokens). */
+  def chunkText(df: DataFrame, textCol: String, idCol: String,
+                window: Int = 128, stride: Int = 96): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val withToks = df.select(col(idCol).as("id"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("t"))
+      .filter(size(col("t")) > 0)
+    // last start: largest multiple of stride < size (so a doc shorter
+    // than `window` still emits its one partial chunk, and no chunk
+    // starts past the end)
+    withToks
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0),
+          greatest(ceil(size(col("t")).cast("double") / stride).cast("long") - 1, lit(0L)) * stride,
+          lit(stride))).as("s"))
+      .filter(col("s") < size(col("t")))
+      .select(col("id"), (col("s") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("s") + 1, lit(window)), " ").as("chunk_text"),
+        least(lit(window), size(col("t")) - col("s")).cast("long").as("n_tokens"))
+  }
+
   /** Per-document unigram LM score: mean −ln p(token) under the corpus's
     * OWN unigram distribution — the deterministic proxy for CCNet-style
     * LM perplexity filtering (outlier docs whose tokens are rare in the

@@ -296,6 +296,24 @@ class DedupTextSpec extends SparkSpec {
     got(3L) shouldBe "und"
   }
 
+  test("chunkText: overlapping windows cover the whole doc; tail kept") {
+    val d = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 0, 4, 8
+      (1L, "a b c"),                                  // shorter than window
+      (2L, "")                                        // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .chunkText(d, "text", "doc_id", window = 6, stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    got((0L, 0L)) shouldBe (("t1 t2 t3 t4 t5 t6", 6L))
+    got((0L, 1L)) shouldBe (("t5 t6 t7 t8 t9 t10", 6L)) // overlap of 2
+    got((0L, 2L)) shouldBe (("t9 t10", 2L))             // partial tail
+    got((1L, 0L)) shouldBe (("a b c", 3L))
+    got.keySet shouldBe Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L))
+  }
+
   test("unigram log-perplexity matches hand-computed corpus frequencies") {
     val d = Seq((0L, "a a b"), (1L, "b c"), (2L, "   ")).toDF("doc_id", "text")
     val got = graft.operators.TextAnalysis
