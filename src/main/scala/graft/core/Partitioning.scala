@@ -89,10 +89,14 @@ object Partitioning {
   private def zValue(df: DataFrame, c1: String, c2: String): Column = {
     val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    // an empty (or all-null) frame aggregates to nulls — any constant
+    // z-value is vacuously correct there
+    if (r.isNullAt(0) || r.isNullAt(2)) return lit(0L)
     def norm(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else least(lit(65535L), floor(
-        (col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+        (coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) / lit(hi - lo) * 65536.0)
+        .cast("long"))
     morton(norm(c1, r.getDouble(0), r.getDouble(1)),
       norm(c2, r.getDouble(2), r.getDouble(3)))
   }

@@ -337,5 +337,13 @@ class PlannerSpec extends SparkSpec {
       .groupBy("pid").agg(mn("y").as("y0"), mx("y").as("y1")).collect()
       .map(r => r.getInt(2) - r.getInt(1) + 1)
     yRanges.max shouldBe 64 // x-sort gives no y locality — zorder does
+
+    // degenerate inputs must not crash: empty frame, null values
+    Partitioning.repartition(grid.filter($"x" < 0),
+      Partitioning.ZOrder("x", "y", 4)).count() shouldBe 0
+    val withNulls = Seq((Some(1), Some(2)), (None, Some(5)), (Some(3), None))
+      .toDF("x", "y")
+    Partitioning.repartition(withNulls,
+      Partitioning.ZOrder("x", "y", 2)).count() shouldBe 3
   }
 }
