@@ -623,6 +623,10 @@ object SparkEntry {
           window = 128, stride = 96)
         .withColumnRenamed("id", "doc_id").orderBy("doc_id", "chunk_idx")),
 
+    "hash_features" -> ((s, d) =>
+      TextAnalysis.hashFeatures(Tables.documents(s, d), "text", "doc_id", dim = 64)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
     "top_bigrams" -> ((s, d) =>
       // most frequent bigrams across the corpus — the boilerplate
       // detector a pipeline runs before writing filter rules; ties
@@ -1548,6 +1552,18 @@ object SparkEntry {
          |SELECT t.vec_id, round(d, 4) AS distance, doc.lang, doc.source
          |FROM top t JOIN documents doc ON t.vec_id = doc.doc_id
          |ORDER BY distance, vec_id""".stripMargin,
+
+    "hash_features" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_filter($duckToks, t -> length(t) > 0)) AS tok FROM documents),
+         |cnts AS (SELECT doc_id, ${duckRawHash("tok")} % 64 AS idx, count(*) AS cnt
+         |         FROM tk GROUP BY doc_id, idx),
+         |dense AS (SELECT g.doc_id, u.i, coalesce(c.cnt, 0) AS cnt
+         |          FROM (SELECT DISTINCT doc_id FROM tk) g
+         |          CROSS JOIN generate_series(0, 63) u(i)
+         |          LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.idx = u.i)
+         |SELECT doc_id, list(cnt ORDER BY i) AS features
+         |FROM dense GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "chunk_text" ->
       s"""WITH toks AS (SELECT doc_id,

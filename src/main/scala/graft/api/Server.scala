@@ -498,6 +498,18 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           req.get("textCol").asText(), req.get("idCol").asText(), idx,
           if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
         finally idx.release()
+      case "/pipeline/quality_score" =>
+        // train the fastText-style linear filter on a labeled entity
+        // (labelCol = +1 keep / -1 drop), score the target entity
+        import graft.operators.QualityClassifier
+        val textCol = req.get("textCol").asText()
+        val idCol = req.get("idCol").asText()
+        val w = QualityClassifier.train(
+          entity(req, "labeled").read(), textCol, idCol,
+          req.get("labelCol").asText(),
+          dim = if (req.has("dim")) req.get("dim").asInt() else 64)
+        pagedRows(out, QualityClassifier.score(
+          entity(req, "entity").read(), textCol, idCol, w).orderBy("id"))
       case "/pipeline/logppl" =>
         // corpus-frequency unigram LM scores (CCNet-style filter proxy)
         pagedRows(out, graft.operators.TextAnalysis.unigramLogPerplexity(

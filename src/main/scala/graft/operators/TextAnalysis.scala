@@ -168,6 +168,26 @@ object TextAnalysis {
         least(lit(window), size(col("t")) - col("s")).cast("long").as("n_tokens"))
   }
 
+  /** Hashing-trick featurization (the HashingTF / fastText input shape):
+    * token counts folded into `dim` buckets through the portable
+    * SQL-replayable key hash. Output `(id, features array<long>)` —
+    * dense counts, every bucket present. The distributed shape is
+    * explode → (id, bucket) count → per-doc map fold; only (id, bucket,
+    * count) triples shuffle, never the text. Zero-token docs are
+    * absent (no features to emit). */
+  def hashFeatures(df: DataFrame, textCol: String, idCol: String,
+                   dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val tk = df.select(col(idCol).as("id"),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("tok"))
+    tk.select(col("id"), pmod(Sampling.keyHash(col("tok")), lit(dim.toLong)).as("idx"))
+      .groupBy("id", "idx").agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("cnt")))).as("m"))
+      .select(col("id"), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))).as("features"))
+  }
+
   /** Per-document unigram LM score: mean −ln p(token) under the corpus's
     * OWN unigram distribution — the deterministic proxy for CCNet-style
     * LM perplexity filtering (outlier docs whose tokens are rare in the

@@ -296,6 +296,41 @@ class DedupTextSpec extends SparkSpec {
     got(3L) shouldBe "und"
   }
 
+  test("hashFeatures: dense bucket counts, stable hashing, zero-token docs absent") {
+    val d = Seq((0L, "a b a"), (1L, "a"), (2L, "   ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.hashFeatures(d, "text", "doc_id", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got.keySet shouldBe Set(0L, 1L)
+    got(0L).sum shouldBe 3L // 3 token instances
+    got(1L).sum shouldBe 1L
+    got(0L).length shouldBe 8
+    // "a" hashes to the same bucket in both docs: doc0's count there is 2x doc1's
+    val aBucket = got(1L).indexWhere(_ > 0)
+    got(0L)(aBucket) shouldBe 2L
+  }
+
+  test("learned quality classifier separates prose from spam") {
+    val prose = (0 until 20).map(i =>
+      (i.toLong, s"the quick analysis of the data shows that the result number $i " +
+        "is within the expected range and the model performs well on this task"))
+    val spam = (100 until 120).map(i =>
+      (i.toLong, s"buy$i buy$i buy$i zzz$i zzz$i zzz$i click click click click"))
+    val labeled = (prose.map { case (id, t) => (id, t, 1) } ++
+      spam.map { case (id, t) => (id, t, -1) }).toDF("doc_id", "text", "label")
+    val w = graft.operators.QualityClassifier.train(
+      labeled, "text", "doc_id", "label", dim = 64)
+    w should have size 64
+    val scores = graft.operators.QualityClassifier.score(
+        labeled, "text", "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val proseScores = prose.map(p => scores(p._1))
+    val spamScores = spam.map(p => scores(p._1))
+    proseScores.min should be > spamScores.max // clean margin on train set
+    // determinism: retraining yields identical weights
+    graft.operators.QualityClassifier.train(
+      labeled, "text", "doc_id", "label", dim = 64) shouldBe w
+  }
+
   test("chunkText: overlapping windows cover the whole doc; tail kept") {
     val d = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 0, 4, 8

@@ -320,6 +320,26 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"pipe"}""")
   }
 
+  test("learned quality filter over the wire: train on labels, score an entity") {
+    post("/entity/create", """{"name":"lblq"}""").get("ok").asBoolean() shouldBe true
+    val rows = ((0 until 10).map(i =>
+      s"""{"did":$i,"txt":"the careful analysis of the data shows the result $i is fine","lbl":1}""") ++
+      (100 until 110).map(i =>
+        s"""{"did":$i,"txt":"buy$i buy$i buy$i spam spam spam click click","lbl":-1}"""))
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"lblq","rows":$rows}""")
+      .get("inserted").asInt() shouldBe 20
+    val scored = post("/pipeline/quality_score",
+      """{"entity":"lblq","labeled":"lblq","textCol":"txt","idCol":"did","labelCol":"lbl"}""")
+    scored.get("ok").asBoolean() shouldBe true
+    val byId = scored.get("rows").elements().asScala.toSeq
+      .map(r => r.get("id").asInt() -> r.get("score").asDouble()).toMap
+    byId.size shouldBe 20
+    (0 until 10).map(byId(_)).min should be >
+      (100 until 110).map(byId(_)).max
+    post("/entity/drop", """{"name":"lblq"}""")
+  }
+
   test("semantic dedup over the wire: survivors and pair forms") {
     post("/entity/create", """{"name":"sem"}""").get("ok").asBoolean() shouldBe true
     // ids 0/1 double as the k=2 centroids; 2 near-dups 0, 4 near-dups 1,
