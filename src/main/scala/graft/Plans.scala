@@ -50,7 +50,9 @@ object Plans {
       ("unigram_logppl", "token-keyed partial counts; scalar total broadcast",
         Seq("partial_count", "BroadcastNestedLoopJoin")),
       ("knn_doc_lookup", "top-k bounds BEFORE the metadata join; doc side broadcast",
-        Seq("TakeOrderedAndProject", "BroadcastHashJoin")))
+        Seq("TakeOrderedAndProject", "BroadcastHashJoin")),
+      ("hash_features", "bucket counts partial-aggregate before the id shuffle",
+        Seq("partial_count", "HashAggregate")))
 
     // negative shape: these must not shuffle before their
     // (presentation-only) global sort — strip the final Sort's own range
