@@ -297,6 +297,26 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       } catch { case e: Exception => propertiesMsg(ok = false, e.getMessage, Nil) }
     }
 
+    // per-attribute properties (reference getAttributeProperties,
+    // DataDefintion.scala:452-463): declared type, serving storage
+    // handler (primary parquet or the attribute group's handler), and
+    // the indexes defined over the attribute
+    u("GetAttributeProperties", "AttributePropertiesMessage", "PropertiesMessage") { req =>
+      try {
+        val e = Entity.open(spark, base, str(req, "entity"))
+        val attribute = str(req, "attribute")
+        val f = e.read().schema.fields.find(_.name == attribute).getOrElse(
+          throw new IllegalArgumentException(s"no such attribute: $attribute"))
+        val group = e.attributeGroups.find(_.attrs.contains(attribute))
+        propertiesMsg(ok = true, "", Seq(
+          "type" -> ProtoImportExport.typeNameOf(f.dataType),
+          "handler" -> group.map(_.handler).getOrElse("parquet"),
+          "store" -> group.map(_.store).getOrElse(""),
+          "indexes" -> e.listIndexes.filter(_.endsWith(s"_$attribute"))
+            .sorted.mkString(",")))
+      } catch { case e: Exception => propertiesMsg(ok = false, e.getMessage, Nil) }
+    }
+
     u("GetIndexProperties", "IndexPropertiesMessage", "PropertiesMessage") { req =>
       try {
         val e = Entity.open(spark, base, str(req, "entity"))

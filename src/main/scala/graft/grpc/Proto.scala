@@ -176,6 +176,9 @@ object Proto {
     .addMessageType(message("IndexPropertiesMessage",
       field("entity", 1, Type.TYPE_STRING),
       field("index", 2, Type.TYPE_STRING)))
+    .addMessageType(message("AttributePropertiesMessage",
+      field("entity", 1, Type.TYPE_STRING),
+      field("attribute", 2, Type.TYPE_STRING)))
     .addMessageType(DescriptorProto.newBuilder().setName("PropertiesMessage")
       .addNestedType(DescriptorProto.newBuilder().setName("PropertiesEntry")
         .setOptions(MessageOptions.newBuilder().setMapEntry(true))

@@ -430,6 +430,35 @@ class GrpcSpec extends SparkSpec {
     kv("count") shouldBe "25"
     kv("schema") shouldBe "label:string,vec:vector"
 
+    // per-attribute properties: type + serving handler (primary parquet
+    // here; a grouped attribute would report its group's handler)
+    def attrProps(attribute: String): Map[String, String] = {
+      val apD = Proto.msg("AttributePropertiesMessage")
+      val r = call(mdDef("GetAttributeProperties", "AttributePropertiesMessage",
+        "PropertiesMessage"),
+        Proto.newMsg("AttributePropertiesMessage")
+          .setField(apD.findFieldByName("entity"), "rpcprops")
+          .setField(apD.findFieldByName("attribute"), attribute).build())
+      ackOk(sub(r, "ack")) shouldBe true
+      r.getField(pd.findFieldByName("properties"))
+        .asInstanceOf[java.util.List[_]].asScala.map { e =>
+          val em = e.asInstanceOf[DynamicMessage]
+          em.getField(entryD.findFieldByName("key")).asInstanceOf[String] ->
+            em.getField(entryD.findFieldByName("value")).asInstanceOf[String]
+        }.toMap
+    }
+    attrProps("vec") shouldBe Map(
+      "type" -> "vector", "handler" -> "parquet", "store" -> "", "indexes" -> "")
+    attrProps("label")("type") shouldBe "string"
+    // a missing attribute is an error ack, not a crash
+    val apD = Proto.msg("AttributePropertiesMessage")
+    val bad = call(mdDef("GetAttributeProperties", "AttributePropertiesMessage",
+      "PropertiesMessage"),
+      Proto.newMsg("AttributePropertiesMessage")
+        .setField(apD.findFieldByName("entity"), "rpcprops")
+        .setField(apD.findFieldByName("attribute"), "nope").build())
+    ackOk(sub(bad, "ack")) shouldBe false
+
     // vectors are real 8-dim arrays: a kNN over them works
     val qRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
       queryMsg("rpcprops", "p1", Some(("vec", Seq.fill(8)(0.5f), "euclidean", 3))))
