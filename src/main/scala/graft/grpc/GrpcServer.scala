@@ -913,9 +913,34 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
             // page cap mirrors the HTTP front door (Server.scala): a bare
             // boolean scan is unbounded, and the response must collect
             (QueryOps.booleanQuery(df, ps).limit(500), "boolean scan")
+          case _ if req.hasField(qd.findFieldByName("projection")) =>
+            // projection-only query (e.g. COUNT over the whole entity)
+            (df, "entity scan")
           case _ => throw new IllegalArgumentException("query needs nnq and/or bq")
         }
-        resultsMessage(res, source, queryid)
+        // optional projection wrapper (reference prepareProjectionExpression,
+        // MessageParser.scala:242-266): attribute subset, then an optional
+        // COUNT / EXISTS / DISTINCT operation
+        val projected =
+          if (!req.hasField(qd.findFieldByName("projection"))) res
+          else {
+            val pm = sub(req, "projection")
+            val attrs = pm.getField(
+              msg("ProjectionMessage").findFieldByName("attribute"))
+              .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
+            import graft.operators.Projections
+            // row-returning forms share the boolean-scan page cap (the
+            // response collects); count/exists aggregate to one row
+            str(pm, "op").toLowerCase match {
+              case "" => Projections.project(res, attrs).limit(500)
+              case "count" => Projections.countRows(Projections.project(res, attrs))
+              case "exists" => Projections.existsRows(Projections.project(res, attrs))
+              case "distinct" => Projections.distinctRows(res, attrs).limit(500)
+              case other =>
+                throw new IllegalArgumentException(s"unknown projection op: $other")
+            }
+          }
+        resultsMessage(projected, source, queryid)
       } catch { case e: Exception => errorResults(e.getMessage) }
   }
 

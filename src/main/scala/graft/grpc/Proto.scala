@@ -133,6 +133,9 @@ object Proto {
     .addMessageType(message("BooleanQueryMessage",
       field("where", 1, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
         ".adam.WhereMessage")))
+    .addMessageType(message("ProjectionMessage",
+      field("attribute", 1, Type.TYPE_STRING, Label.LABEL_REPEATED),
+      field("op", 2, Type.TYPE_STRING)))
     .addMessageType(message("QueryMessage",
       field("queryid", 1, Type.TYPE_STRING),
       field("from", 2, Type.TYPE_MESSAGE, typeName = ".adam.FromMessage"),
@@ -140,7 +143,9 @@ object Proto {
         typeName = ".adam.NearestNeighbourQueryMessage"),
       field("bq", 4, Type.TYPE_MESSAGE, typeName = ".adam.BooleanQueryMessage"),
       field("hints", 5, Type.TYPE_STRING, Label.LABEL_REPEATED),
-      field("time", 6, Type.TYPE_INT64)))
+      field("time", 6, Type.TYPE_INT64),
+      field("projection", 7, Type.TYPE_MESSAGE,
+        typeName = ".adam.ProjectionMessage")))
     .addMessageType(message("IndexMessage",
       field("entity", 1, Type.TYPE_STRING),
       field("attribute", 2, Type.TYPE_STRING),

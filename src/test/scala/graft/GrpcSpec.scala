@@ -464,6 +464,39 @@ class GrpcSpec extends SparkSpec {
       queryMsg("rpcprops", "p1", Some(("vec", Seq.fill(8)(0.5f), "euclidean", 3))))
     resultRows(qRes) should have size 3
 
+    // projection wrapper (reference prepareProjectionExpression): an
+    // attribute subset over a kNN result, and count over the whole entity
+    def withProjection(base: DynamicMessage, op: String,
+                       attrs: Seq[String]): DynamicMessage = {
+      val qd = Proto.msg("QueryMessage")
+      val pjD = Proto.msg("ProjectionMessage")
+      val pm = Proto.newMsg("ProjectionMessage")
+        .setField(pjD.findFieldByName("op"), op)
+      attrs.foreach(a => pm.addRepeatedField(pjD.findFieldByName("attribute"), a))
+      DynamicMessage.newBuilder(base)
+        .setField(qd.findFieldByName("projection"), pm.build()).build()
+    }
+    val subset = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      withProjection(
+        queryMsg("rpcprops", "", Some(("vec", Seq.fill(8)(0.5f), "euclidean", 3))),
+        "", Seq("label")))
+    resultRows(subset) should have size 3
+    resultRows(subset).head.keySet shouldBe Set("label")
+    val cnt = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      withProjection(queryMsg("rpcprops", "", None), "count", Nil))
+    ackOk(sub(cnt, "ack")) shouldBe true
+    resultRows(cnt).head("n") shouldBe 25L
+    val ex = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      withProjection(queryMsg("rpcprops", "", None), "exists", Nil))
+    resultRows(ex).head("exists") shouldBe true
+    val dist = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      withProjection(queryMsg("rpcprops", "", None), "distinct", Seq("label")))
+    resultRows(dist).size should be >= 1
+    // unknown op is an error ack, not a crash
+    ackOk(sub(call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      withProjection(queryMsg("rpcprops", "", None), "median", Nil)),
+      "ack")) shouldBe false
+
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcprops"))
   }
 
