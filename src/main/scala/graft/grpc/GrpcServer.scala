@@ -695,8 +695,13 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
                   .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq)
             val indexes = entity.listIndexes.map(entity.loadIndex)
               .filterNot(_.stale).map(_.index)
+            // partition restriction applies to the rerank frame, so every
+            // racing plan's FINAL rows honor it (index candidates from
+            // other partitions drop in the rerank semi-join)
             val specs = graft.api.QueryOps.planSpecsFor(
-              entity.read(), Entity.ApId, indexes, nnq, hints)
+              restrictPartitions(entity, entity.read(),
+                nnqPartitions(sub(req, "nnq"))),
+              Entity.ApId, indexes, nnq, hints)
             val prefix = if (queryid.isEmpty) "graft-" else s"graft-$queryid-"
             if (queryid.nonEmpty) running.put(queryid, () =>
               specs.foreach(p =>
@@ -792,17 +797,44 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
     b.build()
   }
 
-  private def parseNnq(nnq: DynamicMessage): NnQuery = {
-    val dv = sub(sub(nnq, "query"), "denseVector")
-    val q = dv.getField(msg("DenseVectorMessage").findFieldByName("vector"))
+  private def denseVec(vm: DynamicMessage): Seq[Double] =
+    sub(vm, "denseVector").getField(
+      msg("DenseVectorMessage").findFieldByName("vector"))
       .asInstanceOf[java.util.List[java.lang.Float]].asScala
       .map(_.doubleValue()).toSeq
-    val k = nnq.getField(nnq.getDescriptorForType.findFieldByName("k"))
-      .asInstanceOf[Int]
+
+  private def parseNnq(nnq: DynamicMessage): NnQuery = {
+    val q = denseVec(sub(nnq, "query"))
+    val d = nnq.getDescriptorForType
+    val k = nnq.getField(d.findFieldByName("k")).asInstanceOf[Int]
     val dist = str(nnq, "distance")
+    // optional per-dimension weights (reference RankingQuery.weights)
+    val weights =
+      if (!nnq.hasField(d.findFieldByName("weights"))) None
+      else Some(denseVec(sub(nnq, "weights")))
     NnQuery(str(nnq, "attribute"), q,
-      if (dist.isEmpty) "euclidean" else dist, if (k <= 0) 100 else k)
+      if (dist.isEmpty) "euclidean" else dist, if (k <= 0) 100 else k, weights)
   }
+
+  /** Partition restriction from an nnq message (reference
+    * `RankingQuery.partitions`): empty = unrestricted. */
+  private def nnqPartitions(nnq: DynamicMessage): Seq[Int] =
+    nnq.getField(nnq.getDescriptorForType.findFieldByName("partitions"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[Int]).toSeq
+
+  /** Apply a partition-id restriction to an entity scan: valid only for
+    * entities with a persisted partition layout — the ids then name real
+    * `ap_partition` directories and the isin filter is Catalyst
+    * partition pruning, not a row filter. */
+  private def restrictPartitions(e: Entity, df: org.apache.spark.sql.DataFrame,
+                                 parts: Seq[Int]): org.apache.spark.sql.DataFrame =
+    if (parts.isEmpty) df
+    else {
+      require(e.layout.isDefined,
+        "partition restriction needs a partitioned entity layout")
+      df.filter(org.apache.spark.sql.functions
+        .col(graft.core.Partitioning.PartitionCol).isin(parts: _*))
+    }
 
   private def ackIsOk(m: DynamicMessage): Boolean = {
     val ack = m.getField(m.getDescriptorForType.findFieldByName("ack"))
@@ -833,8 +865,12 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
       try {
         val entityName = str(sub(req, "from"), "entity")
         val entity = Entity.open(spark, base, entityName)
-        val df = entity.read()
         val qd = req.getDescriptorForType
+        // partition-restricted scan (reference RankingQuery.partitions)
+        val df =
+          if (!req.hasField(qd.findFieldByName("nnq"))) entity.read()
+          else restrictPartitions(entity, entity.read(),
+            nnqPartitions(sub(req, "nnq")))
 
         // optional boolean query (reference prepareBQ,
         // MessageParser.scala:348-381): conjunction of Where predicates

@@ -122,7 +122,9 @@ object Proto {
       field("attribute", 1, Type.TYPE_STRING),
       field("query", 2, Type.TYPE_MESSAGE, typeName = ".adam.VectorMessage"),
       field("distance", 3, Type.TYPE_STRING),
-      field("k", 4, Type.TYPE_INT32)))
+      field("k", 4, Type.TYPE_INT32),
+      field("weights", 5, Type.TYPE_MESSAGE, typeName = ".adam.VectorMessage"),
+      field("partitions", 6, Type.TYPE_INT32, Label.LABEL_REPEATED)))
     .addMessageType(message("FromMessage",
       field("entity", 1, Type.TYPE_STRING)))
     .addMessageType(message("WhereMessage",

@@ -500,6 +500,75 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcprops"))
   }
 
+  test("weighted and partition-restricted kNN over the wire") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcwp")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("grp", "int"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    val tD = Proto.msg("TupleInsertMessage")
+    // vec = [i, 100-i, 0, 0]: unweighted manhattan distance to the origin
+    // is the constant 100, so only a [1,0,0,0] weighting makes i rank
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcwp", (0 until 30).map { i =>
+        Proto.newMsg("TupleInsertMessage")
+          .addRepeatedField(tD.findFieldByName("data"),
+            Proto.dataEntry("TupleInsertMessage", "grp", Proto.dataOf(i % 3)))
+          .addRepeatedField(tD.findFieldByName("data"),
+            Proto.dataEntry("TupleInsertMessage", "vec",
+              Proto.dataOf(Seq(i.toFloat, 100f - i, 0f, 0f))))
+          .build()
+      }))
+
+    def nnqWith(weights: Option[Seq[Float]], parts: Seq[Int], k: Int): DynamicMessage = {
+      val nnqD = Proto.msg("NearestNeighbourQueryMessage")
+      val b = Proto.newMsg("NearestNeighbourQueryMessage")
+        .setField(nnqD.findFieldByName("attribute"), "vec")
+        .setField(nnqD.findFieldByName("query"), vecMsg(Seq(0f, 0f, 0f, 0f)))
+        .setField(nnqD.findFieldByName("distance"), "manhattan")
+        .setField(nnqD.findFieldByName("k"), Integer.valueOf(k))
+      weights.foreach(w => b.setField(nnqD.findFieldByName("weights"), vecMsg(w)))
+      parts.foreach(p => b.addRepeatedField(nnqD.findFieldByName("partitions"),
+        Integer.valueOf(p)))
+      val qd = Proto.msg("QueryMessage")
+      Proto.newMsg("QueryMessage")
+        .setField(qd.findFieldByName("from"),
+          Proto.newMsg("FromMessage")
+            .setField(Proto.msg("FromMessage").findFieldByName("entity"), "rpcwp")
+            .build())
+        .setField(qd.findFieldByName("nnq"), b.build()).build()
+    }
+
+    // weighted: only dim 0 counts, so the top row is i=0 at distance 0
+    val wRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      nnqWith(Some(Seq(1f, 0f, 0f, 0f)), Nil, 3))
+    ackOk(sub(wRes, "ack")) shouldBe true
+    val wRows = resultRows(wRes)
+    wRows should have size 3
+    wRows.head("vec").asInstanceOf[Seq[_]].head shouldBe 0.0f
+
+    // partition restriction needs a layout: refused without one...
+    ackOk(sub(call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      nnqWith(None, Seq(1), 30)), "ack")) shouldBe false
+    // ...and honored with a bycolumn layout on grp
+    val rpD = Proto.msg("RepartitionMessage")
+    ackOk(call(mdDef("RepartitionEntityData", "RepartitionMessage", "AckMessage"),
+      Proto.newMsg("RepartitionMessage")
+        .setField(rpD.findFieldByName("entity"), "rpcwp")
+        .addRepeatedField(rpD.findFieldByName("attributes"), "grp")
+        .setField(rpD.findFieldByName("partitioner"), "bycolumn").build())) shouldBe true
+    val pRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      nnqWith(None, Seq(1), 30))
+    ackOk(sub(pRes, "ack")) shouldBe true
+    val pRows = resultRows(pRes)
+    pRows should have size 10 // only grp=1 rows survive the restriction
+    pRows.map(_("grp")).toSet shouldBe Set(1)
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcwp"))
+  }
+
   test("planner training and scored paths over the wire") {
     val d = Proto.msg("CreateEntityMessage")
     call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
