@@ -14,7 +14,7 @@ import org.sparkproject.connect.protobuf.{Descriptors, DynamicMessage}
 
 import graft.api.{NnQuery, QueryOps}
 import graft.core.Entity
-import graft.operators.Projections
+import graft.operators.{Knn, Projections}
 
 /** gRPC front door — the reference's primary wire protocol
   * (`S/communication/rpc/DataDefintion.scala:40-230`, `DataQuery.scala:
@@ -863,9 +863,108 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
 
   private def runQueryBody(req: DynamicMessage, queryid: String): DynamicMessage = {
       try {
-        val entityName = str(sub(req, "from"), "entity")
-        val entity = Entity.open(spark, base, entityName)
         val qd = req.getDescriptorForType
+
+        // timed query (reference TimedScanExpression via QueryMessage.time,
+        // `MessageParser.scala:116-124`): race every conforming plan and
+        // answer with the best-confidence result available at the
+        // deadline, cancelling the rest — the wire face of
+        // Progressive.timed. Boolean-filtered and expression-FROM queries
+        // fall through to the single-plan path.
+        val timeLimitMs = req.getField(qd.findFieldByName("time"))
+          .asInstanceOf[Long]
+        val fromMsg = sub(req, "from")
+        if (timeLimitMs > 0 && str(fromMsg, "entity").nonEmpty &&
+            req.hasField(qd.findFieldByName("nnq")) &&
+            !req.hasField(qd.findFieldByName("bq"))) {
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val entity = Entity.open(spark, base, str(fromMsg, "entity"))
+          val df = restrictPartitions(entity, entity.read(),
+            nnqPartitions(sub(req, "nnq")))
+          val hints = req.getField(qd.findFieldByName("hints"))
+            .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
+          val indexes = entity.listIndexes.map(entity.loadIndex)
+            .filterNot(_.stale).map(_.index)
+          val o = QueryOps.timedParallel(spark, df, Entity.ApId, indexes,
+            parseNnq(sub(req, "nnq")), timeLimitMs,
+            graft.plans.Planner.hintsByName(hints))
+          return (o.result match {
+            case scala.util.Success(rows) =>
+              rowsMessage(rows.toSeq,
+                rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil),
+                o.planDescription, queryid, o.confidence, o.timeNanos / 1000000)
+            case scala.util.Failure(err) => errorResults(err.getMessage)
+          })
+        }
+
+        val (res, source) = queryFrame(req)
+        // optional projection wrapper (reference prepareProjectionExpression,
+        // MessageParser.scala:242-266): attribute subset, then an optional
+        // COUNT / EXISTS / DISTINCT operation
+        val projected =
+          if (!req.hasField(qd.findFieldByName("projection"))) res
+          else {
+            val pm = sub(req, "projection")
+            val attrs = pm.getField(
+              msg("ProjectionMessage").findFieldByName("attribute"))
+              .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
+            import graft.operators.{Knn, Projections}
+            // row-returning forms share the boolean-scan page cap (the
+            // response collects); count/exists aggregate to one row
+            str(pm, "op").toLowerCase match {
+              case "" => Projections.project(res, attrs).limit(500)
+              case "count" => Projections.countRows(Projections.project(res, attrs))
+              case "exists" => Projections.existsRows(Projections.project(res, attrs))
+              case "distinct" => Projections.distinctRows(res, attrs).limit(500)
+              case other =>
+                throw new IllegalArgumentException(s"unknown projection op: $other")
+            }
+          }
+        resultsMessage(projected, source, queryid)
+      } catch { case e: Exception => errorResults(e.getMessage) }
+  }
+
+  /** Evaluate a QueryMessage to its (lazy) result frame — the recursive
+    * engine behind [[runQueryBody]] and compound FROM expressions
+    * (reference `MessageParser.toExpression`: a FROM may be an entity or
+    * a set-algebra expression over two subqueries). */
+  private def queryFrame(req: DynamicMessage): (org.apache.spark.sql.DataFrame, String) = {
+        val qd = req.getDescriptorForType
+        val fromMsg = sub(req, "from")
+        val fd = fromMsg.getDescriptorForType
+
+        if (fromMsg.hasField(fd.findFieldByName("expression"))) {
+          // compound query: evaluate both subqueries, combine on ap_id
+          // (reference UnionExpression / IntersectExpression / ... —
+          // results are id sets with distance 0, fuzzy forms merge the
+          // sides' distances)
+          import graft.operators.SetAlgebra
+          val em = sub(fromMsg, "expression")
+          val (l, _) = queryFrame(sub(em, "left"))
+          val (r, _) = queryFrame(sub(em, "right"))
+          import org.apache.spark.sql.functions.{col, lit}
+          val dc = Knn.DistanceCol
+          def withDist(df: org.apache.spark.sql.DataFrame) =
+            if (df.columns.contains(dc))
+              df.select(col(Entity.ApId), col(dc).as("distance"))
+            else df.select(col(Entity.ApId)).withColumn("distance", lit(0.0))
+          val op = str(em, "operation").toLowerCase
+          val out = op match {
+            case "" | "union" => SetAlgebra.union(l, r, Entity.ApId)
+            case "intersect" | "join" => SetAlgebra.intersect(l, r, Entity.ApId)
+            case "except" => SetAlgebra.except(l, r, Entity.ApId)
+            case "fuzzyunion" =>
+              SetAlgebra.fuzzyUnion(withDist(l), withDist(r), Entity.ApId)
+            case "fuzzyintersect" =>
+              SetAlgebra.fuzzyIntersect(withDist(l), withDist(r), Entity.ApId)
+            case other => throw new IllegalArgumentException(
+              s"unknown expression operation: $other")
+          }
+          return (out.limit(500), s"$op expression")
+        }
+
+        val entityName = str(fromMsg, "entity")
+        val entity = Entity.open(spark, base, entityName)
         // partition-restricted scan (reference RankingQuery.partitions)
         val df =
           if (!req.hasField(qd.findFieldByName("nnq"))) entity.read()
@@ -905,30 +1004,7 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val indexHint = hints.find(entity.listIndexes.contains)
         val plannerHints = graft.plans.Planner.hintsByName(hints)
 
-        // timed query (reference TimedScanExpression via QueryMessage.time,
-        // `MessageParser.scala:116-124`): race every conforming plan and
-        // answer with the best-confidence result available at the
-        // deadline, cancelling the rest — the wire face of
-        // Progressive.timed. Boolean-filtered queries fall through to the
-        // single-plan path (the reference times the nnq scan too).
-        val timeLimitMs = req.getField(qd.findFieldByName("time"))
-          .asInstanceOf[Long]
-        if (timeLimitMs > 0 && nnqOpt.isDefined && preds.isEmpty) {
-          import scala.concurrent.ExecutionContext.Implicits.global
-          val indexes = entity.listIndexes.map(entity.loadIndex)
-            .filterNot(_.stale).map(_.index)
-          val o = QueryOps.timedParallel(spark, df, Entity.ApId, indexes,
-            nnqOpt.get, timeLimitMs, plannerHints)
-          return (o.result match {
-            case scala.util.Success(rows) =>
-              rowsMessage(rows.toSeq,
-                rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil),
-                o.planDescription, queryid, o.confidence, o.timeNanos / 1000000)
-            case scala.util.Failure(err) => errorResults(err.getMessage)
-          })
-        }
-
-        val (res, source) = (nnqOpt, preds) match {
+        (nnqOpt, preds) match {
           case (Some(nnq), Nil) if indexHint.isDefined =>
             val loaded = entity.loadIndex(indexHint.get)
             require(!loaded.stale, s"index ${indexHint.get} is stale")
@@ -954,30 +1030,6 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
             (df, "entity scan")
           case _ => throw new IllegalArgumentException("query needs nnq and/or bq")
         }
-        // optional projection wrapper (reference prepareProjectionExpression,
-        // MessageParser.scala:242-266): attribute subset, then an optional
-        // COUNT / EXISTS / DISTINCT operation
-        val projected =
-          if (!req.hasField(qd.findFieldByName("projection"))) res
-          else {
-            val pm = sub(req, "projection")
-            val attrs = pm.getField(
-              msg("ProjectionMessage").findFieldByName("attribute"))
-              .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
-            import graft.operators.Projections
-            // row-returning forms share the boolean-scan page cap (the
-            // response collects); count/exists aggregate to one row
-            str(pm, "op").toLowerCase match {
-              case "" => Projections.project(res, attrs).limit(500)
-              case "count" => Projections.countRows(Projections.project(res, attrs))
-              case "exists" => Projections.existsRows(Projections.project(res, attrs))
-              case "distinct" => Projections.distinctRows(res, attrs).limit(500)
-              case other =>
-                throw new IllegalArgumentException(s"unknown projection op: $other")
-            }
-          }
-        resultsMessage(projected, source, queryid)
-      } catch { case e: Exception => errorResults(e.getMessage) }
   }
 
   // ---- lifecycle -----------------------------------------------------------

@@ -126,7 +126,13 @@ object Proto {
       field("weights", 5, Type.TYPE_MESSAGE, typeName = ".adam.VectorMessage"),
       field("partitions", 6, Type.TYPE_INT32, Label.LABEL_REPEATED)))
     .addMessageType(message("FromMessage",
-      field("entity", 1, Type.TYPE_STRING)))
+      field("entity", 1, Type.TYPE_STRING),
+      field("expression", 2, Type.TYPE_MESSAGE,
+        typeName = ".adam.ExpressionQueryMessage")))
+    .addMessageType(message("ExpressionQueryMessage",
+      field("operation", 1, Type.TYPE_STRING),
+      field("left", 2, Type.TYPE_MESSAGE, typeName = ".adam.QueryMessage"),
+      field("right", 3, Type.TYPE_MESSAGE, typeName = ".adam.QueryMessage")))
     .addMessageType(message("WhereMessage",
       field("attribute", 1, Type.TYPE_STRING),
       field("op", 2, Type.TYPE_STRING),

@@ -569,6 +569,55 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcwp"))
   }
 
+  test("compound FROM expression: set algebra over subqueries on the wire") {
+    val d = Proto.msg("CreateEntityMessage")
+    call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcexp")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())
+    call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcexp", (0 until 30).map(i =>
+        tuple(if (i % 2 == 0) "even" else "odd", Seq.fill(4)(i.toFloat)))))
+
+    val fmD = Proto.msg("FromMessage")
+    val emD = Proto.msg("ExpressionQueryMessage")
+    val qd = Proto.msg("QueryMessage")
+    def exprQuery(op: String, l: DynamicMessage, r: DynamicMessage): DynamicMessage =
+      Proto.newMsg("QueryMessage")
+        .setField(qd.findFieldByName("from"),
+          Proto.newMsg("FromMessage")
+            .setField(fmD.findFieldByName("expression"),
+              Proto.newMsg("ExpressionQueryMessage")
+                .setField(emD.findFieldByName("operation"), op)
+                .setField(emD.findFieldByName("left"), l)
+                .setField(emD.findFieldByName("right"), r).build())
+            .build())
+        .build()
+    val evens = queryMsg("rpcexp", "", None, where = Seq(("label", "=", Seq("even"))))
+    val odds = queryMsg("rpcexp", "", None, where = Seq(("label", "=", Seq("odd"))))
+
+    def rowsOf(op: String, l: DynamicMessage, r: DynamicMessage) = {
+      val res = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+        exprQuery(op, l, r))
+      ackOk(sub(res, "ack")) shouldBe true
+      resultRows(res)
+    }
+    rowsOf("union", evens, odds) should have size 30     // bag union 15+15
+    rowsOf("intersect", evens, odds) shouldBe empty       // disjoint
+    rowsOf("except", evens, odds) should have size 15     // evens alone
+    // fuzzy merge over two kNN subqueries: same query both sides — the
+    // merged id set is the shared top-5 with min/max-merged distances
+    val knn = queryMsg("rpcexp", "", Some(("vec", Seq.fill(4)(0f), "manhattan", 5)))
+    rowsOf("fuzzyintersect", knn, knn) should have size 5
+    // unknown op is an error ack
+    ackOk(sub(call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+      exprQuery("xor", evens, odds)), "ack")) shouldBe false
+
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcexp"))
+  }
+
   test("planner training and scored paths over the wire") {
     val d = Proto.msg("CreateEntityMessage")
     call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
