@@ -797,11 +797,37 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
     b.build()
   }
 
-  private def denseVec(vm: DynamicMessage): Seq[Double] =
-    sub(vm, "denseVector").getField(
-      msg("DenseVectorMessage").findFieldByName("vector"))
-      .asInstanceOf[java.util.List[java.lang.Float]].asScala
-      .map(_.doubleValue()).toSeq
+  /** Any VectorMessage variant to a dense double vector (reference
+    * `prepareVector`: dense / sparse / int oneof). Query vectors are
+    * tiny, so sparse queries densify here — the entity-side sparse
+    * kernels stay sparse. */
+  private def denseVec(vm: DynamicMessage): Seq[Double] = {
+    val d = vm.getDescriptorForType
+    if (vm.hasField(d.findFieldByName("denseVector")))
+      sub(vm, "denseVector").getField(
+        msg("DenseVectorMessage").findFieldByName("vector"))
+        .asInstanceOf[java.util.List[java.lang.Float]].asScala
+        .map(_.doubleValue()).toSeq
+    else if (vm.hasField(d.findFieldByName("sparseVector"))) {
+      val sv = sub(vm, "sparseVector")
+      val svD = msg("SparseVectorMessage")
+      val idx = sv.getField(svD.findFieldByName("index"))
+        .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[Int]).toSeq
+      val data = sv.getField(svD.findFieldByName("data"))
+        .asInstanceOf[java.util.List[_]].asScala
+        .map(_.asInstanceOf[Float].toDouble).toSeq
+      require(idx.size == data.size, "sparse vector index/data length mismatch")
+      val len = sv.getField(svD.findFieldByName("length")).asInstanceOf[Int]
+      val out = Array.fill(math.max(len, if (idx.isEmpty) 0 else idx.max + 1))(0.0)
+      idx.zip(data).foreach { case (i, v) => out(i) = v }
+      out.toSeq
+    } else if (vm.hasField(d.findFieldByName("intVector")))
+      sub(vm, "intVector").getField(
+        msg("IntVectorMessage").findFieldByName("vector"))
+        .asInstanceOf[java.util.List[_]].asScala
+        .map(_.asInstanceOf[Int].toDouble).toSeq
+    else throw new IllegalArgumentException("no query vector set")
+  }
 
   private def parseNnq(nnq: DynamicMessage): NnQuery = {
     val q = denseVec(sub(nnq, "query"))

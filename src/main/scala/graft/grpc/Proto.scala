@@ -60,6 +60,10 @@ object Proto {
     .addOneofDecl(OneofDescriptorProto.newBuilder().setName("vector"))
     .addField(field("denseVector", 1, Type.TYPE_MESSAGE,
       typeName = ".adam.DenseVectorMessage", oneofIndex = 0))
+    .addField(field("sparseVector", 2, Type.TYPE_MESSAGE,
+      typeName = ".adam.SparseVectorMessage", oneofIndex = 0))
+    .addField(field("intVector", 3, Type.TYPE_MESSAGE,
+      typeName = ".adam.IntVectorMessage", oneofIndex = 0))
     .build()
 
   private val dataMessage = DescriptorProto.newBuilder().setName("DataMessage")
@@ -108,6 +112,12 @@ object Proto {
         ".adam.AttributeDefinitionMessage")))
     .addMessageType(message("DenseVectorMessage",
       field("vector", 1, Type.TYPE_FLOAT, Label.LABEL_REPEATED)))
+    .addMessageType(message("SparseVectorMessage",
+      field("index", 1, Type.TYPE_INT32, Label.LABEL_REPEATED),
+      field("data", 2, Type.TYPE_FLOAT, Label.LABEL_REPEATED),
+      field("length", 3, Type.TYPE_INT32)))
+    .addMessageType(message("IntVectorMessage",
+      field("vector", 1, Type.TYPE_INT32, Label.LABEL_REPEATED)))
     .addMessageType(vectorMessage)
     .addMessageType(dataMessage)
     .addMessageType(tupleInsertMessage)

@@ -541,6 +541,48 @@ class GrpcSpec extends SparkSpec {
         .setField(qd.findFieldByName("nnq"), b.build()).build()
     }
 
+    // sparse / int query vectors densify server-side (reference
+    // prepareVector oneof): same top-k as the dense origin query
+    def vecVariant(kind: String): DynamicMessage = {
+      val b = Proto.newMsg("VectorMessage")
+      val vD = Proto.msg("VectorMessage")
+      kind match {
+        case "sparse" =>
+          val sD = Proto.msg("SparseVectorMessage")
+          b.setField(vD.findFieldByName("sparseVector"),
+            Proto.newMsg("SparseVectorMessage")
+              .setField(sD.findFieldByName("length"), Integer.valueOf(4)).build())
+        case "int" =>
+          val iD = Proto.msg("IntVectorMessage")
+          val iv = Proto.newMsg("IntVectorMessage")
+          (0 until 4).foreach(_ => iv.addRepeatedField(
+            iD.findFieldByName("vector"), Integer.valueOf(0)))
+          b.setField(vD.findFieldByName("intVector"), iv.build())
+      }
+      b.build()
+    }
+    Seq("sparse", "int").foreach { kind =>
+      val nnqD = Proto.msg("NearestNeighbourQueryMessage")
+      val qd = Proto.msg("QueryMessage")
+      val res = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+        Proto.newMsg("QueryMessage")
+          .setField(qd.findFieldByName("from"),
+            Proto.newMsg("FromMessage")
+              .setField(Proto.msg("FromMessage").findFieldByName("entity"), "rpcwp")
+              .build())
+          .setField(qd.findFieldByName("nnq"),
+            Proto.newMsg("NearestNeighbourQueryMessage")
+              .setField(nnqD.findFieldByName("attribute"), "vec")
+              .setField(nnqD.findFieldByName("query"), vecVariant(kind))
+              .setField(nnqD.findFieldByName("distance"), "euclidean")
+              .setField(nnqD.findFieldByName("k"), Integer.valueOf(2)).build())
+          .build())
+      withClue(s"$kind query vector: ") {
+        ackOk(sub(res, "ack")) shouldBe true
+        resultRows(res) should have size 2
+      }
+    }
+
     // weighted: only dim 0 counts, so the top row is i=0 at distance 0
     val wRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
       nnqWith(Some(Seq(1f, 0f, 0f, 0f)), Nil, 3))
