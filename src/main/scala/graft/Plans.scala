@@ -43,8 +43,11 @@ object Plans {
         Seq("Window", "Generate explode")),
       ("repeated_chunks", "start offsets explode before window hashing; one groupBy",
         Seq("Generate explode", "md5", "HashAggregate")),
-      ("semantic_dedup", "centroid assignment inline in the scan projection (no join)",
-        Seq("sort_array")),
+      // the assignment (sort_array centroid kernel) is materialized ONCE
+      // via localCheckpoint — both self-join sides must read the
+      // checkpointed RDD, never recompute the k-kernel projection
+      ("semantic_dedup", "checkpointed assignment feeds both pair-join sides (no recompute)",
+        Seq("Scan ExistingRDD")),
       ("corpus_mix_report", "map-side partial aggregation on (source, lang)",
         Seq("partial_count", "HashAggregate")),
       ("unigram_logppl", "token-keyed partial counts; scalar total broadcast",

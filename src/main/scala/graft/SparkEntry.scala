@@ -624,8 +624,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id").orderBy("doc_id", "chunk_idx")),
 
     "hash_features" -> ((s, d) =>
+      // the operator returns the dense array<long>; the driver-facing
+      // query flattens it to a CSV string because the oracle harness
+      // canonicalizes by sorting every column (arrays aren't sortable)
       TextAnalysis.hashFeatures(Tables.documents(s, d), "text", "doc_id", dim = 64)
-        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), array_join(col("features"), ",").as("features"))
+        .orderBy("doc_id")),
 
     "top_bigrams" -> ((s, d) =>
       // most frequent bigrams across the corpus — the boilerplate
@@ -1562,7 +1567,7 @@ object SparkEntry {
          |          FROM (SELECT DISTINCT doc_id FROM tk) g
          |          CROSS JOIN generate_series(0, 63) u(i)
          |          LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.idx = u.i)
-         |SELECT doc_id, list(cnt ORDER BY i) AS features
+         |SELECT doc_id, array_to_string(list(cnt ORDER BY i), ',') AS features
          |FROM dense GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "chunk_text" ->

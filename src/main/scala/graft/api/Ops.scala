@@ -36,6 +36,12 @@ object EntityOps {
 }
 
 object IndexOps {
+  /** Every type name [[create]] accepts — the wire layer keys stored
+    * index names as `<type>_<attribute>` and needs the exact list to
+    * parse them back. */
+  val knownTypes: Seq[String] =
+    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq")
+
   /** Index factory by type name — reference `IndexTypes.scala:20-45`. */
   def create(indexType: String, df: DataFrame, idCol: String, vecCol: String): VectorIndex =
     indexType.toLowerCase match {
@@ -155,6 +161,12 @@ object QueryOps {
     require(idx.conformsTo(nnq.distName),
       s"index ${idx.indexType} does not answer distance '${nnq.distName}' " +
         "— scan would be silently lossy; use a conforming index or the sequential plan")
+    // index candidate pruning is built over the unweighted metric; a
+    // weighted rerank over those candidates can miss true weighted
+    // neighbours — refuse rather than return a silently wrong top-k
+    require(nnq.weights.isEmpty,
+      s"index ${idx.indexType} cannot answer a weighted query " +
+        "— candidate pruning uses the unweighted metric; use the sequential plan")
     // indexes are built over dense vectors; refuse a sparsified entity
     // up front instead of failing deep in the kernel type check
     require(!entity.schema.find(_.name == nnq.vecCol)
@@ -172,7 +184,10 @@ object QueryOps {
                  hints: Seq[Planner.Hint], nnq: NnQuery): Planner.Plan = {
     val sparse = entity.schema.find(_.name == nnq.vecCol)
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
-    Planner.choose(hints, if (sparse) Nil else indexes, nnq.distName)
+    // weighted queries never plan onto an index: candidate pruning uses
+    // the unweighted metric (see planSpecs) — same restriction as sparse
+    val usable = if (sparse || nnq.weights.isDefined) Nil else indexes
+    Planner.choose(hints, usable, nnq.distName)
   }
 
   /** Execute an already-chosen plan with encoding-aware distance
@@ -236,11 +251,20 @@ object QueryOps {
     cache.getOrElseCompute(fingerprint)(compute)
 
   private def planSpecs(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],
-                        nnq: NnQuery): Seq[Progressive.PlanSpec] =
-    Progressive.PlanSpec("sequential", 1.0, () => sequential(entity, idCol, nnq)) +:
+                        nnq: NnQuery): Seq[Progressive.PlanSpec] = {
+    val seq = Progressive.PlanSpec("sequential", 1.0, () => sequential(entity, idCol, nnq))
+    // weighted queries race the sequential plan only: index candidate
+    // pruning (VA bounds, PQ ADC, cluster probes) is built over the
+    // UNWEIGHTED metric, so a weighted rerank over index candidates can
+    // miss true weighted neighbours — and a confidence-1.0 "exact" index
+    // plan would win the race with a silently wrong top-k (mirrors the
+    // sparsified-entity restriction in distanceColumnFor)
+    if (nnq.weights.isDefined) Seq(seq)
+    else seq +:
       indexes.filter(_.conformsTo(nnq.distName)).map(idx =>
         Progressive.PlanSpec(s"index:${idx.indexType}", idx.confidence,
           () => index(entity, idCol, idx, nnq)))
+  }
 
   /** Restrict the racing plan set by hints — the reference's
     * `QueryHintsParallelPathChooser` next to the hint-less

@@ -215,6 +215,12 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
           val grouped = groups.flatMap(_.attrs).toSet
           pinned.select(pinned.columns.filterNot(grouped.contains).map(col): _*)
         }
+      // burn the batch counter FIRST: if any store write below fails, a
+      // retried insert must take a FRESH batch-id prefix — reusing the
+      // prefix would re-append group rows under already-present ap_ids
+      // and read()'s inner join would then duplicate the whole batch. A
+      // failed insert after this line costs only a gap in the counter.
+      writeMeta(metaPath, m.copy(insertCount = batch))
       // group stores are written BEFORE the main append: a failed group
       // write then leaves only invisible orphans (read()'s inner join by
       // ap_id skips group rows with no main row), whereas main-first would
@@ -226,7 +232,6 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       val w = mainBatch.write.mode("append")
       (if (layout.isDefined) w.partitionBy(Partitioning.PartitionCol) else w)
         .parquet(dataPath(m.version).toString)
-      writeMeta(metaPath, m.copy(insertCount = batch))
       // layout entities can never compact below one file per partition
       // directory — scale the trigger with key cardinality or a
       // >cap-key layout would vacuum (full rewrite) on EVERY insert

@@ -12,7 +12,7 @@ import org.sparkproject.connect.grpc.netty.NettyServerBuilder
 import org.sparkproject.connect.grpc.stub.{ServerCalls, StreamObserver}
 import org.sparkproject.connect.protobuf.{Descriptors, DynamicMessage}
 
-import graft.api.{NnQuery, QueryOps}
+import graft.api.{IndexOps, NnQuery, QueryOps}
 import graft.core.Entity
 import graft.operators.{Knn, Projections}
 
@@ -312,7 +312,10 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           "type" -> ProtoImportExport.typeNameOf(f.dataType),
           "handler" -> group.map(_.handler).getOrElse("parquet"),
           "store" -> group.map(_.store).getOrElse(""),
-          "indexes" -> e.listIndexes.filter(_.endsWith(s"_$attribute"))
+          // exact `<type>_<attribute>` matches only — a bare suffix test
+          // would report doc_id's indexes for an attribute named `id`
+          "indexes" -> e.listIndexes.filter(n =>
+              IndexOps.knownTypes.exists(tp => n == s"${tp}_$attribute"))
             .sorted.mkString(",")))
       } catch { case e: Exception => propertiesMsg(ok = false, e.getMessage, Nil) }
     }
@@ -838,6 +841,10 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
     val weights =
       if (!nnq.hasField(d.findFieldByName("weights"))) None
       else Some(denseVec(sub(nnq, "weights")))
+    // a shorter weights vector would zip_with-pad with nulls and the
+    // null distances silently sort last — reject at the wire edge
+    weights.foreach(ws => require(ws.size == q.size,
+      s"weights/query dimension mismatch: ${ws.size} weights for ${q.size}-dim query"))
     NnQuery(str(nnq, "attribute"), q,
       if (dist.isEmpty) "euclidean" else dist, if (k <= 0) 100 else k, weights)
   }
@@ -986,7 +993,14 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
             case other => throw new IllegalArgumentException(
               s"unknown expression operation: $other")
           }
-          return (out.limit(500), s"$op expression")
+          // order BEFORE the page cap: an unordered limit over a merged
+          // set > 500 ids returns a partitioning-dependent subset
+          val capped = out.columns.toSeq match {
+            case cols if cols.contains("distance") =>
+              out.orderBy(col("distance"), col(Entity.ApId)).limit(500)
+            case _ => out.orderBy(col(Entity.ApId)).limit(500)
+          }
+          return (capped, s"$op expression")
         }
 
         val entityName = str(fromMsg, "entity")

@@ -252,9 +252,17 @@ object Ann {
     * no single task ever sees more than one cluster's pairs. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    // both sides of the cluster self-join (and the survivors anti-join
+    // downstream) read this frame — materialize it once, eagerly, or
+    // the k-fused-cosine assignment kernel (k·d FLOPs/row) and the
+    // underlying scan run 2-3×. localCheckpoint (not persist/unpersist)
+    // because the result is returned lazily: the checkpointed blocks
+    // live as long as the returned plan references them and are
+    // reclaimed by the ContextCleaner when the caller drops it.
     val assigned = assignClusters(df, vecCol, centroids)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"),
         Distances.norm2(col(vecCol)).as("nrm"))
+      .localCheckpoint(true)
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
