@@ -55,7 +55,9 @@ object Plans {
       ("knn_doc_lookup", "top-k bounds BEFORE the metadata join; doc side broadcast",
         Seq("TakeOrderedAndProject", "BroadcastHashJoin")),
       ("hash_features", "bucket counts partial-aggregate before the id shuffle",
-        Seq("partial_count", "HashAggregate")))
+        Seq("partial_count", "HashAggregate")),
+      ("zorder_pruned_scan", "partkey range filter pushed to the z-ordered scan",
+        Seq("PushedFilters: [", "GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey")))
 
     // negative shape: these must not shuffle before their
     // (presentation-only) global sort — strip the final Sort's own range
@@ -71,6 +73,28 @@ object Plans {
         println(s"[plan-MISS] $name: unexpected shuffle\n$perRowPlan")
         sys.exit(1)
       } else println(s"[plan-ok] $name: $what")
+    }
+
+    // z-order layout: per-file min/max of the NON-leading column must be
+    // tight enough that the BETWEEN [100,120] filter's row groups prune —
+    // i.e. most files' [min,max] ranges do not overlap the filter. A
+    // single-column sort on l_orderkey would leave l_partkey spanning its
+    // full domain in EVERY file (zero files prunable).
+    {
+      import org.apache.spark.sql.functions._
+      val perFile = spark.read.parquet(SparkEntry.zorderLayout(spark, sfDir))
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+        .collect()
+      val overlapping = perFile.count(r => r.getLong(1) <= 120 && r.getLong(2) >= 100)
+      if (perFile.length >= 4 && overlapping * 2 < perFile.length)
+        println(s"[plan-ok] zorder_pruned_scan: $overlapping/${perFile.length} " +
+          "files overlap the partkey filter — min/max stats prune the rest")
+      else {
+        println(s"[plan-MISS] zorder_pruned_scan: $overlapping/${perFile.length} " +
+          "files overlap [100,120] — layout does not cluster the non-leading column")
+        sys.exit(1)
+      }
     }
 
     var failed = 0

@@ -275,6 +275,22 @@ object SparkEntry {
           col("events"))
         .orderBy("user_id", "session_start")),
 
+    "event_attribution" -> ((s, d) => {
+      // click→purchase attribution through the watermarked interval
+      // join, run in batch mode (identical code path runs over two
+      // readStream feeds; the (0, within] bound keeps stream state
+      // GC-able). Timestamps emitted as epoch micros — harness-sortable
+      // on both engines.
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStream.correlate(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          within = "30 minutes")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+        .orderBy("user_id", "l_id", "r_id")
+    }),
+
     "text_bpeish_tokens" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_cnt"))
@@ -460,6 +476,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
     }),
 
+    "zorder_pruned_scan" -> ((s, d) =>
+      // z-order layout queried on the NON-leading column: a plain
+      // single-column sort would leave l_partkey scattered across every
+      // file, but the Morton layout gives each file a bounded l_partkey
+      // range, so the pushed BETWEEN filter skips most row groups
+      // (pruning asserted file-by-file in Plans). Lossless by
+      // construction — the oracle is the unlaid-out filtered scan.
+      s.read.parquet(zorderLayout(s, d))
+        .filter(col("l_partkey").between(100, 120))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_quantity"), 2).as("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "entity_vacuum" -> ((s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft-vac").toString
       val e = graft.core.Entity.create(s, base, "li")
@@ -638,6 +667,17 @@ object SparkEntry {
       // break on the gram text for a deterministic cut
       Dedup.topNgrams(Tables.documents(s, d), "text", "doc_id", n = 2, k = 50)
         .withColumnRenamed("ngram", "bigram")),
+
+    "quality_classifier_scores" -> ((s, d) => {
+      // learned quality filter end-to-end: train Pegasos on the fixed
+      // labeled sample (driver-side, bounded, deterministic), then score
+      // the whole corpus as a join-free projection — the weight vector
+      // ships as a literal, so corpus-side cost is the featurization
+      val w = qcWeights(s, d)
+      QualityClassifier.score(Tables.documents(s, d), "text", "doc_id", w)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
 
     "knn_doc_lookup" -> ((s, d) => {
       // similarity search with metadata return: top-20 nearest
@@ -930,6 +970,43 @@ object SparkEntry {
       dir
     })
 
+  private val zorderDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val qcWeightsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+  // the most recent training run — read by oracleSql (a def, evaluated
+  // by Verify AFTER all queries ran) to inline the weights as literals
+  @volatile private var lastQcWeights: Seq[Double] = Seq.fill(64)(0.0)
+
+  /** Pegasos weights for the learned quality filter, trained on a FIXED
+    * deterministic sample (doc_id < 300, labeled by the n_chars ≥ 200
+    * length rule) — the same weights per (data dir), so the DuckDB
+    * oracle can replay scoring with the vector inlined as literals. */
+  private def qcWeights(s: SparkSession, d: String): Seq[Double] = {
+    val w = qcWeightsCache.getOrElseUpdate(d, {
+      val labeled = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .withColumn("label", when(col("n_chars") >= 200, 1).otherwise(-1))
+      QualityClassifier.train(labeled, "text", "doc_id", "label", dim = 64)
+    })
+    lastQcWeights = w
+    w
+  }
+
+  /** Lineitem z-ordered on (l_orderkey, l_partkey) — one-time layout
+    * artifact per (JVM, data dir); every output file covers a small
+    * rectangle in key space so parquet min/max stats prune scans
+    * filtered on EITHER column. */
+  private[graft] def zorderLayout(s: SparkSession, d: String): String =
+    zorderDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      graft.core.Partitioning.write(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        graft.core.Partitioning.ZOrder("l_orderkey", "l_partkey", 16), dir)
+      dir
+    })
+
   /** Sparsified embeddings entity — one-time layout artifact per
     * (JVM, data dir). */
   private def sparseLayout(s: SparkSession, d: String): String =
@@ -1209,6 +1286,14 @@ object SparkEntry {
         |       FROM events)
         |) GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "event_attribution" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
     "set_union" ->
       """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
         | SELECT o_orderkey AS id FROM orders WHERE o_totalprice > 450000
@@ -1325,6 +1410,11 @@ object SparkEntry {
     // scan, so the oracle is a plain filtered kNN — no recall caveat
     "partition_pruned_scan" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 50,
       where = "WHERE e.label IN (0, 1, 2)"),
+
+    "zorder_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 2) AS l_quantity
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 120
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // the sparse kernel's recomposed sum (base + nonzero walk) differs
     // from left-to-right dense summation only in float rounding order;
@@ -1569,6 +1659,24 @@ object SparkEntry {
          |          LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.idx = u.i)
          |SELECT doc_id, array_to_string(list(cnt ORDER BY i), ',') AS features
          |FROM dense GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // scoring replay with the TRAINED weight vector inlined as literals:
+    // oracleSql is a def, evaluated by Verify after every query ran, so
+    // lastQcWeights holds the deterministic training result by then
+    "quality_classifier_scores" -> {
+      val values = lastQcWeights.zipWithIndex
+        .map { case (wt, i) => s"($i, CAST($wt AS DOUBLE))" }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_filter($duckToks, t -> length(t) > 0)) AS tok FROM documents),
+         |cnts AS (SELECT doc_id, ${duckRawHash("tok")} % 64 AS idx, count(*) AS cnt
+         |         FROM tk GROUP BY doc_id, idx),
+         |w(idx, wt) AS (SELECT * FROM (VALUES $values) v(idx, wt)),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS n FROM cnts GROUP BY doc_id),
+         |dots AS (SELECT c.doc_id, sum(c.cnt * w.wt) AS dot
+         |         FROM cnts c JOIN w ON c.idx = w.idx GROUP BY c.doc_id)
+         |SELECT n.doc_id, round(CASE WHEN n.n < 1e-9 THEN 0.0 ELSE d.dot / n.n END, 4) AS score
+         |FROM nrm n JOIN dots d ON n.doc_id = d.doc_id ORDER BY n.doc_id""".stripMargin
+    },
 
     "chunk_text" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -75,17 +75,23 @@ object EventStream {
     * Works identically on bounded frames (batch backfill). */
   def correlate(left: DataFrame, right: DataFrame, within: String,
                 watermark: String = "2 hours"): DataFrame = {
+    // the user key is aliased DIFFERENTLY per side: with both sides
+    // derived from the same batch frame (self-join backfill),
+    // l("user_id") === r("user_id") resolves both refs to the same
+    // attribute — a trivially-true predicate that would silently pair
+    // events ACROSS users
     val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
-        col("user_id"), col("event_type").as("l_type"))
+        col("user_id").as("l_user"), col("event_type").as("l_type"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
-        col("user_id"), col("event_type").as("r_type"))
+        col("user_id").as("r_user"), col("event_type").as("r_type"))
       .withWatermark("r_ts", watermark)
     l.join(r,
-      l("user_id") === r("user_id") &&
+      col("l_user") === col("r_user") &&
         col("r_ts") > col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
-      .select(l("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
   }
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
