@@ -437,7 +437,15 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val pd = msg("ScoredExecutionPathsMessage")
         val pathD = msg("ScoredExecutionPathMessage")
         val out = withAck("ScoredExecutionPathsMessage", ok = true)
-        graft.api.PlannerOps.scoredPaths(indexes, dist).foreach { case (scan, score) =>
+        // kNN scan methods, then the dedup scan methods (trained by the
+        // same AdaptScanMethods sweep): predicted nanos inverted into a
+        // bigger-is-better score like the kNN side; untrained paths
+        // (MaxValue prediction) report score 0
+        val dedup = graft.plans.DedupPlanner.scoredPaths(e.read().count())
+          .map { case (p, nanos) =>
+            p -> (if (nanos == Double.MaxValue) 0.0 else 1e9 / (1e9 + nanos)) }
+        (graft.api.PlannerOps.scoredPaths(indexes, dist) ++ dedup)
+          .foreach { case (scan, score) =>
           out.addRepeatedField(pd.findFieldByName("paths"),
             DynamicMessage.newBuilder(pathD)
               .setField(pathD.findFieldByName("scan"), scan)

@@ -239,6 +239,17 @@ object Planner {
 object DedupPlanner {
   val Exact = "dedup:cosine_exact"
   val Banded = "dedup:cosine_banded"
+  /** Cluster-pruned SemDeDup: nearest-centroid assignment (k ≈ √n cells)
+    * + within-cell pair verify — the third scan method for the embedding
+    * near-dup surface. Like the banded path it is approximate (cross-cell
+    * pairs are the accepted misses); its cost curve sits between the two:
+    * O(n·k) assignment FLOPs plus Σ O(|cell|²) verify. */
+  val Semantic = "dedup:cosine_semantic"
+
+  /** SemDeDup cell count at corpus size n — √n keeps expected cell size
+    * √n, so total verify work stays ~n^1.5 instead of n². */
+  def semanticK(n: Long): Int =
+    math.max(2, math.sqrt(math.max(n, 0L).toDouble).toInt)
 
   /** Corpus size above which the UNTRAINED default flips to banded —
     * the exact path's pair loop is n²/2 fused dot products. */
@@ -276,16 +287,24 @@ object DedupPlanner {
       }
   }
 
-  /** The path predicted cheaper at corpus size `n` (both trained);
-    * otherwise the size-cutoff default. */
+  /** The path predicted cheapest at corpus size `n` (exact + banded
+    * trained; semantic joins the comparison once it has measurements);
+    * otherwise the size-cutoff default. Ties break toward the earlier
+    * path in (exact, banded, semantic) order. */
   def choose(n: Long): String = {
     val e = predictedNanos(Exact, n)
     val b = predictedNanos(Banded, n)
     if (e == Double.MaxValue || b == Double.MaxValue)
       if (n > UntrainedCutoff) Banded else Exact
-    else if (e <= b) Exact
-    else Banded
+    else Seq(Exact -> e, Banded -> b, Semantic -> predictedNanos(Semantic, n))
+      .filter(_._2 < Double.MaxValue).minBy(_._2)._1
   }
+
+  /** Introspection over the dedup scan methods at corpus size `n` —
+    * the LLM-pipeline face of `getScoredExecutionPath`: every path with
+    * its predicted cost (untrained paths report `Double.MaxValue`). */
+  def scoredPaths(n: Long): Seq[(String, Double)] =
+    Seq(Exact, Banded, Semantic).map(p => p -> predictedNanos(p, n))
 
   /** Measure both paths on samples of `df` at each size (one at a time,
     * like [[Planner.train]] — racing would bias the timings). Returns
@@ -305,8 +324,14 @@ object DedupPlanner {
         graft.operators.Ann.cosineNearDupPairs(sample, idCol, vecCol, threshold).count()))
       record(Banded, n, time(
         graft.operators.Ann.lshCosineNearDupPairs(sample, idCol, vecCol, threshold, dim).count()))
+      // semantic path timed end-to-end: centroid training is part of its
+      // cost at query time, so it is part of the measurement
+      record(Semantic, n, time {
+        val cents = graft.operators.Ann.trainSemanticCentroids(sample, vecCol, semanticK(n))
+        graft.operators.Ann.semanticDedupPairs(sample, idCol, vecCol, cents, threshold).count()
+      })
     }
-    2 * sizes.size
+    3 * sizes.size
   }
 
   /** Near-dup pairs through the measured choice for this corpus' size;
@@ -317,6 +342,11 @@ object DedupPlanner {
     choose(n) match {
       case Exact =>
         (Exact, graft.operators.Ann.cosineNearDupPairs(df, idCol, vecCol, threshold))
+      case Semantic =>
+        val cents = graft.operators.Ann.trainSemanticCentroids(df, vecCol, semanticK(n))
+        (Semantic,
+          graft.operators.Ann.semanticDedupPairs(df, idCol, vecCol, cents, threshold)
+            .select("id_a", "id_b", "cos_sim"))
       case banded =>
         (banded, graft.operators.Ann.lshCosineNearDupPairs(df, idCol, vecCol, threshold, dim))
     }

@@ -706,6 +706,9 @@ class GrpcSpec extends SparkSpec {
       }.toSeq
     scans should contain("sequential")
     scans.exists(_.startsWith("index:")) shouldBe true
+    // the dedup scan methods ride the same introspection RPC
+    scans should contain allOf ("dedup:cosine_exact", "dedup:cosine_banded",
+      "dedup:cosine_semantic")
 
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcplan"))
   }

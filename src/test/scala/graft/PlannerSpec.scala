@@ -185,16 +185,37 @@ class PlannerSpec extends SparkSpec {
     DedupPlanner.choose(100) shouldBe DedupPlanner.Exact     // 1e4 vs 1e5 ns
     DedupPlanner.choose(100000) shouldBe DedupPlanner.Banded // 1e10 vs 1e8 ns
 
-    // real training sweep on the corpus records both paths at both sizes
+    // the semantic (cluster-pruned SemDeDup) path joins the comparison
+    // once trained — its ~n^1.5 curve occupies the MIDDLE size regime
+    // between exact (n²) and banded (linear with a big constant):
+    // exact t = n², banded t = 2000·n, semantic t = 40·n^1.5
+    DedupPlanner.clearMeasurements()
+    Seq(1000L, 4000L).foreach { n =>
+      DedupPlanner.record(DedupPlanner.Exact, n, n * n)
+      DedupPlanner.record(DedupPlanner.Banded, n, 2000L * n)
+      DedupPlanner.record(DedupPlanner.Semantic,
+        n, (40.0 * math.pow(n.toDouble, 1.5)).toLong)
+    }
+    DedupPlanner.choose(1000) shouldBe DedupPlanner.Exact      // 1e6 < 1.26e6 < 2e6
+    DedupPlanner.choose(2000) shouldBe DedupPlanner.Semantic   // 3.6e6 < 4e6 = 4e6
+    DedupPlanner.choose(100000) shouldBe DedupPlanner.Banded   // 2e8 < 1.26e9 < 1e10
+    // introspection reports every path's predicted cost
+    DedupPlanner.scoredPaths(2000).map(_._1) shouldBe
+      Seq(DedupPlanner.Exact, DedupPlanner.Banded, DedupPlanner.Semantic)
+    DedupPlanner.scoredPaths(2000).map(_._2).forall(_ < Double.MaxValue) shouldBe true
+
+    // real training sweep on the corpus records all three paths at both sizes
     DedupPlanner.clearMeasurements()
     DedupPlanner.train(data.withColumnRenamed("feature", "emb"), "id", "emb",
-      threshold = 0.95, dim = 8, sizes = Seq(100, 400)) shouldBe 4
-    DedupPlanner.measurementCount shouldBe 4
+      threshold = 0.95, dim = 8, sizes = Seq(100, 400)) shouldBe 6
+    DedupPlanner.measurementCount shouldBe 6
     // whichever path the measurements pick, the planned operator returns
-    // verified cosine pairs (subset-of-exact by construction)
+    // verified cosine pairs (subset-of-exact by construction — semantic
+    // and banded both verify candidates with the exact cosine)
     val (path, pairs) = DedupPlanner.nearDupPairs(
       data.withColumnRenamed("feature", "emb").limit(300), "id", "emb", 0.95, 8)
-    Set(DedupPlanner.Exact, DedupPlanner.Banded) should contain(path)
+    Set(DedupPlanner.Exact, DedupPlanner.Banded,
+      DedupPlanner.Semantic) should contain(path)
     val exact = graft.operators.Ann.cosineNearDupPairs(
       data.withColumnRenamed("feature", "emb").limit(300), "id", "emb", 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
