@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   * REAL for both container families: RIFF/AVI (hand-parsed main header:
   * true width, height, frame count) and MP4/ISO-BMFF (ISO/IEC 14496-12
   * box walk: movie duration, per-track handler + sample-entry codec
-  * fourcc, video width/height, sample count); only per-frame PIXEL
-  * decode remains behind the deterministic stub (`decodeStub`) — no
-  * video codec exists in either container. Everything around the codecs
-  * is the production plumbing —
+  * fourcc, video width/height, sample count). Per-frame VIDEO PIXEL
+  * decode is REAL for Motion-JPEG AVI (`decodeMjpegVideo`: every frame
+  * chunk is a standalone JPEG through the ImageIO path); other codecs
+  * (H.264 etc.) have no JDK decoder and keep the container-metadata
+  * path, with the deterministic stub (`decodeStub`) for unparseable
+  * payloads. Everything around the codecs is the production plumbing —
   * output schemas, `mapPartitions` batch shape (the Scala analog of
   * `mapInPandas`: one iterator per partition, streaming, no per-row
   * task overhead), partition sizing — so swapping in a real frame
@@ -195,6 +197,64 @@ object Multimodal {
     Some((width, height, 3, frames, hist))
   }
 
+  /** Byte spans (offset, length) of the video frame chunks (`##dc` /
+    * `##db` stream data) inside an AVI's RIFF tree, in stream order —
+    * for Motion-JPEG each span is one complete JPEG image. Pure chunk
+    * walk; recurses into `LIST` boxes (hdrl/movi/rec ). */
+  private def aviFrameSpans(payload: Array[Byte]): Seq[(Int, Int)] = {
+    def u32(o: Int): Long =
+      (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+        ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    def cc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val id = cc(i)
+        val sz = u32(i + 4)
+        if (sz < 0 || i + 8 + sz > end) ok = false // malformed tail: stop
+        else {
+          if (id == "LIST" && sz >= 4) walk(i + 12, (i + 8 + sz).toInt)
+          else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+            out += ((i + 8, sz.toInt))
+          i = (i + 8 + sz + (sz & 1)).toInt // chunks pad to even offsets
+        }
+      }
+    }
+    if (payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ")
+      walk(12, payload.length)
+    out.toSeq
+  }
+
+  /** REAL per-frame video pixel decode for Motion-JPEG AVI: every
+    * `##dc`/`##db` chunk is a standalone JPEG, decoded through the same
+    * ImageIO path as still images; the feature vector is the mean of
+    * the per-frame luminance histograms — genuine pixel features, no
+    * external codec. Frame count = frames that actually decoded.
+    * Returns None when no chunk decodes (non-MJPEG codecs fall back to
+    * the container-metadata path). */
+  def decodeMjpegVideo(payload: Array[Byte], dim: Int): Option[(Int, Int, Int, Int, Array[Float])] = {
+    val spans = aviFrameSpans(payload)
+    if (spans.isEmpty) return None
+    val decoded = spans.flatMap { case (off, len) =>
+      // JPEG SOI magic gate before paying an ImageIO parse attempt
+      if (len < 2 || payload(off) != 0xFF.toByte || payload(off + 1) != 0xD8.toByte) None
+      else decodeImage(java.util.Arrays.copyOfRange(payload, off, off + len), dim)
+    }
+    if (decoded.isEmpty) return None
+    val (w, h, ch, _) = decoded.head
+    val mean = new Array[Float](dim)
+    decoded.foreach { case (_, _, _, f) =>
+      var d = 0
+      while (d < dim) { mean(d) += f(d); d += 1 }
+    }
+    var d = 0
+    while (d < dim) { mean(d) /= decoded.size; d += 1 }
+    Some((w, h, ch, decoded.size, mean))
+  }
+
   /** One parsed MP4 track: `handler` fourcc from `hdlr` ("vide",
     * "soun"), sample-entry (codec) fourcc from `stsd` ("avc1", "mp4a"),
     * presentation width/height from `tkhd`, sample count from `stsz`. */
@@ -321,7 +381,11 @@ object Multimodal {
           case "image" => decodeImage(payload, dim).map { case (w, h, c, f) => (w, h, c, 1, f) }
           case "audio" => decodeAudio(payload, dim).map { case (w, h, c, f) => (w, h, c, h, f) }
           case "video" =>
-            decodeVideoMeta(payload, dim).orElse(decodeMp4Meta(payload, dim))
+            // true pixel decode when the codec allows it (MJPEG-in-AVI);
+            // container metadata otherwise
+            decodeMjpegVideo(payload, dim)
+              .orElse(decodeVideoMeta(payload, dim))
+              .orElse(decodeMp4Meta(payload, dim))
           case _ => None
         }
         val (w, h, c, fr, f) = real.getOrElse {

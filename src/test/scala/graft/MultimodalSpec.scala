@@ -162,6 +162,62 @@ class MultimodalSpec extends SparkSpec {
       Array(0, 2, 4, 6, 8)
   }
 
+  /** A uniform-shade JPEG via the JDK encoder — every pixel the same
+    * luminance, so the decoded histogram mass sits in one known bin. */
+  private def jpegBytes(w: Int, h: Int, shade: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (shade << 16) | (shade << 8) | shade
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal Motion-JPEG AVI: each frame a complete JPEG in a `00dc`
+    * chunk inside the `movi` LIST, chunk sizes exact, data padded to
+    * even offsets per RIFF. */
+  private def mjpegAviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = new java.io.ByteArrayOutputStream()
+    def le32(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+    movi.write("movi".getBytes)
+    frames.foreach { f =>
+      movi.write("00dc".getBytes); le32(movi, f.length); movi.write(f)
+      if ((f.length & 1) == 1) movi.write(0)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes); le32(bos, 4L + 8 + movi.size)
+    bos.write("AVI ".getBytes)
+    bos.write("LIST".getBytes); le32(bos, movi.size); movi.writeTo(bos)
+    bos.toByteArray
+  }
+
+  test("Motion-JPEG AVI decodes true per-frame pixels; mean histogram over frames") {
+    // two dark frames + one bright: the 4-bin mean histogram must put
+    // 2/3 of its mass in bin 0 and 1/3 in bin 3 — only actual pixel
+    // decode of EVERY frame produces that split
+    val avi = mjpegAviBytes(Seq(
+      jpegBytes(8, 6, 10), jpegBytes(8, 6, 12), jpegBytes(8, 6, 245)))
+    val Some((w, h, ch, fr, feats)) = Multimodal.decodeMjpegVideo(avi, 4)
+    w shouldBe 8
+    h shouldBe 6
+    ch shouldBe 3
+    fr shouldBe 3
+    feats(0) shouldBe 2f / 3 +- 0.01f
+    feats(3) shouldBe 1f / 3 +- 0.01f
+    feats.sum shouldBe 1.0f +- 1e-4f
+    // decodeAssets routes video payloads through the MJPEG path first
+    val rows = Seq((50L, "video", avi, Map("src" -> "gen")))
+      .toDF("asset_id", "modality", "payload", "meta")
+    val got = Multimodal.decodeAssets(rows, dim = 4).collect().head
+    got.getAs[Int]("width") shouldBe 8
+    got.getAs[Int]("frames") shouldBe 3
+    // a non-MJPEG AVI (header only, no frame chunks) keeps the
+    // container-metadata path — decodeMjpegVideo declines it
+    Multimodal.decodeMjpegVideo(aviBytes(320, 240, 9), 4) shouldBe None
+  }
+
   // minimal but well-formed ISO-BMFF writer: big-endian box sizes, the
   // exact field layouts Multimodal.mp4Info reads (ISO/IEC 14496-12)
   private def be32(v: Long): Array[Byte] =
