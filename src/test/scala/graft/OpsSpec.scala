@@ -88,6 +88,25 @@ class OpsSpec extends SparkSpec {
     all(dists) shouldBe 0.0
   }
 
+  test("weighted queries never plan onto an index (pruning uses the unweighted metric)") {
+    val vaf = IndexOps.create("vaf", data, "id", "feature")
+    // non-trivial weights: index candidate pruning under the unweighted
+    // metric could drop true weighted neighbours
+    val w = NnQuery("feature", q, "euclidean", 10,
+      weights = Some((1 to 8).map(_.toDouble)))
+    // hint-planned: even an exact-index hint must fall back to sequential
+    QueryOps.choosePlan(data, Seq(vaf), Seq(Planner.ExactHint), w)
+      .describe shouldBe "sequential"
+    // racing plan set: sequential only
+    QueryOps.planSpecsFor(data, "id", Seq(vaf), w, Nil)
+      .map(_.description) shouldBe Seq("sequential")
+    // direct index scan refuses rather than returning a silently wrong top-k
+    an[IllegalArgumentException] should be thrownBy
+      QueryOps.index(data, "id", vaf, w)
+    // and the sequential weighted result stays exact
+    QueryOps.sequential(data, "id", w).count() shouldBe 10
+  }
+
   test("timedParallel returns the exact result when all plans finish") {
     val ecp = IndexOps.create("ecp", data, "id", "feature")
     val o = QueryOps.timedParallel(spark, data, "id", Seq(ecp), nnq, 60000)
