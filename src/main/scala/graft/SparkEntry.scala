@@ -611,6 +611,38 @@ object SparkEntry {
         Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5))
         .orderBy("id")),
 
+    "neardup_keep_best" -> ((s, d) =>
+      // near-dup cluster survivors: keep the LONGEST doc per connected
+      // component (ties → lowest id), pass unclustered docs through —
+      // the keep-best policy a production dedup actually ships (same
+      // minhash-recall caveat as dedup_components)
+      Dedup.nearDupKeepBest(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.5, priority = col("n_chars"))
+        .select("doc_id").orderBy("doc_id")),
+
+    "hybrid_search_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 top-50 and cosine top-50 fused by
+      // reciprocal rank; both rankings are TakeOrdered-bounded BEFORE
+      // the rank window, so the windows and the fusion join see 50 rows
+      // each regardless of corpus size
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val lex = TextSearch.bm25TopK(docs, "doc_id", "text",
+          Seq("vector", "join", "hash"), 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+      val vec = Knn.knn(emb, Distances.cosine(col("embedding"),
+            Distances.vecLit(q)), 50, col("vec_id"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col(Knn.DistanceCol).asc, col("vec_id").asc)))
+        .withColumnRenamed("vec_id", "doc_id")
+      TextSearch.rrfFuse(lex, vec, "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+    }),
+
     "corpus_neardup" -> ((s, d) => {
       // admission check: incoming docs (id >= 400) vs the ingested corpus;
       // the corpus index is a build-once artifact (cached per data dir —
@@ -1834,6 +1866,68 @@ object SparkEntry {
          |)
          |SELECT id, CAST(least(id, min(reach)) AS BIGINT) AS component
          |FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    // same pair set as dedup_components, then keep-longest per component
+    // (ties -> lowest id); unclustered docs pass through
+    "neardup_keep_best" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |),
+         |e AS (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   len(list_intersect(a.sh, b.sh)) * 1.0
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         | ) WHERE j >= 0.5
+         |),
+         |ed AS (SELECT id_a AS s, id_b AS t FROM e
+         |       UNION SELECT id_b, id_a FROM e),
+         |r AS (
+         |  SELECT s AS id, t AS reach FROM ed
+         |  UNION
+         |  SELECT r.id, ed.t FROM r JOIN ed ON r.reach = ed.s
+         |),
+         |comp AS (SELECT id, CAST(least(id, min(reach)) AS BIGINT) AS component
+         |         FROM r GROUP BY id),
+         |losers AS (SELECT id FROM (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.component
+         |    ORDER BY doc.n_chars DESC, c.id ASC) AS rk
+         |  FROM comp c JOIN documents doc ON c.id = doc.doc_id) WHERE rk > 1)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    "hybrid_search_rrf" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+         |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |posts AS (SELECT doc_id, term, count(*) AS tf
+         |          FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |          WHERE term IN ('vector','join','hash') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+         |bm_all AS (SELECT doc_id, sum(
+         |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+         | FROM posts JOIN dfreq USING (term) JOIN dl USING (doc_id), c
+         | GROUP BY doc_id),
+         |bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |         AS lex_rank
+         |       FROM bm_all ORDER BY score DESC, doc_id ASC LIMIT 50),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vs0 AS (SELECT e.vec_id,
+         |  CASE WHEN $duckNormE < 1e-5 OR $duckNormQ < 1e-5 THEN 0.0
+         |   ELSE 1.0 - ($duckDot) / ($duckNormE * $duckNormQ) END AS dist
+         |  FROM embeddings e, q),
+         |vs AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY dist ASC, vec_id ASC)
+         |         AS vec_rank
+         |       FROM vs0 ORDER BY dist ASC, vec_id ASC LIMIT 50),
+         |f AS (SELECT coalesce(bm.doc_id, vs.doc_id) AS doc_id,
+         |  coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+         |   + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0) AS rrf
+         |  FROM bm FULL OUTER JOIN vs ON bm.doc_id = vs.doc_id)
+         |SELECT doc_id, round(rrf, 6) AS rrf FROM f
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // same exact-all-pairs-vs-banded caveat as minhash_neardup above
     "corpus_neardup" ->

@@ -575,4 +575,29 @@ object Dedup {
       labels
     } finally symWide.unpersist()
   }
+
+  /** Near-duplicate cluster survivors under a priority rule: cluster the
+    * banded-minhash candidate pairs into connected components, keep the
+    * HIGHEST-priority row per component (ties → lowest id), and pass
+    * every unclustered row through — the keep-best twin of
+    * [[dropExactDupsBy]] for NEAR duplicates (a production pipeline
+    * keeps the longest/highest-quality variant of each near-dup
+    * cluster, not an arbitrary one).
+    *
+    * Scale shape: components work on the pair graph (orders of magnitude
+    * smaller than the corpus); the per-component window shuffles only
+    * (id, component, priority) triples; the final anti-join's loser side
+    * is pairs-scale, broadcastable. */
+  def nearDupKeepBest(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, priority: Column): DataFrame = {
+    val comps = connectedComponents(
+      minhashNearDupPairs(df, textCol, idCol, threshold))
+    val losers = comps
+      .join(df.select(col(idCol).cast("long").as("id"), priority.as("__pri")), Seq("id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("component").orderBy(col("__pri").desc, col("id").asc)))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -89,4 +89,22 @@ object TextSearch {
     bm25Scores(docs, idCol, textCol, terms, k1, b)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+
+  /** Reciprocal Rank Fusion of two bounded rankings:
+    * rrf(d) = Σ 1/(k0 + rank_d), summing only over the lists d appears
+    * in — the standard calibration-free way to merge a lexical (BM25)
+    * and a vector (cosine) ranking into one hybrid retrieval result.
+    * Inputs carry (`idCol`, `rank`); both are expected PRE-BOUNDED to
+    * their top-n (ranking a corpus globally would funnel it through one
+    * partition — rank AFTER a TakeOrdered top-k, so the window sees k
+    * rows). The full-outer join touches ≤ |a|+|b| rows; k0 = 60 per the
+    * original RRF paper. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k0: Int = 60): DataFrame = {
+    val ar = a.select(col(idCol), col("rank").as("__rank_a"))
+    val br = b.select(col(idCol), col("rank").as("__rank_b"))
+    ar.join(br, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(k0) + col("__rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("__rank_b")), lit(0.0))).as("rrf"))
+  }
 }

@@ -39,6 +39,14 @@ class DedupTextSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(4L, 2L, 3L)
   }
 
+  test("nearDupKeepBest keeps the longest row per near-dup cluster; unclustered pass") {
+    // {0,1,2,4} cluster via minhash (0/1/4 exact after normalize, 2 near);
+    // 4's raw text is the longest -> priority keeps 4; 3 is unclustered
+    Dedup.nearDupKeepBest(docs, "text", "doc_id", threshold = 0.4,
+        priority = org.apache.spark.sql.functions.length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(4L, 3L)
+  }
+
   test("minhash LSH finds near-dup pairs and none across unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

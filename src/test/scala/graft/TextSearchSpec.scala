@@ -58,4 +58,15 @@ class TextSearchSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
     plan should include("partial_sum")
   }
+
+  test("rrfFuse: both-list docs outrank single-list; absent list contributes 0") {
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1), (9L, 2)).toDF("doc_id", "rank")
+    val got = TextSearch.rrfFuse(lex, vec, "doc_id", k0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got(2L) shouldBe (1.0 / 62 + 1.0 / 61) +- 1e-12 // in both lists
+    got(1L) shouldBe 1.0 / 61 +- 1e-12              // lexical only
+    got(9L) shouldBe 1.0 / 62 +- 1e-12              // vector only
+    got(2L) should be > got(1L)
+  }
 }
