@@ -819,6 +819,13 @@ object SparkEntry {
       Sampling.bernoulliSample(Tables.documents(s, d), "text", 0.25)
         .select("doc_id").orderBy("doc_id")),
 
+    "training_order_shuffle" -> ((s, d) =>
+      // reproducible pre-training shuffle: hash-of-(id, seed) sort key,
+      // replayable by any engine; the key values ARE the verified order
+      Sampling.deterministicShuffle(
+          Tables.documents(s, d).select("doc_id"), "doc_id", seed = 42)
+        .select(col("doc_id"), col("shuffle_key"))),
+
     "sample_weighted_mix" -> ((s, d) =>
       Sampling.weightedMix(Tables.documents(s, d), "lang", "text",
           weights = Map("en" -> 0.5, "de" -> 0.2), defaultWeight = 0.1)
@@ -2055,6 +2062,11 @@ object SparkEntry {
       s"""SELECT doc_id FROM
          | (SELECT doc_id, ${duckRawHash("text")} AS h FROM documents)
          |WHERE h % 10000 < 2500 ORDER BY doc_id""".stripMargin,
+
+    "training_order_shuffle" ->
+      s"""SELECT doc_id,
+         | ${duckRawHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     "sample_weighted_mix" ->
       s"""SELECT doc_id, lang FROM

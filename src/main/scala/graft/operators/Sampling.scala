@@ -56,6 +56,18 @@ object Sampling {
     * [[bernoulliSample]], so the kept set is deterministic, key-stable
     * under corpus growth, and externally replayable; still a pure
     * codegen'd per-row filter with zero shuffle. */
+  /** Deterministic training-order shuffle: the avalanche hash of
+    * (id, seed) becomes a `shuffle_key` sort column, so the training
+    * order is reproducible across runs and engines, uncorrelated with
+    * ingest order, and per-row stable as the corpus grows (appended
+    * rows interleave without moving existing ones — resumable epochs).
+    * The sort is a distributed range-partition sort: no global window,
+    * no driver funnel, unlike a row_number position assignment. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+      keyHash(concat(col(idCol).cast("string"), lit(s":$seed"))))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   def weightedMix(df: DataFrame, domainCol: String, keyCol: String,
                   weights: Map[String, Double],
                   defaultWeight: Double = 0.0): DataFrame = {

@@ -64,6 +64,26 @@ class SamplingSpec extends SparkSpec {
     keptSmall shouldBe Sampling.bernoulliSample(small, "k", 0.3).as[String].collect().toSet
   }
 
+  test("deterministicShuffle: reproducible permutation, seed-sensitive, growth-stable keys") {
+    val df = (1L to 100L).toDF("id")
+    val order = Sampling.deterministicShuffle(df, "id", 42)
+      .select("id").as[Long].collect().toSeq
+    order.toSet shouldBe (1L to 100L).toSet // a permutation, nothing lost
+    order should not be (1L to 100L)        // ...and not ingest order
+    // reproducible across runs; different seed -> different order
+    Sampling.deterministicShuffle(df, "id", 42)
+      .select("id").as[Long].collect().toSeq shouldBe order
+    Sampling.deterministicShuffle(df, "id", 7)
+      .select("id").as[Long].collect().toSeq should not be order
+    // per-row keys are growth-stable: the same id keeps its key when
+    // the corpus doubles (appends interleave, existing rows don't move)
+    val k100 = Sampling.deterministicShuffle(df, "id", 42)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k200 = Sampling.deterministicShuffle((1L to 200L).toDF("id"), "id", 42)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    k100.foreach { case (id, k) => k200(id) shouldBe k }
+  }
+
   test("weightedMix: per-domain rates; full/zero weights are exact; default applies") {
     val df = (1 to 300).map(i =>
       (s"doc $i", if (i <= 100) "web" else if (i <= 200) "books" else "code"))
