@@ -549,6 +549,47 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           else Ann.semanticDedupSurvivors(e, idCol, vecCol, centroids, threshold)
             .orderBy(col(idCol))
         pagedRows(out, outDf)
+      case "/pipeline/keep_best" =>
+        // near-dup cluster survivors under a priority column (keep the
+        // longest/highest-quality variant per cluster; default priority
+        // is text length)
+        val textCol = req.get("textCol").asText()
+        val pri =
+          if (req.has("priorityCol")) col(req.get("priorityCol").asText())
+          else org.apache.spark.sql.functions.length(col(textCol))
+        val idCol = req.get("idCol").asText()
+        pagedRows(out, graft.operators.Dedup.nearDupKeepBest(
+          entity(req, "entity").read(), textCol, idCol,
+          if (req.has("threshold")) req.get("threshold").asDouble() else 0.8,
+          pri).orderBy(col(idCol)))
+      case "/pipeline/shuffle" =>
+        // reproducible training-order shuffle (hash-of-(id, seed) key)
+        pagedRows(out, graft.operators.Sampling.deterministicShuffle(
+          entity(req, "entity").read(), req.get("idCol").asText(),
+          if (req.has("seed")) req.get("seed").asLong() else 42L))
+      case "/search/hybrid" =>
+        // BM25 + vector cosine fused by reciprocal rank (k0 = 60)
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{round => sround, _}
+        val e = entity(req, "entity").read()
+        val idCol = req.get("idCol").asText()
+        val terms = req.get("terms").elements().asScala.map(_.asText()).toSeq
+        val qv = req.get("q").elements().asScala.map(_.asDouble()).toSeq
+        val n = if (req.has("k")) req.get("k").asInt() else 10
+        val lex = graft.operators.TextSearch.bm25TopK(
+            e, idCol, req.get("textCol").asText(), terms, 5 * n)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .withColumnRenamed("doc_id", idCol)
+        val vec = graft.operators.Knn.knn(e,
+            graft.functions.Distances.cosine(col(req.get("vecCol").asText()),
+              graft.functions.Distances.vecLit(qv)), 5 * n, col(idCol))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col(graft.operators.Knn.DistanceCol).asc,
+              col(idCol).asc)))
+        pagedRows(out, graft.operators.TextSearch.rrfFuse(lex, vec, idCol)
+          .orderBy(col("rrf").desc, col(idCol).asc).limit(n)
+          .select(col(idCol), sround(col("rrf"), 6).as("rrf")))
       case other => throw new IllegalArgumentException(s"no such endpoint: $other")
     }
     out

@@ -375,6 +375,35 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"sem"}""")
   }
 
+  test("keep-best, shuffle, and hybrid search over the wire") {
+    post("/entity/create", """{"name":"kb"}""").get("ok").asBoolean() shouldBe true
+    // 0/1 near-dup (1 longer -> kept); 2 unique; each row carries an
+    // embedding so hybrid search runs over the same entity
+    post("/entity/insert",
+      """{"name":"kb","rows":[
+        |{"did":0,"txt":"the quick brown fox jumps over the lazy dog again and again","v":[1.0,0.0,0.0,0.0]},
+        |{"did":1,"txt":"the quick brown fox jumps over the lazy dog again and again today","v":[0.0,1.0,0.0,0.0]},
+        |{"did":2,"txt":"completely different content about fast spark query engines","v":[0.0,0.0,1.0,0.0]}]}""".stripMargin)
+      .get("inserted").asInt() shouldBe 3
+    val kept = post("/pipeline/keep_best",
+      """{"entity":"kb","textCol":"txt","idCol":"did","threshold":0.4}""")
+    kept.get("ok").asBoolean() shouldBe true
+    kept.get("rows").elements().asScala.map(_.get("did").asInt()).toSeq shouldBe
+      Seq(1, 2) // 1 outlives 0 (longer); 2 unclustered
+    val shuf = post("/pipeline/shuffle", """{"entity":"kb","idCol":"did","seed":42}""")
+    shuf.get("ok").asBoolean() shouldBe true
+    shuf.get("rows").elements().asScala.map(_.get("did").asInt()).toSet shouldBe
+      Set(0, 1, 2) // permutation, keys attached
+    // "fast" matches only doc 2 lexically; the query vector is doc 2's
+    // embedding -> doc 2 tops both lists and wins the fusion
+    val hyb = post("/search/hybrid",
+      """{"entity":"kb","idCol":"did","textCol":"txt","vecCol":"v",
+        |"terms":["fast"],"q":[0.0,0.0,1.0,0.0],"k":2}""".stripMargin)
+    hyb.get("ok").asBoolean() shouldBe true
+    hyb.get("rows").elements().asScala.map(_.get("did").asInt()).toSeq.head shouldBe 2
+    post("/entity/drop", """{"name":"kb"}""")
+  }
+
   test("bad requests return ok=false with an error") {
     val r = post("/entity/count", """{"name":"nope"}""")
     r.get("ok").asBoolean() shouldBe false
