@@ -57,7 +57,11 @@ object Plans {
       ("hash_features", "bucket counts partial-aggregate before the id shuffle",
         Seq("partial_count", "HashAggregate")),
       ("zorder_pruned_scan", "partkey range filter pushed to the z-ordered scan",
-        Seq("PushedFilters: [", "GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey")))
+        Seq("PushedFilters: [", "GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey")),
+      ("neardup_keep_best", "per-component priority window + anti-join of pairs-scale losers",
+        Seq("Window", "LeftAnti")),
+      ("hybrid_search_rrf", "both rankings TakeOrdered-bounded before fusion; full-outer merge",
+        Seq("TakeOrderedAndProject", "FullOuter")))
 
     // negative shape: these must not shuffle before their
     // (presentation-only) global sort — strip the final Sort's own range
