@@ -583,6 +583,19 @@ class GrpcSpec extends SparkSpec {
       }
     }
 
+    // a manhattan-conforming index exists on the entity BEFORE the
+    // weighted query: the planner must still serve weights from the
+    // sequential plan — VA candidate pruning uses the UNWEIGHTED metric,
+    // under which every row here is equidistant (constant 100), so an
+    // index plan could prune the true weighted top-k arbitrarily (the
+    // previously-masked silent-wrong-answer case)
+    val wIdxD = Proto.msg("IndexMessage")
+    ackOk(call(mdDef("Index", "IndexMessage", "AckMessage"),
+      Proto.newMsg("IndexMessage")
+        .setField(wIdxD.findFieldByName("entity"), "rpcwp")
+        .setField(wIdxD.findFieldByName("attribute"), "vec")
+        .setField(wIdxD.findFieldByName("indextype"), "vaf").build())) shouldBe true
+
     // weighted: only dim 0 counts, so the top row is i=0 at distance 0
     val wRes = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
       nnqWith(Some(Seq(1f, 0f, 0f, 0f)), Nil, 3))
@@ -590,6 +603,8 @@ class GrpcSpec extends SparkSpec {
     val wRows = resultRows(wRes)
     wRows should have size 3
     wRows.head("vec").asInstanceOf[Seq[_]].head shouldBe 0.0f
+    // the full weighted top-3 is exact: i = 0, 1, 2 by dim-0 value
+    wRows.map(_("vec").asInstanceOf[Seq[_]].head) shouldBe Seq(0.0f, 1.0f, 2.0f)
 
     // partition restriction needs a layout: refused without one...
     ackOk(sub(call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
