@@ -291,6 +291,20 @@ object SparkEntry {
         .orderBy("user_id", "l_id", "r_id")
     }),
 
+    "event_attribution_unmatched" -> ((s, d) => {
+      // the funnel-drop-off side: clicks with NO purchase inside the
+      // window, via the left-outer interval join (streaming emits these
+      // once the watermark proves no match can arrive)
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStream.correlate(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          within = "30 minutes", joinType = "leftOuter")
+        .filter(col("r_id").isNull)
+        .select(col("user_id"), col("l_id"), unix_micros(col("l_ts")).as("l_us"))
+        .orderBy("user_id", "l_id")
+    }),
+
     "text_bpeish_tokens" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_cnt"))
@@ -1332,6 +1346,15 @@ object SparkEntry {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
         |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    "event_attribution_unmatched" ->
+      """SELECT l.user_id, l.event_id AS l_id, epoch_us(l.ts) AS l_us
+        |FROM events l
+        |WHERE l.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events r WHERE r.user_id = l.user_id
+        |    AND r.event_type = 'purchase'
+        |    AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+        |ORDER BY l.user_id, l_id""".stripMargin,
 
     "set_union" ->
       """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (

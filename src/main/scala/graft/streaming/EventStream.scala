@@ -74,7 +74,8 @@ object EventStream {
     * requirement for running this on two unbounded 100 TB/day feeds.
     * Works identically on bounded frames (batch backfill). */
   def correlate(left: DataFrame, right: DataFrame, within: String,
-                watermark: String = "2 hours"): DataFrame = {
+                watermark: String = "2 hours",
+                joinType: String = "inner"): DataFrame = {
     // the user key is aliased DIFFERENTLY per side: with both sides
     // derived from the same batch frame (self-join backfill),
     // l("user_id") === r("user_id") resolves both refs to the same
@@ -86,10 +87,13 @@ object EventStream {
     val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
         col("user_id").as("r_user"), col("event_type").as("r_type"))
       .withWatermark("r_ts", watermark)
+    // joinType "leftOuter" emits unmatched left events (null right
+    // columns) once the watermark proves no match can still arrive —
+    // the funnel-drop-off side of attribution; same state bounds
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"), joinType)
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
         col("l_ts"), col("r_ts"))
   }

@@ -130,6 +130,34 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long, String)]
+    val memR = MemoryStream[(Long, Timestamp, Long, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val q = EventStream.correlate(
+        memL.toDF().toDF(cols: _*), memR.toDF().toDF(cols: _*),
+        within = "10 minutes", watermark = "1 minute", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("correlated_outer")
+      .outputMode("append").start()
+    try {
+      // user 1 converts inside the window; user 3's click never matches —
+      // it must STILL be emitted (null right side) once the watermark
+      // proves no purchase can arrive
+      memL.addData((1L, ts(5), 1L, "click"), (2L, ts(5), 3L, "click"))
+      memR.addData((100L, ts(9), 1L, "purchase"))
+      q.processAllAvailable()
+      memL.addData((9L, ts(300), 9L, "click"))
+      memR.addData((199L, ts(300), 9L, "noise"))
+      q.processAllAvailable()
+      val rows = spark.table("correlated_outer").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      rows should contain((1L, 1L, 100L))  // matched pair
+      rows should contain((3L, 2L, -1L))   // unmatched click, null right
+    } finally q.stop()
+  }
+
   test("per-row quality verdicts run natively on a stream (stateless map stage)") {
     // the zero-shuffle kernel form needs no foreachBatch: it is a pure
     // projection, so Structured Streaming accepts it directly
