@@ -428,6 +428,7 @@ object SparkEntry {
     "index_lsh_knn" -> indexKnn("lsh"),
     "index_mi_knn" -> indexKnn("mi", timesK = 10),
     "index_ivfpq_knn" -> indexKnn("ivfpq"),
+    "index_sq_knn" -> indexKnn("sq"),
 
     // --- lifecycle / planner / progressive / partitioning / multimodal ---
     "entity_lifecycle" -> ((s, d) => {
@@ -1001,7 +1002,8 @@ object SparkEntry {
     "lsh" -> (df => LSHIndex.build(df, "vec_id", "embedding",
       nTables = 8, nHashes = 1, probes = 2)),
     "mi" -> (df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15)),
-    "ivfpq" -> (df => IVFPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)))
+    "ivfpq" -> (df => IVFPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
+    "sq" -> (df => SQIndex.build(df, "vec_id", "embedding")))
 
   private def cachedIndex(s: SparkSession, d: String, key: String): VectorIndex =
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
@@ -1499,6 +1501,7 @@ object SparkEntry {
     "index_mi_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vote_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_ivfpq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_sq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
 
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 2)

@@ -40,7 +40,7 @@ object IndexOps {
     * index names as `<type>_<attribute>` and needs the exact list to
     * parse them back. */
   val knownTypes: Seq[String] =
-    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq")
+    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq", "sq")
 
   /** Index factory by type name — reference `IndexTypes.scala:20-45`. */
   def create(indexType: String, df: DataFrame, idCol: String, vecCol: String): VectorIndex =
@@ -54,6 +54,7 @@ object IndexOps {
       case "lsh" => LSHIndex.build(df, idCol, vecCol)
       case "mi" => MIIndex.build(df, idCol, vecCol)
       case "ivfpq" => IVFPQIndex.build(df, idCol, vecCol)
+      case "sq" => SQIndex.build(df, idCol, vecCol)
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
 

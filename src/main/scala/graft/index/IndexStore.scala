@@ -50,6 +50,7 @@ object IndexStore {
       case ivfpq: IVFPQIndex =>
         (ivfpq.assignments, (ivfpq.centroids, ivfpq.codebooks, ivfpq.subLen))
       case mi: MIIndex => (mi.postings, (mi.refPoints, mi.ki, mi.ks))
+      case sq: SQIndex => (sq.codes, (sq.mins, sq.scales))
       case other => throw new IllegalArgumentException(
         s"index type ${other.indexType} is not persistable")
     }
@@ -108,6 +109,9 @@ object IndexStore {
       case ("mi", b) =>
         val (refs, ki, ks) = b.asInstanceOf[(Array[Array[Double]], Int, Int)]
         new MIIndex(df, refs, ki, ks, meta.idCol)
+      case ("sq", b) =>
+        val (mins, scales) = b.asInstanceOf[(Array[Double], Array[Double])]
+        new SQIndex(df, mins, scales, meta.idCol)
       case (other, _) => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     Loaded(idx, currentStamp.exists(_ != meta.stamp))

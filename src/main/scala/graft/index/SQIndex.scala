@@ -1,0 +1,145 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Scalar quantization index (the FAISS SQ8 shape — a family the
+  * reference's §2.6 catalog stops short of; same architectural seam as
+  * its PQ/VA structures, reference `pq/PQIndex.scala:38-64`): every
+  * dimension quantized INDEPENDENTLY to 8 bits over its own corpus
+  * [min, max] range. Codes are `dim` byte-valued ints per row (4-8×
+  * smaller than the raw vectors); the scan computes the exact L2
+  * distance between the query and each DEQUANTIZED vector through a
+  * per-dimension 256-entry lookup table — the same Σ table(d)(code_d)
+  * kernel as PQ's asymmetric distance ([[PQAdcExpr]] is reused
+  * verbatim), so the scan stays whole-stage codegen.
+  *
+  * Against PQ: no codebook training (one min/max agg builds it), exact
+  * per-dimension resolution instead of sub-space centroids — better
+  * recall at the same code size for low-ish dimensions, the standard
+  * first rung on the memory-reduction ladder.
+  *
+  * Scale: metadata is 2·dim doubles (driver-side, shipped as expression
+  * literals); the codes relation is the only distributed state; the
+  * per-query table is dim × 256 doubles built once on the driver. */
+class SQIndex(val codes: DataFrame, // (id, codes array<int>)
+              val mins: Array[Double],
+              val scales: Array[Double], // (max-min)/255 per dim; 0 for flat dims
+              val idCol: String) extends VectorIndex {
+
+  override def indexType: String = "sq"
+  override def isExact: Boolean = false
+
+  /** Quantization only preserves L2-family ranking guarantees. */
+  override def conformsTo(distName: String): Boolean =
+    Set("euclidean", "minkowski-2", "squaredeuclidean")(distName.toLowerCase)
+
+  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
+    val table = SQIndex.adcTable(mins, scales, q.toArray)
+    codes.select(col(idCol),
+        Bridge.column(PQAdcExpr(Bridge.expression(col("codes")), table)).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k * timesK)
+      .select(col(idCol))
+  }
+}
+
+object SQIndex {
+
+  /** Per-dimension (query component → dequantized level) squared-distance
+    * table: table(d)(c) = (q_d − (min_d + c·scale_d))². */
+  private[index] def adcTable(mins: Array[Double], scales: Array[Double],
+                              q: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(mins.length) { d =>
+      Array.tabulate(256) { c =>
+        val diff = q(d) - (mins(d) + c * scales(d))
+        diff * diff
+      }
+    }
+
+  /** Build from one distributed min/max aggregation — no training
+    * sample, no clustering; the cheapest index in the family. */
+  def build(df: DataFrame, idCol: String, vecCol: String): SQIndex = {
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    val v = col(vecCol).cast("array<double>")
+    // two dim-length arrays via element-wise aggregates — a single
+    // map-side-combined pass over the corpus
+    val aggs = (0 until dims).map(d => min(element_at(v, d + 1)).as(s"mn$d")) ++
+      (0 until dims).map(d => max(element_at(v, d + 1)).as(s"mx$d"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = Array.tabulate(dims)(d => row.getDouble(d))
+    val scales = Array.tabulate(dims) { d =>
+      val r = row.getDouble(dims + d) - mins(d)
+      if (r <= 0) 0.0 else r / 255.0
+    }
+    val codes = df.select(col(idCol),
+        Bridge.column(SQEncodeExpr(Bridge.expression(col(vecCol)), mins, scales))
+          .as("codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new SQIndex(codes, mins, scales, idCol)
+  }
+}
+
+/** Quantize a vector: per-dimension affine map to [0, 255]. */
+case class SQEncodeExpr(child: Expression, mins: Array[Double], scales: Array[Double])
+  extends UnaryExpression with VecArrayInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(child, "sq_encode", FloatType, DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq_encode"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val vec = Array.tabulate(v.numElements())(i =>
+      if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SQEncodeExpr.encode(vec, mins, scales))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val sRef = ctx.addReferenceObj("sqScales", scales, "double[]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    // fresh names per instance — redeclared locals would silently drop
+    // the whole projection to the interpreted path (janino)
+    val vec = ctx.freshName("vec")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""double[] $vec = new double[$c.numElements()];
+         |for (int $i = 0; $i < $vec.length; $i++) $vec[$i] = (double) $c.$getter($i);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.index.SQEncodeExpr.encode($vec, $mRef, $sRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SQEncodeExpr {
+  def encode(vec: Array[Double], mins: Array[Double], scales: Array[Double]): Array[Int] = {
+    val n = math.min(vec.length, mins.length)
+    val out = new Array[Int](n)
+    var d = 0
+    while (d < n) {
+      out(d) =
+        if (scales(d) <= 0) 0
+        else {
+          val c = math.round((vec(d) - mins(d)) / scales(d)).toInt
+          if (c < 0) 0 else if (c > 255) 255 else c
+        }
+      d += 1
+    }
+    out
+  }
+}

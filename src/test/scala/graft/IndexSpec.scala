@@ -159,7 +159,8 @@ class IndexSpec extends SparkSpec {
       "sh" -> SHIndex.build(data, "tid", "vectorfield", nBits = 32),
       "lsh" -> LSHIndex.build(data, "tid", "vectorfield"),
       "mi" -> MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15),
-      "ivfpq" -> IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16))
+      "ivfpq" -> IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
+      "sq" -> SQIndex.build(data, "tid", "vectorfield"))
     family.foreach { case (name, built) =>
       IndexStore.save(base, name, built)
       val reopened = IndexStore.load(spark, base, name).index
@@ -210,7 +211,8 @@ class IndexSpec extends SparkSpec {
       ("lsh", LSHIndex.build(emb, "vec_id", "embedding",
         nTables = 8, nHashes = 1, probes = 2), 5),
       ("mi", MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15), 10),
-      ("ivfpq", IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5))
+      ("ivfpq", IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5),
+      ("sq", SQIndex.build(emb, "vec_id", "embedding"), 5))
     configs.foreach { case (name, idx, tk) =>
       val cand = idx.candidates(q, K, tk).collect().map(_.getLong(0)).toSet
       withClue(s"$name misses ${truth.count(!cand.contains(_))} of top-$K: ") {
@@ -218,6 +220,19 @@ class IndexSpec extends SparkSpec {
       }
     }
     emb.unpersist()
+  }
+
+  test("sq: 8-bit scalar quantization candidates contain the exact top-k") {
+    val idx = SQIndex.build(data, "tid", "vectorfield")
+    // per-dimension 8-bit resolution: approximate ranking is near-exact
+    // at this dimensionality, so the default multiplier recalls fully
+    val ids = knnIds(idx)
+    info(f"sq recall@$K = ${recall(ids)}%.3f")
+    recall(ids) should be > 0.95
+    // L2-family conformance only: quantized cells carry no guarantee
+    // for other metrics
+    idx.conformsTo("euclidean") shouldBe true
+    idx.conformsTo("manhattan") shouldBe false
   }
 
   test("ivfpq: residual codes beat same-budget plain PQ on candidate rank") {
