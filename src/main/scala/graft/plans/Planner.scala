@@ -34,7 +34,7 @@ object Planner {
   /** Reference index priority (`QueryHints.scala:19-38`), extended with
     * the ivfpq structure after its plain-PQ sibling. */
   val IndexPriority: Seq[String] =
-    Seq("vaf", "vav", "vap", "pq", "ivfpq", "ecp", "sh", "lsh", "mi")
+    Seq("vaf", "vav", "vap", "sq", "pq", "ivfpq", "ecp", "sh", "lsh", "mi")
 
   /** Hint grammar — the reference's `QueryHints.withName` string surface
     * (`QueryHints.scala:40-68`): RPC callers pass hints by name. */
