@@ -58,9 +58,17 @@ object IndexOps {
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
 
-  /** Build every structure (reference `generateAllIndexes`). */
-  def createAll(df: DataFrame, idCol: String, vecCol: String): Seq[VectorIndex] =
-    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi").map(create(_, df, idCol, vecCol))
+  /** The reference's 8 index types (`IndexTypes.scala:20-45`). */
+  val referenceTypes: Seq[String] =
+    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi")
+
+  /** Build every structure (reference `generateAllIndexes`). By default
+    * the FULL family, including the beyond-reference ivfpq/sq — a user
+    * asking for "all indexes" should get everything the planner can use;
+    * `extended = false` pins the reference's 8. */
+  def createAll(df: DataFrame, idCol: String, vecCol: String,
+                extended: Boolean = true): Seq[VectorIndex] =
+    (if (extended) knownTypes else referenceTypes).map(create(_, df, idCol, vecCol))
 
   // Persistence through the entity store (reference `Index.scala:442-471`)
   def save(e: Entity, name: String, idx: VectorIndex): Entity = e.saveIndex(name, idx)
@@ -96,18 +104,20 @@ object QueryOps {
       case None => Distances.byName(nnq.distName)(v, q)
       case Some(ws) =>
         val w = Distances.vecLit(ws)
-        nnq.distName.toLowerCase match {
-          case "manhattan" | "minkowski-1" => Distances.manhattanW(v, q, w)
-          case "euclidean" | "minkowski-2" => Distances.euclideanW(v, q, w)
+        // every spelling resolves through the shared canonical-alias
+        // table — the same resolution byName/conformsTo/sparseKind use
+        Distances.canonical(nnq.distName) match {
+          case "manhattan" => Distances.manhattanW(v, q, w)
+          case "euclidean" => Distances.euclideanW(v, q, w)
           case "sqeuclidean" => Distances.sqEuclideanW(v, q, w)
-          case "chebyshev" | "minkowski-inf" => Distances.chebyshevW(v, q, w)
+          case "chebyshev" => Distances.chebyshevW(v, q, w)
           case "modulo" => Distances.moduloW(v, q, w)
           case "chisquared" => Distances.chiSquaredW(v, q, w)
           case "hamming" => Distances.hammingW(v, q, w)
           // reference parity: Jaccard warns-and-ignores weights, KL's
           // elementwise term never multiplies w — both resolve unweighted
           case "jaccard" | "kullbackleibler" => Distances.byName(nnq.distName)(v, q)
-          case m if m.startsWith("minkowski-") =>
+          case m if m.startsWith("minkowski-") && m.stripPrefix("minkowski-").toDoubleOption.isDefined =>
             Distances.minkowskiW(v, q, w, m.stripPrefix("minkowski-").toDouble)
           case other => throw new IllegalArgumentException(
             s"no weighted variant of distance '$other' — drop the weights or use a Minkowski-family distance")
@@ -122,10 +132,10 @@ object QueryOps {
     * take the densify fallback and default identically). Similarities
     * (dot/cosinesim) are deliberately absent: kNN sorts ascending. */
   private def sparseKind(distName: String): Option[(String, Double)] =
-    distName.toLowerCase match {
-      case "manhattan" | "minkowski-1" => Some((graft.functions.VectorKernel.Manhattan, 1.0))
-      case "euclidean" | "minkowski-2" => Some((graft.functions.VectorKernel.Euclidean, 2.0))
-      case "squaredeuclidean" => Some((graft.functions.VectorKernel.SqEuclidean, 2.0))
+    Distances.canonical(distName) match {
+      case "manhattan" => Some((graft.functions.VectorKernel.Manhattan, 1.0))
+      case "euclidean" => Some((graft.functions.VectorKernel.Euclidean, 2.0))
+      case "sqeuclidean" => Some((graft.functions.VectorKernel.SqEuclidean, 2.0))
       case "cosine" => Some((graft.functions.VectorKernel.CosineDist, 2.0))
       case _ => None
     }
@@ -162,19 +172,26 @@ object QueryOps {
     require(idx.conformsTo(nnq.distName),
       s"index ${idx.indexType} does not answer distance '${nnq.distName}' " +
         "— scan would be silently lossy; use a conforming index or the sequential plan")
-    // index candidate pruning is built over the unweighted metric; a
-    // weighted rerank over those candidates can miss true weighted
-    // neighbours — refuse rather than return a silently wrong top-k
-    require(nnq.weights.isEmpty,
-      s"index ${idx.indexType} cannot answer a weighted query " +
-        "— candidate pruning uses the unweighted metric; use the sequential plan")
     // indexes are built over dense vectors; refuse a sparsified entity
     // up front instead of failing deep in the kernel type check
     require(!entity.schema.find(_.name == nnq.vecCol)
         .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]),
       s"entity column '${nnq.vecCol}' is sparsified — stored indexes cover the dense " +
         "encoding; rebuild the index or use the sequential plan (sparse kernels)")
-    idx.knn(entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
+    nnq.weights match {
+      case Some(ws) =>
+        // most index structures prune with the UNWEIGHTED metric, so a
+        // weighted rerank over their candidates can miss true weighted
+        // neighbours — only an index whose bounds honor the weights
+        // losslessly (VA with w ≥ 0) may serve the query
+        require(idx.conformsToWeighted(nnq.distName, ws),
+          s"index ${idx.indexType} cannot answer this weighted query " +
+            "— candidate pruning uses the unweighted metric; use a VA index " +
+            "with non-negative weights or the sequential plan")
+        idx.knnW(entity, idCol, distanceColumn(nnq), nnq.q, ws, nnq.k)
+      case None =>
+        idx.knn(entity, idCol, distanceColumn(nnq), nnq.q, nnq.k)
+    }
   }
 
   /** Choose the hint-walked plan for this entity. A SPARSIFIED entity
@@ -185,9 +202,16 @@ object QueryOps {
                  hints: Seq[Planner.Hint], nnq: NnQuery): Planner.Plan = {
     val sparse = entity.schema.find(_.name == nnq.vecCol)
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
-    // weighted queries never plan onto an index: candidate pruning uses
-    // the unweighted metric (see planSpecs) — same restriction as sparse
-    val usable = if (sparse || nnq.weights.isDefined) Nil else indexes
+    // weighted queries plan only onto indexes whose candidate pruning
+    // honors the weights losslessly (VA bounds scale per-dim by w); the
+    // rest prune with the unweighted metric and are excluded — same
+    // restriction shape as sparse entities
+    val usable =
+      if (sparse) Nil
+      else nnq.weights match {
+        case Some(ws) => indexes.filter(_.conformsToWeighted(nnq.distName, ws))
+        case None => indexes
+      }
     Planner.choose(hints, usable, nnq.distName)
   }
 
@@ -196,7 +220,8 @@ object QueryOps {
     * [[sequential]]). */
   def runPlan(plan: Planner.Plan, entity: DataFrame, idCol: String,
               nnq: NnQuery): DataFrame =
-    Planner.run(plan, entity, idCol, distanceColumnFor(entity, nnq), nnq.q, nnq.k)
+    Planner.run(plan, entity, idCol, distanceColumnFor(entity, nnq), nnq.q, nnq.k,
+      nnq.weights)
 
   /** Hint-planned kNN (reference `QueryOp.expression` + hint grammar). */
   def planned(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],
@@ -254,17 +279,17 @@ object QueryOps {
   private def planSpecs(entity: DataFrame, idCol: String, indexes: Seq[VectorIndex],
                         nnq: NnQuery): Seq[Progressive.PlanSpec] = {
     val seq = Progressive.PlanSpec("sequential", 1.0, () => sequential(entity, idCol, nnq))
-    // weighted queries race the sequential plan only: index candidate
-    // pruning (VA bounds, PQ ADC, cluster probes) is built over the
-    // UNWEIGHTED metric, so a weighted rerank over index candidates can
-    // miss true weighted neighbours — and a confidence-1.0 "exact" index
-    // plan would win the race with a silently wrong top-k (mirrors the
-    // sparsified-entity restriction in distanceColumnFor)
-    if (nnq.weights.isDefined) Seq(seq)
-    else seq +:
-      indexes.filter(_.conformsTo(nnq.distName)).map(idx =>
-        Progressive.PlanSpec(s"index:${idx.indexType}", idx.confidence,
-          () => index(entity, idCol, idx, nnq)))
+    // weighted queries race only indexes whose candidate pruning honors
+    // the weights losslessly (VA bounds scale per-dim by w ≥ 0): the
+    // rest prune over the UNWEIGHTED metric, and a confidence-1.0
+    // "exact" index plan would win the race with a silently wrong top-k
+    val usable = nnq.weights match {
+      case Some(ws) => indexes.filter(_.conformsToWeighted(nnq.distName, ws))
+      case None => indexes.filter(_.conformsTo(nnq.distName))
+    }
+    seq +: usable.map(idx =>
+      Progressive.PlanSpec(s"index:${idx.indexType}", idx.confidence,
+        () => index(entity, idCol, idx, nnq)))
   }
 
   /** Restrict the racing plan set by hints — the reference's

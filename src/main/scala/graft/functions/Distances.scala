@@ -171,13 +171,48 @@ object Distances {
       .otherwise(lit(2.0) * earthR * atan2(sqrt(h), sqrt(lit(1.0) - h)))
   }
 
+  /** Canonical-alias table — the ONE place a user-facing distance
+    * spelling resolves to a metric name. Every dispatch site consumes
+    * this ([[byName]], each index `conformsTo`, `QueryOps.sparseKind`,
+    * the weighted dispatch), so an alias can never mean different
+    * metrics through different API paths (the r11 audit found
+    * `"sqeuclidean"` silently defaulting to euclidean in [[byName]]
+    * while four indexes conformed to it and `"squaredeuclidean"` took
+    * the opposite split). Unknown names pass through unchanged —
+    * [[byName]] then applies the reference's default-to-euclidean
+    * (`MessageParser.scala:314-341`) and every refusing site refuses
+    * the same spelling. */
+  def canonical(name: String): String = name.toLowerCase match {
+    case "minkowski-1" => "manhattan"
+    case "minkowski-2" => "euclidean"
+    case "minkowski-inf" => "chebyshev"
+    case "squaredeuclidean" | "sqeuclidean" => "sqeuclidean"
+    case other => other
+  }
+
+  /** Minkowski order of a name, when it has one — the family VA bounds
+    * cover. Squared Euclidean ranks with p=2 (monotone square). */
+  def minkowskiP(name: String): Option[Double] = canonical(name) match {
+    case "manhattan" => Some(1.0)
+    case "euclidean" | "sqeuclidean" => Some(2.0)
+    case m if m.startsWith("minkowski-") => m.stripPrefix("minkowski-").toDoubleOption
+    case _ => None
+  }
+
+  /** True when the name ranks identically to L2 — what the L2-built
+    * hash/quantization indexes (SH, LSH, IVF-PQ, SQ8) answer. */
+  def isL2Family(name: String): Boolean = minkowskiP(name).contains(2.0)
+
   /** Name-based dispatch mirroring the reference's RPC distance registry
-    * (`MessageParser.scala:314-341`; default Euclidean). */
-  def byName(name: String): (Column, Column) => Column = name.toLowerCase match {
-    case "manhattan" | "minkowski-1" => manhattan
-    case "euclidean" | "minkowski-2" => euclidean
-    case "squaredeuclidean" => sqEuclidean
-    case "chebyshev" | "minkowski-inf" => chebyshev
+    * (`MessageParser.scala:314-341`; default Euclidean). Resolves
+    * through [[canonical]]; generic `minkowski-p` dispatches to the
+    * true p-norm (the weighted path always did — the unweighted default
+    * must not silently differ). */
+  def byName(name: String): (Column, Column) => Column = canonical(name) match {
+    case "manhattan" => manhattan
+    case "euclidean" => euclidean
+    case "sqeuclidean" => sqEuclidean
+    case "chebyshev" => chebyshev
     case "cosine" => cosine
     case "chisquared" => chiSquared
     case "correlation" => correlation
@@ -187,6 +222,8 @@ object Distances {
     case "spannorm" => spanNorm
     case "modulo" => modulo
     case "haversine" => haversine
+    case m if m.startsWith("minkowski-") && m.stripPrefix("minkowski-").toDoubleOption.isDefined =>
+      (a, b) => minkowski(a, b, m.stripPrefix("minkowski-").toDouble)
     case _ => euclidean
   }
 }

@@ -41,7 +41,7 @@ class IVFPQIndex(val assignments: DataFrame, // (id, leader, codes)
   /** Coarse probe + residual ADC both rank by squared Euclidean — any
     * other metric would get a near-random candidate set. */
   override def conformsTo(distName: String): Boolean =
-    Set("euclidean", "sqeuclidean", "minkowski-2").contains(distName.toLowerCase)
+    graft.functions.Distances.isL2Family(distName)
 
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val probed = ECPIndex.coverLeaders(centroids, q, k.toLong * timesK)

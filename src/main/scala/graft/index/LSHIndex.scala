@@ -36,7 +36,7 @@ class LSHIndex(val tables: DataFrame, // (id, table, key)
   /** Distance must match the training distance family (reference
     * `LSHIndex.scala:85`) — Euclidean here. */
   override def conformsTo(distName: String): Boolean =
-    Set("euclidean", "sqeuclidean", "minkowski-2").contains(distName.toLowerCase)
+    graft.functions.Distances.isL2Family(distName)
 
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val keys = LSHKeysExpr.keys(q.toArray, projections, offsets, w)

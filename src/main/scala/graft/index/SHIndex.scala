@@ -25,7 +25,7 @@ class SHIndex(val sigs: DataFrame, // (id, sig long)
   override def indexType: String = "sh"
   override def isExact: Boolean = false
   override def conformsTo(distName: String): Boolean =
-    Set("euclidean", "sqeuclidean", "minkowski-2").contains(distName.toLowerCase)
+    graft.functions.Distances.isL2Family(distName)
 
   def signatureOf(q: Seq[Double]): Long = SHIndex.signature(q.toArray, pc, mins, ranges, modes)
 

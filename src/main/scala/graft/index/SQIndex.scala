@@ -39,7 +39,7 @@ class SQIndex(val codes: DataFrame, // (id, codes array<int>)
 
   /** Quantization only preserves L2-family ranking guarantees. */
   override def conformsTo(distName: String): Boolean =
-    Set("euclidean", "minkowski-2", "squaredeuclidean")(distName.toLowerCase)
+    graft.functions.Distances.isL2Family(distName)
 
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     val table = SQIndex.adcTable(mins, scales, q.toArray)
@@ -65,18 +65,23 @@ object SQIndex {
     }
 
   /** Build from one distributed min/max aggregation — no training
-    * sample, no clustering; the cheapest index in the family. */
+    * sample, no clustering; the cheapest index in the family. Per-dim
+    * ranges come from TWO vector-valued aggregates (`Summarizer`
+    * min/max over the whole vector at once), not 2·dim named column
+    * aggregates — at embedding dims (768–4096) the per-column form
+    * generates thousands of Catalyst aggregate expressions, blowing
+    * whole-stage-codegen limits and driver analysis time. */
   def build(df: DataFrame, idCol: String, vecCol: String): SQIndex = {
-    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
     val v = col(vecCol).cast("array<double>")
-    // two dim-length arrays via element-wise aggregates — a single
-    // map-side-combined pass over the corpus
-    val aggs = (0 until dims).map(d => min(element_at(v, d + 1)).as(s"mn$d")) ++
-      (0 until dims).map(d => max(element_at(v, d + 1)).as(s"mx$d"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val mins = Array.tabulate(dims)(d => row.getDouble(d))
-    val scales = Array.tabulate(dims) { d =>
-      val r = row.getDouble(dims + d) - mins(d)
+    val row = df.select(array_to_vector(v).as("v"))
+      .agg(Summarizer.min(col("v")).as("mn"), Summarizer.max(col("v")).as("mx"))
+      .head()
+    val mins = row.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+    val maxes = row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
+    val scales = Array.tabulate(mins.length) { d =>
+      val r = maxes(d) - mins(d)
       if (r <= 0) 0.0 else r / 255.0
     }
     val codes = df.select(col(idCol),

@@ -17,8 +17,9 @@ object VAExprs {
   def cells(vec: Column, marks: Array[Array[Double]]): Column =
     Bridge.column(VACellsExpr(Bridge.expression(vec), marks))
 
-  def bounds(cells: Column, marks: Array[Array[Double]], query: Array[Double], p: Double): Column =
-    Bridge.column(VABoundsExpr(Bridge.expression(cells), marks, query, p))
+  def bounds(cells: Column, marks: Array[Array[Double]], query: Array[Double], p: Double,
+             weights: Option[Array[Double]] = None): Column =
+    Bridge.column(VABoundsExpr(Bridge.expression(cells), marks, query, p, weights))
 }
 
 private[index] trait VecArrayInput { self: UnaryExpression =>
@@ -94,9 +95,17 @@ object VACellsExpr {
 }
 
 /** Minkowski-p lower/upper distance bounds of a cell vector against the
-  * query: output `array<double>` = [lb, ub]. */
+  * query: output `array<double>` = [lb, ub]. With `weights` set, each
+  * dimension's powered term is scaled by w_d before the sum — exactly
+  * the weighted-Minkowski per-dim contribution `w·|x−y|^p`
+  * (`Distances.minkowskiW`), so for non-negative weights the bounds
+  * stay lossless: w·l^p ≤ w·|x−y|^p ≤ w·u^p holds per dimension. The
+  * reference's VA scan ADMITS weighted queries but computes unweighted
+  * bounds (its `VAIndex.scala:129-143` vs `:153-189`) — a lossy prune
+  * we fix rather than inherit. */
 case class VABoundsExpr(child: Expression, marks: Array[Array[Double]],
-                        query: Array[Double], p: Double)
+                        query: Array[Double], p: Double,
+                        weights: Option[Array[Double]] = None)
   extends UnaryExpression with VecArrayInput {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -106,15 +115,20 @@ case class VABoundsExpr(child: Expression, marks: Array[Array[Double]],
 
   override protected def nullSafeEval(input: Any): Any = {
     val cells = input.asInstanceOf[ArrayData].toIntArray()
-    new GenericArrayData(VABoundsExpr.compute(cells, marks, query, p))
+    new GenericArrayData(
+      VABoundsExpr.compute(cells, marks, query, p, weights.orNull))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("vaMarks", marks, "double[][]")
     val qRef = ctx.addReferenceObj("vaQuery", query, "double[]")
+    val wRef = weights match {
+      case Some(w) => ctx.addReferenceObj("vaWeights", w, "double[]")
+      case None => "(double[]) null"
+    }
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.index.VABoundsExpr.compute($c.toIntArray(), $mRef, $qRef, $p));""".stripMargin)
+         |  graft.index.VABoundsExpr.compute($c.toIntArray(), $mRef, $qRef, $p, $wRef));""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -123,10 +137,11 @@ case class VABoundsExpr(child: Expression, marks: Array[Array[Double]],
 
 object VABoundsExpr {
   def compute(cells: Array[Int], marks: Array[Array[Double]],
-              q: Array[Double], p: Double): Array[Double] = {
+              q: Array[Double], p: Double, w: Array[Double]): Array[Double] = {
     var lb = 0.0
     var ub = 0.0
-    val nd = math.min(cells.length, math.min(marks.length, q.length))
+    var nd = math.min(cells.length, math.min(marks.length, q.length))
+    if (w != null) nd = math.min(nd, w.length)
     var d = 0
     while (d < nd) {
       val m = marks(d)
@@ -139,9 +154,10 @@ object VABoundsExpr {
         else if (qd > hi) qd - hi
         else 0.0
       val u = math.max(qd - lo, hi - qd)
-      if (p == 1.0) { lb += l; ub += u }
-      else if (p == 2.0) { lb += l * l; ub += u * u }
-      else { lb += math.pow(l, p); ub += math.pow(u, p) }
+      val wd = if (w == null) 1.0 else w(d)
+      if (p == 1.0) { lb += wd * l; ub += wd * u }
+      else if (p == 2.0) { lb += wd * l * l; ub += wd * u * u }
+      else { lb += wd * math.pow(l, p); ub += wd * math.pow(u, p) }
       d += 1
     }
     if (p == 2.0) Array(math.sqrt(lb), math.sqrt(ub))

@@ -41,17 +41,18 @@ class VAIndex(val cellsDf: DataFrame, // (id, cells)
     * still claiming exactness (reference `VAIndex.scala:137-143` limits
     * to Minkowski; we additionally pin p). VA+ is L2-only regardless
     * (PCA rotation preserves only the 2-norm). */
-  override def conformsTo(distName: String): Boolean = {
-    val name = distName.toLowerCase
-    val pOfName: Option[Double] = name match {
-      case "manhattan" | "minkowski-1" => Some(1.0)
-      case "euclidean" | "sqeuclidean" | "minkowski-2" => Some(2.0)
-      case m if m.startsWith("minkowski-") =>
-        m.stripPrefix("minkowski-").toDoubleOption
-      case _ => None
-    }
-    pOfName.contains(p) && (indexType != "vap" || p == 2.0)
-  }
+  override def conformsTo(distName: String): Boolean =
+    graft.functions.Distances.minkowskiP(distName).contains(p) &&
+      (indexType != "vap" || p == 2.0)
+
+  /** Weighted Minkowski queries keep the lossless-prune guarantee: the
+    * per-dim contribution is w·|x−y|^p, so scaling each dimension's
+    * bound terms by w_d ≥ 0 preserves lb ≤ d ≤ ub ([[VABoundsExpr]]).
+    * Excluded: VA+ (weights live in ORIGINAL coordinates; the PCA
+    * rotation only preserves the unweighted 2-norm) and any negative
+    * weight (multiplication would flip the bound inequality). */
+  override def conformsToWeighted(distName: String, weights: Seq[Double]): Boolean =
+    conformsTo(distName) && rotate.isEmpty && weights.forall(_ >= 0.0)
 
   private def rotated(q: Seq[Double]): Array[Double] = rotate match {
     case None => q.toArray
@@ -74,22 +75,31 @@ class VAIndex(val cellsDf: DataFrame, // (id, cells)
       .select(col(idCol))
   }
 
-  /** Memoized k-th-ub thresholds keyed by (query fingerprint, k). The
-    * threshold phase is a real Spark job; when the rewrite rule probes
-    * at OPTIMIZATION time, repeated identical queries would serialize on
-    * it — identical probes must be metadata-only. The cells relation is
-    * immutable per index instance (staleness rebuilds a new instance),
-    * so entries never invalidate; the map is bounded to keep a
-    * long-lived index from accumulating distinct-query entries. */
+  /** Memoized k-th-ub thresholds keyed by (query fingerprint, weights,
+    * k). The threshold phase is a real Spark job; when the rewrite rule
+    * probes at OPTIMIZATION time, repeated identical queries would
+    * serialize on it — identical probes must be metadata-only. The
+    * cells relation is immutable per index instance (staleness rebuilds
+    * a new instance), so entries never invalidate; the map is bounded
+    * to keep a long-lived index from accumulating distinct-query
+    * entries. */
   private val thresholds =
-    scala.collection.concurrent.TrieMap.empty[(Seq[Double], Int), Double]
+    scala.collection.concurrent.TrieMap.empty[(Seq[Double], Option[Seq[Double]], Int), Double]
 
-  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
+  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame =
+    boundedCandidates(q, None, k)
+
+  override def candidatesW(q: Seq[Double], weights: Seq[Double], k: Int,
+                           timesK: Int): DataFrame =
+    boundedCandidates(q, Some(weights.toArray), k)
+
+  private def boundedCandidates(q: Seq[Double], w: Option[Array[Double]],
+                                k: Int): DataFrame = {
     val qr = rotated(q)
     val bounds = cellsDf.select(col(idCol),
-        VAExprs.bounds(col("cells"), marks, qr, p).as("b"))
+        VAExprs.bounds(col("cells"), marks, qr, p, w).as("b"))
       .select(col(idCol), col("b").getItem(0).as("lb"), col("b").getItem(1).as("ub"))
-    val threshold = thresholds.getOrElseUpdate((qr.toSeq, k), {
+    val threshold = thresholds.getOrElseUpdate((qr.toSeq, w.map(_.toSeq), k), {
       if (thresholds.size >= VAIndex.MaxCachedThresholds) thresholds.clear()
       val kUbs = bounds.orderBy(col("ub").asc).limit(k)
         .agg(max("ub")).head()

@@ -32,13 +32,35 @@ trait VectorIndex {
     * any. Mirrors `isQueryConform` (reference `Index.scala:193`). */
   def conformsTo(distName: String): Boolean = true
 
+  /** True when [[candidatesW]] honors per-dim weights LOSSLESSLY for
+    * this distance family. Default: no — most structures prune with the
+    * unweighted metric (PQ codebooks, hash signatures, cluster probes),
+    * and a weighted rerank over unweighted candidates can miss true
+    * weighted neighbours. VA overrides: its per-dim bound terms scale
+    * by w_d without losing the guarantee. */
+  def conformsToWeighted(distName: String, weights: Seq[Double]): Boolean = false
+
   /** Candidate rows `(id)` for the query vector — no exact distances. */
   def candidates(q: Seq[Double], k: Int, timesK: Int = VectorIndex.TimesK): DataFrame
+
+  /** Weighted-query candidates — only meaningful when
+    * [[conformsToWeighted]] holds. */
+  def candidatesW(q: Seq[Double], weights: Seq[Double], k: Int,
+                  timesK: Int = VectorIndex.TimesK): DataFrame =
+    throw new UnsupportedOperationException(
+      s"index $indexType has no weighted candidate pruning")
 
   /** Full kNN: candidates → exact re-rank against the entity. */
   def knn(entity: DataFrame, idCol: String, dist: Column, q: Seq[Double], k: Int,
           timesK: Int = VectorIndex.TimesK): DataFrame =
     Knn.rerank(entity, candidates(q, k, timesK), idCol, dist, k)
+
+  /** Weighted kNN: weighted candidates → exact weighted re-rank (`dist`
+    * must be the weighted distance column). */
+  def knnW(entity: DataFrame, idCol: String, dist: Column, q: Seq[Double],
+           weights: Seq[Double], k: Int,
+           timesK: Int = VectorIndex.TimesK): DataFrame =
+    Knn.rerank(entity, candidatesW(q, weights, k, timesK), idCol, dist, k)
 }
 
 object VectorIndex {

@@ -179,11 +179,18 @@ object Planner {
     }.flatten.nextOption().getOrElse(SequentialPlan())
   }
 
-  /** Execute a chosen plan as a kNN query, recording the measurement. */
+  /** Execute a chosen plan as a kNN query, recording the measurement.
+    * Weighted queries route index plans through the weighted candidate
+    * scan ([[VectorIndex.knnW]]) — the caller guarantees admission via
+    * `conformsToWeighted`. */
   def run(plan: Plan, entity: DataFrame, idCol: String, dist: Column,
-          q: Seq[Double], k: Int): DataFrame = plan match {
+          q: Seq[Double], k: Int,
+          weights: Option[Seq[Double]] = None): DataFrame = plan match {
     case SequentialPlan() => Knn.knn(entity, dist, k, org.apache.spark.sql.functions.col(idCol))
-    case IndexPlan(idx) => idx.knn(entity, idCol, dist, q, k)
+    case IndexPlan(idx) => weights match {
+      case Some(ws) => idx.knnW(entity, idCol, dist, q, ws, k)
+      case None => idx.knn(entity, idCol, dist, q, k)
+    }
   }
 
   /** Auto-training sweep — the reference's planner training loop

@@ -91,6 +91,64 @@ class DistanceSpec extends SparkSpec {
     df.select(Distances.manhattan(col("a"), col("b"))).head().getDouble(0) shouldBe 7.0
   }
 
+  // ---- canonical alias table: every dispatch site, same resolution ----
+
+  test("alias table: byName resolves every spelling to the canonical metric") {
+    val groups: Seq[(Seq[String], (Column, Column) => Column)] = Seq(
+      Seq("manhattan", "minkowski-1") -> (Distances.manhattan _),
+      Seq("euclidean", "minkowski-2") -> (Distances.euclidean _),
+      Seq("sqeuclidean", "squaredeuclidean") -> (Distances.sqEuclidean _),
+      Seq("chebyshev", "minkowski-inf") -> (Distances.chebyshev _))
+    groups.foreach { case (aliases, f) =>
+      val exp = eval(f(ac, bc))
+      aliases.foreach { n =>
+        withClue(n) {
+          closeTo(eval(Distances.byName(n)(ac, bc)), exp)
+          closeTo(eval(Distances.byName(n.toUpperCase)(ac, bc)), exp)
+        }
+      }
+    }
+    // generic minkowski-p computes the true p-norm on the unweighted
+    // path too (the weighted path always did — they must not differ)
+    closeTo(eval(Distances.byName("minkowski-3")(ac, bc)), math.cbrt(27 + 64))
+    // unknown names keep the reference's default-to-euclidean
+    closeTo(eval(Distances.byName("no-such-metric")(ac, bc)), 5.0)
+    closeTo(eval(Distances.byName("minkowski-bogus")(ac, bc)), 5.0)
+  }
+
+  test("alias table: minkowskiP / isL2Family agree across spellings") {
+    Seq("sqeuclidean", "squaredeuclidean", "SquaredEuclidean", "euclidean",
+      "minkowski-2").foreach { n =>
+      withClue(n) {
+        Distances.minkowskiP(n) shouldBe Some(2.0)
+        Distances.isL2Family(n) shouldBe true
+      }
+    }
+    Distances.minkowskiP("manhattan") shouldBe Some(1.0)
+    Distances.minkowskiP("minkowski-1") shouldBe Some(1.0)
+    Distances.minkowskiP("minkowski-3") shouldBe Some(3.0)
+    Distances.minkowskiP("cosine") shouldBe None
+    Distances.minkowskiP("chebyshev") shouldBe None
+    Seq("manhattan", "cosine", "minkowski-3", "haversine").foreach(n =>
+      withClue(n)(Distances.isL2Family(n) shouldBe false))
+  }
+
+  test("alias table: weighted dispatch accepts every spelling of the family") {
+    import graft.api.{NnQuery, QueryOps}
+    import spark.implicits._
+    val df = Seq(Tuple1(va)).toDF("vec")
+    def wEval(dist: String): Double =
+      df.select(QueryOps.distanceColumn(
+        NnQuery("vec", vb, dist, 1, Some(vw))).as("d")).head().getDouble(0)
+    val sqExp = eval(Distances.sqEuclideanW(ac, bc, wc))
+    closeTo(wEval("sqeuclidean"), sqExp)
+    // previously threw "no weighted variant" — the alias split
+    closeTo(wEval("squaredeuclidean"), sqExp)
+    closeTo(wEval("minkowski-2"), eval(Distances.euclideanW(ac, bc, wc)))
+    closeTo(wEval("minkowski-1"), eval(Distances.manhattanW(ac, bc, wc)))
+    an[IllegalArgumentException] should be thrownBy wEval("haversine")
+  }
+
   // ---- sparse kernels: must agree with the dense path without densify ----
 
   private def sparseLit(idx: Seq[Int], vs: Seq[Double], len: Int): Column =

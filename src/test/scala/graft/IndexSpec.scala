@@ -92,6 +92,29 @@ class IndexSpec extends SparkSpec {
     l1.conformsTo("euclidean") shouldBe false
   }
 
+  test("conformsTo agrees across every alias spelling, family-wide") {
+    val family: Seq[VectorIndex] = Seq(
+      VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0),
+      SHIndex.build(data, "tid", "vectorfield", nBits = 32),
+      LSHIndex.build(data, "tid", "vectorfield"),
+      IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
+      SQIndex.build(data, "tid", "vectorfield"))
+    val aliasGroups = Seq(
+      Seq("euclidean", "minkowski-2", "sqeuclidean", "squaredeuclidean",
+        "SquaredEuclidean"),
+      Seq("manhattan", "minkowski-1"),
+      Seq("chebyshev", "minkowski-inf"))
+    family.foreach { idx =>
+      aliasGroups.foreach(g => withClue(s"${idx.indexType} on $g") {
+        g.map(idx.conformsTo).toSet should have size 1
+      })
+      // the r11 split: four indexes answered "sqeuclidean" only, SQ8
+      // "squaredeuclidean" only — now every L2 index takes both
+      idx.conformsTo("sqeuclidean") shouldBe true
+      idx.conformsTo("squaredeuclidean") shouldBe true
+    }
+  }
+
   test("vaf with p=1 is exact for Manhattan queries") {
     val idx = VAIndex.buildFixed(data, "tid", "vectorfield", p = 1.0)
     val mdist = Distances.manhattan(col("vectorfield"), Distances.vecLit(queryVec))

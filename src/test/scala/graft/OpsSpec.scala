@@ -88,23 +88,42 @@ class OpsSpec extends SparkSpec {
     all(dists) shouldBe 0.0
   }
 
-  test("weighted queries never plan onto an index (pruning uses the unweighted metric)") {
+  test("weighted queries plan onto VA (lossless weighted bounds); non-VA refused") {
     val vaf = IndexOps.create("vaf", data, "id", "feature")
-    // non-trivial weights: index candidate pruning under the unweighted
-    // metric could drop true weighted neighbours
+    val pq = IndexOps.create("pq", data, "id", "feature")
+    // non-trivial weights: a genuinely different ranking than unweighted
     val w = NnQuery("feature", q, "euclidean", 10,
       weights = Some((1 to 8).map(_.toDouble)))
-    // hint-planned: even an exact-index hint must fall back to sequential
-    QueryOps.choosePlan(data, Seq(vaf), Seq(Planner.ExactHint), w)
-      .describe shouldBe "sequential"
-    // racing plan set: sequential only
-    QueryOps.planSpecsFor(data, "id", Seq(vaf), w, Nil)
-      .map(_.description) shouldBe Seq("sequential")
-    // direct index scan refuses rather than returning a silently wrong top-k
+    // VA bound terms scale per-dim by w_d — the exact-index hint now
+    // plans onto vaf instead of forfeiting index acceleration
+    QueryOps.choosePlan(data, Seq(vaf, pq), Seq(Planner.ExactHint), w)
+      .describe shouldBe "index:vaf"
+    // racing set: sequential + vaf; pq prunes with the unweighted metric
+    QueryOps.planSpecsFor(data, "id", Seq(vaf, pq), w, Nil)
+      .map(_.description).toSet shouldBe Set("sequential", "index:vaf")
+    // id-for-id equality with the sequential weighted scan — the
+    // lossless-prune guarantee under weights
+    val seqIds = QueryOps.sequential(data, "id", w)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    QueryOps.index(data, "id", vaf, w)
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe seqIds
+    QueryOps.planned(data, "id", Seq(vaf), Seq(Planner.ExactHint), w)
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe seqIds
+    // non-VA index still refuses rather than a silently wrong top-k
     an[IllegalArgumentException] should be thrownBy
-      QueryOps.index(data, "id", vaf, w)
-    // and the sequential weighted result stays exact
-    QueryOps.sequential(data, "id", w).count() shouldBe 10
+      QueryOps.index(data, "id", pq, w)
+    // negative weights flip the per-dim bound inequality — refused,
+    // and the planner falls back to sequential
+    val neg = w.copy(weights = Some(-1.0 +: Seq.fill(7)(1.0)))
+    an[IllegalArgumentException] should be thrownBy
+      QueryOps.index(data, "id", vaf, neg)
+    QueryOps.choosePlan(data, Seq(vaf), Seq(Planner.ExactHint), neg)
+      .describe shouldBe "sequential"
+    // vap never conforms weighted: weights live in original
+    // coordinates; the PCA rotation only preserves the unweighted 2-norm
+    val vap = IndexOps.create("vap", data, "id", "feature")
+    an[IllegalArgumentException] should be thrownBy
+      QueryOps.index(data, "id", vap, w)
   }
 
   test("timedParallel returns the exact result when all plans finish") {
