@@ -171,6 +171,17 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
 
   def count(): Long = if (meta.version == 0) 0L else read().count()
 
+  /** Row count memoized by [[stamp]] — for introspection endpoints that
+    * must not pay a full corpus scan per call. Any mutation moves the
+    * stamp, so a cached value can never be served for changed data;
+    * the cache is companion-level because callers open fresh Entity
+    * handles per request. */
+  def cachedCount(): Long =
+    Entity.countCache.getOrElseUpdate((dir.toString, stamp), {
+      if (Entity.countCache.size >= 1024) Entity.countCache.clear()
+      count()
+    })
+
   /** Append rows; assigns `ap_id` unless the frame already carries one.
     *
     * Cost is O(batch), not O(table): new part files land in the live
@@ -220,7 +231,11 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       // prefix would re-append group rows under already-present ap_ids
       // and read()'s inner join would then duplicate the whole batch. A
       // failed insert after this line costs only a gap in the counter.
-      writeMeta(metaPath, m.copy(insertCount = batch))
+      // Burned as PENDING: the stamp in this window is (v, -batch), so
+      // an index saved mid-insert can never compare fresh once the
+      // append completes (equality would otherwise claim the index saw
+      // the whole batch it was racing)
+      writeMeta(metaPath, m.copy(insertCount = batch, pending = true))
       // group stores are written BEFORE the main append: a failed group
       // write then leaves only invisible orphans (read()'s inner join by
       // ap_id skips group rows with no main row), whereas main-first would
@@ -232,6 +247,9 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       val w = mainBatch.write.mode("append")
       (if (layout.isDefined) w.partitionBy(Partitioning.PartitionCol) else w)
         .parquet(dataPath(m.version).toString)
+      // every store write landed: clear the pending marker — the stamp
+      // becomes (v, batch) and index staleness comparisons are exact
+      writeMeta(metaPath, m.copy(insertCount = batch, pending = false))
       // layout entities can never compact below one file per partition
       // directory — scale the trigger with key cardinality or a
       // >cap-key layout would vacuum (full rewrite) on EVERY insert
@@ -383,8 +401,15 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   // ---- index persistence (reference `Index.scala:442-471`, `:162-169`) ----
 
   /** (version, insertCount) — any mutation moves it, which is what flags
-    * persisted indexes stale. */
-  def stamp: (Int, Int) = { val m = meta; (m.version, m.insertCount) }
+    * persisted indexes stale. A PENDING insert (counter burned, data
+    * writes in flight) reports the NEGATED counter: an index saved in
+    * that window records a value no completed state ever equals, so
+    * stamp equality always implies the data was fully visible at build
+    * time — without giving up the retry-safe counter-first burn. */
+  def stamp: (Int, Int) = {
+    val m = meta
+    (m.version, if (m.pending) -m.insertCount else m.insertCount)
+  }
 
   /** Persist an index built over this entity; records the current stamp. */
   def saveIndex(name: String, idx: graft.index.VectorIndex): Entity = {
@@ -413,7 +438,9 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   }
 
   private def swap(m: Meta, oldVersion: Int): Unit = {
-    writeMeta(metaPath, m)
+    // swap is only called once a mutation's data is fully written — a
+    // pending flag inherited from an earlier crashed insert clears here
+    writeMeta(metaPath, m.copy(pending = false))
     if (oldVersion > 0) deleteRecursively(dataPath(oldVersion))
   }
 
@@ -438,11 +465,21 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
 object Entity {
   val ApId = "ap_id"
 
+  /** (entity dir, stamp) → row count, for [[Entity.cachedCount]];
+    * bounded, cleared wholesale at the cap. */
+  private[core] val countCache =
+    scala.collection.concurrent.TrieMap.empty[(String, (Int, Int)), Long]
+
   /** Part-file count above which an append triggers a compacting vacuum
     * (reference auto-vacuum default, `Entity.scala:376-386`). */
   val AutoVacuumMaxParts = 100
 
-  private[core] case class Meta(name: String, version: Int, insertCount: Int)
+  /** `pending` marks an insert whose counter is burned but whose data
+    * writes have not all landed — the stamp must differ from the
+    * completed state so an index saved mid-insert can never read as
+    * fresh afterwards. */
+  private[core] case class Meta(name: String, version: Int, insertCount: Int,
+                                pending: Boolean = false)
 
   /** Persisted directory-layout descriptor: `mode` ∈ {ecp, bycolumn},
     * `keyCol` = vector column (ecp) or partition key (bycolumn),
@@ -498,13 +535,16 @@ object Entity {
   }
 
   private def writeMeta(p: Path, m: Meta): Unit =
-    Files.write(p, s"""{"name":"${m.name}","version":${m.version},"insertCount":${m.insertCount}}"""
+    Files.write(p, (s"""{"name":"${m.name}","version":${m.version},""" +
+      s""""insertCount":${m.insertCount},"pending":${m.pending}}""")
       .getBytes(StandardCharsets.UTF_8))
 
   private def readMeta(p: Path): Meta = {
     val root = jackson.readTree(Files.readAllBytes(p))
     Meta(root.get("name").asText(), root.get("version").asInt(),
-      root.get("insertCount").asInt())
+      root.get("insertCount").asInt(),
+      // absent in pre-pending meta files → false
+      Option(root.get("pending")).exists(_.asBoolean(false)))
   }
 
   /** Create a new empty entity. Reserved `ap_*` names are rejected for

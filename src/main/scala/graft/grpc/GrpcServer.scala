@@ -385,7 +385,9 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val attribute = str(req, "attribute")
         val e = Entity.open(spark, base, name)
         val df = e.read()
-        val types = Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi")
+        // the full family — reference 8 + ivfpq/sq, so the wire surface
+        // exposes every structure the planner can route to
+        val types = graft.api.IndexOps.knownTypes
         val names = types.map { tp =>
           val idxName = s"${tp}_$attribute"
           e.saveIndex(idxName, graft.api.IndexOps.create(tp, df, "ap_id", attribute))
@@ -440,8 +442,14 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         // kNN scan methods, then the dedup scan methods (trained by the
         // same AdaptScanMethods sweep): predicted nanos inverted into a
         // bigger-is-better score like the kNN side; untrained paths
-        // (MaxValue prediction) report score 0
-        val dedup = graft.plans.DedupPlanner.scoredPaths(e.read().count())
+        // (MaxValue prediction) report score 0. Introspection must stay
+        // metadata-cheap: untrained predictions ignore n entirely (skip
+        // the count), and a trained lookup uses the stamp-memoized
+        // count, never a fresh corpus scan per RPC
+        val dedupN =
+          if (graft.plans.DedupPlanner.measurementCount == 0) 0L
+          else e.cachedCount()
+        val dedup = graft.plans.DedupPlanner.scoredPaths(dedupN)
           .map { case (p, nanos) =>
             p -> (if (nanos == Double.MaxValue) 0.0 else 1e9 / (1e9 + nanos)) }
         (graft.api.PlannerOps.scoredPaths(indexes, dist) ++ dedup)
@@ -951,12 +959,26 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
               .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq
             import graft.operators.{Knn, Projections}
             // row-returning forms share the boolean-scan page cap (the
-            // response collects); count/exists aggregate to one row
+            // response collects); count/exists aggregate to one row.
+            // ORDER before the cap — a bare .limit over >500 rows
+            // returns a partitioning-dependent subset (same defect the
+            // compound-expression path fixed below): by distance then
+            // ap_id when present, else by every projected column
+            def orderedCap(df: org.apache.spark.sql.DataFrame) = {
+              import org.apache.spark.sql.functions.col
+              val cols = df.columns.toSeq
+              val sortKeys =
+                if (cols.contains(Knn.DistanceCol))
+                  col(Knn.DistanceCol) +: cols.filter(_ == Entity.ApId).map(col)
+                else if (cols.contains(Entity.ApId)) Seq(col(Entity.ApId))
+                else cols.map(col)
+              df.orderBy(sortKeys: _*).limit(500)
+            }
             str(pm, "op").toLowerCase match {
-              case "" => Projections.project(res, attrs).limit(500)
+              case "" => orderedCap(Projections.project(res, attrs))
               case "count" => Projections.countRows(Projections.project(res, attrs))
               case "exists" => Projections.existsRows(Projections.project(res, attrs))
-              case "distinct" => Projections.distinctRows(res, attrs).limit(500)
+              case "distinct" => orderedCap(Projections.distinctRows(res, attrs))
               case other =>
                 throw new IllegalArgumentException(s"unknown projection op: $other")
             }

@@ -535,8 +535,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    val e = pairs.select(
+      longIdOrFail(col(aCol), "connectedComponents").as("src"),
+      longIdOrFail(col(bCol), "connectedComponents").as("dst"))
     val symWide = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(MEMORY_AND_DISK)
     try {
@@ -576,6 +577,19 @@ object Dedup {
     } finally symWide.unpersist()
   }
 
+  /** Cast an id to long, FAILING on a non-castable non-null value
+    * instead of nulling it out — a null key silently drops the row from
+    * every join downstream, turning the operator into a no-op that
+    * returns its input unchanged. `try_cast` keeps the behavior
+    * independent of `spark.sql.ansi.enabled` (ANSI cast throws its own
+    * error mid-plan; non-ANSI nulls silently — this guard makes both
+    * modes fail with the operator-level message). Zero extra jobs: the
+    * assertion rides the existing scan of the (tiny) pair graph. */
+  private def longIdOrFail(c: Column, ctx: String): Column =
+    coalesce(c.try_cast("long"),
+      assert_true(c.isNull, concat(lit(s"$ctx: id value '"), c.cast("string"),
+        lit("' is not castable to long — use a numeric id column"))).cast("long"))
+
   /** Near-duplicate cluster survivors under a priority rule: cluster the
     * banded-minhash candidate pairs into connected components, keep the
     * HIGHEST-priority row per component (ties → lowest id), and pass
@@ -593,7 +607,8 @@ object Dedup {
     val comps = connectedComponents(
       minhashNearDupPairs(df, textCol, idCol, threshold))
     val losers = comps
-      .join(df.select(col(idCol).cast("long").as("id"), priority.as("__pri")), Seq("id"))
+      .join(df.select(longIdOrFail(col(idCol), "nearDupKeepBest").as("id"),
+        priority.as("__pri")), Seq("id"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("component").orderBy(col("__pri").desc, col("id").asc)))
       .filter(col("__rk") > 1)

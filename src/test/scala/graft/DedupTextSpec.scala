@@ -47,6 +47,24 @@ class DedupTextSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(4L, 3L)
   }
 
+  test("nearDupKeepBest fails fast on a non-castable id instead of no-opping") {
+    // a non-numeric string id casts to null → every join would match
+    // nothing and the operator would silently return its input unchanged
+    val badIds = docs.withColumn("doc_id",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("doc-"), col("doc_id")))
+    val ex = intercept[Exception] {
+      Dedup.nearDupKeepBest(badIds, "text", "doc_id", threshold = 0.4,
+        priority = org.apache.spark.sql.functions.length(col("text"))).count()
+    }
+    ex.getMessage should include("not castable to long")
+    // numeric STRING ids still cast fine and behave as before
+    val strIds = docs.withColumn("doc_id", col("doc_id").cast("string"))
+    Dedup.nearDupKeepBest(strIds, "text", "doc_id", threshold = 0.4,
+        priority = org.apache.spark.sql.functions.length(col("text")))
+      .select("doc_id").collect().map(_.getString(0)).toSet shouldBe Set("4", "3")
+  }
+
   test("minhash LSH finds near-dup pairs and none across unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -254,6 +254,33 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("index saved during an in-flight insert can never read fresh afterwards") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "pend")
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat)))
+    e.insert(rows.toDF("vid", "vec"))
+    e.stamp._2 should be > 0 // completed insert: positive counter
+    // simulate the mid-insert window (counter burned as pending, data
+    // writes in flight) by flipping the marker a crashed append leaves
+    val metaPath = java.nio.file.Paths.get(base, "pend", "_meta.json")
+    val completed = new String(Files.readAllBytes(metaPath))
+    completed should include(""""pending":false""")
+    Files.write(metaPath, completed
+      .replace(""""pending":false""", """"pending":true""").getBytes)
+    val racing = Entity.open(spark, base, "pend")
+    racing.stamp._2 should be < 0 // never equals any completed stamp
+    // an index persisted inside the window records the pending stamp
+    racing.saveIndex("va_race",
+      graft.index.VAIndex.buildFixed(racing.read(), "vid", "vec", p = 2.0))
+    // the racing insert's append lands; the marker clears
+    Files.write(metaPath, completed.getBytes)
+    // stamp equality must imply full visibility: the mid-insert index
+    // reads STALE (the pre-pending ordering read it falsely fresh)
+    Entity.open(spark, base, "pend").loadIndex("va_race").stale shouldBe true
+    e.drop()
+  }
+
   test("exists / list / duplicate-create rejection") {
     val base = freshBase()
     Entity.create(spark, base, "one")

@@ -500,6 +500,79 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcprops"))
   }
 
+  test("GenerateAllIndexes builds the full 10-type family (reference 8 + ivfpq/sq)") {
+    val d = Proto.msg("CreateEntityMessage")
+    ackOk(call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcall")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("label", "string"))
+        .addRepeatedField(d.findFieldByName("attributes"), attr("vec", "vector"))
+        .build())) shouldBe true
+    val rnd = new scala.util.Random(7)
+    ackOk(call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcall", (0 until 60).map(i =>
+        tuple(s"t$i", Seq.fill(8)(rnd.nextFloat())))))) shouldBe true
+
+    val idxD = Proto.msg("IndexMessage")
+    val gen = call(mdDef("GenerateAllIndexes", "IndexMessage", "IndexesMessage"),
+      Proto.newMsg("IndexMessage")
+        .setField(idxD.findFieldByName("entity"), "rpcall")
+        .setField(idxD.findFieldByName("attribute"), "vec").build())
+    ackOk(sub(gen, "ack")) shouldBe true
+    val built = gen.getField(gen.getDescriptorForType.findFieldByName("indexes"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSet
+    built shouldBe graft.api.IndexOps.knownTypes.map(tp => s"${tp}_vec").toSet
+    built should have size 10
+
+    val li = call(mdDef("ListIndexes", "EntityNameMessage", "IndexesMessage"),
+      entityName("rpcall"))
+    li.getField(li.getDescriptorForType.findFieldByName("indexes"))
+      .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSet shouldBe built
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcall"))
+  }
+
+  test("projection page cap over >500 rows returns a deterministic ordered page") {
+    val d = Proto.msg("CreateEntityMessage")
+    ackOk(call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
+      Proto.newMsg("CreateEntityMessage")
+        .setField(d.findFieldByName("entity"), "rpcpage")
+        .addRepeatedField(d.findFieldByName("attributes"), attr("x", "int"))
+        .build())) shouldBe true
+    val tD = Proto.msg("TupleInsertMessage")
+    ackOk(call(mdDef("Insert", "InsertMessage", "AckMessage"),
+      insertMsg("rpcpage", (0 until 600).map { i =>
+        Proto.newMsg("TupleInsertMessage")
+          .addRepeatedField(tD.findFieldByName("data"),
+            Proto.dataEntry("TupleInsertMessage", "x", Proto.dataOf(i)))
+          .build()
+      }))) shouldBe true
+
+    def page(op: String): Seq[Any] = {
+      val qd = Proto.msg("QueryMessage")
+      val pjD = Proto.msg("ProjectionMessage")
+      val pm = Proto.newMsg("ProjectionMessage")
+        .setField(pjD.findFieldByName("op"), op)
+      pm.addRepeatedField(pjD.findFieldByName("attribute"), "x")
+      val res = call(mdSearch("DoQuery", "QueryMessage", "QueryResultsMessage"),
+        DynamicMessage.newBuilder(queryMsg("rpcpage", "", None))
+          .setField(qd.findFieldByName("projection"), pm.build()).build())
+      ackOk(sub(res, "ack")) shouldBe true
+      resultRows(res).map(_("x"))
+    }
+    // 600 rows > the 500-row page: the cap must be ORDERED — a bare
+    // .limit(500) returns a partitioning-dependent subset (the defect
+    // the compound-expression path fixed in r11, now fixed here too)
+    Seq("", "distinct").foreach { op =>
+      withClue(s"op='$op': ") {
+        val first = page(op)
+        first should have size 500
+        first shouldBe (0 until 500).map(Integer.valueOf)
+        page(op) shouldBe first // stable across runs
+      }
+    }
+    call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcpage"))
+  }
+
   test("weighted and partition-restricted kNN over the wire") {
     val d = Proto.msg("CreateEntityMessage")
     call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
