@@ -1208,17 +1208,91 @@ class GrpcSpec extends SparkSpec {
         .map(_.split('.').last)
   }
 
-  test("netty TCP transport serves the same services") {
+  test("netty TCP battery through the GraftClient artifact") {
+    import graft.grpc.GraftClient
+    import graft.grpc.GraftClient.{Nnq, Projection, Where}
     val tcp = server.startNetty(0)
     try {
-      val ch = NettyChannelBuilder.forAddress("localhost", tcp.getPort)
-        .usePlaintext().build()
+      val client = GraftClient.connect("localhost", tcp.getPort)
       try {
-        val resp = ClientCalls.blockingUnaryCall(ch,
-          mdDef("ListEntities", "EmptyMessage", "EntitiesMessage"),
-          CallOptions.DEFAULT, Proto.newMsg("EmptyMessage").build())
-        ackOk(sub(resp, "ack")) shouldBe true
-      } finally ch.shutdownNow()
+        client.ping() shouldBe true
+
+        // ---- entity DDL/DML ----
+        client.createEntity("cliebat",
+          Seq("label" -> "string", "vec" -> "vector")).get shouldBe "cliebat"
+        client.existsEntity("cliebat").get shouldBe true
+        val rnd = new scala.util.Random(3)
+        client.insert("cliebat", (0 until 40).map(i => Map[String, Any](
+          "label" -> (if (i % 2 == 0) "even" else "odd"),
+          "vec" -> Seq.fill(8)(rnd.nextFloat())))).get
+        client.count("cliebat").get shouldBe 40L
+        client.listEntities().get should contain("cliebat")
+        client.preview("cliebat", 5).get should have size 5
+        client.entityProperties("cliebat").get("count") shouldBe "40"
+        client.attributeProperties("cliebat", "vec").get("type") shouldBe "vector"
+
+        // ---- index DDL ----
+        client.createIndex("cliebat", "vec", "vaf").get shouldBe "vaf_vec"
+        client.existsIndex("cliebat", "vec", "vaf").get shouldBe true
+        client.listIndexes("cliebat").get should contain("vaf_vec")
+        client.indexProperties("cliebat", "vaf_vec").get("indextype") shouldBe "VAIndex"
+
+        // ---- query families ----
+        val q = Nnq("vec", Seq.fill(8)(0.5f), "euclidean", 5)
+        val seqRes = client.query("cliebat", Some(q)).get
+        seqRes.head.rows should have size 5
+        // planner-hinted scan routes through the index, same ids
+        val hinted = client.query("cliebat", Some(q), hints = Seq("vaf")).get
+        hinted.head.source shouldBe "index:vaf"
+        hinted.head.rows.map(_("ap_id")) shouldBe seqRes.head.rows.map(_("ap_id"))
+        // boolean-filtered kNN
+        val filtered = client.query("cliebat", Some(q),
+          where = Seq(Where("label", "=", Seq("even")))).get
+        filtered.head.rows should have size 5
+        // projection: count over the whole entity
+        val counted = client.query("cliebat",
+          projection = Some(Projection("count"))).get
+        counted.head.rows.head("n") shouldBe 40L
+        // weighted query through the client (zero weights → distance 0)
+        val wq = client.query("cliebat",
+          Some(q.copy(weights = Some(Seq.fill(8)(0.0f))))).get
+        wq.head.rows.foreach(_("distance") shouldBe 0.0)
+        // progressive stream: every plan's observation arrives
+        var seen = 0
+        val prog = client.progressiveQuery(
+          client.buildQuery("cliebat", Some(q)))(_ => seen += 1).get
+        prog should not be empty
+        seen shouldBe prog.size
+        // batch: per-slot errors stay in their slot
+        val batch = client.batchQuery(Seq(
+          client.buildQuery("cliebat", Some(q)),
+          client.buildQuery("no_such_entity", Some(q)))).get
+        batch.head.get.head.rows should have size 5
+        batch(1).isFailure shouldBe true
+        // result cache by queryid
+        client.query("cliebat", Some(q), queryid = "cli-q1").get
+        client.cachedResults("cli-q1").get.head.rows should have size 5
+        // compound FROM expression: intersect of a query with itself
+        val comp = client.doQuery(client.buildCompoundQuery("intersect",
+          client.buildQuery("cliebat", Some(q)),
+          client.buildQuery("cliebat", Some(q)))).get
+        comp.head.rows should have size 5
+
+        // ---- planner / catalog introspection ----
+        client.scoredExecutionPaths("cliebat").get
+          .map(_._1) should contain("sequential")
+        client.availableAttributeTypes().get should contain("vector")
+        client.storageHandlers().get should contain("parquet")
+
+        // ---- mutation + cleanup ----
+        client.delete("cliebat", Seq(Where("label", "=", Seq("odd")))).get
+        client.count("cliebat").get shouldBe 20L
+        client.vacuum("cliebat").get
+        client.dropEntity("cliebat").get
+        client.existsEntity("cliebat").get shouldBe false
+        // a failed op is a Failure, not an exception
+        client.count("no_such_entity").isFailure shouldBe true
+      } finally client.close()
     } finally tcp.shutdownNow()
   }
 }
