@@ -60,8 +60,11 @@ object Plans {
         Seq("PushedFilters: [", "GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey")),
       ("neardup_keep_best", "per-component priority window + anti-join of pairs-scale losers",
         Seq("Window", "LeftAnti")),
-      ("hybrid_search_rrf", "both rankings TakeOrdered-bounded before fusion; full-outer merge",
-        Seq("TakeOrderedAndProject", "FullOuter")))
+      // the vector leg's RANKING must scan the SQ8 byte-codes relation
+      // (pq_adc kernel), with the raw embedding table only reached
+      // through the candidate-bounded semi-join rerank
+      ("hybrid_search_rrf", "TakeOrdered-bounded fusion; vector leg ranks over index codes",
+        Seq("TakeOrderedAndProject", "FullOuter", "pq_adc", "LeftSemi")))
 
     // negative shape: these must not shuffle before their
     // (presentation-only) global sort — strip the final Sort's own range

@@ -639,7 +639,12 @@ object SparkEntry {
       // hybrid retrieval: BM25 top-50 and cosine top-50 fused by
       // reciprocal rank; both rankings are TakeOrdered-bounded BEFORE
       // the rank window, so the windows and the fusion join see 50 rows
-      // each regardless of corpus size
+      // each regardless of corpus size. The vector leg rides the SQ8
+      // index over NORMALIZED embeddings (unit vectors: L2 ranks as
+      // cosine) — the ranking scan reads the byte-codes relation, and
+      // the raw embedding table is touched only by the candidate-bounded
+      // exact rerank (IndexSpec asserts id-for-id equality with the
+      // brute-force leg)
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -648,8 +653,9 @@ object SparkEntry {
           Seq("vector", "join", "hash"), 50)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)))
-      val vec = Knn.knn(emb, Distances.cosine(col("embedding"),
-            Distances.vecLit(q)), 50, col("vec_id"))
+      val idx = hybridSqIndexes.getOrElseUpdate(d,
+        Ann.buildCosineSQIndex(emb, "vec_id", "embedding"))
+      val vec = Ann.cosineTopKIndexed(emb, "vec_id", "embedding", idx, q, 50)
         .withColumn("rank", row_number().over(
           Window.orderBy(col(Knn.DistanceCol).asc, col("vec_id").asc)))
         .withColumnRenamed("vec_id", "doc_id")
@@ -1126,6 +1132,11 @@ object SparkEntry {
 
   private val corpusIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusIndex]
+
+  /** SQ8-over-normalized-embeddings index for the hybrid vector leg —
+    * build-once per data dir (one min/max agg + one encode pass). */
+  private val hybridSqIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.SQIndex]
 
   private val cosineCorpusIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Ann.CosineCorpusIndex]

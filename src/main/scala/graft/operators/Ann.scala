@@ -40,6 +40,44 @@ object Ann {
         .agg(BoundedTopK.topk(dist(col(vecCol), col(qVecCol)), col(idCol), k).as("tops")),
       qIdCol, idCol)
 
+  /** L2-normalized copy of a vector column: `(id, nvec)`. The norm is
+    * computed once per row by the codegen dot kernel; zero vectors pass
+    * through unscaled (a 0/0 division would poison downstream
+    * quantization with NaN/Infinity). */
+  def normalized(df: DataFrame, idCol: String, vecCol: String,
+                 outCol: String = "nvec"): DataFrame =
+    df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__e"),
+        Distances.norm2(col(vecCol)).as("__n"))
+      .select(col(idCol),
+        when(col("__n") > 1e-12, transform(col("__e"), x => x / col("__n")))
+          .otherwise(col("__e")).as(outCol))
+
+  /** Build an SQ8 index that answers COSINE top-k: quantize the
+    * L2-normalized vectors — for unit vectors ‖x−q‖² = 2 − 2·cos(x,q),
+    * so the L2-built scan ranks identically to cosine. The scale path
+    * for the hybrid-retrieval vector leg: the ranking scan reads the
+    * byte-codes relation (4-8× smaller), never the raw embedding
+    * table. */
+  def buildCosineSQIndex(df: DataFrame, idCol: String,
+                         vecCol: String): graft.index.SQIndex =
+    graft.index.SQIndex.build(normalized(df, idCol, vecCol), idCol, "nvec")
+
+  /** Cosine top-k through an index built by [[buildCosineSQIndex]]:
+    * candidates from the codes scan (query normalized to match), exact
+    * cosine re-rank bounded to the candidate set. Identical to the
+    * brute-force ranking whenever the candidate set covers the true
+    * top-k (IndexSpec asserts this; `timesK` defaults generous since
+    * the codes scan is cheap). */
+  def cosineTopKIndexed(df: DataFrame, idCol: String, vecCol: String,
+                        idx: graft.index.VectorIndex, q: Seq[Double], k: Int,
+                        timesK: Int = 10): DataFrame = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    val qn = if (n > 1e-12) q.map(_ / n) else q
+    Knn.rerank(df, idx.candidates(qn, k, timesK), idCol,
+      Distances.cosine(col(vecCol), Distances.vecLit(q)), k)
+  }
+
   /** All pairs (a < b) with cosine similarity ≥ threshold — embedding
     * near-duplicate detection, exact O(n²/2) variant for modest n (or as
     * the in-bucket verifier of the LSH variant below). */

@@ -92,6 +92,20 @@ class IndexSpec extends SparkSpec {
     l1.conformsTo("euclidean") shouldBe false
   }
 
+  test("cosine top-k through the normalized-SQ8 index equals brute force") {
+    import graft.operators.Ann
+    val idx = Ann.buildCosineSQIndex(data, "tid", "vectorfield")
+    val cosDist = Distances.cosine(col("vectorfield"), Distances.vecLit(queryVec))
+    val brute = Knn.knn(data, cosDist, 50, col("tid"))
+      .select("tid").collect().map(_.getLong(0)).toSeq
+    val indexed = Ann.cosineTopKIndexed(data, "tid", "vectorfield", idx, queryVec, 50)
+      .select("tid").collect().map(_.getLong(0)).toSeq
+    // id-for-id: unit-vector L2 ranks exactly as cosine, and the SQ8
+    // candidate set covers the true top-50 on this corpus — so the
+    // hybrid-retrieval vector leg can ride the codes scan losslessly
+    indexed shouldBe brute
+  }
+
   test("conformsTo agrees across every alias spelling, family-wide") {
     val family: Seq[VectorIndex] = Seq(
       VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0),
