@@ -313,22 +313,39 @@ object DedupPlanner {
   def scoredPaths(n: Long): Seq[(String, Double)] =
     Seq(Exact, Banded, Semantic).map(p => p -> predictedNanos(p, n))
 
-  /** Measure both paths on samples of `df` at each size (one at a time,
-    * like [[Planner.train]] — racing would bias the timings). Returns
-    * the number of measurements recorded. */
+  /** Measure the paths on samples of `df` (one at a time, like
+    * [[Planner.train]] — racing would bias the timings). The EXACT path
+    * trains at the given (small) `sizes`: its O(n²) pair loop dominates
+    * fixed overhead even at a few thousand rows, so the log-log fit
+    * sees a real slope. The near-LINEAR paths (banded, semantic) train
+    * at 10× those sizes (capped at the corpus): at the exact path's
+    * sizes their jobs are fixed-overhead dominated, the fitted
+    * exponent comes out nearly flat, and the extrapolation
+    * underpredicts large-corpus cost — measured >5× low at a 10×
+    * corpus before retraining (ScaleProbe, SCALING.md run 20).
+    * Returns the number of measurements recorded. */
   def train(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
             dim: Int, sizes: Seq[Int]): Int = {
     import org.apache.spark.sql.functions.col
+    val total = df.count()
+    def time(run: => Long): Long = {
+      val t0 = System.nanoTime(); run; System.nanoTime() - t0
+    }
+    // pin each sample so the timed paths see the same materialized
+    // rows, not limit+scan variance
+    def sampleOf(s: Int): DataFrame =
+      df.select(col(idCol), col(vecCol)).limit(s).localCheckpoint(true)
     sizes.foreach { s =>
-      // pin the sample so both paths time the same materialized rows,
-      // not limit+scan variance
-      val sample = df.select(col(idCol), col(vecCol)).limit(s).localCheckpoint(true)
+      val sample = sampleOf(s)
       val n = sample.count()
-      def time(run: => Long): Long = {
-        val t0 = System.nanoTime(); run; System.nanoTime() - t0
-      }
       record(Exact, n, time(
         graft.operators.Ann.cosineNearDupPairs(sample, idCol, vecCol, threshold).count()))
+      sample.unpersist()
+    }
+    val linSizes = sizes.map(s => math.min(s.toLong * 10, total).toInt).distinct
+    linSizes.foreach { s =>
+      val sample = sampleOf(s)
+      val n = sample.count()
       record(Banded, n, time(
         graft.operators.Ann.lshCosineNearDupPairs(sample, idCol, vecCol, threshold, dim).count()))
       // semantic path timed end-to-end: centroid training is part of its
@@ -337,8 +354,9 @@ object DedupPlanner {
         val cents = graft.operators.Ann.trainSemanticCentroids(sample, vecCol, semanticK(n))
         graft.operators.Ann.semanticDedupPairs(sample, idCol, vecCol, cents, threshold).count()
       })
+      sample.unpersist()
     }
-    3 * sizes.size
+    sizes.size + 2 * linSizes.size
   }
 
   /** Near-dup pairs through the measured choice for this corpus' size;
