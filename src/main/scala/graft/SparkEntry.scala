@@ -594,6 +594,17 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    "video_keyframe_plan" -> ((s, d) => {
+      // H.264-shaped frame sampling with NO decoder: real ISO-BMFF bytes
+      // per doc (deterministic stsz sizes / stss sync samples), keyframe
+      // positions + byte sizes read back from the container tables, first
+      // 2 keyframes per asset. The oracle replays the generator formula —
+      // so build → parse → plan is byte-level verified end to end.
+      val assets = Multimodal.syntheticMp4Assets(Tables.documents(s, d), "doc_id")
+      Multimodal.mp4KeyframePlan(assets, maxFrames = 2)
+        .orderBy("asset_id", "frame_idx")
+    }),
+
     // --- dedup + text analysis (LLM pipeline) ---
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
@@ -1480,6 +1491,16 @@ object SparkEntry {
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // keyframes fall every 3rd frame from 1 and every asset has >= 4
+    // frames, so the 2-keyframe cap always selects frames 1 and 4; the
+    // byte sizes replay the generator's formula
+    "video_keyframe_plan" ->
+      """SELECT doc_id AS asset_id, i AS frame_idx,
+        | CAST(500 + (doc_id * 31 + i * 17) % 100 AS BIGINT) AS frame_bytes,
+        | TRUE AS keyframe
+        |FROM documents CROSS JOIN (VALUES (1), (4)) AS t(i)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     // the ByColumn layout makes the pruned scan EXACTLY the label-subset
     // scan, so the oracle is a plain filtered kNN — no recall caveat

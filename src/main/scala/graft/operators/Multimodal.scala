@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * decode is REAL for Motion-JPEG AVI (`decodeMjpegVideo`: every frame
   * chunk is a standalone JPEG through the ImageIO path); other codecs
   * (H.264 etc.) have no JDK decoder and keep the container-metadata
-  * path, with the deterministic stub (`decodeStub`) for unparseable
-  * payloads. Everything around the codecs is the production plumbing —
+  * path — which now includes per-frame sizes and keyframe positions
+  * from the MP4 `stsz`/`stss` tables (`mp4FrameMeta` /
+  * `mp4KeyframePlan`), so frame SAMPLING works on H.264 containers
+  * without decoding — with the deterministic stub (`decodeStub`) for
+  * unparseable payloads. Everything around the codecs is the production plumbing —
   * output schemas, `mapPartitions` batch shape (the Scala analog of
   * `mapInPandas`: one iterator per partition, streaming, no per-row
   * task overhead), partition sizing — so swapping in a real frame
@@ -257,9 +260,14 @@ object Multimodal {
 
   /** One parsed MP4 track: `handler` fourcc from `hdlr` ("vide",
     * "soun"), sample-entry (codec) fourcc from `stsd` ("avc1", "mp4a"),
-    * presentation width/height from `tkhd`, sample count from `stsz`. */
+    * presentation width/height from `tkhd`, sample count + per-sample
+    * byte sizes from `stsz`, and the sync-sample (keyframe) table from
+    * `stss` (`None` = no stss box = EVERY sample is a sync sample,
+    * ISO 14496-12 §8.6.2). */
   final case class Mp4Track(handler: String, codec: String,
-                            width: Int, height: Int, samples: Int)
+                            width: Int, height: Int, samples: Int,
+                            sampleSizes: Seq[Long] = Nil,
+                            syncSamples: Option[Seq[Int]] = None)
 
   /** Parsed MP4 movie-level metadata. */
   final case class Mp4Info(durationMs: Long, tracks: Seq[Mp4Track])
@@ -334,10 +342,25 @@ object Multimodal {
       // entry's size u32 + format fourcc = the codec identifier
       val codec = stbl.flatMap(_.find(_._1 == "stsd"))
         .map { case (_, s, _) => cc(s + 12) }.getOrElse("")
-      // stsz: version/flags u32, sample_size u32, sample_count u32
-      val samples = stbl.flatMap(_.find(_._1 == "stsz"))
-        .map { case (_, s, _) => u32(s + 8).toInt }.getOrElse(0)
-      Mp4Track(handler, codec, w, h, samples)
+      // stsz: version/flags u32, sample_size u32, sample_count u32,
+      // then u32 per-sample sizes ONLY when sample_size == 0 (a
+      // non-zero sample_size means all samples share that size)
+      val (samples, sampleSizes) = stbl.flatMap(_.find(_._1 == "stsz"))
+        .map { case (_, s, e) =>
+          val const = u32(s + 4)
+          val cnt = math.min(u32(s + 8), 1L << 22).toInt // malformed-count cap
+          val sizes: Seq[Long] =
+            if (const != 0) Seq.fill(cnt)(const)
+            else (0 until math.min(cnt, (e - s - 12) / 4)).map(k => u32(s + 12 + 4 * k))
+          (cnt, sizes)
+        }.getOrElse((0, Seq.empty[Long]))
+      // stss: version/flags u32, entry_count u32, then u32 1-based sync
+      // sample numbers; the box's ABSENCE means all samples are sync
+      val sync = stbl.flatMap(_.find(_._1 == "stss")).map { case (_, s, e) =>
+        val cnt = math.min(u32(s + 4), 1L << 22).toInt
+        (0 until math.min(cnt, (e - s - 8) / 4)).map(k => u32(s + 8 + 4 * k).toInt)
+      }
+      Mp4Track(handler, codec, w, h, samples, sampleSizes, sync)
     }
     if (tracks.isEmpty) None else Some(Mp4Info(durationMs, tracks))
   } catch { case scala.util.control.NonFatal(_) => None }
@@ -363,6 +386,48 @@ object Multimodal {
       while (d < dim) { hist(d) /= payload.length; d += 1 }
       (w, h, info.tracks.size, frames, hist)
     }
+
+  /** Per-frame metadata of the FIRST video track of an MP4, straight
+    * from the container tables — no codec: `(frame_idx 1-based,
+    * byte size, keyframe?)`. Frame sampling on H.264 containers needs
+    * exactly this: only SYNC samples decode without reference frames,
+    * so a sampler seeks keyframes, and `stsz` sizes give the byte
+    * ranges to fetch. */
+  def mp4FrameMeta(payload: Array[Byte]): Seq[(Int, Long, Boolean)] =
+    mp4Info(payload).toSeq.flatMap { info =>
+      info.tracks.find(_.handler == "vide").toSeq.flatMap { t =>
+        val sync = t.syncSamples.map(_.toSet)
+        t.sampleSizes.zipWithIndex.map { case (sz, i0) =>
+          (i0 + 1, sz, sync.forall(_.contains(i0 + 1)))
+        }
+      }
+    }
+
+  /** Schema of [[mp4KeyframePlan]] rows. */
+  val frameMetaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", LongType, nullable = false),
+    StructField("keyframe", BooleanType, nullable = false)))
+
+  /** Keyframe-aware frame-sampling plan for MP4 video assets: one row
+    * per KEYFRAME (capped at `maxFrames` per asset) read from the
+    * container's `stss`/`stsz` tables — H.264 frame sampling without
+    * any decoder. Pure map stage (`mapPartitions`), no shuffle; at
+    * corpus scale the output is bounded by maxFrames × assets
+    * regardless of video length. */
+  def mp4KeyframePlan(assets: DataFrame, maxFrames: Int = 32): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameMetaSchema)
+    assets.filter(col("modality") === "video").select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          mp4FrameMeta(payload).filter(_._3).take(maxFrames)
+            .map { case (i, sz, kf) => Row(r.getAs[Long]("asset_id"), i, sz, kf) }
+        }
+      }(enc)
+  }
 
   /** Decode + feature-extract over partition-sized batches. One
     * decoder instantiation per partition (the expensive init a real
@@ -426,4 +491,53 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
       encode(col(textCol), "UTF-8").as("payload"),
       map(lit("source"), lit("synthetic")).as("meta"))
+
+  private def mp4Be32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+    ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def mp4Box(name: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    mp4Be32(body.length + 8L) ++ name.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** A minimal but REAL ISO-BMFF stream: one `avc1` video track whose
+    * `stsz` carries the given per-sample byte sizes and whose `stss`
+    * lists the given 1-based sync samples. Round-trips through
+    * [[mp4Info]]/[[mp4FrameMeta]] at the byte level — the generator and
+    * the parser share no code beyond the box-length arithmetic. */
+  def syntheticMp4(sampleSizes: Seq[Long], syncSamples: Seq[Int]): Array[Byte] = {
+    val zeros = (n: Int) => Array.fill[Byte](n)(0)
+    val tkhd = mp4Box("tkhd", zeros(76), mp4Be32(320L << 16), mp4Be32(240L << 16))
+    val hdlr = mp4Box("hdlr", zeros(8), "vide".getBytes("ISO-8859-1"), zeros(13))
+    val stsd = mp4Box("stsd", zeros(4), mp4Be32(1),
+      mp4Be32(16), "avc1".getBytes("ISO-8859-1"), zeros(8))
+    val stsz = mp4Box("stsz", zeros(4), mp4Be32(0), mp4Be32(sampleSizes.length),
+      sampleSizes.foldLeft(Array.emptyByteArray)(_ ++ mp4Be32(_)))
+    val stss = mp4Box("stss", zeros(4), mp4Be32(syncSamples.length),
+      syncSamples.foldLeft(Array.emptyByteArray)(_ ++ mp4Be32(_)))
+    mp4Box("ftyp", "isom".getBytes("ISO-8859-1"), mp4Be32(0)) ++
+      mp4Box("moov",
+        mp4Box("mvhd", zeros(4), zeros(8), mp4Be32(600), mp4Be32(600), zeros(80)),
+        mp4Box("trak", tkhd, mp4Box("mdia", hdlr,
+          mp4Box("minf", mp4Box("stbl", stsd, stsz, stss)))))
+  }
+
+  /** Deterministic MP4 asset table keyed by `idCol`: real container
+    * bytes per row, frame count `4 + id % 5`, frame `i` sized
+    * `500 + (id*31 + i*17) % 100` bytes, keyframes every 3rd frame from
+    * 1 — a formula an independent engine can replay, so the byte-level
+    * build → parse → plan path is oracle-checkable end to end. */
+  def syntheticMp4Assets(df: DataFrame, idCol: String): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val frames = 4 + (id % 5).toInt
+      syntheticMp4(
+        (1 to frames).map(i => 500L + (id * 31 + i * 17) % 100),
+        1 to frames by 3)
+    }
+    df.select(col(idCol).cast("long").as("asset_id"),
+      lit("video").as("modality"),
+      mk(col(idCol).cast("long")).as("payload"),
+      map(lit("source"), lit("synthetic-mp4")).as("meta"))
+  }
 }

@@ -249,6 +249,73 @@ class MultimodalSpec extends SparkSpec {
       box("mdat", zeros(32))
   }
 
+  test("stsz per-frame sizes + stss keyframes drive sampling without a decoder") {
+    val zeros = (n: Int) => Array.fill[Byte](n)(0)
+    def videoTrak(stsz: Array[Byte], stss: Array[Byte]*): Array[Byte] = {
+      val tkhd = box("tkhd", zeros(76), be32(320L << 16), be32(240L << 16))
+      val hdlr = box("hdlr", zeros(8), "vide".getBytes("ISO-8859-1"), zeros(13))
+      val stsd = box("stsd", zeros(4), be32(1),
+        be32(16), "avc1".getBytes("ISO-8859-1"), zeros(8))
+      box("trak", tkhd, box("mdia", hdlr,
+        box("minf", box("stbl", (Seq(stsd, stsz) ++ stss): _*))))
+    }
+    def mp4Of(trak: Array[Byte]): Array[Byte] =
+      box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+        box("moov",
+          box("mvhd", zeros(4), zeros(8), be32(600), be32(600), zeros(80)), trak)
+
+    // variable sizes (stsz sample_size=0, per-sample table) + keyframes
+    // at samples 1, 4, 7 via stss — the H.264-shaped container layout
+    val sizes = Seq(1000L, 200L, 210L, 950L, 220L, 230L, 900L, 240L)
+    val varStsz = box("stsz", zeros(4), be32(0), be32(sizes.length),
+      sizes.map(be32).reduce(_ ++ _))
+    val stss = box("stss", zeros(4), be32(3), be32(1), be32(4), be32(7))
+    val bytes = mp4Of(videoTrak(varStsz, stss))
+
+    val t = Multimodal.mp4Info(bytes).get.tracks.head
+    t.sampleSizes shouldBe sizes
+    t.syncSamples shouldBe Some(Seq(1, 4, 7))
+    val fm = Multimodal.mp4FrameMeta(bytes)
+    fm.map(_._1) shouldBe (1 to 8)
+    fm.map(_._2) shouldBe sizes
+    fm.filter(_._3).map(_._1) shouldBe Seq(1, 4, 7) // the seekable frames
+
+    // constant sample_size + ABSENT stss: sizes replicate the constant
+    // and EVERY sample is a sync sample (ISO 14496-12 §8.6.2)
+    val constBytes = mp4Of(videoTrak(box("stsz", zeros(4), be32(500), be32(5))))
+    val cm = Multimodal.mp4FrameMeta(constBytes)
+    cm.map(_._2) shouldBe Seq.fill(5)(500L)
+    cm.forall(_._3) shouldBe true
+
+    // the Spark-side sampling plan: one row per keyframe, per-asset cap
+    val assets = Seq((50L, "video", bytes, Map("src" -> "gen")))
+      .toDF("asset_id", "modality", "payload", "meta")
+    Multimodal.mp4KeyframePlan(assets, maxFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq shouldBe Seq((50L, 1, 1000L, true), (50L, 4, 950L, true))
+    // non-MP4 video payloads contribute no rows (not an error)
+    Multimodal.mp4KeyframePlan(Seq((51L, "video", aviBytes(320, 240, 9),
+      Map("src" -> "gen"))).toDF("asset_id", "modality", "payload", "meta"))
+      .count() shouldBe 0L
+  }
+
+  test("synthetic MP4 generator round-trips through the container parser") {
+    val sizes = Seq(700L, 710L, 720L, 730L, 740L)
+    val bytes = Multimodal.syntheticMp4(sizes, Seq(1, 4))
+    val t = Multimodal.mp4Info(bytes).get.tracks.head
+    (t.handler, t.codec, t.width, t.height) shouldBe (("vide", "avc1", 320, 240))
+    t.sampleSizes shouldBe sizes
+    t.syncSamples shouldBe Some(Seq(1, 4))
+
+    // the asset table replays the documented formula per id
+    val assets = Multimodal.syntheticMp4Assets(
+      Seq(7L, 12L).toDF("doc_id"), "doc_id")
+    val byId = assets.collect().map(r =>
+      r.getLong(0) -> Multimodal.mp4FrameMeta(r.getAs[Array[Byte]]("payload"))).toMap
+    byId(7L).map(_._2) shouldBe (1 to 6).map(i => 500L + (7 * 31 + i * 17) % 100)
+    byId(12L).filter(_._3).map(_._1) shouldBe Seq(1, 4)
+  }
+
   test("version-1 mvhd (64-bit times) reads duration from the v1 offset") {
     val zeros = (n: Int) => Array.fill[Byte](n)(0)
     val be64 = (v: Long) => be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
