@@ -28,6 +28,7 @@ import graft.operators.BooleanPredicates
   *
   * | endpoint          | body                                             |
   * |-------------------|--------------------------------------------------|
+  * | / or /ui (GET)    | static browser console (resources/graft/ui.html) |
   * | /entity/create    | {name}                                           |
   * | /entity/insert    | {name, rows: [{col: value, …}, …]}               |
   * | /entity/list      | {}                                               |
@@ -96,6 +97,9 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     locks.computeIfAbsent(name, _ => new Object).synchronized(f)
 
   private def handle(ex: HttpExchange): Unit = ex.getRequestURI.getPath match {
+    // the browser console (reference web UI role): one static page over
+    // the same JSON endpoints external clients POST to
+    case "/" | "/ui" => serveUi(ex)
     // the two streaming endpoints manage the exchange themselves
     case "/entity/insert/stream" => handleStreamInsert(ex)
     case "/query/progressive" => handleProgressive(ex)
@@ -119,6 +123,16 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       ex.sendResponseHeaders(reply._1, bytes.length)
       ex.getResponseBody.write(bytes)
       ex.close()
+  }
+
+  private def serveUi(ex: HttpExchange): Unit = {
+    val in = getClass.getResourceAsStream("/graft/ui.html")
+    if (in == null) { ex.sendResponseHeaders(404, -1); ex.close(); return }
+    val bytes = try in.readAllBytes() finally in.close()
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
   }
 
   private def entity(req: JsonNode, field: String = "name"): Entity =
@@ -301,7 +315,17 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
                   case v: Float => rn.put(f, v.toDouble)
                   case v: Boolean => rn.put(f, v)
                   case v: String => rn.put(f, v)
-                  case v => rn.put(f, String.valueOf(v)) // arrays/structs: rendered
+                  case v: scala.collection.Seq[_] => // array columns as JSON arrays
+                    val an = rn.putArray(f)
+                    v.foreach {
+                      case e: Long => an.add(e)
+                      case e: Int => an.add(e)
+                      case e: Double => an.add(e)
+                      case e: Float => an.add(e.toDouble)
+                      case e: Boolean => an.add(e)
+                      case e => an.add(String.valueOf(e))
+                    }
+                  case v => rn.put(f, String.valueOf(v)) // structs/maps: rendered
                 }
               }
             }

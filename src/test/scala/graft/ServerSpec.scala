@@ -158,6 +158,9 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       o.get("ok").asBoolean() shouldBe true
       o.get("rowCount").asInt() shouldBe 3
       o.get("rows").size() shouldBe 3
+      // array columns stream as JSON arrays, not stringified Seqs
+      o.get("rows").get(0).get("vec").isArray shouldBe true
+      o.get("rows").get(0).get("vec").size() shouldBe 3
     }
     lines.last.get("done").asBoolean() shouldBe true
     // timed variant returns the single best observation
@@ -402,6 +405,20 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     hyb.get("ok").asBoolean() shouldBe true
     hyb.get("rows").elements().asScala.map(_.get("did").asInt()).toSeq.head shouldBe 2
     post("/entity/drop", """{"name":"kb"}""")
+  }
+
+  test("GET / serves the browser console page") {
+    for (path <- Seq("/", "/ui")) {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.port}$path")).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() shouldBe 200
+      resp.headers().firstValue("Content-Type").orElse("") should include("text/html")
+      // the page drives the SAME endpoints clients POST to
+      resp.body() should include("graft console")
+      resp.body() should include("/query/knn")
+      resp.body() should include("/query/progressive")
+    }
   }
 
   test("bad requests return ok=false with an error") {
