@@ -47,7 +47,16 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The harness captures a truncated stdout tail, which has lost half
+    // the per-query timings two rounds running — ALSO persist the full
+    // JSON to the working directory so the numbers survive verbatim.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_results.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_results.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -29,6 +29,9 @@ object Recall {
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }.toMap
 
+    // the first block mirrors SparkEntry.indexBuilders EXACTLY (the
+    // battery's served configurations); the lsh-* variants below it are
+    // tuning comparisons
     val indexes: Seq[(String, VectorIndex)] = Seq(
       "vaf" -> VAIndex.buildFixed(emb, "vec_id", "embedding", p = 2.0),
       "vav" -> VAIndex.buildVariable(emb, "vec_id", "embedding", p = 2.0),
@@ -36,12 +39,13 @@ object Recall {
       "ecp" -> ECPIndex.build(emb, "vec_id", "embedding"),
       "pq" -> PQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
       "sh" -> SHIndex.build(emb, "vec_id", "embedding", nBits = 32),
-      "lsh" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 12, nHashes = 3),
-      "lsh-32x1" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1),
-      "lsh-8x1p2" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 2),
-      "lsh-8x1p3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 3),
+      "lsh" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 2),
       "mi" -> MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15),
-      "ivfpq" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16))
+      "ivfpq" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
+      "sq" -> SQIndex.build(emb, "vec_id", "embedding"),
+      "lsh-12x3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 12, nHashes = 3),
+      "lsh-32x1" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1),
+      "lsh-8x1p3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 3))
 
     println(f"[recall] sf=$sfDir k=$k queries=${queries.size}")
     indexes.foreach { case (name, idx) =>

@@ -161,7 +161,7 @@ object SparkEntry {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1)
+            tsMicros(col("ts")) - tsMicros(col("prev_ts")) > 1800L * 1000000, 1)
             .otherwise(0))
         .groupBy("user_id")
         .agg(sum("new_session").as("sessions"), count(lit(1)).as("events"))
@@ -287,7 +287,7 @@ object SparkEntry {
           ev.filter(col("event_type") === "purchase"),
           within = "30 minutes")
         .select(col("user_id"), col("l_id"), col("r_id"),
-          unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+          tsMicros(col("l_ts")).as("l_us"), tsMicros(col("r_ts")).as("r_us"))
         .orderBy("user_id", "l_id", "r_id")
     }),
 
@@ -301,7 +301,7 @@ object SparkEntry {
           ev.filter(col("event_type") === "purchase"),
           within = "30 minutes", joinType = "leftOuter")
         .filter(col("r_id").isNull)
-        .select(col("user_id"), col("l_id"), unix_micros(col("l_ts")).as("l_us"))
+        .select(col("user_id"), col("l_id"), tsMicros(col("l_ts")).as("l_us"))
         .orderBy("user_id", "l_id")
     }),
 
@@ -573,7 +573,7 @@ object SparkEntry {
     "vertical_reassembly" -> ((s, d) => {
       // per-attribute handler assignment: scalar group in parquet, price
       // group in ORC; reassembly = pk join (reference Entity.scala:91-110)
-      val base = java.nio.file.Files.createTempDirectory("graft-vert").toString
+      val base = verticalScratch
       val groups = Seq(
         graft.core.Vertical.Group("meta", Seq("o_orderstatus", "o_orderpriority")),
         graft.core.Vertical.Group("price", Seq("o_totalprice"),
@@ -982,6 +982,12 @@ object SparkEntry {
     }),
   )
 
+  /** Epoch micros for either TIMESTAMP or TIMESTAMP_NTZ input. The
+    * driver's parquet encodes `ts` as NTZ, which `unix_micros` rejects;
+    * casting through TIMESTAMP under the session's UTC zone gives the
+    * same epoch value DuckDB's `epoch_us` computes on the NTZ column. */
+  private def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
 
   /** Derive an in-range (lat, lng) pair from the first two embedding
@@ -1139,6 +1145,44 @@ object SparkEntry {
       Ann.indexCorpusSemantic(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
         seedCentroids(emb, 16)))
     sem.assigned.count()
+  }
+
+  /** One vertical-layout scratch root per JVM, deleted on exit. Every
+    * `vertical_reassembly` run reuses it (group handlers write with
+    * overwrite=true), so repeated battery runs in one JVM leave no
+    * orphaned `graft-vert*` dirs. */
+  private lazy val verticalScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-vert")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.Entity.deleteRecursively(p)))
+    p.toString
+  }
+
+  /** Drop every per-data-dir cached index/layout artifact for `dir` —
+    * the eviction seam for a long-lived server (hung off entity drop /
+    * vacuum), so caches track live entities instead of growing without
+    * bound. Unpersists cached frames, deletes layout temp dirs, and
+    * evicts the persisted vector indexes. Returns how many cache
+    * entries were released. */
+  def releaseCaches(dir: String): Int = {
+    var n = 0
+    def drop[A](m: scala.collection.concurrent.TrieMap[String, A])
+               (free: A => Unit): Unit =
+      m.remove(dir).foreach { v => free(v); n += 1 }
+    drop(corpusIndexes)(_.release())
+    drop(benchIndexes)(_.release())
+    drop(simhashCorpusIndexes)(_.release())
+    drop(cosineCorpusIndexes)(_.release())
+    drop(semanticCorpusIndexes)(_.release())
+    drop(hybridSqIndexes)(_ => ())
+    drop(qcWeightsCache)(_ => ())
+    val del = (p: String) =>
+      graft.core.Entity.deleteRecursively(java.nio.file.Paths.get(p))
+    drop(partLayouts)(del)
+    drop(sparseLayouts)(del)
+    drop(zorderDirs)(del)
+    drop(kvLayouts)(del)
+    n + IndexCache.release(dir)
   }
 
   private val corpusIndexes =

@@ -47,7 +47,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     * (`Entity.scala:91-110`), populated by [[transferAttributes]]. */
   def attributeGroups: Seq[AttributeGroup] = readGroups(groupsPath)
 
-  private def handlerFor(h: String): graft.sources.StorageHandler = h match {
+  private[graft] def handlerFor(h: String): graft.sources.StorageHandler = h match {
     // the KV store is keyed by the system id — that is what the
     // reassembly join and point lookups address rows by
     case "keyvalue" => graft.sources.StorageHandlers.keyValue(ApId)

@@ -236,6 +236,39 @@ class GraftClient(val channel: ManagedChannel) extends AutoCloseable {
     tryAck(unary("AdamDefinition", "Insert", "InsertMessage", "AckMessage", b.build()))
   }
 
+  /** Streaming insert over the bidi `StreamInsert` RPC: each batch is
+    * one InsertMessage, each ack arrives as the server commits it — the
+    * reference client's observer-based `streamInsert`
+    * (`RPCClient.scala` bidi insert path). Blocks until the server
+    * half-closes; returns one Try per sent batch, order-preserved. */
+  def streamInsert(entity: String, batches: Seq[Seq[Map[String, Any]]])
+  : Try[Seq[Try[String]]] = Try {
+    import org.sparkproject.connect.grpc.stub.StreamObserver
+    val iD = d("InsertMessage")
+    val acks = new java.util.concurrent.ConcurrentLinkedQueue[Try[String]]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var streamErr: Throwable = null
+    val req = ClientCalls.asyncBidiStreamingCall(
+      channel.newCall(
+        method("AdamDefinition", "StreamInsert", "InsertMessage", "AckMessage",
+          MethodDescriptor.MethodType.BIDI_STREAMING),
+        CallOptions.DEFAULT),
+      new StreamObserver[DynamicMessage] {
+        override def onNext(ack: DynamicMessage): Unit = acks.add(tryAck(ack))
+        override def onError(t: Throwable): Unit = { streamErr = t; done.countDown() }
+        override def onCompleted(): Unit = done.countDown()
+      })
+    batches.foreach { rows =>
+      val b = Proto.newMsg("InsertMessage").setField(iD.findFieldByName("entity"), entity)
+      rows.foreach(r => b.addRepeatedField(iD.findFieldByName("tuples"), tupleMsg(r)))
+      req.onNext(b.build())
+    }
+    req.onCompleted()
+    done.await()
+    if (streamErr != null) throw streamErr
+    acks.asScala.toSeq
+  }
+
   def preview(entity: String, n: Int = 100): Try[Seq[Map[String, Any]]] = {
     val pD = d("PreviewMessage")
     parseResults(unary("AdamSearch", "PreviewEntity", "PreviewMessage",

@@ -308,6 +308,12 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val f = e.read().schema.fields.find(_.name == attribute).getOrElse(
           throw new IllegalArgumentException(s"no such attribute: $attribute"))
         val group = e.attributeGroups.find(_.attrs.contains(attribute))
+        // the serving handler's configuration rides along as param_*
+        // entries (key column / bucket count for the KV store, format
+        // for file groups) — the reference returns per-attribute handler
+        // detail the same way
+        val handlerParams = e.handlerFor(group.map(_.handler).getOrElse("parquet"))
+          .params.toSeq.sortBy(_._1).map { case (k, v) => s"param_$k" -> v }
         propertiesMsg(ok = true, "", Seq(
           "type" -> ProtoImportExport.typeNameOf(f.dataType),
           "handler" -> group.map(_.handler).getOrElse("parquet"),
@@ -316,7 +322,7 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           // would report doc_id's indexes for an attribute named `id`
           "indexes" -> e.listIndexes.filter(n =>
               IndexOps.knownTypes.exists(tp => n == s"${tp}_$attribute"))
-            .sorted.mkString(",")))
+            .sorted.mkString(",")) ++ handlerParams)
       } catch { case e: Exception => propertiesMsg(ok = false, e.getMessage, Nil) }
     }
 

@@ -28,4 +28,16 @@ object IndexCache {
       IndexStore.save(base, key, build)
       IndexStore.load(spark, base, key).index
     })
+
+  /** Evict every cached index for `dataDir` and delete its persisted
+    * artifacts — the entity-drop hook for long-lived servers. Returns
+    * the number of evicted entries. */
+  def release(dataDir: String): Int = {
+    val keys = cache.keys.filter(_._1 == dataDir).toSeq
+    keys.foreach(cache.remove)
+    if (keys.nonEmpty)
+      graft.core.Entity.deleteRecursively(
+        java.nio.file.Paths.get(s"$tmpBase/h${Integer.toHexString(dataDir.hashCode)}"))
+    keys.size
+  }
 }

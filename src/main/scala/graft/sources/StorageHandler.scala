@@ -15,6 +15,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 trait StorageHandler {
   def name: String
+  /** Handler configuration surfaced over the wire (the reference's
+    * per-attribute handler detail in `getAttributeProperties`) — format,
+    * key column, bucket count, connection url, whatever parameterizes
+    * THIS handler. Wire-safe strings only; no credentials. */
+  def params: Map[String, String] = Map.empty
   def create(spark: SparkSession, storename: String, df: DataFrame): Unit =
     write(spark, storename, df, overwrite = true)
   def read(spark: SparkSession, storename: String,
@@ -28,6 +33,8 @@ trait StorageHandler {
 /** File-format handler over a Spark DataSource format. */
 class FileFormatHandler(val name: String, format: String,
                         options: Map[String, String] = Map.empty) extends StorageHandler {
+
+  override def params: Map[String, String] = Map("format" -> format) ++ options
 
   override def read(spark: SparkSession, storename: String,
                     predicates: Seq[Column]): DataFrame = {
@@ -62,6 +69,9 @@ class FileFormatHandler(val name: String, format: String,
   * driver (embedded Derby ships with Spark's jars). */
 class JdbcHandler(val name: String, url: String,
                   options: Map[String, String] = Map.empty) extends StorageHandler {
+
+  // options may carry credentials — only the url crosses the wire
+  override def params: Map[String, String] = Map("url" -> url)
 
   private def opts(storename: String): Map[String, String] =
     options ++ Map("url" -> url, "dbtable" -> storename)
@@ -126,6 +136,9 @@ class JdbcHandler(val name: String, url: String,
 class KeyValueHandler(name: String, keyCol: String, nBuckets: Int = 64)
   extends FileFormatHandler(name, "parquet") {
   import org.apache.spark.sql.functions._
+
+  override def params: Map[String, String] =
+    Map("format" -> "parquet", "key" -> keyCol, "buckets" -> nBuckets.toString)
 
   private val BucketCol = "__kv_bucket"
 

@@ -448,7 +448,8 @@ class GrpcSpec extends SparkSpec {
         }.toMap
     }
     attrProps("vec") shouldBe Map(
-      "type" -> "vector", "handler" -> "parquet", "store" -> "", "indexes" -> "")
+      "type" -> "vector", "handler" -> "parquet", "store" -> "", "indexes" -> "",
+      "param_format" -> "parquet")
     attrProps("label")("type") shouldBe "string"
     // a missing attribute is an error ack, not a crash
     val apD = Proto.msg("AttributePropertiesMessage")
@@ -1156,6 +1157,33 @@ class GrpcSpec extends SparkSpec {
       queryMsg("rpcxfer", "xf2", None, where = Seq(("label", "=", Seq("x11")))))
     resultRows(bRes) should have size 1
 
+    // the grouped attribute reports its handler's CONFIGURATION over the
+    // wire (param_* entries), not just the handler name — the KV store's
+    // key column + bucket count here
+    val apD2 = Proto.msg("AttributePropertiesMessage")
+    def xferAttrProps(attribute: String): Map[String, String] = {
+      val pd2 = Proto.msg("PropertiesMessage")
+      val entryD2 = pd2.findNestedTypeByName("PropertiesEntry")
+      val r = call(mdDef("GetAttributeProperties", "AttributePropertiesMessage",
+        "PropertiesMessage"),
+        Proto.newMsg("AttributePropertiesMessage")
+          .setField(apD2.findFieldByName("entity"), "rpcxfer")
+          .setField(apD2.findFieldByName("attribute"), attribute).build())
+      ackOk(sub(r, "ack")) shouldBe true
+      r.getField(pd2.findFieldByName("properties"))
+        .asInstanceOf[java.util.List[_]].asScala.map { e =>
+          val em = e.asInstanceOf[DynamicMessage]
+          em.getField(entryD2.findFieldByName("key")).asInstanceOf[String] ->
+            em.getField(entryD2.findFieldByName("value")).asInstanceOf[String]
+        }.toMap
+    }
+    val kvProps = xferAttrProps("label")
+    kvProps("handler") shouldBe "keyvalue"
+    kvProps("store") should not be ""
+    kvProps("param_key") shouldBe "ap_id"
+    kvProps("param_buckets") shouldBe "64"
+    kvProps("param_format") shouldBe "parquet"
+
     // the KV group serves bucket-pruned point lookups by ap_id
     val e = graft.core.Entity.open(spark, base, "rpcxfer")
     e.attributeGroups.map(_.handler) shouldBe Seq("keyvalue")
@@ -1163,6 +1191,18 @@ class GrpcSpec extends SparkSpec {
     val kvRow = e.kvLookup(Seq(someId)).collect()
     kvRow should have length 1
     kvRow.head.getAs[String]("label") should startWith("x")
+
+    // migrate label onward to an ORC group: params follow the handler
+    ackOk(call(mdDef("TransferStorageHandler", "TransferStorageHandlerMessage",
+      "AckMessage"),
+      Proto.newMsg("TransferStorageHandlerMessage")
+        .setField(txD.findFieldByName("entity"), "rpcxfer")
+        .addRepeatedField(txD.findFieldByName("attributes"), "label")
+        .setField(txD.findFieldByName("handler"), "orc").build())) shouldBe true
+    val orcProps = xferAttrProps("label")
+    orcProps("handler") shouldBe "orc"
+    orcProps("param_format") shouldBe "orc"
+    orcProps should not contain key("param_key")
 
     // transfer back to parquet folds the group into the primary store
     ackOk(call(mdDef("TransferStorageHandler", "TransferStorageHandlerMessage",
@@ -1222,9 +1262,17 @@ class GrpcSpec extends SparkSpec {
           Seq("label" -> "string", "vec" -> "vector")).get shouldBe "cliebat"
         client.existsEntity("cliebat").get shouldBe true
         val rnd = new scala.util.Random(3)
-        client.insert("cliebat", (0 until 40).map(i => Map[String, Any](
+        client.insert("cliebat", (0 until 20).map(i => Map[String, Any](
           "label" -> (if (i % 2 == 0) "even" else "odd"),
           "vec" -> Seq.fill(8)(rnd.nextFloat())))).get
+        // the other half over the bidi streaming-insert path: one ack
+        // per batch, all OK, rows visible once the stream closes
+        val streamed = client.streamInsert("cliebat",
+          (20 until 40).map(i => Map[String, Any](
+            "label" -> (if (i % 2 == 0) "even" else "odd"),
+            "vec" -> Seq.fill(8)(rnd.nextFloat()))).grouped(5).toSeq).get
+        streamed should have size 4
+        streamed.foreach(_.isSuccess shouldBe true)
         client.count("cliebat").get shouldBe 40L
         client.listEntities().get should contain("cliebat")
         client.preview("cliebat", 5).get should have size 5
@@ -1257,12 +1305,21 @@ class GrpcSpec extends SparkSpec {
         val wq = client.query("cliebat",
           Some(q.copy(weights = Some(Seq.fill(8)(0.0f))))).get
         wq.head.rows.foreach(_("distance") shouldBe 0.0)
-        // progressive stream: every plan's observation arrives
-        var seen = 0
+        // progressive stream: BOTH racing plans observed through the
+        // client (exact sequential + the VA index), the callback sees
+        // them in arrival order, and the best-confidence observation is
+        // exact and id-identical to the blocking sequential result —
+        // the reference RPCClient.doProgressiveQuery observer contract
+        var arrived = List.empty[(String, Double)]
         val prog = client.progressiveQuery(
-          client.buildQuery("cliebat", Some(q)))(_ => seen += 1).get
-        prog should not be empty
-        seen shouldBe prog.size
+          client.buildQuery("cliebat", Some(q))) { r =>
+            arrived :+= ((r.source, r.confidence)) }.get
+        prog.size should be >= 2
+        prog.map(_.source) should contain allOf ("sequential", "index:vaf")
+        arrived shouldBe prog.map(r => (r.source, r.confidence)).toList
+        val best = prog.maxBy(_.confidence)
+        best.confidence shouldBe 1.0
+        best.rows.map(_("ap_id")) shouldBe seqRes.head.rows.map(_("ap_id"))
         // batch: per-slot errors stay in their slot
         val batch = client.batchQuery(Seq(
           client.buildQuery("cliebat", Some(q)),
