@@ -203,6 +203,35 @@ object SparkEntry {
         .select(col("id"), round(col("distance"), 6).as("distance")).orderBy("id")
     }),
 
+    "compound_setalgebra" -> ((s, d) => {
+      // recursive compound query tree — the reference's nested
+      // AggregationExpression shape (((A ∪ B) ∩ C) \ D) evaluated as one
+      // declarative plan; previously only the gRPC glue exercised it
+      val o = Tables.orders(s, d)
+      def ids(c: Column) = o.filter(c).select(col("o_orderkey").as("id"))
+      val u = SetAlgebra.union(
+        ids(col("o_totalprice") > 400000),
+        ids(col("o_orderpriority") === "1-URGENT"), "id")
+      val i = SetAlgebra.intersect(u, ids(col("o_orderstatus") === "F"), "id")
+      SetAlgebra.except(i, ids(col("o_orderdate") < lit("1995-01-01")), "id")
+        .orderBy("id")
+    }),
+
+    "distance_dispatch" -> ((s, d) => {
+      // name-based dispatch through the canonical alias map (§2.7
+      // dispatch glue): alias spellings and the generic minkowski-p
+      // resolve to the same kernels the named queries use; unknown
+      // names fall back to euclidean (reference MessageParser default)
+      def by(n: String) = Distances.byName(n)(col("embedding"), col("qv"))
+      withQueryVec(s, d).select(col("vec_id"),
+          round(by("Minkowski-1"), 4).as("d_l1"),
+          round(by("minkowski-2"), 4).as("d_l2"),
+          round(by("SquaredEuclidean"), 4).as("d_l2sq"),
+          round(by("minkowski-inf"), 4).as("d_linf"),
+          round(by("no-such-distance"), 4).as("d_default"))
+        .orderBy("vec_id")
+    }),
+
     "vote_topk" -> ((s, d) => {
       val o = Tables.orders(s, d)
       SetAlgebra.vote(Seq(
@@ -1423,6 +1452,29 @@ object SparkEntry {
         |    AND r.event_type = 'purchase'
         |    AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
         |ORDER BY l.user_id, l_id""".stripMargin,
+
+    "compound_setalgebra" ->
+      """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
+        | SELECT id FROM (
+        |  SELECT id FROM (
+        |   SELECT o_orderkey AS id FROM orders WHERE o_totalprice > 400000
+        |   UNION ALL
+        |   SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  INTERSECT
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        | EXCEPT
+        | SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |) ORDER BY id""".stripMargin,
+
+    "distance_dispatch" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         | round(${duckSum(s"abs($dx - $dq)")}, 4) AS d_l1,
+         | round(sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")}), 4) AS d_l2,
+         | round(${duckSum(s"($dx - $dq)*($dx - $dq)")}, 4) AS d_l2sq,
+         | round(list_max(list_transform(generate_series(1,64), i -> abs($dx - $dq))), 4) AS d_linf,
+         | round(sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")}), 4) AS d_default
+         |FROM embeddings e, q ORDER BY e.vec_id""".stripMargin,
 
     "set_union" ->
       """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
