@@ -51,6 +51,9 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     // the KV store is keyed by the system id — that is what the
     // reassembly join and point lookups address rows by
     case "keyvalue" => graft.sources.StorageHandlers.keyValue(ApId)
+    // compound = parquet scans + KV point lookups over the same rows
+    // (reference CompoundEngine)
+    case "compound" => graft.sources.StorageHandlers.compound(ApId)
     case other => graft.sources.StorageHandlers(other)
   }
 
@@ -346,8 +349,8 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     require(attrs.nonEmpty && attrs.distinct.size == attrs.size,
       "attributes must be non-empty and distinct")
     require(!attrs.contains(ApId), "the system id cannot be transferred")
-    require(Set("parquet", "orc", "keyvalue").contains(handlerName),
-      s"unsupported transfer handler: $handlerName (parquet|orc|keyvalue)")
+    require(Set("parquet", "orc", "keyvalue", "compound").contains(handlerName),
+      s"unsupported transfer handler: $handlerName (parquet|orc|keyvalue|compound)")
     // the reassembled frame feeds the main rewrite plus one write per
     // group — persist it for the duration or each store write re-runs
     // the read (and its reassembly joins)
@@ -386,15 +389,20 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     this
   }
 
-  /** Bucket-pruned point lookup against a "keyvalue" attribute group —
-    * serves the LevelDB/PalDB random-access role after a
-    * [[transferAttributes]] to that handler. */
-  def kvLookup(ids: Seq[Any]): DataFrame = {
-    val g = attributeGroups.find(_.handler == "keyvalue").getOrElse(
-      throw new IllegalStateException(s"$name has no keyvalue group"))
-    graft.sources.StorageHandlers.keyValue(ApId)
-      .get(spark, dir.resolve(g.store).toString, ids)
-  }
+  /** Bucket-pruned point lookup against a "keyvalue" or "compound"
+    * attribute group — serves the LevelDB/PalDB random-access role after
+    * a [[transferAttributes]] to either handler (the compound group
+    * routes lookups to its KV half, reference `CompoundEngine`). */
+  def kvLookup(ids: Seq[Any]): DataFrame =
+    attributeGroups.collectFirst {
+      case g if g.handler == "keyvalue" =>
+        graft.sources.StorageHandlers.keyValue(ApId)
+          .get(spark, dir.resolve(g.store).toString, ids)
+      case g if g.handler == "compound" =>
+        graft.sources.StorageHandlers.compound(ApId)
+          .get(spark, dir.resolve(g.store).toString, ids)
+    }.getOrElse(
+      throw new IllegalStateException(s"$name has no keyvalue/compound group"))
 
   def drop(): Unit = deleteRecursively(dir)
 

@@ -379,7 +379,7 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
 
     u("ListStorageHandlers", "EmptyMessage", "StorageHandlersMessage") { _ =>
       val out = withAck("StorageHandlersMessage", ok = true)
-      (graft.sources.StorageHandlers.all.keys.toSeq :+ "keyvalue").sorted
+      (graft.sources.StorageHandlers.all.keys.toSeq ++ Seq("keyvalue", "compound")).sorted
         .foreach(h => out.addRepeatedField(
           msg("StorageHandlersMessage").findFieldByName("handlers"), h))
       out.build()

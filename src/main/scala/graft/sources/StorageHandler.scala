@@ -180,6 +180,53 @@ class KeyValueHandler(name: String, keyCol: String, nBuckets: Int = 64)
   }
 }
 
+/** Compound full+random-access handler — the reference's
+  * `CompoundEngine` (`storage/engine/CompoundEngine.scala:20`), which
+  * pairs a sequential-scan engine with a random-access engine over the
+  * SAME rows and routes by access pattern. Writes land in both
+  * sub-stores (the storage trade for serving both patterns well);
+  * full scans serve from the scan engine (columnar, Catalyst
+  * pushdown), point lookups from the KV engine (bucket-dir pruning +
+  * row-group skip). At 100 TB the duplication doubles storage but
+  * keeps BOTH access paths index-grade — the same trade the reference
+  * makes by pairing e.g. parquet with PalDB. */
+class CompoundHandler(val name: String, scanEngine: StorageHandler,
+                      randomEngine: KeyValueHandler) extends StorageHandler {
+
+  override def params: Map[String, String] =
+    Map("scan" -> scanEngine.name, "random" -> randomEngine.name) ++
+      randomEngine.params.map { case (k, v) => s"random_$k" -> v }
+
+  private def scanStore(s: String) = s"$s/scan"
+  private def randomStore(s: String) = s"$s/random"
+
+  override def write(spark: SparkSession, storename: String, df: DataFrame,
+                     overwrite: Boolean): Unit = {
+    // persist once: both sub-writes consume the same computed frame
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      scanEngine.write(spark, scanStore(storename), cached, overwrite)
+      randomEngine.write(spark, randomStore(storename), cached, overwrite)
+    } finally cached.unpersist()
+  }
+
+  override def read(spark: SparkSession, storename: String,
+                    predicates: Seq[Column]): DataFrame =
+    scanEngine.read(spark, scanStore(storename), predicates)
+
+  /** Bucket-pruned point lookup from the random-access half. */
+  def get(spark: SparkSession, storename: String, keys: Seq[Any]): DataFrame =
+    randomEngine.get(spark, randomStore(storename), keys)
+
+  override def drop(spark: SparkSession, storename: String): Unit = {
+    scanEngine.drop(spark, scanStore(storename))
+    randomEngine.drop(spark, randomStore(storename))
+  }
+
+  override def exists(spark: SparkSession, storename: String): Boolean =
+    scanEngine.exists(spark, scanStore(storename))
+}
+
 /** Handler registry (reference `listStorageHandlers`). */
 object StorageHandlers {
   val parquet = new FileFormatHandler("parquet", "parquet")
@@ -193,6 +240,12 @@ object StorageHandlers {
     * registered globally. */
   def keyValue(keyCol: String, nBuckets: Int = 64): KeyValueHandler =
     new KeyValueHandler("keyvalue", keyCol, nBuckets)
+
+  /** Compound full+random factory (reference `CompoundEngine`): scans
+    * from `scan`, point lookups from an embedded KV keyed by `keyCol`. */
+  def compound(keyCol: String, scan: StorageHandler = parquet,
+               nBuckets: Int = 64): CompoundHandler =
+    new CompoundHandler("compound", scan, keyValue(keyCol, nBuckets))
 
   val all: Map[String, StorageHandler] =
     Seq(parquet, orc, json, csv).map(h => h.name -> h).toMap

@@ -80,6 +80,31 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("compound attribute group: scans reassemble, point lookups ride the KV half") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "compnd")
+    e.insert((0 until 40).map(i => (i.toLong, s"d$i", i * 1.5)).toDF("id", "doc", "w"))
+    e.transferAttributes(Seq("doc"), "compound")
+    e.attributeGroups.map(_.handler) shouldBe Seq("compound")
+
+    // full reads reassemble the compound group's scan half by ap_id
+    e.count() shouldBe 40
+    e.read().filter(col("doc") === "d7").count() shouldBe 1
+
+    // point lookups route to the group's KV half, bucket-pruned
+    val someId = e.read().filter(col("id") === 5L)
+      .select(Entity.ApId).collect().head.getLong(0)
+    val row = e.kvLookup(Seq(someId)).collect()
+    row should have length 1
+    row.head.getAs[String]("doc") shouldBe "d5"
+
+    // folding back to parquet dissolves the group and keeps the rows
+    e.transferAttributes(Seq("doc"), "parquet")
+    e.attributeGroups shouldBe empty
+    e.count() shouldBe 40
+    e.drop()
+  }
+
   test("insert with attribute groups never auto-vacuums the groups away") {
     val base = freshBase()
     val e = Entity.create(spark, base, "grpvac")

@@ -1204,6 +1204,25 @@ class GrpcSpec extends SparkSpec {
     orcProps("param_format") shouldBe "orc"
     orcProps should not contain key("param_key")
 
+    // migrate onward to the compound full+random engine: scans keep
+    // serving, point lookups ride the KV half, params expose the duality
+    ackOk(call(mdDef("TransferStorageHandler", "TransferStorageHandlerMessage",
+      "AckMessage"),
+      Proto.newMsg("TransferStorageHandlerMessage")
+        .setField(txD.findFieldByName("entity"), "rpcxfer")
+        .addRepeatedField(txD.findFieldByName("attributes"), "label")
+        .setField(txD.findFieldByName("handler"), "compound").build())) shouldBe true
+    val compProps = xferAttrProps("label")
+    compProps("handler") shouldBe "compound"
+    compProps("param_scan") shouldBe "parquet"
+    compProps("param_random") shouldBe "keyvalue"
+    compProps("param_random_key") shouldBe "ap_id"
+    str(call(mdDef("Count", "EntityNameMessage", "AckMessage"),
+      entityName("rpcxfer")), "message") shouldBe "30"
+    val eComp = graft.core.Entity.open(spark, base, "rpcxfer")
+    val compId = eComp.read().select("ap_id").limit(1).collect().head.getLong(0)
+    eComp.kvLookup(Seq(compId)).count() shouldBe 1
+
     // transfer back to parquet folds the group into the primary store
     ackOk(call(mdDef("TransferStorageHandler", "TransferStorageHandlerMessage",
       "AckMessage"),

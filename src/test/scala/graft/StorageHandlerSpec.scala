@@ -58,6 +58,36 @@ class StorageHandlerSpec extends SparkSpec {
     h.drop(spark, store)
   }
 
+  test("compound handler: columnar scans + bucket-pruned point lookups over the same rows") {
+    val h = StorageHandlers.compound("k", nBuckets = 8)
+    val store = Files.createTempDirectory("graft-comp-spec").toString + "/t"
+    val data = (0L until 100L).map(i => (i, s"v$i", i * 0.5)).toDF("k", "s", "x")
+    h.exists(spark, store) shouldBe false
+    h.write(spark, store, data, overwrite = true)
+    h.exists(spark, store) shouldBe true
+
+    // full scan serves from the columnar half: pushdown works, no
+    // internal bucket column leaks
+    val scanned = h.read(spark, store, Seq(col("x") > 48.0))
+    scanned.columns should not contain "__kv_bucket"
+    scanned.count() shouldBe 3 // k = 97, 98, 99
+    scanned.queryExecution.executedPlan.toString should include("PushedFilters: [")
+
+    // point lookup serves from the KV half with bucket-directory pruning
+    val got = h.get(spark, store, Seq(3L, 42L))
+    got.select("k", "s").as[(Long, String)].collect().toSet shouldBe
+      Set((3L, "v3"), (42L, "v42"))
+    h.get(spark, store, Seq(3L)).queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[[^\\]]*__kv_bucket"
+
+    // params expose the duality for the wire surface
+    h.params("scan") shouldBe "parquet"
+    h.params("random_key") shouldBe "k"
+
+    h.drop(spark, store)
+    h.exists(spark, store) shouldBe false
+  }
+
   test("predicates are applied (and pushed) on handler reads") {
     val h = StorageHandlers("parquet")
     val store = Files.createTempDirectory("graft-pred").toString + "/t"
