@@ -43,6 +43,9 @@ object Recall {
       "mi" -> MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15),
       "ivfpq" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
       "sq" -> SQIndex.build(emb, "vec_id", "embedding"),
+      "ecp-a2" -> ECPIndex.build(emb, "vec_id", "embedding", assign = 2),
+      "ecp-a3" -> ECPIndex.build(emb, "vec_id", "embedding", assign = 3),
+      "ivfpq-a2" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16, assign = 2),
       "lsh-12x3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 12, nHashes = 3),
       "lsh-32x1" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1),
       "lsh-8x1p3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 3))

@@ -55,6 +55,26 @@ object ECPIndex {
     chosen.toSeq
   }
 
+  /** Top-`assign` nearest leaders per row as an exploded `(keep*, leader)`
+    * relation — multi-assignment (FAISS IVF's spill lists): boundary
+    * points land in each of their `assign` nearest cells, so a probe of
+    * the query's nearest cells also surfaces neighbours that quantize
+    * just across the cell boundary. Costs `assign`× the assignment-table
+    * rows for recall the probe budget alone cannot buy on data with
+    * soft cluster boundaries. Pure codegen: k fused L2 kernels + one
+    * struct sort per row, zero shuffle (the [[graft.operators.Ann]]
+    * `assignClusters` pattern); ties break to the lowest leader index. */
+  private[graft] def multiAssign(df: DataFrame, keep: Seq[String], vecCol: String,
+                                 centers: Array[Array[Double]], assign: Int): DataFrame = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.Distances.sqEuclidean(col(vecCol),
+        graft.functions.Distances.vecLit(c.toSeq)).as("d"), lit(i).as("i"))
+    }
+    df.select(keep.map(col) :+
+        explode(slice(sort_array(array(scored: _*), asc = true), 1, assign)).as("a"): _*)
+      .select(keep.map(col) :+ col("a.i").as("leader"): _*)
+  }
+
   private[graft] def sqDist(a: Seq[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
@@ -70,7 +90,8 @@ object ECPIndex {
     * ([[PQEncodeExpr]] with a single full-width subspace). */
   def build(df: DataFrame, idCol: String, vecCol: String,
             maxLeaders: Int = 200, seed: Long = 42L,
-            sampleN: Int = VectorIndex.DefaultTrainingSize): ECPIndex = {
+            sampleN: Int = VectorIndex.DefaultTrainingSize,
+            assign: Int = 1): ECPIndex = {
     val n = df.count()
     val numLeaders = math.max(2, math.min(math.sqrt(n.toDouble).toInt, maxLeaders))
     val sampleRows = (if (n <= sampleN) df
@@ -79,10 +100,12 @@ object ECPIndex {
       .collect().map(_.getSeq[Double](0).toArray)
     val centers = PQIndex.lloyd(sampleRows, numLeaders, iters = 10, seed = seed)
     val dims = sampleRows.head.length
-    val assignments = df.select(col(idCol),
+    val assignments = (if (assign <= 1)
+      df.select(col(idCol),
         org.apache.spark.sql.graft.Bridge.column(PQEncodeExpr(
           org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
           Array(centers), dims)).getItem(0).as("leader"))
+    else multiAssign(df, Seq(idCol), vecCol, centers, assign))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = assignments.groupBy("leader").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -99,7 +99,8 @@ object IVFPQIndex {
 
   def build(df: DataFrame, idCol: String, vecCol: String,
             maxLeaders: Int = 200, nsq: Int = 8, nCentroids: Int = 16,
-            sampleN: Int = VectorIndex.DefaultTrainingSize, seed: Long = 42L): IVFPQIndex = {
+            sampleN: Int = VectorIndex.DefaultTrainingSize, seed: Long = 42L,
+            assign: Int = 1): IVFPQIndex = {
     val n = df.count()
     val numLeaders = math.max(2, math.min(math.sqrt(n.toDouble).toInt, maxLeaders))
     val sampleRows = (if (n <= sampleN) df
@@ -123,12 +124,17 @@ object IVFPQIndex {
       PQIndex.lloyd(sub, nCentroids, iters = 8, seed = seed + s)
     }.toArray
 
-    // one distributed pass: leader via the nearest-centroid kernel,
+    // one distributed pass: leader(s) via the nearest-centroid kernel
+    // (multi-assignment spills boundary points into their `assign`
+    // nearest lists, residual taken against EACH assigned leader),
     // residual via a literal centroid matrix lookup, codes via PQ encode
     val centerMatrix = array(centers.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
-    val withLeader = df.select(col(idCol), col(vecCol),
-      Bridge.column(PQEncodeExpr(
-        Bridge.expression(col(vecCol)), Array(centers), dims)).getItem(0).as("leader"))
+    val withLeader =
+      if (assign <= 1)
+        df.select(col(idCol), col(vecCol),
+          Bridge.column(PQEncodeExpr(
+            Bridge.expression(col(vecCol)), Array(centers), dims)).getItem(0).as("leader"))
+      else ECPIndex.multiAssign(df, Seq(idCol, vecCol), vecCol, centers, assign)
     val residual = zip_with(col(vecCol).cast("array<double>"),
       element_at(centerMatrix, col("leader") + 1), (x, c) => x - c)
     val assignments = withLeader

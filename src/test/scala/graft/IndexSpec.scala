@@ -146,6 +146,40 @@ class IndexSpec extends SparkSpec {
     recall(ids) should be > 0.2
   }
 
+  test("ecp multi-assignment: boundary spill lists, same exact-rerank contract") {
+    val single = ECPIndex.build(data, "tid", "vectorfield")
+    val multi = ECPIndex.build(data, "tid", "vectorfield", assign = 2)
+    // every point lands in exactly `assign` lists
+    multi.assignments.count() shouldBe single.assignments.count() * 2
+    multi.assignments.groupBy("tid").count()
+      .filter(col("count") =!= 2).count() shouldBe 0L
+    // a point's single-assign leader is among its multi-assign leaders
+    // (nearest-1 ⊆ nearest-2 per row)
+    val s1 = single.assignments.withColumnRenamed("leader", "l1")
+    multi.assignments.join(s1, "tid")
+      .filter(col("leader") === col("l1")).select("tid").distinct()
+      .count() shouldBe single.assignments.count()
+    // duplicated candidate ids collapse in the semi-join rerank: the
+    // full kNN still returns k distinct rows, top-1 contained
+    val ids = knnIds(multi)
+    ids should have size K
+    ids.distinct should have size K
+    ids should contain(bruteIds.head)
+    info(f"ecp assign=2 recall@$K = ${recall(ids)}%.3f")
+  }
+
+  test("ivfpq multi-assignment: per-leader residual codes, k distinct results") {
+    val multi = IVFPQIndex.build(data, "tid", "vectorfield",
+      nsq = 5, nCentroids = 16, assign = 2)
+    multi.assignments.groupBy("tid").count()
+      .filter(col("count") =!= 2).count() shouldBe 0L
+    val ids = knnIds(multi)
+    ids should have size K
+    ids.distinct should have size K
+    ids should contain(bruteIds.head)
+    info(f"ivfpq assign=2 recall@$K = ${recall(ids)}%.3f")
+  }
+
   test("pq: top-1 contained, recall reported") {
     val idx = PQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16)
     val ids = knnIds(idx)
