@@ -17,6 +17,8 @@ object Plans {
       ("projection_filter", "PushedFilters reach parquet", Seq("PushedFilters: [", "GreaterThan(l_quantity")),
       ("q1_agg", "partial aggregation before shuffle", Seq("partial_sum", "HashAggregate")),
       ("set_intersect", "semi join (broadcast-able)", Seq("LeftSemi")),
+      ("compound_setalgebra", "recursive tree plans as chained semi/anti joins",
+        Seq("LeftSemi", "LeftAnti")),
       ("knn_rerank_half", "rerank candidates via semi join", Seq("LeftSemi")),
       ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")),
       ("q3_shipping", "small dimension broadcast into fact join", Seq("BroadcastHashJoin")),
@@ -70,11 +72,14 @@ object Plans {
     // (presentation-only) global sort — strip the final Sort's own range
     // exchange, then expect zero remaining exchanges
     Seq(("repetition_signals_perrow", "zero non-sort exchanges"),
-        ("sample_weighted_len", "weighted sample is a pure codegen filter"))
+        ("sample_weighted_len", "weighted sample is a pure codegen filter"),
+        ("distance_dispatch", "alias dispatch is a pure projection over the scan"))
       .foreach { case (name, what) =>
       val perRowPlan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      val exchanges = "Exchange".r.findAllIn(perRowPlan).length
+      // BroadcastExchange ships a tiny build side (the 1-row query
+      // vector), not the data — only shuffle exchanges count
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(perRowPlan).length
       val rangeExchanges = "rangepartitioning".r.findAllIn(perRowPlan).length
       if (exchanges > rangeExchanges) {
         println(s"[plan-MISS] $name: unexpected shuffle\n$perRowPlan")
