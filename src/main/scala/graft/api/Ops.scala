@@ -42,21 +42,43 @@ object IndexOps {
   val knownTypes: Seq[String] =
     Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq", "sq")
 
-  /** Index factory by type name — reference `IndexTypes.scala:20-45`. */
-  def create(indexType: String, df: DataFrame, idCol: String, vecCol: String): VectorIndex =
-    indexType.toLowerCase match {
-      case "vaf" => VAIndex.buildFixed(df, idCol, vecCol)
-      case "vav" => VAIndex.buildVariable(df, idCol, vecCol)
+  /** Index factory by type name — reference `IndexTypes.scala:20-45`.
+    * `options` carries per-type build parameters the way the reference's
+    * `IndexMessage.options` feeds its generator factories (e.g.
+    * `{"ntables": "8", "probes": "2"}` for lsh). Keys are lowercase;
+    * an option the chosen type does not consume is an ERROR — a typo'd
+    * tuning knob must not silently build a default index. */
+  def create(indexType: String, df: DataFrame, idCol: String, vecCol: String,
+             options: Map[String, String] = Map.empty): VectorIndex = {
+    val opts = scala.collection.mutable.Map(options.map {
+      case (k, v) => k.toLowerCase -> v }.toSeq: _*)
+    def int(key: String, dflt: Int): Int = opts.remove(key).map(_.toInt).getOrElse(dflt)
+    def dbl(key: String, dflt: Double): Double =
+      opts.remove(key).map(_.toDouble).getOrElse(dflt)
+    val idx = indexType.toLowerCase match {
+      case "vaf" => VAIndex.buildFixed(df, idCol, vecCol,
+        p = dbl("p", 2.0), bits = int("bits", -1))
+      case "vav" => VAIndex.buildVariable(df, idCol, vecCol,
+        p = dbl("p", 2.0), totalBits = int("totalbits", -1))
       case "vap" => VAIndex.buildPlus(df, idCol, vecCol)
-      case "ecp" => ECPIndex.build(df, idCol, vecCol)
-      case "pq" => PQIndex.build(df, idCol, vecCol)
-      case "sh" => SHIndex.build(df, idCol, vecCol)
-      case "lsh" => LSHIndex.build(df, idCol, vecCol)
-      case "mi" => MIIndex.build(df, idCol, vecCol)
-      case "ivfpq" => IVFPQIndex.build(df, idCol, vecCol)
+      case "ecp" => ECPIndex.build(df, idCol, vecCol,
+        maxLeaders = int("maxleaders", 200), assign = int("assign", 1))
+      case "pq" => PQIndex.build(df, idCol, vecCol,
+        nsq = int("nsq", 8), nCentroids = int("ncentroids", 16))
+      case "sh" => SHIndex.build(df, idCol, vecCol, nBits = int("nbits", 32))
+      case "lsh" => LSHIndex.build(df, idCol, vecCol, nTables = int("ntables", 16),
+        nHashes = int("nhashes", 2), probes = int("probes", 0))
+      case "mi" => MIIndex.build(df, idCol, vecCol,
+        ki = int("ki", 10), ks = int("ks", 10))
+      case "ivfpq" => IVFPQIndex.build(df, idCol, vecCol, nsq = int("nsq", 8),
+        nCentroids = int("ncentroids", 16), assign = int("assign", 1))
       case "sq" => SQIndex.build(df, idCol, vecCol)
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
+    require(opts.isEmpty,
+      s"unknown options for $indexType: ${opts.keys.toSeq.sorted.mkString(", ")}")
+    idx
+  }
 
   /** The reference's 8 index types (`IndexTypes.scala:20-45`). */
   val referenceTypes: Seq[String] =

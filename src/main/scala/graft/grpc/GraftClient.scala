@@ -406,20 +406,30 @@ class GraftClient(val channel: ManagedChannel) extends AutoCloseable {
 
   // ---- index DDL (reference RPCClient.scala:487-652) ----
 
-  private def indexMsg(entity: String, attribute: String,
-                       indextype: String): DynamicMessage = {
+  private def indexMsg(entity: String, attribute: String, indextype: String,
+                       options: Map[String, String] = Map.empty): DynamicMessage = {
     val iD = d("IndexMessage")
     val b = Proto.newMsg("IndexMessage")
       .setField(iD.findFieldByName("entity"), entity)
       .setField(iD.findFieldByName("attribute"), attribute)
     if (indextype.nonEmpty) b.setField(iD.findFieldByName("indextype"), indextype)
+    val entryD = iD.findNestedTypeByName("OptionsEntry")
+    options.foreach { case (k, v) =>
+      b.addRepeatedField(iD.findFieldByName("options"),
+        DynamicMessage.newBuilder(entryD)
+          .setField(entryD.findFieldByName("key"), k)
+          .setField(entryD.findFieldByName("value"), v).build())
+    }
     b.build()
   }
 
-  /** Build one index; returns the stored index name (`<type>_<attr>`). */
-  def createIndex(entity: String, attribute: String, indextype: String): Try[String] =
+  /** Build one index; returns the stored index name (`<type>_<attr>`).
+    * `options` carries per-type build parameters (reference
+    * `IndexMessage.options`), e.g. `Map("ntables" -> "8")` for lsh. */
+  def createIndex(entity: String, attribute: String, indextype: String,
+                  options: Map[String, String] = Map.empty): Try[String] =
     tryAck(unary("AdamDefinition", "Index", "IndexMessage", "AckMessage",
-      indexMsg(entity, attribute, indextype)))
+      indexMsg(entity, attribute, indextype, options)))
 
   /** Build the whole family (reference `entityCreateAllIndexes`). */
   def generateAllIndexes(entity: String, attribute: String): Try[Seq[String]] =

@@ -260,8 +260,19 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val name = str(req, "entity")
         val attribute = str(req, "attribute")
         val indextype = str(req, "indextype")
+        // per-type build parameters ride the options map (reference
+        // IndexMessage.options → generator factories)
+        val entryD = msg("IndexMessage").findNestedTypeByName("OptionsEntry")
+        val options = req.getField(
+          req.getDescriptorForType.findFieldByName("options"))
+          .asInstanceOf[java.util.List[_]].asScala.map { o =>
+            val om = o.asInstanceOf[DynamicMessage]
+            om.getField(entryD.findFieldByName("key")).asInstanceOf[String] ->
+              om.getField(entryD.findFieldByName("value")).asInstanceOf[String]
+          }.toMap
         val e = Entity.open(spark, base, name)
-        val idx = graft.api.IndexOps.create(indextype, e.read(), "ap_id", attribute)
+        val idx = graft.api.IndexOps.create(indextype, e.read(), "ap_id", attribute,
+          options)
         val indexname = s"${indextype}_$attribute"
         e.saveIndex(indexname, idx)
         ackOf(ok = true, indexname) // reference echoes the index name

@@ -164,10 +164,18 @@ object Proto {
       field("time", 6, Type.TYPE_INT64),
       field("projection", 7, Type.TYPE_MESSAGE,
         typeName = ".adam.ProjectionMessage")))
-    .addMessageType(message("IndexMessage",
-      field("entity", 1, Type.TYPE_STRING),
-      field("attribute", 2, Type.TYPE_STRING),
-      field("indextype", 3, Type.TYPE_STRING)))
+    .addMessageType(DescriptorProto.newBuilder().setName("IndexMessage")
+      .addNestedType(DescriptorProto.newBuilder().setName("OptionsEntry")
+        .setOptions(MessageOptions.newBuilder().setMapEntry(true))
+        .addField(field("key", 1, Type.TYPE_STRING))
+        .addField(field("value", 2, Type.TYPE_STRING)))
+      .addField(field("entity", 1, Type.TYPE_STRING))
+      .addField(field("attribute", 2, Type.TYPE_STRING))
+      .addField(field("indextype", 3, Type.TYPE_STRING))
+      // per-type build parameters (reference IndexMessage.options)
+      .addField(field("options", 4, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".adam.IndexMessage.OptionsEntry"))
+      .build())
     .addMessageType(message("IndexNameMessage",
       field("index", 1, Type.TYPE_STRING),
       field("entity", 2, Type.TYPE_STRING)))

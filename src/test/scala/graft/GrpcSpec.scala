@@ -1303,6 +1303,16 @@ class GrpcSpec extends SparkSpec {
         client.existsIndex("cliebat", "vec", "vaf").get shouldBe true
         client.listIndexes("cliebat").get should contain("vaf_vec")
         client.indexProperties("cliebat", "vaf_vec").get("indextype") shouldBe "VAIndex"
+        // per-type build options over the wire (reference
+        // IndexMessage.options): a tuned LSH builds and serves...
+        client.createIndex("cliebat", "vec", "lsh",
+          Map("ntables" -> "4", "nhashes" -> "1", "probes" -> "1")).get shouldBe "lsh_vec"
+        client.indexProperties("cliebat", "lsh_vec").get("indextype") shouldBe "LSHIndex"
+        // ...and a typo'd option is an error ack, not a silently-default
+        // index build
+        client.createIndex("cliebat", "vec", "pq",
+          Map("ntable" -> "4")).isFailure shouldBe true
+        client.existsIndex("cliebat", "vec", "pq").get shouldBe false
 
         // ---- query families ----
         val q = Nnq("vec", Seq.fill(8)(0.5f), "euclidean", 5)
