@@ -36,7 +36,7 @@ import graft.operators.BooleanPredicates
   * | /entity/delete    | {name, predicates: [{attribute, op, values}]}    |
   * | /entity/preview   | {name, k?}                                       |
   * | /entity/drop      | {name}                                           |
-  * | /index/create     | {entity, name, type, idCol, vecCol}              |
+  * | /index/create     | {entity, name, type, idCol, vecCol, options?}    |
   * | /index/list       | {entity}                                         |
   * | /query/boolean    | {entity, predicates: […]}                        |
   * | /query/text       | {entity, textCol, mode: all|any|phrase|bm25,     |
@@ -399,8 +399,13 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/index/create" =>
         withEntityLock(req.get("entity").asText()) {
           val e = entity(req, "entity")
+          // optional per-type build parameters, same contract as the
+          // gRPC IndexMessage.options map
+          val options = Option(req.get("options")).map(o =>
+            o.fields().asScala.map(en =>
+              en.getKey -> en.getValue.asText()).toMap).getOrElse(Map.empty)
           val idx = IndexOps.create(req.get("type").asText(), e.read(),
-            req.get("idCol").asText(), req.get("vecCol").asText())
+            req.get("idCol").asText(), req.get("vecCol").asText(), options)
           e.saveIndex(req.get("name").asText(), idx)
         }
         out.put("index", req.get("name").asText())

@@ -72,6 +72,20 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/query/knn",
       """{"entity":"widx","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3,"index":"main"}""")
       .get("stale").asBoolean() shouldBe true
+
+    // per-type build options (same contract as gRPC IndexMessage.options)
+    post("/index/create",
+      """{"entity":"widx","name":"tuned","type":"lsh","idCol":"vid","vecCol":"vec",
+        |"options":{"ntables":"4","nhashes":"1","probes":"1"}}""".stripMargin)
+      .get("index").asText() shouldBe "tuned"
+    post("/query/knn",
+      """{"entity":"widx","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3,"index":"tuned"}""")
+      .get("rows").size() shouldBe 3
+    // a typo'd option is an error response, never a silent default build
+    post("/index/create",
+      """{"entity":"widx","name":"bad","type":"pq","idCol":"vid","vecCol":"vec",
+        |"options":{"ntable":"4"}}""".stripMargin)
+      .get("ok").asBoolean() shouldBe false
   }
 
   test("full-text query modes over the wire") {
