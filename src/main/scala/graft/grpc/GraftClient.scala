@@ -500,6 +500,31 @@ class GraftClient(val channel: ManagedChannel) extends AutoCloseable {
         .toSeq
     }
 
+  /** Bidi streaming query: one result set per sent QueryMessage as the
+    * server answers (reference `doStreamingQuery`). Blocks until the
+    * server half-closes; per-query errors stay in their slot. */
+  def streamingQuery(queries: Seq[DynamicMessage]): Try[Seq[Try[Seq[QueryResult]]]] = Try {
+    import org.sparkproject.connect.grpc.stub.StreamObserver
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Try[Seq[QueryResult]]]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var streamErr: Throwable = null
+    val req = ClientCalls.asyncBidiStreamingCall(
+      channel.newCall(
+        method("AdamSearch", "DoStreamingQuery", "QueryMessage",
+          "QueryResultsMessage", MethodDescriptor.MethodType.BIDI_STREAMING),
+        CallOptions.DEFAULT),
+      new StreamObserver[DynamicMessage] {
+        override def onNext(m: DynamicMessage): Unit = out.add(parseResults(m))
+        override def onError(t: Throwable): Unit = { streamErr = t; done.countDown() }
+        override def onCompleted(): Unit = done.countDown()
+      })
+    queries.foreach(req.onNext)
+    req.onCompleted()
+    done.await()
+    if (streamErr != null) throw streamErr
+    out.asScala.toSeq
+  }
+
   /** Parallel query — same stream, hint-restricted racing set. */
   def parallelQuery(qm: DynamicMessage)
                    (onNext: QueryResult => Unit = _ => ()): Try[Seq[QueryResult]] =

@@ -1267,6 +1267,19 @@ class GrpcSpec extends SparkSpec {
         .map(_.split('.').last)
   }
 
+  test("GraftClient covers every served RPC (client drift guard)") {
+    val src = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/grpc/GraftClient.scala")))
+    val called = """"(Adam\w+)", "(\w+)"""".r
+      .findAllMatchIn(src).map(_.group(2)).toSet
+    val served = (server.definitionService.getMethods.asScala ++
+      server.searchService.getMethods.asScala)
+      .map(_.getMethodDescriptor.getFullMethodName.split('/').last).toSet
+    // a new server RPC without a client method fails here, not in a
+    // user's hands
+    (served -- called) shouldBe empty
+  }
+
   test("netty TCP battery through the GraftClient artifact") {
     import graft.grpc.GraftClient
     import graft.grpc.GraftClient.{Nnq, Projection, Where}
@@ -1355,6 +1368,14 @@ class GrpcSpec extends SparkSpec {
           client.buildQuery("no_such_entity", Some(q)))).get
         batch.head.get.head.rows should have size 5
         batch(1).isFailure shouldBe true
+        // bidi streaming query: one result set per sent query in order,
+        // per-query errors stay in their slot (reference doStreamingQuery)
+        val sq = client.streamingQuery(Seq(
+          client.buildQuery("cliebat", Some(q)),
+          client.buildQuery("no_such_entity", Some(q)))).get
+        sq should have size 2
+        sq.head.get.head.rows should have size 5
+        sq(1).isFailure shouldBe true
         // result cache by queryid
         client.query("cliebat", Some(q), queryid = "cli-q1").get
         client.cachedResults("cli-q1").get.head.rows should have size 5
