@@ -97,6 +97,34 @@ object IndexOps {
   def load(e: Entity, name: String): IndexStore.Loaded = e.loadIndex(name)
   def list(e: Entity): Seq[String] = e.listIndexes
   def drop(e: Entity, name: String): Unit = e.dropIndex(name)
+
+  /** The build-recipe keys [[refresh]] consumes next to the per-type
+    * options: recorded by the wire handlers at create time. */
+  val InfoType = "indextype"
+  val InfoAttribute = "attribute"
+  val InfoIdCol = "idcol"
+
+  /** Rebuild a persisted index from its recorded build recipe — the
+    * stale-index refresh path: after entity mutations flag an index
+    * stale (reference `Index.scala:162-169`), one call rebuilds it over
+    * the CURRENT data with its ORIGINAL type/attribute/options instead
+    * of a silently different default configuration. */
+  def refresh(e: Entity, name: String): String = {
+    val info = e.indexBuildInfo(name)
+    val tp = info.getOrElse(InfoType, throw new IllegalStateException(
+      s"index $name has no recorded build recipe — drop and recreate it"))
+    val attribute = info.getOrElse(InfoAttribute, throw new IllegalStateException(
+      s"index $name records no attribute — drop and recreate it"))
+    val idCol = info.getOrElse(InfoIdCol, Entity.ApId)
+    val idx = create(tp, e.read(), idCol, attribute,
+      info - InfoType - InfoAttribute - InfoIdCol)
+    e.saveIndex(name, idx, info)
+    name
+  }
+
+  /** Refresh every stale index of the entity; returns refreshed names. */
+  def refreshStale(e: Entity): Seq[String] =
+    e.listIndexes.sorted.filter(n => e.loadIndex(n).stale).map(refresh(e, _))
 }
 
 /** Planner training + introspection (reference `QueryPlannerOp`). */

@@ -406,7 +406,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
               en.getKey -> en.getValue.asText()).toMap).getOrElse(Map.empty)
           val idx = IndexOps.create(req.get("type").asText(), e.read(),
             req.get("idCol").asText(), req.get("vecCol").asText(), options)
-          e.saveIndex(req.get("name").asText(), idx)
+          // recorded build recipe → IndexOps.refresh rebuilds a stale
+          // index with the original tuning
+          e.saveIndex(req.get("name").asText(), idx, Map(
+            IndexOps.InfoType -> req.get("type").asText(),
+            IndexOps.InfoAttribute -> req.get("vecCol").asText(),
+            IndexOps.InfoIdCol -> req.get("idCol").asText()) ++ options)
         }
         out.put("index", req.get("name").asText())
       case "/index/list" =>

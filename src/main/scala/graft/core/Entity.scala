@@ -420,10 +420,16 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   }
 
   /** Persist an index built over this entity; records the current stamp. */
-  def saveIndex(name: String, idx: graft.index.VectorIndex): Entity = {
-    graft.index.IndexStore.save(dir.toString, name, idx, stamp)
+  def saveIndex(name: String, idx: graft.index.VectorIndex,
+                buildInfo: Map[String, String] = Map.empty): Entity = {
+    graft.index.IndexStore.save(dir.toString, name, idx, stamp, buildInfo)
     this
   }
+
+  /** The index's recorded build recipe (type/attribute/options), empty
+    * if none was recorded at save time. */
+  def indexBuildInfo(name: String): Map[String, String] =
+    graft.index.IndexStore.buildInfo(dir.toString, name)
 
   /** Reload a persisted index; `stale` is true iff the entity mutated
     * (insert/delete/vacuum/sparsify) since the index was saved. */

@@ -465,6 +465,11 @@ class GraftClient(val channel: ManagedChannel) extends AutoCloseable {
     tryAck(unary("AdamDefinition", "DropIndex", "IndexNameMessage", "AckMessage",
       indexNameMsg(entity, index)))
 
+  /** Rebuild a stale index with its create-time build recipe. */
+  def refreshIndex(entity: String, index: String): Try[String] =
+    tryAck(unary("AdamDefinition", "RefreshIndex", "IndexNameMessage", "AckMessage",
+      indexNameMsg(entity, index)))
+
   def cacheIndex(entity: String, index: String): Try[String] =
     tryAck(unary("AdamSearch", "CacheIndex", "IndexNameMessage", "AckMessage",
       indexNameMsg(entity, index)))

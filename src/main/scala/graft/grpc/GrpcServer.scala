@@ -274,7 +274,11 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val idx = graft.api.IndexOps.create(indextype, e.read(), "ap_id", attribute,
           options)
         val indexname = s"${indextype}_$attribute"
-        e.saveIndex(indexname, idx)
+        // record the build recipe so RefreshIndex can rebuild a stale
+        // index with the ORIGINAL tuning
+        e.saveIndex(indexname, idx, Map(
+          graft.api.IndexOps.InfoType -> indextype,
+          graft.api.IndexOps.InfoAttribute -> attribute) ++ options)
         ackOf(ok = true, indexname) // reference echoes the index name
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
@@ -407,7 +411,9 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         val types = graft.api.IndexOps.knownTypes
         val names = types.map { tp =>
           val idxName = s"${tp}_$attribute"
-          e.saveIndex(idxName, graft.api.IndexOps.create(tp, df, "ap_id", attribute))
+          e.saveIndex(idxName, graft.api.IndexOps.create(tp, df, "ap_id", attribute),
+            Map(graft.api.IndexOps.InfoType -> tp,
+              graft.api.IndexOps.InfoAttribute -> attribute))
           idxName
         }
         val out = withAck("IndexesMessage", ok = true)
@@ -618,6 +624,21 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
         cachedFrames.remove(s"index:$entityName/$index")
           .foreach(df => scala.util.Try(df.unpersist()))
         ackOf(ok = true)
+      } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
+    }
+
+    // rebuild a stale index over the current data with its RECORDED
+    // build recipe (type/attribute/options from create time) — the
+    // post-bulk-insert maintenance call
+    u("RefreshIndex", "IndexNameMessage", "AckMessage") { req =>
+      try {
+        val entityName = str(req, "entity")
+        val index = str(req, "index")
+        val e = Entity.open(spark, base, entityName)
+        graft.api.IndexOps.refresh(e, index)
+        cachedFrames.remove(s"index:$entityName/$index")
+          .foreach(df => scala.util.Try(df.unpersist()))
+        ackOf(ok = true, index)
       } catch { case e: Exception => ackOf(ok = false, e.getMessage) }
     }
 

@@ -37,7 +37,8 @@ object IndexStore {
     Paths.get(baseDir).resolve(s"index_$name")
 
   def save(baseDir: String, name: String, idx: VectorIndex,
-           stamp: (Int, Int) = (0, 0)): Unit = {
+           stamp: (Int, Int) = (0, 0),
+           buildInfo: Map[String, String] = Map.empty): Unit = {
     require(name.matches("[A-Za-z0-9_]+"), s"invalid index name: $name")
     val dir = indexDir(baseDir, name)
     Files.createDirectories(dir)
@@ -59,6 +60,28 @@ object IndexStore {
     try out.writeObject(SavedMeta(idx.indexType, idx.idCol, stamp,
       blob.asInstanceOf[Serializable]))
     finally out.close()
+    // build recipe (type, attribute, options) as a JSON sidecar — what a
+    // stale-index refresh needs to rebuild with the ORIGINAL tuning.
+    // Separate file, not a SavedMeta field: pre-existing meta.bin
+    // artifacts keep deserializing unchanged.
+    if (buildInfo.nonEmpty) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      buildInfo.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+      Files.writeString(dir.resolve("build.json"), m.writeValueAsString(node))
+    }
+  }
+
+  /** The recorded build recipe, or empty for artifacts saved without one
+    * (pre-r14, or ad-hoc saves). */
+  def buildInfo(baseDir: String, name: String): Map[String, String] = {
+    val p = indexDir(baseDir, name).resolve("build.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(Files.readString(p))
+        .fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
   }
 
   /** Reload an index; `currentStamp` (from the owning entity) drives the

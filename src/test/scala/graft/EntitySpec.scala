@@ -80,6 +80,39 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("stale-index refresh rebuilds with the recorded build recipe") {
+    import graft.api.IndexOps
+    val base = freshBase()
+    val e = Entity.create(spark, base, "refr")
+    val rnd = new scala.util.Random(7)
+    e.insert((0 until 60).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat()))).toDF("id", "vec"))
+    val opts = Map("ntables" -> "4", "nhashes" -> "1")
+    e.saveIndex("lsh_vec", IndexOps.create("lsh", e.read(), Entity.ApId, "vec", opts),
+      Map(IndexOps.InfoType -> "lsh", IndexOps.InfoAttribute -> "vec") ++ opts)
+    // a second index saved WITHOUT a recipe cannot be refreshed
+    e.saveIndex("adhoc", IndexOps.create("vaf", e.read(), Entity.ApId, "vec"))
+    e.loadIndex("lsh_vec").stale shouldBe false
+
+    e.insert((100 until 110).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat()))).toDF("id", "vec"))
+    e.loadIndex("lsh_vec").stale shouldBe true
+
+    // refreshStale rebuilds only the recipe-carrying index; the ad-hoc
+    // one fails loudly instead of silently rebuilding with defaults
+    an[IllegalStateException] should be thrownBy IndexOps.refresh(e, "adhoc")
+    IndexOps.refresh(e, "lsh_vec") shouldBe "lsh_vec"
+    val refreshed = e.loadIndex("lsh_vec")
+    refreshed.stale shouldBe false
+    // original tuning preserved (4 tables, not the 16-table default)
+    refreshed.index.asInstanceOf[graft.index.LSHIndex].projections.length shouldBe 4
+    // the rebuilt table covers the appended rows (one row per id per
+    // hash table — distinct ids is the corpus count)
+    graft.index.IndexStore.dataFrame(spark, s"$base/refr", "lsh_vec")
+      .select(Entity.ApId).distinct().count() shouldBe 70
+    e.drop()
+  }
+
   test("compound attribute group: scans reassemble, point lookups ride the KV half") {
     val base = freshBase()
     val e = Entity.create(spark, base, "compnd")

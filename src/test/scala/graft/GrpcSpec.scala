@@ -1394,6 +1394,15 @@ class GrpcSpec extends SparkSpec {
         // ---- mutation + cleanup ----
         client.delete("cliebat", Seq(Where("label", "=", Seq("odd")))).get
         client.count("cliebat").get shouldBe 20L
+        // the delete flagged the stored indexes stale; RefreshIndex
+        // rebuilds over current data with the create-time recipe — the
+        // tuned LSH keeps its 4-table configuration
+        client.indexProperties("cliebat", "vaf_vec").get("stale") shouldBe "true"
+        client.refreshIndex("cliebat", "vaf_vec").get shouldBe "vaf_vec"
+        client.indexProperties("cliebat", "vaf_vec").get("stale") shouldBe "false"
+        client.refreshIndex("cliebat", "lsh_vec").get shouldBe "lsh_vec"
+        graft.core.Entity.open(spark, base, "cliebat").loadIndex("lsh_vec")
+          .index.asInstanceOf[graft.index.LSHIndex].projections.length shouldBe 4
         client.vacuum("cliebat").get
         client.dropEntity("cliebat").get
         client.existsEntity("cliebat").get shouldBe false
