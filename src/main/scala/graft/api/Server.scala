@@ -37,6 +37,7 @@ import graft.operators.BooleanPredicates
   * | /entity/preview   | {name, k?}                                       |
   * | /entity/drop      | {name}                                           |
   * | /index/create     | {entity, name, type, idCol, vecCol, options?}    |
+  * | /index/refresh    | {entity, name} — rebuild stale w/ saved recipe   |
   * | /index/list       | {entity}                                         |
   * | /query/boolean    | {entity, predicates: […]}                        |
   * | /query/text       | {entity, textCol, mode: all|any|phrase|bm25,     |
@@ -414,6 +415,11 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             IndexOps.InfoIdCol -> req.get("idCol").asText()) ++ options)
         }
         out.put("index", req.get("name").asText())
+      case "/index/refresh" =>
+        withEntityLock(req.get("entity").asText()) {
+          out.put("index",
+            IndexOps.refresh(entity(req, "entity"), req.get("name").asText()))
+        }
       case "/index/list" =>
         val arr = out.putArray("indexes")
         entity(req, "entity").listIndexes.foreach(arr.add)

@@ -73,6 +73,18 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       """{"entity":"widx","idCol":"vid","vecCol":"vec","q":[1.0,2.0,1.0],"k":3,"index":"main"}""")
       .get("stale").asBoolean() shouldBe true
 
+    // refresh rebuilds over current data with the create-time recipe:
+    // the stale flag clears and the new row is servable
+    post("/index/refresh", """{"entity":"widx","name":"main"}""")
+      .get("index").asText() shouldBe "main"
+    val q2 = post("/query/knn",
+      """{"entity":"widx","idCol":"vid","vecCol":"vec","q":[0.0,0.0,0.0],"k":2,"index":"main"}""")
+    q2.get("stale").asBoolean() shouldBe false
+    // vid 0 also sits at the origin — both zero-distance rows surface,
+    // which proves the refreshed index covers the appended row
+    (0 until q2.get("rows").size()).map(i =>
+      q2.get("rows").get(i).get("vid").asLong()).toSet shouldBe Set(0L, 999L)
+
     // per-type build options (same contract as gRPC IndexMessage.options)
     post("/index/create",
       """{"entity":"widx","name":"tuned","type":"lsh","idCol":"vid","vecCol":"vec",
