@@ -97,6 +97,78 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val graph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    (1L to 15L).foreach { seed =>
+      val edges = sample(graph, seed + 6000)
+      val df = edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-by-min reference: each set's root converges to its min id,
+      // so the expected label per node is find(node)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(x => x -> find(x)).toMap
+      withClue(s"seed $seed: ") { got shouldBe expected }
+    }
+  }
+
+  test("sequence packing: conservation, reconciliation, full interior chunks") {
+    val corpusGen: Gen[List[Long]] =
+      Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 50).map(_.toLong)))
+    val (budget, nShards) = (16L, 4)
+    (1L to 15L).foreach { seed =>
+      val toks = sample(corpusGen, seed + 7000)
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "n_tok")
+      val asg = graft.operators.Packing
+        .chunkAssignments(df, "id", "n_tok", budget, nShards).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // every document assigned exactly once; zero-token docs span 0 chunks
+      asg.keySet shouldBe toks.indices.map(_.toLong).toSet
+      toks.zipWithIndex.foreach { case (t, i) =>
+        withClue(s"seed $seed doc $i: ") {
+          if (t == 0) asg(i.toLong)._4 shouldBe 0L else asg(i.toLong)._4 should be >= 1L
+        }
+      }
+      val rows = graft.operators.Packing
+        .chunkRows(df, "id", "n_tok", budget, nShards).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // conservation: each doc's per-chunk tokens sum back to its count
+      val byDoc = rows.groupBy(_._1)
+      toks.zipWithIndex.filter(_._1 > 0).foreach { case (t, i) =>
+        val mine = byDoc.getOrElse(i.toLong, Array.empty)
+        withClue(s"seed $seed doc $i: ") {
+          mine.map(_._4).sum shouldBe t
+          // reconciliation with the assignment form
+          mine.length.toLong shouldBe asg(i.toLong)._4
+          mine.map(_._3).min shouldBe asg(i.toLong)._3
+          all(mine.map(_._4)) should (be >= 1L and be <= budget)
+        }
+      }
+      // every interior chunk of every shard is packed to EXACTLY budget
+      rows.groupBy(r => (r._2, r._3)).foreach { case ((shard, chunk), hits) =>
+        val lastChunk = rows.filter(_._2 == shard).map(_._3).max
+        if (chunk < lastChunk)
+          withClue(s"seed $seed shard $shard chunk $chunk: ") {
+            hits.map(_._4).sum shouldBe budget
+          }
+      }
+    }
+  }
+
   test("repeatedChunks matches a naive sliding-window count on random corpora") {
     (1L to 25L).foreach { seed =>
       val docs = sample(corpus, seed + 4000)
