@@ -472,6 +472,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "entity_upsert" -> ((s, d) => {
+      // merge-by-key: expensive orders get repriced (replace), a band of
+      // mid-priced orders arrives as new keys (append) — one atomic
+      // versioned rewrite, survivors via a single keyed anti-join
+      val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+      val e = graft.core.Entity.create(s, base, "up")
+      val orders = Tables.orders(s, d)
+      e.insert(orders.filter(col("o_totalprice") >= 400000))
+      val repriced = orders.filter(col("o_totalprice") >= 400000 &&
+          col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+      val fresh = orders.filter(col("o_totalprice") >= 300000 &&
+        col("o_totalprice") < 400000)
+      e.upsert(repriced.unionByName(fresh), "o_orderkey")
+      e.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "planner_hint_knn" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = queryVecOf(emb)
@@ -649,6 +668,16 @@ object SparkEntry {
 
     "minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // the mega-bucket-guarded plan: maxBucket=32 sits far above the
+    // corpus's real bucket maximum (3 at sf0.01, 4 at sf0.1 — measured),
+    // so the result is bit-identical to the uncapped run and the exact
+    // cartesian oracle still applies; the cap's DROP semantics are
+    // spec-verified on a synthetic boilerplate corpus (DedupTextSpec)
+    "minhash_neardup_capped" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", 0.5,
+          maxBucket = 32)
         .orderBy("id_a", "id_b")),
 
     "ngram_jaccard_neardup" -> ((s, d) =>
@@ -1552,6 +1581,22 @@ object SparkEntry {
         |FROM lineitem WHERE l_quantity >= 49 AND l_linestatus != 'F'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // the merged table = untouched expensive rows + repriced 'O' rows
+    // (replaced by key) + the newly-appended mid-price band
+    "entity_upsert" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |   WHERE o_totalprice >= 400000 AND o_orderstatus <> 'O'
+        |  UNION ALL
+        |  SELECT o_orderstatus, round(o_totalprice + 1000, 2) FROM orders
+        |   WHERE o_totalprice >= 400000 AND o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |   WHERE o_totalprice >= 300000 AND o_totalprice < 400000
+        |)
+        |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "planner_hint_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "progressive_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
 
@@ -1977,6 +2022,20 @@ object SparkEntry {
     // pairs are verified to collide under the fixed seeds — a pair with
     // similarity exactly at the threshold on other data could miss.
     "minhash_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh)) * 1.0
+         |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         | FROM d a, d b WHERE a.doc_id < b.doc_id
+         |) WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // maxBucket=32 > the corpus's measured bucket maximum, so the capped
+    // plan's answer equals the uncapped exact-cartesian oracle
+    "minhash_neardup_capped" ->
       s"""WITH d AS (
          |  SELECT doc_id, $duckShingles AS sh FROM
          |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)

@@ -291,6 +291,55 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     deleted
   }
 
+  /** Upsert (merge-by-key): incoming rows REPLACE existing rows sharing
+    * their `keyCol` value; keys absent from the table append. The
+    * reference exposes only insert + delete-by-predicate — merge is the
+    * composition every CDC/refresh pipeline hand-rolls on top, so it is
+    * first-class here, as one atomic versioned rewrite instead of a
+    * delete+insert pair a concurrent reader could observe half-done.
+    *
+    * Semantics: the incoming batch must be key-distinct (an ambiguous
+    * replacement is refused, not resolved arbitrarily — DataFrames carry
+    * no row order to break the tie with) and schema-identical to the
+    * entity (insert handles drift; a drifted REPLACEMENT is ambiguous).
+    * Replaced rows get fresh `ap_id`s from the next batch counter;
+    * untouched rows keep theirs.
+    *
+    * Scale: survivors come from ONE left-anti join keyed on the merge
+    * key against the incoming batch's distinct keys — the common CDC
+    * shape (small batch vs big table) broadcasts the key set under AQE,
+    * so the table never shuffles; the rewrite is the same O(table)
+    * write-new-then-swap every mutation on a versioned store pays, and
+    * layout entities keep their directory layout through it. */
+  def upsert(df: DataFrame, keyCol: String): Entity = {
+    val m = meta
+    if (m.version == 0) return insert(df)
+    require(m.insertCount < (1 << 15) - 1, "insert-batch counter exhausted")
+    val current = read()
+    require(current.columns.contains(keyCol), s"no such attribute: $keyCol")
+    require(df.columns.contains(keyCol), s"incoming batch lacks '$keyCol'")
+    require(df.groupBy(col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .filter(col("c") > 1).isEmpty,
+      s"incoming batch has duplicate '$keyCol' keys — ambiguous replacement refused")
+    val batch = m.insertCount + 1
+    val withId = assignPartition(df.withColumn(ApId,
+      lit(batch.toLong << 48).bitwiseOR(
+        monotonically_increasing_id().bitwiseAND(lit((1L << 48) - 1)))))
+    def schemaKey(x: DataFrame): Set[(String, String)] =
+      x.schema.fields.map(f => f.name -> f.dataType.sql).toSet
+    require(schemaKey(current) == schemaKey(withId),
+      "upsert requires the incoming schema to match the entity")
+    val kept = current.join(df.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    val merged = kept.select(current.columns.map(col): _*)
+      .unionByName(withId.select(current.columns.map(col): _*))
+    val next = m.version + 1
+    writeData(merged, dataPath(next))
+    swap(m.copy(version = next, insertCount = batch), m.version)
+    foldGroupsAfterRewrite()
+    this
+  }
+
   /** Rewrite + repartition (reference vacuum, `Entity.scala:376-386`).
     * Layout entities compact within their partition directories (one
     * shuffle partition per layout key) instead of a flat repartition. */

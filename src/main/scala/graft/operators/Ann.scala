@@ -211,10 +211,15 @@ object Ann {
     * hyperplane signature (banding), then verify true cosine. Candidates
     * carry only ids through the band shuffle; vectors are re-joined by
     * id after the pair `distinct` (same scale shape as the MinHash
-    * path). Recall < 1 is possible by construction — tune bands/bits. */
+    * path). Recall < 1 is possible by construction — tune bands/bits.
+    * `maxBucket` ([[Dedup.capBuckets]]) drops mega-buckets (e.g. a mass
+    * of near-zero or template embeddings hashing identically) before
+    * pair enumeration — bounds the O(bucket²) candidate output AQE's
+    * skew split cannot; default off. */
   def lshCosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, dim: Int, numBits: Int = 64,
-                            numBands: Int = 16, seed: Long = 42L): DataFrame = {
+                            numBands: Int = 16, seed: Long = 42L,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
     val bitsPerBand = numBits / numBands
     val planes = hyperplanes(numBits, dim, seed)
     // The banded relation feeds both sides of the self-join; without a
@@ -222,7 +227,9 @@ object Ann {
     // Candidates are id pairs only (tiny next to the corpus), so
     // materialize them eagerly and release the cache before building the
     // verify plan — same shape as Dedup.ngramJaccardNearDupPairs.
-    val banded = bandSignatures(df, idCol, vecCol, planes, numBands, bitsPerBand, "id")
+    val banded = Dedup.capBuckets(
+      bandSignatures(df, idCol, vecCol, planes, numBands, bitsPerBand, "id"),
+      Seq("band", "chunk"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("chunk"), col("id").as("id_b")), Seq("band", "chunk"))

@@ -116,6 +116,33 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(split(normalize(text), " "), t => xxhash64(t))
 
+  /** Drop band buckets with more than `maxBucket` members BEFORE pair
+    * enumeration — the mega-bucket guard for banded self-joins.
+    *
+    * AQE's skew-join split fixes the JOIN's task skew but not the
+    * OUTPUT: a boilerplate bucket of b docs still emits O(b²) candidate
+    * pairs no matter how the tasks are carved. At 100 TB a single
+    * 100k-doc template bucket is 10^10 pairs — this cap (the standard
+    * production-dedup mitigation: near-identical boilerplate is better
+    * handled by EXACT dedup upstream, which this library runs first in
+    * [[dedupPipeline]]) bounds every bucket's contribution to
+    * O(maxBucket²) at a documented recall cost on the dropped buckets.
+    *
+    * Cost shape: the bucket count is a window over the SAME key the
+    * subsequent self-join shuffles on, so the window's hash partitioning
+    * is exactly the join's — one shuffle, not two, and the capped
+    * relation is what callers persist. Default `Int.MaxValue` = off
+    * (bit-identical to the uncapped plan). */
+  private[graft] def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                                maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      require(maxBucket >= 2, s"a bucket needs 2 members to pair, got cap $maxBucket")
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      banded.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    }
+
   /** MinHash signature via the codegen kernel: shingle hash = polynomial
     * combine of `n` consecutive token hashes, signature element s =
     * `min((a_s·h + b_s) mod 2^31-1)`. The earlier pure-HOF formulation
@@ -141,20 +168,25 @@ object Dedup {
     * with `idA < idB` → distinct candidate pair → verify Jaccard ≥
     * threshold. The self-join is on the bucket key, so work is
     * O(Σ bucket²) not O(n²); at 100 TB skewed mega-buckets (boilerplate
-    * docs) are the risk — cap handled upstream by normalization, and AQE
-    * skew-join splits oversized buckets at runtime.
+    * docs) are the risk — exact dedup upstream removes identical docs,
+    * AQE skew-join splits oversized buckets' JOIN tasks at runtime, and
+    * `maxBucket` ([[capBuckets]]) bounds the residual O(bucket²) pair
+    * OUTPUT that AQE cannot (default off: bit-identical to uncapped).
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           threshold: Double, numHashes: Int = 96,
-                          numBands: Int = 24, n: Int = 3): DataFrame = {
+                          numBands: Int = 24, n: Int = 3,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
     // Candidate generation carries only (band, key, id) through the
     // shuffle; shingle sets are re-joined by id afterwards, so the heavy
     // arrays never ride the band explosion (24× per doc). The banded
     // relation feeds BOTH sides of the self-join — persist it, or the
     // signature kernel runs twice over the corpus.
-    val banded = df.select(col(idCol).as("id"),
-      posexplode(graft.functions.HashSig.minhashBands(
-        tokenHashes(col(textCol)), n, numHashes, numBands)).as(Seq("band", "key")))
+    val banded = capBuckets(
+      df.select(col(idCol).as("id"),
+        posexplode(graft.functions.HashSig.minhashBands(
+          tokenHashes(col(textCol)), n, numHashes, numBands)).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
@@ -451,13 +483,19 @@ object Dedup {
   /** SimHash near-dup pairs: band the 60-bit fingerprint into four
     * 15-bit chunks (Hamming ≤ 3 ⇒ at least one chunk identical by
     * pigeonhole, so for maxHamming ≤ 3 the banding is EXACT, not
-    * approximate), bucket-join, verify true Hamming ≤ maxHamming. */
+    * approximate), bucket-join, verify true Hamming ≤ maxHamming.
+    * `maxBucket` ([[capBuckets]]) drops boilerplate mega-buckets before
+    * pair enumeration (trades exactness on dropped buckets for a bound
+    * on the O(bucket²) candidate output; default off). */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", simhash(col("text")))
-    val banded = withSig.withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", simhashChunk(col("sim"), col("band")))
+    val banded = capBuckets(
+      withSig.withColumn("band", explode(sequence(lit(0), lit(3))))
+        .withColumn("chunk", simhashChunk(col("sim"), col("band"))),
+      Seq("band", "chunk"), maxBucket)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "chunk"))

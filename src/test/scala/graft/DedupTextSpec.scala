@@ -656,4 +656,53 @@ class DedupTextSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.connectedComponents(chain, maxIter = 2)
   }
+
+  // 8 identical boilerplate docs — every band bucket they form has all 8
+  // members — plus one genuine duplicate pair living in size-2 buckets
+  private val boilerCorpus = {
+    val boiler = (10L to 17L).map(i =>
+      (i, "subscribe to our newsletter for updates and offers every single day"))
+    val pair = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+    (boiler ++ pair).toDF("doc_id", "text")
+  }
+
+  test("minhash maxBucket drops mega-bucket pairs, keeps small-bucket pairs") {
+    // uncapped: C(8,2)=28 boilerplate pairs + the near-dup pair
+    Dedup.minhashNearDupPairs(boilerCorpus, "text", "doc_id", 0.4)
+      .count() shouldBe 29
+    Dedup.minhashNearDupPairs(boilerCorpus, "text", "doc_id", 0.4, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((0L, 1L))
+    // a cap too small to hold any pair is refused, not silently empty
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashNearDupPairs(boilerCorpus, "text", "doc_id", 0.4, maxBucket = 1)
+  }
+
+  test("simhash maxBucket drops mega-bucket pairs, keeps small-bucket pairs") {
+    val uncapped = Dedup.simhashNearDupPairs(boilerCorpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain((0L, 1L))
+    uncapped.size shouldBe 29
+    Dedup.simhashNearDupPairs(boilerCorpus, "text", "doc_id", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((0L, 1L))
+  }
+
+  test("lsh cosine maxBucket drops mega-bucket pairs, keeps small-bucket pairs") {
+    // 8 identical embeddings (same signature in EVERY band) + vec 0
+    // duplicated once — the duplicate pair sits in size-2 buckets
+    val mega = vecs.filter($"vec_id" === 5L).select($"embedding")
+      .crossJoin(spark.range(8).toDF("j"))
+      .select(($"j" + 300L).as("vec_id"), $"embedding")
+    val planted = vecs.filter($"vec_id" =!= 5L)
+      .union(vecs.filter($"vec_id" === 0L).select(lit(100L).as("vec_id"), $"embedding"))
+      .union(mega)
+    val capped = Ann.lshCosineNearDupPairs(planted, "vec_id", "embedding",
+        0.99, dim = 16, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((0L, 100L))
+    // and with the cap off the 8-clone pairs are all there
+    Ann.lshCosineNearDupPairs(planted, "vec_id", "embedding", 0.99, dim = 16)
+      .count() shouldBe 29 // C(8,2) clones + (0,100)
+  }
 }

@@ -267,6 +267,63 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("upsert replaces rows by key, appends new keys, one version swap") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "ups")
+    e.insert(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    e.upsert(Seq((2, "B"), (4, "d")).toDF("k", "v"), "k")
+    e.read().select("k", "v").collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSet shouldBe Set((1, "a"), (2, "B"), (3, "c"), (4, "d"))
+    // untouched rows keep their ap_id batch prefix (batch 1); replaced
+    // and new rows carry the fresh batch counter
+    val batches = e.read().select("k", Entity.ApId).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1) >> 48)).toMap
+    batches(1) shouldBe 1L
+    batches(3) shouldBe 1L
+    batches(2) shouldBe 2L
+    batches(4) shouldBe 2L
+    e.drop()
+  }
+
+  test("upsert into an empty entity is an insert") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "upsnew")
+    e.upsert(Seq((1, "a")).toDF("k", "v"), "k")
+    e.count() shouldBe 1
+    e.drop()
+  }
+
+  test("upsert refuses ambiguous (duplicate-key) and drifted batches") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "upsbad")
+    e.insert(Seq((1, "a")).toDF("k", "v"))
+    an[IllegalArgumentException] should be thrownBy
+      e.upsert(Seq((2, "x"), (2, "y")).toDF("k", "v"), "k")
+    an[IllegalArgumentException] should be thrownBy
+      e.upsert(Seq((2, "x", 1.0)).toDF("k", "v", "extra"), "k")
+    // failed upserts left the table untouched
+    e.read().select("v").collect().map(_.getString(0)).toSet shouldBe Set("a")
+    e.drop()
+  }
+
+  test("upsert keeps a bycolumn layout's directory structure") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "upslay")
+    e.insert(Seq((1, "x", "g1"), (2, "y", "g2")).toDF("k", "v", "g"))
+    e.partitionLayout(graft.core.Partitioning.ByColumn("g"))
+    e.upsert(Seq((2, "Y", "g2"), (3, "z", "g1")).toDF("k", "v", "g"), "k")
+    e.read().select("k", "v").collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSet shouldBe Set((1, "x"), (2, "Y"), (3, "z"))
+    // the partition directories survived the merge rewrite
+    val dataDirs = new java.io.File(base, "upslay").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("data_v")).map(_.getName)
+    val latest = dataDirs.sortBy(n => n.stripPrefix("data_v").toInt).last
+    new java.io.File(new java.io.File(base, "upslay"), latest).listFiles()
+      .map(_.getName).filter(_.startsWith(graft.core.Partitioning.PartitionCol))
+      .length should be >= 2
+    e.drop()
+  }
+
   test("vacuum rewrites with requested partition count") {
     val base = freshBase()
     val e = Entity.create(spark, base, "vac")
