@@ -334,6 +334,45 @@ object SparkEntry {
         .orderBy("user_id", "l_id")
     }),
 
+    "event_asof_attribution" -> ((s, d) => {
+      // as-of join: every purchase attributed to the MOST RECENT click
+      // of the same user at-or-before it, within a 30-minute horizon —
+      // the point-in-time top-1 the interval join can't express without
+      // a per-row re-aggregation. One shuffle on user_id, running
+      // last(ignoreNulls) window, no range-join row explosion.
+      val ev = Tables.events(s, d)
+      AsOfJoin.asOf(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("ts"), col("user_id")),
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("c_id"), col("ts"), col("user_id")),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "c_id",
+          payload = Seq("c_id"),
+          toleranceMicros = Some(1800L * 1000000L))
+        .select(col("user_id"), col("p_id"), tsMicros(col("ts")).as("p_us"),
+          col("c_id"), tsMicros(col(AsOfJoin.MatchedTsCol)).as("c_us"))
+        .orderBy("user_id", "p_id")
+    }),
+
+    "event_asof_next" -> ((s, d) => {
+      // forward + strict variant: each click's NEXT strictly-later
+      // purchase within 30 minutes (earliest wins, lowest id on ties) —
+      // same single-shuffle union+window plan scanned on negated time
+      val ev = Tables.events(s, d)
+      AsOfJoin.asOf(
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("c_id"), col("ts"), col("user_id")),
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("ts"), col("user_id")),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "p_id",
+          payload = Seq("p_id"),
+          direction = "forward", strict = true,
+          toleranceMicros = Some(1800L * 1000000L))
+        .select(col("user_id"), col("c_id"), tsMicros(col("ts")).as("c_us"),
+          col("p_id"), tsMicros(col(AsOfJoin.MatchedTsCol)).as("p_us"))
+        .orderBy("user_id", "c_id")
+    }),
+
     "text_bpeish_tokens" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_cnt"))
@@ -752,6 +791,12 @@ object SparkEntry {
     "repeated_chunks" -> ((s, d) =>
       Dedup.repeatedChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy("chunk_hash")),
+
+    "strip_repeated_chunks" -> ((s, d) =>
+      // boilerplate REMOVAL: rewrite every document with the tokens of
+      // corpus-duplicated windows stripped (the fix, not just the report)
+      Dedup.stripRepeatedChunks(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     "dedup_keep_longest" -> ((s, d) =>
       Dedup.dropExactDupsBy(Tables.documents(s, d), "text", "doc_id",
@@ -1482,6 +1527,26 @@ object SparkEntry {
         |    AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
         |ORDER BY l.user_id, l_id""".stripMargin,
 
+    "event_asof_attribution" ->
+      """SELECT p.user_id, p.event_id AS p_id, epoch_us(p.ts) AS p_us, c.c_id, c.c_us
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS c_id, epoch_us(r.ts) AS c_us FROM events r
+        |  WHERE r.user_id = p.user_id AND r.event_type = 'click'
+        |    AND r.ts <= p.ts AND r.ts >= p.ts - INTERVAL 30 MINUTE
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) c ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY user_id, p_id""".stripMargin,
+
+    "event_asof_next" ->
+      """SELECT l.user_id, l.event_id AS c_id, epoch_us(l.ts) AS c_us, n.p_id, n.p_us
+        |FROM events l LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS p_id, epoch_us(r.ts) AS p_us FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+        |    AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) n ON true
+        |WHERE l.event_type = 'click'
+        |ORDER BY user_id, c_id""".stripMargin,
+
     "compound_setalgebra" ->
       """SELECT id, CAST(0.0 AS DOUBLE) AS distance FROM (
         | SELECT id FROM (
@@ -1853,6 +1918,34 @@ object SparkEntry {
         |  min(doc_id) AS first_doc
         |FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    "strip_repeated_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, s, md5(array_to_string(t[s+1:s+20], ' ')) AS h
+        |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-20, 10)) AS s
+        |        FROM toks WHERE len(t) >= 20)
+        |), dup AS (
+        |  SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), starts AS (
+        |  SELECT doc_id, list(DISTINCT s) AS ss FROM occ JOIN dup USING (h) GROUP BY doc_id
+        |), flat AS (
+        |  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS i FROM toks
+        |), kept AS (
+        |  SELECT f.doc_id, f.tok, f.i
+        |  FROM flat f LEFT JOIN starts st ON f.doc_id = st.doc_id
+        |  WHERE st.ss IS NULL OR len(list_filter(st.ss, s -> f.i > s AND f.i <= s + 20)) = 0
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned, count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, coalesce(a.cleaned, '') AS cleaned_text,
+        |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_keep_longest" ->
       s"""SELECT doc_id FROM documents

@@ -77,6 +77,62 @@ object Dedup {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Repeated-chunk REMOVAL: rewrite each document with every token
+    * covered by a corpus-duplicated window stripped out — the
+    * "remove the boilerplate, keep the document" counterpart of
+    * [[repeatedChunks]] (which only reports the duplicated windows).
+    * This is the tractable relative of exact-substring dedup (Lee et
+    * al. 2022): instead of suffix arrays over the concatenated corpus,
+    * strided fixed-width token windows are hashed, windows seen in
+    * ≥ `minDocs` distinct documents are marked, and every occurrence of
+    * a marked window is erased from its document.
+    *
+    * Plan shape and 100 TB behavior: the window hashing is the same
+    * explode-before-hash kernel as [[repeatedChunks]] (only
+    * `(doc, offset, 16-byte hash)` triples reach the first shuffle);
+    * the duplicated-hash relation joins back to occurrences hash-keyed
+    * (ids only); per-document covered offsets aggregate to ONE array
+    * row per affected document; and the final rewrite is a left join of
+    * that (small — affected docs only) relation onto the corpus followed
+    * by a pure codegen `filter` over the token array. No step ever
+    * shuffles document text except the final join's build side, which
+    * carries only offset arrays.
+    *
+    * Output: `idCol`, `cleaned_text` (remaining tokens of the
+    * normalized text joined by single spaces), `n_removed` (tokens
+    * stripped). Documents with no duplicated window pass through with
+    * `n_removed = 0`.
+    */
+  def stripRepeatedChunks(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 20, stride: Int = 10,
+                          minDocs: Int = 2): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    require(minDocs >= 2, "minDocs must be >= 2 (a window always appears in its own doc)")
+    val toks = df.select(col(idCol).as("doc"), split(normalize(col(textCol)), " ").as("t"))
+    val occ = toks.filter(size(col("t")) >= window)
+      .select(col("doc"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - window, lit(stride))).as("s"))
+      .select(col("doc"), col("s"),
+        md5(array_join(slice(col("t"), col("s") + 1, lit(window)), " ")).as("h"))
+    val dup = occ.groupBy("h")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val starts = occ.join(dup, "h")
+      .groupBy("doc")
+      .agg(sort_array(collect_set(col("s"))).as("ap_starts"))
+    // covered token indices (0-based) per start s: [s, s + window)
+    val kept = filter(col("t"), (tok, i) =>
+      !exists(col("ap_starts"), st => i >= st && i < st + window))
+    toks.join(starts, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        when(col("ap_starts").isNull, col("t")).otherwise(kept).as("ap_kept"),
+        col("t"))
+      .select(col(idCol),
+        array_join(col("ap_kept"), " ").as("cleaned_text"),
+        (size(col("t")) - size(col("ap_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Corpus-wide most frequent word n-grams (counted once per document)
     * — the boilerplate detector a pipeline runs before writing filter
     * rules. Same shingle semantics as [[shingles]] (short docs collapse

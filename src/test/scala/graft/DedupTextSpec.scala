@@ -606,6 +606,54 @@ class DedupTextSpec extends SparkSpec {
     Dedup.repeatedChunks(selfRep, "doc_id", "text", 20, 20).count() shouldBe 0L
   }
 
+  test("stripRepeatedChunks erases exactly the duplicated windows' tokens") {
+    val mk = (n: Int, tag: String) =>
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = mk(20, "s")
+    val d = Seq(
+      (0L, shared),                      // entire doc is the dup window
+      (1L, mk(10, "a") + " " + shared),  // dup window at token offset 10
+      (2L, mk(25, "b")),                 // long, unshared → untouched
+      (3L, mk(5, "c"))                   // too short for windows → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedChunks(d, "doc_id", "text", window = 20, stride = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out(0L) shouldBe (("", 20L))             // fully erased
+    out(1L) shouldBe ((mk(10, "a"), 20L))    // prefix survives, window gone
+    out(2L) shouldBe ((mk(25, "b"), 0L))
+    out(3L) shouldBe ((mk(5, "c"), 0L))
+  }
+
+  test("stripRepeatedChunks: overlapping duplicated windows erase their union") {
+    // doc 1 shares tokens 0..19 with doc 0 and 10..29 with doc 2 —
+    // strided starts 0 and 10 both mark, union covers 0..29
+    val w1 = (0 until 20).map(i => s"x$i").mkString(" ")
+    val w2 = (20 until 40).map(i => s"y$i").mkString(" ")
+    val doc1 = w1 + " " + w2
+    // doc1 tokens 10..29 are x10..x19 y20..y29; doc 2 repeats that slice
+    val slice1029 =
+      ((10 until 20).map(i => s"x$i") ++ (20 until 30).map(i => s"y$i")).mkString(" ")
+    val d = Seq(
+      (0L, w1),       // duplicates doc1's window at start 0
+      (1L, doc1),
+      (2L, slice1029) // duplicates doc1's window at start 10
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedChunks(d, "doc_id", "text", window = 20, stride = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc1: starts 0 (shared w/ doc0) and 10 (shared w/ doc2) marked →
+    // tokens 0..29 erased, y30..y39 survive
+    out(1L) shouldBe (((30 until 40).map(i => s"y$i").mkString(" "), 30L))
+    out(0L)._2 shouldBe 20L
+    out(2L)._2 shouldBe 20L
+  }
+
+  test("stripRepeatedChunks: within-doc-only repeats are NOT stripped") {
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val d = Seq((7L, shared + " " + shared)).toDF("doc_id", "text")
+    val r = Dedup.stripRepeatedChunks(d, "doc_id", "text", 20, 20).head()
+    r.getLong(2) shouldBe 0L // one doc → below minDocs, nothing removed
+  }
+
   test("semantic dedup: clusters assign to nearest centroid; dups only in-cluster") {
     val c0 = Seq.fill(16)(1.0); val c1 = Seq.fill(16)(-1.0)
     // rows 0/1 near c0 and near-identical; row 2 near c0 but distinct;
