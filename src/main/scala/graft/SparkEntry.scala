@@ -334,6 +334,22 @@ object SparkEntry {
         .orderBy("user_id", "l_id")
     }),
 
+    "range_join_price_bands" -> ((s, d) => {
+      // pure range-predicate join (no equi key) — Catalyst alone would
+      // plan BroadcastNestedLoopJoin; the binned form is a hash join on
+      // floor(value/width) with exactly-once match semantics
+      val bands = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_retailprice") - 5).as("lo"), (col("p_retailprice") + 5).as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      RangeJoin.pointsInIntervals(pts, "l_extendedprice", bands, "lo", "hi",
+          binWidth = 10.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_in_band"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        .orderBy("p_partkey")
+    }),
+
     "event_asof_attribution" -> ((s, d) => {
       // as-of join: every purchase attributed to the MOST RECENT click
       // of the same user at-or-before it, within a 30-minute horizon —
@@ -1526,6 +1542,13 @@ object SparkEntry {
         |    AND r.event_type = 'purchase'
         |    AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
         |ORDER BY l.user_id, l_id""".stripMargin,
+
+    "range_join_price_bands" ->
+      """SELECT p_partkey, count(*) AS n_in_band,
+        |  round(sum(l_extendedprice), 4) AS sum_price
+        |FROM part JOIN lineitem
+        |  ON l_extendedprice BETWEEN p_retailprice - 5 AND p_retailprice + 5
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
 
     "event_asof_attribution" ->
       """SELECT p.user_id, p.event_id AS p_id, epoch_us(p.ts) AS p_us, c.c_id, c.c_us
