@@ -982,6 +982,15 @@ object SparkEntry {
           weights = Map("en" -> 0.5, "de" -> 0.2), defaultWeight = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "sample_token_budget" -> ((s, d) =>
+      // per-domain TOKEN budgets (not row counts): longest docs first,
+      // src0 dropped outright, src1 effectively uncapped
+      Sampling.tokenBudgetSample(Tables.documents(s, d), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          budgets = Map("src0" -> 0L, "src1" -> 100000L), defaultBudget = 800L,
+          priority = Some(col("n_chars")))
+        .select("doc_id", "source").orderBy("doc_id")),
+
     "sample_weighted_len" -> ((s, d) =>
       // soft length filter: keep probability = min(1, n_chars / 4000)
       Sampling.weightedBernoulli(Tables.documents(s, d), "text",
@@ -2403,6 +2412,16 @@ object SparkEntry {
          |WHERE h % 10000 < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
          |                   ELSE 1000 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      s"""SELECT doc_id, source FROM (
+         | SELECT doc_id, source, tok,
+         |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 100000 ELSE 800 END AS b,
+         |  sum(tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM (SELECT doc_id, source, n_chars,
+         |         CAST(len($duckToks) AS BIGINT) AS tok FROM documents))
+         |WHERE cum - tok < b ORDER BY doc_id""".stripMargin,
 
     // floor on BOTH engines: DuckDB's double->int CAST rounds while
     // Spark's truncates, so the cut is an explicit floor everywhere

@@ -53,8 +53,12 @@ import graft.operators.BooleanPredicates
   * |                       |  maxDupTokenFrac?, maxTopTokenFrac?,         |
   * |                       |  maxDupBigramFrac?, maxPii?}                 |
   * | /pipeline/sample      | {entity, keyCol, mode: bernoulli|stratified  |
-  * |                       |  |exact|weighted, fraction?/n?/weightCol?,   |
-  * |                       |  strataCol?}                                 |
+  * |                       |  |exact|weighted|token_budget,               |
+  * |                       |  fraction?/n?/weightCol?, strataCol?,        |
+  * |                       |  domainCol?/tokenCol?/budgets?/              |
+  * |                       |  defaultBudget?/priorityCol?}                |
+  * | /pipeline/strip_chunks | {entity, textCol, idCol, window?, stride?,  |
+  * |                       |  minDocs?}                                   |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
   * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
@@ -492,9 +496,31 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case "exact" => Sampling.exactSample(e, keyCol, req.get("n").asInt())
           case "weighted" => // per-row keep probability from a column
             Sampling.weightedBernoulli(e, keyCol, col(req.get("weightCol").asText()))
+          case "token_budget" => // per-domain token caps, best docs first
+            import scala.jdk.CollectionConverters._
+            val budgets =
+              if (req.has("budgets"))
+                req.get("budgets").fields().asScala
+                  .map(en => en.getKey -> en.getValue.asLong()).toMap
+              else Map.empty[String, Long]
+            Sampling.tokenBudgetSample(e, req.get("domainCol").asText(), keyCol,
+              col(req.get("tokenCol").asText()), budgets,
+              if (req.has("defaultBudget")) req.get("defaultBudget").asLong()
+              else Long.MaxValue,
+              if (req.has("priorityCol")) Some(col(req.get("priorityCol").asText()))
+              else None)
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, sampled)
+      case "/pipeline/strip_chunks" =>
+        // boilerplate removal: documents rewritten with corpus-duplicated
+        // token windows erased (the fix half of repeated-chunk detection)
+        pagedRows(out, graft.operators.Dedup.stripRepeatedChunks(
+          entity(req, "entity").read(),
+          req.get("idCol").asText(), req.get("textCol").asText(),
+          if (req.has("window")) req.get("window").asInt() else 20,
+          if (req.has("stride")) req.get("stride").asInt() else 10,
+          if (req.has("minDocs")) req.get("minDocs").asInt() else 2))
       case "/pipeline/dedup" =>
         // surviving ids of the end-to-end dedup pipeline
         pagedRows(out, graft.operators.Dedup.dedupPipeline(

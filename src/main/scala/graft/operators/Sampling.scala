@@ -127,6 +127,52 @@ object Sampling {
     * quotas (`ceil(f_s · |stratum s|)`), the exact-count twin of
     * [[weightedMix]]. Strata absent from `fractions` use
     * `defaultFraction`; a fraction of 0 drops the stratum entirely. */
+  /** Token-budget sampling: keep the highest-priority documents of each
+    * domain until that domain's TOKEN budget is exhausted — the
+    * data-mixing primitive for assembling a training corpus under a
+    * per-source token cap (rather than a per-source row count). Docs
+    * are admitted in (priority DESC, id ASC) order; the first doc to
+    * cross the budget is the last admitted (budgets are a target, and
+    * truncating mid-document is the packer's job, not the sampler's),
+    * so every non-empty budget admits at least one doc.
+    *
+    * One window shuffle keyed by the domain — the same shape (and the
+    * same per-domain-sort cost floor) as exact stratified sampling;
+    * the running token cumsum is a rows-frame `sum` evaluated in a
+    * single pass per partition. SQL-replayable: the admission rule is
+    * `cumsum - tokens < budget` over the deterministic order.
+    *
+    * @param budgets per-domain token budgets; domains absent from the
+    *                map use `defaultBudget`; a budget of 0 drops the
+    *                domain
+    */
+  def tokenBudgetSample(df: DataFrame, domainCol: String, idCol: String,
+                        tokens: Column, budgets: Map[String, Long],
+                        defaultBudget: Long,
+                        priority: Option[Column] = None): DataFrame = {
+    (budgets.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0L, s"budget out of range: $b"))
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(taken).next()
+    val tok = fresh("tok")
+    val cum = fresh("cum")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (domain, b)) =>
+        when(col(domainCol) === domain, lit(b)).otherwise(acc)
+    }
+    val order = priority match {
+      case Some(p) => Window.partitionBy(col(domainCol))
+        .orderBy(p.desc, col(idCol).asc)
+      case None => Window.partitionBy(col(domainCol)).orderBy(col(idCol).asc)
+    }
+    df.withColumn(tok, tokens.cast("long"))
+      .withColumn(cum, sum(col(tok)).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col(cum) - col(tok) < budget)
+      .drop(tok, cum)
+  }
+
   def stratifiedSampleBy(df: DataFrame, strataCol: String, keyCol: String,
                          fractions: Map[String, Double],
                          defaultFraction: Double): DataFrame = {

@@ -300,4 +300,39 @@ class SamplingSpec extends SparkSpec {
     out(4).getAs[Double]("dup_token_frac") shouldBe 0.5 +- Epsilon
     out(4).getAs[Double]("dup_bigram_frac") shouldBe 0.3333 +- Epsilon
   }
+
+  test("tokenBudgetSample: priority order, budget-crossing doc admitted, overrides") {
+    val df = Seq(
+      ("a", 1L, 100L, 3.0), ("a", 2L, 100L, 2.0), ("a", 3L, 100L, 1.0),
+      ("b", 4L, 50L, 9.0),
+      ("c", 5L, 10L, 1.0), ("c", 6L, 10L, 2.0)
+    ).toDF("dom", "id", "tok", "prio")
+    // dom a, budget 150: prio order 1,2,3 → doc 1 (cum_before 0 < 150)
+    // admitted, doc 2 (cum_before 100 < 150) admitted CROSSING the
+    // budget, doc 3 (cum_before 200) dropped
+    val out = Sampling.tokenBudgetSample(df, "dom", "id", col("tok"),
+        budgets = Map("b" -> 0L, "c" -> 10L), defaultBudget = 150L,
+        priority = Some(col("prio")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L, 2L, 6L) // b dropped; c admits only top-prio doc 6
+  }
+
+  test("tokenBudgetSample: no priority → id order; huge doc still admits first") {
+    val df = Seq(("a", 1L, 1000L), ("a", 2L, 5L)).toDF("dom", "id", "tok")
+    val out = Sampling.tokenBudgetSample(df, "dom", "id", col("tok"),
+        Map.empty, defaultBudget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // doc 1 (1000 tokens > budget) is still admitted — first in order,
+    // cum_before = 0; doc 2 then sits past the exhausted budget
+    out shouldBe Set(1L)
+  }
+
+  test("tokenBudgetSample: user columns survive and negative budgets refused") {
+    val df = Seq(("a", 1L, 5L, "keep")).toDF("dom", "id", "tok", "extra")
+    val row = Sampling.tokenBudgetSample(df, "dom", "id", col("tok"),
+      Map.empty, 10L).head()
+    row.schema.fieldNames.toSet shouldBe Set("dom", "id", "tok", "extra")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudgetSample(df, "dom", "id", col("tok"), Map.empty, -1L)
+  }
 }

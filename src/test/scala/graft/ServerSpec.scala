@@ -307,6 +307,31 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // did >= 1 clamps to probability 1.0; only did=0 (weight 0) drops
     weighted.get("rows").size() shouldBe 39
 
+    // token-budget sampling: domain = text value, token count = did.
+    // Spam domain (10 docs, toks 0,4,8,..,36, id order): 0 and 4 admit
+    // under cum_before < 10, 8 admits crossing the budget, 12+ drop.
+    // Every unique-text domain admits its single doc (cum_before 0).
+    val tb = post("/pipeline/sample",
+      """{"entity":"pipe","mode":"token_budget","keyCol":"did",
+        |"domainCol":"txt","tokenCol":"did","defaultBudget":10}""".stripMargin)
+    tb.get("ok").asBoolean() shouldBe true
+    tb.get("rows").size() shouldBe 33
+
+    // boilerplate removal over the wire: the spam docs are one fully
+    // duplicated 8-token window -> erased to empty; the prose docs share
+    // their tokens[8..15] window (the number token keeps window 0 unique)
+    val stripped = post("/pipeline/strip_chunks",
+      """{"entity":"pipe","textCol":"txt","idCol":"did","window":8,"stride":8}""")
+    stripped.get("ok").asBoolean() shouldBe true
+    val sRows = stripped.get("rows").elements().asScala.toSeq
+    sRows.size shouldBe 40
+    sRows.foreach(_.get("n_removed").asLong() shouldBe 8L)
+    sRows.filter(_.get("did").asInt() % 4 == 0)
+      .foreach(_.get("cleaned_text").asText() shouldBe "")
+    val prose = sRows.find(_.get("did").asInt() == 1).get.get("cleaned_text").asText()
+    prose should startWith("the data pipeline number 1")
+    prose should not include "of documents and writes"
+
     // near-dup clustering: the 10 identical spam docs form ONE component
     // whose representative is the smallest id (0), everything else solo
     val comps = post("/pipeline/components",
