@@ -59,6 +59,9 @@ import graft.operators.BooleanPredicates
   * |                       |  defaultBudget?/priorityCol?}                |
   * | /pipeline/strip_chunks | {entity, textCol, idCol, window?, stride?,  |
   * |                       |  minDocs?}                                   |
+  * | /pipeline/asof        | {left, right, keys:[..], tsCol, tieCol,      |
+  * |                       |  payload:[..], direction?, strict?,          |
+  * |                       |  toleranceMs?}                               |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
   * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
@@ -512,6 +515,23 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, sampled)
+      case "/pipeline/asof" =>
+        // point-in-time enrichment of one entity from another: nearest
+        // right row per key at-or-before (backward) / at-or-after
+        // (forward) each left row, optional tolerance horizon
+        import scala.jdk.CollectionConverters._
+        def strs(name: String): Seq[String] =
+          req.get(name).elements().asScala.map(_.asText()).toSeq
+        pagedRows(out, graft.operators.AsOfJoin.asOf(
+          entity(req, "left").read(), entity(req, "right").read(),
+          keys = strs("keys"), tsCol = req.get("tsCol").asText(),
+          tieCol = req.get("tieCol").asText(), payload = strs("payload"),
+          direction =
+            if (req.has("direction")) req.get("direction").asText() else "backward",
+          strict = req.has("strict") && req.get("strict").asBoolean(),
+          toleranceMicros =
+            if (req.has("toleranceMs")) Some(req.get("toleranceMs").asLong() * 1000L)
+            else None))
       case "/pipeline/strip_chunks" =>
         // boilerplate removal: documents rewritten with corpus-duplicated
         // token windows erased (the fix half of repeated-chunk detection)

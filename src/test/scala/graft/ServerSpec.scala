@@ -458,6 +458,47 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"kb"}""")
   }
 
+  test("as-of enrichment over the wire") {
+    // quotes (right) enrich trades (left): most recent quote per symbol
+    // at-or-before each trade; ts columns are epoch-second longs (the
+    // operator casts through TIMESTAMP)
+    post("/entity/create", """{"name":"trades"}""").get("ok").asBoolean() shouldBe true
+    post("/entity/create", """{"name":"quotes"}""").get("ok").asBoolean() shouldBe true
+    post("/entity/insert",
+      """{"name":"trades","rows":[
+        |{"sym":"A","tid":1,"ts":1000},
+        |{"sym":"A","tid":2,"ts":2000},
+        |{"sym":"B","tid":3,"ts":1500}]}""".stripMargin)
+      .get("inserted").asInt() shouldBe 3
+    post("/entity/insert",
+      """{"name":"quotes","rows":[
+        |{"sym":"A","qid":10,"ts":900,"px":1.5},
+        |{"sym":"A","qid":11,"ts":1900,"px":2.5},
+        |{"sym":"B","qid":20,"ts":1600,"px":9.0}]}""".stripMargin)
+      .get("inserted").asInt() shouldBe 3
+    val r = post("/pipeline/asof",
+      """{"left":"trades","right":"quotes","keys":["sym"],"tsCol":"ts",
+        |"tieCol":"qid","payload":["qid","px"]}""".stripMargin)
+    r.get("ok").asBoolean() shouldBe true
+    val byTid = r.get("rows").elements().asScala.toSeq
+      .map(row => row.get("tid").asInt() -> row).toMap
+    byTid(1).get("qid").asInt() shouldBe 10 // 900 quote
+    byTid(2).get("qid").asInt() shouldBe 11 // 1900 quote
+    byTid(2).get("px").asDouble() shouldBe 2.5
+    // null payloads are omitted from the JSON row entirely
+    Option(byTid(3).get("qid")).forall(_.isNull) shouldBe true // B's quote is later
+    // both matches sit 100 s before their trades; a 50 s horizon trims them
+    val tight = post("/pipeline/asof",
+      """{"left":"trades","right":"quotes","keys":["sym"],"tsCol":"ts",
+        |"tieCol":"qid","payload":["qid","px"],"toleranceMs":50000}""".stripMargin)
+    val t2 = tight.get("rows").elements().asScala.toSeq
+      .map(row => row.get("tid").asInt() -> row).toMap
+    Option(t2(1).get("qid")).forall(_.isNull) shouldBe true
+    Option(t2(2).get("qid")).forall(_.isNull) shouldBe true
+    post("/entity/drop", """{"name":"trades"}""")
+    post("/entity/drop", """{"name":"quotes"}""")
+  }
+
   test("GET / serves the browser console page") {
     for (path <- Seq("/", "/ui")) {
       val req = HttpRequest.newBuilder(
