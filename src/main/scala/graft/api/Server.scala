@@ -62,6 +62,8 @@ import graft.operators.BooleanPredicates
   * | /pipeline/asof        | {left, right, keys:[..], tsCol, tieCol,      |
   * |                       |  payload:[..], direction?, strict?,          |
   * |                       |  toleranceMs?}                               |
+  * | /pipeline/run         | {entity, textCol, idCol,                     |
+  * |                       |  stages:[{op, ...params}, ..]}               |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
   * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
@@ -515,6 +517,18 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, sampled)
+      case "/pipeline/run" =>
+        // declarative stage list compiled into one plan; each stage is
+        // {op, ...params} with params passed through as strings
+        import scala.jdk.CollectionConverters._
+        val stages = req.get("stages").elements().asScala.map { s =>
+          graft.operators.Pipeline.Stage(s.get("op").asText(),
+            s.fields().asScala.filter(_.getKey != "op")
+              .map(en => en.getKey -> en.getValue.asText()).toMap)
+        }.toSeq
+        pagedRows(out, graft.operators.Pipeline.run(
+          entity(req, "entity").read(),
+          req.get("textCol").asText(), req.get("idCol").asText(), stages))
       case "/pipeline/asof" =>
         // point-in-time enrichment of one entity from another: nearest
         // right row per key at-or-before (backward) / at-or-after

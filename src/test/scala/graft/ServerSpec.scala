@@ -458,6 +458,32 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"kb"}""")
   }
 
+  test("declarative pipeline runner over the wire") {
+    post("/entity/create", """{"name":"prun"}""").get("ok").asBoolean() shouldBe true
+    val rows = (0 until 20).map { i =>
+      val text = if (i < 2) "identical duplicate content shared by the first two docs"
+        else s"document number $i with its own words about engine internals"
+      s"""{"did":$i,"txt":"$text"}"""
+    }.mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"prun","rows":$rows}""")
+      .get("inserted").asInt() shouldBe 20
+    // exact dedup collapses docs 0/1, then shuffle, then pack
+    val r = post("/pipeline/run",
+      """{"entity":"prun","textCol":"txt","idCol":"did","stages":[
+        |{"op":"exact_dedup"},
+        |{"op":"shuffle","seed":7},
+        |{"op":"pack","budget":16,"shards":2}]}""".stripMargin)
+    r.get("ok").asBoolean() shouldBe true
+    val ids = r.get("rows").elements().asScala.map(_.get("id").asInt()).toSet
+    ids.size shouldBe 19 // doc 1 deduped away
+    ids should not contain 1
+    // an unknown stage is an error response
+    post("/pipeline/run",
+      """{"entity":"prun","textCol":"txt","idCol":"did","stages":[{"op":"nope"}]}""")
+      .get("ok").asBoolean() shouldBe false
+    post("/entity/drop", """{"name":"prun"}""")
+  }
+
   test("as-of enrichment over the wire") {
     // quotes (right) enrich trades (left): most recent quote per symbol
     // at-or-before each trade; ts columns are epoch-second longs (the
