@@ -98,6 +98,82 @@ object EventStream {
         col("l_ts"), col("r_ts"))
   }
 
+  final case class AsOfEvent(key: Long, ts: java.sql.Timestamp, id: Long, left: Boolean)
+  final case class AsOfPend(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long)])
+  final case class AsOfOut(user_id: Long, l_id: Long, l_ts: java.sql.Timestamp,
+                           r_id: Option[Long], r_ts: Option[java.sql.Timestamp])
+
+  /** STREAMING as-of join: each left event answered with the single most
+    * recent right event of the same user at-or-before it, within
+    * `toleranceMs` — emitted exactly once, as soon as the watermark
+    * proves the answer final (no earlier right event can still arrive).
+    * Unmatched left events emit with null right columns (the funnel
+    * side), mirroring [[graft.operators.AsOfJoin]]'s batch semantics
+    * (inclusive backward, ties to the highest right id).
+    *
+    * Spark's stream-stream joins can't express per-row top-1, so this is
+    * `flatMapGroupsWithState` over the tagged union of both feeds:
+    *  - state per user = pending left events (not yet past the
+    *    watermark) + the right-event buffer pruned to the tolerance
+    *    horizon behind the watermark — BOTH bounded: lefts drain as the
+    *    watermark passes them (event-time timeouts re-fire the group
+    *    without new input), rights expire `toleranceMs` behind it. The
+    *    required tolerance is exactly what makes 100 TB/day feeds
+    *    feasible — unbounded lookback would pin every right event
+    *    forever (same argument as [[correlate]]'s two-sided bound).
+    *  - a left at `lts` is answerable once `watermark >= lts`: every
+    *    right with `rts <= lts` has either arrived or is provably late.
+    *
+    * Streaming-only: under batch execution the watermark is absent, so
+    * nothing ever becomes answerable — batch callers use
+    * `AsOfJoin.asOf`, which produces identical results one plan cheaper.
+    */
+  def asOfCorrelate(left: DataFrame, right: DataFrame, toleranceMs: Long,
+                    watermark: String = "2 hours"): Dataset[AsOfOut] = {
+    require(toleranceMs > 0, "toleranceMs must be positive (it bounds join state)")
+    import left.sparkSession.implicits._
+    val l = left.select(col("user_id").as("key"), col("ts"),
+      col("event_id").as("id"), lit(true).as("left"))
+    val r = right.select(col("user_id").as("key"), col("ts"),
+      col("event_id").as("id"), lit(false).as("left"))
+    l.unionByName(r).withWatermark("ts", watermark).as[AsOfEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfPend, AsOfOut](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (key, rows, state) =>
+        val st = state.getOption.getOrElse(AsOfPend(Nil, Nil))
+        val incoming = rows.toSeq
+        val lefts = st.lefts ++
+          incoming.filter(_.left).map(e => (e.ts.getTime, e.id))
+        val rights = st.rights ++
+          incoming.filterNot(_.left).map(e => (e.ts.getTime, e.id))
+        val wm = state.getCurrentWatermarkMs()
+        val (ready, pending) = lefts.partition(_._1 <= wm)
+        val out = ready.sorted.map { case (lts, lid) =>
+          val cand = rights.filter { case (rts, _) =>
+            rts <= lts && lts - rts <= toleranceMs }
+          if (cand.isEmpty) AsOfOut(key, lid, new java.sql.Timestamp(lts), None, None)
+          else {
+            val (rts, rid) = cand.max // lexicographic: latest ts, then highest id
+            AsOfOut(key, lid, new java.sql.Timestamp(lts),
+              Some(rid), Some(new java.sql.Timestamp(rts)))
+          }
+        }
+        // a future left has lts > wm, so its candidates have
+        // rts >= lts - tolerance > wm - tolerance
+        val keepRights = rights.filter { case (rts, _) => rts > wm - toleranceMs }
+        if (pending.isEmpty && keepRights.isEmpty) state.remove()
+        else {
+          state.update(AsOfPend(pending, keepRights))
+          // pending lefts flush when the watermark passes the earliest
+          // one; a rights-only buffer gets garbage-collected one
+          // tolerance later
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
+          else state.setTimeoutTimestamp(wm + toleranceMs)
+        }
+        out.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

@@ -158,6 +158,77 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join answers each left with the final top-1 right") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long)]
+    val cols = Seq("event_id", "ts", "user_id")
+    val q = EventStream.asOfCorrelate(
+        memL.toDF().toDF(cols: _*), memR.toDF().toDF(cols: _*),
+        toleranceMs = 30L * 60 * 1000, watermark = "1 minute")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // user 1: rights at t2 (ids 100 & 101, tie -> 101) and t8; lefts at
+      // t5 (sees the t2 tie) and t9 (sees t8). user 2: left with no
+      // right at all. user 3: left whose only right is 40 min stale.
+      memR.addData((100L, ts(2), 1L), (101L, ts(2), 1L), (102L, ts(8), 1L),
+        (300L, ts(5), 3L))
+      memL.addData((1L, ts(5), 1L), (2L, ts(9), 1L), (20L, ts(9), 2L),
+        (30L, ts(45), 3L))
+      q.processAllAvailable()
+      // push the watermark far past every pending left to flush answers
+      memL.addData((99L, ts(500), 9L))
+      memR.addData((199L, ts(500), 9L))
+      q.processAllAvailable()
+      memL.addData((98L, ts(510), 9L)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      rows should contain((1L, 1L, 101L))  // tie at t2 -> highest id
+      rows should contain((1L, 2L, 102L))  // most recent at-or-before t9
+      rows should contain((2L, 20L, -1L))  // no right ever -> null answer
+      rows should contain((3L, 30L, -1L))  // only right is beyond tolerance
+      // each left answered exactly once
+      val answered = spark.table("asof_stream").collect().map(_.getLong(1))
+      answered.length shouldBe answered.distinct.length
+    } finally q.stop()
+  }
+
+  test("streaming as-of answer arrives only after the watermark makes it final") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long)]
+    val cols = Seq("event_id", "ts", "user_id")
+    // 5-minute watermark delay: after the first batch (max ts = t10) the
+    // watermark sits at t5, so the t9 right in the SECOND batch is
+    // in-time data, not late
+    val q = EventStream.asOfCorrelate(
+        memL.toDF().toDF(cols: _*), memR.toDF().toDF(cols: _*),
+        toleranceMs = 30L * 60 * 1000, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof_final")
+      .outputMode("append").start()
+    try {
+      memL.addData((1L, ts(10), 1L))
+      memR.addData((100L, ts(2), 1L))
+      q.processAllAvailable()
+      // watermark is still behind t10 — a better right (t9) could yet
+      // arrive, so nothing may be emitted
+      spark.table("asof_final").count() shouldBe 0L
+      memR.addData((101L, ts(9), 1L)) // it does arrive, same batch horizon
+      q.processAllAvailable()
+      memL.addData((99L, ts(500), 9L))
+      memR.addData((199L, ts(500), 9L))
+      q.processAllAvailable()
+      memL.addData((98L, ts(510), 9L))
+      q.processAllAvailable()
+      val ans = spark.table("asof_final").collect()
+        .filter(_.getLong(1) == 1L).map(_.getLong(3))
+      ans.toSeq shouldBe Seq(101L) // the late-but-in-time t9 right won
+    } finally q.stop()
+  }
+
   test("per-row quality verdicts run natively on a stream (stateless map stage)") {
     // the zero-shuffle kernel form needs no foreachBatch: it is a pure
     // projection, so Structured Streaming accepts it directly
