@@ -334,6 +334,18 @@ object SparkEntry {
         .orderBy("user_id", "l_id")
     }),
 
+    "event_funnel" -> ((s, d) =>
+      // greedy earliest-chain funnel in ONE shuffle: per-user sorted
+      // event collect + codegen aggregate() fold (the 2k-shuffle
+      // cascade alternative is the oracle's formulation)
+      EventAnalytics.funnel(Tables.events(s, d),
+          Seq("click", "view", "purchase"))
+        .orderBy("user_id")),
+
+    "event_retention" -> ((s, d) =>
+      EventAnalytics.retention(Tables.events(s, d))
+        .orderBy("cohort_day", "day_offset")),
+
     "range_join_price_bands" -> ((s, d) => {
       // pure range-predicate join (no equi key) — Catalyst alone would
       // plan BroadcastNestedLoopJoin; the binned form is a hash join on
@@ -1551,6 +1563,30 @@ object SparkEntry {
         |    AND r.event_type = 'purchase'
         |    AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
         |ORDER BY l.user_id, l_id""".stripMargin,
+
+    "event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed,
+        |  (t3 IS NOT NULL) AS completed
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    "event_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT c.cohort_day, datediff('day', c.cohort_day, ud.d) AS day_offset,
+        |  count(*) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "range_join_price_bands" ->
       """SELECT p_partkey, count(*) AS n_in_band,

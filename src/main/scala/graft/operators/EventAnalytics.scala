@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `(event_id, ts, user_id,
+  * event_type, …)` shape: funnels and retention cohorts — the product
+  * analytics every event warehouse runs, expressed as single-pass
+  * Spark plans.
+  *
+  * Reference scope: ADAMpro has no event analytics at all; this extends
+  * the engine's streaming/event brief (sessionization, attribution,
+  * as-of) with the remaining classic shapes.
+  */
+object EventAnalytics {
+
+  /** Funnel completion per user: how far each user progresses through
+    * the ordered `steps` sequence under GREEDY earliest-chain semantics
+    * (earliest step-1 event, then the earliest step-2 event strictly
+    * after it, and so on). Greedy is exact for existence: taking the
+    * earliest completion of step k maximizes the time available for
+    * step k+1, so a user completes the funnel under greedy iff ANY
+    * in-order completion exists. Output: `user_id`, `steps_completed`
+    * (0..steps.length), `completed` flag.
+    *
+    * Plan shape: ONE shuffle (groupBy user) collecting each user's
+    * (ts, type) pairs time-sorted, then a codegen `aggregate` HOF walks
+    * the sorted array once advancing a (step, lastTs) state. At 100 TB
+    * the per-user event list is the only memory bound — the same
+    * per-key bound as any sessionization — and no join or second
+    * shuffle exists. The alternative cascade (one conditional
+    * aggregation + join per step) costs `2k` shuffles.
+    *
+    * Ties: an event at exactly the same timestamp as the previous
+    * step's match does NOT advance the funnel (strictly-after
+    * semantics, `ts > lastTs`); events of the same type and timestamp
+    * are interchangeable. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             tsCol: String = "ts", userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val stepArr = array(steps.map(lit): _*)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+      col(typeCol).as("y"))))
+    // state: (next step index to match, ts of the last matched step)
+    val init = struct(lit(0).as("i"), lit(Long.MinValue).as("last"))
+    val walk = aggregate(
+      evs, init,
+      (st, e) => when(
+        st.getField("i") < steps.size &&
+          e.getField("y") === element_at(stepArr, st.getField("i") + 1) &&
+          e.getField("t") > st.getField("last"),
+        struct((st.getField("i") + 1).as("i"), e.getField("t").as("last")))
+        .otherwise(st))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(walk.getField("i").as("steps_completed"))
+      .withColumn("completed", col("steps_completed") === steps.size)
+  }
+
+  /** Retention cohorts: users grouped by their first-activity day, with
+    * active-user counts at each day offset since that first day.
+    * Output: `cohort_day` (date), `day_offset`, `n_users` — the
+    * retention-curve relation a cohort chart reads directly.
+    *
+    * Plan shape: one shuffle keyed by user computes each user's cohort
+    * day inline with its distinct activity days (a single groupBy with
+    * `min` + `collect_set`), then a bounded explode of per-user day
+    * offsets feeds one partial-aggregated rollup on (cohort, offset).
+    * Shuffled rows are (user, day) pairs and then (cohort, offset)
+    * partials — event payloads never move. */
+  def retention(events: DataFrame, tsCol: String = "ts",
+                userCol: String = "user_id"): DataFrame = {
+    val day = to_date(col(tsCol).cast("timestamp"))
+    events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(day).as("cohort_day"), collect_set(day).as("days"))
+      .select(col("cohort_day"),
+        explode(col("days")).as("active_day"))
+      .select(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

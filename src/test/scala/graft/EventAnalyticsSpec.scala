@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+
+/** Funnel (greedy earliest-chain) and retention-cohort semantics. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+  private def tsd(day: Int, hour: Int) =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("funnel: greedy chain counts in-order steps only") {
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "view"), (3L, ts(3), 1L, "purchase"),
+      // user 2: purchase BEFORE view -> stops at 2 steps
+      (4L, ts(1), 2L, "click"), (5L, ts(2), 2L, "purchase"), (6L, ts(3), 2L, "view"),
+      // user 3: never clicks -> 0 even though later steps occur
+      (7L, ts(1), 3L, "view"), (8L, ts(2), 3L, "purchase"),
+      // user 4: only clicks
+      (9L, ts(5), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnel(ev, Seq("click", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    out(1L) shouldBe ((3, true))
+    out(2L) shouldBe ((2, false))
+    out(3L) shouldBe ((0, false))
+    out(4L) shouldBe ((1, false))
+  }
+
+  test("funnel: greedy earliest choice never misses a later valid chain") {
+    // click at t1 and t4; view only at t2. Greedy takes click@t1 and
+    // still finds view@t2. A last-click rule would miss it.
+    val ev = Seq(
+      (1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "view"), (3L, ts(4), 1L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    EventAnalytics.funnel(ev, Seq("click", "view"))
+      .head().getInt(1) shouldBe 2
+  }
+
+  test("funnel: same-timestamp events do not advance (strictly-after)") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "click"), (2L, ts(1), 1L, "view"), // same instant
+      (3L, ts(2), 2L, "click"), (4L, ts(3), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnel(ev, Seq("click", "view"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out(1L) shouldBe 1 // view at the click's own instant doesn't count
+    out(2L) shouldBe 2
+  }
+
+  test("funnel refuses empty or duplicate step lists") {
+    val ev = Seq((1L, ts(1), 1L, "click")).toDF("event_id", "ts", "user_id", "event_type")
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnel(ev, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnel(ev, Seq("click", "click"))
+  }
+
+  test("retention: cohorts by first day, distinct active offsets") {
+    val ev = Seq(
+      // user 1: first seen day 1, active days 1, 2, 4 (two events day 2)
+      (1L, tsd(1, 9), 1L, "click"), (2L, tsd(2, 9), 1L, "view"),
+      (3L, tsd(2, 20), 1L, "view"), (4L, tsd(4, 9), 1L, "click"),
+      // user 2: first seen day 2, active day 2 only
+      (5L, tsd(2, 12), 2L, "click"),
+      // user 3: first seen day 1, active days 1 and 2
+      (6L, tsd(1, 23), 3L, "view"), (7L, tsd(2, 1), 3L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.retention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    out(("2024-01-01", 0)) shouldBe 2L // users 1 and 3 on their day 0
+    out(("2024-01-01", 1)) shouldBe 2L // both return next day (dup events collapse)
+    out(("2024-01-01", 3)) shouldBe 1L // only user 1 on day 3
+    out(("2024-01-02", 0)) shouldBe 1L // user 2's own cohort
+    out.keySet.map(_._1) shouldBe Set("2024-01-01", "2024-01-02")
+  }
+}
