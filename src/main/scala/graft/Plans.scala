@@ -66,7 +66,35 @@ object Plans {
       // (pq_adc kernel), with the raw embedding table only reached
       // through the candidate-bounded semi-join rerank
       ("hybrid_search_rrf", "TakeOrdered-bounded fusion; vector leg ranks over index codes",
-        Seq("TakeOrderedAndProject", "FullOuter", "pq_adc", "LeftSemi")))
+        Seq("TakeOrderedAndProject", "FullOuter", "pq_adc", "LeftSemi")),
+      ("event_funnel", "funnel folds per-user sorted collect in one aggregation",
+        Seq("collect_list", "ObjectHashAggregate")),
+      ("strip_repeated_chunks", "dup-hash relation joins back; rewrite is an array filter",
+        Seq("Generate explode", "md5", "filter")))
+
+    // the as-of join must plan as ONE keyed shuffle + running window —
+    // no join operator at all; the range join must be a hash equi-join,
+    // never a nested loop over the range predicate
+    {
+      val asofPlan = SparkEntry.queries("event_asof_attribution")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val asofJoins = "Join".r.findAllIn(asofPlan).length
+      if (asofJoins == 0 && asofPlan.contains("Window"))
+        println("[plan-ok] event_asof_attribution: tagged-union window, zero joins")
+      else {
+        println(s"[plan-MISS] event_asof_attribution: expected join-free window plan\n$asofPlan")
+        sys.exit(1)
+      }
+      val rangePlan = SparkEntry.queries("range_join_price_bands")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (!rangePlan.contains("NestedLoop") && !rangePlan.contains("CartesianProduct")
+          && rangePlan.contains("Join"))
+        println("[plan-ok] range_join_price_bands: binned hash equi-join, no nested loop")
+      else {
+        println(s"[plan-MISS] range_join_price_bands: expected hash join without NLJ\n$rangePlan")
+        sys.exit(1)
+      }
+    }
 
     // negative shape: these must not shuffle before their
     // (presentation-only) global sort — strip the final Sort's own range
