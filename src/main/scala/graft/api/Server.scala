@@ -64,6 +64,9 @@ import graft.operators.BooleanPredicates
   * |                       |  toleranceMs?}                               |
   * | /pipeline/run         | {entity, textCol, idCol,                     |
   * |                       |  stages:[{op, ...params}, ..]}               |
+  * | /events/funnel        | {entity, steps:[..], tsCol?, userCol?,       |
+  * |                       |  typeCol?}                                   |
+  * | /events/retention     | {entity, tsCol?, userCol?}                   |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
   * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
@@ -517,6 +520,20 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, sampled)
+      case "/events/funnel" =>
+        import scala.jdk.CollectionConverters._
+        pagedRows(out, graft.operators.EventAnalytics.funnel(
+          entity(req, "entity").read(),
+          req.get("steps").elements().asScala.map(_.asText()).toSeq,
+          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id",
+          typeCol = if (req.has("typeCol")) req.get("typeCol").asText() else "event_type"))
+      case "/events/retention" =>
+        pagedRows(out, graft.operators.EventAnalytics.retention(
+          entity(req, "entity").read(),
+          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id")
+          .orderBy("cohort_day", "day_offset"))
       case "/pipeline/run" =>
         // declarative stage list compiled into one plan; each stage is
         // {op, ...params} with params passed through as strings

@@ -484,6 +484,34 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"prun"}""")
   }
 
+  test("funnel and retention analytics over the wire") {
+    post("/entity/create", """{"name":"ev"}""").get("ok").asBoolean() shouldBe true
+    post("/entity/insert",
+      """{"name":"ev","rows":[
+        |{"event_id":1,"ts":100,"user_id":1,"event_type":"click"},
+        |{"event_id":2,"ts":200,"user_id":1,"event_type":"view"},
+        |{"event_id":3,"ts":300,"user_id":1,"event_type":"purchase"},
+        |{"event_id":4,"ts":100,"user_id":2,"event_type":"click"},
+        |{"event_id":5,"ts":90000000,"user_id":2,"event_type":"view"}]}""".stripMargin)
+      .get("inserted").asInt() shouldBe 5
+    val f = post("/events/funnel",
+      """{"entity":"ev","steps":["click","view","purchase"]}""")
+    f.get("ok").asBoolean() shouldBe true
+    val byUser = f.get("rows").elements().asScala.toSeq
+      .map(r => r.get("user_id").asLong() -> r.get("steps_completed").asInt()).toMap
+    byUser(1L) shouldBe 3
+    byUser(2L) shouldBe 2
+    val ret = post("/events/retention", """{"entity":"ev"}""")
+    ret.get("ok").asBoolean() shouldBe true
+    // user 2's view is ~1041 days after the click: two cohort rows for
+    // day 0 (both users) and one far offset (user 2)
+    val rows = ret.get("rows").elements().asScala.toSeq
+      .map(r => (r.get("day_offset").asInt(), r.get("n_users").asLong()))
+    rows should contain((0, 2L))
+    rows.map(_._1).max should be > 1000
+    post("/entity/drop", """{"name":"ev"}""")
+  }
+
   test("as-of enrichment over the wire") {
     // quotes (right) enrich trades (left): most recent quote per symbol
     // at-or-before each trade; ts columns are epoch-second longs (the
