@@ -174,6 +174,64 @@ object EventStream {
       }
   }
 
+  final case class FunnelState(step: Int, lastTs: Long, pending: Seq[(Long, String)])
+  final case class FunnelAdvance(user_id: Long, steps_completed: Int,
+                                 at_ts: java.sql.Timestamp)
+
+  /** STREAMING funnel: emits one row per user per step ADVANCE — the
+    * incremental form of [[graft.operators.EventAnalytics.funnel]]'s
+    * greedy earliest-chain semantics (exact for existence), on an
+    * unbounded feed.
+    *
+    * Out-of-order safety: events buffer per user until the watermark
+    * passes them, then fold into the persistent (step, lastTs) state in
+    * event-time order — so a late-but-in-time step-k event arriving
+    * after a step-k+1 event still matches in the right order, exactly
+    * as the batch operator would. State per user = the constant-size
+    * fold state + a buffer bounded by the watermark delay; event-time
+    * timeouts drain buffered events without new traffic. Each advance
+    * emits exactly once (append mode), so downstream consumers see the
+    * funnel as a monotone step stream per user. */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+                   watermark: String = "2 hours"): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        val st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Nil))
+        val all = st.pending ++ rows.toSeq
+          // only steps the funnel could ever use need buffering
+          .filter(e => stepIdx.contains(e._3))
+          .map(e => (e._2.getTime, e._3))
+        val wm = state.getCurrentWatermarkMs()
+        val (ready, pending) = all.partition(_._1 <= wm)
+        var step = st.step
+        var lastTs = st.lastTs
+        val out = Seq.newBuilder[FunnelAdvance]
+        ready.sorted.foreach { case (t, y) =>
+          if (step < steps.size && y == steps(step) && t > lastTs) {
+            step += 1; lastTs = t
+            out += FunnelAdvance(user, step, new java.sql.Timestamp(t))
+          }
+        }
+        if (step >= steps.size && pending.isEmpty) state.remove()
+        else {
+          state.update(FunnelState(step, lastTs, pending))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
+          // completed-or-idle users keep no timeout: state is the
+          // constant-size fold state only
+        }
+        out.result().iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

@@ -229,6 +229,60 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits one row per step advance, in event-time order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventStream.funnelStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        Seq("click", "view", "purchase"), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // user 1 advances over two batches; user 2's purchase-before-view
+      // never advances past step 1; "noise" types are not even buffered
+      mem.addData((1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "noise"),
+        (3L, ts(1), 2L, "click"), (4L, ts(2), 2L, "purchase"))
+      q.processAllAvailable()
+      mem.addData((5L, ts(3), 1L, "view"), (6L, ts(4), 1L, "purchase"))
+      q.processAllAvailable()
+      mem.addData((97L, ts(500), 9L, "noise"))
+      q.processAllAvailable()
+      mem.addData((96L, ts(510), 9L, "noise"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      rows.filter(_._1 == 1L).map(_._2).sorted shouldBe Seq(1, 2, 3)
+      rows.filter(_._1 == 2L).map(_._2) shouldBe Seq(1) // purchase skipped step 2
+    } finally q.stop()
+  }
+
+  test("streaming funnel folds late-but-in-time events in event-time order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventStream.funnelStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        Seq("click", "view"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    try {
+      // the view ARRIVES first; the click arrives later with an EARLIER
+      // event time (still inside the watermark). A fold-on-arrival would
+      // reject the view; the buffered fold completes the funnel.
+      mem.addData((1L, ts(8), 1L, "view"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(2), 1L, "click"))
+      q.processAllAvailable()
+      mem.addData((99L, ts(500), 9L, "x"))
+      q.processAllAvailable()
+      mem.addData((98L, ts(510), 9L, "x"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_late").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getTimestamp(2))).sortBy(_._1)
+      rows.map(_._1).toSeq shouldBe Seq(1, 2)
+      rows.map(_._2).toSeq shouldBe Seq(ts(2), ts(8)) // advances in EVENT order
+    } finally q.stop()
+  }
+
   test("per-row quality verdicts run natively on a stream (stateless map stage)") {
     // the zero-shuffle kernel form needs no foreachBatch: it is a pure
     // projection, so Structured Streaming accepts it directly
