@@ -334,6 +334,26 @@ object SparkEntry {
         .orderBy("user_id", "l_id")
     }),
 
+    "geo_radius_join" -> ((s, d) => {
+      // 2-D grid-binned radius JOIN (every point within 300 km of every
+      // 50th point as POI) — one hash equi-join on radius-sized lat/lng
+      // cells, never a nested loop; exact Haversine filter after.
+      // Grid built with 5 mm slack past the radius so the rounded
+      // cutoff below is the ONLY cut both engines apply.
+      val emb = Tables.embeddings(s, d)
+      def latOf(c: Column) = (element_at(c, 1).cast("double") * 20.0)
+      def lngOf(c: Column) = (element_at(c, 2).cast("double") * 40.0)
+      val pts = emb.select(col("vec_id"), latOf(col("embedding")).as("lat"),
+        lngOf(col("embedding")).as("lng"))
+      val pois = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("poi_id"), latOf(col("embedding")).as("poi_lat"),
+          lngOf(col("embedding")).as("poi_lng"))
+      Geo.radiusJoin(pts, "lat", "lng", pois, "poi_lat", "poi_lng", 300000.005)
+        .select(col("poi_id"), col("vec_id"), round(col("dist_m"), 2).as("dist_m"))
+        .filter(col("dist_m") <= 300000.0)
+        .orderBy("poi_id", "vec_id")
+    }),
+
     "event_funnel" -> ((s, d) =>
       // greedy earliest-chain funnel in ONE shuffle: per-user sorted
       // event collect + codegen aggregate() fold (the 2k-shuffle
@@ -2627,6 +2647,26 @@ object SparkEntry {
          |         round(2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)), 2) AS dist_m
          |  FROM embeddings e, q
          |) WHERE dist_m <= 250000.0 ORDER BY vec_id""".stripMargin
+    },
+
+    "geo_radius_join" -> {
+      def glat(e: String) = s"radians(greatest(-90.0, least(90.0, CAST($e[1] AS DOUBLE) * 20.0)))"
+      def glng(e: String) =
+        s"""radians(CASE WHEN fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod(CAST($e[2] AS DOUBLE) * 40.0, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        """(power(sin((pla - qla) / 2), 2)
+          | + cos(qla) * cos(pla) * power(sin((plo - qlo) / 2), 2))""".stripMargin
+      s"""WITH p AS (SELECT vec_id, ${glat("embedding")} AS pla, ${glng("embedding")} AS plo
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS poi_id, ${glat("embedding")} AS qla, ${glng("embedding")} AS qlo
+         |      FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT poi_id, vec_id, dist_m FROM (
+         |  SELECT q.poi_id, p.vec_id,
+         |         round(2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)), 2) AS dist_m
+         |  FROM p, q
+         |) WHERE dist_m <= 300000.0 ORDER BY poi_id, vec_id""".stripMargin
     },
   )
 

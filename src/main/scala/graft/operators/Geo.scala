@@ -59,4 +59,77 @@ object Geo {
   def withinRadius(lat: Column, lng: Column, qLat: Column, qLng: Column,
                    meters: Column): Column =
     haversineMeters(lat, lng, qLat, qLng) <= meters
+
+  /** Meridian degree length on the spherical Earth the Haversine kernel
+    * uses (R = 6 371 000 m): π·R/180. */
+  private val MetersPerDeg = 6371000.0 * math.Pi / 180.0
+
+  /** Geo radius JOIN: every (point, poi) pair within `radiusMeters`
+    * great-circle distance — the 2-D twin of
+    * [[RangeJoin.pointsInIntervals]]. Catalyst would plan the raw
+    * distance predicate as a nested-loop join; here both sides map onto
+    * a lat/lng grid of `radius`-sized cells: each point lands in ONE
+    * cell, each poi explodes to the cells its radius bounding box
+    * overlaps (latitude span is the radius itself; longitude span
+    * widens by 1/cos at the box's extreme latitude, with a 1.001 slack
+    * absorbing the sub-linear chord bound — lossless for any radius
+    * small against the Earth), and one hash equi-join on the cell key
+    * feeds the exact Haversine filter. Cell fan-out per poi is
+    * O((2 + 1/cosφ)²), guarded by `maxCellsPerRow` via a distributed
+    * `raise_error` (polar bounding boxes fail loudly rather than
+    * exploding a task). Pairs join exactly once (a point's cell is
+    * unique, a poi emits each cell once).
+    *
+    * Known limitation: the grid does not wrap at the ±180° antimeridian
+    * — pairs straddling the seam are missed (documented, like every
+    * planar-grid geo join).
+    *
+    * Output: all columns of both sides + `dist_m`. Non-shared column
+    * names must be disjoint. */
+  def radiusJoin(points: org.apache.spark.sql.DataFrame, latCol: String, lngCol: String,
+                 pois: org.apache.spark.sql.DataFrame, poiLatCol: String, poiLngCol: String,
+                 radiusMeters: Double, maxCellsPerRow: Long = 256L): org.apache.spark.sql.DataFrame = {
+    require(radiusMeters > 0, "radius must be positive")
+    require(maxCellsPerRow > 0, "maxCellsPerRow must be positive")
+    val overlap = points.columns.toSet.intersect(pois.columns.toSet)
+    require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
+    val dDeg = radiusMeters / MetersPerDeg
+
+    def normLat(c: Column) = greatest(lit(-90.0), least(lit(90.0), c.cast("double")))
+    def normLng(c: Column) = {
+      val w = (c.cast("double") % 360.0 + 360.0) % 360.0
+      when(w >= 180.0, w - 360.0).otherwise(w)
+    }
+    def cellOf(v: Column) = floor(v / dDeg).cast("long")
+
+    val p = points
+      .withColumn("ap_clat", cellOf(normLat(col(latCol))))
+      .withColumn("ap_clng", cellOf(normLng(col(lngCol))))
+
+    val lat0 = normLat(col(poiLatCol))
+    val lng0 = normLng(col(poiLngCol))
+    // widest longitude span inside the box: at its extreme latitude
+    val cosM = cos(radians(least(lit(89.9), abs(lat0) + lit(dDeg))))
+    val lngSpan = lit(dDeg * 1.001) / cosM
+    val latLo = cellOf(lat0 - dDeg * 1.001)
+    val latHi = cellOf(lat0 + dDeg * 1.001)
+    val lngLo = cellOf(lng0 - lngSpan)
+    val lngHi = cellOf(lng0 + lngSpan)
+    // guard rides the sequence bound so projection pruning can't skip it
+    val tooMany = (latHi - latLo + 1) * (lngHi - lngLo + 1) > maxCellsPerRow
+    val lngHiGuarded = coalesce(
+      when(tooMany, raise_error(concat(
+        lit(s"poi radius box spans more than $maxCellsPerRow cells at lat "),
+        lat0.cast("string")))).cast("long"),
+      lngHi)
+    val b = pois
+      .withColumn("ap_clat", explode(sequence(latLo, latHi)))
+      .withColumn("ap_clng", explode(sequence(lngLo, lngHiGuarded)))
+
+    p.join(b, Seq("ap_clat", "ap_clng"))
+      .withColumn("dist_m", haversineMeters(col(latCol), col(lngCol),
+        col(poiLatCol), col(poiLngCol)))
+      .filter(col("dist_m") <= radiusMeters)
+      .drop("ap_clat", "ap_clng")
+  }
 }

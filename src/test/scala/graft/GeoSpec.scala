@@ -46,6 +46,46 @@ class GeoSpec extends SparkSpec {
     m shouldBe v // identical formula, bit-exact
   }
 
+  test("radiusJoin is lossless vs the cross-filter reference, exactly once") {
+    // pseudo-random spread over mid and high latitudes (high lat widens
+    // the longitude cell span — the lossy case a naive square grid misses)
+    val pts = (0 until 120).map { i =>
+      (i.toLong, ((i * 37) % 160 - 80) * 0.9, ((i * 53) % 360 - 180) * 0.95)
+    }.toDF("pid", "lat", "lng")
+    val pois = (0 until 25).map { i =>
+      (1000L + i, ((i * 71) % 160 - 80) * 0.9, ((i * 29) % 360 - 180) * 0.95)
+    }.toDF("qid", "qlat", "qlng")
+    for (radius <- Seq(200000.0, 1000000.0)) {
+      val got = Geo.radiusJoin(pts, "lat", "lng", pois, "qlat", "qlng", radius)
+        .select("pid", "qid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = pts.crossJoin(pois)
+        .filter(Geo.haversineMeters(col("lat"), col("lng"),
+          col("qlat"), col("qlng")) <= radius)
+        .select("pid", "qid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"radius $radius: ") {
+        got.length shouldBe got.toSet.size // exactly-once
+        got.toSet shouldBe want
+        want.size should be > 0 // the comparison actually exercised pairs
+      }
+    }
+  }
+
+  test("radiusJoin plans as a hash equi-join and guards polar fan-out") {
+    val pts = Seq((1L, 10.0, 10.0)).toDF("pid", "lat", "lng")
+    val pois = Seq((2L, 10.1, 10.1)).toDF("qid", "qlat", "qlng")
+    val plan = Geo.radiusJoin(pts, "lat", "lng", pois, "qlat", "qlng", 50000.0)
+      .queryExecution.executedPlan.toString
+    plan should not include "NestedLoop"
+    plan should not include "CartesianProduct"
+    // a POI at 89.9 degrees: the 1/cos span explodes past the cap
+    val polar = Seq((3L, 89.9, 0.0)).toDF("qid", "qlat", "qlng")
+    val ex = intercept[Exception] {
+      Geo.radiusJoin(pts, "lat", "lng", polar, "qlat", "qlng", 500000.0,
+        maxCellsPerRow = 16L).count()
+    }
+    ex.getMessage should include("spans more than 16 cells")
+  }
+
   test("radius predicate filters and pushes like a normal filter") {
     val pts = Seq((1L, 48.8566, 2.3522), (2L, 51.5074, -0.1278), (3L, 40.7128, -74.006))
       .toDF("id", "lat", "lng")
