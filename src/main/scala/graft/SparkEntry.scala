@@ -1014,6 +1014,14 @@ object SparkEntry {
           weights = Map("en" -> 0.5, "de" -> 0.2), defaultWeight = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "sample_epoch_mix" -> ((s, d) =>
+      // fractional-epoch mixture: src1 repeats 2.5x (2 copies + hash-
+      // gated third), src0 downsamples to 0.25, everything else 1 epoch
+      Sampling.epochMix(Tables.documents(s, d), "source", "text",
+          epochs = Map("src0" -> 0.25, "src1" -> 2.5), defaultEpochs = 1.0)
+        .select("doc_id", "source", "ap_epoch")
+        .orderBy("doc_id", "ap_epoch")),
+
     "sample_token_budget" -> ((s, d) =>
       // per-domain TOKEN budgets (not row counts): longest docs first,
       // src0 dropped outright, src1 effectively uncapped
@@ -2468,6 +2476,19 @@ object SparkEntry {
          |WHERE h % 10000 < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
          |                   ELSE 1000 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_epoch_mix" ->
+      s"""SELECT doc_id, source, unnest(generate_series(1, n)) AS ap_epoch FROM (
+         | SELECT doc_id, source,
+         |  CAST(floor(e) AS BIGINT)
+         |   + CASE WHEN (h % 10000) < CAST(round((e - floor(e)) * 10000) AS INT)
+         |          THEN 1 ELSE 0 END AS n
+         | FROM (SELECT doc_id, source,
+         |        CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 2.5
+         |             ELSE 1.0 END AS e,
+         |        ${duckRawHash("text")} AS h
+         |       FROM documents))
+         |ORDER BY doc_id, ap_epoch""".stripMargin,
 
     "sample_token_budget" ->
       s"""SELECT doc_id, source FROM (

@@ -53,10 +53,11 @@ import graft.operators.BooleanPredicates
   * |                       |  maxDupTokenFrac?, maxTopTokenFrac?,         |
   * |                       |  maxDupBigramFrac?, maxPii?}                 |
   * | /pipeline/sample      | {entity, keyCol, mode: bernoulli|stratified  |
-  * |                       |  |exact|weighted|token_budget,               |
+  * |                       |  |exact|weighted|token_budget|epoch_mix,     |
   * |                       |  fraction?/n?/weightCol?, strataCol?,        |
   * |                       |  domainCol?/tokenCol?/budgets?/              |
-  * |                       |  defaultBudget?/priorityCol?}                |
+  * |                       |  defaultBudget?/priorityCol?,                |
+  * |                       |  epochs?/defaultEpochs?}                     |
   * | /pipeline/strip_chunks | {entity, textCol, idCol, window?, stride?,  |
   * |                       |  minDocs?}                                   |
   * | /pipeline/asof        | {left, right, keys:[..], tsCol, tieCol,      |
@@ -504,6 +505,15 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case "exact" => Sampling.exactSample(e, keyCol, req.get("n").asInt())
           case "weighted" => // per-row keep probability from a column
             Sampling.weightedBernoulli(e, keyCol, col(req.get("weightCol").asText()))
+          case "epoch_mix" => // fractional-epoch oversampling per domain
+            import scala.jdk.CollectionConverters._
+            val epochs =
+              if (req.has("epochs"))
+                req.get("epochs").fields().asScala
+                  .map(en => en.getKey -> en.getValue.asDouble()).toMap
+              else Map.empty[String, Double]
+            Sampling.epochMix(e, req.get("domainCol").asText(), keyCol, epochs,
+              if (req.has("defaultEpochs")) req.get("defaultEpochs").asDouble() else 1.0)
           case "token_budget" => // per-domain token caps, best docs first
             import scala.jdk.CollectionConverters._
             val budgets =

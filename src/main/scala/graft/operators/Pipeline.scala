@@ -77,6 +77,15 @@ object Pipeline {
         Sampling.bernoulliSample(df, st.params.getOrElse("keyCol", textCol),
           d("fraction", 0.1))
 
+      case "sample_epoch_mix" =>
+        // per-domain overrides spell as epochs:<domain> -> factor
+        val epochs = st.params.collect {
+          case (k, v) if k.startsWith("epochs:") => k.stripPrefix("epochs:") -> v.toDouble
+        }
+        Sampling.epochMix(df, str("domainCol"),
+          st.params.getOrElse("keyCol", textCol), epochs,
+          d("defaultEpochs", 1.0))
+
       case "sample_token_budget" =>
         // per-domain overrides spell as budget:<domain> -> tokens
         val budgets = st.params.collect {

@@ -127,6 +127,38 @@ object Sampling {
     * quotas (`ceil(f_s · |stratum s|)`), the exact-count twin of
     * [[weightedMix]]. Strata absent from `fractions` use
     * `defaultFraction`; a fraction of 0 drops the stratum entirely. */
+  /** Epoch-mix OVERSAMPLING: emit each row `epochs(domain)` times,
+    * where fractional epochs become a deterministic Bernoulli extra
+    * copy — "train 2.5 epochs of books, 0.3 of web" — the upsampling
+    * half of mixture construction ([[weightedMix]] and
+    * [[tokenBudgetSample]] only downsample). A row with epochs e emits
+    * `floor(e)` copies plus one more iff its key hashes into the first
+    * `frac(e)` of the hash space (same portable hash + 1/10000
+    * quantization as [[bernoulliSample]], so e < 1 degenerates to
+    * exactly the Bernoulli keep-set and the output is key-stable under
+    * corpus growth). Output rows carry `ap_epoch` (1-based copy index)
+    * so downstream shuffles/packing can interleave copies.
+    *
+    * Pure codegen explode, zero shuffle; output volume is the mixture
+    * size by construction. */
+  def epochMix(df: DataFrame, domainCol: String, keyCol: String,
+               epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    (epochs.values.toSeq :+ defaultEpochs).foreach(e =>
+      require(e >= 0.0 && e <= 1000.0, s"epochs out of range: $e"))
+    require(!df.columns.contains("ap_epoch"), "ap_epoch is reserved")
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (dom, v)) => when(col(domainCol) === dom, lit(v)).otherwise(acc)
+    }
+    val cut = round((e - floor(e)) * 10000).cast("int")
+    val extra = when(pmod(keyHash(col(keyCol)), lit(10000)) < cut, 1L).otherwise(0L)
+    val copies = floor(e).cast("long") + extra
+    // sequence(1, 0) would infer a NEGATIVE step — guard to an empty
+    // array so zero-copy rows drop out through the explode
+    df.withColumn("ap_epoch",
+      explode(when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Token-budget sampling: keep the highest-priority documents of each
     * domain until that domain's TOKEN budget is exhausted — the
     * data-mixing primitive for assembling a training corpus under a

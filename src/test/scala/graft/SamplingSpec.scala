@@ -301,6 +301,38 @@ class SamplingSpec extends SparkSpec {
     out(4).getAs[Double]("dup_bigram_frac") shouldBe 0.3333 +- Epsilon
   }
 
+  test("epochMix: whole copies + hash-gated fractional copy; 0 drops; <1 = bernoulli") {
+    val df = (0 until 200).map(i => (s"doc $i", if (i < 100) "a" else "b"))
+      .toDF("key", "dom")
+    // dom a: exactly 2 epochs -> every row exactly twice, indices 1,2
+    val a2 = Sampling.epochMix(df, "dom", "key", Map("a" -> 2.0, "b" -> 0.0))
+    a2.filter(col("dom") === "b").count() shouldBe 0L
+    val aRows = a2.filter(col("dom") === "a")
+    aRows.count() shouldBe 200L
+    aRows.groupBy("key").count().filter(col("count") =!= 2).count() shouldBe 0L
+    aRows.select("ap_epoch").distinct().collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    // fractional epochs < 1 equal the plain Bernoulli keep-set
+    val frac = Sampling.epochMix(df, "dom", "key", Map.empty, defaultEpochs = 0.3)
+      .select("key").collect().map(_.getString(0)).toSet
+    val bern = Sampling.bernoulliSample(df, "key", 0.3)
+      .select("key").collect().map(_.getString(0)).toSet
+    frac shouldBe bern
+    // 2.3 epochs: every row at least twice, extras = the 0.3 keep-set
+    val mixed = Sampling.epochMix(df, "dom", "key", Map.empty, defaultEpochs = 2.3)
+    val counts = mixed.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.toSet shouldBe Set(2L, 3L)
+    counts.filter(_._2 == 3L).keySet shouldBe bern
+  }
+
+  test("epochMix refuses out-of-range epochs and reserved columns") {
+    val df = Seq(("k", "a")).toDF("key", "dom")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.epochMix(df, "dom", "key", Map("a" -> -0.1))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.epochMix(df.withColumn("ap_epoch", lit(1)), "dom", "key", Map.empty)
+  }
+
   test("tokenBudgetSample: priority order, budget-crossing doc admitted, overrides") {
     val df = Seq(
       ("a", 1L, 100L, 3.0), ("a", 2L, 100L, 2.0), ("a", 3L, 100L, 1.0),

@@ -317,6 +317,14 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     tb.get("ok").asBoolean() shouldBe true
     tb.get("rows").size() shouldBe 33
 
+    // epoch-mix oversampling: spam text repeats 2x exactly (whole epochs)
+    val em = post("/pipeline/sample",
+      """{"entity":"pipe","mode":"epoch_mix","keyCol":"txt","domainCol":"txt",
+        |"epochs":{"spam spam spam spam spam spam spam spam":2.0},
+        |"defaultEpochs":1.0}""".stripMargin)
+    em.get("ok").asBoolean() shouldBe true
+    em.get("rows").size() shouldBe 50 // 30 prose + 10 spam x 2
+
     // boilerplate removal over the wire: the spam docs are one fully
     // duplicated 8-token window -> erased to empty; the prose docs share
     // their tokens[8..15] window (the number token keeps window 0 unique)
