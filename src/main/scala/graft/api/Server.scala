@@ -400,6 +400,17 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         Entity.list(base).foreach(arr.add)
       case "/entity/count" =>
         out.put("count", entity(req).count())
+      case "/entity/versions" =>
+        // retained mutation snapshots (see Entity.retainVersions)
+        val arr = out.putArray("versions")
+        entity(req).versions.foreach(arr.add)
+      case "/entity/retain" =>
+        val e = entity(req)
+        e.retainVersions(req.get("keep").asInt())
+        out.put("retain", req.get("keep").asInt())
+      case "/entity/snapshot_count" =>
+        // row count of a retained snapshot version
+        out.put("count", entity(req).readVersion(req.get("version").asInt()).count())
       case "/entity/delete" =>
         out.put("deleted", withEntityLock(req.get("name").asText()) {
           entity(req).deleteWhere(BooleanPredicates.conjunction(predicatesOf(req)))

@@ -504,7 +504,48 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     // swap is only called once a mutation's data is fully written — a
     // pending flag inherited from an earlier crashed insert clears here
     writeMeta(metaPath, m.copy(pending = false))
-    if (oldVersion > 0) deleteRecursively(dataPath(oldVersion))
+    // retention: keep the newest `retain` versioned snapshots, delete
+    // the rest (retain = 1, the default, reproduces the old behavior:
+    // only the live version survives a swap)
+    versions.filter(_ <= m.version - math.max(1, m.retain))
+      .foreach(v => deleteRecursively(dataPath(v)))
+  }
+
+  /** Versioned snapshot directories currently on disk, oldest first.
+    * Each whole-table mutation (delete/vacuum/sparsify/layout/merge)
+    * produces a new version; with [[retainVersions]] > 1 the previous
+    * ones survive as readable snapshots. */
+  def versions: Seq[Int] = {
+    if (!Files.exists(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("data_v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("data_v").toInt).toOption)
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** Keep the newest `k` versioned snapshots across future mutations —
+    * the reproducibility knob for training pipelines (pin the exact
+    * corpus a run read while mutations continue). Snapshot boundaries
+    * are MUTATION swaps: inserts append into the live version, so the
+    * live snapshot is frozen only once the next mutation lands. */
+  def retainVersions(k: Int): Entity = {
+    require(k >= 1, "must retain at least the live version")
+    writeMeta(metaPath, meta.copy(retain = k))
+    this
+  }
+
+  /** Read a retained snapshot version (primary store only — attribute
+    * groups migrate over time and are served by [[read]] on the live
+    * version). */
+  def readVersion(v: Int): DataFrame = {
+    require(versions.contains(v), s"version $v not on disk (have: ${versions.mkString(",")})")
+    require(attributeGroups.isEmpty || v == meta.version,
+      "snapshot reads cover the primary store only; the live version serves attribute groups")
+    if (v == meta.version) read() else spark.read.parquet(dataPath(v).toString)
   }
 
   /** Metadata-only compaction check: number of data part files in the
@@ -542,7 +583,7 @@ object Entity {
     * completed state so an index saved mid-insert can never read as
     * fresh afterwards. */
   private[core] case class Meta(name: String, version: Int, insertCount: Int,
-                                pending: Boolean = false)
+                                pending: Boolean = false, retain: Int = 1)
 
   /** Persisted directory-layout descriptor: `mode` ∈ {ecp, bycolumn},
     * `keyCol` = vector column (ecp) or partition key (bycolumn),
@@ -599,7 +640,8 @@ object Entity {
 
   private def writeMeta(p: Path, m: Meta): Unit =
     Files.write(p, (s"""{"name":"${m.name}","version":${m.version},""" +
-      s""""insertCount":${m.insertCount},"pending":${m.pending}}""")
+      s""""insertCount":${m.insertCount},"pending":${m.pending},""" +
+      s""""retain":${m.retain}}""")
       .getBytes(StandardCharsets.UTF_8))
 
   private def readMeta(p: Path): Meta = {
@@ -607,7 +649,9 @@ object Entity {
     Meta(root.get("name").asText(), root.get("version").asInt(),
       root.get("insertCount").asInt(),
       // absent in pre-pending meta files → false
-      Option(root.get("pending")).exists(_.asBoolean(false)))
+      Option(root.get("pending")).exists(_.asBoolean(false)),
+      // absent in pre-retention meta files → 1 (keep only the live version)
+      Option(root.get("retain")).map(_.asInt(1)).getOrElse(1))
   }
 
   /** Create a new empty entity. Reserved `ap_*` names are rejected for

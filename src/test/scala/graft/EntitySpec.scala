@@ -80,6 +80,42 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("snapshot retention: retained versions stay readable, prune past the cap") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "snap")
+    e.insert((1 to 10).map(i => (i, s"r$i")).toDF("k", "v"))
+    e.retainVersions(2)
+    e.versions shouldBe Seq(1)
+
+    // mutation 1: delete half -> v2 live, v1 retained as a snapshot
+    e.deleteWhere(col("k") > 5)
+    e.versions shouldBe Seq(1, 2)
+    e.read().count() shouldBe 5
+    e.readVersion(1).count() shouldBe 10 // the pre-delete corpus, pinned
+    e.readVersion(2).count() shouldBe 5
+
+    // mutation 2: v1 falls past retain=2 and is pruned; v2 survives
+    e.vacuum(2)
+    e.versions shouldBe Seq(2, 3)
+    e.readVersion(2).count() shouldBe 5
+    an[IllegalArgumentException] should be thrownBy e.readVersion(1)
+
+    // retention metadata survives reopen
+    Entity.open(spark, base, "snap").deleteWhere(col("k") === 1)
+    Entity.open(spark, base, "snap").versions shouldBe Seq(3, 4)
+    e.drop()
+  }
+
+  test("default retention keeps only the live version (old behavior)") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "snapdef")
+    e.insert((1 to 4).map(i => (i, i)).toDF("k", "v"))
+    e.deleteWhere(col("k") === 1)
+    e.versions shouldBe Seq(2)
+    an[IllegalArgumentException] should be thrownBy e.retainVersions(0)
+    e.drop()
+  }
+
   test("stale-index refresh rebuilds with the recorded build recipe") {
     import graft.api.IndexOps
     val base = freshBase()

@@ -492,6 +492,25 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"prun"}""")
   }
 
+  test("snapshot retention over the wire") {
+    post("/entity/create", """{"name":"vsnap"}""").get("ok").asBoolean() shouldBe true
+    val rows = (0 until 10).map(i => s"""{"k":$i}""").mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"vsnap","rows":$rows}""")
+      .get("inserted").asInt() shouldBe 10
+    post("/entity/retain", """{"name":"vsnap","keep":2}""")
+      .get("retain").asInt() shouldBe 2
+    post("/entity/delete",
+      """{"name":"vsnap","predicates":[{"attribute":"k","op":">","values":[4]}]}""")
+      .get("deleted").asLong() shouldBe 5
+    val vs = post("/entity/versions", """{"name":"vsnap"}""").get("versions")
+    vs.size() shouldBe 2
+    post("/entity/snapshot_count",
+      s"""{"name":"vsnap","version":${vs.get(0).asInt()}}""")
+      .get("count").asLong() shouldBe 10 // the pre-delete snapshot
+    post("/entity/count", """{"name":"vsnap"}""").get("count").asLong() shouldBe 5
+    post("/entity/drop", """{"name":"vsnap"}""")
+  }
+
   test("funnel and retention analytics over the wire") {
     post("/entity/create", """{"name":"ev"}""").get("ok").asBoolean() shouldBe true
     post("/entity/insert",
