@@ -491,6 +491,23 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             QueryOps.runPlan(plan, frame, idCol, nnq)
           } else QueryOps.sequential(e.read(), idCol, nnq)
         pagedRows(out, result.select(col(idCol), col("distance")))
+      case "/query/explain" =>
+        // formatted physical plan of a kNN or boolean query WITHOUT
+        // running it — lets users confirm pushdown/top-k/index shapes
+        val e = entity(req, "entity")
+        val df = req.get("mode").asText() match {
+          case "knn" =>
+            val q = req.get("q").elements().asScala.map(_.asDouble()).toSeq
+            val nnq = NnQuery(req.get("vecCol").asText(), q,
+              if (req.has("dist")) req.get("dist").asText() else "euclidean",
+              if (req.has("k")) req.get("k").asInt() else 10)
+            QueryOps.sequential(e.read(), req.get("idCol").asText(), nnq)
+          case "boolean" =>
+            e.read().filter(BooleanPredicates.conjunction(predicatesOf(req)))
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        out.put("plan", df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       case "/pipeline/verdicts" =>
         // per-row quality-filter verdicts (the zero-shuffle kernel form)
         def d(name: String, dflt: Double) =

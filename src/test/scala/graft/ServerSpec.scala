@@ -492,6 +492,23 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"prun"}""")
   }
 
+  test("query explain over the wire shows the physical plan without running") {
+    post("/entity/create", """{"name":"wexp"}""")
+    val rows = (0 until 30).map(i => s"""{"vid":$i,"grp":${i % 3},"vec":[$i.0,1.0]}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"wexp","rows":$rows}""")
+    val knn = post("/query/explain",
+      """{"entity":"wexp","mode":"knn","idCol":"vid","vecCol":"vec","q":[0.0,0.0],"k":3}""")
+    knn.get("ok").asBoolean() shouldBe true
+    knn.get("plan").asText() should include("TakeOrderedAndProject")
+    val bool = post("/query/explain",
+      """{"entity":"wexp","mode":"boolean","predicates":[{"attribute":"grp","op":"=","values":[1]}]}""")
+    bool.get("plan").asText() should include("PushedFilters")
+    post("/query/explain", """{"entity":"wexp","mode":"nope"}""")
+      .get("ok").asBoolean() shouldBe false
+    post("/entity/drop", """{"name":"wexp"}""")
+  }
+
   test("snapshot retention over the wire") {
     post("/entity/create", """{"name":"vsnap"}""").get("ok").asBoolean() shouldBe true
     val rows = (0 until 10).map(i => s"""{"k":$i}""").mkString("[", ",", "]")
