@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{AsOfJoin, Geo, RangeJoin}
+
+/** 10× scaling probe for the round-14 join operators (as-of, binned
+  * range, geo radius): expand the input 10× with fresh keys (per-key
+  * density constant — like a real 10× corpus, not 10 hot copies of one
+  * key), measure both sizes, and report the wall-clock ratio. A plan
+  * that survives 100 TB must scale ~linearly here; a quadratic shape
+  * (nested loop, unbanded self-join) would show ≈100×. Run:
+  * `sbt "runMain graft.JoinScaleProbe /root/testdata/sf0.1 10"` —
+  * the table lands on stdout for SCALING.md. */
+object JoinScaleProbe {
+
+  private def time[T](run: => Long): (Long, Long) = {
+    val t0 = System.nanoTime()
+    val n = run
+    (n, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.core.GraftSession.builder("local[8]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(1)
+        .select(explode(sequence(lit(0L), lit(factor - 1L))).as("ap_copy")))
+
+    // events: fresh users per copy — per-user event density constant
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "event_type")
+    def expandEv(f: Int): DataFrame =
+      if (f == 1) ev
+      else copies(ev).select(
+        (col("event_id") + col("ap_copy") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("ap_copy") * 10000000L).as("user_id"),
+        col("event_type"))
+
+    def asofCount(f: Int): Long = {
+      val e = expandEv(f)
+      AsOfJoin.asOf(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts"), col("user_id")),
+        e.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("ts"), col("user_id")),
+        Seq("user_id"), "ts", "c_id", Seq("c_id"),
+        toleranceMicros = Some(1800L * 1000000L)).count()
+    }
+
+    // range join: 10× points against the same interval relation
+    val bands = Tables.part(spark, sfDir).select(col("p_partkey"),
+      (col("p_retailprice") - 5).as("lo"), (col("p_retailprice") + 5).as("hi"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    def rangeCount(f: Int): Long = {
+      val pts = if (f == 1) li else copies(li)
+        .select((col("l_orderkey") + col("ap_copy") * 1000000000L).as("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+      RangeJoin.pointsInIntervals(pts, "l_extendedprice", bands, "lo", "hi", 10.0).count()
+    }
+
+    // geo join: 10× points against the same POI set
+    val emb = Tables.embeddings(spark, sfDir)
+    def geoPts(f: Int): DataFrame = {
+      val base = emb.select(col("vec_id"),
+        (element_at(col("embedding"), 1).cast("double") * 20.0).as("lat"),
+        (element_at(col("embedding"), 2).cast("double") * 40.0).as("lng"))
+      if (f == 1) base else copies(base)
+        .select((col("vec_id") + col("ap_copy") * 1000000000L).as("vec_id"),
+          col("lat"), col("lng"))
+    }
+    val pois = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("poi_id"),
+        (element_at(col("embedding"), 1).cast("double") * 20.0).as("poi_lat"),
+        (element_at(col("embedding"), 2).cast("double") * 40.0).as("poi_lng"))
+    def geoCount(f: Int): Long =
+      Geo.radiusJoin(geoPts(f), "lat", "lng", pois, "poi_lat", "poi_lng", 300000.0).count()
+
+    val probes: Seq[(String, Int => Long)] = Seq(
+      ("asof_join", asofCount), ("range_join", rangeCount), ("geo_radius_join", geoCount))
+
+    println(f"${"operator"}%-16s ${"rows_1x"}%10s ${"ms_1x"}%8s ${"rows_Nx"}%12s ${"ms_Nx"}%8s ratio")
+    probes.foreach { case (name, run) =>
+      run(1) // warm-up: JIT + parquet footer caches
+      val (n1, t1) = time(run(1))
+      val (nN, tN) = time(run(factor))
+      val ratio = tN.toDouble / math.max(1L, t1)
+      println(f"$name%-16s $n1%10d $t1%8d $nN%12d $tN%8d ${ratio}%5.1fx")
+    }
+    spark.stop()
+  }
+}
