@@ -354,6 +354,23 @@ object SparkEntry {
         .orderBy("poi_id", "vec_id")
     }),
 
+    "table_profile" -> ((s, d) =>
+      // ANALYZE-style column statistics in ONE aggregation pass
+      Projections.profile(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")),
+
+    "corpus_mix_rollup" -> ((s, d) =>
+      // OLAP rollup: per-(source, lang) counts with per-source and
+      // grand totals in one Expand-based aggregation
+      Tables.documents(s, d)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("n_docs"), col("total_chars"))
+        .orderBy("source", "lang")),
+
     "event_funnel" -> ((s, d) =>
       // greedy earliest-chain funnel in ONE shuffle: per-user sorted
       // event collect + codegen aggregate() fold (the 2k-shuffle
@@ -1591,6 +1608,31 @@ object SparkEntry {
         |    AND r.event_type = 'purchase'
         |    AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
         |ORDER BY l.user_id, l_id""".stripMargin,
+
+    "table_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+        |    count(*) - count(l_quantity) AS n_nulls,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v,
+        |    round(avg(l_quantity), 4) AS mean_v, round(stddev_samp(l_quantity), 4) AS stddev_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |    round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+        |    round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
+        |  FROM lineitem
+        |) ORDER BY "column"""".stripMargin,
+
+    "corpus_mix_rollup" ->
+      """SELECT coalesce(source, '<all>') AS source, coalesce(lang, '<all>') AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY source, lang""".stripMargin,
 
     "event_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -52,4 +52,29 @@ object Projections {
     df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("dim").agg(avg("v").as("m"))
       .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+
+  /** Column profile — the ANALYZE-style statistics report (row count,
+    * nulls, min/max, mean, sample stddev) for a set of numeric columns,
+    * one output row per column. ONE aggregation pass over the table
+    * computes every statistic for every column (map-side partials
+    * collapse before the single exchange); the per-column rows come
+    * from unpivoting the 1-row aggregate, not from per-column scans. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nonnull"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__mean"),
+        round(stddev_samp(col(c)), 4).as(s"${c}__stddev"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("__rows").as("n_rows"),
+        (col("__rows") - col(s"${c}__nonnull")).as("n_nulls"),
+        col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"),
+        col(s"${c}__mean").as("mean_v"), col(s"${c}__stddev").as("stddev_v"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
 }

@@ -85,4 +85,21 @@ class OperatorSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       BooleanPredicates.toColumn(BooleanPredicates.Predicate("k", "regex", Seq("x")))
   }
+
+  test("profile: one row per column with exact null accounting") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), 10L), (None, 20L), (Some(3.0), 30L))
+      .toDF("a", "b")
+    val p = graft.operators.Projections.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    p("a").getLong(1) shouldBe 3L  // n_rows
+    p("a").getLong(2) shouldBe 1L  // n_nulls
+    p("a").getDouble(3) shouldBe 1.0
+    p("a").getDouble(4) shouldBe 3.0
+    p("a").getDouble(5) shouldBe 2.0
+    p("b").getLong(2) shouldBe 0L
+    p("b").getDouble(6) shouldBe 10.0 // stddev_samp of 10,20,30
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Projections.profile(df, Nil)
+  }
 }
