@@ -429,6 +429,100 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of an image payload: the decoded
+    * raster area-averages onto a 9×8 luminance grid (pure JDK, no
+    * external imaging libs), and each of the 64 bits records whether a
+    * cell is darker than its right neighbor. Resolution-independent by
+    * construction (the grid averages whatever pixel box maps onto it),
+    * robust to recompression and small edits — the standard perceptual
+    * fingerprint for image near-dup. None when ImageIO cannot parse. */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = Array.ofDim[Double](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = math.min(h - 1, gy * h / 8)
+        val y1 = math.max(y0 + 1, math.min(h, (gy + 1) * h / 8))
+        var gx = 0
+        while (gx < 9) {
+          val x0 = math.min(w - 1, gx * w / 9)
+          val x1 = math.max(x0 + 1, math.min(w, (gx + 1) * w / 9))
+          var sum = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = sum.toDouble / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var i = 0
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (grid(gy)(gx) < grid(gy)(gx + 1)) bits |= (1L << i)
+          i += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Image near-dup pairs by banded dHash: one map stage hashes every
+    * payload (unparseable images drop out, never pair), the 64-bit
+    * fingerprint splits into 4×16-bit bands — by pigeonhole EXACT for
+    * Hamming ≤ 3, the same guarantee as the SimHash text path — and
+    * band-bucket equi-joins generate candidates verified by
+    * `bit_count(xor)`. Scale shape identical to the text banding: only
+    * (id, band, 16-bit key) tuples reach the shuffle; pixels and
+    * payloads never do. Output: `id_a < id_b`, `hamming`. */
+  def imageNearDupPairs(assets: DataFrame, idCol: String = "asset_id",
+                        payloadCol: String = "payload",
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16 banding is exact only for Hamming <= 3")
+    val session = assets.sparkSession
+    import session.implicits._
+    val hashed = assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        dHash64(Option(p).getOrElse(Array.emptyByteArray)).map(h => (id, h)) }
+      .toDF("id", "h")
+    val banded = hashed.select(col("id"), col("h"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+          .as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Decode + feature-extract over partition-sized batches. One
     * decoder instantiation per partition (the expensive init a real
     * codec would need), streaming rows through it. Image payloads

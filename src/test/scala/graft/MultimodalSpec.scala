@@ -376,4 +376,56 @@ class MultimodalSpec extends SparkSpec {
     val pairs = graft.operators.Ann.cosineNearDupPairs(decoded, "asset_id", "features", -1.0)
     pairs.count() shouldBe 3 // all pairs of 3 assets
   }
+
+  // deterministic gradient-block pattern at any resolution: each 9x8
+  // grid cell is a constant luminance ramp left-to-right, so the dHash
+  // bits are fully determined by the pattern, not the pixel count
+  private def patternPng(w: Int, h: Int, tweakCell: Option[(Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val gx = math.min(8, x * 9 / w)
+        val gy = math.min(7, y * 8 / h)
+        val base = 20 + gx * 25 + (if ((gx + gy) % 3 == 0) 10 else 0)
+        // a tweaked cell goes fully dark — below BOTH neighbors, so its
+        // left-of gradient bit flips while the rest of the hash holds
+        val lum = if (tweakCell.contains((gx, gy))) 0
+          else math.min(255, math.max(0, base))
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash is resolution-independent and flips bits on local edits") {
+    val big = Multimodal.dHash64(patternPng(180, 160)).get
+    val small = Multimodal.dHash64(patternPng(45, 40)).get
+    java.lang.Long.bitCount(big ^ small) shouldBe 0 // same pattern, any size
+    val edited = Multimodal.dHash64(patternPng(180, 160, tweakCell = Some((4, 3)))).get
+    val d = java.lang.Long.bitCount(big ^ edited)
+    d should be >= 1 // the inverted cell flips its gradient bits
+    d should be <= 3 // ...but only locally
+    Multimodal.dHash64("junk".getBytes) shouldBe None
+    Multimodal.dHash64(Array.emptyByteArray) shouldBe None
+  }
+
+  test("imageNearDupPairs: rescaled and lightly-edited images pair; unrelated don't") {
+    val df = Seq(
+      (1L, patternPng(180, 160)),                               // original
+      (2L, patternPng(45, 40)),                                 // rescale -> Hamming 0
+      (3L, patternPng(180, 160, tweakCell = Some((4, 3)))),     // local edit
+      (4L, pngBytes(90, 80)),                                   // checkerboard: unrelated
+      (5L, "not an image".getBytes)                             // unparseable: never pairs
+    ).toDF("asset_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 2L)) shouldBe 0
+    pairs.keySet should contain((1L, 3L))
+    pairs((1L, 3L)) should be <= 3
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 5L
+  }
 }
