@@ -487,26 +487,66 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Image near-dup pairs by banded dHash: one map stage hashes every
-    * payload (unparseable images drop out, never pair), the 64-bit
-    * fingerprint splits into 4×16-bit bands — by pigeonhole EXACT for
-    * Hamming ≤ 3, the same guarantee as the SimHash text path — and
-    * band-bucket equi-joins generate candidates verified by
-    * `bit_count(xor)`. Scale shape identical to the text banding: only
-    * (id, band, 16-bit key) tuples reach the shuffle; pixels and
-    * payloads never do. Output: `id_a < id_b`, `hamming`. */
-  def imageNearDupPairs(assets: DataFrame, idCol: String = "asset_id",
-                        payloadCol: String = "payload",
-                        maxHamming: Int = 3): DataFrame = {
+  /** 64-bit audio fingerprint: the decoded PCM16 signal splits into 65
+    * equal time windows, RMS energy per window, one bit per adjacent
+    * energy gradient — sample-rate and duration independent (windows
+    * are FRACTIONS of the clip, exactly as dHash grid cells are
+    * fractions of the image). Robust to resampling and re-encoding;
+    * the audio twin of [[dHash64]]. None when the JDK cannot decode. */
+  def aHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload.isEmpty) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val srcFmt = raw.getFormat
+        if (srcFmt.getSampleRate <= 0 || raw.getFrameLength <= 0) return None
+        val ais =
+          if (srcFmt.getSampleSizeInBits == 16 &&
+            srcFmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED) raw
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, srcFmt.getSampleRate, 16,
+              srcFmt.getChannels, 2 * srcFmt.getChannels, srcFmt.getSampleRate, false), raw)
+        val bytes = ais.readAllBytes()
+        val be = ais.getFormat.isBigEndian
+        val n = bytes.length / 2
+        if (n < 65) return None
+        val energy = new Array[Double](65)
+        var w = 0
+        while (w < 65) {
+          val i0 = (w.toLong * n / 65).toInt
+          val i1 = math.max(i0 + 1, ((w + 1).toLong * n / 65).toInt)
+          var sum = 0.0
+          var i = i0
+          while (i < i1) {
+            val s =
+              if (be) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
+              else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+            sum += s.toDouble * s
+            i += 1
+          }
+          energy(w) = math.sqrt(sum / (i1 - i0))
+          w += 1
+        }
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (energy(k) < energy(k + 1)) bits |= (1L << k)
+          k += 1
+        }
+        Some(bits)
+      } finally raw.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Banded Hamming pairs over any 64-bit perceptual hash relation
+    * `(id, h)`: 4×16-bit bands (pigeonhole-EXACT for Hamming ≤ 3, the
+    * same guarantee as the SimHash text path), candidates verified by
+    * `bit_count(xor)`. Only (id, band, 16-bit key) tuples reach the
+    * shuffle. Output: `id_a < id_b`, `hamming`. */
+  def bandedHashPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16 banding is exact only for Hamming <= 3")
-    val session = assets.sparkSession
-    import session.implicits._
-    val hashed = assets.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, p) =>
-        dHash64(Option(p).getOrElse(Array.emptyByteArray)).map(h => (id, h)) }
-      .toDF("id", "h")
     val banded = hashed.select(col("id"), col("h"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
@@ -522,6 +562,32 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  private def hashRelation(assets: DataFrame, idCol: String, payloadCol: String,
+                           hashFn: Array[Byte] => Option[Long]): DataFrame = {
+    val session = assets.sparkSession
+    import session.implicits._
+    assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        hashFn(Option(p).getOrElse(Array.emptyByteArray)).map(h => (id, h)) }
+      .toDF("id", "h")
+  }
+
+  /** Image near-dup pairs by banded [[dHash64]]: one map stage hashes
+    * every payload (unparseable images drop out, never pair), then
+    * [[bandedHashPairs]]. Pixels and payloads never shuffle. */
+  def imageNearDupPairs(assets: DataFrame, idCol: String = "asset_id",
+                        payloadCol: String = "payload",
+                        maxHamming: Int = 3): DataFrame =
+    bandedHashPairs(hashRelation(assets, idCol, payloadCol, dHash64), maxHamming)
+
+  /** Audio near-dup pairs by banded [[aHash64]] — same shape as
+    * [[imageNearDupPairs]]; PCM never shuffles. */
+  def audioNearDupPairs(assets: DataFrame, idCol: String = "asset_id",
+                        payloadCol: String = "payload",
+                        maxHamming: Int = 3): DataFrame =
+    bandedHashPairs(hashRelation(assets, idCol, payloadCol, aHash64), maxHamming)
 
   /** Decode + feature-extract over partition-sized batches. One
     * decoder instantiation per partition (the expensive init a real

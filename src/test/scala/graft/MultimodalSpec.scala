@@ -411,6 +411,56 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.dHash64(Array.emptyByteArray) shouldBe None
   }
 
+  // deterministic amplitude-envelope tone: each of the 65 aHash windows
+  // carries a distinct RMS level, so the hash is set by the envelope,
+  // not the sample rate
+  private def envelopeWav(rate: Float, seconds: Double,
+                          tweakSlot: Option[Int] = None): Array[Byte] = {
+    val nFrames = (rate * seconds).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val slot = math.min(64, i * 65 / nFrames)
+      val amp = if (tweakSlot.contains(slot)) 0 else 2000 + (slot % 7) * 2000
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * amp).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("aHash is sample-rate independent and flips bits on a silenced segment") {
+    val a = Multimodal.aHash64(envelopeWav(8000f, 1.0)).get
+    val b = Multimodal.aHash64(envelopeWav(16000f, 1.0)).get
+    java.lang.Long.bitCount(a ^ b) shouldBe 0 // same envelope, resampled
+    val edited = Multimodal.aHash64(envelopeWav(8000f, 1.0, tweakSlot = Some(30))).get
+    val d = java.lang.Long.bitCount(a ^ edited)
+    d should be >= 1
+    d should be <= 3
+    Multimodal.aHash64("junk".getBytes) shouldBe None
+  }
+
+  test("audioNearDupPairs: resampled and lightly-edited clips pair; unrelated don't") {
+    val df = Seq(
+      (1L, envelopeWav(8000f, 1.0)),
+      (2L, envelopeWav(16000f, 1.0)),                 // resampled -> Hamming 0
+      (3L, envelopeWav(8000f, 1.0, tweakSlot = Some(30))), // local edit
+      (4L, wavBytes(8000f, 1600)),                    // flat 440 Hz tone: unrelated
+      (5L, "junk".getBytes)
+    ).toDF("asset_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs((1L, 2L)) shouldBe 0
+    pairs.keySet should contain((1L, 3L))
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 5L
+  }
+
   test("imageNearDupPairs: rescaled and lightly-edited images pair; unrelated don't") {
     val df = Seq(
       (1L, patternPng(180, 160)),                               // original
