@@ -68,6 +68,10 @@ import graft.operators.BooleanPredicates
   * | /events/funnel        | {entity, steps:[..], tsCol?, userCol?,       |
   * |                       |  typeCol?}                                   |
   * | /events/retention     | {entity, tsCol?, userCol?}                   |
+  * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
+  * | /entity/versions      | {name}                                       |
+  * | /entity/retain        | {name, keep}                                 |
+  * | /entity/snapshot_count | {name, version}                             |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
   * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
@@ -405,8 +409,11 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         val arr = out.putArray("versions")
         entity(req).versions.foreach(arr.add)
       case "/entity/retain" =>
-        val e = entity(req)
-        e.retainVersions(req.get("keep").asInt())
+        // read-modify-write of entity meta: must serialize with other
+        // mutations on the same entity, like every mutating endpoint
+        withEntityLock(req.get("name").asText()) {
+          entity(req).retainVersions(req.get("keep").asInt())
+        }
         out.put("retain", req.get("keep").asInt())
       case "/entity/snapshot_count" =>
         // row count of a retained snapshot version
@@ -501,7 +508,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             val nnq = NnQuery(req.get("vecCol").asText(), q,
               if (req.has("dist")) req.get("dist").asText() else "euclidean",
               if (req.has("k")) req.get("k").asInt() else 10)
-            QueryOps.sequential(e.read(), req.get("idCol").asText(), nnq)
+            // same routing as /query/knn: an index parameter explains the
+            // index-served plan, not the sequential scan
+            if (req.has("index"))
+              QueryOps.index(e.read(), req.get("idCol").asText(),
+                e.loadIndex(req.get("index").asText()).index, nnq)
+            else QueryOps.sequential(e.read(), req.get("idCol").asText(), nnq)
           case "boolean" =>
             e.read().filter(BooleanPredicates.conjunction(predicatesOf(req)))
           case other => throw new IllegalArgumentException(s"unknown mode: $other")

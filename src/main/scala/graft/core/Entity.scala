@@ -113,7 +113,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
           .write.mode("overwrite").parquet(dataPath(next).toString)
         Files.deleteIfExists(layoutPath)
     }
-    swap(m.copy(version = next), m.version)
+    swap(m.copy(version = next))
     foldGroupsAfterRewrite()
     this
   }
@@ -216,7 +216,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       df.schema.fields.map(f => f.name -> f.dataType.sql).toSet
     if (m.version == 0) {
       withId.write.mode("overwrite").parquet(dataPath(1).toString)
-      swap(m.copy(version = 1, insertCount = batch), 0)
+      swap(m.copy(version = 1, insertCount = batch))
     } else if (schemaKey(read()) == schemaKey(withId)) {
       val groups = attributeGroups
       // with external groups the batch is split per store; pin the
@@ -269,7 +269,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     } else { // schema drift (names OR types): align via union and rewrite once
       val next = m.version + 1
       writeData(read().unionByName(withId, allowMissingColumns = true), dataPath(next))
-      swap(m.copy(version = next, insertCount = batch), m.version)
+      swap(m.copy(version = next, insertCount = batch))
     }
     this
   }
@@ -286,7 +286,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     // both counts are parquet metadata-only scans (no recompute of `keep`)
     val deleted = current.count() -
       spark.read.parquet(dataPath(next).toString).count()
-    swap(m.copy(version = next), m.version)
+    swap(m.copy(version = next))
     foldGroupsAfterRewrite()
     deleted
   }
@@ -335,7 +335,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       .unionByName(withId.select(current.columns.map(col): _*))
     val next = m.version + 1
     writeData(merged, dataPath(next))
-    swap(m.copy(version = next, insertCount = batch), m.version)
+    swap(m.copy(version = next, insertCount = batch))
     foldGroupsAfterRewrite()
     this
   }
@@ -351,7 +351,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       if (layout.isDefined) read().repartition(col(Partitioning.PartitionCol))
       else read().repartition(numPartitions)
     writeData(df, dataPath(next))
-    swap(m.copy(version = next), m.version)
+    swap(m.copy(version = next))
     foldGroupsAfterRewrite()
     this
   }
@@ -374,7 +374,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       size(col(vecCol)).as("length"))
     val next = m.version + 1
     writeData(df.withColumn(vecCol, sparse), dataPath(next))
-    swap(m.copy(version = next), m.version)
+    swap(m.copy(version = next))
     foldGroupsAfterRewrite()
     this
   }
@@ -431,7 +431,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val oldStores = attributeGroups
     if (rebuilt.isEmpty) Files.deleteIfExists(groupsPath)
     else writeGroups(groupsPath, rebuilt)
-    swap(m.copy(version = next), m.version)
+    swap(m.copy(version = next))
     oldStores.foreach(g => scala.util.Try(
       handlerFor(g.handler).drop(spark, dir.resolve(g.store).toString)))
     } finally full.unpersist()
@@ -500,7 +500,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     this
   }
 
-  private def swap(m: Meta, oldVersion: Int): Unit = {
+  private def swap(m: Meta): Unit = {
     // swap is only called once a mutation's data is fully written — a
     // pending flag inherited from an earlier crashed insert clears here
     writeMeta(metaPath, m.copy(pending = false))
@@ -517,12 +517,18 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     * ones survive as readable snapshots. */
   def versions: Seq[Int] = {
     if (!Files.exists(dir)) return Nil
+    val live = meta.version
     val s = Files.list(dir)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("data_v"))
         .flatMap(n => scala.util.Try(n.stripPrefix("data_v").toInt).toOption)
+        // dirs ABOVE the committed meta version are crash leftovers from
+        // a mutation that died before its swap — never serve them as
+        // snapshots (the next mutation overwrites them, writeData is
+        // mode=overwrite)
+        .filter(_ <= live)
         .toSeq.sorted
     } finally s.close()
   }

@@ -241,32 +241,45 @@ class GraftClient(val channel: ManagedChannel) extends AutoCloseable {
     * reference client's observer-based `streamInsert`
     * (`RPCClient.scala` bidi insert path). Blocks until the server
     * half-closes; returns one Try per sent batch, order-preserved. */
-  def streamInsert(entity: String, batches: Seq[Seq[Map[String, Any]]])
-  : Try[Seq[Try[String]]] = Try {
+  /** Shared bidi-streaming scaffolding: send every message, collect one
+    * parsed response per server emission, surface stream errors once.
+    * Both bidi RPCs (StreamInsert, DoStreamingQuery) are this helper
+    * with a different method descriptor and per-message parser. */
+  private def bidiCollect[T](service: String, methodName: String,
+                             reqType: String, respType: String,
+                             msgs: Seq[DynamicMessage])
+                            (parse: DynamicMessage => T): Seq[T] = {
     import org.sparkproject.connect.grpc.stub.StreamObserver
-    val iD = d("InsertMessage")
-    val acks = new java.util.concurrent.ConcurrentLinkedQueue[Try[String]]()
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[T]()
     val done = new java.util.concurrent.CountDownLatch(1)
     @volatile var streamErr: Throwable = null
     val req = ClientCalls.asyncBidiStreamingCall(
       channel.newCall(
-        method("AdamDefinition", "StreamInsert", "InsertMessage", "AckMessage",
+        method(service, methodName, reqType, respType,
           MethodDescriptor.MethodType.BIDI_STREAMING),
         CallOptions.DEFAULT),
       new StreamObserver[DynamicMessage] {
-        override def onNext(ack: DynamicMessage): Unit = acks.add(tryAck(ack))
+        override def onNext(m: DynamicMessage): Unit = out.add(parse(m))
         override def onError(t: Throwable): Unit = { streamErr = t; done.countDown() }
         override def onCompleted(): Unit = done.countDown()
       })
-    batches.foreach { rows =>
-      val b = Proto.newMsg("InsertMessage").setField(iD.findFieldByName("entity"), entity)
-      rows.foreach(r => b.addRepeatedField(iD.findFieldByName("tuples"), tupleMsg(r)))
-      req.onNext(b.build())
-    }
+    msgs.foreach(req.onNext)
     req.onCompleted()
     done.await()
     if (streamErr != null) throw streamErr
-    acks.asScala.toSeq
+    out.asScala.toSeq
+  }
+
+  def streamInsert(entity: String, batches: Seq[Seq[Map[String, Any]]])
+  : Try[Seq[Try[String]]] = Try {
+    val iD = d("InsertMessage")
+    val msgs = batches.map { rows =>
+      val b = Proto.newMsg("InsertMessage").setField(iD.findFieldByName("entity"), entity)
+      rows.foreach(r => b.addRepeatedField(iD.findFieldByName("tuples"), tupleMsg(r)))
+      b.build()
+    }
+    bidiCollect("AdamDefinition", "StreamInsert", "InsertMessage", "AckMessage",
+      msgs)(tryAck)
   }
 
   def preview(entity: String, n: Int = 100): Try[Seq[Map[String, Any]]] = {
@@ -509,25 +522,8 @@ class GraftClient(val channel: ManagedChannel) extends AutoCloseable {
     * server answers (reference `doStreamingQuery`). Blocks until the
     * server half-closes; per-query errors stay in their slot. */
   def streamingQuery(queries: Seq[DynamicMessage]): Try[Seq[Try[Seq[QueryResult]]]] = Try {
-    import org.sparkproject.connect.grpc.stub.StreamObserver
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[Try[Seq[QueryResult]]]()
-    val done = new java.util.concurrent.CountDownLatch(1)
-    @volatile var streamErr: Throwable = null
-    val req = ClientCalls.asyncBidiStreamingCall(
-      channel.newCall(
-        method("AdamSearch", "DoStreamingQuery", "QueryMessage",
-          "QueryResultsMessage", MethodDescriptor.MethodType.BIDI_STREAMING),
-        CallOptions.DEFAULT),
-      new StreamObserver[DynamicMessage] {
-        override def onNext(m: DynamicMessage): Unit = out.add(parseResults(m))
-        override def onError(t: Throwable): Unit = { streamErr = t; done.countDown() }
-        override def onCompleted(): Unit = done.countDown()
-      })
-    queries.foreach(req.onNext)
-    req.onCompleted()
-    done.await()
-    if (streamErr != null) throw streamErr
-    out.asScala.toSeq
+    bidiCollect("AdamSearch", "DoStreamingQuery", "QueryMessage",
+      "QueryResultsMessage", queries)(parseResults)
   }
 
   /** Parallel query — same stream, hint-restricted racing set. */

@@ -679,7 +679,7 @@ object Dedup {
     * error mid-plan; non-ANSI nulls silently — this guard makes both
     * modes fail with the operator-level message). Zero extra jobs: the
     * assertion rides the existing scan of the (tiny) pair graph. */
-  private def longIdOrFail(c: Column, ctx: String): Column =
+  private[operators] def longIdOrFail(c: Column, ctx: String): Column =
     coalesce(c.try_cast("long"),
       assert_true(c.isNull, concat(lit(s"$ctx: id value '"), c.cast("string"),
         lit("' is not castable to long — use a numeric id column"))).cast("long"))

@@ -567,7 +567,7 @@ object Multimodal {
                            hashFn: Array[Byte] => Option[Long]): DataFrame = {
     val session = assets.sparkSession
     import session.implicits._
-    assets.select(col(idCol).cast("long"), col(payloadCol))
+    assets.select(Dedup.longIdOrFail(col(idCol), "perceptual near-dup"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
         hashFn(Option(p).getOrElse(Array.emptyByteArray)).map(h => (id, h)) }

@@ -221,13 +221,11 @@ object EventStream {
             out += FunnelAdvance(user, step, new java.sql.Timestamp(t))
           }
         }
-        if (step >= steps.size && pending.isEmpty) state.remove()
-        else {
-          state.update(FunnelState(step, lastTs, pending))
-          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
-          // completed-or-idle users keep no timeout: state is the
-          // constant-size fold state only
-        }
+        // completed users keep a constant-size tombstone — removing it
+        // would RESTART the funnel on their next event and double-emit
+        // advances, breaking the exactly-once-per-level contract
+        state.update(FunnelState(step, lastTs, pending))
+        if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
         out.result().iterator
       }
   }

@@ -103,6 +103,12 @@ class EntitySpec extends SparkSpec {
     // retention metadata survives reopen
     Entity.open(spark, base, "snap").deleteWhere(col("k") === 1)
     Entity.open(spark, base, "snap").versions shouldBe Seq(3, 4)
+
+    // a crash-leftover dir ABOVE the committed version (mutation died
+    // before its swap) is never listed or served as a snapshot
+    Files.createDirectories(java.nio.file.Paths.get(base, "snap", "data_v99"))
+    e.versions shouldBe Seq(3, 4)
+    an[IllegalArgumentException] should be thrownBy e.readVersion(99)
     e.drop()
   }
 

@@ -504,6 +504,15 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val bool = post("/query/explain",
       """{"entity":"wexp","mode":"boolean","predicates":[{"attribute":"grp","op":"=","values":[1]}]}""")
     bool.get("plan").asText() should include("PushedFilters")
+    // with an index parameter the INDEX-SERVED plan is explained (the
+    // candidates semi-join rerank), not the sequential scan
+    post("/index/create",
+      """{"entity":"wexp","name":"xp","type":"vaf","idCol":"vid","vecCol":"vec"}""")
+      .get("index").asText() shouldBe "xp"
+    val viaIdx = post("/query/explain",
+      """{"entity":"wexp","mode":"knn","idCol":"vid","vecCol":"vec",
+        |"q":[0.0,0.0],"k":3,"index":"xp"}""".stripMargin)
+    viaIdx.get("plan").asText() should include("LeftSemi")
     post("/query/explain", """{"entity":"wexp","mode":"nope"}""")
       .get("ok").asBoolean() shouldBe false
     post("/entity/drop", """{"name":"wexp"}""")

@@ -253,6 +253,17 @@ class StreamingPrefilterSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1))).toSeq
       rows.filter(_._1 == 1L).map(_._2).sorted shouldBe Seq(1, 2, 3)
       rows.filter(_._1 == 2L).map(_._2) shouldBe Seq(1) // purchase skipped step 2
+
+      // a COMPLETED user's later events must not restart the funnel —
+      // the tombstone state blocks re-emission (exactly-once per level)
+      mem.addData((7L, ts(520), 1L, "click"), (8L, ts(521), 1L, "view"))
+      q.processAllAvailable()
+      mem.addData((95L, ts(900), 9L, "noise"))
+      q.processAllAvailable()
+      mem.addData((94L, ts(910), 9L, "noise"))
+      q.processAllAvailable()
+      spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).count(_._1 == 1L) shouldBe 3
     } finally q.stop()
   }
 
