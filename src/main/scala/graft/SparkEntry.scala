@@ -383,6 +383,12 @@ object SparkEntry {
       EventAnalytics.retention(Tables.events(s, d))
         .orderBy("cohort_day", "day_offset")),
 
+    "event_funnel_report" -> ((s, d) =>
+      // the chart-facing rollup of event_funnel: users per funnel depth
+      EventAnalytics.funnel(Tables.events(s, d), Seq("click", "view", "purchase"))
+        .groupBy("steps_completed").agg(count(lit(1)).as("n_users"))
+        .orderBy("steps_completed")),
+
     "range_join_price_bands" -> ((s, d) => {
       // pure range-predicate join (no equi key) — Catalyst alone would
       // plan BroadcastNestedLoopJoin; the binned form is a hash join on
@@ -1649,6 +1655,21 @@ object SparkEntry {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+
+    "event_funnel_report" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT steps_completed, count(*) AS n_users FROM (
+        | SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed
+        | FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |   LEFT JOIN s3 USING (user_id))
+        |GROUP BY steps_completed ORDER BY steps_completed""".stripMargin,
 
     "event_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
