@@ -389,6 +389,33 @@ object SparkEntry {
         .groupBy("steps_completed").agg(count(lit(1)).as("n_users"))
         .orderBy("steps_completed")),
 
+    "session_overlap_join" -> ((s, d) => {
+      // interval-interval overlap: activity sessions (7-day gap) of two
+      // event types, per user — binned on the overlap-start bin so
+      // every overlapping pair joins exactly once, no nested loop
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val gapUs = 7L * 86400L * 1000000L
+      def sessionsOf(tpe: String, pre: String) = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        ev.filter(col("event_type") === tpe)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s", when(col("prev").isNull ||
+            tsMicros(col("ts")) - tsMicros(col("prev")) > gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid").as(s"${pre}_sid"))
+          .agg(tsMicros(min(col("ts"))).as(s"${pre}_s"),
+            tsMicros(max(col("ts"))).as(s"${pre}_e"))
+      }
+      RangeJoin.intervalsOverlap(
+          sessionsOf("click", "c"), "c_s", "c_e",
+          sessionsOf("error", "e"), "e_s", "e_e",
+          binWidth = gapUs.toDouble, keys = Seq("user_id"))
+        .select("user_id", "c_sid", "e_sid", "c_s", "c_e", "e_s", "e_e")
+        .orderBy("user_id", "c_sid", "e_sid")
+    }),
+
     "range_join_price_bands" -> ((s, d) => {
       // pure range-predicate join (no equi key) — Catalyst alone would
       // plan BroadcastNestedLoopJoin; the binned form is a hash join on
@@ -1678,6 +1705,25 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "session_overlap_join" -> {
+      def sess(tpe: String, pre: String) =
+        s"""SELECT user_id, CAST(sid AS BIGINT) AS ${pre}_sid,
+           | min(us) AS ${pre}_s, max(us) AS ${pre}_e FROM (
+           | SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           | FROM (SELECT user_id, epoch_us(ts) AS us,
+           |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           |                > 604800000000
+           |             THEN 1 ELSE 0 END AS new_s
+           |       FROM events WHERE event_type = '$tpe'))
+           |GROUP BY user_id, sid""".stripMargin
+      s"""WITH c AS (${sess("click", "c")}), e AS (${sess("error", "e")})
+         |SELECT c.user_id, c_sid, e_sid, c_s, c_e, e_s, e_e
+         |FROM c JOIN e ON c.user_id = e.user_id AND c_s <= e_e AND e_s <= c_e
+         |ORDER BY c.user_id, c_sid, e_sid""".stripMargin
+    },
 
     "range_join_price_bands" ->
       """SELECT p_partkey, count(*) AS n_in_band,

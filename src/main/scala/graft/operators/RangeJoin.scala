@@ -68,4 +68,50 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("ap_bin")
   }
+
+  /** Interval-OVERLAP join: match `[loL, hiL]` to `[loR, hiR]` whenever
+    * they touch (`loL ≤ hiR && loR ≤ hiL`, inclusive), plus optional
+    * equi keys — the interval-interval member of the family (session
+    * overlap, concurrent-validity joins).
+    *
+    * Both sides explode to their covered bins (same span guard as the
+    * point form), one hash equi-join on (keys…, bin), then the exact
+    * overlap filter AND the exactly-once predicate: a pair is kept only
+    * at the bin containing the OVERLAP START `max(loL, loR)` — a point
+    * that lies inside both intervals, so both sides provably emitted
+    * that bin, and only one bin can contain it. No post-join distinct,
+    * no multiplicity blow-up from long intervals sharing many bins.
+    *
+    * Output: all columns of both sides (shared keys once); non-key
+    * column sets must be disjoint. */
+  def intervalsOverlap(left: DataFrame, loL: String, hiL: String,
+                       right: DataFrame, loR: String, hiR: String,
+                       binWidth: Double, keys: Seq[String] = Nil,
+                       maxBinsPerInterval: Long = 10000L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val lCols = left.columns.toSet -- keys
+    val rCols = right.columns.toSet -- keys
+    val overlap = lCols.intersect(rCols)
+    require(overlap.isEmpty,
+      s"non-key columns ${overlap.mkString(",")} appear on both sides")
+    require(!(lCols ++ rCols).contains("ap_bin"), "ap_bin is reserved")
+
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loBin = floor(col(lo) / binWidth).cast("long")
+      val hiBin = floor(col(hi) / binWidth).cast("long")
+      val spanGuard = when(hiBin - loBin >= maxBinsPerInterval,
+        raise_error(concat(
+          lit(s"interval spans more than $maxBinsPerInterval bins of width $binWidth at "),
+          col(lo).cast("string"), lit(".."), col(hi).cast("string"))))
+      df.filter(col(lo) <= col(hi))
+        .withColumn("ap_bin",
+          explode(sequence(loBin, coalesce(spanGuard.cast("long"), hiBin))))
+    }
+
+    binned(left, loL, hiL).join(binned(right, loR, hiR), keys :+ "ap_bin")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("ap_bin") === floor(greatest(col(loL), col(loR)) / binWidth).cast("long"))
+      .drop("ap_bin")
+  }
 }

@@ -63,6 +63,39 @@ class RangeJoinSpec extends SparkSpec {
     plan should include("Join")
   }
 
+  test("intervalsOverlap matches the cross-filter reference exactly once") {
+    val l = Seq((1L, 0.0, 10.0), (2L, 5.0, 6.0), (3L, 20.0, 30.0), (4L, -8.0, -1.0))
+      .toDF("lid", "l_lo", "l_hi")
+    val r = Seq((10L, 9.0, 25.0), (11L, 6.0, 6.0), (12L, 100.0, 120.0),
+      (13L, -2.0, 3.0)).toDF("rid", "r_lo", "r_hi")
+    for (w <- Seq(0.7, 4.0, 50.0)) {
+      val got = RangeJoin.intervalsOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      val want = l.crossJoin(r)
+        .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      withClue(s"width $w: ") {
+        got.length shouldBe got.toSet.size // exactly once despite shared bins
+        got.toSet shouldBe want
+      }
+    }
+    // inclusive touch: [0,10] meets [9,25] and the degenerate [6,6]
+    val touch = RangeJoin.intervalsOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 4.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    touch should contain((1L, 10L))
+    touch should contain((1L, 11L))
+    touch should contain((4L, 13L)) // negative-range overlap
+  }
+
+  test("intervalsOverlap honors equi keys and rejects inverted intervals") {
+    val l = Seq(("a", 1L, 0.0, 10.0), ("b", 2L, 0.0, 10.0)).toDF("k", "lid", "l_lo", "l_hi")
+    val r = Seq(("a", 10L, 5.0, 15.0), ("a", 11L, 9.0, 1.0)).toDF("k", "rid", "r_lo", "r_hi")
+    val got = RangeJoin.intervalsOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi",
+        4.0, keys = Seq("k"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    got shouldBe Set((1L, 10L)) // key b never matches; inverted rid 11 dropped
+  }
+
   test("column collisions and bad widths are refused") {
     an[IllegalArgumentException] should be thrownBy
       RangeJoin.pointsInIntervals(pts, "v", ivs.withColumnRenamed("iid", "pid"),
