@@ -82,6 +82,28 @@ class JoinPropertySpec extends SparkSpec {
         Gen.chooseNum(-100, 100).map(_ / 3.0),
         Gen.chooseNum(-100, 100).map(_ / 3.0))))
 
+  test("interval-overlap join matches the cross-filter reference on arbitrary inputs") {
+    for (seed <- 1L to 12L; w <- Seq(0.7, 5.0, 100.0)) {
+      val ls = sample(ivGen, seed).zipWithIndex
+        .map { case ((id, lo, hi), i) => (i.toLong * 1000 + id, lo, hi) }.distinct
+      val rs = sample(ivGen, seed + 700).zipWithIndex
+        .map { case ((id, lo, hi), i) => (i.toLong * 1000 + id, lo, hi) }.distinct
+      val l = ls.toDF("lid", "l_lo", "l_hi")
+      val r = rs.toDF("rid", "r_lo", "r_hi")
+      val got = RangeJoin.intervalsOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toList
+      val want = for {
+        (lid, llo, lhi) <- ls; if llo <= lhi
+        (rid, rlo, rhi) <- rs; if rlo <= rhi
+        if llo <= rhi && rlo <= lhi
+      } yield (lid, rid)
+      withClue(s"seed=$seed w=$w: ") {
+        got.length shouldBe got.toSet.size
+        got.toSet shouldBe want.toSet
+      }
+    }
+  }
+
   test("binned range join matches the cross-filter reference on arbitrary inputs") {
     for (seed <- 1L to 12L; w <- Seq(0.7, 5.0, 100.0)) {
       val ps = sample(ptsGen, seed).zipWithIndex
