@@ -72,6 +72,7 @@ import graft.operators.BooleanPredicates
   * | /entity/versions      | {name}                                       |
   * | /entity/retain        | {name, keep}                                 |
   * | /entity/snapshot_count | {name, version}                             |
+  * | /metrics              | {} → catalog/jobs/heap snapshot              |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
   * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
@@ -402,6 +403,16 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/entity/list" =>
         val arr = out.putArray("entities")
         Entity.list(base).foreach(arr.add)
+      case "/metrics" =>
+        // operational snapshot: catalog size, Spark execution state, JVM
+        // heap — the health probe a deployment scrapes
+        val rt = Runtime.getRuntime
+        out.put("entities", Entity.list(base).size)
+        out.put("activeJobs", spark.sparkContext.statusTracker.getActiveJobIds().length)
+        out.put("cachedRelations", spark.sparkContext.getPersistentRDDs.size)
+        out.put("heapUsedMb", (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+        out.put("heapMaxMb", rt.maxMemory() / (1024 * 1024))
+        out.put("defaultParallelism", spark.sparkContext.defaultParallelism)
       case "/entity/count" =>
         out.put("count", entity(req).count())
       case "/entity/versions" =>

@@ -620,6 +620,15 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("metrics endpoint reports catalog and JVM state") {
+    val m = post("/metrics", "{}")
+    m.get("ok").asBoolean() shouldBe true
+    m.get("entities").asInt() should be >= 0
+    m.get("heapUsedMb").asLong() should be > 0L
+    m.get("heapMaxMb").asLong() should be >= m.get("heapUsedMb").asLong()
+    m.get("defaultParallelism").asInt() should be >= 1
+  }
+
   test("bad requests return ok=false with an error") {
     val r = post("/entity/count", """{"name":"nope"}""")
     r.get("ok").asBoolean() shouldBe false
