@@ -393,21 +393,12 @@ object SparkEntry {
       // interval-interval overlap: activity sessions (7-day gap) of two
       // event types, per user — binned on the overlap-start bin so
       // every overlapping pair joins exactly once, no nested loop
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
       val gapUs = 7L * 86400L * 1000000L
-      def sessionsOf(tpe: String, pre: String) = {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        ev.filter(col("event_type") === tpe)
-          .withColumn("prev", lag(col("ts"), 1).over(w))
-          .withColumn("new_s", when(col("prev").isNull ||
-            tsMicros(col("ts")) - tsMicros(col("prev")) > gapUs, 1).otherwise(0))
-          .withColumn("sid", sum(col("new_s")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("sid").as(s"${pre}_sid"))
-          .agg(tsMicros(min(col("ts"))).as(s"${pre}_s"),
-            tsMicros(max(col("ts"))).as(s"${pre}_e"))
-      }
+      def sessionsOf(tpe: String, pre: String) =
+        EventAnalytics.sessions(ev.filter(col("event_type") === tpe), gapUs)
+          .select(col("user_id"), col("session_id").as(s"${pre}_sid"),
+            col("start_us").as(s"${pre}_s"), col("end_us").as(s"${pre}_e"))
       RangeJoin.intervalsOverlap(
           sessionsOf("click", "c"), "c_s", "c_e",
           sessionsOf("error", "e"), "e_s", "e_e",

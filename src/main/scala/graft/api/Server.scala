@@ -68,6 +68,7 @@ import graft.operators.BooleanPredicates
   * | /events/funnel        | {entity, steps:[..], tsCol?, userCol?,       |
   * |                       |  typeCol?}                                   |
   * | /events/retention     | {entity, tsCol?, userCol?}                   |
+  * | /events/sessions      | {entity, gapMs, tsCol?, userCol?}            |
   * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
   * | /entity/versions      | {name}                                       |
   * | /entity/retain        | {name, keep}                                 |
@@ -589,6 +590,14 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
           userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id",
           typeCol = if (req.has("typeCol")) req.get("typeCol").asText() else "event_type"))
+      case "/events/sessions" =>
+        // gap-based session intervals (bounds + event counts) per user
+        pagedRows(out, graft.operators.EventAnalytics.sessions(
+          entity(req, "entity").read(),
+          gapMicros = req.get("gapMs").asLong() * 1000L,
+          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id")
+          .orderBy("user_id", "session_id"))
       case "/events/retention" =>
         pagedRows(out, graft.operators.EventAnalytics.retention(
           entity(req, "entity").read(),

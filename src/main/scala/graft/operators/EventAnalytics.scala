@@ -59,6 +59,32 @@ object EventAnalytics {
       .withColumn("completed", col("steps_completed") === steps.size)
   }
 
+  /** Gap-based session INTERVALS per user: consecutive events within
+    * `gapMicros` merge into one session; output one row per session
+    * with `user_id`, `session_id` (1-based per user), and the inclusive
+    * `[start_us, end_us]` micros bounds — the interval relation that
+    * feeds overlap joins and duration analytics (the batch twin of the
+    * streaming `session_window` aggregation, but emitting bounds rather
+    * than counts). One user-keyed window shuffle: lag flags session
+    * starts, a running sum numbers them, one groupBy folds bounds. */
+  def sessions(events: DataFrame, gapMicros: Long,
+               tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    require(gapMicros > 0, "gap must be positive")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("ap_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("ap_new", when(col("ap_prev").isNull ||
+        us - unix_micros(col("ap_prev").cast("timestamp")) > gapMicros, 1).otherwise(0))
+      .withColumn("ap_sid", sum(col("ap_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(userCol).as("user_id"), col("ap_sid").as("session_id"))
+      .agg(min(us).as("start_us"), max(us).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Retention cohorts: users grouped by their first-activity day, with
     * active-user counts at each day offset since that first day.
     * Output: `cohort_day` (date), `day_offset`, `n_users` — the

@@ -61,6 +61,23 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.funnel(ev, Seq("click", "click"))
   }
 
+  test("sessions: gap merges, numbering, bounds, and counts per user") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "x"), (2L, ts(5), 1L, "x"),   // session 1: gap 4 < 10
+      (3L, ts(20), 1L, "x"),                        // session 2: gap 15 > 10
+      (4L, ts(7), 2L, "x")                          // user 2: singleton
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.sessions(ev, gapMicros = 10L * 60 * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out((1L, 1L)) shouldBe ((ts(1).getTime * 1000, ts(5).getTime * 1000, 2L))
+    out((1L, 2L)) shouldBe ((ts(20).getTime * 1000, ts(20).getTime * 1000, 1L))
+    out((2L, 1L))._3 shouldBe 1L
+    out.size shouldBe 3
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.sessions(ev, gapMicros = 0L)
+  }
+
   test("retention: cohorts by first day, distinct active offsets") {
     val ev = Seq(
       // user 1: first seen day 1, active days 1, 2, 4 (two events day 2)

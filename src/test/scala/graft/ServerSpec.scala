@@ -554,6 +554,15 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .map(r => r.get("user_id").asLong() -> r.get("steps_completed").asInt()).toMap
     byUser(1L) shouldBe 3
     byUser(2L) shouldBe 2
+    // session intervals over the wire: user 1's three events (100..300 s)
+    // merge under a 400 s gap into one session of 3 events
+    val sess = post("/events/sessions", """{"entity":"ev","gapMs":400000}""")
+    sess.get("ok").asBoolean() shouldBe true
+    val s1 = sess.get("rows").elements().asScala.toSeq
+      .filter(_.get("user_id").asLong() == 1L)
+    s1.size shouldBe 1
+    s1.head.get("n_events").asLong() shouldBe 3L
+
     val ret = post("/events/retention", """{"entity":"ev"}""")
     ret.get("ok").asBoolean() shouldBe true
     // user 2's view is ~1041 days after the click: two cohort rows for
