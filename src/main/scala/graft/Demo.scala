@@ -26,6 +26,11 @@ object Demo {
       if (!ok) sys.exit(1)
     }
 
+    // leftovers from a previous failed run (sys.exit skips cleanup)
+    // must not break the rerun
+    Seq("demo_docs", "demo_vecs").filter(Entity.list(base).contains)
+      .foreach(n => Entity.open(spark, base, n).drop())
+
     // 1. entity lifecycle with snapshot retention
     val e = EntityOps.create(spark, base, "demo_docs")
     e.retainVersions(2)

@@ -40,6 +40,23 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** One row per fixed-width bin the interval overlaps, inverted
+    * (lo > hi) intervals dropped; the span guard rides the sequence
+    * bound so projection pruning can't skip it. Shared by both join
+    * forms. */
+  private def explodeToBins(df: DataFrame, loCol: String, hiCol: String,
+                            binWidth: Double, maxBins: Long): DataFrame = {
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    val spanGuard = when(hiBin - loBin >= maxBins,
+      raise_error(concat(
+        lit(s"interval spans more than $maxBins bins of width $binWidth at "),
+        col(loCol).cast("string"), lit(".."), col(hiCol).cast("string"))))
+    df.filter(col(loCol) <= col(hiCol))
+      .withColumn("ap_bin",
+        explode(sequence(loBin, coalesce(spanGuard.cast("long"), hiBin))))
+  }
+
   def pointsInIntervals(points: DataFrame, pointCol: String,
                         intervals: DataFrame, loCol: String, hiCol: String,
                         binWidth: Double, keys: Seq[String] = Nil,
@@ -54,14 +71,7 @@ object RangeJoin {
     require(!pCols.contains("ap_bin") && !iCols.contains("ap_bin"),
       "ap_bin is reserved")
 
-    val loBin = floor(col(loCol) / binWidth).cast("long")
-    val hiBin = floor(col(hiCol) / binWidth).cast("long")
-    val spanGuard = when(hiBin - loBin >= maxBinsPerInterval,
-      raise_error(concat(lit(s"interval spans more than $maxBinsPerInterval bins of width $binWidth at "),
-        col(loCol).cast("string"), lit(".."), col(hiCol).cast("string"))))
-    val binned = intervals
-      .filter(col(loCol) <= col(hiCol)) // empty intervals match nothing
-      .withColumn("ap_bin", explode(sequence(loBin, coalesce(spanGuard.cast("long"), hiBin))))
+    val binned = explodeToBins(intervals, loCol, hiCol, binWidth, maxBinsPerInterval)
     val pts = points.withColumn("ap_bin", floor(col(pointCol) / binWidth).cast("long"))
 
     pts.join(binned, keys :+ "ap_bin")
@@ -97,19 +107,8 @@ object RangeJoin {
       s"non-key columns ${overlap.mkString(",")} appear on both sides")
     require(!(lCols ++ rCols).contains("ap_bin"), "ap_bin is reserved")
 
-    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
-      val loBin = floor(col(lo) / binWidth).cast("long")
-      val hiBin = floor(col(hi) / binWidth).cast("long")
-      val spanGuard = when(hiBin - loBin >= maxBinsPerInterval,
-        raise_error(concat(
-          lit(s"interval spans more than $maxBinsPerInterval bins of width $binWidth at "),
-          col(lo).cast("string"), lit(".."), col(hi).cast("string"))))
-      df.filter(col(lo) <= col(hi))
-        .withColumn("ap_bin",
-          explode(sequence(loBin, coalesce(spanGuard.cast("long"), hiBin))))
-    }
-
-    binned(left, loL, hiL).join(binned(right, loR, hiR), keys :+ "ap_bin")
+    explodeToBins(left, loL, hiL, binWidth, maxBinsPerInterval)
+      .join(explodeToBins(right, loR, hiR, binWidth, maxBinsPerInterval), keys :+ "ap_bin")
       .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
         col("ap_bin") === floor(greatest(col(loL), col(loR)) / binWidth).cast("long"))
       .drop("ap_bin")
