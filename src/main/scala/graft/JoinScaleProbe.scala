@@ -82,8 +82,23 @@ object JoinScaleProbe {
     def geoCount(f: Int): Long =
       Geo.radiusJoin(geoPts(f), "lat", "lng", pois, "poi_lat", "poi_lng", 300000.0).count()
 
+    // interval overlap: sessions of two event types, users fresh per copy
+    def overlapCount(f: Int): Long = {
+      val e = expandEv(f)
+      val gapUs = 7L * 86400L * 1000000L
+      def sess(tpe: String, pre: String) =
+        graft.operators.EventAnalytics.sessions(
+            e.filter(col("event_type") === tpe), gapUs)
+          .select(col("user_id"), col("session_id").as(s"${pre}_sid"),
+            col("start_us").as(s"${pre}_s"), col("end_us").as(s"${pre}_e"))
+      RangeJoin.intervalsOverlap(sess("click", "c"), "c_s", "c_e",
+        sess("error", "e"), "e_s", "e_e",
+        binWidth = gapUs.toDouble, keys = Seq("user_id")).count()
+    }
+
     val probes: Seq[(String, Int => Long)] = Seq(
-      ("asof_join", asofCount), ("range_join", rangeCount), ("geo_radius_join", geoCount))
+      ("asof_join", asofCount), ("range_join", rangeCount),
+      ("geo_radius_join", geoCount), ("interval_overlap", overlapCount))
 
     println(f"${"operator"}%-16s ${"rows_1x"}%10s ${"ms_1x"}%8s ${"rows_Nx"}%12s ${"ms_Nx"}%8s ratio")
     probes.foreach { case (name, run) =>
