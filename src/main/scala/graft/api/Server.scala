@@ -60,6 +60,7 @@ import graft.operators.BooleanPredicates
   * |                       |  epochs?/defaultEpochs?}                     |
   * | /pipeline/strip_chunks | {entity, textCol, idCol, window?, stride?,  |
   * |                       |  minDocs?}                                   |
+  * | /pipeline/strip_lines | {entity, textCol, idCol, minDocs?}           |
   * | /pipeline/asof        | {left, right, keys:[..], tsCol, tieCol,      |
   * |                       |  payload:[..], direction?, strict?,          |
   * |                       |  toleranceMs?}                               |
@@ -633,6 +634,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           toleranceMicros =
             if (req.has("toleranceMs")) Some(req.get("toleranceMs").asLong() * 1000L)
             else None))
+      case "/pipeline/strip_lines" =>
+        // C4-style line-level boilerplate removal
+        pagedRows(out, graft.operators.Dedup.stripRepeatedLines(
+          entity(req, "entity").read(),
+          req.get("idCol").asText(), req.get("textCol").asText(),
+          if (req.has("minDocs")) req.get("minDocs").asInt() else 2))
       case "/pipeline/strip_chunks" =>
         // boilerplate removal: documents rewritten with corpus-duplicated
         // token windows erased (the fix half of repeated-chunk detection)

@@ -133,6 +133,46 @@ object Dedup {
         (size(col("t")) - size(col("ap_kept"))).cast("long").as("n_removed"))
   }
 
+  /** C4-style LINE-level dedup: rewrite each document with every line
+    * whose normalized form appears in ≥ `minDocs` distinct documents
+    * removed — the classic web-corpus cleanup (C4 / RefinedWeb drop
+    * boilerplate nav/footer lines this way) for corpora with line
+    * structure; [[stripRepeatedChunks]] is the token-window analog for
+    * unstructured text. Blank/whitespace-only lines are never counted
+    * as duplicates (they occur everywhere) and pass through, preserving
+    * paragraph structure.
+    *
+    * Same scale shape as the chunk form: only (doc, line-index, 16-byte
+    * hash) triples shuffle; the duplicated-hash relation joins back
+    * hash-keyed; per-doc removal indices collapse to one array row; the
+    * rewrite is a pure codegen array filter. Output: `idCol`,
+    * `cleaned_text` (surviving lines joined by newline), `n_removed`. */
+  def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                         minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val toks = df.select(col(idCol).as("doc"), split(col(textCol), "\n").as("t"))
+    val occ = toks
+      .select(col("doc"), posexplode(col("t")).as(Seq("p", "line")))
+      .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+      .filter(col("norm") =!= "") // blanks never mark as duplicates
+      .select(col("doc"), col("p"), md5(col("norm")).as("h"))
+    val dup = occ.groupBy("h")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val drops = occ.join(dup, "h")
+      .groupBy("doc")
+      .agg(sort_array(collect_set(col("p"))).as("ap_drops"))
+    val kept = filter(col("t"), (_, i) => !array_contains(col("ap_drops"), i))
+    toks.join(drops, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        when(col("ap_drops").isNull, col("t")).otherwise(kept).as("ap_kept"),
+        col("t"))
+      .select(col(idCol),
+        array_join(col("ap_kept"), "\n").as("cleaned_text"),
+        (size(col("t")) - size(col("ap_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Corpus-wide most frequent word n-grams (counted once per document)
     * — the boilerplate detector a pipeline runs before writing filter
     * rules. Same shingle semantics as [[shingles]] (short docs collapse

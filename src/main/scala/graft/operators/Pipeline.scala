@@ -73,6 +73,11 @@ object Pipeline {
         df.drop(textCol).join(
           cleaned.select(col(idCol), col("cleaned_text").as(textCol)), Seq(idCol))
 
+      case "strip_lines" => // C4-style line-level boilerplate removal
+        val cleaned = Dedup.stripRepeatedLines(df, idCol, textCol, i("minDocs", 2))
+        df.drop(textCol).join(
+          cleaned.select(col(idCol), col("cleaned_text").as(textCol)), Seq(idCol))
+
       case "sample_bernoulli" =>
         Sampling.bernoulliSample(df, st.params.getOrElse("keyCol", textCol),
           d("fraction", 0.1))

@@ -647,6 +647,30 @@ class DedupTextSpec extends SparkSpec {
     out(2L)._2 shouldBe 20L
   }
 
+  test("stripRepeatedLines: cross-doc boilerplate lines go, blanks and prose stay") {
+    val d = Seq(
+      (1L, "unique intro one\n\nSubscribe To Our Newsletter\nreal content here"),
+      (2L, "different opening\nSubscribe  to our newsletter\nmore real words"),
+      (3L, "standalone document\nwith only original lines\n\n"),
+      (4L, "SUBSCRIBE TO OUR NEWSLETTER") // the boilerplate IS the doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedLines(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // normalization (case + whitespace runs) unifies all three spellings
+    out(1L) shouldBe (("unique intro one\n\nreal content here", 1L))
+    out(2L) shouldBe (("different opening\nmore real words", 1L))
+    out(3L) shouldBe (("standalone document\nwith only original lines\n\n", 0L))
+    out(4L) shouldBe (("", 1L))
+    // blank lines are everywhere but never counted as duplicates
+    out(1L)._1 should include("\n\n")
+  }
+
+  test("stripRepeatedLines: within-doc-only repeated lines are kept") {
+    val d = Seq((1L, "la\nla\nla"), (2L, "other text entirely")).toDF("doc_id", "text")
+    Dedup.stripRepeatedLines(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap.apply(1L) shouldBe 0L
+  }
+
   test("stripRepeatedChunks: within-doc-only repeats are NOT stripped") {
     val shared = (0 until 20).map(i => s"s$i").mkString(" ")
     val d = Seq((7L, shared + " " + shared)).toDF("doc_id", "text")
