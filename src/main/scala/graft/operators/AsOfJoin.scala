@@ -85,6 +85,18 @@ object AsOfJoin {
     val sgn = if (direction == "backward") 1L else -1L
     def us(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+    // Equi-join semantics: a right row with a NULL join key or NULL event
+    // time can never be a match (NULL = NULL is not true; a NULL-time row
+    // has no position on the time axis), yet unfiltered it would sort
+    // first in the window (ap_sort NULL, nulls-first) and be served by
+    // the running last() as a bogus null-timestamp match. Drop them here.
+    // Left rows are NOT filtered — null-key left rows land in partitions
+    // containing no right rows and null-time left rows sort before every
+    // right row, so both fall through unmatched, matching the LATERAL
+    // top-1 oracle form.
+    val rightClean = right.filter(
+      (col(tsCol).isNotNull +: keys.map(k => col(k).isNotNull)).reduce(_ && _))
+
     val matchType = StructType(
       StructField("ap_rts", TimestampType) +: payload.map(p => right.schema(p)))
     val leftRowType = StructType(left.schema.fields)
@@ -100,7 +112,7 @@ object AsOfJoin {
         lit(0L).as("ap_tie"),
         lit(null).cast(matchType).as("ap_match"),
         struct(leftCols.map(col): _*).as("ap_lrow")): _*)
-    val r2 = right.select(
+    val r2 = rightClean.select(
       keys.map(col) ++ Seq(
         (us(col(tsCol)) * sgn).as("ap_sort"),
         lit(rSide).as("ap_side"),

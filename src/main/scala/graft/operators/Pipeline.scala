@@ -67,6 +67,15 @@ object Pipeline {
           .getOrElse(length(col(textCol)))
         Dedup.nearDupKeepBest(df, textCol, idCol, d("threshold", 0.8), pri)
 
+      // NOTE stage contract: `strip_chunks` rewrites textCol to the
+      // Dedup-NORMALIZED form (lowercased, whitespace-collapsed,
+      // space-joined tokens) with duplicated windows erased — chunk
+      // identity is defined on normalized token windows, so the rewrite
+      // is expressed in that space. `strip_lines` by contrast preserves
+      // the original lines verbatim (line identity is normalized, the
+      // KEPT text is not). Downstream stages (quality_floor, pack token
+      // counts) therefore see normalized text after strip_chunks but
+      // original text after strip_lines. Pick the stage accordingly.
       case "strip_chunks" => // rewrite textCol with duplicated windows erased
         val cleaned = Dedup.stripRepeatedChunks(df, idCol, textCol,
           i("window", 20), i("stride", 10), i("minDocs", 2))

@@ -198,7 +198,16 @@ object Sampling {
         .orderBy(p.desc, col(idCol).asc)
       case None => Window.partitionBy(col(domainCol)).orderBy(col(idCol).asc)
     }
-    df.withColumn(tok, tokens.cast("long"))
+    // A NULL token count would make `cum - tok` NULL and silently drop
+    // the row from the corpus; fail loudly instead (mirrors longIdOrFail)
+    // so a bad token column is an operator-level error, not data loss.
+    val casted = tokens.cast("long")
+    df.withColumn(tok, when(casted.isNull,
+        raise_error(concat(
+          lit("tokenBudgetSample: token count is NULL or not castable to long for "),
+          lit(s"$idCol="), col(idCol).cast("string"),
+          lit(" — coalesce or fix the token column upstream"))))
+        .otherwise(casted))
       .withColumn(cum, sum(col(tok)).over(
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col(cum) - col(tok) < budget)

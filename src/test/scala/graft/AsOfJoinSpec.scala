@@ -125,6 +125,40 @@ class AsOfJoinSpec extends SparkSpec {
     "Exchange".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("null-time and null-key right rows are never served as matches") {
+    // A right row with NULL ts would sort first (nulls-first) and, unfixed,
+    // become the running match with a null ap_asof_ts; a right row with a
+    // NULL key would pair with null-key left rows via partitionBy's
+    // null-grouping. Both must behave like the equi-join / LATERAL oracle:
+    // no match.
+    val right = Seq(
+      (Some(1L), Option.empty[Timestamp], 99L, 0.0),             // null ts
+      (Option.empty[Long], Some(ts("2024-01-01 09:00:00")), 98L, 0.0), // null key
+      (Some(1L), Some(ts("2024-01-01 09:30:00")), 42L, 1.0)      // real match
+    ).toDF("user_id", "ts", "qid", "px")
+    val l = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), "real"),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), "nullkey")
+    ).toDF("user_id", "ts", "tag")
+    val m = AsOfJoin.asOf(l, right, Seq("user_id"), "ts", "qid", Seq("qid", "px"))
+      .select("tag", "qid").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    m("real") shouldBe 42L    // the null-ts row 99 must not shadow this
+    m("nullkey") shouldBe -1L // NULL = NULL is not a join match
+  }
+
+  test("null-time left rows fall through unmatched but are emitted") {
+    val l = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), "t"),
+      (1L, Option.empty[Timestamp], "nots")
+    ).toDF("user_id", "ts", "tag")
+    val m = AsOfJoin.asOf(l, rightDf, Seq("user_id"), "ts", "qid", Seq("qid"))
+      .select("tag", "qid").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    m("t") shouldBe 11L
+    m("nots") shouldBe -1L // left join: row kept, no match
+  }
+
   test("invalid arguments are refused") {
     an[IllegalArgumentException] should be thrownBy
       AsOfJoin.asOf(leftDf, rightDf, Seq("user_id"), "ts", "qid", Seq("qid"),

@@ -101,5 +101,9 @@ class OperatorSpec extends SparkSpec {
     p("b").getDouble(6) shouldBe 10.0 // stddev_samp of 10,20,30
     an[IllegalArgumentException] should be thrownBy
       graft.operators.Projections.profile(df, Nil)
+    // duplicate column list → refused up front, not an opaque
+    // ambiguous-reference AnalysisException from the unpivot
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Projections.profile(df, Seq("a", "a"))
   }
 }

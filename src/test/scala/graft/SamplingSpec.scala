@@ -367,4 +367,17 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.tokenBudgetSample(df, "dom", "id", col("tok"), Map.empty, -1L)
   }
+
+  test("tokenBudgetSample: NULL token count fails loudly, never silently drops") {
+    val df = Seq(("a", 1L, Some(5L)), ("a", 2L, Option.empty[Long]))
+      .toDF("dom", "id", "tok")
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetSample(df, "dom", "id", col("tok"), Map.empty, 100L)
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    msgs should include("tokenBudgetSample")
+    msgs should include("id=2")
+  }
 }
