@@ -67,8 +67,9 @@ object Plans {
       // through the candidate-bounded semi-join rerank
       ("hybrid_search_rrf", "TakeOrdered-bounded fusion; vector leg ranks over index codes",
         Seq("TakeOrderedAndProject", "FullOuter", "pq_adc", "LeftSemi")),
-      ("event_funnel", "funnel folds per-user sorted collect in one aggregation",
-        Seq("collect_list", "ObjectHashAggregate")),
+      ("event_funnel", "funnel folds per-user sorted collect in one aggregation; " +
+        "non-step events nulled out map-side, below the exchange",
+        Seq("collect_list", "ObjectHashAggregate", "IN (click,view,purchase)")),
       ("strip_repeated_chunks", "dup-hash relation joins back; rewrite is an array filter",
         Seq("Generate explode", "md5", "filter")))
 
@@ -85,14 +86,22 @@ object Plans {
         println(s"[plan-MISS] event_asof_attribution: expected join-free window plan\n$asofPlan")
         sys.exit(1)
       }
-      val rangePlan = SparkEntry.queries("range_join_price_bands")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      if (!rangePlan.contains("NestedLoop") && !rangePlan.contains("CartesianProduct")
-          && rangePlan.contains("Join"))
-        println("[plan-ok] range_join_price_bands: binned hash equi-join, no nested loop")
-      else {
-        println(s"[plan-MISS] range_join_price_bands: expected hash join without NLJ\n$rangePlan")
-        sys.exit(1)
+      // every binned join in the family must be a hash equi-join —
+      // a Catalyst upgrade silently re-planning any of them into
+      // BroadcastNestedLoopJoin/CartesianProduct is a scale regression
+      Seq(("range_join_price_bands", "binned hash equi-join"),
+          ("session_overlap_join", "interval-overlap binned equi-join"),
+          ("geo_radius_join", "lat/lng grid equi-join")).foreach {
+        case (name, what) =>
+          val plan = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          if (!plan.contains("NestedLoop") && !plan.contains("CartesianProduct")
+              && plan.contains("Join"))
+            println(s"[plan-ok] $name: $what, no nested loop")
+          else {
+            println(s"[plan-MISS] $name: expected hash join without NLJ\n$plan")
+            sys.exit(1)
+          }
       }
     }
 

@@ -24,12 +24,17 @@ object EventAnalytics {
     * (0..steps.length), `completed` flag.
     *
     * Plan shape: ONE shuffle (groupBy user) collecting each user's
-    * (ts, type) pairs time-sorted, then a codegen `aggregate` HOF walks
-    * the sorted array once advancing a (step, lastTs) state. At 100 TB
-    * the per-user event list is the only memory bound — the same
-    * per-key bound as any sessionization — and no join or second
-    * shuffle exists. The alternative cascade (one conditional
-    * aggregation + join per step) costs `2k` shuffles.
+    * STEP-TYPE (ts, type) pairs time-sorted, then a codegen `aggregate`
+    * HOF walks the sorted array once advancing a (step, lastTs) state.
+    * Non-step events are nulled out INSIDE the collect (`collect_list`
+    * skips nulls), so they never enter the per-user array or the
+    * exchange — at 100 TB with whale users and dozens of event types
+    * the shuffled/materialized per-key state is bounded by step events
+    * only, not the user's whole history — while every user still owns a
+    * group (a plain pre-filter would silently drop zero-step users from
+    * the output, changing the left-join contract the oracle checks).
+    * No join or second shuffle exists; the alternative cascade (one
+    * conditional aggregation + join per step) costs `2k` shuffles.
     *
     * Ties: an event at exactly the same timestamp as the previous
     * step's match does NOT advance the funnel (strictly-after
@@ -41,9 +46,10 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val stepArr = array(steps.map(lit): _*)
-    val evs = sort_array(collect_list(struct(
-      unix_micros(col(tsCol).cast("timestamp")).as("t"),
-      col(typeCol).as("y"))))
+    val evs = sort_array(collect_list(when(col(typeCol).isin(steps: _*),
+      struct(
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(typeCol).as("y")))))
     // state: (next step index to match, ts of the last matched step)
     val init = struct(lit(0).as("i"), lit(Long.MinValue).as("last"))
     val walk = aggregate(

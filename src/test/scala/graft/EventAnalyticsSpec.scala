@@ -53,6 +53,29 @@ class EventAnalyticsSpec extends SparkSpec {
     out(2L) shouldBe 2
   }
 
+  test("funnel: non-step events never enter the per-user collect (map-side null-out)") {
+    // user 1's history is dominated by non-step noise; user 5 has ONLY
+    // non-step events and must still appear with 0 steps (all-users
+    // contract — a plain pre-filter would drop the row entirely)
+    val noise = (100L to 140L).map(i => (i, ts((i % 50).toInt), 1L, "scroll"))
+    val ev = (Seq(
+      (1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "view"),
+      (3L, ts(3), 5L, "hover"), (4L, ts(4), 5L, "scroll")
+    ) ++ noise).toDF("event_id", "ts", "user_id", "event_type")
+    val df = EventAnalytics.funnel(ev, Seq("click", "view", "purchase"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out(1L) shouldBe 2
+    out(5L) shouldBe 0 // present, unmatched — not silently dropped
+
+    // the step-type restriction must run in the PARTIAL aggregate, i.e.
+    // below the exchange, so non-step events never shuffle: the plan
+    // section after the Exchange line carries the conditional collect
+    val plan = df.queryExecution.executedPlan.toString
+    val afterExchange = plan.substring(plan.indexOf("Exchange"))
+    afterExchange should include("partial_collect_list")
+    afterExchange should include("IN (click,view,purchase)")
+  }
+
   test("funnel refuses empty or duplicate step lists") {
     val ev = Seq((1L, ts(1), 1L, "click")).toDF("event_id", "ts", "user_id", "event_type")
     an[IllegalArgumentException] should be thrownBy
