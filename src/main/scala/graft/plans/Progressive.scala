@@ -72,12 +72,22 @@ object Progressive {
   /** Timed query: best (highest-confidence, then fastest) successful
     * result available within the deadline; remaining job groups are
     * cancelled. Falls back to awaiting the FIRST completion if nothing
-    * lands in time (the reference blocks on at least one result). */
+    * lands in time (the reference blocks on at least one result).
+    *
+    * Early return: as soon as a SUCCESSFUL plan at the race's maximum
+    * confidence completes, the deadline wait ends and the remaining
+    * legs are cancelled — confidence is the primary winner sort key, so
+    * no still-running plan can displace it (equal-confidence plans are
+    * interchangeable in exactness; only the measured time differs).
+    * This keeps an exact-plan race paced by its FASTEST exact leg, not
+    * by the slowest approximate straggler. */
   def timed(spark: SparkSession, plans: Seq[PlanSpec], deadlineMs: Long)
            (implicit ec: ExecutionContext): Observation = {
     val obs = new ConcurrentLinkedQueue[Observation]()
     val first = new CountDownLatch(1)
     val all = new CountDownLatch(plans.size)
+    val maxConf = plans.map(_.confidence).max
+    val waiter = new Object
     // Plans still queued in the ExecutionContext when the deadline fires
     // must not start afterwards — cancelJobGroup only reaches RUNNING
     // jobs, so a queued future would otherwise run to completion with
@@ -99,10 +109,22 @@ object Progressive {
         } finally {
           first.countDown()
           all.countDown()
+          waiter.synchronized(waiter.notifyAll())
         }
       }
     }
-    all.await(deadlineMs, TimeUnit.MILLISECONDS)
+    def sufficientDone: Boolean = {
+      import scala.jdk.CollectionConverters._
+      obs.asScala.exists(o => o.result.isSuccess && o.confidence >= maxConf)
+    }
+    val deadlineNanos = System.nanoTime() + deadlineMs * 1000000L
+    waiter.synchronized {
+      var remainingMs = deadlineMs
+      while (all.getCount > 0 && !sufficientDone && remainingMs > 0) {
+        waiter.wait(remainingMs)
+        remainingMs = (deadlineNanos - System.nanoTime()) / 1000000L
+      }
+    }
     if (obs.isEmpty) first.await()
     cancelled.set(true)
     plans.foreach(p => spark.sparkContext.cancelJobGroup(s"graft-${p.description}"))

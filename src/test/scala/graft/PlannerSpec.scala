@@ -257,6 +257,25 @@ class PlannerSpec extends SparkSpec {
     o.confidence shouldBe 1.0 // sequential wins on confidence
   }
 
+  test("timed race returns at the first max-confidence completion, not the slow straggler") {
+    // a deliberately slow low-confidence leg must not pace the race
+    // once the exact leg has landed (early return + job-group cancel)
+    val t0 = System.nanoTime()
+    val o = Progressive.timed(spark, Seq(
+      Progressive.PlanSpec("exact-fast", 1.0,
+        () => graft.operators.Knn.knn(data, dist, 5, col("id"))),
+      Progressive.PlanSpec("slow-approx", 0.5, () => {
+        val slow = udf((x: Long) => { Thread.sleep(30000); x })
+        data.limit(1).select(slow(col("id")).as("id")) // one 30 s task
+      })), deadlineMs = 120000)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    o.confidence shouldBe 1.0
+    o.result.isSuccess shouldBe true
+    // without early return the race awaits the 30 s straggler (the old
+    // all.await path); with it, the exact leg's completion ends the wait
+    wallMs should be < 20000L
+  }
+
   test("result cache memoizes by fingerprint and invalidates") {
     val cache = new ResultCache(2)
     var computes = 0
