@@ -589,7 +589,7 @@ object SparkEntry {
 
     // --- lifecycle / planner / progressive / partitioning / multimodal ---
     "entity_lifecycle" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+      val base = freshScratch("lifecycle")
       val e = graft.core.Entity.create(s, base, "li")
       val src = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
       e.insert(src.filter(col("l_returnflag") === "A"))
@@ -604,7 +604,7 @@ object SparkEntry {
       // merge-by-key: expensive orders get repriced (replace), a band of
       // mid-priced orders arrives as new keys (append) — one atomic
       // versioned rewrite, survivors via a single keyed anti-join
-      val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+      val base = freshScratch("upsert")
       val e = graft.core.Entity.create(s, base, "up")
       val orders = Tables.orders(s, d)
       e.insert(orders.filter(col("o_totalprice") >= 400000))
@@ -681,7 +681,7 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")),
 
     "entity_vacuum" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-vac").toString
+      val base = freshScratch("vac")
       val e = graft.core.Entity.create(s, base, "li")
       e.insert(Tables.lineitem(s, d).filter(col("l_quantity") >= 49))
       e.vacuum(numPartitions = 4) // rewrite must preserve content exactly
@@ -692,7 +692,7 @@ object SparkEntry {
 
     "sparse_roundtrip" -> ((s, d) => {
       // sparsify → densify round trip preserves every element
-      val base = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+      val base = freshScratch("sparse")
       val e = graft.core.Entity.create(s, base, "emb")
       e.insert(Tables.embeddings(s, d).select("vec_id", "embedding"))
       e.sparsify("embedding")
@@ -723,7 +723,7 @@ object SparkEntry {
       .orderBy("label", "dim")),
 
     "import_export_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-ie").toString + "/docs"
+      val out = freshScratch("ie") + "/docs"
       graft.core.ImportExport.export(Tables.documents(s, d), "json", out)
       graft.core.ImportExport.importTable(s, "json", out)
         .select("doc_id").orderBy("doc_id")
@@ -779,6 +779,41 @@ object SparkEntry {
       val assets = Multimodal.syntheticMp4Assets(Tables.documents(s, d), "doc_id")
       Multimodal.mp4KeyframePlan(assets, maxFrames = 2)
         .orderBy("asset_id", "frame_idx")
+    }),
+
+    "image_neardup_dhash" -> ((s, d) => {
+      // REAL perceptual pipeline: deterministic pattern PNGs (3 variants
+      // per group: base / rescaled / one-cell edit) → ImageIO decode →
+      // 9×8 grid dHash → 4×16-bit banded pairs (exact for Hamming ≤ 3).
+      // The oracle never decodes a pixel: it replays Multimodal.patternLum
+      // analytically (constant-luminance cells aligned to the dHash grid
+      // make expected == actual bit-for-bit) and re-derives the pair set.
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 600).select("doc_id")
+      Multimodal.imageNearDupPairs(
+          Multimodal.syntheticPatternImages(ids, "doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "audio_neardup_ahash" -> ((s, d) => {
+      // same contract for audio: envelope WAVs (base / 16 kHz resample /
+      // one silenced window) → sampled-audio decode → 65-window RMS
+      // aHash → banded pairs; oracle replays Multimodal.envAmp (adjacent
+      // windows differ by ≥ 2000, so RMS ordering == amp ordering)
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 600).select("doc_id")
+      Multimodal.audioNearDupPairs(
+          Multimodal.syntheticEnvelopeAudio(ids, "doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "strip_lines" -> ((s, d) => {
+      // C4-style line-level dedup; the bundled corpus carries no
+      // newlines, so line structure is derived in-plan (one word per
+      // line) — the operator's split/normalize/count-distinct/rewrite
+      // path is exercised for real, and the oracle replays it in SQL
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), translate(col("text"), " ", "\n").as("ltext"))
+      Dedup.stripRepeatedLines(docs, "doc_id", "ltext", minDocs = 10)
+        .orderBy("doc_id")
     }),
 
     // --- dedup + text analysis (LLM pipeline) ---
@@ -1250,7 +1285,7 @@ object SparkEntry {
     * (JVM, data dir). */
   private def partLayout(s: SparkSession, d: String): String =
     partLayouts.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val dir = freshScratch(s"part-h${Integer.toHexString(d.hashCode)}")
       val e = graft.core.Entity.create(s, dir, "embp")
       e.insert(Tables.embeddings(s, d))
       e.partitionLayout(graft.core.Partitioning.ByColumn("label"))
@@ -1286,7 +1321,7 @@ object SparkEntry {
     * filtered on EITHER column. */
   private[graft] def zorderLayout(s: SparkSession, d: String): String =
     zorderDirs.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      val dir = freshScratch(s"zorder-h${Integer.toHexString(d.hashCode)}")
       graft.core.Partitioning.write(
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
@@ -1298,7 +1333,7 @@ object SparkEntry {
     * (JVM, data dir). */
   private def sparseLayout(s: SparkSession, d: String): String =
     sparseLayouts.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-sparseknn").toString
+      val dir = freshScratch(s"sparseknn-h${Integer.toHexString(d.hashCode)}")
       val e = graft.core.Entity.create(s, dir, "emb")
       e.insert(Tables.embeddings(s, d).select("vec_id", "embedding"))
       e.sparsify("embedding")
@@ -1314,7 +1349,7 @@ object SparkEntry {
     * (JVM, data dir), the embedded-KV-engine analogue. */
   private def kvLayout(s: SparkSession, d: String): String =
     kvLayouts.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-kv").toString
+      val dir = freshScratch(s"kv-h${Integer.toHexString(d.hashCode)}")
       kvHandler.write(s, dir, Tables.part(s, d), overwrite = true)
       dir
     })
@@ -1356,15 +1391,36 @@ object SparkEntry {
     sem.assigned.count()
   }
 
-  /** One vertical-layout scratch root per JVM, deleted on exit. Every
-    * `vertical_reassembly` run reuses it (group handlers write with
-    * overwrite=true), so repeated battery runs in one JVM leave no
-    * orphaned `graft-vert*` dirs. */
-  private lazy val verticalScratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-vert")
+  /** ONE scratch root per JVM for every battery query that writes a
+    * throwaway entity/export (lifecycle, upsert, vacuum, sparse, import/
+    * export, vertical). Deleted by a single shutdown hook; per-query
+    * subdirs are wiped-and-recreated per invocation by [[freshScratch]],
+    * so repeated battery runs in one JVM leave zero orphaned `graft-*`
+    * dirs AND bounded disk (each query owns exactly one live subdir). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       graft.core.Entity.deleteRecursively(p)))
-    p.toString
+    p
+  }
+
+  /** A clean per-query scratch dir under [[scratchRoot]]. Synchronized:
+    * the wipe is not safe against a concurrent invocation of the SAME
+    * query name — acceptable for the bench/battery surface these back
+    * (the server's entity store uses its own per-entity dirs). */
+  private def freshScratch(name: String): String = synchronized {
+    val d = scratchRoot.resolve(name)
+    graft.core.Entity.deleteRecursively(d)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
+  /** Vertical-layout scratch, reused across runs (group handlers write
+    * with overwrite=true — no per-invocation wipe needed). */
+  private lazy val verticalScratch: String = {
+    val d = scratchRoot.resolve("vert")
+    java.nio.file.Files.createDirectories(d)
+    d.toString
   }
 
   /** Drop every per-data-dir cached index/layout artifact for `dir` —
@@ -1903,6 +1959,76 @@ object SparkEntry {
         | TRUE AS keyframe
         |FROM documents CROSS JOIN (VALUES (1), (4)) AS t(i)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // dHash oracle: NO pixel decode — the pattern's cell luminance is a
+    // closed formula (Multimodal.patternLum), cells align exactly with
+    // the 9×8 dHash grid and PNG is lossless, so expected bit (gy,gx) =
+    // lum(gx) < lum(gx+1) analytically; pairs re-derived per bit with
+    // Hamming ≤ 3 (the banding is exact in that range)
+    "image_neardup_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS g, CAST(doc_id % 3 AS INT) AS v
+        |  FROM documents WHERE doc_id < 600),
+        |bits AS (
+        |  SELECT id, t.i AS i,
+        |    (CASE WHEN v = 2 AND (t.i % 8) = g % 8 AND (t.i // 8) = (g // 8) % 8 THEN 0
+        |          ELSE 10 + (((t.i % 8) * 29 + (t.i // 8) * 13 + g * 17) % 200) END
+        |     <
+        |     CASE WHEN v = 2 AND (t.i % 8) + 1 = g % 8 AND (t.i // 8) = (g // 8) % 8 THEN 0
+        |          ELSE 10 + ((((t.i % 8) + 1) * 29 + (t.i // 8) * 13 + g * 17) % 200) END) AS bit
+        |  FROM ids, generate_series(0, 63) AS t(i))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(count(*) FILTER (WHERE a.bit <> b.bit) AS INT) AS hamming
+        |FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
+        |GROUP BY a.id, b.id
+        |HAVING count(*) FILTER (WHERE a.bit <> b.bit) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // aHash oracle: expected bit k = amp(k) < amp(k+1) from
+    // Multimodal.envAmp (adjacent window amplitudes always differ by ≥
+    // 2000, far above the carrier's RMS estimation noise)
+    "audio_neardup_ahash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS g, CAST(doc_id % 3 AS INT) AS v
+        |  FROM documents WHERE doc_id < 600),
+        |bits AS (
+        |  SELECT id, t.k AS k,
+        |    (CASE WHEN v = 2 AND t.k = (g % 63) + 1 THEN 0
+        |          ELSE 2000 + ((t.k + g) % 7) * 2000 END
+        |     <
+        |     CASE WHEN v = 2 AND t.k + 1 = (g % 63) + 1 THEN 0
+        |          ELSE 2000 + ((t.k + 1 + g) % 7) * 2000 END) AS bit
+        |  FROM ids, generate_series(0, 63) AS t(k))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(count(*) FILTER (WHERE a.bit <> b.bit) AS INT) AS hamming
+        |FROM bits a JOIN bits b ON a.k = b.k AND a.id < b.id
+        |GROUP BY a.id, b.id
+        |HAVING count(*) FILTER (WHERE a.bit <> b.bit) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // line dedup over the derived one-word-per-line text: a line is
+    // dropped where its normalized form appears in >= 10 distinct docs;
+    // blank lines never count as duplicates and always survive
+    "strip_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS p, unnest(ls) AS line
+        |  FROM d),
+        |n AS (
+        |  SELECT doc_id, p, line,
+        |         regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS norm
+        |  FROM o),
+        |dup AS (
+        |  SELECT norm FROM n WHERE norm <> ''
+        |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 10)
+        |SELECT n.doc_id,
+        |  coalesce(string_agg(CASE WHEN dup.norm IS NULL THEN n.line END,
+        |                      chr(10) ORDER BY n.p), '') AS cleaned_text,
+        |  CAST(count(CASE WHEN dup.norm IS NOT NULL THEN 1 END) AS BIGINT) AS n_removed
+        |FROM n LEFT JOIN dup ON n.norm = dup.norm
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
 
     // the ByColumn layout makes the pruned scan EXACTLY the label-subset
     // scan, so the oracle is a plain filtered kNN — no recall caveat

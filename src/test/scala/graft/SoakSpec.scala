@@ -102,6 +102,21 @@ class SoakSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     (heapLate - heapEarly) should be < (512L * 1024 * 1024)
   }
 
+  test("scratch-writing battery queries leave zero orphaned graft dirs across runs") {
+    val dir = "/root/testdata/sf0.001"
+    val scratchQueries = Seq("entity_lifecycle", "entity_upsert", "entity_vacuum",
+      "sparse_roundtrip", "import_export_roundtrip", "vertical_reassembly")
+    def runAll(): Unit = scratchQueries.foreach(q =>
+      SparkEntry.queries(q)(spark, dir).count() should be > 0L)
+    runAll() // first run may mint the single per-JVM scratch root
+    val after1 = tmpGraftDirs
+    runAll() // second run must reuse it — zero new graft-* dirs
+    (tmpGraftDirs -- after1) shouldBe empty
+    // everything lives under ONE shutdown-hook-cleaned root, not one
+    // orphan dir per invocation
+    after1.count(_.startsWith("graft-scratch")) should be <= 1
+  }
+
   test("SparkEntry.releaseCaches evicts per-data-dir index/layout artifacts") {
     val dir = "/root/testdata/sf0.001"
     // warm two distinct cache families: a persisted vector index and the
