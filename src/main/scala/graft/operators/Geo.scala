@@ -80,9 +80,14 @@ object Geo {
     * exploding a task). Pairs join exactly once (a point's cell is
     * unique, a poi emits each cell once).
     *
-    * Known limitation: the grid does not wrap at the ±180° antimeridian
-    * — pairs straddling the seam are missed (documented, like every
-    * planar-grid geo join).
+    * The longitude grid WRAPS at the ±180° antimeridian: the ring is
+    * divided into an integral number of cells (width 360/⌈360/dDeg⌉ ≤
+    * the radius, so coverage stays lossless) and poi-side cell indexes
+    * wrap modulo that count, so a poi at −179.9° reaches a point at
+    * +179.9°. When a poi's widened span covers the whole ring (extreme
+    * latitudes), the full ring is emitted exactly once — pairs still
+    * join exactly once, no distinct needed. Latitude is clamped, not
+    * wrapped (poles hit the cell-count guard).
     *
     * Output: all columns of both sides + `dist_m`. Non-shared column
     * names must be disjoint. */
@@ -94,6 +99,11 @@ object Geo {
     val overlap = points.columns.toSet.intersect(pois.columns.toSet)
     require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
     val dDeg = radiusMeters / MetersPerDeg
+    // integral cells per longitude ring → the grid wraps EXACTLY at the
+    // seam; cell width shrinks to ≤ dDeg, never widens, so the degree
+    // span math below stays lossless
+    val nLng = math.max(1L, math.ceil(360.0 / dDeg).toLong)
+    val lngW = 360.0 / nLng
 
     def normLat(c: Column) = greatest(lit(-90.0), least(lit(90.0), c.cast("double")))
     def normLng(c: Column) = {
@@ -101,30 +111,44 @@ object Geo {
       when(w >= 180.0, w - 360.0).otherwise(w)
     }
     def cellOf(v: Column) = floor(v / dDeg).cast("long")
+    // ring cell in [0, nLng): shifted to [0, 360) then clamped against
+    // the floating-point edge at exactly 360/lngW
+    def lngCell(c: Column) =
+      least(floor((normLng(c) + 180.0) / lngW), lit(nLng - 1)).cast("long")
 
     val p = points
       .withColumn("ap_clat", cellOf(normLat(col(latCol))))
-      .withColumn("ap_clng", cellOf(normLng(col(lngCol))))
+      .withColumn("ap_clng", lngCell(col(lngCol)))
 
     val lat0 = normLat(col(poiLatCol))
-    val lng0 = normLng(col(poiLngCol))
+    val lng0s = normLng(col(poiLngCol)) + 180.0
     // widest longitude span inside the box: at its extreme latitude
     val cosM = cos(radians(least(lit(89.9), abs(lat0) + lit(dDeg))))
     val lngSpan = lit(dDeg * 1.001) / cosM
     val latLo = cellOf(lat0 - dDeg * 1.001)
     val latHi = cellOf(lat0 + dDeg * 1.001)
-    val lngLo = cellOf(lng0 - lngSpan)
-    val lngHi = cellOf(lng0 + lngSpan)
+    // raw (unwrapped) ring indexes; may run negative or past nLng
+    val lngLoRaw = floor((lng0s - lngSpan) / lngW).cast("long")
+    val lngHiRaw = floor((lng0s + lngSpan) / lngW).cast("long")
+    val rawLngCount = lngHiRaw - lngLoRaw + 1
     // guard rides the sequence bound so projection pruning can't skip it
-    val tooMany = (latHi - latLo + 1) * (lngHi - lngLo + 1) > maxCellsPerRow
-    val lngHiGuarded = coalesce(
+    val tooMany =
+      (latHi - latLo + 1) * least(rawLngCount, lit(nLng)) > maxCellsPerRow
+    def guarded(c: Column): Column = coalesce(
       when(tooMany, raise_error(concat(
         lit(s"poi radius box spans more than $maxCellsPerRow cells at lat "),
         lat0.cast("string")))).cast("long"),
-      lngHi)
+      c)
+    // span ≥ full ring → every ring cell exactly once; otherwise the raw
+    // range wraps via pmod — values stay pairwise distinct, so each
+    // (point, poi) pair still joins exactly once
+    val lngCells = when(rawLngCount >= nLng,
+        sequence(lit(0L), guarded(lit(nLng - 1))))
+      .otherwise(transform(sequence(lngLoRaw, guarded(lngHiRaw)),
+        i => pmod(i, lit(nLng))))
     val b = pois
       .withColumn("ap_clat", explode(sequence(latLo, latHi)))
-      .withColumn("ap_clng", explode(sequence(lngLo, lngHiGuarded)))
+      .withColumn("ap_clng", explode(lngCells))
 
     p.join(b, Seq("ap_clat", "ap_clng"))
       .withColumn("dist_m", haversineMeters(col(latCol), col(lngCol),

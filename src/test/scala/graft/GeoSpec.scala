@@ -70,6 +70,33 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("radiusJoin wraps the antimeridian: pairs straddling ±180° join exactly once") {
+    // 179.9° vs −179.9° is a 0.2° (~22 km) gap across the seam — a
+    // non-wrapping grid puts them at opposite ends of the ring
+    val pts = Seq((1L, 10.0, 179.9), (2L, 10.0, 170.0)).toDF("pid", "lat", "lng")
+    val pois = Seq((100L, 10.0, -179.9)).toDF("qid", "qlat", "qlng")
+    val got = Geo.radiusJoin(pts, "lat", "lng", pois, "qlat", "qlng", 25000.0)
+      .select("pid", "qid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq shouldBe Seq((1L, 100L)) // seam pair found, exactly once
+
+    // full-ring case: near-polar poi whose widened span laps the ring —
+    // every in-radius point joins exactly once, no duplicate cells
+    val ringPts = (0 until 12).map(i => (i.toLong, 85.0, i * 30.0 - 180.0))
+      .toDF("pid", "lat", "lng")
+    val ringPoi = Seq((200L, 85.0, 0.0)).toDF("qid", "qlat", "qlng")
+    val radius = 600000.0
+    val rg = Geo.radiusJoin(ringPts, "lat", "lng", ringPoi, "qlat", "qlng",
+        radius, maxCellsPerRow = 100000L)
+      .select("pid", "qid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rw = ringPts.crossJoin(ringPoi)
+      .filter(Geo.haversineMeters(col("lat"), col("lng"),
+        col("qlat"), col("qlng")) <= radius)
+      .select("pid", "qid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rg.length shouldBe rg.toSet.size
+    rg.toSet shouldBe rw
+    rw.size should be > 1
+  }
+
   test("radiusJoin plans as a hash equi-join and guards polar fan-out") {
     val pts = Seq((1L, 10.0, 10.0)).toDF("pid", "lat", "lng")
     val pois = Seq((2L, 10.1, 10.1)).toDF("qid", "qlat", "qlng")
