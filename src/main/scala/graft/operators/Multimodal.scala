@@ -652,6 +652,102 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       map(lit("source"), lit("synthetic")).as("meta"))
 
+  /** Cell luminance of the deterministic gradient-block pattern behind
+    * [[syntheticPatternImages]]: constant per 9×8 grid cell, so the
+    * decoded dHash grid average reproduces it EXACTLY (integer
+    * luminance, lossless PNG, cell-aligned resolutions) and the
+    * expected dHash bit (gy, gx) is simply `lum(gx) < lum(gx+1)` — a
+    * formula an independent SQL engine can replay without decoding a
+    * single pixel. Variant v=2 blacks out one cell (≤ 2 bit flips). */
+  private[graft] def patternLum(g: Long, v: Int, gx: Int, gy: Int): Int =
+    if (v == 2 && gx == (g % 8).toInt && gy == ((g / 8) % 8).toInt) 0
+    else 10 + ((gx * 29 + gy * 13 + g * 17) % 200).toInt
+
+  /** Real PNG bytes for asset `id`: group `g = id/3` picks the pattern,
+    * variant `id%3` picks the rendition — 0: 90×80 base, 1: 45×40
+    * rescale (identical dHash), 2: 90×80 with one blacked-out cell
+    * (Hamming ≤ 2 from the base). Resolutions are multiples of (9, 8)
+    * so pattern cells align exactly with the dHash grid. */
+  def patternImagePng(id: Long): Array[Byte] = {
+    val v = (id % 3).toInt
+    val g = id / 3
+    val (w, h) = if (v == 1) (45, 40) else (90, 80)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum = patternLum(g, v, x * 9 / w, y * 8 / h)
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic pattern-image asset table `(asset_id, payload)` from
+    * any long id column — the perceptual-image-near-dup substrate whose
+    * EXPECTED dHash is computable from [[patternLum]] alone, making the
+    * real PNG-encode → ImageIO-decode → grid-average → banded-pair path
+    * oracle-checkable end to end. */
+  def syntheticPatternImages(df: DataFrame, idCol: String): DataFrame = {
+    val mk = udf((id: Long) => patternImagePng(id))
+    df.select(col(idCol).cast("long").as("asset_id"),
+      mk(col(idCol).cast("long")).as("payload"))
+  }
+
+  /** Window amplitude of the deterministic envelope tone behind
+    * [[syntheticEnvelopeAudio]]: adjacent windows always differ by ≥
+    * 2000 (the `%7` cycle never repeats consecutively), so the per-
+    * window RMS ordering — hence every aHash bit `amp(k) < amp(k+1)` —
+    * is formula-determined with a margin far above the partial-cycle
+    * RMS noise of the 440 Hz carrier. Variant v=2 silences one window
+    * (≤ 2 bit flips). */
+  private[graft] def envAmp(g: Long, v: Int, slot: Int): Int =
+    if (v == 2 && slot == ((g % 63) + 1).toInt) 0
+    else 2000 + (((slot + g) % 7) * 2000).toInt
+
+  /** Real RIFF/WAV bytes for asset `id`: one second of a 440 Hz tone
+    * whose amplitude steps through [[envAmp]] across 65 equal windows.
+    * Variant `id%3` — 0: 8 kHz base, 1: 16 kHz resample (identical
+    * aHash), 2: 8 kHz with one silenced window (Hamming ≤ 2). */
+  def envelopeWavBytes(id: Long): Array[Byte] = {
+    val v = (id % 3).toInt
+    val g = id / 3
+    val rate = if (v == 1) 16000f else 8000f
+    val n = rate.toInt // one second
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val slot = math.min(64, i * 65 / n)
+      val amp = envAmp(g, v, slot)
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * amp).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic envelope-audio asset table `(asset_id, payload)` —
+    * the audio twin of [[syntheticPatternImages]]: expected aHash bits
+    * follow from [[envAmp]], the actual ones from a real WAV decode. */
+  def syntheticEnvelopeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val mk = udf((id: Long) => envelopeWavBytes(id))
+    df.select(col(idCol).cast("long").as("asset_id"),
+      mk(col(idCol).cast("long")).as("payload"))
+  }
+
   private def mp4Be32(v: Long): Array[Byte] = Array(
     ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
     ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
