@@ -42,8 +42,7 @@ object JoinScaleProbe {
         (col("user_id") + col("ap_copy") * 10000000L).as("user_id"),
         col("event_type"))
 
-    def asofCount(f: Int): Long = {
-      val e = expandEv(f)
+    def asofOf(e: DataFrame): Long =
       AsOfJoin.asOf(
         e.filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("ts"), col("user_id")),
@@ -51,7 +50,8 @@ object JoinScaleProbe {
           .select(col("event_id").as("c_id"), col("ts"), col("user_id")),
         Seq("user_id"), "ts", "c_id", Seq("c_id"),
         toleranceMicros = Some(1800L * 1000000L)).count()
-    }
+
+    def asofCount(f: Int): Long = asofOf(expandEv(f))
 
     // range join: 10× points against the same interval relation
     val bands = Tables.part(spark, sfDir).select(col("p_partkey"),
@@ -107,6 +107,51 @@ object JoinScaleProbe {
       val (nN, tN) = time(run(factor))
       val ratio = tN.toDouble / math.max(1L, t1)
       println(f"$name%-16s $n1%10d $t1%8d $nN%12d $tN%8d ${ratio}%5.1fx")
+    }
+
+    // --- hot-key variant: copy 0's users all collapse into user 1, so
+    // at factor f ONE user owns ~1/f of every event. The keyed-window
+    // operators (as-of, sessions) then pay one task that sorts the hot
+    // key alone — the per-key ordered bound AQE cannot split and salting
+    // cannot help (order-sensitive state spans the whole key). Measured
+    // here: wall + max/median task time vs the uniform expansion.
+    def expandEvHot(f: Int): DataFrame =
+      copies(ev).select(
+        (col("event_id") + col("ap_copy") * 1000000000L).as("event_id"),
+        col("ts"),
+        when(col("ap_copy") === 0, lit(1L))
+          .otherwise(col("user_id") + col("ap_copy") * 10000000L).as("user_id"),
+        col("event_type"))
+
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) taskMs.add(te.taskMetrics.executorRunTime)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(run: => Long): (Long, Long, Long, Long) = {
+      taskMs.clear()
+      val (n, wall) = time(run)
+      Thread.sleep(800) // let the listener bus drain task-end events
+      import scala.jdk.CollectionConverters._
+      val ts = taskMs.asScala.toSeq.sorted
+      (n, wall, if (ts.isEmpty) 0L else ts.max,
+        if (ts.isEmpty) 0L else ts(ts.size / 2))
+    }
+    val gapUs = 7L * 86400L * 1000000L
+    def sessionsCount(e: DataFrame): Long =
+      graft.operators.EventAnalytics.sessions(
+        e.filter(col("event_type") === "click"), gapUs).count()
+
+    println(f"%n${"hot-key probe"}%-22s ${"rows"}%10s ${"wall_ms"}%8s ${"maxTask"}%8s ${"p50Task"}%8s")
+    Seq[(String, DataFrame => Long)](
+      ("asof_join", asofOf), ("sessions", sessionsCount)).foreach {
+      case (name, run) =>
+        run(expandEv(factor)) // warm
+        val (nU, wU, mU, pU) = measured(run(expandEv(factor)))
+        val (nH, wH, mH, pH) = measured(run(expandEvHot(factor)))
+        println(f"$name%-14s uniform $nU%10d $wU%8d $mU%8d $pU%8d")
+        println(f"$name%-14s hotkey  $nH%10d $wH%8d $mH%8d $pH%8d")
     }
     spark.stop()
   }

@@ -574,6 +574,61 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"ev"}""")
   }
 
+  test("events endpoints serve byte-identical rows to the battery queries (sf0.001)") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, d)
+    // ship ts as microsecond strings; the operators cast back through
+    // TIMESTAMP, so wire-entity and parquet paths see identical instants
+    val json = ev.select(col("event_id"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type")).toJSON.collect()
+    post("/entity/create", """{"name":"evbattery"}""").get("ok").asBoolean() shouldBe true
+    json.grouped(250).foreach { chunk =>
+      post("/entity/insert", s"""{"name":"evbattery","rows":[${chunk.mkString(",")}]}""")
+        .get("inserted").asInt() shouldBe chunk.length
+    }
+    def wireRows(path: String, body: String): Seq[String] = {
+      var r = post(path, body)
+      r.get("ok").asBoolean() shouldBe true
+      r.has("truncated") shouldBe false // the FULL result is compared
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      rows ++= r.get("rows").elements().asScala.map(_.toString)
+      while (r.has("pageToken")) { // walk every page
+        r = post("/query/page", s"""{"pageToken":"${r.get("pageToken").asText()}"}""")
+        rows ++= r.get("rows").elements().asScala.map(_.toString)
+      }
+      rows.toSeq
+    }
+    def batteryRows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, d).toJSON.collect().toSeq
+
+    // endpoint rows are df.toJSON verbatim, so this is byte equality of
+    // the serialized rows, not just value equality
+    wireRows("/events/funnel",
+        """{"entity":"evbattery","steps":["click","view","purchase"]}""")
+      .sorted shouldBe batteryRows("event_funnel").sorted
+    wireRows("/events/retention", """{"entity":"evbattery"}""")
+      .sorted shouldBe batteryRows("event_retention").sorted
+
+    // sessions endpoint: byte-equal to the oracle-backed operator plan
+    // at the battery's 30-min gap, and its rollup must reproduce the
+    // battery's event_sessions row exactly
+    val sessWire = wireRows("/events/sessions",
+      """{"entity":"evbattery","gapMs":1800000}""")
+    val sessOp = graft.operators.EventAnalytics
+      .sessions(ev, 1800L * 1000000L)
+      .orderBy("user_id", "session_id").toJSON.collect().toSeq
+    sessWire shouldBe sessOp
+    val rollup = sessWire.map(com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree)
+      .groupBy(_.get("user_id").asLong())
+      .map { case (u, rows) => u -> ((rows.size.toLong, rows.map(_.get("n_events").asLong()).sum)) }
+    val battery = SparkEntry.queries("event_sessions")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rollup shouldBe battery
+    post("/entity/drop", """{"name":"evbattery"}""")
+  }
+
   test("as-of enrichment over the wire") {
     // quotes (right) enrich trades (left): most recent quote per symbol
     // at-or-before each trade; ts columns are epoch-second longs (the
