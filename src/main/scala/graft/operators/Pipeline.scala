@@ -100,6 +100,10 @@ object Pipeline {
           st.params.getOrElse("keyCol", textCol), epochs,
           d("defaultEpochs", 1.0))
 
+      case "sample_temperature_mix" => // sqrt-share rebalance across domains
+        Sampling.sqrtTemperatureMix(df, str("domainCol"),
+          st.params.getOrElse("keyCol", textCol))
+
       case "sample_token_budget" =>
         // per-domain overrides spell as budget:<domain> -> tokens
         val budgets = st.params.collect {

@@ -159,6 +159,56 @@ object Sampling {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Square-root temperature resampling (the α = 0.5 point of the
+    * multilingual-LM "temperature" rebalance): domain d's target share
+    * becomes `√n_d / Σ√n` — large domains are down-weighted, small ones
+    * repeated — via a per-domain repetition factor
+    * `f_d = √n_d · N / (Σ√n · n_d)` applied exactly like [[epochMix]]
+    * (whole copies + one hash-gated fractional copy, `ap_epoch` index,
+    * zero-copy rows drop out).
+    *
+    * Factor arithmetic is INTEGER end to end — milli-precision integer
+    * sqrt (`⌊√(n·10⁶)⌋`, exact: the argument stays under 2⁵³ and sqrt
+    * is correctly rounded) and a per-10000 fractional cut — so the kept
+    * multiset is bit-replayable by any engine with 64-bit integers; a
+    * float `pow(n, α)` would differ across libm implementations in the
+    * last ulp and flip hash-gate comparisons.
+    *
+    * Scale shape: one small groupBy-count (#domains rows) collected to
+    * the driver — the same bounded-leader-table pattern as the index
+    * builders — then a pure codegen per-row explode, zero further
+    * shuffle. Overflow-guarded via BigInt: factors must fit per-10000
+    * in a Long (holds for any corpus under ~10⁹ rows per call; shard
+    * the call above that). */
+  def sqrtTemperatureMix(df: DataFrame, domainCol: String,
+                         keyCol: String): DataFrame = {
+    require(!df.columns.contains("ap_epoch"), "ap_epoch is reserved")
+    val counts = df.groupBy(col(domainCol)).count()
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
+      .toSeq.sortBy(c => Option(c._1).getOrElse(""))
+    require(counts.nonEmpty, "temperature mix over an empty frame")
+    val sd = counts.map { case (dom, n) =>
+      dom -> math.floor(math.sqrt(n.toDouble * 1000000.0)).toLong }.toMap
+    val ssum = BigInt(sd.values.sum)
+    val ntot = BigInt(counts.map(_._2).sum)
+    val f10k = counts.map { case (dom, n) =>
+      val f = BigInt(sd(dom)) * ntot * 10000 / (ssum * BigInt(n))
+      require(f.isValidLong && f < 10000L * 1001L,
+        s"temperature factor out of range for domain '$dom': $f")
+      dom -> f.toLong
+    }
+    val fCol = f10k.foldLeft(lit(0L)) { case (acc, (dom, f)) =>
+      if (dom == null) when(col(domainCol).isNull, lit(f)).otherwise(acc)
+      else when(col(domainCol) === dom, lit(f)).otherwise(acc)
+    }
+    val extra = when(pmod(keyHash(col(keyCol)), lit(10000)) < fCol % 10000L, 1L)
+      .otherwise(0L)
+    val copies = (fCol / 10000L).cast("long") + extra
+    df.withColumn("ap_epoch",
+      explode(when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Token-budget sampling: keep the highest-priority documents of each
     * domain until that domain's TOKEN budget is exhausted — the
     * data-mixing primitive for assembling a training corpus under a

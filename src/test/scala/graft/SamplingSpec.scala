@@ -325,6 +325,43 @@ class SamplingSpec extends SparkSpec {
     counts.filter(_._2 == 3L).keySet shouldBe bern
   }
 
+  test("sqrtTemperatureMix: integer factors flatten shares toward sqrt(n)") {
+    // domains sized 1 / 4 / 16 -> milli-isqrt 1000 / 2000 / 4000,
+    // ssum 7000, ntot 21; per-10000 factors are EXACT integers:
+    //   a: 1000*21*10000/(7000*1)  = 30000 -> exactly 3 copies
+    //   b: 2000*21*10000/(7000*4)  = 15000 -> 1 copy + hash-gated half
+    //   c: 4000*21*10000/(7000*16) =  7500 -> hash-gated 3/4 copy
+    val df = ((1 to 1).map(i => ("a", s"da$i")) ++
+      (1 to 4).map(i => ("b", s"db$i")) ++
+      (1 to 16).map(i => ("c", s"dc$i"))).toDF("dom", "text")
+    val out = Sampling.sqrtTemperatureMix(df, "dom", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the n=1 domain repeats exactly 3x with 1-based epoch indexes
+    out.filter(_._1 == "a").map(_._3).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    // every b doc appears at least once (whole copy), at most twice
+    val bCounts = out.filter(_._1 == "b").groupBy(_._2).map(_._2.length).toSet
+    bCounts.subsetOf(Set(1, 2)) shouldBe true
+    // c docs appear 0 or 1 times (fractional-only factor), and the
+    // hash gate keeps roughly 3/4 of 16
+    val cCount = out.count(_._1 == "c")
+    cCount should be <= 16
+    out.filter(_._1 == "c").map(_._3).toSet.subsetOf(Set(1L)) shouldBe true
+    // expectation preserves corpus size: whole-copy floor alone gives
+    // 3 + 4 = 7; gated extras bounded by 4 + 16
+    out.length should be >= 7
+    out.length should be <= 27
+  }
+
+  test("sqrtTemperatureMix refusals") {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.sqrtTemperatureMix(
+        Seq(("a", "t")).toDF("dom", "text").withColumn("ap_epoch", lit(1)),
+        "dom", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.sqrtTemperatureMix(
+        Seq(("a", "t")).toDF("dom", "text").limit(0), "dom", "text")
+  }
+
   test("epochMix refuses out-of-range epochs and reserved columns") {
     val df = Seq(("k", "a")).toDF("key", "dom")
     an[IllegalArgumentException] should be thrownBy
