@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   * box walk: movie duration, per-track handler + sample-entry codec
   * fourcc, video width/height, sample count). Per-frame VIDEO PIXEL
   * decode is REAL for Motion-JPEG AVI (`decodeMjpegVideo`: every frame
-  * chunk is a standalone JPEG through the ImageIO path); other codecs
-  * (H.264 etc.) have no JDK decoder and keep the container-metadata
-  * path — which now includes per-frame sizes and keyframe positions
+  * chunk is a standalone JPEG through the ImageIO path) and for
+  * UNCOMPRESSED BI_RGB AVI (`decodeRawAvi`: raw bottom-up BGR rows read
+  * straight off the `##db` chunks); other codecs (H.264 etc.) have no
+  * JDK decoder and keep the container-metadata path — which now includes per-frame sizes and keyframe positions
   * from the MP4 `stsz`/`stss` tables (`mp4FrameMeta` /
   * `mp4KeyframePlan`), so frame SAMPLING works on H.264 containers
   * without decoding — with the deterministic stub (`decodeStub`) for
@@ -229,6 +230,136 @@ object Multimodal {
     if (payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ")
       walk(12, payload.length)
     out.toSeq
+  }
+
+  /** BITMAPINFOHEADER of the FIRST `vids` stream in an AVI: (biWidth,
+    * biHeight, biBitCount, biCompression). Tracks the preceding `strh`
+    * fourcc so an audio stream's WAVEFORMATEX `strf` is never misread
+    * as a bitmap header. None for non-AVI payloads. */
+  private def aviVideoFormat(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u32(o: Int): Long =
+      (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+        ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def cc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var lastStrhVids = false
+    var res: Option[(Int, Int, Int, Long)] = None
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      var ok = true
+      while (ok && res.isEmpty && i + 8 <= end) {
+        val sz = u32(i + 4)
+        if (sz < 0 || i + 8 + sz > end) ok = false
+        else {
+          val id = cc(i)
+          if (id == "LIST" && sz >= 4) walk(i + 12, (i + 8 + sz).toInt)
+          else if (id == "strh" && sz >= 4) lastStrhVids = cc(i + 8) == "vids"
+          else if (id == "strf" && lastStrhVids && sz >= 20)
+            res = Some((u32(i + 8 + 4).toInt, u32(i + 8 + 8).toInt,
+              u16(i + 8 + 14), u32(i + 8 + 16)))
+          i = (i + 8 + sz + (sz & 1)).toInt
+        }
+      }
+    }
+    if (payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ") {
+      walk(12, payload.length); res
+    } else None
+  }
+
+  /** REAL per-frame pixel decode for UNCOMPRESSED (BI_RGB) AVI — the
+    * DIB/raw-RGB codec-less format capture tools and test rigs emit:
+    * the `strf` BITMAPINFOHEADER gives geometry and confirms
+    * `biCompression == 0`, then every correctly-sized `##db`/`##dc`
+    * chunk is 4-byte-aligned bottom-up BGR rows read directly — no
+    * codec, no library. Feature vector = mean per-frame luminance
+    * histogram, exactly like the MJPEG and still-image paths. Returns
+    * None for compressed codecs (those fall through to MJPEG /
+    * container-metadata handling). */
+  def decodeRawAvi(payload: Array[Byte], dim: Int): Option[(Int, Int, Int, Int, Array[Float])] =
+    aviVideoFormat(payload) match {
+      case Some((w, hRaw, bits, 0L))
+          if w > 0 && hRaw != 0 && (bits == 24 || bits == 32) =>
+        val h = math.abs(hRaw)
+        val bpp = bits / 8
+        val stride = ((w * bpp + 3) / 4) * 4
+        val frameBytes = stride.toLong * h
+        val spans = aviFrameSpans(payload).filter(_._2.toLong == frameBytes)
+        if (spans.isEmpty) None
+        else {
+          val mean = new Array[Float](dim)
+          spans.foreach { case (off, _) =>
+            var y = 0
+            while (y < h) {
+              // positive biHeight = bottom-up row order
+              val row = off + (if (hRaw > 0) h - 1 - y else y) * stride
+              var x = 0
+              while (x < w) {
+                val b = payload(row + x * bpp) & 0xFF
+                val g = payload(row + x * bpp + 1) & 0xFF
+                val r = payload(row + x * bpp + 2) & 0xFF
+                val lum = (r * 299 + g * 587 + b * 114) / 1000
+                mean(math.min(dim - 1, lum * dim / 256)) += 1f
+                x += 1
+              }
+              y += 1
+            }
+          }
+          val n = (w.toDouble * h * spans.size).toFloat
+          var d = 0
+          while (d < dim) { mean(d) /= n; d += 1 }
+          Some((w, h, 3, spans.size, mean))
+        }
+      case _ => None
+    }
+
+  /** Real uncompressed RIFF/AVI bytes: BI_RGB 24-bit bottom-up frames
+    * with the standard hdrl (avih + strl strh/strf) and movi layout —
+    * the generator and [[decodeRawAvi]]/[[decodeVideoMeta]] share no
+    * code beyond chunk-length arithmetic, so build → parse → decode is
+    * byte-level testable. `rgb(frame, x, y)` supplies each pixel as
+    * 0xRRGGBB. */
+  def syntheticRawAvi(w: Int, h: Int, frames: Int)(rgb: (Int, Int, Int) => Int): Array[Byte] = {
+    val bpp = 3
+    val stride = ((w * bpp + 3) / 4) * 4
+    def le32(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def fcc(s: String) = s.getBytes("ISO-8859-1")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      fcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(body.length + 4L) ++ fcc(kind) ++ body
+    val zeros = (n: Int) => Array.fill[Byte](n)(0)
+    val avih = chunk("avih", le32(33333) ++ zeros(12) ++ le32(frames) ++
+      zeros(4) ++ le32(1) ++ zeros(4) ++ le32(w) ++ le32(h) ++ zeros(16))
+    val strh = chunk("strh", fcc("vids") ++ fcc("DIB ") ++ zeros(24) ++
+      le32(frames) ++ zeros(20))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(stride.toLong * h) ++ zeros(16))
+    val frameChunks = (0 until frames).map { f =>
+      val body = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val p = rgb(f, x, y)
+          body(row + x * bpp) = (p & 0xFF).toByte          // B
+          body(row + x * bpp + 1) = ((p >> 8) & 0xFF).toByte  // G
+          body(row + x * bpp + 2) = ((p >> 16) & 0xFF).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", body)
+    }.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val body = fcc("AVI ") ++ list("hdrl", avih ++ list("strl", strh ++ strf)) ++
+      list("movi", frameChunks)
+    fcc("RIFF") ++ le32(body.length) ++ body
   }
 
   /** REAL per-frame video pixel decode for Motion-JPEG AVI: every
@@ -606,9 +737,10 @@ object Multimodal {
           case "image" => decodeImage(payload, dim).map { case (w, h, c, f) => (w, h, c, 1, f) }
           case "audio" => decodeAudio(payload, dim).map { case (w, h, c, f) => (w, h, c, h, f) }
           case "video" =>
-            // true pixel decode when the codec allows it (MJPEG-in-AVI);
-            // container metadata otherwise
+            // true pixel decode when the codec allows it (MJPEG-in-AVI,
+            // uncompressed BI_RGB AVI); container metadata otherwise
             decodeMjpegVideo(payload, dim)
+              .orElse(decodeRawAvi(payload, dim))
               .orElse(decodeVideoMeta(payload, dim))
               .orElse(decodeMp4Meta(payload, dim))
           case _ => None

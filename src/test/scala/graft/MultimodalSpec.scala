@@ -218,6 +218,46 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.decodeMjpegVideo(aviBytes(320, 240, 9), 4) shouldBe None
   }
 
+  test("uncompressed BI_RGB AVI decodes true per-frame pixels (no codec at all)") {
+    // 5×4, 3 frames: two dark (lum 10) + one bright (lum 245); the
+    // 5-wide 24-bit rows need a stride pad byte, exercising alignment
+    val avi = Multimodal.syntheticRawAvi(5, 4, 3)((f, _, _) =>
+      if (f < 2) 0x0A0A0A else 0xF5F5F5)
+    val Some((w, h, ch, fr, feats)) = Multimodal.decodeRawAvi(avi, 4)
+    w shouldBe 5
+    h shouldBe 4
+    ch shouldBe 3
+    fr shouldBe 3
+    feats(0) shouldBe 2f / 3 +- 0.01f
+    feats(3) shouldBe 1f / 3 +- 0.01f
+    feats.sum shouldBe 1.0f +- 1e-4f
+    // rows are stored bottom-up: a frame whose TOP row is bright must
+    // histogram identically whether read top-down or bottom-up only if
+    // addressing is right — check an asymmetric frame against the exact
+    // expected mass (top row bright = 5 of 20 pixels)
+    val asym = Multimodal.syntheticRawAvi(5, 4, 1)((_, _, y) =>
+      if (y == 0) 0xF5F5F5 else 0x0A0A0A)
+    val Some((_, _, _, _, af)) = Multimodal.decodeRawAvi(asym, 4)
+    af(3) shouldBe 0.25f +- 1e-4f
+    // decodeAssets routes raw-RGB video through the pixel path (real
+    // geometry + frames, not the stub's hash-derived fakes)
+    val rows = Seq((51L, "video", avi, Map("src" -> "gen")))
+      .toDF("asset_id", "modality", "payload", "meta")
+    val got = Multimodal.decodeAssets(rows, dim = 4).collect().head
+    got.getAs[Int]("width") shouldBe 5
+    got.getAs[Int]("frames") shouldBe 3
+    // an AVI without an uncompressed vids strf declines (MJPEG/meta
+    // paths own it); garbage declines
+    Multimodal.decodeRawAvi(aviBytes(320, 240, 9), 4) shouldBe None
+    Multimodal.decodeRawAvi("junk".getBytes, 4) shouldBe None
+    // the generator's container also satisfies the metadata parser —
+    // same geometry from a completely different read path
+    val Some((mw, mh, _, mfr, _)) = Multimodal.decodeVideoMeta(avi, 4)
+    mw shouldBe 5
+    mh shouldBe 4
+    mfr shouldBe 3
+  }
+
   // minimal but well-formed ISO-BMFF writer: big-endian box sizes, the
   // exact field layouts Multimodal.mp4Info reads (ISO/IEC 14496-12)
   private def be32(v: Long): Array[Byte] =
