@@ -70,6 +70,8 @@ object Plans {
       ("event_funnel", "funnel folds per-user sorted collect in one aggregation; " +
         "non-step events nulled out map-side, below the exchange",
         Seq("collect_list", "ObjectHashAggregate", "IN (click,view,purchase)")),
+      ("text_index_bm25", "index-served BM25: postings read is bucket-PARTITION-pruned",
+        Seq("PartitionFilters: [", "ap_bucket")),
       ("strip_repeated_chunks", "dup-hash relation joins back; rewrite is an array filter",
         Seq("Generate explode", "md5", "filter")))
 

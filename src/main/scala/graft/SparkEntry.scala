@@ -1056,6 +1056,22 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy("doc_id")),
 
+    "text_index_bm25" -> ((s, d) =>
+      // BM25 served from the PERSISTED full-text layout (bucketed
+      // postings + lengths + stats; the Solr-engine role) — never
+      // re-tokenizes the corpus; the oracle recomputes from raw text,
+      // so build -> store -> serve is verified end to end
+      graft.sources.FullTextStore.bm25Scores(s, fullTextLayout(s, d),
+          Seq("vector", "join", "hash"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")),
+
+    "text_index_match" -> ((s, d) =>
+      // posting-intersection ALL-terms match from the same layout
+      graft.sources.FullTextStore.matchAll(s, fullTextLayout(s, d),
+          Seq("vector", "join"))
+        .orderBy("doc_id")),
+
     // --- quality filtering + sampling (LLM pipeline, round-6 surface) ---
     "repetition_signals" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
@@ -1361,6 +1377,19 @@ object SparkEntry {
 
   private[graft] val kvHandler = graft.sources.StorageHandlers.keyValue("p_partkey")
 
+  private val fullTextLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Persisted full-text index over `documents` — one-time layout
+    * artifact per (JVM, data dir), the Solr-engine analogue. */
+  private def fullTextLayout(s: SparkSession, d: String): String =
+    fullTextLayouts.getOrElseUpdate(d, {
+      val dir = freshScratch(s"fts-h${Integer.toHexString(d.hashCode)}")
+      graft.sources.FullTextStore.write(s, dir, Tables.documents(s, d),
+        "doc_id", "text")
+      dir
+    })
+
   /** Key-value store over `part` — one-time layout artifact per
     * (JVM, data dir), the embedded-KV-engine analogue. */
   private def kvLayout(s: SparkSession, d: String): String =
@@ -1376,6 +1405,7 @@ object SparkEntry {
     partLayout(s, d)
     sparseLayout(s, d)
     kvLayout(s, d)
+    fullTextLayout(s, d)
   }
 
   /** Pre-build the corpus admission indexes (MinHash bands, cosine
@@ -1463,6 +1493,7 @@ object SparkEntry {
     drop(sparseLayouts)(del)
     drop(zorderDirs)(del)
     drop(kvLayouts)(del)
+    drop(fullTextLayouts)(del)
     n + IndexCache.release(dir)
   }
 
@@ -2654,6 +2685,28 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
          |WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
          |  i -> toks[i] = 'fast' AND toks[i+1] = 'table')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // the index-served rows recompute from RAW text here — the layout
+    // (bucketed postings, stored lengths/stats) must reproduce the
+    // from-scratch ranking exactly
+    "text_index_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+         |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |posts AS (SELECT doc_id, term, count(*) AS tf
+         |          FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |          WHERE term IN ('vector','join','hash') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM posts GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+         |FROM posts JOIN dfreq USING (term) JOIN dl USING (doc_id), c
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_index_match" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
          |ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TextSearch}
+
+/** Persisted full-text index layout — the role the reference delegates
+  * wholesale to Solr (`/root/reference/src/main/scala/org/vitrivr/adampro/storage/engine/SolrEngine.scala:31`,
+  * a sidecar search service fed through handler attributes), kept
+  * Spark-native as a SECONDARY INDEX LAYOUT instead:
+  *
+  *  - posting lists `(term, doc_id, tf, positions)` land as parquet
+  *    PARTITIONED BY a term-hash bucket, so a query's term lookups read
+  *    `|terms|/nBuckets` of the directories via Catalyst partition
+  *    pruning — the same mechanism as the embedded KV handler's
+  *    bucket-pruned point lookups, applied to text;
+  *  - document lengths and the corpus scalars (N, avgdl) are write-time
+  *    artifacts, so BM25 serving never re-tokenizes or re-scans the
+  *    corpus — the build is one O(corpus) pass, queries touch postings
+  *    of the query terms only;
+  *  - scoring replays [[TextSearch.bm25Scores]]'s exact formula over
+  *    the stored relations, so fresh-scan and index-served rankings
+  *    agree (spec-asserted) and the same DuckDB replay oracles both.
+  *
+  * At 100 TB: the postings build shuffles (term, doc) pairs once;
+  * lookups are partition-pruned scans independent of corpus width;
+  * nothing collects driver-side but the two corpus scalars.
+  */
+object FullTextStore {
+
+  final case class Stats(n: Long, avgdl: Double, nBuckets: Int)
+
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong))
+
+  /** One O(corpus) build pass: bucketed postings + lengths + stats. */
+  def write(spark: SparkSession, dir: String, docs: DataFrame,
+            idCol: String, textCol: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    TextSearch.postings(docs, idCol, textCol)
+      .withColumn("ap_bucket", bucketOf(col("term"), nBuckets))
+      .write.partitionBy("ap_bucket").mode("overwrite").parquet(s"$dir/postings")
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).as("dl"))
+    lens.write.mode("overwrite").parquet(s"$dir/lengths")
+    val c = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+    val n = c.getLong(0)
+    val avgdl = if (n == 0) 0.0 else c.getDouble(1)
+    // Double.toString round-trips the exact value, so index-served BM25
+    // uses bit-identical corpus scalars to a fresh scan
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir).resolve("stats.json"),
+      s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets}""")
+  }
+
+  def stats(dir: String): Stats = {
+    val s = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir).resolve("stats.json"))
+    def field(k: String): String =
+      s.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}')
+    Stats(field("n").toLong, field("avgdl").toDouble, field("nBuckets").toInt)
+  }
+
+  def exists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir).resolve("stats.json"))
+
+  def drop(dir: String): Unit =
+    graft.core.Entity.deleteRecursively(java.nio.file.Paths.get(dir))
+
+  /** Postings of the query terms — a bucket-pruned parquet read: the
+    * `ap_bucket IN (...)` predicate is a partition filter (directory
+    * skip, no data IO for other buckets), `term IN (...)` pushes to the
+    * row groups inside the surviving buckets. */
+  def termPostings(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
+    val st = stats(dir)
+    val lowered = terms.map(_.toLowerCase).distinct
+    // the bucket of each literal term is a FOLDABLE expression — the
+    // optimizer folds it to a constant, so this is a partition filter
+    // (directory skip), never a per-row hash of the scan
+    val bucketPred = lowered.map(t =>
+      col("ap_bucket") === bucketOf(lit(t), st.nBuckets)).reduce(_ || _)
+    spark.read.parquet(s"$dir/postings")
+      .filter(bucketPred && col("term").isin(lowered: _*))
+  }
+
+  /** Doc ids containing EVERY query term, served from the index alone
+    * (posting intersection via a distinct-term count — one aggregation,
+    * no self-join chain). */
+  def matchAll(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    val lowered = terms.map(_.toLowerCase).distinct
+    termPostings(spark, dir, lowered)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("ap_nt"))
+      .filter(col("ap_nt") === lowered.size)
+      .select("doc_id")
+  }
+
+  /** BM25 scores served from the persisted layout — the exact
+    * [[TextSearch.bm25Scores]] formula over stored tf/df/dl/N/avgdl. */
+  def bm25Scores(spark: SparkSession, dir: String, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = stats(dir)
+    if (st.n == 0)
+      return spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0.0).as("score"))
+    val posts = termPostings(spark, dir, terms)
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val lens = spark.read.parquet(s"$dir/lengths")
+    val idf = log(lit(1.0) + (lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    posts.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .withColumn("contrib",
+        idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / st.avgdl)))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+  }
+
+  /** Ranked retrieval from the index: BM25 top-k, TakeOrdered shape. */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(spark, dir, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+}

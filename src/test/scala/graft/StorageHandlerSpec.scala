@@ -110,6 +110,48 @@ class StorageHandlerSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy StorageHandlers("cassandra")
   }
 
+  test("full-text store: index-served BM25/match == fresh scan; term lookups prune buckets") {
+    import graft.sources.FullTextStore
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "vector search with hash join"),
+      (2L, "hash join and merge join"),
+      (3L, "btree scan only"),
+      (4L, "vector vector vector hash"),
+      (5L, "plain prose about nothing")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-fts").toString + "/idx"
+    FullTextStore.exists(dir) shouldBe false
+    FullTextStore.write(spark, dir, docs, "doc_id", "text", nBuckets = 16)
+    FullTextStore.exists(dir) shouldBe true
+    val terms = Seq("vector", "hash")
+
+    // rankings agree with the scan-time implementation to the bit
+    val fromIndex = FullTextStore.bm25TopK(spark, dir, terms, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromScan = TextSearch.bm25TopK(docs, "doc_id", "text", terms, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    fromIndex shouldBe fromScan
+    fromIndex.head._1 shouldBe 4L // tf-heavy doc ranks first
+
+    FullTextStore.matchAll(spark, dir, terms).collect().map(_.getLong(0)).sorted
+      .toSeq shouldBe Seq(1L, 4L)
+
+    // the term lookup is PARTITION-pruned: the scan carries a partition
+    // filter on ap_bucket and touches fewer files than the layout holds
+    val lookup = FullTextStore.termPostings(spark, dir, terms)
+    lookup.collect() // materialize so metrics fill
+    val scan = lookup.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    scan.metadata("PartitionFilters") should include("ap_bucket")
+    val allFiles = spark.read.parquet(s"$dir/postings").inputFiles.length.toLong
+    scan.metrics("numFiles").value should be < allFiles
+
+    FullTextStore.drop(dir)
+    FullTextStore.exists(dir) shouldBe false
+  }
+
   test("jdbc handler round-trips against embedded Derby with pushdown") {
     val dbDir = Files.createTempDirectory("graft-derby").toString + "/db"
     System.setProperty("derby.stream.error.file", "/dev/null")
