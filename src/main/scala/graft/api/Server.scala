@@ -40,8 +40,8 @@ import graft.operators.BooleanPredicates
   * | /index/refresh    | {entity, name} — rebuild stale w/ saved recipe   |
   * | /index/list       | {entity}                                         |
   * | /query/boolean    | {entity, predicates: […]}                        |
-  * | /query/text       | {entity, textCol, mode: all|any|phrase|bm25,     |
-  * |                   |  terms: [..], idCol? k? (bm25)}                  |
+  * | /query/text       | {entity, textCol, mode: all|any|phrase|bm25      |
+  * |                   |  |bm25_indexed, terms: [..], idCol? k? (bm25*)}  |
   * | /query/knn        | {entity, idCol, vecCol, q: [x,…], dist?, k?,     |
   * |                   |  index? (stored index name; exact rerank),       |
   * |                   |  hints? (planner hint names, walked in order)}   |
@@ -189,6 +189,32 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             e: java.util.Map.Entry[String, (Array[String], Int)]): Boolean =
           size() > Server.MaxOpenCursors
       })
+
+  /** (entity, textCol) → entity stamp at full-text-index build time.
+    * The layout lives INSIDE the entity dir (dropped with the entity;
+    * snapshot/vacuum logic only globs `data_v*`, so it is inert to
+    * versioning); a stamp mismatch rebuilds it lazily — the same
+    * staleness contract as the persisted vector indexes. */
+  private val textIndexStamps =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Int, Int)]()
+
+  /** Directory of the (lazily-built, stamp-fresh) full-text index for
+    * `entity.textCol`, scored by `idCol`. */
+  private def textIndexDir(name: String, textCol: String, idCol: String): String = {
+    val e = Entity.open(spark, base, name)
+    val dir = java.nio.file.Paths.get(base).resolve(name)
+      .resolve(s"textidx_$textCol").toString
+    val key = (name, textCol)
+    val stamp = e.stamp
+    if (textIndexStamps.get(key) != stamp ||
+        !graft.sources.FullTextStore.exists(dir)) {
+      withEntityLock(name) {
+        graft.sources.FullTextStore.write(spark, dir, e.read(), idCol, textCol)
+        textIndexStamps.put(key, stamp)
+      }
+    }
+    dir
+  }
 
   /** Emit the first ≤PageSize rows; stash the remainder under a token.
     * `truncated: true` flags a result the maxResults cap cut short —
@@ -473,11 +499,22 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/query/page" =>
         nextPage(out, req.get("pageToken").asText())
       case "/query/text" =>
-        pagedRows(out, QueryOps.text(
+        val mode = req.get("mode").asText()
+        val terms = req.get("terms").elements().asScala.map(_.asText()).toSeq
+        if (mode == "bm25_indexed") {
+          // served from the persisted bucketed-postings layout — the
+          // corpus is never re-tokenized at query time
+          val idCol = req.get("idCol").asText()
+          val dir = textIndexDir(req.get("entity").asText(),
+            req.get("textCol").asText(), idCol)
+          // same (doc_id, score) shape as the scan-time bm25 mode
+          pagedRows(out, graft.sources.FullTextStore.bm25TopK(spark, dir,
+            terms, if (req.has("k")) req.get("k").asInt() else 10))
+        } else pagedRows(out, QueryOps.text(
           entity(req, "entity").read(),
           req.get("textCol").asText(),
-          req.get("mode").asText(),
-          req.get("terms").elements().asScala.map(_.asText()).toSeq,
+          mode,
+          terms,
           idCol = if (req.has("idCol")) req.get("idCol").asText() else "",
           k = if (req.has("k")) req.get("k").asInt() else 10))
       case "/query/knn" =>

@@ -119,6 +119,22 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val bm = post("/query/text",
       """{"entity":"wtxt","textCol":"body","idCol":"doc_id","mode":"bm25","terms":["table"],"k":5}""")
     bm.get("rows").size() shouldBe 2
+
+    // the INDEX-served mode returns the identical ranking (the layout
+    // builds lazily inside the entity dir on first use)...
+    def ranked(mode: String) = post("/query/text",
+      s"""{"entity":"wtxt","textCol":"body","idCol":"doc_id","mode":"$mode","terms":["table"],"k":5}""")
+      .get("rows").elements().asScala.toSeq
+      .map(r => (r.get("doc_id").asLong(), r.get("score").asDouble()))
+    ranked("bm25_indexed") shouldBe ranked("bm25")
+    // ...and a MUTATION staleness-rebuilds it: a new doc with the term
+    // must appear in the indexed ranking without any explicit refresh
+    post("/entity/insert",
+      """{"name":"wtxt","rows":[{"doc_id":4,"body":"table table table"}]}""")
+      .get("inserted").asInt() shouldBe 1
+    val after = ranked("bm25_indexed")
+    after.map(_._1) should contain(4L)
+    after shouldBe ranked("bm25")
   }
 
   test("query results page at 500 rows with a walkable pageToken") {
