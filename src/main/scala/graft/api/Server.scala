@@ -604,6 +604,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
               else Map.empty[String, Double]
             Sampling.epochMix(e, req.get("domainCol").asText(), keyCol, epochs,
               if (req.has("defaultEpochs")) req.get("defaultEpochs").asDouble() else 1.0)
+          case "temperature_mix" => // sqrt-share domain rebalance
+            Sampling.sqrtTemperatureMix(e, req.get("domainCol").asText(), keyCol)
           case "token_budget" => // per-domain token caps, best docs first
             import scala.jdk.CollectionConverters._
             val budgets =

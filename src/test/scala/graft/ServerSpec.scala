@@ -341,6 +341,16 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     em.get("ok").asBoolean() shouldBe true
     em.get("rows").size() shouldBe 50 // 30 prose + 10 spam x 2
 
+    // sqrt-temperature rebalance over the wire: 30/10 domains flatten
+    // toward sqrt shares — the minority domain's factor exceeds 1, the
+    // majority's drops below, and the corpus size is roughly preserved
+    val tm = post("/pipeline/sample",
+      """{"entity":"pipe","mode":"temperature_mix","keyCol":"txt","domainCol":"txt"}""")
+    tm.get("ok").asBoolean() shouldBe true
+    val tmRows = tm.get("rows").elements().asScala.toSeq
+    tmRows.size should be >= 30
+    tmRows.size should be <= 50
+
     // boilerplate removal over the wire: the spam docs are one fully
     // duplicated 8-token window -> erased to empty; the prose docs share
     // their tokens[8..15] window (the number token keeps window 0 unique)
