@@ -1072,6 +1072,14 @@ object SparkEntry {
           Seq("vector", "join"))
         .orderBy("doc_id")),
 
+    "text_index_phrase" -> ((s, d) =>
+      // adjacency from STORED POSITIONS only — the oracle re-tests the
+      // phrase against raw token positions, so the stored position
+      // lists are verified, not just tf
+      graft.sources.FullTextStore.phraseMatch(s, fullTextLayout(s, d),
+          Seq("fast", "table"))
+        .orderBy("doc_id")),
+
     // --- quality filtering + sampling (LLM pipeline, round-6 surface) ---
     "repetition_signals" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
@@ -2707,6 +2715,12 @@ object SparkEntry {
     "text_index_match" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
          |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_index_phrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
+         |  i -> toks[i] = 'fast' AND toks[i+1] = 'table')) > 0
          |ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->

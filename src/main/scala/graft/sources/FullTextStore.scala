@@ -71,9 +71,21 @@ object FullTextStore {
     * `ap_bucket IN (...)` predicate is a partition filter (directory
     * skip, no data IO for other buckets), `term IN (...)` pushes to the
     * row groups inside the surviving buckets. */
+  private def emptyPostings(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("term", StringType), StructField("doc_id", LongType),
+        StructField("tf", LongType),
+        StructField("positions", ArrayType(IntegerType)),
+        StructField("ap_bucket", LongType))))
+  }
+
   def termPostings(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     val st = stats(dir)
+    // an empty corpus writes a file-less postings dir parquet cannot
+    // infer a schema from — serve the typed empty relation instead
+    if (st.n == 0) return emptyPostings(spark)
     val lowered = terms.map(_.toLowerCase).distinct
     // the bucket of each literal term is a FOLDABLE expression — the
     // optimizer folds it to a constant, so this is a partition filter
@@ -114,6 +126,36 @@ object FullTextStore {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / st.avgdl)))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"))
+  }
+
+  /** Doc ids containing AT LEAST ONE query term, from the index. */
+  def matchAny(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    termPostings(spark, dir, terms).select("doc_id").distinct()
+
+  /** Docs containing the exact phrase (adjacent tokens, in order),
+    * served from the STORED POSITIONS — no text access: start with the
+    * first term's position set per doc, then for each following term
+    * keep positions that extend a run (`p ∈ pos(tᵢ)` with `p−1` in the
+    * running set), via one broadcast-sized join per phrase term. Phrase
+    * length is tiny and constant; every join is posting-bounded. */
+  def phraseMatch(spark: SparkSession, dir: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val lowered = phrase.map(_.toLowerCase)
+    val posts = termPostings(spark, dir, lowered.distinct)
+      .select(col("term"), col("doc_id"), col("positions"))
+    def of(t: String, alias: String): DataFrame =
+      posts.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(alias))
+    // ap_run = positions where a run of the phrase-so-far ENDS
+    val seed = of(lowered.head, "ap_run")
+    val ended = lowered.drop(1).foldLeft(seed) { (acc, t) =>
+      acc.join(of(t, "ap_next"), "doc_id")
+        .select(col("doc_id"),
+          filter(col("ap_next"),
+            p => array_contains(col("ap_run"), p - 1)).as("ap_run"))
+        .filter(size(col("ap_run")) > 0)
+    }
+    ended.select("doc_id").distinct()
   }
 
   /** Ranked retrieval from the index: BM25 top-k, TakeOrdered shape. */

@@ -148,8 +148,30 @@ class StorageHandlerSpec extends SparkSpec {
     val allFiles = spark.read.parquet(s"$dir/postings").inputFiles.length.toLong
     scan.metrics("numFiles").value should be < allFiles
 
+    // phrase served from STORED POSITIONS (no text access) and any-term
+    // match agree with the scan-time implementations
+    FullTextStore.phraseMatch(spark, dir, Seq("hash", "join"))
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      TextSearch.phraseMatch(docs, "text", Seq("hash", "join"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // doc 4 repeats "vector": the 3-term run must need true adjacency
+    FullTextStore.phraseMatch(spark, dir, Seq("vector", "vector", "hash"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
+    FullTextStore.phraseMatch(spark, dir, Seq("join", "hash"))
+      .collect() shouldBe empty // right words, wrong order
+    FullTextStore.matchAny(spark, dir, Seq("btree", "merge"))
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 3L)
+
     FullTextStore.drop(dir)
     FullTextStore.exists(dir) shouldBe false
+
+    // an EMPTY corpus still stores and serves (typed empty relations,
+    // no parquet schema-inference failure)
+    val emptyDir = Files.createTempDirectory("graft-fts-e").toString + "/idx"
+    FullTextStore.write(spark, emptyDir, docs.limit(0), "doc_id", "text")
+    FullTextStore.matchAll(spark, emptyDir, Seq("vector")).collect() shouldBe empty
+    FullTextStore.bm25TopK(spark, emptyDir, Seq("vector"), 5).collect() shouldBe empty
+    FullTextStore.drop(emptyDir)
   }
 
   test("jdbc handler round-trips against embedded Derby with pushdown") {
