@@ -1325,7 +1325,7 @@ object SparkEntry {
     * (JVM, data dir). */
   private def partLayout(s: SparkSession, d: String): String =
     partLayouts.getOrElseUpdate(d, {
-      val dir = freshScratch(s"part-h${Integer.toHexString(d.hashCode)}")
+      val dir = freshScratch(s"part-${dirTag(d)}")
       val e = graft.core.Entity.create(s, dir, "embp")
       e.insert(Tables.embeddings(s, d))
       e.partitionLayout(graft.core.Partitioning.ByColumn("label"))
@@ -1361,7 +1361,7 @@ object SparkEntry {
     * filtered on EITHER column. */
   private[graft] def zorderLayout(s: SparkSession, d: String): String =
     zorderDirs.getOrElseUpdate(d, {
-      val dir = freshScratch(s"zorder-h${Integer.toHexString(d.hashCode)}")
+      val dir = freshScratch(s"zorder-${dirTag(d)}")
       graft.core.Partitioning.write(
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
@@ -1373,7 +1373,7 @@ object SparkEntry {
     * (JVM, data dir). */
   private def sparseLayout(s: SparkSession, d: String): String =
     sparseLayouts.getOrElseUpdate(d, {
-      val dir = freshScratch(s"sparseknn-h${Integer.toHexString(d.hashCode)}")
+      val dir = freshScratch(s"sparseknn-${dirTag(d)}")
       val e = graft.core.Entity.create(s, dir, "emb")
       e.insert(Tables.embeddings(s, d).select("vec_id", "embedding"))
       e.sparsify("embedding")
@@ -1392,7 +1392,7 @@ object SparkEntry {
     * artifact per (JVM, data dir), the Solr-engine analogue. */
   private def fullTextLayout(s: SparkSession, d: String): String =
     fullTextLayouts.getOrElseUpdate(d, {
-      val dir = freshScratch(s"fts-h${Integer.toHexString(d.hashCode)}")
+      val dir = freshScratch(s"fts-${dirTag(d)}")
       graft.sources.FullTextStore.write(s, dir, Tables.documents(s, d),
         "doc_id", "text")
       dir
@@ -1402,7 +1402,7 @@ object SparkEntry {
     * (JVM, data dir), the embedded-KV-engine analogue. */
   private def kvLayout(s: SparkSession, d: String): String =
     kvLayouts.getOrElseUpdate(d, {
-      val dir = freshScratch(s"kv-h${Integer.toHexString(d.hashCode)}")
+      val dir = freshScratch(s"kv-${dirTag(d)}")
       kvHandler.write(s, dir, Tables.part(s, d), overwrite = true)
       dir
     })
@@ -1457,6 +1457,13 @@ object SparkEntry {
       graft.core.Entity.deleteRecursively(p)))
     p
   }
+
+  /** Collision-free tag for a data-dir path in a scratch-dir name —
+    * MD5 over the full path (String.hashCode is 32-bit and two data
+    * dirs colliding would silently cross-serve each other's layouts). */
+  private def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** A clean per-query scratch dir under [[scratchRoot]]. Synchronized:
     * the wipe is not safe against a concurrent invocation of the SAME

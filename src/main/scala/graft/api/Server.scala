@@ -190,21 +190,25 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           size() > Server.MaxOpenCursors
       })
 
-  /** (entity, textCol) → entity stamp at full-text-index build time.
-    * The layout lives INSIDE the entity dir (dropped with the entity;
-    * snapshot/vacuum logic only globs `data_v*`, so it is inert to
-    * versioning); a stamp mismatch rebuilds it lazily — the same
-    * staleness contract as the persisted vector indexes. */
+  /** (entity, textCol, idCol) → entity stamp at full-text-index build
+    * time. The id column is part of BOTH the key and the directory
+    * name: the stored postings carry ids of that column, so two
+    * clients scoring by different id columns must get distinct
+    * layouts, never silently share one. The layout lives INSIDE the
+    * entity dir (dropped with the entity; snapshot/vacuum logic only
+    * globs `data_v*`, so it is inert to versioning); a stamp mismatch
+    * rebuilds it lazily — the same staleness contract as the persisted
+    * vector indexes. */
   private val textIndexStamps =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (Int, Int)]()
 
   /** Directory of the (lazily-built, stamp-fresh) full-text index for
     * `entity.textCol`, scored by `idCol`. */
   private def textIndexDir(name: String, textCol: String, idCol: String): String = {
     val e = Entity.open(spark, base, name)
     val dir = java.nio.file.Paths.get(base).resolve(name)
-      .resolve(s"textidx_$textCol").toString
-    val key = (name, textCol)
+      .resolve(s"textidx_${textCol}_$idCol").toString
+    val key = (name, textCol, idCol)
     val stamp = e.stamp
     if (textIndexStamps.get(key) != stamp ||
         !graft.sources.FullTextStore.exists(dir)) {
@@ -504,6 +508,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         if (mode == "bm25_indexed") {
           // served from the persisted bucketed-postings layout — the
           // corpus is never re-tokenized at query time
+          require(req.has("idCol"), "bm25_indexed requires idCol")
           val idCol = req.get("idCol").asText()
           val dir = textIndexDir(req.get("entity").asText(),
             req.get("textCol").asText(), idCol)

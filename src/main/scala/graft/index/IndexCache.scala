@@ -21,10 +21,17 @@ object IndexCache {
   private val cache = TrieMap.empty[(String, String), VectorIndex]
   private lazy val tmpBase = Files.createTempDirectory("graft-idxcache").toString
 
+  /** Collision-free per-data-dir tag (String.hashCode is 32-bit; a
+    * collision would silently serve one dir's persisted indexes for
+    * the other). */
+  private def dirTag(dataDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def of(spark: SparkSession, dataDir: String, key: String)
         (build: => VectorIndex): VectorIndex =
     cache.getOrElseUpdate((dataDir, key), {
-      val base = s"$tmpBase/h${Integer.toHexString(dataDir.hashCode)}"
+      val base = s"$tmpBase/h${dirTag(dataDir)}"
       IndexStore.save(base, key, build)
       IndexStore.load(spark, base, key).index
     })
@@ -37,7 +44,7 @@ object IndexCache {
     keys.foreach(cache.remove)
     if (keys.nonEmpty)
       graft.core.Entity.deleteRecursively(
-        java.nio.file.Paths.get(s"$tmpBase/h${Integer.toHexString(dataDir.hashCode)}"))
+        java.nio.file.Paths.get(s"$tmpBase/h${dirTag(dataDir)}"))
     keys.size
   }
 }

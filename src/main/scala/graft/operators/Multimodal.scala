@@ -201,34 +201,47 @@ object Multimodal {
     Some((width, height, 3, frames, hist))
   }
 
-  /** Byte spans (offset, length) of the video frame chunks (`##dc` /
-    * `##db` stream data) inside an AVI's RIFF tree, in stream order —
-    * for Motion-JPEG each span is one complete JPEG image. Pure chunk
-    * walk; recurses into `LIST` boxes (hdrl/movi/rec ). */
-  private def aviFrameSpans(payload: Array[Byte]): Seq[(Int, Int)] = {
+  /** THE RIFF/AVI chunk traversal — one implementation shared by frame
+    * extraction and stream-format detection, so padding/malformed-tail
+    * arithmetic can never diverge between them. Depth-first over the
+    * chunk tree (recursing into `LIST` boxes), invoking `visit(fourcc,
+    * bodyOffset, bodyLen)` for every non-LIST chunk; a `false` return
+    * stops the walk early. No-op for non-AVI payloads. */
+  private def walkAviChunks(payload: Array[Byte])
+                           (visit: (String, Int, Int) => Boolean): Unit = {
     def u32(o: Int): Long =
       (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
         ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
     def cc(o: Int): String =
       new String(payload, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var go = true
     def walk(start: Int, end: Int): Unit = {
       var i = start
       var ok = true
-      while (ok && i + 8 <= end) {
+      while (go && ok && i + 8 <= end) {
         val id = cc(i)
         val sz = u32(i + 4)
         if (sz < 0 || i + 8 + sz > end) ok = false // malformed tail: stop
         else {
           if (id == "LIST" && sz >= 4) walk(i + 12, (i + 8 + sz).toInt)
-          else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz > 0)
-            out += ((i + 8, sz.toInt))
+          else go = visit(id, i + 8, sz.toInt)
           i = (i + 8 + sz + (sz & 1)).toInt // chunks pad to even offsets
         }
       }
     }
     if (payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ")
       walk(12, payload.length)
+  }
+
+  /** Byte spans (offset, length) of the video frame chunks (`##dc` /
+    * `##db` stream data) inside an AVI's RIFF tree, in stream order —
+    * for Motion-JPEG each span is one complete JPEG image. */
+  private def aviFrameSpans(payload: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    walkAviChunks(payload) { (id, off, len) =>
+      if ((id.endsWith("dc") || id.endsWith("db")) && len > 0) out += ((off, len))
+      true
+    }
     out.toSeq
   }
 
@@ -245,26 +258,14 @@ object Multimodal {
       new String(payload, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
     var lastStrhVids = false
     var res: Option[(Int, Int, Int, Long)] = None
-    def walk(start: Int, end: Int): Unit = {
-      var i = start
-      var ok = true
-      while (ok && res.isEmpty && i + 8 <= end) {
-        val sz = u32(i + 4)
-        if (sz < 0 || i + 8 + sz > end) ok = false
-        else {
-          val id = cc(i)
-          if (id == "LIST" && sz >= 4) walk(i + 12, (i + 8 + sz).toInt)
-          else if (id == "strh" && sz >= 4) lastStrhVids = cc(i + 8) == "vids"
-          else if (id == "strf" && lastStrhVids && sz >= 20)
-            res = Some((u32(i + 8 + 4).toInt, u32(i + 8 + 8).toInt,
-              u16(i + 8 + 14), u32(i + 8 + 16)))
-          i = (i + 8 + sz + (sz & 1)).toInt
-        }
-      }
+    walkAviChunks(payload) { (id, off, len) =>
+      if (id == "strh" && len >= 4) lastStrhVids = cc(off) == "vids"
+      else if (id == "strf" && lastStrhVids && len >= 20)
+        res = Some((u32(off + 4).toInt, u32(off + 8).toInt,
+          u16(off + 14), u32(off + 16)))
+      res.isEmpty // stop as soon as the video format is found
     }
-    if (payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ") {
-      walk(12, payload.length); res
-    } else None
+    res
   }
 
   /** REAL per-frame pixel decode for UNCOMPRESSED (BI_RGB) AVI — the

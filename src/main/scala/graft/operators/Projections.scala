@@ -61,14 +61,11 @@ object Projections {
     * from unpivoting the 1-row aggregate, not from per-column scans. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // distinct columns ⇒ the generated __min/__max/... aliases are
+    // pairwise distinct too (the six suffixes are mutually non-suffix),
+    // so this one check is sufficient to keep the unpivot unambiguous
     require(cols.distinct.size == cols.size,
       s"duplicate columns in profile: ${cols.diff(cols.distinct).distinct.mkString(",")}")
-    // generated aggregate aliases must be pairwise distinct, or the
-    // unpivot references become ambiguous (AnalysisException downstream)
-    val aliases = "__rows" +: cols.flatMap(c =>
-      Seq(s"${c}__nonnull", s"${c}__min", s"${c}__max", s"${c}__mean", s"${c}__stddev"))
-    require(aliases.distinct.size == aliases.size,
-      s"profile column names collide with generated aliases: ${aliases.diff(aliases.distinct).distinct.mkString(",")}")
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nonnull"),
         min(col(c)).cast("double").as(s"${c}__min"),

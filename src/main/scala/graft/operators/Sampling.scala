@@ -193,8 +193,13 @@ object Sampling {
     val ntot = BigInt(counts.map(_._2).sum)
     val f10k = counts.map { case (dom, n) =>
       val f = BigInt(sd(dom)) * ntot * 10000 / (ssum * BigInt(n))
-      require(f.isValidLong && f < 10000L * 1001L,
-        s"temperature factor out of range for domain '$dom': $f")
+      // sqrt-temperature factors are unbounded under extreme skew (a
+      // 1-doc domain in an N-doc corpus repeats ~sqrt(N)/sqrt-share
+      // times); 100 000 copies covers any sane mixture — past it the
+      // caller should shard or floor tiny domains, not explode rows
+      require(f.isValidLong && f < 10000L * 100001L,
+        s"temperature factor for domain '$dom' exceeds 100000 copies ($f/10000) — " +
+          "extreme domain skew; pre-filter or shard tiny domains")
       dom -> f.toLong
     }
     val fCol = f10k.foldLeft(lit(0L)) { case (acc, (dom, f)) =>

@@ -55,6 +55,18 @@ object TextSearch {
       .rlike("(^| )" + quoted.mkString(" ") + "( |$)"))
   }
 
+  /** THE BM25 per-posting contribution, over columns `tf`, `df`, `dl`
+    * — one definition shared by the scan-time scorer below and the
+    * index-served [[graft.sources.FullTextStore]], so the spec-asserted
+    * bit-parity between the two paths cannot drift under a k1/b or
+    * smoothing tweak. */
+  private[graft] def bm25Contrib(n: Long, avgdl: Double,
+                                 k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+  }
+
   /** BM25 scores `(doc_id, score)` for every document matching ≥1 query
     * term: postings filtered to the query terms, document-frequency stats
     * broadcast back in, per-doc partial-summed score. Two jobs total
@@ -73,12 +85,9 @@ object TextSearch {
 
     val posts = postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*))
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     posts.join(broadcast(dfreq), "term")
       .join(lens, "doc_id")
-      .withColumn("contrib",
-        idf * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .withColumn("contrib", bm25Contrib(n, avgdl, k1, b))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"))
   }

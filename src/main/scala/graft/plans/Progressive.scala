@@ -117,12 +117,15 @@ object Progressive {
       import scala.jdk.CollectionConverters._
       obs.asScala.exists(o => o.result.isSuccess && o.confidence >= maxConf)
     }
-    val deadlineNanos = System.nanoTime() + deadlineMs * 1000000L
+    // remaining time tracked in ms-space (deadline − elapsed) so a
+    // huge client-supplied deadline (e.g. Long.MaxValue "unbounded")
+    // cannot overflow a nano-space deadline into the past
+    val t0 = System.nanoTime()
     waiter.synchronized {
       var remainingMs = deadlineMs
       while (all.getCount > 0 && !sufficientDone && remainingMs > 0) {
         waiter.wait(remainingMs)
-        remainingMs = (deadlineNanos - System.nanoTime()) / 1000000L
+        remainingMs = deadlineMs - (System.nanoTime() - t0) / 1000000L
       }
     }
     if (obs.isEmpty) first.await()

@@ -118,12 +118,11 @@ object FullTextStore {
     val posts = termPostings(spark, dir, terms)
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val lens = spark.read.parquet(s"$dir/lengths")
-    val idf = log(lit(1.0) + (lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     posts.join(broadcast(dfreq), "term")
       .join(lens, "doc_id")
-      .withColumn("contrib",
-        idf * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / st.avgdl)))
+      // the ONE shared scoring expression — bit-parity with the
+      // scan-time path by construction
+      .withColumn("contrib", TextSearch.bm25Contrib(st.n, st.avgdl, k1, b))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"))
   }

@@ -174,6 +174,42 @@ class StorageHandlerSpec extends SparkSpec {
     FullTextStore.drop(emptyDir)
   }
 
+  test("full-text store property: index-served == scan-served on generated corpora") {
+    import graft.sources.FullTextStore
+    import graft.operators.TextSearch
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocabulary so terms repeat and phrases actually occur
+    val vocab = Seq("ann", "btree", "cost", "disk", "eval", "fuse", "graph")
+    val doc: Gen[String] = Gen.chooseNum(0, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    (1L to 8L).foreach { seed =>
+      val texts = sample(Gen.listOfN(10, doc), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val dir = Files.createTempDirectory("graft-fts-p").toString + "/idx"
+      FullTextStore.write(spark, dir, docs, "doc_id", "text", nBuckets = 8)
+      val terms = sample(Gen.pick(2, vocab), seed + 100).toSeq
+      withClue(s"seed $seed terms $terms: ") {
+        FullTextStore.bm25TopK(spark, dir, terms, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+          TextSearch.bm25TopK(docs, "doc_id", "text", terms, 10)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        FullTextStore.matchAll(spark, dir, terms)
+          .collect().map(_.getLong(0)).sorted.toSeq shouldBe
+          TextSearch.matchAll(docs, "text", terms)
+            .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        FullTextStore.phraseMatch(spark, dir, terms)
+          .collect().map(_.getLong(0)).sorted.toSeq shouldBe
+          TextSearch.phraseMatch(docs, "text", terms)
+            .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      }
+      FullTextStore.drop(dir)
+    }
+  }
+
   test("jdbc handler round-trips against embedded Derby with pushdown") {
     val dbDir = Files.createTempDirectory("graft-derby").toString + "/db"
     System.setProperty("derby.stream.error.file", "/dev/null")
