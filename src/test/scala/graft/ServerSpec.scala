@@ -135,6 +135,26 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val after = ranked("bm25_indexed")
     after.map(_._1) should contain(4L)
     after shouldBe ranked("bm25")
+
+    // distinct id columns get DISTINCT layouts: scoring by alt_id must
+    // return alt ids, not a cached doc_id layout (regression: the cache
+    // key once omitted idCol)
+    post("/entity/create", """{"name":"wtxt2"}""")
+    post("/entity/insert",
+      """{"name":"wtxt2","rows":[
+        |{"doc_id":1,"alt_id":101,"body":"table talk"},
+        |{"doc_id":2,"alt_id":102,"body":"no match"}]}""".stripMargin)
+    def ids(idCol: String) = post("/query/text",
+      s"""{"entity":"wtxt2","textCol":"body","idCol":"$idCol","mode":"bm25_indexed","terms":["table"],"k":5}""")
+      .get("rows").elements().asScala.toSeq.map(_.get("doc_id").asLong())
+    ids("doc_id") shouldBe Seq(1L)
+    ids("alt_id") shouldBe Seq(101L)
+    // missing idCol: clean error, not an NPE
+    val bad = post("/query/text",
+      """{"entity":"wtxt2","textCol":"body","mode":"bm25_indexed","terms":["table"]}""")
+    bad.get("ok").asBoolean() shouldBe false
+    bad.get("error").asText() should include("idCol")
+    post("/entity/drop", """{"name":"wtxt2"}""")
   }
 
   test("query results page at 500 rows with a walkable pageToken") {
