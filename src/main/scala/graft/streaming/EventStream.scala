@@ -132,9 +132,17 @@ object EventStream {
                     watermark: String = "2 hours"): Dataset[AsOfOut] = {
     require(toleranceMs > 0, "toleranceMs must be positive (it bounds join state)")
     import left.sparkSession.implicits._
-    val l = left.select(col("user_id").as("key"), col("ts"),
+    // NULL keys/event times drop on BOTH sides: a null-time event has
+    // no position against the watermark (it can never be proven final)
+    // and a null key is not an equi-join key — and either would break
+    // the non-nullable AsOfEvent encoding. The batch twin emits
+    // null-key/time LEFT rows as unmatched output (no finality proof
+    // needed there); the divergence is documented here.
+    def clean(df: DataFrame): DataFrame =
+      df.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val l = clean(left).select(col("user_id").as("key"), col("ts"),
       col("event_id").as("id"), lit(true).as("left"))
-    val r = right.select(col("user_id").as("key"), col("ts"),
+    val r = clean(right).select(col("user_id").as("key"), col("ts"),
       col("event_id").as("id"), lit(false).as("left"))
     l.unionByName(r).withWatermark("ts", watermark).as[AsOfEvent]
       .groupByKey(_.key)

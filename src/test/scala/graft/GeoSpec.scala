@@ -97,6 +97,37 @@ class GeoSpec extends SparkSpec {
     rw.size should be > 1
   }
 
+  test("radiusJoin property: seam-heavy random corpora match the cross-filter at 3 radii") {
+    // deterministic LCG so every run checks the same corpora; longitudes
+    // biased toward ±180 so wrap-around pairs actually occur
+    def lcg(seed: Long): Iterator[Double] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => (s >>> 11).toDouble / (1L << 53).toDouble)
+    for (seed <- 1L to 3L) {
+      val rnd = lcg(seed)
+      def lng() = { val u = rnd.next(); val v = rnd.next()
+        // half the mass within 3 degrees of the seam
+        if (u < 0.5) (if (v < 0.5) -180.0 + v * 6 else 180.0 - (v - 0.5) * 6)
+        else v * 360.0 - 180.0 }
+      def lat() = rnd.next() * 160.0 - 80.0
+      val pts = (0 until 80).map(i => (i.toLong, lat(), lng())).toDF("pid", "lat", "lng")
+      val pois = (0 until 15).map(i => (100L + i, lat(), lng())).toDF("qid", "qlat", "qlng")
+      for (radius <- Seq(50000.0, 300000.0, 1500000.0)) {
+        val got = Geo.radiusJoin(pts, "lat", "lng", pois, "qlat", "qlng", radius,
+            maxCellsPerRow = 100000L)
+          .select("pid", "qid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val want = pts.crossJoin(pois)
+          .filter(Geo.haversineMeters(col("lat"), col("lng"),
+            col("qlat"), col("qlng")) <= radius)
+          .select("pid", "qid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        withClue(s"seed $seed radius $radius: ") {
+          got.length shouldBe got.toSet.size // exactly once
+          got.toSet shouldBe want            // lossless incl. seam pairs
+        }
+      }
+    }
+  }
+
   test("radiusJoin plans as a hash equi-join and guards polar fan-out") {
     val pts = Seq((1L, 10.0, 10.0)).toDF("pid", "lat", "lng")
     val pois = Seq((2L, 10.1, 10.1)).toDF("qid", "qlat", "qlng")
