@@ -1072,6 +1072,18 @@ object SparkEntry {
           Seq("vector", "join"))
         .orderBy("doc_id")),
 
+    "text_bm25f" -> ((s, d) => {
+      // fielded BM25 with a 2x title boost; the "title" field is the
+      // first 8 tokens derived in-plan (the fixture carries one text
+      // column), so the oracle replays the same derivation
+      val docs = Tables.documents(s, d).withColumn("title",
+        array_join(slice(graft.operators.TextAnalysis.tokens(col("text")), 1, 8), " "))
+      TextSearch.bm25fScores(docs, "doc_id",
+          Seq(("title", 2.0), ("text", 1.0)), Seq("vector", "join", "hash"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
     "text_index_phrase" -> ((s, d) =>
       // adjacency from STORED POSITIONS only — the oracle re-tests the
       // phrase against raw token positions, so the stored position
@@ -2723,6 +2735,33 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
          |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
          |ORDER BY doc_id""".stripMargin,
+
+    // BM25F replay: the title field re-derives exactly as the Spark
+    // plan does (join first-8 tokens with spaces, then re-tokenize, so
+    // the empty-text -> [""] edge reproduces identically); weighted
+    // dl sums are integer-valued doubles, so avgdl matches bit-for-bit
+    "text_bm25f" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tt AS (SELECT doc_id, toks,
+         |         string_split_regex(lower(trim(array_to_string(toks[1:8], ' '))), '\\s+') AS ttoks
+         |       FROM tk),
+         |dl AS (SELECT doc_id, 2.0 * len(ttoks) + 1.0 * len(toks) AS dl FROM tt),
+         |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |pf AS (
+         |  SELECT doc_id, term, 2.0 * count(*) AS wtf
+         |  FROM (SELECT doc_id, unnest(ttoks) AS term FROM tt)
+         |  WHERE term IN ('vector','join','hash') GROUP BY doc_id, term
+         |  UNION ALL
+         |  SELECT doc_id, term, 1.0 * count(*) AS wtf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |  WHERE term IN ('vector','join','hash') GROUP BY doc_id, term),
+         |posts AS (SELECT doc_id, term, sum(wtf) AS tf FROM pf GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM posts GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+         |FROM posts JOIN dfreq USING (term) JOIN dl USING (doc_id), c
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_index_phrase" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)

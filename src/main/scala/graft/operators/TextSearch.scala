@@ -92,6 +92,46 @@ object TextSearch {
       .agg(sum("contrib").as("score"))
   }
 
+  /** BM25F — fielded ranked retrieval with per-field boosts (the Solr
+    * `qf`-boost role: "title hits count double"): per-field term
+    * frequencies and field lengths combine UNDER the weights BEFORE
+    * saturation (`tf' = Σ w_f·tf_f`, `dl' = Σ w_f·len_f`), the
+    * principled fielded extension (Robertson et al., CIKM 2004) —
+    * boosting AFTER saturation would let k1 cap a heavily-boosted
+    * title hit at the same ceiling as a body hit. Same two-job shape
+    * and the same shared [[bm25Contrib]] scoring expression as the
+    * single-field scorer; one explode+aggregate per field. */
+  def bm25fScores(docs: DataFrame, idCol: String, fields: Seq[(String, Double)],
+                  terms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fields.nonEmpty, "at least one field required")
+    fields.foreach { case (f, w) => require(w > 0, s"field $f weight must be positive") }
+    require(terms.nonEmpty, "empty term list")
+    val lowered = terms.map(_.toLowerCase)
+    val dlExpr = fields.map { case (f, w) =>
+      size(TextAnalysis.tokens(col(f))) * w }.reduce(_ + _)
+    val lens = docs.select(col(idCol).as("doc_id"), dlExpr.cast("double").as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+    val n = corpus.getLong(0)
+    if (n == 0)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score"))
+    val avgdl = corpus.getDouble(1)
+    val posts = fields.map { case (f, w) =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextAnalysis.tokens(col(f))).as("term"))
+        .filter(col("term").isin(lowered: _*))
+        .groupBy("term", "doc_id").agg((count(lit(1)) * w).as("wtf"))
+    }.reduce(_ unionByName _)
+      .groupBy("term", "doc_id").agg(sum("wtf").cast("double").as("tf"))
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    posts.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .withColumn("contrib", bm25Contrib(n, avgdl, k1, b))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+  }
+
   /** Ranked retrieval: BM25 top-k, `TakeOrderedAndProject` plan shape. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =

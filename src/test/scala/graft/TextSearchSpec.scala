@@ -59,6 +59,32 @@ class TextSearchSpec extends SparkSpec {
     plan should include("partial_sum")
   }
 
+  test("bm25f: a boosted-field hit outranks the same hit in the plain field") {
+    // identical bodies; only doc 1 carries the term in its TITLE — the
+    // 3x boost must rank it first even though raw tf is equal
+    val docs = Seq(
+      (1L, "spark engine", "padding words query term here"),
+      (2L, "other title", "padding words query term here")
+    ).toDF("doc_id", "title", "body")
+    val scores = TextSearch.bm25fScores(docs, "doc_id",
+        Seq(("title", 3.0), ("body", 1.0)), Seq("spark", "term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    scores(1L) should be > scores(2L)
+
+    // weight 1.0 on a single field degenerates to plain BM25 exactly
+    val single = TextSearch.bm25fScores(docs, "doc_id",
+        Seq(("body", 1.0)), Seq("term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = TextSearch.bm25Scores(docs, "doc_id", "body", Seq("term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    single shouldBe plain
+
+    an[IllegalArgumentException] should be thrownBy
+      TextSearch.bm25fScores(docs, "doc_id", Seq(("title", 0.0)), Seq("x"))
+    an[IllegalArgumentException] should be thrownBy
+      TextSearch.bm25fScores(docs, "doc_id", Seq.empty, Seq("x"))
+  }
+
   test("rrfFuse: both-list docs outrank single-list; absent list contributes 0") {
     val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     val vec = Seq((2L, 1), (9L, 2)).toDF("doc_id", "rank")
