@@ -1072,6 +1072,18 @@ object SparkEntry {
           Seq("vector", "join"))
         .orderBy("doc_id")),
 
+    "maxsim_topk" -> ((s, d) => {
+      // late-interaction MaxSim: 4-chunk multi-vector docs (vec_id DIV 4)
+      // scored against a 3-vector query set (the deterministic seed
+      // vectors the SQL oracle can reproduce); one shuffle of 3 doubles
+      // per doc, chunks never move
+      val emb = Tables.embeddings(s, d)
+      Ann.maxSimTopK(
+          emb.select(expr("vec_id DIV 4").as("doc"), col("embedding")),
+          "doc", "embedding", seedCentroids(emb, 3), 50)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     "text_bm25f" -> ((s, d) => {
       // fielded BM25 with a 2x title boost; the "title" field is the
       // first 8 tokens derived in-plan (the fixture carries one text
@@ -2735,6 +2747,21 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
          |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
          |ORDER BY doc_id""".stripMargin,
+
+    // MaxSim replay: per-(chunk, query) cosine similarity with the same
+    // zero-norm guard as the Spark kernel, max per (doc, query), sum of
+    // maxes per doc, top-50 by the UNROUNDED score with doc tie-break
+    "maxsim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         |sims AS (
+         |  SELECT e.vec_id // 4 AS doc_id, q.qid,
+         |    CASE WHEN $duckNormE < 1e-5 OR $duckNormQ < 1e-5 THEN 0.0
+         |         ELSE ($duckDot) / ($duckNormE * $duckNormQ) END AS sim
+         |  FROM embeddings e, q),
+         |mx AS (SELECT doc_id, qid, max(sim) AS m FROM sims GROUP BY doc_id, qid)
+         |SELECT doc_id, round(sum(m), 4) + 0.0 AS score
+         |FROM mx GROUP BY doc_id
+         |ORDER BY sum(m) DESC, doc_id LIMIT 50""".stripMargin,
 
     // BM25F replay: the title field re-derives exactly as the Spark
     // plan does (join first-8 tokens with spaces, then re-tokenize, so

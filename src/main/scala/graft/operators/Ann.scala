@@ -372,4 +372,36 @@ object Ann {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Late-interaction retrieval (ColBERT-style MaxSim) over MULTI-VECTOR
+    * documents: each document is a bag of chunk/token embeddings, the
+    * query is a SET of vectors, and
+    * `score(doc) = Σ_q max_{v ∈ doc} cosine_sim(q, v)` — every query
+    * vector independently finds its best-matching chunk, so a document
+    * matching different query aspects in different passages outranks
+    * one whose single centroid is merely close on average (what a
+    * pooled-embedding kNN would measure).
+    *
+    * Plan shape: the Q per-row similarities are Q codegen kernel
+    * columns over the chunk scan (queries ride as broadcast literals),
+    * partial `max` per (doc, q) collapses map-side, the final per-doc
+    * sum + top-k is `TakeOrderedAndProject` — ONE shuffle of Q doubles
+    * per doc, chunks never move. Q is the query's token count
+    * (small, bounded); corpus growth only widens the scan. */
+  def maxSimTopK(chunks: DataFrame, docCol: String, vecCol: String,
+                 queries: Seq[Seq[Double]], k: Int): DataFrame = {
+    require(queries.nonEmpty, "at least one query vector required")
+    require(k > 0, "k must be positive")
+    val sims = queries.zipWithIndex.map { case (q, i) =>
+      graft.functions.Distances.cosineSim(col(vecCol),
+        graft.functions.Distances.vecLit(q)).as(s"ap_s$i") }
+    val maxes = queries.indices.map(i => max(col(s"ap_s$i")).as(s"ap_m$i"))
+    chunks.select(col(docCol).as("doc_id") +: sims: _*)
+      .groupBy("doc_id")
+      .agg(maxes.head, maxes.tail: _*)
+      .withColumn("score", queries.indices.map(i => col(s"ap_m$i")).reduce(_ + _))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -777,4 +777,40 @@ class DedupTextSpec extends SparkSpec {
     Ann.lshCosineNearDupPairs(planted, "vec_id", "embedding", 0.99, dim = 16)
       .count() shouldBe 29 // C(8,2) clones + (0,100)
   }
+
+  test("maxSimTopK: per-query best chunks sum; multi-aspect doc beats pooled-average doc") {
+    // doc 1's chunks each nail ONE query axis; doc 2's chunks all sit at
+    // the diagonal (equally mediocre for both queries). MaxSim must rank
+    // doc 1 first — a pooled/average embedding would call them equal.
+    val inv = math.sqrt(0.5)
+    val chunks = Seq(
+      (1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(inv, inv)), (2L, Seq(inv, inv)),
+      (3L, Seq(-1.0, 0.0)), (3L, Seq(0.0, -1.0)) // anti-aligned: lowest
+    ).toDF("doc", "vec")
+    val qs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = Ann.maxSimTopK(chunks, "doc", "vec", qs, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    got.toMap.apply(1L) shouldBe 2.0 +- 1e-9          // each query hits 1.0
+    got.toMap.apply(2L) shouldBe 2 * inv +- 1e-9      // both capped at cos 45°
+    // each query's best doc-3 chunk is the ORTHOGONAL one (0.0 beats -1.0)
+    got.toMap.apply(3L) shouldBe 0.0 +- 1e-9
+
+    // k bounds the result; refusals
+    Ann.maxSimTopK(chunks, "doc", "vec", qs, 1).count() shouldBe 1
+    an[IllegalArgumentException] should be thrownBy
+      Ann.maxSimTopK(chunks, "doc", "vec", Seq.empty, 5)
+    an[IllegalArgumentException] should be thrownBy
+      Ann.maxSimTopK(chunks, "doc", "vec", qs, 0)
+
+    // plan: ONE exchange (doc-keyed partial max), top-k as TakeOrdered.
+    // k must be BELOW the local fixture's known maxRows, or Catalyst's
+    // EliminateLimits removes the limit and plans a plain global sort.
+    val plan = Ann.maxSimTopK(chunks, "doc", "vec", qs, 2)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
+    plan should include("partial_max")
+  }
 }
