@@ -1084,6 +1084,21 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
+    "maxsim_ivf_topk" -> ((s, d) => {
+      // the scale path: candidate chunks from the SQ8 codes scan per
+      // query vector, exact MaxSim rerun over the candidate DOCS only —
+      // generous timesK makes doc recall total on this corpus, so the
+      // exact-MaxSim oracle applies (the ann_ivf_topk pattern)
+      val emb = Tables.embeddings(s, d)
+      val idx = hybridSqIndexes.getOrElseUpdate(d,
+        Ann.buildCosineSQIndex(emb, "vec_id", "embedding"))
+      Ann.maxSimTopKIndexed(
+          emb.select(expr("vec_id DIV 4").as("doc"), col("vec_id"), col("embedding")),
+          "doc", "embedding", "vec_id", idx, seedCentroids(emb, 3), 50,
+          timesK = 40)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     "text_bm25f" -> ((s, d) => {
       // fielded BM25 with a 2x title boost; the "title" field is the
       // first 8 tokens derived in-plan (the fixture carries one text
@@ -2747,6 +2762,21 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
          |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
          |ORDER BY doc_id""".stripMargin,
+
+    // the indexed variant is exact whenever candidate-doc recall covers
+    // the true top-50 (generous timesK; asserted by sharing the exact
+    // oracle below)
+    "maxsim_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         |sims AS (
+         |  SELECT e.vec_id // 4 AS doc_id, q.qid,
+         |    CASE WHEN $duckNormE < 1e-5 OR $duckNormQ < 1e-5 THEN 0.0
+         |         ELSE ($duckDot) / ($duckNormE * $duckNormQ) END AS sim
+         |  FROM embeddings e, q),
+         |mx AS (SELECT doc_id, qid, max(sim) AS m FROM sims GROUP BY doc_id, qid)
+         |SELECT doc_id, round(sum(m), 4) + 0.0 AS score
+         |FROM mx GROUP BY doc_id
+         |ORDER BY sum(m) DESC, doc_id LIMIT 50""".stripMargin,
 
     // MaxSim replay: per-(chunk, query) cosine similarity with the same
     // zero-norm guard as the Spark kernel, max per (doc, query), sum of

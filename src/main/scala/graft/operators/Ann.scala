@@ -388,6 +388,33 @@ object Ann {
     * sum + top-k is `TakeOrderedAndProject` — ONE shuffle of Q doubles
     * per doc, chunks never move. Q is the query's token count
     * (small, bounded); corpus growth only widens the scan. */
+  /** MaxSim through a vector index — the 100 TB path: each query
+    * vector pulls its candidate CHUNKS from the index (built by
+    * [[buildCosineSQIndex]]; queries normalize to match), candidates
+    * map to their owning documents, and the EXACT [[maxSimTopK]]
+    * scoring reruns over every chunk of just those candidate docs — so
+    * only document recall matters: a true top-k doc is scored exactly
+    * as long as ANY of its chunks surfaces for ANY query vector
+    * (`timesK` defaults generous; the codes scan is cheap). Corpus
+    * chunks are touched twice (codes scan + candidate-doc rerank),
+    * never pairwise. */
+  def maxSimTopKIndexed(chunks: DataFrame, docCol: String, vecCol: String,
+                        idCol: String, idx: graft.index.VectorIndex,
+                        queries: Seq[Seq[Double]], k: Int,
+                        timesK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "at least one query vector required")
+    val candChunks = queries.map { q =>
+      val n = math.sqrt(q.map(x => x * x).sum)
+      val qn = if (n > 1e-12) q.map(_ / n) else q
+      idx.candidates(qn, k, timesK).select(col(idCol))
+    }.reduce(_ unionByName _).distinct()
+    val candDocs = chunks
+      .join(candChunks, Seq(idCol), "left_semi")
+      .select(col(docCol)).distinct()
+    maxSimTopK(chunks.join(candDocs, Seq(docCol), "left_semi"),
+      docCol, vecCol, queries, k)
+  }
+
   def maxSimTopK(chunks: DataFrame, docCol: String, vecCol: String,
                  queries: Seq[Seq[Double]], k: Int): DataFrame = {
     require(queries.nonEmpty, "at least one query vector required")

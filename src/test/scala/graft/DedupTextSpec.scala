@@ -804,6 +804,22 @@ class DedupTextSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Ann.maxSimTopK(chunks, "doc", "vec", qs, 0)
 
+    // the indexed path returns the brute result exactly when candidate
+    // doc recall is total (generous timesK on a small corpus)
+    val lcg = Iterator.iterate(7L)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 11).toDouble / (1L << 53).toDouble - 0.5)
+    val corpus = (0 until 48).map(i =>
+      (i.toLong / 4, i.toLong, Seq.fill(8)(lcg.next())))
+      .toDF("doc", "vec_id", "vec")
+    val idx = Ann.buildCosineSQIndex(corpus, "vec_id", "vec")
+    val queries = Seq(Seq.fill(8)(lcg.next()), Seq.fill(8)(lcg.next()))
+    val brute = Ann.maxSimTopK(corpus, "doc", "vec", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Ann.maxSimTopKIndexed(corpus, "doc", "vec", "vec_id",
+        idx, queries, 5, timesK = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    indexed shouldBe brute
+
     // plan: ONE exchange (doc-keyed partial max), top-k as TakeOrdered.
     // k must be BELOW the local fixture's known maxRows, or Catalyst's
     // EliminateLimits removes the limit and plans a plain global sort.
