@@ -65,6 +65,60 @@ object EventAnalytics {
       .withColumn("completed", col("steps_completed") === steps.size)
   }
 
+  /** Completed funnel CYCLES per user — the repeat-conversion twin of
+    * [[funnel]]: instead of reporting how FAR a user got once, count how
+    * many TIMES the full `steps` sequence completes (the state machine
+    * resets to step 0 after each completion), e.g. repeat
+    * view→click→purchase loops. Greedy earliest-chain matching per
+    * cycle; matches are strictly-after the previous match (same tie rule
+    * as [[funnel]]), and a completing event cannot also start the next
+    * cycle. Output: `user_id`, `cycles` (0..`maxCycles`).
+    *
+    * `cycles` saturates at `maxCycles` (≤ 255) and `steps.size` is
+    * capped at 8 — both so the whole fold packs into 63-bit integer
+    * arithmetic that any SQL engine replays bit-for-bit
+    * (state = `(cycles·8+step)·2^51 + lastTs+1`, event = `ts·8+stepIdx`;
+    * event-time micros stay under 2^51 until the year 2041).
+    *
+    * Plan shape: identical to [[funnel]] — one user-keyed shuffle of
+    * step events only (pre-filtered, so whale users' non-step history
+    * never moves), one codegen `aggregate` walk. Users with zero step
+    * events are absent (unlike [[funnel]], which keeps every user: a
+    * zero-cycle row carries no more signal than absence here, and the
+    * pre-filter is what bounds the exchange). */
+  def funnelCycles(events: DataFrame, steps: Seq[String],
+                   tsCol: String = "ts", userCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   maxCycles: Int = 255): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"funnelCycles supports 1..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(maxCycles > 0 && maxCycles <= 255,
+      s"maxCycles must be in 1..255, got $maxCycles")
+    val idxCol = steps.zipWithIndex.tail
+      .foldLeft(when(col(typeCol) === steps.head, lit(0))) {
+        case (acc, (s, i)) => acc.when(col(typeCol) === s, lit(i))
+      }
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("t"), idxCol.as("x"))))
+    // state: (next step index, ts of last matched step, completed cycles)
+    val init = struct(lit(0).as("i"), lit(-1L).as("last"), lit(0).as("c"))
+    val walk = aggregate(evs, init, (st, e) =>
+      when(e.getField("x") === st.getField("i") &&
+        e.getField("t") > st.getField("last"),
+        when(st.getField("i") + 1 === steps.size,
+          struct(lit(0).as("i"), e.getField("t").as("last"),
+            least(st.getField("c") + 1, lit(maxCycles)).as("c")))
+          .otherwise(struct((st.getField("i") + 1).as("i"),
+            e.getField("t").as("last"), st.getField("c").as("c"))))
+        .otherwise(st))
+    events
+      .filter(col(typeCol).isin(steps: _*) &&
+        col(tsCol).isNotNull && col(userCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(walk.getField("c").as("cycles"))
+  }
+
   /** Gap-based session INTERVALS per user: consecutive events within
     * `gapMicros` merge into one session; output one row per session
     * with `user_id`, `session_id` (1-based per user), and the inclusive

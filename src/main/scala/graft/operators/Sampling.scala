@@ -49,6 +49,37 @@ object Sampling {
     df.filter(pmod(keyHash(col(keyCol)), lit(10000)) < cut)
   }
 
+  /** Deterministic train/val/test split assignment: every row gets a
+    * `split` label by where its key hashes among cumulative per-10000
+    * cuts (e.g. `train→0.8, val→0.1, test→0.1` ⇒ residue <8000 → train,
+    * <9000 → val, else test). The same properties as [[bernoulliSample]]
+    * hold because it IS the same hash: key-stable under corpus growth
+    * (appended rows never move existing rows between splits — no
+    * train/test leakage on re-runs), engine-replayable integer
+    * arithmetic, and rows sharing a key land in the same split (dedup
+    * groups can't straddle the boundary). Fractions are quantized to
+    * 1/10000 and must sum to 1 after quantization so every residue maps
+    * to exactly one split. Zero shuffle — a pure codegen projection. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "splitAssign needs at least one split")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split names must be distinct")
+    val cuts = fractions.map { case (_, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction out of range: $f")
+      math.round(f * 10000).toInt
+    }
+    require(cuts.sum == 10000,
+      s"fractions must sum to 1 after 1/10000 quantization, got ${cuts.sum}/10000")
+    val bounds = cuts.scanLeft(0)(_ + _).tail // cumulative upper bounds
+    val residue = pmod(keyHash(col(keyCol)), lit(10000))
+    val label = fractions.init.zip(bounds.init)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), hi), acc) =>
+        when(residue < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Domain-mix sampling: per-domain Bernoulli rates in one pass — the
     * standard way training mixtures are rebalanced ("keep 50% of web,
     * 100% of books, 10% of the rest"). Domains absent from `weights` use

@@ -210,6 +210,49 @@ object TextAnalysis {
       .agg(round(avg(-log(col("cnt") / col("total"))), 4).as("log_ppl"))
   }
 
+  /** Interpolated BIGRAM language-model score per document — the
+    * KenLM-style upgrade of [[unigramLogPerplexity]]: each token is
+    * scored by `λ·P(w|prev) + (1−λ)·P(w)` with a `<s>` BOS context for
+    * the first token, so boilerplate that repeats the corpus's common
+    * TRANSITIONS (not just its common words) scores as low-perplexity.
+    * Emits `(id, log_ppl)` with the per-doc average negative log
+    * probability rounded to 4 decimals.
+    *
+    * Scale shape: one O(tokens) per-row zip builds `(prev, tok)` pairs
+    * (no token array ever rides through an explode), then the canonical
+    * frequency-join shape — three map-side-combined counts keyed by
+    * bigram / context / token, a scalar total broadcast, and key-equi
+    * joins back onto the pair stream. No vocabulary or transition table
+    * ever collects to the driver; the model "build" and "scoring" are
+    * one plan. Docs with zero tokens are absent from the output. */
+  def bigramLogPerplexity(df: DataFrame, textCol: String, idCol: String,
+                          lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"interpolation weight must be in (0,1), got $lambda")
+    val toks = df.select(col(idCol).as("id"),
+      filter(tokens(col(textCol)), t => length(t) > 0).as("t"))
+      .where(size(col("t")) > 0)
+    // (prev, tok) pairs with a BOS sentinel: zip(["<s>"] ++ t[0..n-2], t)
+    val pairs = toks.select(col("id"),
+      explode(arrays_zip(
+        concat(array(lit("<s>")), slice(col("t"), 1, size(col("t")) - 1)),
+        col("t"))).as("p"))
+      .select(col("id"), col("p.0").as("prev"), col("p.1").as("tok"))
+    val big = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("bc"))
+    val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("cc"))
+    val uni = pairs.groupBy("tok").agg(count(lit(1)).as("uc"))
+    val total = uni.agg(sum("uc").as("total"))
+    // (1.0 - lit(lambda)) mirrors the oracle's (1.0 - CAST(λ AS DOUBLE))
+    // exactly — a decimal-parsed 0.3 literal would differ in the last ulp.
+    val prob = lit(lambda) * col("bc") / col("cc") +
+      (lit(1.0) - lit(lambda)) * col("uc") / col("total")
+    pairs.join(big, Seq("prev", "tok")).join(ctx, Seq("prev"))
+      .join(uni, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(round(avg(-log(prob)), 4).as("log_ppl"))
+  }
+
   /** Per-ROW repetition signals — the zero-shuffle scale path of
     * [[repetitionSignals]] for the normal corpus layout where each row is
     * its own document. One codegen'd hash-map pass per row
