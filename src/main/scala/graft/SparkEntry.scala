@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.Distances
+import graft.functions.{Distances, TextNorm}
 import graft.api.QueryOps
 import graft.index._
 import graft.operators._
@@ -937,6 +937,35 @@ object SparkEntry {
     "unigram_logppl" -> ((s, d) =>
       TextAnalysis.unigramLogPerplexity(Tables.documents(s, d), "text", "doc_id")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    "bigram_logppl" -> ((s, d) =>
+      // interpolated bigram LM perplexity: boilerplate repeating common
+      // TRANSITIONS (not just common words) scores low; the model build
+      // and the scoring are one plan (three counts + joins, no collect)
+      TextAnalysis.bigramLogPerplexity(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    "text_nfc_normalize" -> ((s, d) =>
+      // Unicode NFC via the codegen'd NfcNormalizeExpr; the appended
+      // suffix mixes decomposed e+U+0301, the U+212B angstrom singleton,
+      // and A+U+030A so the normalization actually has work to do on
+      // the (mostly-ASCII) corpus — all three compose to precomposed
+      // forms that must match DuckDB's nfc_normalize byte-for-byte
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextNorm.nfc(concat(col("text"),
+            lit(" cafe\u0301 \u212B A\u030A"))).as("norm"))
+        .orderBy("doc_id")),
+
+    "event_funnel_cycles" -> ((s, d) =>
+      EventAnalytics.funnelCycles(Tables.events(s, d),
+          Seq("click", "view", "purchase"))
+        .orderBy("user_id")),
+
+    "sample_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
 
     "chunk_text" -> ((s, d) =>
       TextAnalysis.chunkText(Tables.documents(s, d), "text", "doc_id",
@@ -2460,6 +2489,73 @@ object SparkEntry {
          |SELECT doc_id, round(avg(-ln(cnt / total)), 4) AS log_ppl
          |FROM tk JOIN freq USING (tok), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // (prev, tok) pairs via positional subscripts (generate_subscripts +
+    // unnest is the portable posexplode); BOS sentinel at i=1. The float
+    // shape mirrors Spark exactly: 0.7*bc/cc + (1.0-0.7)*uc/total, all
+    // counts divided as DOUBLEs, natural log, round 4.
+    "bigram_logppl" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter($duckToks, t -> length(t) > 0) AS t FROM documents
+         |  WHERE len(list_filter($duckToks, t -> length(t) > 0)) > 0),
+         |px AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i,
+         |         unnest(t) AS tok FROM tk),
+         |pairs AS (SELECT doc_id,
+         |  CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev, tok FROM px),
+         |big AS (SELECT prev, tok, count(*) AS bc FROM pairs GROUP BY prev, tok),
+         |ctx AS (SELECT prev, count(*) AS cc FROM pairs GROUP BY prev),
+         |uni AS (SELECT tok, count(*) AS uc FROM pairs GROUP BY tok),
+         |tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS total FROM uni)
+         |SELECT doc_id, round(avg(-ln(
+         |  CAST(0.7 AS DOUBLE) * CAST(bc AS DOUBLE) / CAST(cc AS DOUBLE)
+         |  + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+         |    * CAST(uc AS DOUBLE) / total)), 4) AS log_ppl
+         |FROM pairs JOIN big USING (prev, tok) JOIN ctx USING (prev)
+         |  JOIN uni USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // chr(769)=U+0301 combining acute, chr(8491)=U+212B angstrom sign,
+    // chr(778)=U+030A combining ring — DuckDB's nfc_normalize must
+    // compose them to the same bytes NfcNormalizeExpr emits
+    "text_nfc_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)
+        |                || ' A' || chr(778)) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // bit-for-bit replay of the packed-integer funnel-cycles fold:
+    // event = ts*8+stepIdx, state = (cycles*8+nextStep)*2^51 + lastTs+1
+    // (2^51 = 2251799813685248); list_reduce over plain BIGINTs
+    "event_funnel_cycles" ->
+      """WITH se AS (
+        |  SELECT user_id, epoch_us(ts) * 8 +
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 ELSE 2 END AS e
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase')
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT user_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(list(e))),
+        |    (st, e) -> CASE
+        |      WHEN (e % 8) = ((st // 2251799813685248) % 8)
+        |       AND (e // 8) > (st % 2251799813685248) - 1
+        |      THEN CASE WHEN ((st // 2251799813685248) % 8) + 1 = 3
+        |        THEN (least((st // 2251799813685248) // 8 + 1, 255) * 8)
+        |             * 2251799813685248 + (e // 8) + 1
+        |        ELSE ((st // 2251799813685248) // 8 * 8
+        |              + ((st // 2251799813685248) % 8) + 1)
+        |             * 2251799813685248 + (e // 8) + 1 END
+        |      ELSE st END) AS st
+        |  FROM se GROUP BY user_id)
+        |SELECT user_id, CAST(st // 2251799813685248 // 8 AS BIGINT) AS cycles
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    "sample_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h % 10000 < 8000 THEN 'train'
+         |       WHEN h % 10000 < 9000 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "length_quantiles" ->
       """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS p50,

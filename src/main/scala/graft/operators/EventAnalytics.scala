@@ -76,13 +76,21 @@ object EventAnalytics {
     *
     * `cycles` saturates at `maxCycles` (≤ 255) and `steps.size` is
     * capped at 8 — both so the whole fold packs into 63-bit integer
-    * arithmetic that any SQL engine replays bit-for-bit
-    * (state = `(cycles·8+step)·2^51 + lastTs+1`, event = `ts·8+stepIdx`;
-    * event-time micros stay under 2^51 until the year 2041).
+    * arithmetic that any SQL engine replays bit-for-bit: each step
+    * event packs as `ts·8 + stepIdx` (sorting the packed longs IS the
+    * (ts, stepIdx) sort) and the fold state packs as
+    * `(cycles·8 + nextStep)·2^51 + lastTs+1` — ≤ 2047·2^51 + 2^51
+    * < 2^62, so both sides stay plain BIGINTs and the whole walk is a
+    * `list_reduce` over integers in DuckDB/Trino/anything. The encode
+    * constrains event time to `[0, 2^51)` micros (1970..2041); an event
+    * outside that window fails loudly via `raise_error` rather than
+    * silently corrupting the packing (the epoch floor is intrinsic to
+    * the wire-replayable form, not a soft default).
     *
     * Plan shape: identical to [[funnel]] — one user-keyed shuffle of
     * step events only (pre-filtered, so whale users' non-step history
-    * never moves), one codegen `aggregate` walk. Users with zero step
+    * never moves; 8 bytes per step event on the wire, no struct
+    * overhead), one codegen `aggregate` walk. Users with zero step
     * events are absent (unlike [[funnel]], which keeps every user: a
     * zero-cycle row carries no more signal than absence here, and the
     * pre-filter is what bounds the exchange). */
@@ -95,28 +103,36 @@ object EventAnalytics {
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(maxCycles > 0 && maxCycles <= 255,
       s"maxCycles must be in 1..255, got $maxCycles")
+    val tsLimit = 1L << 51
     val idxCol = steps.zipWithIndex.tail
-      .foldLeft(when(col(typeCol) === steps.head, lit(0))) {
-        case (acc, (s, i)) => acc.when(col(typeCol) === s, lit(i))
+      .foldLeft(when(col(typeCol) === steps.head, lit(0L))) {
+        case (acc, (s, i)) => acc.when(col(typeCol) === s, lit(i.toLong))
       }
-    val evs = sort_array(collect_list(struct(
-      unix_micros(col(tsCol).cast("timestamp")).as("t"), idxCol.as("x"))))
-    // state: (next step index, ts of last matched step, completed cycles)
-    val init = struct(lit(0).as("i"), lit(-1L).as("last"), lit(0).as("c"))
-    val walk = aggregate(evs, init, (st, e) =>
-      when(e.getField("x") === st.getField("i") &&
-        e.getField("t") > st.getField("last"),
-        when(st.getField("i") + 1 === steps.size,
-          struct(lit(0).as("i"), e.getField("t").as("last"),
-            least(st.getField("c") + 1, lit(maxCycles)).as("c")))
-          .otherwise(struct((st.getField("i") + 1).as("i"),
-            e.getField("t").as("last"), st.getField("c").as("c"))))
-        .otherwise(st))
+    val t = unix_micros(col(tsCol).cast("timestamp"))
+    val packed = when(t >= 0L && t < tsLimit, t * 8L + idxCol)
+      .otherwise(raise_error(concat(
+        lit("funnelCycles event time outside [1970, 2041) micros: "),
+        col(tsCol).cast("string"))))
+    val evs = sort_array(collect_list(packed))
+    // state = (cycles*8 + nextStep) << 51 | (lastTs + 1); init: all zero
+    val walk = aggregate(evs, lit(0L), (st, e) => {
+      val evTs = shiftright(e, 3)
+      val evIdx = e.bitwiseAND(lit(7L))
+      val nextStep = shiftright(st, 51).bitwiseAND(lit(7L))
+      val cycles = shiftright(st, 54)
+      val lastTs = st.bitwiseAND(lit(tsLimit - 1L)) - 1L
+      when(evIdx === nextStep && evTs > lastTs,
+        when(nextStep + 1L === steps.size.toLong,
+          shiftleft(least(cycles + 1L, lit(maxCycles.toLong)) * 8L, 51)
+            + evTs + 1L)
+          .otherwise(shiftleft(cycles * 8L + nextStep + 1L, 51) + evTs + 1L))
+        .otherwise(st)
+    })
     events
       .filter(col(typeCol).isin(steps: _*) &&
         col(tsCol).isNotNull && col(userCol).isNotNull)
       .groupBy(col(userCol).as("user_id"))
-      .agg(walk.getField("c").as("cycles"))
+      .agg(shiftright(walk, 54).as("cycles"))
   }
 
   /** Gap-based session INTERVALS per user: consecutive events within

@@ -235,9 +235,10 @@ object TextAnalysis {
     // (prev, tok) pairs with a BOS sentinel: zip(["<s>"] ++ t[0..n-2], t)
     val pairs = toks.select(col("id"),
       explode(arrays_zip(
-        concat(array(lit("<s>")), slice(col("t"), 1, size(col("t")) - 1)),
-        col("t"))).as("p"))
-      .select(col("id"), col("p.0").as("prev"), col("p.1").as("tok"))
+        concat(array(lit("<s>")), slice(col("t"), lit(1), size(col("t")) - 1))
+          .as("prev"),
+        col("t").as("tok"))).as("p"))
+      .select(col("id"), col("p.prev").as("prev"), col("p.tok").as("tok"))
     val big = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("bc"))
     val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("cc"))
     val uni = pairs.groupBy("tok").agg(count(lit(1)).as("uc"))

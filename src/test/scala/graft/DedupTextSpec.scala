@@ -388,6 +388,55 @@ class DedupTextSpec extends SparkSpec {
     got.keySet shouldBe Set(0L, 1L) // zero-token doc has no score
   }
 
+  test("bigram log-perplexity matches hand-computed interpolated probs") {
+    // corpus pairs (BOS <s>): doc0 -> (<s>,a),(a,b); doc1 -> (<s>,a),(a,c)
+    // big: (<s>,a)=2 (a,b)=1 (a,c)=1; ctx: <s>=2 a=2; uni: a=2 b=1 c=1 (4)
+    val d = Seq((0L, "a b"), (1L, "a c"), (2L, " ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bigramLogPerplexity(d, "text", "doc_id", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replicate the exact float shape: (l*bc)/cc + ((1-l)*uc)/total
+    def p(bc: Long, cc: Long, uc: Long) =
+      (0.7 * bc) / cc + ((1.0 - 0.7) * uc) / 4.0
+    val expect = BigDecimal((-math.log(p(2, 2, 2)) - math.log(p(1, 2, 1))) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(0L) shouldBe expect
+    got(1L) shouldBe expect // (a,c) is count-symmetric with (a,b)
+    got.keySet shouldBe Set(0L, 1L) // zero-token doc absent
+  }
+
+  test("bigram log-perplexity ranks transition-repeating boilerplate lower") {
+    // same unigram profile, different transitions: doc0 repeats the
+    // corpus-dominant bigram "x y"; doc1 uses rare transitions
+    val d = (0L, "x y x y x y x y") ::
+      (1L, "y x y x y y x x") ::
+      (2 to 9).map(i => (i.toLong, "x y x y")).toList
+    val got = graft.operators.TextAnalysis
+      .bigramLogPerplexity(d.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got(0L) should be < got(1L)
+  }
+
+  test("nfc: composes decomposed sequences and singletons, ASCII unchanged") {
+    import graft.functions.TextNorm
+    val d = Seq(
+      (0L, "e\u0301"),             // e + combining acute -> \u00e9
+      (1L, "\u212B"),               // angstrom sign -> \u00C5 (singleton)
+      (2L, "A\u030A"),              // A + combining ring -> \u00C5
+      (3L, "plain ascii!"),         // fast path: untouched
+      (4L, "caf\u00e9"),            // already NFC: untouched
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = d.select(col("id"), TextNorm.nfc(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(0L) shouldBe "\u00e9"
+    got(1L) shouldBe "\u00c5"
+    got(2L) shouldBe "\u00c5"
+    got(3L) shouldBe "plain ascii!"
+    got(4L) shouldBe "caf\u00e9"
+    got(5L) shouldBe null
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich prose") {
     val d = Seq((1L, "the cat and the dog of the house went to the market in town"),
       (2L, ";;;;; !!!! ::::")).toDF("doc_id", "text")

@@ -119,4 +119,67 @@ class EventAnalyticsSpec extends SparkSpec {
     out(("2024-01-02", 0)) shouldBe 1L // user 2's own cohort
     out.keySet.map(_._1) shouldBe Set("2024-01-01", "2024-01-02")
   }
+
+  test("funnelCycles: counts repeat completions, resets after each cycle") {
+    val ev = Seq(
+      // user 1: two full click->view cycles plus a dangling click
+      (1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "view"),
+      (3L, ts(3), 1L, "click"), (4L, ts(4), 1L, "view"), (5L, ts(5), 1L, "click"),
+      // user 2: view before any click, then one cycle
+      (6L, ts(1), 2L, "view"), (7L, ts(2), 2L, "click"), (8L, ts(3), 2L, "view"),
+      // user 3: no step events at all -> absent from output
+      (9L, ts(1), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnelCycles(ev, Seq("click", "view"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 2L
+    out(2L) shouldBe 1L
+    out.keySet shouldBe Set(1L, 2L) // user 3 pre-filtered out
+  }
+
+  test("funnelCycles: strictly-after tie rule; completion can't start next cycle") {
+    val ev = Seq(
+      // view at the SAME ts as the click: not strictly after -> no cycle
+      (1L, ts(1), 1L, "click"), (2L, ts(1), 1L, "view"),
+      // user 2: a completing view cannot double as the next cycle's view
+      // even though a click follows: c@1 v@2 c@3 -> exactly 1 cycle
+      (3L, ts(1), 2L, "click"), (4L, ts(2), 2L, "view"), (5L, ts(3), 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnelCycles(ev, Seq("click", "view"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 0L
+    out(2L) shouldBe 1L
+  }
+
+  test("funnelCycles: saturates at maxCycles; 3-step funnel counts") {
+    val many = (1 to 10).flatMap(i =>
+      Seq((i * 2L, ts(2 * i - 1), 1L, "click"), (i * 2L + 1, ts(2 * i), 1L, "view")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    EventAnalytics.funnelCycles(many, Seq("click", "view"), maxCycles = 3)
+      .head().getLong(1) shouldBe 3L
+    val three = Seq(
+      (1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "view"), (3L, ts(3), 1L, "purchase"),
+      (4L, ts(4), 1L, "click"), (5L, ts(5), 1L, "view"), // second cycle incomplete
+      (6L, ts(6), 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnelCycles(three, Seq("click", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 0L // started but never completed
+  }
+
+  test("funnelCycles: pre-1970 event time fails loudly (packing epoch floor)") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("1950-01-01 00:00:00"), 1L, "click"),
+      (2L, ts(2), 1L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val ex = intercept[Exception] {
+      EventAnalytics.funnelCycles(ev, Seq("click", "view")).collect()
+    }
+    ex.getMessage should include("funnelCycles event time outside")
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnelCycles(ev, (1 to 9).map("s" + _))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnelCycles(ev, Seq("click"), maxCycles = 256)
+  }
 }

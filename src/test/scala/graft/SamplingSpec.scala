@@ -417,4 +417,40 @@ class SamplingSpec extends SparkSpec {
     msgs should include("tokenBudgetSample")
     msgs should include("id=2")
   }
+
+  test("splitAssign: every row labeled, proportions near fractions") {
+    val df = (1 to 2000).map(i => s"doc $i").toDF("k")
+    val out = Sampling.splitAssign(df, "k",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 2000L
+    counts("train").toDouble should (be > 1500.0 and be < 1750.0)
+    counts("val").toDouble should (be > 120.0 and be < 280.0)
+    counts("test").toDouble should (be > 120.0 and be < 280.0)
+  }
+
+  test("splitAssign: key-stable — appending rows never moves existing rows") {
+    val small = (1 to 200).map(i => s"doc $i").toDF("k")
+    val big = (1 to 400).map(i => s"doc $i").toDF("k")
+    val fr = Seq("train" -> 0.9, "test" -> 0.1)
+    val a = Sampling.splitAssign(small, "k", fr)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = Sampling.splitAssign(big, "k", fr)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (1 to 200).foreach(i => b(s"doc $i") shouldBe a(s"doc $i"))
+  }
+
+  test("splitAssign: rows sharing a key share a split; bad fractions rejected") {
+    val df = Seq(("k1", 1), ("k1", 2), ("k2", 3), ("k2", 4)).toDF("k", "v")
+    val out = Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getString(2))).distinct
+    out.groupBy(_._1).values.foreach(_.size shouldBe 1)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "b" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "a" -> 0.5))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitAssign(df, "k", Seq.empty)
+  }
 }
