@@ -967,6 +967,37 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // --- web-corpus URL hygiene (no url column in testdata: messyUrl
+    // derives a deterministic crawl-style URL per doc, with scheme case,
+    // default ports, tracking params, param order, trailing slashes and
+    // fragments all varying — both engines build the identical string) ---
+    "url_canonicalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url_raw"))
+        .select(col("doc_id"), col("url_raw"),
+          Url.canonicalizeUrl(col("url_raw")).as("url_canon"),
+          Url.registrableDomain(Url.host(col("url_raw"))).as("domain"))
+        .orderBy("doc_id")),
+
+    "url_dedup_canonical" -> ((s, d) =>
+      // raw URLs are all distinct (per-doc tracking params); canonical
+      // forms collapse to ≤60 groups — the URL-level dedup C4/FineWeb
+      // run before any content hashing
+      Url.dedupByCanonicalUrl(
+          Tables.documents(s, d)
+            .select(col("doc_id"), messyUrl(col("doc_id")).as("url")),
+          "url", "doc_id")
+        .orderBy("url_canon")),
+
+    "url_domain_cap" -> ((s, d) =>
+      // FineWeb-style per-domain cap: ≤25 docs per registrable domain,
+      // chosen by deterministic key-hash order (growth-stable)
+      Url.domainCap(
+          Tables.documents(s, d)
+            .select(col("doc_id"), messyUrl(col("doc_id")).as("url")),
+          "url", "doc_id", cap = 25)
+        .orderBy("id")),
+
     "chunk_text" -> ((s, d) =>
       TextAnalysis.chunkText(Tables.documents(s, d), "text", "doc_id",
           window = 128, stride = 96)
@@ -1340,6 +1371,31 @@ object SparkEntry {
     * same epoch value DuckDB's `epoch_us` computes on the NTZ column. */
   private def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** Deterministic messy crawl-style URL per document (the testdata has
+    * no url column). Variants key off `doc_id % 60` so canonical forms
+    * COLLIDE across docs, while the tracking params carry the raw
+    * `doc_id` so the RAW strings stay distinct — exactly the shape
+    * URL canonicalization exists to collapse. The DuckDB oracles build
+    * the identical string ([[oracleSql]] `url_*` entries). */
+  private def messyUrl(id: Column): Column = {
+    val uid = pmod(id, lit(60L))
+    val hostPick = element_at(array(
+      lit("Example.COM"), lit("news.example.co.uk"), lit("blog.example.com"),
+      lit("EXAMPLE.com:443"), lit("cdn.site.org:80"), lit("shop.site.org"),
+      lit("a.b.example.co.uk")), (pmod(uid, lit(7L)) + 1).cast("int"))
+    concat(
+      when(pmod(uid, lit(2L)) === 0, lit("https://")).otherwise(lit("HTTP://")),
+      hostPick,
+      lit("/articles/item-"), pmod(uid, lit(10L)).cast("string"),
+      when(pmod(uid, lit(3L)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(id, lit(2L)) === 0,
+        concat(lit("?utm_source=feed&id="), pmod(uid, lit(5L)).cast("string"),
+          lit("&utm_campaign=c"), pmod(id, lit(9L)).cast("string")))
+        .otherwise(concat(lit("?id="), pmod(uid, lit(5L)).cast("string"),
+          lit("&gclid=g"), id.cast("string"))),
+      when(pmod(uid, lit(4L)) === 0, lit("#section-2")).otherwise(lit("")))
+  }
+
   private def posify(v: Column): Column = transform(v, x => abs(x.cast("double")) + 1.0)
 
   /** Derive an in-range (lat, lng) pair from the first two embedding
@@ -1667,6 +1723,57 @@ object SparkEntry {
        | list_reduce(list_prepend(CAST(7 AS BIGINT),
        |   list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
        |   (h, c) -> (h * 131 + c) % 1000000007) END) * 2654435761) % 1000000007""".stripMargin
+
+  /** Raw-URL construction + canonicalization + registrable-domain CTEs
+    * shared by the `url_*` oracles — the DuckDB replay of [[messyUrl]],
+    * [[graft.operators.Url.canonicalizeUrl]] and
+    * [[graft.operators.Url.registrableDomain]]. Yields
+    * `uk(doc_id, url, url_canon, domain)`. */
+  private val duckUrlCtes: String =
+    """uraw AS (SELECT doc_id,
+      |  concat(
+      |   CASE WHEN (doc_id % 60) % 2 = 0 THEN 'https://' ELSE 'HTTP://' END,
+      |   (['Example.COM','news.example.co.uk','blog.example.com',
+      |     'EXAMPLE.com:443','cdn.site.org:80','shop.site.org',
+      |     'a.b.example.co.uk'])[CAST((doc_id % 60) % 7 + 1 AS INT)],
+      |   '/articles/item-', CAST((doc_id % 60) % 10 AS VARCHAR),
+      |   CASE WHEN (doc_id % 60) % 3 = 0 THEN '/' ELSE '' END,
+      |   CASE WHEN doc_id % 2 = 0
+      |    THEN concat('?utm_source=feed&id=', CAST((doc_id % 60) % 5 AS VARCHAR),
+      |                '&utm_campaign=c', CAST(doc_id % 9 AS VARCHAR))
+      |    ELSE concat('?id=', CAST((doc_id % 60) % 5 AS VARCHAR),
+      |                '&gclid=g', CAST(doc_id AS VARCHAR)) END,
+      |   CASE WHEN (doc_id % 60) % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+      | FROM documents),
+      |upp AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS q
+      | FROM uraw),
+      |uhh AS (SELECT doc_id, url, sch,
+      |  CASE WHEN sch = 'http'
+      |       THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
+      |       WHEN sch = 'https'
+      |       THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+      |       ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1)) END AS hostport,
+      |  regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '') AS pth, q
+      | FROM upp),
+      |ukk AS (SELECT doc_id, url, sch, hostport, pth,
+      |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |    p -> length(p) > 0 AND NOT regexp_matches(p,
+      |      '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)='))), '&') AS kept
+      | FROM uhh),
+      |ucc AS (SELECT doc_id, url, hostport,
+      |  concat(sch, '://', hostport, pth,
+      |   CASE WHEN length(kept) > 0 THEN concat('?', kept) ELSE '' END) AS url_canon
+      | FROM ukk),
+      |uk AS (SELECT doc_id, url, url_canon,
+      |  array_to_string(ls[greatest(len(ls) - CASE WHEN regexp_matches(hb,
+      |      '\.(co|com|net|org|ac|gov|or|edu|gen|ne)\.(uk|au|jp|br|in|nz|za|kr|mx|id)$')
+      |      AND len(ls) >= 3 THEN 2 ELSE 1 END, 1):len(ls)], '.') AS domain
+      | FROM (SELECT doc_id, url, url_canon, hb, string_split(hb, '.') AS ls
+      |       FROM (SELECT doc_id, url, url_canon,
+      |               regexp_replace(hostport, ':[0-9]+$', '') AS hb FROM ucc)))""".stripMargin
 
   /** Token/bigram repetition CTEs over `documents` — the DuckDB replay of
     * [[graft.operators.TextAnalysis.repetitionSignals]]'s two
@@ -2556,6 +2663,24 @@ object SparkEntry {
          |FROM (SELECT doc_id, ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS h
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "url_canonicalize" ->
+      s"""WITH $duckUrlCtes
+         |SELECT doc_id, url AS url_raw, url_canon, domain
+         |FROM uk ORDER BY doc_id""".stripMargin,
+
+    "url_dedup_canonical" ->
+      s"""WITH $duckUrlCtes
+         |SELECT url_canon, count(*) AS n_dups, min(doc_id) AS survivor_id
+         |FROM uk GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    "url_domain_cap" ->
+      s"""WITH $duckUrlCtes,
+         |ur AS (SELECT doc_id AS id, domain,
+         |  row_number() OVER (PARTITION BY domain ORDER BY kh, doc_id) AS rn
+         | FROM (SELECT doc_id, domain,
+         |         ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS kh FROM uk))
+         |SELECT id, domain FROM ur WHERE rn <= 25 ORDER BY id""".stripMargin,
 
     "length_quantiles" ->
       """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS p50,

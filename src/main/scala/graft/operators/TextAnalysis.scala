@@ -218,13 +218,17 @@ object TextAnalysis {
     * Emits `(id, log_ppl)` with the per-doc average negative log
     * probability rounded to 4 decimals.
     *
-    * Scale shape: one O(tokens) per-row zip builds `(prev, tok)` pairs
-    * (no token array ever rides through an explode), then the canonical
-    * frequency-join shape — three map-side-combined counts keyed by
-    * bigram / context / token, a scalar total broadcast, and key-equi
-    * joins back onto the pair stream. No vocabulary or transition table
-    * ever collects to the driver; the model "build" and "scoring" are
-    * one plan. Docs with zero tokens are absent from the output. */
+    * Scale shape: one O(tokens) per-row zip builds `(prev, tok)` pairs,
+    * then the token stream crosses the wire EXACTLY ONCE — a map-side-
+    * combined groupBy to per-doc `(id, prev, tok, m)` multiplicities.
+    * Everything downstream re-aggregates that (much smaller) relation:
+    * the bigram table derives from it, the context and unigram tables
+    * derive from the bigram table (not from the raw stream), the scalar
+    * total broadcasts, and the key-equi joins probe multiplicities
+    * rather than raw pairs. The per-doc mean is the m-weighted mean —
+    * identical value, fraction of the rows. No vocabulary or transition
+    * table ever collects to the driver; the model "build" and "scoring"
+    * are one plan. Docs with zero tokens are absent from the output. */
   def bigramLogPerplexity(df: DataFrame, textCol: String, idCol: String,
                           lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0,
@@ -239,19 +243,20 @@ object TextAnalysis {
           .as("prev"),
         col("t").as("tok"))).as("p"))
       .select(col("id"), col("p.prev").as("prev"), col("p.tok").as("tok"))
-    val big = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("bc"))
-    val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("cc"))
-    val uni = pairs.groupBy("tok").agg(count(lit(1)).as("uc"))
+    val grouped = pairs.groupBy("id", "prev", "tok").agg(count(lit(1)).as("m"))
+    val big = grouped.groupBy("prev", "tok").agg(sum("m").as("bc"))
+    val ctx = big.groupBy("prev").agg(sum("bc").as("cc"))
+    val uni = big.groupBy("tok").agg(sum("bc").as("uc"))
     val total = uni.agg(sum("uc").as("total"))
     // (1.0 - lit(lambda)) mirrors the oracle's (1.0 - CAST(λ AS DOUBLE))
     // exactly — a decimal-parsed 0.3 literal would differ in the last ulp.
     val prob = lit(lambda) * col("bc") / col("cc") +
       (lit(1.0) - lit(lambda)) * col("uc") / col("total")
-    pairs.join(big, Seq("prev", "tok")).join(ctx, Seq("prev"))
+    grouped.join(big, Seq("prev", "tok")).join(ctx, Seq("prev"))
       .join(uni, Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy("id")
-      .agg(round(avg(-log(prob)), 4).as("log_ppl"))
+      .agg(round(sum(col("m") * -log(prob)) / sum(col("m")), 4).as("log_ppl"))
   }
 
   /** Per-ROW repetition signals — the zero-shuffle scale path of
