@@ -554,6 +554,20 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    "ann_binary_topk" -> ((s, d) => {
+      // 1-bit-per-dim sign codes: Hamming over the packed-long relation
+      // (32x less I/O than the float table) prunes to 4k candidates,
+      // exact cosine reranks only those
+      val emb = Tables.embeddings(s, d)
+      Ann.binarySignTopK(emb,
+        emb.filter(col("vec_id") <= 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "vec_id", "qid", "embedding", "qv", dim = 64, k = 10)
+        .select(col("qid"), col("vec_id"),
+          round(col("distance"), 6).as("distance"), col("rank").as("rnk"))
+        .orderBy("qid", "rnk")
+    }),
+
     // headline runs the banded scale path (same verified result on the
     // fixed corpus); the exact O(n^2) form survives only as the
     // in-bucket verifier inside Ann.lshCosineNearDupPairs. This entry
@@ -2428,6 +2442,30 @@ object SparkEntry {
          |          sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")}) AS d
          |        FROM embeddings e, q)
          |) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // phase-1 Hamming replayed WITHOUT the packing: #dims whose sign
+    // differs (mathematically equal to popcount(xor) over sign codes, so
+    // the oracle independently cross-checks the packed representation);
+    // same (distance, id) total order at both cuts
+    "ann_binary_topk" -> {
+      val signDiff = duckSum(
+        s"CASE WHEN ($dx > 0) != ($dq > 0) THEN 1.0 ELSE 0.0 END")
+      val cosD =
+        s"""CASE WHEN $duckNormE < 1e-5 OR $duckNormQ < 1e-5 THEN 0.0
+           | ELSE 1.0 - ($duckDot) / ($duckNormE * $duckNormQ) END""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id <= 4),
+         |ham AS (SELECT q.qid, e.vec_id, $signDiff AS hd FROM embeddings e, q),
+         |cand AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS hr
+         |  FROM ham) WHERE hr <= 40)
+         |SELECT qid, vec_id, round(cd, 6) + 0.0 AS distance, rnk FROM (
+         |  SELECT qid, vec_id, cd,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cd, vec_id) AS rnk
+         |  FROM (SELECT c.qid, e.vec_id, $cosD AS cd
+         |        FROM cand c, embeddings e, q
+         |        WHERE e.vec_id = c.vec_id AND q.qid = c.qid)
+         |) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
 
     "cosine_neardup" ->
       """SELECT id_a, id_b, round(cs, 4) AS cos_sim FROM (

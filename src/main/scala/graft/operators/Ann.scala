@@ -97,6 +97,79 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Binary sign quantization: `dim` floats → `ceil(dim/64)` packed
+    * BIGINT words, bit `i` of word `w` set iff `vec[64w+i] > 0` — the
+    * 1-bit-per-dimension code RaBitQ/faiss-style binary indexes scan.
+    * 32× smaller than the float relation, and Hamming distance between
+    * two codes equals the number of dimensions whose SIGN differs — a
+    * monotone proxy for angular distance on roughly-centered
+    * embeddings. The fold is high-bit-first `acc·2 + bit` integer
+    * arithmetic (no shift-by-column anywhere); bit 63 of a full word is
+    * added as `Long.MinValue` AFTER the 63-bit fold, because under
+    * ANSI SQL semantics (Spark 4's default) `acc·2` past 2^62 would
+    * overflow-throw rather than wrap — the word deliberately uses the
+    * full two's-complement range. */
+  def signPack(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"signPack needs a positive dim, got $dim")
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      val lo = w * 64
+      val hi = math.min(lo + 63, dim - 1)
+      val full = hi - lo == 63
+      val foldHi = if (full) hi - 1 else hi
+      val low = aggregate(sequence(lit(foldHi), lit(lo), lit(-1)), lit(0L),
+        (acc, i) => acc * 2L +
+          when(element_at(vec, (i + 1).cast("int")) > 0f, 1L).otherwise(0L))
+      if (full)
+        low + when(element_at(vec, lit(hi + 1)) > 0f, lit(Long.MinValue))
+          .otherwise(lit(0L))
+      else low
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign codes:
+    * Σ `bit_count(a[w] XOR b[w])` — one codegen'd popcount per 64 dims,
+    * the cheapest distance a vector scan can evaluate. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+
+  /** Two-phase binary ANN over sign codes: Hamming on the packed-code
+    * relation prunes each query to `k·timesK` candidates (tie-break on
+    * id, same total order as the oracle's window), then the exact cosine
+    * re-rank touches only those rows' float vectors.
+    *
+    * Scale shape: phase 1 scans the CODES relation — 1 bit per
+    * dimension, 32× less I/O than the float table — with the query
+    * codes broadcast and a map-side [[graft.functions.BoundedTopK]]
+    * keeping ≤ k·timesK pairs per (partition, query); only those cross
+    * the wire. Phase 2 joins the candidate ids back to the float table
+    * (a k·timesK·Q-row build side) for the exact score. At 100 TB the
+    * full-precision vectors are read for ~40 rows per query instead of
+    * the whole corpus; recall is governed by timesK exactly like the
+    * SQ8/PQ paths (IndexSpec-style containment asserted in spec). */
+  def binarySignTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     qIdCol: String, vecCol: String, qVecCol: String,
+                     dim: Int, k: Int, timesK: Int = 4): DataFrame = {
+    require(k > 0 && timesK > 0, s"k and timesK must be positive")
+    val codes = corpus.select(col(idCol), signPack(col(vecCol), dim).as("__code"))
+    val q = queries.select(col(qIdCol), col(qVecCol),
+      signPack(col(qVecCol), dim).as("__qcode"))
+    val cand = explodeTopK(
+      codes.crossJoin(broadcast(q.select(col(qIdCol), col("__qcode"))))
+        .groupBy(col(qIdCol))
+        .agg(BoundedTopK.topk(hammingPacked(col("__code"), col("__qcode")),
+          col(idCol), k * timesK).as("tops")),
+      qIdCol, idCol).select(col(qIdCol), col(idCol))
+    explodeTopK(
+      cand.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(broadcast(q.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+        .groupBy(col(qIdCol))
+        .agg(BoundedTopK.topk(Distances.cosine(col(vecCol), col(qVecCol)),
+          col(idCol), k).as("tops")),
+      qIdCol, idCol)
+  }
+
   /** Batched IVF top-k: ONE distributed job for the whole query batch —
     * per-query leader sets chosen on the driver (centroids are small),
     * broadcast as (qid, leader) pairs into the assignment table, exact

@@ -476,6 +476,48 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("signPack: hand-checked bits; hammingPacked equals naive sign-diff") {
+    // [1,-2,0,3,-0.5]: bits 0 and 3 set -> word 2^0 + 2^3 = 9
+    val got = Seq(Tuple1(Seq(1f, -2f, 0f, 3f, -0.5f))).toDF("v")
+      .select(Ann.signPack(col("v"), 5)).head().getSeq[Long](0)
+    got shouldBe Seq(9L)
+    // full 64-bit word with bit 63 set: all dims positive -> -1L, and
+    // 70 dims span two words (ANSI-safe top-bit path)
+    val all = Seq(Tuple1(Seq.fill(70)(1f))).toDF("v")
+      .select(Ann.signPack(col("v"), 70)).head().getSeq[Long](0)
+    all shouldBe Seq(-1L, 63L)
+    // hammingPacked(codes) == #dims whose sign differs, on random pairs
+    val pairs = vecs.select($"vec_id", $"embedding")
+      .crossJoin(vecs.select($"vec_id".as("b_id"), $"embedding".as("b")))
+      .filter($"vec_id" < $"b_id" && $"vec_id" < 6)
+    val chk = pairs.select(
+      Ann.hammingPacked(Ann.signPack($"embedding", 16), Ann.signPack($"b", 16)).as("hp"),
+      aggregate(zip_with($"embedding", $"b",
+        (x, y) => when((x > 0f) =!= (y > 0f), 1).otherwise(0)),
+        lit(0), (a, v) => a + v).as("naive")).collect()
+    chk.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
+  test("binarySignTopK: self at rank 1; generous timesK equals brute force") {
+    val queries = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val got = Ann.binarySignTopK(vecs, queries, "vec_id", "qid",
+      "embedding", "qv", dim = 16, k = 5)
+    got.count() shouldBe 15
+    got.filter($"rank" === 1).collect().foreach { r =>
+      r.getAs[Long]("qid") shouldBe r.getAs[Long]("vec_id")
+      r.getAs[Double]("distance") shouldBe 0.0 +- 1e-9
+    }
+    // timesK covering the whole corpus -> identical to exact brute force
+    val exact = Ann.bruteForceTopK(vecs, queries, "vec_id", "qid",
+      "embedding", "qv", graft.functions.Distances.cosine, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val wide = Ann.binarySignTopK(vecs, queries, "vec_id", "qid",
+      "embedding", "qv", dim = 16, k = 5, timesK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    wide shouldBe exact
+  }
+
   test("batched ivfTopK finds each query itself at rank 1") {
     val emb = vecs.withColumnRenamed("vec_id", "id")
     val idx = graft.index.ECPIndex.build(emb, "id", "embedding")
