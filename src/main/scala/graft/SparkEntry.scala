@@ -1012,6 +1012,21 @@ object SparkEntry {
           "url", "doc_id", cap = 25)
         .orderBy("id")),
 
+    "url_blocklist_filter" -> ((s, d) =>
+      // crawl kill-list: registrable-domain anti-join, corpus never
+      // shuffles (blocklist broadcast)
+      Url.domainBlocklistFilter(
+          Tables.documents(s, d)
+            .select(col("doc_id"), messyUrl(col("doc_id")).as("url")),
+          "url", Seq("site.org", "example.co.uk"))
+        .select("doc_id").orderBy("doc_id")),
+
+    "ngram_novelty" -> ((s, d) =>
+      // graded cross-doc originality: fraction of a doc's distinct
+      // 3-gram shingles found in no other document
+      TextAnalysis.ngramNovelty(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
     "chunk_text" -> ((s, d) =>
       TextAnalysis.chunkText(Tables.documents(s, d), "text", "doc_id",
           window = 128, stride = 96)
@@ -2719,6 +2734,22 @@ object SparkEntry {
          | FROM (SELECT doc_id, domain,
          |         ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS kh FROM uk))
          |SELECT id, domain FROM ur WHERE rn <= 25 ORDER BY id""".stripMargin,
+
+    "url_blocklist_filter" ->
+      s"""WITH $duckUrlCtes
+         |SELECT doc_id FROM uk
+         |WHERE domain NOT IN ('site.org', 'example.co.uk')
+         |ORDER BY doc_id""".stripMargin,
+
+    "ngram_novelty" ->
+      s"""WITH shg AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM
+         |      (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)),
+         |fr AS (SELECT shingle, count(*) AS df FROM shg GROUP BY shingle)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  round(avg(CASE WHEN df = 1 THEN CAST(1.0 AS DOUBLE)
+         |            ELSE CAST(0.0 AS DOUBLE) END), 4) AS novelty
+         |FROM shg JOIN fr USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "length_quantiles" ->
       """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS p50,

@@ -210,6 +210,32 @@ object TextAnalysis {
       .agg(round(avg(-log(col("cnt") / col("total"))), 4).as("log_ppl"))
   }
 
+  /** Cross-corpus n-gram NOVELTY per document: the fraction of the
+    * doc's DISTINCT n-gram shingles that appear in no other document —
+    * 1.0 is fully original text, 0.0 is boilerplate assembled entirely
+    * from shared fragments. Complements [[repetitionSignals]]
+    * (within-doc repetition) and [[graft.operators.Dedup.repeatedChunks]]
+    * (verbatim cross-doc windows) with a graded cross-doc originality
+    * score. Emits `(id, n_shingles, novelty)`.
+    *
+    * Scale shape: explode the per-doc distinct shingles once, one
+    * map-side-combined groupBy counts document frequency per shingle,
+    * one key-equi join back, one per-doc aggregate — (doc, shingle)
+    * pairs are the only thing on the wire, never text. The mean of 0/1
+    * doubles is exact integer arithmetic in IEEE, so the rounded score
+    * is engine-portable with no float-order caveat. */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    val sh = df.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 4).as("novelty"))
+  }
+
   /** Interpolated BIGRAM language-model score per document — the
     * KenLM-style upgrade of [[unigramLogPerplexity]]: each token is
     * scored by `λ·P(w|prev) + (1−λ)·P(w)` with a `<s>` BOS context for

@@ -99,6 +99,22 @@ object Url {
       .groupBy("url_canon")
       .agg(count(lit(1)).as("n_dups"), min("id").as("survivor_id"))
 
+  /** Drop documents whose registrable domain is on a blocklist — the
+    * kill-list step every crawl pipeline runs (spam, adult, SEO farms).
+    * Broadcast LEFT ANTI join: the blocklist (at most a few hundred
+    * thousand strings) ships to every executor once; the corpus is
+    * filtered in place during its scan and never shuffles. */
+  def domainBlocklistFilter(df: DataFrame, urlCol: String,
+                            blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist: nothing to filter")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = blocked.toDF("__blocked_dom")
+    df.withColumn("__dom", registrableDomain(host(col(urlCol))))
+      .join(broadcast(bl), col("__dom") === col("__blocked_dom"), "left_anti")
+      .drop("__dom")
+  }
+
   /** Per-domain cap — FineWeb-style: keep at most `cap` documents per
     * registrable domain, chosen by the deterministic
     * [[Sampling.keyHash]] order (so the kept subset is stable under

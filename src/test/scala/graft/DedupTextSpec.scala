@@ -437,6 +437,20 @@ class DedupTextSpec extends SparkSpec {
     got(5L) shouldBe null
   }
 
+  test("ngramNovelty: fraction of shingles unique to the doc") {
+    // doc0/doc1 share "a b c" (df=2); their second shingles are unique;
+    // doc2's single shingle is unique
+    val d = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "z z z"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.ngramNovelty(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got(0L) shouldBe ((2L, 0.5))
+    got(1L) shouldBe ((2L, 0.5))
+    got(2L) shouldBe ((1L, 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.TextAnalysis.ngramNovelty(d, "text", "doc_id", n = 0)
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich prose") {
     val d = Seq((1L, "the cat and the dog of the house went to the market in town"),
       (2L, ";;;;; !!!! ::::")).toDF("doc_id", "text")

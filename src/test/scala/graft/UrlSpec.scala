@@ -70,4 +70,18 @@ class UrlSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Url.domainCap(df, "url", "doc_id", cap = 0)
   }
+
+  test("domainBlocklistFilter: kills listed registrable domains only") {
+    val df = Seq(
+      (1L, "https://news.example.co.uk/a"),
+      (2L, "https://blog.spam-farm.com/b?utm_source=x"),
+      (3L, "https://ok.example.com/c"),
+      (4L, "http://SPAM-FARM.com:80/d")
+    ).toDF("doc_id", "url")
+    val kept = Url.domainBlocklistFilter(df, "url", Seq("spam-farm.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      Url.domainBlocklistFilter(df, "url", Seq.empty)
+  }
 }
