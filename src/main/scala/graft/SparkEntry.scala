@@ -1027,6 +1027,21 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(Tables.documents(s, d), "text", "doc_id")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
+    "quality_adaptive_length" -> ((s, d) =>
+      // per-source data-driven length band: keep docs inside the
+      // source's [p10, p90] char-count band (broadcast of |sources| rows)
+      TextAnalysis.adaptiveLengthFilter(Tables.documents(s, d),
+          "n_chars", "source")
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
+    "dedup_cluster_histogram" -> ((s, d) =>
+      // the chart a dedup run ends with: how many content clusters of
+      // each size exist (size 1 = unique docs)
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .groupBy(col("cnt").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     "chunk_text" -> ((s, d) =>
       TextAnalysis.chunkText(Tables.documents(s, d), "text", "doc_id",
           window = 128, stride = 96)
@@ -2740,6 +2755,19 @@ object SparkEntry {
          |SELECT doc_id FROM uk
          |WHERE domain NOT IN ('site.org', 'example.co.uk')
          |ORDER BY doc_id""".stripMargin,
+
+    "quality_adaptive_length" ->
+      """WITH b AS (SELECT source, quantile_cont(n_chars, 0.1) AS lo,
+        |                   quantile_cont(n_chars, 0.9) AS hi
+        |           FROM documents GROUP BY source)
+        |SELECT doc_id, source, n_chars FROM documents JOIN b USING (source)
+        |WHERE n_chars >= lo AND n_chars <= hi ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_histogram" ->
+      s"""WITH g AS (SELECT md5($duckNorm) AS h, count(*) AS cnt
+         |           FROM documents GROUP BY h)
+         |SELECT cnt AS cluster_size, count(*) AS n_clusters
+         |FROM g GROUP BY cnt ORDER BY cluster_size""".stripMargin,
 
     "ngram_novelty" ->
       s"""WITH shg AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM

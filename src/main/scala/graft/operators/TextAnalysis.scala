@@ -210,6 +210,30 @@ object TextAnalysis {
       .agg(round(avg(-log(col("cnt") / col("total"))), 4).as("log_ppl"))
   }
 
+  /** Adaptive per-group length-band filter: keep rows whose length lies
+    * inside the group's `[lo, hi]` QUANTILE band — the data-driven form
+    * of a fixed "drop under 200 / over 20000 chars" rule, which no
+    * single constant gets right when sources mix code, chat, and web
+    * prose. Quantiles are the exact interpolated `rank = p·(n−1)`
+    * definition both engines share.
+    *
+    * Scale shape: one tiny per-group aggregate (|groups| rows) is
+    * broadcast back onto the scan; the corpus itself never shuffles.
+    * Integer lengths never sit ON an interpolated band value (the band
+    * is either exactly a data point or strictly between two), so the
+    * float comparison is engine-portable despite unrounded quantiles. */
+  def adaptiveLengthFilter(df: DataFrame, lenCol: String, groupCol: String,
+                           lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi,
+      s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val bands = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($lenCol, $lo)").as("__lo"),
+        expr(s"percentile($lenCol, $hi)").as("__hi"))
+    df.join(broadcast(bands), Seq(groupCol))
+      .where(col(lenCol) >= col("__lo") && col(lenCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Cross-corpus n-gram NOVELTY per document: the fraction of the
     * doc's DISTINCT n-gram shingles that appear in no other document —
     * 1.0 is fully original text, 0.0 is boilerplate assembled entirely

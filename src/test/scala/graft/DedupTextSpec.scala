@@ -437,6 +437,20 @@ class DedupTextSpec extends SparkSpec {
     got(5L) shouldBe null
   }
 
+  test("adaptiveLengthFilter: per-group quantile band, exact-band group keeps all") {
+    // group A lengths 1..10: p10 = 1.9, p90 = 9.1 -> keeps 2..9
+    // group B constant 5: band [5,5] -> keeps everything
+    val d = ((1 to 10).map(i => ("a", i.toLong, i.toLong)) ++
+      (1 to 4).map(i => ("b", 100L + i, 5L)))
+      .toDF("source", "doc_id", "n_chars")
+    val kept = graft.operators.TextAnalysis
+      .adaptiveLengthFilter(d, "n_chars", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe ((2L to 9L).toSet ++ (101L to 104L).toSet)
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.TextAnalysis.adaptiveLengthFilter(d, "n_chars", "source", 0.9, 0.1)
+  }
+
   test("ngramNovelty: fraction of shingles unique to the doc") {
     // doc0/doc1 share "a b c" (df=2); their second shingles are unique;
     // doc2's single shingle is unique
