@@ -1042,6 +1042,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
 
+    // CDC corpus: documents plus head-shifted copies of the first 50 —
+    // the exact case fixed-offset window hashing misses and
+    // content-defined boundaries re-synchronize on
+    "cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunks(cdcBase(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")),
+
+    "cdc_repeated_chunks" -> ((s, d) =>
+      Dedup.cdcRepeatedChunks(cdcBase(s, d), "text", "doc_id")
+        .orderBy("chunk_hash")),
+
     "chunk_text" -> ((s, d) =>
       TextAnalysis.chunkText(Tables.documents(s, d), "text", "doc_id",
           window = 128, stride = 96)
@@ -1767,6 +1779,52 @@ object SparkEntry {
        | list_reduce(list_prepend(CAST(7 AS BIGINT),
        |   list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
        |   (h, c) -> (h * 131 + c) % 1000000007) END) * 2654435761) % 1000000007""".stripMargin
+
+  /** The CDC demo corpus: every document plus, for `doc_id < 50`, a
+    * copy with text prefixed (head insertion) under `doc_id + 10000` —
+    * chunk hashes after the first content boundary must survive the
+    * shift. */
+  private def cdcBase(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("NEW PREFIX "), col("text")).as("text")))
+  }
+
+  /** Unrolled DuckDB replay of the CDC window hash over the trailing
+    * `w` chars of `tExpr` ending at 1-based position `iExpr` — the
+    * `h·131 + c mod 1e9+7` recurrence, seed 7, one mod per step. */
+  private def duckWinHash(tExpr: String, iExpr: String, w: Int): String =
+    (0 until w).foldLeft("CAST(7 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 131 + unicode(substr($tExpr, $iExpr - ${w - 1 - j}, 1))) % 1000000007)"
+    }
+
+  /** CDC base corpus + boundary + chunk CTEs shared by the `cdc_*`
+    * oracles — the DuckDB replay of [[cdcBase]] and
+    * [[graft.operators.Dedup.cdcChunks]] (window 8, divisor 64).
+    * Yields `cch(doc_id, chunk_idx, start_pos, chunk_len, ctext)`. */
+  private val duckCdcCtes: String = {
+    val wh = duckWinHash("text", "i", 8)
+    s"""cbase AS (SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 10000, concat('NEW PREFIX ', text) FROM documents
+       | WHERE doc_id < 50),
+       |cpos AS (SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i
+       |         FROM cbase WHERE length(text) >= 8),
+       |cbnd AS (SELECT doc_id, i FROM cpos
+       |         WHERE ($wh) % 64 = 0 AND i != length(text)),
+       |cbl AS (SELECT doc_id, list_sort(list(i)) AS cuts FROM cbnd GROUP BY doc_id),
+       |cwb AS (SELECT b.doc_id, b.text,
+       |  list_append(list_prepend(CAST(0 AS BIGINT),
+       |    coalesce(cuts, CAST([] AS BIGINT[]))), CAST(length(b.text) AS BIGINT)) AS bs
+       | FROM cbase b LEFT JOIN cbl ON b.doc_id = cbl.doc_id),
+       |cch AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx, bs[j] AS start_pos,
+       |               bs[j+1] - bs[j] AS chunk_len,
+       |               substr(text, CAST(bs[j] + 1 AS INT), CAST(bs[j+1] - bs[j] AS INT)) AS ctext
+       |        FROM (SELECT doc_id, text, bs,
+       |                unnest(generate_series(1, len(bs) - 1)) AS j FROM cwb)
+       |        WHERE bs[j+1] - bs[j] > 0)""".stripMargin
+  }
 
   /** Raw-URL construction + canonicalization + registrable-domain CTEs
     * shared by the `url_*` oracles — the DuckDB replay of [[messyUrl]],
@@ -2768,6 +2826,18 @@ object SparkEntry {
          |           FROM documents GROUP BY h)
          |SELECT cnt AS cluster_size, count(*) AS n_clusters
          |FROM g GROUP BY cnt ORDER BY cluster_size""".stripMargin,
+
+    "cdc_chunks" ->
+      s"""WITH $duckCdcCtes
+         |SELECT doc_id, chunk_idx, start_pos, chunk_len,
+         |  ${duckRawHash("ctext")} AS chunk_hash
+         |FROM cch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "cdc_repeated_chunks" ->
+      s"""WITH $duckCdcCtes
+         |SELECT chunk_hash, count(*) AS n_docs FROM (
+         |  SELECT DISTINCT doc_id, ${duckRawHash("ctext")} AS chunk_hash FROM cch)
+         |GROUP BY chunk_hash HAVING count(*) >= 2 ORDER BY chunk_hash""".stripMargin,
 
     "ngram_novelty" ->
       s"""WITH shg AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM

@@ -47,6 +47,74 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Content-defined chunking (CDC): split each document at the
+    * positions where a rolling hash of the trailing `window` characters
+    * is ≡ 0 (mod `divisor`) — the storage-dedup boundary rule
+    * (LBFS/rsync lineage) applied to corpus text. Because boundaries
+    * are chosen by CONTENT, not offset, an insertion near the head of a
+    * copied document shifts only the chunks it touches: the stream
+    * re-synchronizes at the next content boundary and every later chunk
+    * hash is unchanged — exactly the failure mode of fixed
+    * token-window hashing ([[repeatedChunks]] misses shifted copies;
+    * this catches them). Expected chunk length ≈ `divisor` chars.
+    * Emits one row per chunk: `(id, chunk_idx, start_pos, chunk_len,
+    * chunk_hash)` with the portable
+    * [[graft.operators.Sampling.keyHash]] of the chunk text.
+    *
+    * Scale shape: boundary detection is a per-row O(window·chars)
+    * codegen scan (the window hash is `window` unrolled
+    * multiply-mod steps, the same `h·131+c mod 1e9+7` recurrence as
+    * every portable hash here — any SQL engine replays it); chunking
+    * never leaves the row. Only (doc, hash) pairs ever shuffle.
+    * Documents shorter than `window` become one whole-document chunk;
+    * empty documents produce no rows. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(divisor > 1, s"divisor must exceed 1, got $divisor")
+    val P = 1000000007L
+    val t = col(textCol)
+    val n = length(t)
+    // rolling hash of text[i-window+1 .. i], seed 7 — keyHash's recurrence
+    def winHash(i: Column): Column =
+      (0 until window).foldLeft(lit(7L)) { (acc, j) =>
+        pmod(acc * 131L +
+          ascii(t.substr(i - lit(window - 1 - j), lit(1))).cast("long"), lit(P))
+      }
+    val cuts = filter(sequence(lit(window), n),
+      i => pmod(winHash(i), lit(divisor.toLong)) === 0 && i =!= n)
+    val bounds = when(n >= window,
+      concat(array(lit(0)), cuts, array(n))).otherwise(array(lit(0), n))
+    val chunks = filter(
+      transform(sequence(lit(1), size(bounds) - 1), k => struct(
+        (k - 1).cast("long").as("chunk_idx"),
+        element_at(bounds, k).cast("long").as("start_pos"),
+        (element_at(bounds, k + 1) - element_at(bounds, k)).cast("long")
+          .as("chunk_len"),
+        t.substr(element_at(bounds, k) + 1,
+          element_at(bounds, k + 1) - element_at(bounds, k)).as("chunk_text"))),
+      c => c.getField("chunk_len") > 0)
+    df.select(col(idCol).as("id"), explode(chunks).as("c"))
+      .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_pos").as("start_pos"), col("c.chunk_len").as("chunk_len"),
+        Sampling.keyHash(col("c.chunk_text")).as("chunk_hash"))
+  }
+
+  /** CDC chunks shared by ≥ `minDocs` distinct documents — the
+    * insertion-robust cross-document duplicate-span report. One
+    * (id, hash) distinct + one hash-keyed count; chunk text never
+    * shuffles. */
+  def cdcRepeatedChunks(df: DataFrame, textCol: String, idCol: String,
+                        window: Int = 8, divisor: Int = 64,
+                        minDocs: Int = 2): DataFrame = {
+    require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
+    cdcChunks(df, textCol, idCol, window, divisor)
+      .select(col("id"), col("chunk_hash")).distinct()
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** Cross-document repeated spans at chunk granularity: slide a
     * `window`-token window with `stride` over each normalized document,
     * hash each full window, and report every chunk seen in ≥2 distinct

@@ -437,6 +437,45 @@ class DedupTextSpec extends SparkSpec {
     got(5L) shouldBe null
   }
 
+  test("cdcChunks: chunks tile the document exactly; short/empty edge docs") {
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 100).map(_ => (1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val text = words.mkString(" ")
+    val d = Seq((1L, text), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val doc1 = ch.filter(_._1 == 1L).sortBy(_._2)
+    doc1.map(_._4).sum shouldBe text.length.toLong
+    doc1.head._3 shouldBe 0L
+    doc1.sliding(2).foreach {
+      case Array(a, b) => b._3 shouldBe (a._3 + a._4)
+      case _ =>
+    }
+    doc1.length should be > 3 // ~600 chars / divisor 64 -> several cuts
+    // doc shorter than the window: one whole-document chunk
+    ch.filter(_._1 == 2L).toSeq shouldBe Seq((2L, 0L, 0L, 3L))
+    // empty doc: no rows
+    ch.filter(_._1 == 3L) shouldBe empty
+  }
+
+  test("cdc re-syncs after head insertion where fixed token windows miss") {
+    val rnd = new scala.util.Random(23)
+    val words = (1 to 100).map(_ => (1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val a = words.mkString(" ")
+    val b = "inserted head " + a // 2-token / 14-char head insertion
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // fixed token windows (stride 10) never realign after a 2-token shift
+    Dedup.repeatedChunks(d, "doc_id", "text").collect() shouldBe empty
+    // content-defined boundaries re-sync at the first cut after the edit
+    val shared = Dedup.cdcRepeatedChunks(d, "text", "doc_id").collect()
+    shared.length should be > 2
+    shared.foreach(_.getLong(1) shouldBe 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.cdcRepeatedChunks(d, "text", "doc_id", minDocs = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.cdcChunks(d, "text", "doc_id", divisor = 1)
+  }
+
   test("adaptiveLengthFilter: per-group quantile band, exact-band group keeps all") {
     // group A lengths 1..10: p10 = 1.9, p90 = 9.1 -> keeps 2..9
     // group B constant 5: band [5,5] -> keeps everything
