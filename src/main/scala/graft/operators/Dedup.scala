@@ -61,30 +61,24 @@ object Dedup {
     * chunk_hash)` with the portable
     * [[graft.operators.Sampling.keyHash]] of the chunk text.
     *
-    * Scale shape: boundary detection is a per-row O(window·chars)
-    * codegen scan (the window hash is `window` unrolled
-    * multiply-mod steps, the same `h·131+c mod 1e9+7` recurrence as
-    * every portable hash here — any SQL engine replays it); chunking
-    * never leaves the row. Only (doc, hash) pairs ever shuffle.
-    * Documents shorter than `window` become one whole-document chunk;
-    * empty documents produce no rows. */
+    * Scale shape: boundary detection is ONE per-row pass of the
+    * [[graft.functions.CdcBoundsExpr]] codegen kernel — O(window·chars)
+    * multiply-mod steps over a decoded codepoint array, the same
+    * `h·131+c mod 1e9+7` recurrence as every portable hash here (any
+    * SQL engine replays it). The declarative per-position
+    * `substr`-lambda alternative is an O(chars²) trap: UTF8String
+    * substr re-seeks from byte 0, measured 360 s vs ~1 s on the sf0.1
+    * corpus. Chunking never leaves the row; only (doc, hash) pairs
+    * ever shuffle. Documents shorter than `window` become one
+    * whole-document chunk; empty documents produce no rows. */
   def cdcChunks(df: DataFrame, textCol: String, idCol: String,
                 window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(divisor > 1, s"divisor must exceed 1, got $divisor")
-    val P = 1000000007L
     val t = col(textCol)
     val n = length(t)
-    // rolling hash of text[i-window+1 .. i], seed 7 — keyHash's recurrence
-    def winHash(i: Column): Column =
-      (0 until window).foldLeft(lit(7L)) { (acc, j) =>
-        pmod(acc * 131L +
-          ascii(t.substr(i - lit(window - 1 - j), lit(1))).cast("long"), lit(P))
-      }
-    val cuts = filter(sequence(lit(window), n),
-      i => pmod(winHash(i), lit(divisor.toLong)) === 0 && i =!= n)
-    val bounds = when(n >= window,
-      concat(array(lit(0)), cuts, array(n))).otherwise(array(lit(0), n))
+    val cuts = graft.functions.CdcBounds(t, window, divisor)
+    val bounds = concat(array(lit(0)), cuts, array(n))
     val chunks = filter(
       transform(sequence(lit(1), size(bounds) - 1), k => struct(
         (k - 1).cast("long").as("chunk_idx"),

@@ -242,22 +242,30 @@ object TextAnalysis {
     * (verbatim cross-doc windows) with a graded cross-doc originality
     * score. Emits `(id, n_shingles, novelty)`.
     *
-    * Scale shape: explode the per-doc distinct shingles once, one
-    * map-side-combined groupBy counts document frequency per shingle,
-    * one key-equi join back, one per-doc aggregate — (doc, shingle)
-    * pairs are the only thing on the wire, never text. The mean of 0/1
-    * doubles is exact integer arithmetic in IEEE, so the rounded score
-    * is engine-portable with no float-order caveat. */
+    * Scale shape: explode the per-doc distinct shingles once, then two
+    * aggregates and NO shingle-keyed join back — a df=1 shingle belongs
+    * to exactly ONE document, so the per-shingle count can carry its
+    * owner (`max(id)` is exact precisely when df=1) and the novel
+    * counts regroup by that owner: the expensive join of the full
+    * (doc, shingle) stream against the frequency table collapses into
+    * a doc-keyed join of two doc-sized relations. Only (doc, shingle)
+    * pairs ever shuffle, never text. `novel/n` over exact integers is
+    * exact IEEE arithmetic, so the rounded score is engine-portable
+    * with no float-order caveat. */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3): DataFrame = {
     require(n > 0, s"shingle size must be positive, got $n")
     val sh = df.select(col(idCol).as("id"),
       explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("shingle"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 4).as("novelty"))
+    val novel = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"), max(col("id")).as("id"))
+      .where(col("df") === 1)
+      .groupBy("id").agg(count(lit(1)).as("novel"))
+    sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        round(coalesce(col("novel"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("novelty"))
   }
 
   /** Interpolated BIGRAM language-model score per document — the
