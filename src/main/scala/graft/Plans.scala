@@ -73,7 +73,24 @@ object Plans {
       ("text_index_bm25", "index-served BM25: postings read is bucket-PARTITION-pruned",
         Seq("PartitionFilters: [", "ap_bucket")),
       ("strip_repeated_chunks", "dup-hash relation joins back; rewrite is an array filter",
-        Seq("Generate explode", "md5", "filter")))
+        Seq("Generate explode", "md5", "filter")),
+      // --- round-16 shapes ---
+      ("text_nfc_normalize", "NFC kernel stays in the scan stage",
+        Seq("nfc_normalize")),
+      ("url_blocklist_filter", "blocklist is a broadcast anti-join",
+        Seq("BroadcastHashJoin", "LeftAnti")),
+      ("ann_binary_topk", "Hamming phase is a map-side bounded top-k over popcount",
+        Seq("ObjectHashAggregate", "partial_bounded_topk", "bit_count")),
+      ("cdc_chunks", "CDC bounds kernel in the scan; chunks explode in-row",
+        Seq("cdc_bounds", "Generate explode")),
+      ("event_funnel_cycles", "packed fold in one aggregation; step pre-filter below the exchange",
+        Seq("collect_list", "ObjectHashAggregate", "IN (click,view,purchase)")),
+      ("quality_adaptive_length", "quantile bands broadcast back onto the scan",
+        Seq("BroadcastHashJoin", "percentile")),
+      ("url_domain_cap", "per-domain cap is one keyed window",
+        Seq("Window")),
+      ("bigram_logppl", "multiplicities aggregate map-side; scalar total broadcast",
+        Seq("partial_count", "partial_sum", "BroadcastNestedLoopJoin")))
 
     // the as-of join must plan as ONE keyed shuffle + running window —
     // no join operator at all; the range join must be a hash equi-join,
@@ -112,7 +129,9 @@ object Plans {
     // exchange, then expect zero remaining exchanges
     Seq(("repetition_signals_perrow", "zero non-sort exchanges"),
         ("sample_weighted_len", "weighted sample is a pure codegen filter"),
-        ("distance_dispatch", "alias dispatch is a pure projection over the scan"))
+        ("distance_dispatch", "alias dispatch is a pure projection over the scan"),
+        ("url_canonicalize", "canonicalization is a pure projection over the scan"),
+        ("sample_split_assign", "split labels are a pure codegen projection"))
       .foreach { case (name, what) =>
       val perRowPlan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
