@@ -981,6 +981,17 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    "sample_split_by_content" -> ((s, d) =>
+      // leakage-safe split: the split key is the NORMALIZED CONTENT
+      // hash, so exact/whitespace-case duplicates always land in the
+      // same split — the train/test contamination a row-keyed split
+      // cannot prevent
+      Sampling.splitAssign(
+          Tables.documents(s, d)
+            .withColumn("content_key", md5(Dedup.normalize(col("text")))),
+          "content_key", Seq("train" -> 0.9, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // --- web-corpus URL hygiene (no url column in testdata: messyUrl
     // derives a deterministic crawl-style URL per doc, with scheme case,
     // default ports, tracking params, param order, trailing slashes and
@@ -2787,6 +2798,13 @@ object SparkEntry {
          |  CASE WHEN h % 10000 < 8000 THEN 'train'
          |       WHEN h % 10000 < 9000 THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT doc_id, ${duckRawHash("CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split_by_content" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h % 10000 < 9000 THEN 'train' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${duckRawHash(s"md5($duckNorm)")} AS h
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
 

@@ -53,7 +53,8 @@ import graft.operators.BooleanPredicates
   * |                       |  maxDupTokenFrac?, maxTopTokenFrac?,         |
   * |                       |  maxDupBigramFrac?, maxPii?}                 |
   * | /pipeline/sample      | {entity, keyCol, mode: bernoulli|stratified  |
-  * |                       |  |exact|weighted|token_budget|epoch_mix,     |
+  * |                       |  |exact|weighted|token_budget|epoch_mix      |
+  * |                       |  |temperature_mix|split_assign(fractions),   |
   * |                       |  fraction?/n?/weightCol?, strataCol?,        |
   * |                       |  domainCol?/tokenCol?/budgets?/              |
   * |                       |  defaultBudget?/priorityCol?,                |
@@ -68,6 +69,13 @@ import graft.operators.BooleanPredicates
   * |                       |  stages:[{op, ...params}, ..]}               |
   * | /events/funnel        | {entity, steps:[..], tsCol?, userCol?,       |
   * |                       |  typeCol?}                                   |
+  * | /events/funnel_cycles | {entity, steps:[..] (≤8), tsCol?, userCol?,  |
+  * |                       |  typeCol?, maxCycles?}                       |
+  * | /pipeline/novelty     | {entity, textCol, idCol, n?}                 |
+  * | /pipeline/urls        | {entity, urlCol, idCol?, mode: canonicalize  |
+  * |                       |  |dedup|domain_cap(cap)|blocklist(blocked)}  |
+  * | /pipeline/cdc         | {entity, textCol, idCol, mode: chunks        |
+  * |                       |  |repeated, window?, divisor?, minDocs?}     |
   * | /events/retention     | {entity, tsCol?, userCol?}                   |
   * | /events/sessions      | {entity, gapMs, tsCol?, userCol?}            |
   * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
@@ -611,6 +619,11 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
               if (req.has("defaultEpochs")) req.get("defaultEpochs").asDouble() else 1.0)
           case "temperature_mix" => // sqrt-share domain rebalance
             Sampling.sqrtTemperatureMix(e, req.get("domainCol").asText(), keyCol)
+          case "split_assign" => // deterministic train/val/test labels
+            import scala.jdk.CollectionConverters._
+            Sampling.splitAssign(e, keyCol,
+              req.get("fractions").fields().asScala
+                .map(en => en.getKey -> en.getValue.asDouble()).toSeq)
           case "token_budget" => // per-domain token caps, best docs first
             import scala.jdk.CollectionConverters._
             val budgets =
@@ -627,6 +640,17 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, sampled)
+      case "/events/funnel_cycles" =>
+        // repeat-conversion counting (packed-integer fold)
+        import scala.jdk.CollectionConverters._
+        pagedRows(out, graft.operators.EventAnalytics.funnelCycles(
+          entity(req, "entity").read(),
+          req.get("steps").elements().asScala.map(_.asText()).toSeq,
+          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id",
+          typeCol = if (req.has("typeCol")) req.get("typeCol").asText() else "event_type",
+          maxCycles = if (req.has("maxCycles")) req.get("maxCycles").asInt() else 255)
+          .orderBy("user_id"))
       case "/events/funnel" =>
         import scala.jdk.CollectionConverters._
         pagedRows(out, graft.operators.EventAnalytics.funnel(
@@ -749,11 +773,63 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out, QualityClassifier.score(
           entity(req, "entity").read(), textCol, idCol, w).orderBy("id"))
       case "/pipeline/logppl" =>
-        // corpus-frequency unigram LM scores (CCNet-style filter proxy)
-        pagedRows(out, graft.operators.TextAnalysis.unigramLogPerplexity(
+        // corpus-frequency LM scores (CCNet-style filter proxy);
+        // model=bigram scores TRANSITIONS (interpolated), default unigram
+        val e = entity(req, "entity").read()
+        val textCol = req.get("textCol").asText()
+        val idCol = req.get("idCol").asText()
+        val scored =
+          if (req.has("model") && req.get("model").asText() == "bigram")
+            graft.operators.TextAnalysis.bigramLogPerplexity(e, textCol, idCol,
+              if (req.has("lambda")) req.get("lambda").asDouble() else 0.7)
+          else graft.operators.TextAnalysis.unigramLogPerplexity(e, textCol, idCol)
+        pagedRows(out, scored.orderBy("id"))
+      case "/pipeline/novelty" =>
+        // cross-corpus n-gram originality scores
+        pagedRows(out, graft.operators.TextAnalysis.ngramNovelty(
           entity(req, "entity").read(),
-          req.get("textCol").asText(), req.get("idCol").asText())
-          .orderBy("id"))
+          req.get("textCol").asText(), req.get("idCol").asText(),
+          n = if (req.has("n")) req.get("n").asInt() else 3).orderBy("id"))
+      case "/pipeline/urls" =>
+        // URL hygiene: canonicalize | dedup | domain_cap | blocklist
+        import graft.operators.Url
+        val e = entity(req, "entity").read()
+        val urlCol = req.get("urlCol").asText()
+        val dfu = req.get("mode").asText() match {
+          case "canonicalize" =>
+            e.select(col(req.get("idCol").asText()).as("id"),
+              Url.canonicalizeUrl(col(urlCol)).as("url_canon"),
+              Url.registrableDomain(Url.host(col(urlCol))).as("domain"))
+              .orderBy("id")
+          case "dedup" =>
+            Url.dedupByCanonicalUrl(e, urlCol, req.get("idCol").asText())
+              .orderBy("url_canon")
+          case "domain_cap" =>
+            Url.domainCap(e, urlCol, req.get("idCol").asText(),
+              req.get("cap").asInt()).orderBy("id")
+          case "blocklist" =>
+            import scala.jdk.CollectionConverters._
+            Url.domainBlocklistFilter(e, urlCol,
+              req.get("blocked").elements().asScala.map(_.asText()).toSeq)
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        pagedRows(out, dfu)
+      case "/pipeline/cdc" =>
+        // content-defined chunking: chunks | repeated (cross-doc spans)
+        val e = entity(req, "entity").read()
+        val w = if (req.has("window")) req.get("window").asInt() else 8
+        val dv = if (req.has("divisor")) req.get("divisor").asInt() else 64
+        val dfc = req.get("mode").asText() match {
+          case "chunks" => graft.operators.Dedup.cdcChunks(e,
+            req.get("textCol").asText(), req.get("idCol").asText(), w, dv)
+            .orderBy("id", "chunk_idx")
+          case "repeated" => graft.operators.Dedup.cdcRepeatedChunks(e,
+            req.get("textCol").asText(), req.get("idCol").asText(), w, dv,
+            minDocs = if (req.has("minDocs")) req.get("minDocs").asInt() else 2)
+            .orderBy("chunk_hash")
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        pagedRows(out, dfc)
       case "/pipeline/chunks" =>
         // cross-document repeated spans (strided chunk hashing)
         pagedRows(out, graft.operators.Dedup.repeatedChunks(

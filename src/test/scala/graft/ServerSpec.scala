@@ -675,6 +675,83 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"evbattery"}""")
   }
 
+  test("round-16 pipeline surface over the wire: urls, cdc, novelty, splits, cycles") {
+    post("/entity/create", """{"name":"web"}""").get("ok").asBoolean() shouldBe true
+    post("/entity/insert",
+      """{"name":"web","rows":[
+        |{"did":1,"url":"https://Example.com/x?id=1&utm_source=a","txt":"alpha beta gamma delta epsilon zeta eta theta"},
+        |{"did":2,"url":"https://example.com/x/?id=1&gclid=b","txt":"alpha beta gamma delta epsilon zeta eta theta"},
+        |{"did":3,"url":"https://spam.example.co.uk/y","txt":"totally different content with many novel words here"}]}""".stripMargin)
+      .get("inserted").asInt() shouldBe 3
+
+    val canon = post("/pipeline/urls",
+      """{"entity":"web","urlCol":"url","idCol":"did","mode":"canonicalize"}""")
+    canon.get("ok").asBoolean() shouldBe true
+    canon.get("rows").get(0).get("url_canon").asText() shouldBe "https://example.com/x?id=1"
+    canon.get("rows").get(2).get("domain").asText() shouldBe "example.co.uk"
+    post("/pipeline/urls",
+      """{"entity":"web","urlCol":"url","idCol":"did","mode":"dedup"}""")
+      .get("rows").size() shouldBe 2 // tracking/slash variants collapse
+    post("/pipeline/urls",
+      """{"entity":"web","urlCol":"url","idCol":"did","mode":"domain_cap","cap":1}""")
+      .get("rows").size() shouldBe 2 // one per registrable domain
+    post("/pipeline/urls",
+      """{"entity":"web","urlCol":"url","mode":"blocklist","blocked":["example.com"]}""")
+      .get("rows").size() shouldBe 1 // only the co.uk doc survives
+
+    // novelty: docs 1/2 are verbatim copies (0.0), doc 3 fully novel (1.0)
+    val nov = post("/pipeline/novelty",
+      """{"entity":"web","textCol":"txt","idCol":"did"}""")
+    val novBy = nov.get("rows").elements().asScala.toSeq
+      .map(r => r.get("id").asLong() -> r.get("novelty").asDouble()).toMap
+    novBy(1L) shouldBe 0.0
+    novBy(3L) shouldBe 1.0
+
+    // interpolated bigram LM over the wire: copies share one (low) score
+    val bg = post("/pipeline/logppl",
+      """{"entity":"web","textCol":"txt","idCol":"did","model":"bigram"}""")
+    bg.get("ok").asBoolean() shouldBe true
+    val bgBy = bg.get("rows").elements().asScala.toSeq
+      .map(r => r.get("id").asLong() -> r.get("log_ppl").asDouble()).toMap
+    bgBy(1L) shouldBe bgBy(2L)
+    bgBy(3L) should be > bgBy(1L)
+
+    // deterministic split labels through the sampling endpoint
+    val sp = post("/pipeline/sample",
+      """{"entity":"web","keyCol":"did","mode":"split_assign","fractions":{"train":0.5,"test":0.5}}""")
+    sp.get("rows").size() shouldBe 3
+    sp.get("rows").elements().asScala.foreach(r =>
+      Set("train", "test") should contain(r.get("split").asText()))
+
+    // CDC repeated spans: the verbatim copies share every chunk hash
+    val cdc = post("/pipeline/cdc",
+      """{"entity":"web","textCol":"txt","idCol":"did","mode":"repeated"}""")
+    cdc.get("ok").asBoolean() shouldBe true
+    cdc.get("rows").size() should be >= 1
+    cdc.get("rows").elements().asScala.foreach(
+      _.get("n_docs").asLong() shouldBe 2L)
+
+    // repeat-conversion cycles over the wire
+    post("/entity/create", """{"name":"ev2"}""").get("ok").asBoolean() shouldBe true
+    post("/entity/insert",
+      """{"name":"ev2","rows":[
+        |{"event_id":1,"ts":100,"user_id":1,"event_type":"click"},
+        |{"event_id":2,"ts":200,"user_id":1,"event_type":"view"},
+        |{"event_id":3,"ts":300,"user_id":1,"event_type":"click"},
+        |{"event_id":4,"ts":400,"user_id":1,"event_type":"view"},
+        |{"event_id":5,"ts":100,"user_id":2,"event_type":"view"}]}""".stripMargin)
+      .get("inserted").asInt() shouldBe 5
+    val fc = post("/events/funnel_cycles",
+      """{"entity":"ev2","steps":["click","view"]}""")
+    fc.get("ok").asBoolean() shouldBe true
+    val cycBy = fc.get("rows").elements().asScala.toSeq
+      .map(r => r.get("user_id").asLong() -> r.get("cycles").asLong()).toMap
+    cycBy(1L) shouldBe 2L
+    cycBy(2L) shouldBe 0L
+    post("/entity/drop", """{"name":"web"}""")
+    post("/entity/drop", """{"name":"ev2"}""")
+  }
+
   test("as-of enrichment over the wire") {
     // quotes (right) enrich trades (left): most recent quote per symbol
     // at-or-before each trade; ts columns are epoch-second longs (the
