@@ -65,6 +65,22 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming URL-level dedup — crawl-frontier dedup for an unbounded
+    * fetch feed: canonicalize first
+    * ([[graft.operators.Url.canonicalizeUrl]]), then drop rows whose
+    * CANONICAL URL was already seen inside the watermark horizon.
+    * Tracking-param / case / default-port / fragment variants collapse
+    * BEFORE the state lookup, so the state key is the canonical form —
+    * a raw-string keyed dedup would refetch every utm-tagged repost.
+    * Same state-GC story as [[dedupDocStream]]: the store keeps only
+    * URLs younger than the watermark. */
+  def dedupUrlStream(docs: DataFrame, urlCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("url_canon", graft.operators.Url.canonicalizeUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url_canon")
+
   /** Watermarked stream-stream interval join: correlate each left event
     * with right events of the SAME user within `(0, within]` after it —
     * the click→conversion attribution shape. Both sides carry

@@ -103,6 +103,26 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup keys state on the CANONICAL form") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "url")
+    val q = EventStream.dedupUrlStream(docs, "url", "ts")
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(1), "https://Example.com/a?id=1&utm_source=x"),
+        (2L, ts(2), "https://example.com/a/?id=1&gclid=y"), // same canonical
+        (3L, ts(3), "https://example.com/b?id=2"))
+      q.processAllAvailable()
+      mem.addData((4L, ts(4), "HTTPS://example.com:443/a?id=1")) // dup, later batch
+      q.processAllAvailable()
+      spark.table("url_dedup_stream").select("doc_id").collect()
+        .map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join correlates events within the bound only") {
     implicit val sqlCtx = spark.sqlContext
     val memL = MemoryStream[(Long, Timestamp, Long, String)]
