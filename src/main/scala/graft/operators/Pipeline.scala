@@ -115,6 +115,43 @@ object Pipeline {
           budgets, l("defaultBudget", Long.MaxValue),
           st.params.get("priorityCol").map(col))
 
+      case "url_blocklist" => // crawl kill-list (comma-separated domains)
+        Url.domainBlocklistFilter(df, str("urlCol"),
+          str("blocked").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+      case "url_dedup" => // keep the min-id row per canonical URL
+        val survivors = Url.dedupByCanonicalUrl(df, str("urlCol"), idCol)
+          .select(col("survivor_id").as(idCol))
+        df.join(survivors, Seq(idCol), "left_semi")
+
+      case "domain_cap" => // FineWeb-style per-registrable-domain cap
+        val kept = Url.domainCap(df, str("urlCol"), idCol, i("cap", 1000))
+          .select(col("id").as(idCol))
+        df.join(kept, Seq(idCol), "left_semi")
+
+      case "adaptive_length" => // per-group [lo,hi] quantile length band
+        st.params.get("lenCol") match {
+          case Some(lc) => TextAnalysis.adaptiveLengthFilter(df, lc,
+            str("groupCol"), d("lo", 0.1), d("hi", 0.9))
+          case None => TextAnalysis.adaptiveLengthFilter(
+            df.withColumn("ap_len", length(col(textCol)).cast("long")),
+            "ap_len", str("groupCol"), d("lo", 0.1), d("hi", 0.9)).drop("ap_len")
+        }
+
+      case "novelty_floor" => // drop docs assembled from shared fragments
+        val keep = TextAnalysis.ngramNovelty(df, textCol, idCol, i("n", 3))
+          .filter(col("novelty") >= d("minNovelty", 0.1))
+          .select(col("id").as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+
+      case "split_assign" => // ordered "train=0.8,val=0.1,test=0.1" labels
+        val fr = str("fractions").split(",").toSeq.map { kv =>
+          val parts = kv.split("=")
+          require(parts.length == 2, s"bad fraction spec: '$kv'")
+          parts(0).trim -> parts(1).trim.toDouble
+        }
+        Sampling.splitAssign(df, st.params.getOrElse("keyCol", textCol), fr)
+
       case "shuffle" =>
         Sampling.deterministicShuffle(df, idCol, l("seed", 42L))
 

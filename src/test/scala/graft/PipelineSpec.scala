@@ -60,6 +60,43 @@ class PipelineSpec extends SparkSpec {
     ids should contain(1L)
   }
 
+  test("url stages compose: blocklist -> canonical dedup -> split labels") {
+    val web = Seq(
+      (1L, "https://Example.com/x?id=1&utm_source=a", "doc one"),
+      (2L, "https://example.com/x/?id=1&gclid=b", "doc two"),   // canonical dup of 1
+      (3L, "https://spam-farm.com/z", "doc three"),             // blocked domain
+      (4L, "https://ok.example.org/y?id=2", "doc four")
+    ).toDF("doc_id", "url", "text")
+    val out = Pipeline.run(web, "text", "doc_id", Seq(
+      Stage("url_blocklist", Map("urlCol" -> "url", "blocked" -> "spam-farm.com")),
+      Stage("url_dedup", Map("urlCol" -> "url")),
+      Stage("split_assign", Map("keyCol" -> "doc_id",
+        "fractions" -> "train=0.9,test=0.1"))))
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    rows.keySet shouldBe Set(1L, 4L) // 3 blocked, 2 collapsed into 1
+    rows.values.foreach(Set("train", "test") should contain(_))
+    // full-row shape survives (url column still present)
+    out.columns should contain("url")
+  }
+
+  test("adaptive_length and novelty_floor stages filter in composition") {
+    val docs = ((1 to 10).map(i => (i.toLong, "g", "x " * i * 5 + s"unique$i words"))
+      :+ (11L, "g", "x x x")).toDF("doc_id", "source", "text")
+    val kept = Pipeline.run(docs, "text", "doc_id", Seq(
+      Stage("adaptive_length", Map("groupCol" -> "source"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept should not contain 11L // far below the group's p10
+    val novel = Pipeline.run(Seq(
+        (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "completely original phrasing here"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", Seq(
+        Stage("novelty_floor", Map("minNovelty" -> "0.5"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    novel shouldBe Set(3L) // the verbatim pair is all shared shingles
+  }
+
   test("unknown stages and missing params fail loudly") {
     an[IllegalArgumentException] should be thrownBy
       Pipeline.run(corpus, "text", "doc_id", Seq(Stage("frobnicate", Map.empty)))
