@@ -458,6 +458,32 @@ class DedupTextSpec extends SparkSpec {
     ch.filter(_._1 == 3L) shouldBe empty
   }
 
+  test("cdc property: chunks starting >= p+window survive ANY insertion at p") {
+    // exact invariant of content-defined boundaries: a window that ends
+    // at i only sees text[i-w+1..i], so every cut at i >= p+w in the
+    // original maps to cut i+len(ins) in the edited copy, and every
+    // chunk BETWEEN two such cuts keeps its content hash verbatim
+    val w = 8
+    for (seed <- Seq(3, 17, 41, 97, 123)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (1 to 150)
+        .map(_ => (1 to 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+      val p = rnd.nextInt(base.length - 1) + 1
+      val ins = (1 to 3 + rnd.nextInt(15))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val edited = base.substring(0, p) + ins + base.substring(p)
+      val chunks = Dedup.cdcChunks(
+        Seq((1L, base), (2L, edited)).toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+      val editedHashes = chunks.filter(_._1 == 2L).map(_._3).toSet
+      val mustSurvive = chunks.filter(c => c._1 == 1L && c._2 >= p + w)
+      withClue(s"seed=$seed p=$p insLen=${ins.length}: ") {
+        mustSurvive.foreach(c => editedHashes should contain(c._3))
+      }
+    }
+  }
+
   test("cdc re-syncs after head insertion where fixed token windows miss") {
     val rnd = new scala.util.Random(23)
     val words = (1 to 100).map(_ => (1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
