@@ -1038,6 +1038,20 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(Tables.documents(s, d), "text", "doc_id")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
+    "text_script_profile" -> ((s, d) =>
+      // multilingual triage: per-doc Latin/Cyrillic/Han/Arabic/digit
+      // counts + dominant script; the ASCII corpus gets a per-doc
+      // multi-script suffix (both engines build the identical string)
+      TextAnalysis.scriptProfile(
+          Tables.documents(s, d).withColumn("text",
+            concat(col("text"), element_at(array(
+              lit(" Пример текста"), lit(" 你好世界"),
+              lit(" مرحبا بالعالم"), lit(" plain ascii 42")),
+              (pmod(col("doc_id"), lit(4L)) + 1).cast("int")))),
+          "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "quality_adaptive_length" -> ((s, d) =>
       // per-source data-driven length band: keep docs inside the
       // source's [p10, p90] char-count band (broadcast of |sources| rows)
@@ -2831,6 +2845,26 @@ object SparkEntry {
          |SELECT doc_id FROM uk
          |WHERE domain NOT IN ('site.org', 'example.co.uk')
          |ORDER BY doc_id""".stripMargin,
+
+    // RE2 spells script classes \p{Latin}; Spark's Java regex
+    // \p{IsLatin} — same script property, same counts
+    "text_script_profile" ->
+      """WITH sx AS (SELECT doc_id,
+        |  concat(text, ([' Пример текста',' 你好世界',
+        |    ' مرحبا بالعالم',' plain ascii 42'])[CAST(doc_id % 4 + 1 AS INT)]) AS text
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS INTEGER) AS n_latin,
+        |  CAST(length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS INTEGER) AS n_cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS INTEGER) AS n_han,
+        |  CAST(length(text) - length(regexp_replace(text, '\p{Arabic}', '', 'g')) AS INTEGER) AS n_arabic,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit
+        | FROM sx)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+        |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |       WHEN n_han >= n_arabic THEN 'han' ELSE 'arabic' END AS dominant
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "quality_adaptive_length" ->
       """WITH b AS (SELECT source, quantile_cont(n_chars, 0.1) AS lo,

@@ -210,6 +210,32 @@ object TextAnalysis {
       .agg(round(avg(-log(col("cnt") / col("total"))), 4).as("log_ppl"))
   }
 
+  /** Unicode-SCRIPT profile per row — multilingual-corpus triage: how
+    * many Latin / Cyrillic / Han / Arabic letters and ASCII digits a
+    * document contains, plus the dominant script (count order, fixed
+    * tie preference latin > cyrillic > han > arabic). Routing by script
+    * is the step BEFORE language ID in a multilingual pipeline: a
+    * Cyrillic doc never needs the Latin-alphabet language models, and
+    * mixed-script spam (Latin text stuffed with Han SEO tokens) shows
+    * up as a profile, not a single label. Pure per-row regex counting —
+    * zero shuffle, rides the scan under codegen. */
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String): Column = length(t) - length(regexp_replace(t, re, ""))
+    val lat = cnt("\\p{IsLatin}")
+    val cyr = cnt("\\p{IsCyrillic}")
+    val han = cnt("\\p{IsHan}")
+    val ara = cnt("\\p{IsArabic}")
+    val dig = cnt("[0-9]")
+    df.select(col(idCol).as("id"),
+      lat.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      ara.as("n_arabic"), dig.as("n_digit"),
+      when(lat >= cyr && lat >= han && lat >= ara, "latin")
+        .when(cyr >= han && cyr >= ara, "cyrillic")
+        .when(han >= ara, "han")
+        .otherwise("arabic").as("dominant"))
+  }
+
   /** Adaptive per-group length-band filter: keep rows whose length lies
     * inside the group's `[lo, hi]` QUANTILE band — the data-driven form
     * of a fixed "drop under 200 / over 20000 chars" rule, which no

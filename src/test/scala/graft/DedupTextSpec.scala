@@ -502,6 +502,25 @@ class DedupTextSpec extends SparkSpec {
       Dedup.cdcChunks(d, "text", "doc_id", divisor = 1)
   }
 
+  test("scriptProfile: per-script counts and dominant routing") {
+    val d = Seq(
+      (1L, "hello world"),                    // pure latin
+      (2L, "\u041f\u0440\u0438\u0432\u0435\u0442 hi"), // cyrillic 6 > latin 2
+      (3L, "\u4f60\u597d\u4e16\u754c"),       // han only
+      (4L, "\u0645\u0631\u062d\u0628\u0627 123"),  // arabic 5, digits 3
+      (5L, "12345")                            // digits only: tie -> latin
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.scriptProfile(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getString(6)))).toMap
+    got(1L) shouldBe ((10, 0, 0, 0, 0, "latin"))
+    got(2L) shouldBe ((2, 6, 0, 0, 0, "cyrillic"))
+    got(3L) shouldBe ((0, 0, 4, 0, 0, "han"))
+    got(4L) shouldBe ((0, 0, 0, 5, 3, "arabic"))
+    got(5L) shouldBe ((0, 0, 0, 0, 5, "latin")) // all-zero tie: fixed order
+  }
+
   test("adaptiveLengthFilter: per-group quantile band, exact-band group keeps all") {
     // group A lengths 1..10: p10 = 1.9, p90 = 9.1 -> keeps 2..9
     // group B constant 5: band [5,5] -> keeps everything
