@@ -601,6 +601,19 @@ object SparkEntry {
     "index_ivfpq_knn" -> indexKnn("ivfpq"),
     "index_sq_knn" -> indexKnn("sq"),
 
+    "index_bsq_knn" -> ((s, d) => {
+      // persisted sign-code index: Hamming candidates (angular proxy),
+      // exact COSINE rerank — bsq conforms to the cosine family only,
+      // and its oracle replays BOTH phases exactly, so correctness does
+      // not depend on candidate recall like the L2-oracled family
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val idx = cachedIndex(s, d, "bsq")
+      idx.knn(emb, "vec_id",
+          Distances.cosine(col("embedding"), Distances.vecLit(q)), q, 100, 5)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 6).as("distance"))
+    }),
+
     // --- lifecycle / planner / progressive / partitioning / multimodal ---
     "entity_lifecycle" -> ((s, d) => {
       val base = freshScratch("lifecycle")
@@ -1515,7 +1528,8 @@ object SparkEntry {
       nTables = 8, nHashes = 1, probes = 2)),
     "mi" -> (df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15)),
     "ivfpq" -> (df => IVFPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
-    "sq" -> (df => SQIndex.build(df, "vec_id", "embedding")))
+    "sq" -> (df => SQIndex.build(df, "vec_id", "embedding")),
+    "bsq" -> (df => BSQIndex.build(df, "vec_id", "embedding")))
 
   private def cachedIndex(s: SparkSession, d: String, key: String): VectorIndex =
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
@@ -2434,6 +2448,24 @@ object SparkEntry {
     "index_mi_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vote_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_ivfpq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_bsq_knn" -> {
+      // exact two-phase replay: sign-mismatch Hamming top-500 (the
+      // (hd, id) total order matches the index's TakeOrdered), cosine
+      // rerank top-100 with the signed-zero normalization
+      val signDiff = duckSum(
+        s"CASE WHEN ($dx > 0) != ($dq > 0) THEN 1.0 ELSE 0.0 END")
+      val cosD =
+        s"""CASE WHEN $duckNormE < 1e-5 OR $duckNormQ < 1e-5 THEN 0.0
+           | ELSE 1.0 - ($duckDot) / ($duckNormE * $duckNormQ) END""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |bham AS (SELECT e.vec_id, $signDiff AS hd FROM embeddings e, q),
+         |bcand AS (SELECT vec_id FROM bham ORDER BY hd, vec_id LIMIT 500)
+         |SELECT vec_id, round(d, 6) + 0.0 AS distance FROM (
+         |  SELECT e.vec_id, $cosD AS d FROM embeddings e, q
+         |  WHERE e.vec_id IN (SELECT vec_id FROM bcand)
+         |) ORDER BY d, vec_id LIMIT 100""".stripMargin
+    },
+
     "index_sq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
 
     "ann_ivf_topk" ->

@@ -40,7 +40,7 @@ object IndexOps {
     * index names as `<type>_<attribute>` and needs the exact list to
     * parse them back. */
   val knownTypes: Seq[String] =
-    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq", "sq")
+    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq", "sq", "bsq")
 
   /** Index factory by type name — reference `IndexTypes.scala:20-45`.
     * `options` carries per-type build parameters the way the reference's
@@ -73,6 +73,7 @@ object IndexOps {
       case "ivfpq" => IVFPQIndex.build(df, idCol, vecCol, nsq = int("nsq", 8),
         nCentroids = int("ncentroids", 16), assign = int("assign", 1))
       case "sq" => SQIndex.build(df, idCol, vecCol)
+      case "bsq" => BSQIndex.build(df, idCol, vecCol)
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     require(opts.isEmpty,

@@ -52,6 +52,7 @@ object IndexStore {
         (ivfpq.assignments, (ivfpq.centroids, ivfpq.codebooks, ivfpq.subLen))
       case mi: MIIndex => (mi.postings, (mi.refPoints, mi.ki, mi.ks))
       case sq: SQIndex => (sq.codes, (sq.mins, sq.scales))
+      case bsq: BSQIndex => (bsq.codes, bsq.dim)
       case other => throw new IllegalArgumentException(
         s"index type ${other.indexType} is not persistable")
     }
@@ -135,6 +136,8 @@ object IndexStore {
       case ("sq", b) =>
         val (mins, scales) = b.asInstanceOf[(Array[Double], Array[Double])]
         new SQIndex(df, mins, scales, meta.idCol)
+      case ("bsq", b) =>
+        new BSQIndex(df, b.asInstanceOf[Int], meta.idCol)
       case (other, _) => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     Loaded(idx, currentStamp.exists(_ != meta.stamp))

@@ -231,7 +231,8 @@ class IndexSpec extends SparkSpec {
       "lsh" -> LSHIndex.build(data, "tid", "vectorfield"),
       "mi" -> MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15),
       "ivfpq" -> IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
-      "sq" -> SQIndex.build(data, "tid", "vectorfield"))
+      "sq" -> SQIndex.build(data, "tid", "vectorfield"),
+      "bsq" -> BSQIndex.build(data, "tid", "vectorfield"))
     family.foreach { case (name, built) =>
       IndexStore.save(base, name, built)
       val reopened = IndexStore.load(spark, base, name).index
@@ -291,6 +292,33 @@ class IndexSpec extends SparkSpec {
       }
     }
     emb.unpersist()
+  }
+
+  test("bsq: sign codes rank by angle; packed query matches signPack; cosine-only") {
+    val idx = BSQIndex.build(data, "tid", "vectorfield")
+    // candidate phase = exact sign-mismatch ranking: verify against a
+    // naive per-row count over the same corpus
+    val q = queryVec
+    val naive = data.select(col("tid"), col("vectorfield").cast("array<double>").as("v"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val hd = v.indices.count(i => (v(i) > 0) != (q(i) > 0))
+        (hd, r.getLong(0))
+      }.sorted.take(50).map(_._2).toSet
+    idx.candidates(q, 10, 5).collect().map(_.getLong(0)).toSet shouldBe naive
+    // the driver-side query packer agrees with the distributed kernel
+    val packed = data.limit(3)
+      .select(col("vectorfield").cast("array<double>").as("v"),
+        graft.operators.Ann.signPack(col("vectorfield"), q.length).as("code"))
+      .collect()
+    packed.foreach { r =>
+      BSQIndex.packSigns(r.getSeq[Double](0).toArray) shouldBe
+        r.getSeq[Long](1).toArray
+    }
+    idx.conformsTo("cosine") shouldBe true
+    idx.conformsTo("euclidean") shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      BSQIndex.build(data.limit(0), "tid", "vectorfield")
   }
 
   test("sq: 8-bit scalar quantization candidates contain the exact top-k") {
