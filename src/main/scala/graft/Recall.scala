@@ -61,6 +61,21 @@ object Recall {
       }
       println(f"[recall] $name%-4s recall@$k = $rec%.3f  avg_candidates = $candAvg%.0f")
     }
+
+    // bsq is ANGULAR (sign bits order by angle): its recall is measured
+    // against COSINE ground truth — euclidean truth would misreport a
+    // correctly-working index on non-normalized vectors
+    val bsq = graft.index.BSQIndex.build(emb, "vec_id", "embedding")
+    val (bRec, bCand) = queries.map { case (_, q) =>
+      val cosTruth = Knn.knn(emb,
+          Distances.cosine(col("embedding"), Distances.vecLit(q)), k, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val cands = bsq.candidates(q, k).collect().map(_.getLong(0)).toSet
+      (cosTruth.count(cands.contains).toDouble / k, cands.size.toDouble)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)) match {
+      case (r, c) => (r / queries.size, c / queries.size)
+    }
+    println(f"[recall] bsq  recall@$k(cosine) = $bRec%.3f  avg_candidates = $bCand%.0f")
     spark.stop()
   }
 }
