@@ -268,16 +268,16 @@ object TextAnalysis {
     * (verbatim cross-doc windows) with a graded cross-doc originality
     * score. Emits `(id, n_shingles, novelty)`.
     *
-    * Scale shape: explode the per-doc distinct shingles once, then two
-    * aggregates and NO shingle-keyed join back — a df=1 shingle belongs
-    * to exactly ONE document, so the per-shingle count can carry its
-    * owner (`max(id)` is exact precisely when df=1) and the novel
-    * counts regroup by that owner: the expensive join of the full
-    * (doc, shingle) stream against the frequency table collapses into
-    * a doc-keyed join of two doc-sized relations. Only (doc, shingle)
-    * pairs ever shuffle, never text. `novel/n` over exact integers is
-    * exact IEEE arithmetic, so the rounded score is engine-portable
-    * with no float-order caveat. */
+    * Scale shape: the exploded (doc, shingle) stream crosses the wire
+    * ONCE, into the shingle-keyed frequency count — a df=1 shingle
+    * belongs to exactly ONE document, so that count carries its owner
+    * (`max(id)` is exact precisely when df=1) and the novel counts
+    * regroup by owner. The per-doc DENOMINATOR never touches the
+    * exploded stream at all: it is `size(shingles(text))`, a per-row
+    * expression that rides the scan — so the doc-keyed side of the
+    * final join is doc-sized on both inputs. Text never shuffles.
+    * `novel/n` over exact integers is exact IEEE arithmetic, so the
+    * rounded score is engine-portable with no float-order caveat. */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3): DataFrame = {
     require(n > 0, s"shingle size must be positive, got $n")
@@ -287,7 +287,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"), max(col("id")).as("id"))
       .where(col("df") === 1)
       .groupBy("id").agg(count(lit(1)).as("novel"))
-    sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    df.select(col(idCol).as("id"),
+        size(Dedup.shingles(col(textCol), n)).cast("long").as("__ns"))
+      .groupBy("id").agg(sum("__ns").as("n_shingles"))
       .join(novel, Seq("id"), "left")
       .select(col("id"), col("n_shingles"),
         round(coalesce(col("novel"), lit(0L)).cast("double") / col("n_shingles"), 4)
