@@ -254,6 +254,61 @@ object EventStream {
       }
   }
 
+  final case class CycleState(step: Int, lastTs: Long, cycles: Long,
+                              pending: Seq[(Long, String)])
+  final case class CycleComplete(user_id: Long, cycle: Long,
+                                 completed_at: java.sql.Timestamp)
+
+  /** STREAMING funnel CYCLES: one row per COMPLETED cycle — the
+    * incremental twin of
+    * [[graft.operators.EventAnalytics.funnelCycles]]: the per-user
+    * state machine resets to step 0 after every completion and keeps
+    * counting on the unbounded feed (cycle numbers are 1-based and
+    * strictly increasing per user). Same out-of-order discipline as
+    * [[funnelStream]]: step events buffer until the watermark passes
+    * them, then fold in event-time order, so a late-but-in-time event
+    * matches exactly as the batch operator would. Unlike the batch
+    * form, state here is a native struct — the 63-bit packing (and its
+    * 255-cycle / 2041 bounds) exists for ENGINE REPLAY of the batch
+    * fold, not for streaming state, so no cap applies. */
+  def funnelCyclesStream(events: DataFrame, steps: Seq[String],
+                         watermark: String = "2 hours"): Dataset[CycleComplete] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CycleState, CycleComplete](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        val st = state.getOption.getOrElse(CycleState(0, Long.MinValue, 0L, Nil))
+        val all = st.pending ++ rows.toSeq
+          .filter(e => stepIdx.contains(e._3))
+          .map(e => (e._2.getTime, e._3))
+        val wm = state.getCurrentWatermarkMs()
+        val (ready, pending) = all.partition(_._1 <= wm)
+        var step = st.step
+        var lastTs = st.lastTs
+        var cycles = st.cycles
+        val out = Seq.newBuilder[CycleComplete]
+        ready.sorted.foreach { case (t, y) =>
+          if (y == steps(step) && t > lastTs) {
+            lastTs = t
+            if (step + 1 == steps.size) {
+              step = 0; cycles += 1
+              out += CycleComplete(user, cycles, new java.sql.Timestamp(t))
+            } else step += 1
+          }
+        }
+        state.update(CycleState(step, lastTs, cycles, pending))
+        if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
+        out.result().iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

@@ -287,6 +287,33 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel cycles reset per completion across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventStream.funnelCyclesStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        Seq("click", "view"), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("cycles_stream")
+      .outputMode("append").start()
+    try {
+      // user 1: two full cycles split across batches; user 2: same-ts
+      // view never completes (strictly-after tie rule)
+      mem.addData((1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "view"),
+        (3L, ts(1), 2L, "click"), (4L, ts(1), 2L, "view"))
+      q.processAllAvailable()
+      mem.addData((5L, ts(3), 1L, "click"), (6L, ts(4), 1L, "view"))
+      q.processAllAvailable()
+      mem.addData((97L, ts(500), 9L, "noise"))
+      q.processAllAvailable()
+      mem.addData((96L, ts(510), 9L, "noise"))
+      q.processAllAvailable()
+      val rows = spark.table("cycles_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      rows.filter(_._1 == 1L).map(_._2).sorted shouldBe Seq(1L, 2L)
+      rows.filter(_._1 == 2L) shouldBe empty
+    } finally q.stop()
+  }
+
   test("streaming funnel folds late-but-in-time events in event-time order") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String)]
