@@ -1383,6 +1383,26 @@ object SparkEntry {
         .orderBy("in_id", "corpus_id")
     }),
 
+    "contamination_rate_report" -> ((s, d) => {
+      // the dashboard number a decontamination run ends with: per
+      // source, how many incoming docs hit a benchmark item — the
+      // benchmark postings broadcast exactly as in corpus_contamination,
+      // one extra source-keyed rollup
+      val docs = Tables.documents(s, d)
+      val idx = benchIndexes.getOrElseUpdate(d,
+        Dedup.indexCorpus(docs.filter(col("doc_id") < 50), "text", "doc_id"))
+      val flagged = Dedup.contaminationAgainstCorpus(
+          docs.filter(col("doc_id") >= 50), "text", "doc_id", idx, 0.5)
+        .select(col("in_id").as("doc_id")).distinct()
+        .withColumn("flag", lit(1))
+      docs.filter(col("doc_id") >= 50)
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("flag"), lit(0))).cast("long").as("n_contaminated"))
+        .orderBy("source")
+    }),
+
     "corpus_simhash_neardup" -> ((s, d) => {
       // admission check, SimHash flavor: same build-once corpus-index
       // contract as corpus_neardup / corpus_cosine_neardup
@@ -3468,6 +3488,20 @@ object SparkEntry {
          |  len(list_intersect(b.sh, a.sh)) * 1.0 / len(b.sh) AS c
          | FROM d a, d b WHERE a.doc_id >= 50 AND b.doc_id < 50
          |) WHERE c >= 0.5 ORDER BY in_id, corpus_id""".stripMargin,
+
+    "contamination_rate_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM
+         |   (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+         |),
+         |fl AS (SELECT DISTINCT a.doc_id AS did FROM d a, d b
+         |       WHERE a.doc_id >= 50 AND b.doc_id < 50
+         |         AND len(list_intersect(b.sh, a.sh)) * 1.0 / len(b.sh) >= 0.5)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT did FROM fl)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         |FROM documents WHERE doc_id >= 50
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // same portable-SimHash replay as simhash_neardup, restricted to the
     // incoming (id >= 400) × corpus (id < 400) cross pairs
