@@ -90,7 +90,11 @@ object Plans {
       ("url_domain_cap", "per-domain cap is one keyed window",
         Seq("Window")),
       ("bigram_logppl", "multiplicities aggregate map-side; scalar total broadcast",
-        Seq("partial_count", "partial_sum", "BroadcastNestedLoopJoin")))
+        Seq("partial_count", "partial_sum", "BroadcastNestedLoopJoin")),
+      ("index_bsq_knn", "sign-code scan bounds candidates before the rerank semi-join",
+        Seq("TakeOrderedAndProject", "LeftSemi", "bit_count")),
+      ("contamination_rate_report", "benchmark postings broadcast; rollup partial-aggregates",
+        Seq("BroadcastHashJoin", "partial_count")))
 
     // the as-of join must plan as ONE keyed shuffle + running window —
     // no join operator at all; the range join must be a hash equi-join,
@@ -131,7 +135,8 @@ object Plans {
         ("sample_weighted_len", "weighted sample is a pure codegen filter"),
         ("distance_dispatch", "alias dispatch is a pure projection over the scan"),
         ("url_canonicalize", "canonicalization is a pure projection over the scan"),
-        ("sample_split_assign", "split labels are a pure codegen projection"))
+        ("sample_split_assign", "split labels are a pure codegen projection"),
+        ("text_script_profile", "script counting is a pure projection over the scan"))
       .foreach { case (name, what) =>
       val perRowPlan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -1186,6 +1186,21 @@ object SparkEntry {
         round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
       .orderBy("doc_id")),
 
+    "dataset_card" -> ((s, d) =>
+      // the corpus summary a training-data team publishes: size, token
+      // mass, source/language diversity, exact-dup mass, PII presence —
+      // ONE aggregation pass (count-distincts expand, stay partial),
+      // all-integer so the card replays with zero float-order caveats
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(Dedup.normalize(col("text")))).as("n_distinct_contents"),
+        sum(when(TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRe) > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_email"))),
+
     "lang_id" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")),
@@ -3221,6 +3236,17 @@ object SparkEntry {
          |  + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
          | ) / 3.0, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dataset_card" ->
+      s"""SELECT count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT md5($duckNorm)) AS n_distinct_contents,
+         |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_email
+         |FROM documents""".stripMargin,
 
     "text_match_all" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $duckToks AS toks FROM documents)
