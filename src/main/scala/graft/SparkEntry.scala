@@ -383,6 +383,20 @@ object SparkEntry {
       EventAnalytics.retention(Tables.events(s, d))
         .orderBy("cohort_day", "day_offset")),
 
+    "events_active_users" -> ((s, d) => {
+      // DAU + trailing-7-day WAU in two aggregations: each (user, day)
+      // activity row explodes into the 7 window-END days it contributes
+      // to — the scalable alternative to a per-day distinct-over-range
+      // self-join; the exchange carries (user, day) pairs only
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day")).orderBy("day")
+    }),
+
     "event_funnel_report" -> ((s, d) =>
       // the chart-facing rollup of event_funnel: users per funnel depth
       EventAnalytics.funnel(Tables.events(s, d), Seq("click", "view", "purchase"))
@@ -2166,6 +2180,16 @@ object SparkEntry {
         | FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |   LEFT JOIN s3 USING (user_id))
         |GROUP BY steps_completed ORDER BY steps_completed""".stripMargin,
+
+    "events_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |wau AS (SELECT d2 AS day, count(DISTINCT user_id) AS wau FROM (
+        |  SELECT user_id,
+        |    day + CAST(unnest(generate_series(0, 6)) AS INTEGER) AS d2 FROM ud)
+        | GROUP BY d2)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
 
     "event_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
