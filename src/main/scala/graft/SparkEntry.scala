@@ -383,6 +383,10 @@ object SparkEntry {
       EventAnalytics.retention(Tables.events(s, d))
         .orderBy("cohort_day", "day_offset")),
 
+    "event_transitions" -> ((s, d) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, d))
+        .orderBy("from_type", "to_type")),
+
     "events_active_users" -> ((s, d) => {
       // DAU + trailing-7-day WAU in two aggregations: each (user, day)
       // activity row explodes into the 7 window-END days it contributes
@@ -2180,6 +2184,14 @@ object SparkEntry {
         | FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |   LEFT JOIN s3 USING (user_id))
         |GROUP BY steps_completed ORDER BY steps_completed""".stripMargin,
+
+    "event_transitions" ->
+      """WITH seq AS (SELECT event_type AS f,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT f AS from_type, t AS to_type, count(*) AS n FROM seq
+        |WHERE t IS NOT NULL GROUP BY f, t
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "events_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

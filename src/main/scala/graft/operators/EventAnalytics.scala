@@ -135,6 +135,33 @@ object EventAnalytics {
       .agg(shiftright(walk, 54).as("cycles"))
   }
 
+  /** Event-type TRANSITION MATRIX: counts of consecutive
+    * `(from → to)` event-type pairs over each user's time-ordered
+    * stream — the Markov-chain view of product flows (where do users go
+    * after a search? what precedes churn-adjacent events?). Ties on
+    * timestamp break on the event id, so the matrix is deterministic
+    * under re-runs. Output: `(from_type, to_type, n)`.
+    *
+    * Plan shape: ONE user-keyed window shuffle computes each event's
+    * successor (`lead`), then a map-side-combined count on the
+    * (from, to) pair — at 100 TB the second exchange carries at most
+    * |types|² rows. Payload columns never move: only (user, ts, id,
+    * type) enter the window. */
+  def transitionMatrix(events: DataFrame, tsCol: String = "ts",
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Gap-based session INTERVALS per user: consecutive events within
     * `gapMicros` merge into one session; output one row per session
     * with `user_id`, `session_id` (1-based per user), and the inclusive

@@ -120,6 +120,25 @@ class EventAnalyticsSpec extends SparkSpec {
     out.keySet.map(_._1) shouldBe Set("2024-01-01", "2024-01-02")
   }
 
+  test("transitionMatrix: per-user consecutive pairs, cross-user never pairs") {
+    val ev = Seq(
+      // user 1: click -> view -> click; user 2: view -> view
+      (1L, ts(1), 1L, "click"), (2L, ts(2), 1L, "view"), (3L, ts(3), 1L, "click"),
+      (4L, ts(1), 2L, "view"), (5L, ts(2), 2L, "view"),
+      // user 3: a single event -> no transition
+      (6L, ts(1), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(
+      ("click", "view") -> 1L, ("view", "click") -> 1L, ("view", "view") -> 1L)
+    // same-timestamp ties order by event_id: 10(a) then 11(b) -> a->b
+    val tie = Seq((10L, ts(1), 9L, "a"), (11L, ts(1), 9L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    EventAnalytics.transitionMatrix(tie).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(("a", "b"))
+  }
+
   test("funnelCycles: counts repeat completions, resets after each cycle") {
     val ev = Seq(
       // user 1: two full click->view cycles plus a dangling click
