@@ -71,6 +71,7 @@ import graft.operators.BooleanPredicates
   * |                       |  typeCol?}                                   |
   * | /events/funnel_cycles | {entity, steps:[..] (≤8), tsCol?, userCol?,  |
   * |                       |  typeCol?, maxCycles?}                       |
+  * | /events/transitions   | {entity, tsCol?, userCol?, typeCol?, idCol?} |
   * | /pipeline/novelty     | {entity, textCol, idCol, n?}                 |
   * | /pipeline/urls        | {entity, urlCol, idCol?, mode: canonicalize  |
   * |                       |  |dedup|domain_cap(cap)|blocklist(blocked)}  |
@@ -640,6 +641,15 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, sampled)
+      case "/events/transitions" =>
+        // Markov transition matrix of event types
+        pagedRows(out, graft.operators.EventAnalytics.transitionMatrix(
+          entity(req, "entity").read(),
+          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id",
+          typeCol = if (req.has("typeCol")) req.get("typeCol").asText() else "event_type",
+          idCol = if (req.has("idCol")) req.get("idCol").asText() else "event_id")
+          .orderBy("from_type", "to_type"))
       case "/events/funnel_cycles" =>
         // repeat-conversion counting (packed-integer fold)
         import scala.jdk.CollectionConverters._

@@ -741,6 +741,14 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         |{"event_id":4,"ts":400,"user_id":1,"event_type":"view"},
         |{"event_id":5,"ts":100,"user_id":2,"event_type":"view"}]}""".stripMargin)
       .get("inserted").asInt() shouldBe 5
+    // Markov transition counts over the same stream: c->v, v->c, c->v
+    val tr = post("/events/transitions", """{"entity":"ev2"}""")
+    tr.get("ok").asBoolean() shouldBe true
+    tr.get("rows").elements().asScala.toSeq
+      .map(r => (r.get("from_type").asText(), r.get("to_type").asText()) ->
+        r.get("n").asLong()).toMap shouldBe
+      Map(("click", "view") -> 2L, ("view", "click") -> 1L)
+
     val fc = post("/events/funnel_cycles",
       """{"entity":"ev2","steps":["click","view"]}""")
     fc.get("ok").asBoolean() shouldBe true
