@@ -387,6 +387,16 @@ object SparkEntry {
       EventAnalytics.transitionMatrix(Tables.events(s, d))
         .orderBy("from_type", "to_type")),
 
+    "event_value_quantiles" -> ((s, d) =>
+      // per-type value distribution (exact interpolated percentiles,
+      // same continuous-quantile definition both engines share)
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")),
+
     "events_active_users" -> ((s, d) => {
       // DAU + trailing-7-day WAU in two aggregations: each (user, day)
       // activity row explodes into the 7 window-END days it contributes
@@ -2184,6 +2194,12 @@ object SparkEntry {
         | FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |   LEFT JOIN s3 USING (user_id))
         |GROUP BY steps_completed ORDER BY steps_completed""".stripMargin,
+
+    "event_value_quantiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "event_transitions" ->
       """WITH seq AS (SELECT event_type AS f,
