@@ -391,6 +391,8 @@ object SparkEntry {
       // per-type value distribution (exact interpolated percentiles,
       // same continuous-quantile definition both engines share)
       Tables.events(s, d)
+        .filter(col("event_type").isNotNull) // Spark sorts NULLS FIRST,
+        // DuckDB NULLS LAST — excluded on both sides for hash parity
         .groupBy(col("event_type"))
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"),
@@ -1539,7 +1541,13 @@ object SparkEntry {
     val hostPick = element_at(array(
       lit("Example.COM"), lit("news.example.co.uk"), lit("blog.example.com"),
       lit("EXAMPLE.com:443"), lit("cdn.site.org:80"), lit("shop.site.org"),
-      lit("a.b.example.co.uk")), (pmod(uid, lit(7L)) + 1).cast("int"))
+      lit("a.b.example.co.uk"),
+      // PSL-challenging hosts: multi-level ccTLD suffixes, a private
+      // (GitHub Pages) suffix, and a *.ck wildcard rule — naive
+      // last-two-labels groups all of these wrong
+      lit("Shop.Example.COM.CN"), lit("docs.portal.co.il"),
+      lit("user1.github.io"), lit("pages.user2.GitHub.IO"),
+      lit("a.b.cdn.foo.ck")), (pmod(uid, lit(12L)) + 1).cast("int"))
     concat(
       when(pmod(uid, lit(2L)) === 0, lit("https://")).otherwise(lit("HTTP://")),
       hostPick,
@@ -1939,7 +1947,9 @@ object SparkEntry {
       |   CASE WHEN (doc_id % 60) % 2 = 0 THEN 'https://' ELSE 'HTTP://' END,
       |   (['Example.COM','news.example.co.uk','blog.example.com',
       |     'EXAMPLE.com:443','cdn.site.org:80','shop.site.org',
-      |     'a.b.example.co.uk'])[CAST((doc_id % 60) % 7 + 1 AS INT)],
+      |     'a.b.example.co.uk','Shop.Example.COM.CN','docs.portal.co.il',
+      |     'user1.github.io','pages.user2.GitHub.IO',
+      |     'a.b.cdn.foo.ck'])[CAST((doc_id % 60) % 12 + 1 AS INT)],
       |   '/articles/item-', CAST((doc_id % 60) % 10 AS VARCHAR),
       |   CASE WHEN (doc_id % 60) % 3 = 0 THEN '/' ELSE '' END,
       |   CASE WHEN doc_id % 2 = 0
@@ -1971,13 +1981,32 @@ object SparkEntry {
       |  concat(sch, '://', hostport, pth,
       |   CASE WHEN length(kept) > 0 THEN concat('?', kept) ELSE '' END) AS url_canon
       | FROM ukk),
-      |uk AS (SELECT doc_id, url, url_canon,
-      |  array_to_string(ls[greatest(len(ls) - CASE WHEN regexp_matches(hb,
-      |      '\.(co|com|net|org|ac|gov|or|edu|gen|ne)\.(uk|au|jp|br|in|nz|za|kr|mx|id)$')
-      |      AND len(ls) >= 3 THEN 2 ELSE 1 END, 1):len(ls)], '.') AS domain
-      | FROM (SELECT doc_id, url, url_canon, hb, string_split(hb, '.') AS ls
-      |       FROM (SELECT doc_id, url, url_canon,
-      |               regexp_replace(hostport, ':[0-9]+$', '') AS hb FROM ucc)))""".stripMargin
+      |upsl AS (SELECT regexp_extract(rule, '^(\S+)', 1) AS r
+      | FROM read_csv('/root/repo/src/main/resources/graft/public_suffix_list.dat',
+      |   header=false, delim='\t', quote='', columns={'rule': 'VARCHAR'})
+      | WHERE length(trim(rule)) > 0 AND rule NOT LIKE '//%'),
+      |upex AS (SELECT r FROM upsl WHERE r NOT LIKE '*.%' AND r NOT LIKE '!%'),
+      |upwc AS (SELECT substr(r, 3) AS b FROM upsl WHERE r LIKE '*.%'),
+      |upxc AS (SELECT substr(r, 2) AS r FROM upsl WHERE r LIKE '!%'),
+      |uhb AS (SELECT doc_id, url, url_canon,
+      |          string_split(regexp_replace(hostport, ':[0-9]+$', ''), '.') AS ls
+      |        FROM ucc),
+      |usm AS (SELECT doc_id, i, n, array_to_string(ls[i:n], '.') AS sfx,
+      |          CASE WHEN i < n THEN array_to_string(ls[i+1:n], '.') END AS tl
+      |        FROM (SELECT doc_id, ls, len(ls) AS n,
+      |                unnest(generate_series(1, len(ls))) AS i FROM uhb)),
+      |urx AS (SELECT usm.doc_id,
+      |          min(CASE WHEN xr.r IS NOT NULL THEN i END) AS exc_i,
+      |          min(CASE WHEN er.r IS NOT NULL OR wr.b IS NOT NULL THEN i END) AS mat_i
+      |        FROM usm
+      |        LEFT JOIN upex er ON usm.sfx = er.r
+      |        LEFT JOIN upwc wr ON usm.tl = wr.b
+      |        LEFT JOIN upxc xr ON usm.sfx = xr.r
+      |        GROUP BY usm.doc_id),
+      |uk AS (SELECT u.doc_id, u.url, u.url_canon,
+      |  array_to_string(u.ls[greatest(coalesce(x.exc_i, coalesce(x.mat_i, u.n) - 1), 1):u.n], '.') AS domain
+      | FROM (SELECT doc_id, url, url_canon, ls, len(ls) AS n FROM uhb) u
+      | JOIN urx x USING (doc_id))""".stripMargin
 
   /** Token/bigram repetition CTEs over `documents` — the DuckDB replay of
     * [[graft.operators.TextAnalysis.repetitionSignals]]'s two
@@ -2199,12 +2228,14 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "event_transitions" ->
       """WITH seq AS (SELECT event_type AS f,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
-        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IS NOT NULL)
         |SELECT f AS from_type, t AS to_type, count(*) AS n FROM seq
         |WHERE t IS NOT NULL GROUP BY f, t
         |ORDER BY from_type, to_type""".stripMargin,
@@ -2902,29 +2933,41 @@ object SparkEntry {
 
     // bit-for-bit replay of the packed-integer funnel-cycles fold:
     // event = ts*8+stepIdx, state = (cycles*8+nextStep)*2^51 + lastTs+1
-    // (2^51 = 2251799813685248); list_reduce over plain BIGINTs
+    // (2^51 = 2251799813685248). The engine raise_errors on
+    // epoch_us >= 2^51 - 1 (lastTs+1 must stay inside the 51-bit
+    // field), so this replay never sees a ts the fold would mis-pack.
+    // Folded via a RECURSIVE CTE, one step per list index, NOT
+    // list_reduce: DuckDB 1.0.0's list_reduce returns wrong results
+    // when a batch holds rows of differing list lengths AND the lambda
+    // sometimes returns the accumulator unchanged (verified: batched
+    // fold diverges from the same query on a single row and from a
+    // by-hand replay of the identical lambda).
     "event_funnel_cycles" ->
-      """WITH se AS (
+      """WITH RECURSIVE se AS (
         |  SELECT user_id, epoch_us(ts) * 8 +
         |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 ELSE 2 END AS e
         |  FROM events
         |  WHERE event_type IN ('click','view','purchase')
         |    AND ts IS NOT NULL AND user_id IS NOT NULL),
-        |f AS (SELECT user_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(list(e))),
-        |    (st, e) -> CASE
-        |      WHEN (e % 8) = ((st // 2251799813685248) % 8)
-        |       AND (e // 8) > (st % 2251799813685248) - 1
-        |      THEN CASE WHEN ((st // 2251799813685248) % 8) + 1 = 3
-        |        THEN (least((st // 2251799813685248) // 8 + 1, 255) * 8)
-        |             * 2251799813685248 + (e // 8) + 1
-        |        ELSE ((st // 2251799813685248) // 8 * 8
-        |              + ((st // 2251799813685248) % 8) + 1)
-        |             * 2251799813685248 + (e // 8) + 1 END
-        |      ELSE st END) AS st
-        |  FROM se GROUP BY user_id)
+        |g AS (SELECT user_id, list_sort(list(e)) AS l FROM se GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, 1 AS i, CAST(0 AS BIGINT) AS st FROM g
+        |  UNION ALL
+        |  SELECT r.user_id, r.i + 1,
+        |    CASE
+        |      WHEN (g.l[r.i] % 8) = ((r.st // 2251799813685248) % 8)
+        |       AND (g.l[r.i] // 8) > (r.st % 2251799813685248) - 1
+        |      THEN CASE WHEN ((r.st // 2251799813685248) % 8) + 1 = 3
+        |        THEN (least((r.st // 2251799813685248) // 8 + 1, 255) * 8)
+        |             * 2251799813685248 + (g.l[r.i] // 8) + 1
+        |        ELSE ((r.st // 2251799813685248) // 8 * 8
+        |              + ((r.st // 2251799813685248) % 8) + 1)
+        |             * 2251799813685248 + (g.l[r.i] // 8) + 1 END
+        |      ELSE r.st END
+        |  FROM r JOIN g USING (user_id) WHERE r.i <= len(g.l))
         |SELECT user_id, CAST(st // 2251799813685248 // 8 AS BIGINT) AS cycles
-        |FROM f ORDER BY user_id""".stripMargin,
+        |FROM r JOIN g USING (user_id) WHERE r.i = len(g.l) + 1
+        |ORDER BY user_id""".stripMargin,
 
     "sample_split_assign" ->
       s"""SELECT doc_id,

@@ -819,8 +819,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
               req.get("cap").asInt()).orderBy("id")
           case "blocklist" =>
             import scala.jdk.CollectionConverters._
+            // orderBy so the wire response is run-stable like the other
+            // modes, not plan-dependent row order
             Url.domainBlocklistFilter(e, urlCol,
               req.get("blocked").elements().asScala.map(_.asText()).toSeq)
+              .orderBy(col(
+                if (req.has("idCol")) req.get("idCol").asText() else urlCol))
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, dfu)

@@ -369,7 +369,8 @@ object Ann {
     * 100 TB, k grows with the corpus (k ≈ √n keeps clusters bounded), so
     * no single task ever sees more than one cluster's pairs. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+                         centroids: Seq[Seq[Double]], threshold: Double,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
     // both sides of the cluster self-join (and the survivors anti-join
     // downstream) read this frame — materialize it once, eagerly, or
     // the k-fused-cosine assignment kernel (k·d FLOPs/row) and the
@@ -377,10 +378,16 @@ object Ann {
     // because the result is returned lazily: the checkpointed blocks
     // live as long as the returned plan references them and are
     // reclaimed by the ContextCleaner when the caller drops it.
-    val assigned = assignClusters(df, vecCol, centroids)
+    val checkpointed = assignClusters(df, vecCol, centroids)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"),
         Distances.norm2(col(vecCol)).as("nrm"))
       .localCheckpoint(true)
+    // mega-cluster guard, same rationale as the banded paths: a
+    // degenerate centroid set (or a mass of zero-norm rows, which all
+    // tie to cluster 0) makes ONE cluster emit O(|cluster|²) pairs that
+    // no AQE split can bound — cap drops such clusters before pairing.
+    // Default Int.MaxValue is the identity: bit-identical plan.
+    val assigned = Dedup.capBuckets(checkpointed, Seq("cluster"), maxBucket)
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
@@ -422,11 +429,16 @@ object Ann {
     * O(|cell|), not O(|corpus|); stream-static safe under `foreachBatch`
     * like the banded variants. */
   def semanticNearDupAgainstCorpus(incoming: DataFrame, idCol: String, vecCol: String,
-                                   idx: SemanticCorpusIndex, threshold: Double): DataFrame = {
+                                   idx: SemanticCorpusIndex, threshold: Double,
+                                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val in = assignClusters(incoming, vecCol, idx.centroids)
       .select(col("cluster"), col(idCol).as("in_id"), col(vecCol).as("v_i"),
         Distances.norm2(col(vecCol)).as("n_i"))
-    in.join(idx.assigned, Seq("cluster"))
+    // cap degenerate corpus CELLS (same guard as semanticDedupPairs):
+    // every incoming row assigned to an over-cap cell would otherwise
+    // compare against the whole cell; identity at the default
+    in.join(Dedup.capBuckets(idx.assigned, Seq("cluster"), maxBucket),
+        Seq("cluster"))
       .withColumn("cos_sim",
         when(col("n_i") < 1e-5 || col("n_c") < 1e-5, lit(0.0))
           .otherwise(Distances.dot(col("v_i"), col("v_c")) / (col("n_i") * col("n_c"))))
@@ -440,8 +452,10 @@ object Ann {
     * reproducible by any engine — and at scale it is one left-anti join
     * of ids against the (tiny) dropped-id set. */
   def semanticDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
-                             centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val dropped = semanticDedupPairs(df, idCol, vecCol, centroids, threshold)
+                             centroids: Seq[Seq[Double]], threshold: Double,
+                             maxBucket: Int = Int.MaxValue): DataFrame = {
+    val dropped = semanticDedupPairs(df, idCol, vecCol, centroids, threshold,
+      maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

@@ -109,7 +109,11 @@ object EventAnalytics {
         case (acc, (s, i)) => acc.when(col(typeCol) === s, lit(i.toLong))
       }
     val t = unix_micros(col(tsCol).cast("timestamp"))
-    val packed = when(t >= 0L && t < tsLimit, t * 8L + idxCol)
+    // upper bound is tsLimit-1, NOT tsLimit: a step match stores
+    // lastTs+1 in the low 51 bits, so t = 2^51-1 would store 2^51 and
+    // carry into the nextStep field (lastTs decodes as -1) — the guard
+    // must exclude the last representable microsecond too
+    val packed = when(t >= 0L && t < tsLimit - 1L, t * 8L + idxCol)
       .otherwise(raise_error(concat(
         lit("funnelCycles event time outside [1970, 2041) micros: "),
         col(tsCol).cast("string"))))
@@ -154,7 +158,12 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     events
-      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      // a null type is not a state: dropping it here (not post-lead)
+      // makes transitions skip over it, identically in any engine —
+      // and keeps from_type never-null so result ordering is
+      // NULLS-placement-independent
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull &&
+        col(typeCol).isNotNull)
       .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .where(col("__next").isNotNull)

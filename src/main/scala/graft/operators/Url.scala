@@ -27,9 +27,10 @@ object Url {
   val TrackingParamRe: String =
     "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)="
 
-  /** Two-level public suffixes recognized by [[registrableDomain]] —
-    * the high-traffic entries of the public-suffix list; unknown
-    * suffixes fall back to the last two labels. */
+  /** Two-level public suffixes of the pre-PSL approximation — kept
+    * only as the load-failure fallback inside
+    * [[graft.functions.RegistrableDomainExpr]]; [[registrableDomain]]
+    * now resolves against the full vendored Mozilla PSL. */
   val TwoLevelSuffixRe: String =
     "\\.(co|com|net|org|ac|gov|or|edu|gen|ne)\\.(uk|au|jp|br|in|nz|za|kr|mx|id)$"
 
@@ -72,21 +73,16 @@ object Url {
       when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
   }
 
-  /** Approximate eTLD+1: the last two host labels, or the last THREE
-    * when the host ends in a known two-level public suffix
-    * ([[TwoLevelSuffixRe]]), so `news.example.co.uk` and
-    * `blog.example.co.uk` both map to `example.co.uk`. Exact
-    * public-suffix resolution needs the full Mozilla list; the common
-    * entries here cover the bulk of a web crawl and the fallback is
-    * never unsafe for CAPPING (it can only split one party into more
-    * domains, not merge two parties into one). */
-  def registrableDomain(hostCol: Column): Column = {
-    val labels = split(hostCol, "\\.")
-    val n = size(labels)
-    val take3 = hostCol.rlike(TwoLevelSuffixRe) && n >= 3
-    val start = greatest(n - when(take3, lit(2)).otherwise(lit(1)), lit(1))
-    concat_ws(".", slice(labels, start, lit(3)))
-  }
+  /** Exact eTLD+1 under the full Mozilla Public Suffix List (vendored,
+    * ~14k rules): `news.example.co.uk` → `example.co.uk`,
+    * `shop.example.com.cn` → `example.com.cn`, `user.github.io` →
+    * `user.github.io` (each GitHub Pages tenant is its own party).
+    * Codegen'd O(#labels) hash probes per row — the URL-hygiene
+    * pipeline stays a zero-shuffle scan; see
+    * [[graft.functions.RegistrableDomainExpr]] for the algorithm and
+    * the is-itself-a-suffix convention. */
+  def registrableDomain(hostCol: Column): Column =
+    graft.functions.PublicSuffix.registrableDomain(hostCol)
 
   /** URL-level exact dedup after canonicalization: one row per
     * canonical URL with the group size and the smallest id as survivor.

@@ -239,7 +239,9 @@ object EventStream {
         var step = st.step
         var lastTs = st.lastTs
         val out = Seq.newBuilder[FunnelAdvance]
-        ready.sorted.foreach { case (t, y) =>
+        // tie-break same-timestamp events by FUNNEL position, not type
+        // name, matching the batch fold's (ts, stepIdx) packed order
+        ready.sortBy { case (t, y) => (t, stepIdx(y)) }.foreach { case (t, y) =>
           if (step < steps.size && y == steps(step) && t > lastTs) {
             step += 1; lastTs = t
             out += FunnelAdvance(user, step, new java.sql.Timestamp(t))
@@ -294,7 +296,8 @@ object EventStream {
         var lastTs = st.lastTs
         var cycles = st.cycles
         val out = Seq.newBuilder[CycleComplete]
-        ready.sorted.foreach { case (t, y) =>
+        // same (ts, stepIdx) tie order as the batch packed fold
+        ready.sortBy { case (t, y) => (t, stepIdx(y)) }.foreach { case (t, y) =>
           if (y == steps(step) && t > lastTs) {
             lastTs = t
             if (step + 1 == steps.size) {

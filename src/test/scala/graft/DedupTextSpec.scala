@@ -909,6 +909,44 @@ class DedupTextSpec extends SparkSpec {
       Set(0L, 2L, 3L, 4L)
   }
 
+  test("semantic dedup: mega-cluster cap drops degenerate clusters only") {
+    val c0 = Seq.fill(16)(1.0); val c1 = Seq.fill(16)(-1.0)
+    // cluster 0 degenerate: 4 near-identical members; cluster 1 has a
+    // single clean dup pair that must survive the cap
+    val rows = Seq(
+      (0L, Seq.fill(16)(1.0f)), (1L, Seq.fill(15)(1.0f) :+ 0.99f),
+      (2L, Seq.fill(15)(1.0f) :+ 0.98f), (3L, Seq.fill(15)(1.0f) :+ 0.97f),
+      (10L, Seq.fill(16)(-1.0f)), (11L, Seq.fill(15)(-1.0f) :+ -0.99f)
+    ).toDF("vec_id", "embedding")
+    val capped = Ann.semanticDedupPairs(rows, "vec_id", "embedding",
+        Seq(c0, c1), 0.99, maxBucket = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    capped shouldBe Set((10L, 11L)) // cluster-0's 4 members exceed the cap
+    // survivors under the cap keep every member of the dropped cluster
+    Ann.semanticDedupSurvivors(rows, "vec_id", "embedding", Seq(c0, c1),
+        0.99, maxBucket = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(0L, 1L, 2L, 3L, 10L)
+    // the uncapped default is bit-identical to an explicit no-op cap
+    val dflt = Ann.semanticDedupPairs(rows, "vec_id", "embedding",
+      Seq(c0, c1), 0.99).collect().map(_.toString).sorted
+    val nocap = Ann.semanticDedupPairs(rows, "vec_id", "embedding",
+      Seq(c0, c1), 0.99, maxBucket = Int.MaxValue).collect()
+      .map(_.toString).sorted
+    dflt shouldBe nocap
+    // corpus admission: incoming rows landing in an over-cap corpus
+    // cell are not compared (cell dropped); the clean cell still flags
+    val idx = Ann.indexCorpusSemantic(rows, "vec_id", "embedding", Seq(c0, c1))
+    try {
+      val in = Seq((100L, Seq.fill(16)(1.0f)), (101L, Seq.fill(16)(-1.0f)))
+        .toDF("vec_id", "embedding")
+      val flagged = Ann.semanticNearDupAgainstCorpus(in, "vec_id", "embedding",
+          idx, 0.99, maxBucket = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      flagged shouldBe Set((101L, 10L), (101L, 11L))
+    } finally idx.release()
+  }
+
   test("connectedComponents: min-label clustering over a near-dup pair graph") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (5L, 4L))
       .toDF("id_a", "id_b")

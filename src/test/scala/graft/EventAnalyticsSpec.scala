@@ -196,6 +196,17 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.funnelCycles(ev, Seq("click", "view")).collect()
     }
     ex.getMessage should include("funnelCycles event time outside")
+    // upper boundary: t = 2^51 - 1 micros would store lastTs+1 = 2^51
+    // on a step match, carrying into the nextStep bit field — must
+    // raise too, not silently corrupt the state machine
+    val maxT = new java.sql.Timestamp(2251799813L * 1000L)
+    maxT.setNanos(685247000) // epoch micros = 2^51 - 1
+    val evHi = Seq((1L, maxT, 1L, "click"), (2L, ts(2), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val exHi = intercept[Exception] {
+      EventAnalytics.funnelCycles(evHi, Seq("click", "view")).collect()
+    }
+    exHi.getMessage should include("funnelCycles event time outside")
     an[IllegalArgumentException] should be thrownBy
       EventAnalytics.funnelCycles(ev, (1 to 9).map("s" + _))
     an[IllegalArgumentException] should be thrownBy

@@ -45,6 +45,30 @@ class UrlSpec extends SparkSpec {
       "example.co.uk", "localhost", "site.org")
   }
 
+  test("registrableDomain: full PSL — multi-level ccTLDs, private suffixes") {
+    val cases = Seq(
+      "shop.example.com.cn" -> "example.com.cn",
+      "a.b.example.com.tr" -> "example.com.tr",
+      "docs.portal.co.il" -> "portal.co.il",
+      // private-section rule: every GitHub Pages tenant is its own party
+      "user1.github.io" -> "user1.github.io",
+      "pages.user2.github.io" -> "user2.github.io",
+      // *.ck wildcard: 'foo.ck' is itself a public suffix
+      "a.b.cdn.foo.ck" -> "cdn.foo.ck",
+      // !www.ck exception: www.ck IS registrable despite *.ck
+      "www.ck" -> "www.ck",
+      "sub.www.ck" -> "www.ck",
+      // host that IS a public suffix -> returned unchanged (never null)
+      "co.uk" -> "co.uk",
+      "github.io" -> "github.io",
+      // no PSL rule at all -> last two labels
+      "a.b.internal-zone" -> "b.internal-zone")
+    val got = cases.map(_._1)
+      .toDF("h").select(Url.registrableDomain(col("h"))).collect()
+      .map(_.getString(0)).toSeq
+    got shouldBe cases.map(_._2)
+  }
+
   test("dedupByCanonicalUrl: tracking variants collapse; survivor = min id") {
     val df = Seq(
       (1L, "https://Example.com/x?id=1&utm_source=a"),
