@@ -49,6 +49,30 @@ class SQIndex(val codes: DataFrame, // (id, codes array<int>)
       .limit(k * timesK)
       .select(col(idCol))
   }
+
+  /** Batched candidates in ONE codes scan: all Q ADC tables ride as
+    * codegen kernel columns over the same relation pass, and a per-qid
+    * [[graft.functions.BoundedTopK]] keeps ≤ k·timesK pairs map-side —
+    * a single candidate-phase exchange of O(partitions·Q·k·timesK)
+    * rows, vs Q sequential scans through the per-query path. The heap's
+    * (distance, id) order is the same total order as the single-query
+    * `orderBy(adc, id).limit`, so per query the candidate set is
+    * bit-identical to Q [[candidates]] calls. */
+  override def candidatesBatch(qs: Seq[Seq[Double]], k: Int,
+                               timesK: Int): DataFrame = {
+    require(qs.nonEmpty, "at least one query vector required")
+    val adcCols = qs.zipWithIndex.map { case (q, i) =>
+      Bridge.column(PQAdcExpr(Bridge.expression(col("codes")),
+        SQIndex.adcTable(mins, scales, q.toArray))).as(s"__adc$i") }
+    codes.select(col(idCol) +: adcCols: _*)
+      .select(col(idCol), posexplode(array(
+        qs.indices.map(i => col(s"__adc$i")): _*)).as(Seq("qid", "__adc")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topk(col("__adc"), col(idCol),
+        k * timesK).as("tops"))
+      .select(col("qid"), explode(col("tops")).as("t"))
+      .select(col("qid"), col("t.id").as(idCol))
+  }
 }
 
 object SQIndex {

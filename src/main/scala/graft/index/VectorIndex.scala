@@ -43,6 +43,20 @@ trait VectorIndex {
   /** Candidate rows `(id)` for the query vector — no exact distances. */
   def candidates(q: Seq[Double], k: Int, timesK: Int = VectorIndex.TimesK): DataFrame
 
+  /** Candidate rows `(qid, id)` for a BATCH of query vectors, `qid` =
+    * position in `qs`. Default: per-query [[candidates]] scans unioned —
+    * correct everywhere, but Q separate jobs over the index relation.
+    * Structures whose scan is a single relation pass (SQ codes) override
+    * with ONE scan carrying all Q kernels, so a multi-vector query
+    * (MaxSim's token batch) costs one job, not Q. */
+  def candidatesBatch(qs: Seq[Seq[Double]], k: Int,
+                      timesK: Int = VectorIndex.TimesK): DataFrame = {
+    require(qs.nonEmpty, "at least one query vector required")
+    qs.zipWithIndex.map { case (q, i) =>
+      candidates(q, k, timesK).select(lit(i).as("qid"), col(idCol))
+    }.reduce(_ unionByName _)
+  }
+
   /** Weighted-query candidates — only meaningful when
     * [[conformsToWeighted]] holds. */
   def candidatesW(q: Seq[Double], weights: Seq[Double], k: Int,

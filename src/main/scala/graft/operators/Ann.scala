@@ -490,11 +490,14 @@ object Ann {
                         queries: Seq[Seq[Double]], k: Int,
                         timesK: Int = 10): DataFrame = {
     require(queries.nonEmpty, "at least one query vector required")
-    val candChunks = queries.map { q =>
+    // ONE batched candidate pass: all Q query vectors ride the same
+    // index-relation scan (SQ codes override), not Q sequential jobs
+    val qn = queries.map { q =>
       val n = math.sqrt(q.map(x => x * x).sum)
-      val qn = if (n > 1e-12) q.map(_ / n) else q
-      idx.candidates(qn, k, timesK).select(col(idCol))
-    }.reduce(_ unionByName _).distinct()
+      if (n > 1e-12) q.map(_ / n) else q
+    }
+    val candChunks = idx.candidatesBatch(qn, k, timesK)
+      .select(col(idCol)).distinct()
     val candDocs = chunks
       .join(candChunks, Seq(idCol), "left_semi")
       .select(col(docCol)).distinct()

@@ -177,17 +177,31 @@ object Sampling {
     (epochs.values.toSeq :+ defaultEpochs).foreach(e =>
       require(e >= 0.0 && e <= 1000.0, s"epochs out of range: $e"))
     require(!df.columns.contains("ap_epoch"), "ap_epoch is reserved")
-    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
-      case (acc, (dom, v)) => when(col(domainCol) === dom, lit(v)).otherwise(acc)
-    }
+    // per-domain epochs ride as a BROADCAST-JOINED table, not a
+    // when-literal chain: a web-scale mixture has 10^7–10^8 domains,
+    // which no literal fold fits in a plan; the joined table is
+    // #configured-domains rows shipped once per executor. Equality
+    // join (not null-safe) keeps the old fold's semantics: a null
+    // domain takes defaultEpochs.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withE =
+      if (epochs.isEmpty) df.withColumn("__graft_epochs", lit(defaultEpochs))
+      else df.join(
+          broadcast(epochs.toSeq.toDF("__graft_epoch_dom", "__graft_epochs_t")),
+          col(domainCol) === col("__graft_epoch_dom"), "left")
+        .withColumn("__graft_epochs",
+          coalesce(col("__graft_epochs_t"), lit(defaultEpochs)))
+    val e = col("__graft_epochs")
     val cut = round((e - floor(e)) * 10000).cast("int")
     val extra = when(pmod(keyHash(col(keyCol)), lit(10000)) < cut, 1L).otherwise(0L)
     val copies = floor(e).cast("long") + extra
     // sequence(1, 0) would infer a NEGATIVE step — guard to an empty
     // array so zero-copy rows drop out through the explode
-    df.withColumn("ap_epoch",
-      explode(when(copies >= 1L, sequence(lit(1L), copies))
-        .otherwise(array().cast("array<bigint>"))))
+    withE.withColumn("ap_epoch",
+        explode(when(copies >= 1L, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(df.columns.map(col).toSeq :+ col("ap_epoch"): _*)
   }
 
   /** Square-root temperature resampling (the α = 0.5 point of the
@@ -205,44 +219,60 @@ object Sampling {
     * float `pow(n, α)` would differ across libm implementations in the
     * last ulp and flip hash-gate comparisons.
     *
-    * Scale shape: one small groupBy-count (#domains rows) collected to
-    * the driver — the same bounded-leader-table pattern as the index
-    * builders — then a pure codegen per-row explode, zero further
-    * shuffle. Overflow-guarded via BigInt: factors must fit per-10000
-    * in a Long (holds for any corpus under ~10⁹ rows per call; shard
-    * the call above that). */
+    * Scale shape: the per-domain factor table never leaves the
+    * cluster — one groupBy-count (#domains rows, a DataFrame), factor
+    * arithmetic in exact DECIMAL(38,0) on those rows, then a
+    * null-safe BROADCAST join back onto the corpus and a pure codegen
+    * per-row explode. Only the 1-row (Σ√n, N) total ever reaches the
+    * driver, so 10⁷–10⁸ registrable domains cost a small broadcast,
+    * not a plan-sized literal map. The decimal floor-division
+    * `(a − a mod b)/b` reproduces the BigInt math bit-for-bit
+    * (a ≤ √n·N·10⁴ < 10³⁸ for any per-call corpus under the
+    * documented ~10⁹-row bound). */
   def sqrtTemperatureMix(df: DataFrame, domainCol: String,
                          keyCol: String): DataFrame = {
     require(!df.columns.contains("ap_epoch"), "ap_epoch is reserved")
-    val counts = df.groupBy(col(domainCol)).count()
-      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
-      .toSeq.sortBy(c => Option(c._1).getOrElse(""))
-    require(counts.nonEmpty, "temperature mix over an empty frame")
-    val sd = counts.map { case (dom, n) =>
-      dom -> math.floor(math.sqrt(n.toDouble * 1000000.0)).toLong }.toMap
-    val ssum = BigInt(sd.values.sum)
-    val ntot = BigInt(counts.map(_._2).sum)
-    val f10k = counts.map { case (dom, n) =>
-      val f = BigInt(sd(dom)) * ntot * 10000 / (ssum * BigInt(n))
-      // sqrt-temperature factors are unbounded under extreme skew (a
-      // 1-doc domain in an N-doc corpus repeats ~sqrt(N)/sqrt-share
-      // times); 100 000 copies covers any sane mixture — past it the
-      // caller should shard or floor tiny domains, not explode rows
-      require(f.isValidLong && f < 10000L * 100001L,
-        s"temperature factor for domain '$dom' exceeds 100000 copies ($f/10000) — " +
-          "extreme domain skew; pre-filter or shard tiny domains")
-      dom -> f.toLong
-    }
-    val fCol = f10k.foldLeft(lit(0L)) { case (acc, (dom, f)) =>
-      if (dom == null) when(col(domainCol).isNull, lit(f)).otherwise(acc)
-      else when(col(domainCol) === dom, lit(f)).otherwise(acc)
-    }
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(domainCol).as("__graft_mix_dom"))
+      .agg(count(lit(1)).as("__graft_mix_n"))
+      .withColumn("__graft_mix_sd",
+        // milli-precision integer sqrt: exact while n·10⁶ < 2⁵³ and
+        // sqrt is correctly rounded — same as the driver-side
+        // math.sqrt this replaces, and as the oracle's SQL replay
+        floor(sqrt((col("__graft_mix_n") * lit(1000000L)).cast("double")))
+          .cast(dec))
+    val tot = counts.agg(
+      sum(col("__graft_mix_sd")).cast(dec).as("ssum"),
+      sum(col("__graft_mix_n")).cast(dec).as("ntot")).head()
+    require(!tot.isNullAt(0), "temperature mix over an empty frame")
+    val (ssum, ntot) = (tot.getDecimal(0), tot.getDecimal(1))
+    val num = col("__graft_mix_sd") * lit(ntot) * lit(10000L)
+    val den = lit(ssum) * col("__graft_mix_n").cast(dec)
+    // exact floor division: subtract the remainder first; the decimal
+    // quotient is then an exact integer and the long cast is lossless
+    val f = ((num - num % den) / den).cast("long")
+    // sqrt-temperature factors are unbounded under extreme skew (a
+    // 1-doc domain in an N-doc corpus repeats ~sqrt(N)/sqrt-share
+    // times); 100 000 copies covers any sane mixture — past it the
+    // caller should shard or floor tiny domains, not explode rows
+    val factors = counts.select(col("__graft_mix_dom"),
+      when(f < 10000L * 100001L, f).otherwise(raise_error(concat(
+        lit("temperature factor for domain '"),
+        coalesce(col("__graft_mix_dom").cast("string"), lit("NULL")),
+        lit("' exceeds 100000 copies — extreme domain skew; "),
+        lit("pre-filter or shard tiny domains")))).as("__graft_mix_f"))
+    // null-safe equality: the old literal fold matched a NULL domain
+    // explicitly, and every domain (incl. NULL) exists in the factor
+    // table by construction, so the join is effectively inner
+    val fCol = col("__graft_mix_f")
     val extra = when(pmod(keyHash(col(keyCol)), lit(10000)) < fCol % 10000L, 1L)
       .otherwise(0L)
     val copies = (fCol / 10000L).cast("long") + extra
-    df.withColumn("ap_epoch",
-      explode(when(copies >= 1L, sequence(lit(1L), copies))
-        .otherwise(array().cast("array<bigint>"))))
+    df.join(broadcast(factors), col(domainCol) <=> col("__graft_mix_dom"))
+      .withColumn("ap_epoch",
+        explode(when(copies >= 1L, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(df.columns.map(col).toSeq :+ col("ap_epoch"): _*)
   }
 
   /** Token-budget sampling: keep the highest-priority documents of each
@@ -275,10 +305,21 @@ object Sampling {
       Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(taken).next()
     val tok = fresh("tok")
     val cum = fresh("cum")
-    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
-      case (acc, (domain, b)) =>
-        when(col(domainCol) === domain, lit(b)).otherwise(acc)
-    }
+    // budgets ride as a broadcast-joined table (same reasoning as
+    // epochMix/sqrtTemperatureMix): a per-domain literal chain caps
+    // out long before the 10^7-domain corpora this targets. Equality
+    // join keeps the old fold's semantics (null domain → default).
+    val bdom = fresh("bdom")
+    val bvalT = fresh("bvalt")
+    val bval = fresh("bval")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withBudget =
+      if (budgets.isEmpty) df.withColumn(bval, lit(defaultBudget))
+      else df.join(broadcast(budgets.toSeq.toDF(bdom, bvalT)),
+          col(domainCol) === col(bdom), "left")
+        .withColumn(bval, coalesce(col(bvalT), lit(defaultBudget)))
+    val budget = col(bval)
     val order = priority match {
       case Some(p) => Window.partitionBy(col(domainCol))
         .orderBy(p.desc, col(idCol).asc)
@@ -288,7 +329,7 @@ object Sampling {
     // the row from the corpus; fail loudly instead (mirrors longIdOrFail)
     // so a bad token column is an operator-level error, not data loss.
     val casted = tokens.cast("long")
-    df.withColumn(tok, when(casted.isNull,
+    withBudget.withColumn(tok, when(casted.isNull,
         raise_error(concat(
           lit("tokenBudgetSample: token count is NULL or not castable to long for "),
           lit(s"$idCol="), col(idCol).cast("string"),
@@ -297,7 +338,7 @@ object Sampling {
       .withColumn(cum, sum(col(tok)).over(
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col(cum) - col(tok) < budget)
-      .drop(tok, cum)
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   def stratifiedSampleBy(df: DataFrame, strataCol: String, keyCol: String,

@@ -106,6 +106,26 @@ class IndexSpec extends SparkSpec {
     indexed shouldBe brute
   }
 
+  test("SQ batched candidates (one scan) equal Q sequential candidate scans") {
+    val idx = SQIndex.build(data, "tid", "vectorfield")
+    val qs = (0 until 3).map(i => queryVec.map(_ + i * 0.05))
+    val batched = idx.candidatesBatch(qs, k = 10, timesK = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val sequential = qs.zipWithIndex.map { case (q, i) =>
+      i -> idx.candidates(q, 10, 4).collect().map(_.getLong(0)).toSet }.toMap
+    batched shouldBe sequential
+    // the default (union-of-scans) trait implementation agrees too
+    val viaDefault = new graft.index.VectorIndex {
+      def indexType = "sq"; def idCol = idx.idCol; def isExact = false
+      def candidates(q: Seq[Double], k: Int, timesK: Int) =
+        idx.candidates(q, k, timesK)
+    }.candidatesBatch(qs, 10, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    viaDefault shouldBe sequential
+  }
+
   test("conformsTo agrees across every alias spelling, family-wide") {
     val family: Seq[VectorIndex] = Seq(
       VAIndex.buildFixed(data, "tid", "vectorfield", p = 2.0),

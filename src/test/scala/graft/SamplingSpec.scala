@@ -418,6 +418,27 @@ class SamplingSpec extends SparkSpec {
     msgs should include("id=2")
   }
 
+  test("mixture factor tables scale to 10^5 domains (broadcast, not literals)") {
+    // one row per domain: the factor/budget tables are 10^5 rows —
+    // a when-literal plan would not even analyze at this width; the
+    // broadcast-join formulation must run (and stay exact)
+    val n = 100000
+    val df = spark.range(n).selectExpr("concat('d', id) AS dom", "id AS key",
+      "10 AS tok")
+    // uniform counts → every temperature factor is exactly 1.0 epoch
+    val mix = Sampling.sqrtTemperatureMix(df, "dom", "key")
+    mix.count() shouldBe n.toLong
+    mix.agg(max("ap_epoch"), min("ap_epoch")).head() shouldBe Row(1L, 1L)
+    // 10^5-entry budget map: even domains budget 0 (dropped), odd keep
+    val budgets = (0 until n)
+      .map(i => s"d$i" -> (if (i % 2 == 0) 0L else 100L)).toMap
+    Sampling.tokenBudgetSample(df, "dom", "key", col("tok"), budgets, 100L)
+      .count() shouldBe (n / 2).toLong
+    // 10^5-entry epoch map: every row doubled
+    val epochs = (0 until n).map(i => s"d$i" -> 2.0).toMap
+    Sampling.epochMix(df, "dom", "key", epochs).count() shouldBe 2L * n
+  }
+
   test("splitAssign: every row labeled, proportions near fractions") {
     val df = (1 to 2000).map(i => s"doc $i").toDF("k")
     val out = Sampling.splitAssign(df, "k",
