@@ -2,186 +2,211 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-shape diagnostic: prints the formatted physical plan of headline
-  * queries and asserts the scale-critical shapes (pushed filters,
-  * TakeOrderedAndProject for top-k, broadcast for small dims). Run:
-  * `sbt "runMain graft.Plans /root/testdata/sf0.001"`. */
+/** Plan-shape audit: asserts the scale-critical physical-plan shapes
+  * (pushed filters, TakeOrderedAndProject for top-k, broadcast for
+  * small dims, no NLJ on the binned joins, zero-shuffle per-row
+  * kernels, z-order file stats). Two consumers:
+  *
+  *  - `sbt "runMain graft.Plans <sfDir>"` — prints `[plan-ok]` /
+  *    `[plan-MISS]` with the offending plan and exits non-zero on any
+  *    miss (the interactive diagnostic).
+  *  - The `plan_shapes` entry in [[SparkEntry.queries]] — runs the
+  *    same [[Plans.audit]] and returns `(check_name, ok)` rows checked
+  *    against an all-true oracle, so a silently re-planned shape
+  *    (Catalyst upgrade, accidental operator change) fails the
+  *    driver's CORRECTNESS gate, not just the test suite.
+  */
 object Plans {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = graft.core.GraftSession.builder("local[4]", 4).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
-    val checks: Seq[(String, String, Seq[String])] = Seq(
-      ("knn_manhattan", "TakeOrderedAndProject", Seq("TakeOrderedAndProject")),
-      ("projection_filter", "PushedFilters reach parquet", Seq("PushedFilters: [", "GreaterThan(l_quantity")),
-      ("q1_agg", "partial aggregation before shuffle", Seq("partial_sum", "HashAggregate")),
-      ("set_intersect", "semi join (broadcast-able)", Seq("LeftSemi")),
-      ("compound_setalgebra", "recursive tree plans as chained semi/anti joins",
-        Seq("LeftSemi", "LeftAnti")),
-      ("knn_rerank_half", "rerank candidates via semi join", Seq("LeftSemi")),
-      ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")),
-      ("q3_shipping", "small dimension broadcast into fact join", Seq("BroadcastHashJoin")),
-      ("ann_batch_topk", "map-side partial bounded top-k, no qid window funnel",
-        Seq("ObjectHashAggregate", "partial_bounded_topk")),
-      ("ann_ivf_topk", "IVF candidates aggregated map-side",
-        Seq("ObjectHashAggregate", "partial_bounded_topk")),
-      ("text_bm25", "posting partial aggregation + broadcast term stats",
-        Seq("partial_count", "BroadcastHashJoin")),
-      ("knn_sparse", "sparse kernel scans the struct directly (no densify)",
-        Seq("sparse_euclidean", "TakeOrderedAndProject")),
-      // the filter must appear INSIDE the brackets — an empty
-      // "PartitionFilters: []" plus a post-scan filter would otherwise
-      // match both markers and hide a pruning regression
-      ("partition_pruned_scan", "entity key-skip reaches the scan as partition pruning",
-        Seq("PartitionFilters: [ap_partition")),
-      ("repetition_signals_perrow", "per-row kernel stays in the scan stage",
-        Seq("repetition_stats")),
-      ("kv_point_lookup", "KV lookup prunes to bucket dirs + pushes the key filter",
-        Seq("PartitionFilters: [__kv_bucket", "PushedFilters: [", "In(p_partkey")),
-      ("corpus_contamination", "benchmark postings broadcast; corpus side never shuffles",
-        Seq("BroadcastHashJoin")),
-      ("pack_chunk_rows", "chunk rows stay on the one shard-keyed window shuffle",
-        Seq("Window", "Generate explode")),
-      ("repeated_chunks", "start offsets explode before window hashing; one groupBy",
-        Seq("Generate explode", "md5", "HashAggregate")),
-      // the assignment (sort_array centroid kernel) is materialized ONCE
-      // via localCheckpoint — both self-join sides must read the
-      // checkpointed RDD, never recompute the k-kernel projection
-      ("semantic_dedup", "checkpointed assignment feeds both pair-join sides (no recompute)",
-        Seq("Scan ExistingRDD")),
-      ("corpus_mix_report", "map-side partial aggregation on (source, lang)",
-        Seq("partial_count", "HashAggregate")),
-      ("unigram_logppl", "token-keyed partial counts; scalar total broadcast",
-        Seq("partial_count", "BroadcastNestedLoopJoin")),
-      ("knn_doc_lookup", "top-k bounds BEFORE the metadata join; doc side broadcast",
-        Seq("TakeOrderedAndProject", "BroadcastHashJoin")),
-      ("hash_features", "bucket counts partial-aggregate before the id shuffle",
-        Seq("partial_count", "HashAggregate")),
-      ("zorder_pruned_scan", "partkey range filter pushed to the z-ordered scan",
-        Seq("PushedFilters: [", "GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey")),
-      ("neardup_keep_best", "per-component priority window + anti-join of pairs-scale losers",
-        Seq("Window", "LeftAnti")),
-      // the vector leg's RANKING must scan the SQ8 byte-codes relation
-      // (pq_adc kernel), with the raw embedding table only reached
-      // through the candidate-bounded semi-join rerank
-      ("hybrid_search_rrf", "TakeOrdered-bounded fusion; vector leg ranks over index codes",
-        Seq("TakeOrderedAndProject", "FullOuter", "pq_adc", "LeftSemi")),
-      ("event_funnel", "funnel folds per-user sorted collect in one aggregation; " +
-        "non-step events nulled out map-side, below the exchange",
-        Seq("collect_list", "ObjectHashAggregate", "IN (click,view,purchase)")),
-      ("text_index_bm25", "index-served BM25: postings read is bucket-PARTITION-pruned",
-        Seq("PartitionFilters: [", "ap_bucket")),
-      ("strip_repeated_chunks", "dup-hash relation joins back; rewrite is an array filter",
-        Seq("Generate explode", "md5", "filter")),
-      // --- round-16 shapes ---
-      ("text_nfc_normalize", "NFC kernel stays in the scan stage",
-        Seq("nfc_normalize")),
-      ("url_blocklist_filter", "blocklist is a broadcast anti-join",
-        Seq("BroadcastHashJoin", "LeftAnti")),
-      ("ann_binary_topk", "Hamming phase is a map-side bounded top-k over popcount",
-        Seq("ObjectHashAggregate", "partial_bounded_topk", "bit_count")),
-      ("cdc_chunks", "CDC bounds kernel in the scan; chunks explode in-row",
-        Seq("cdc_bounds", "Generate explode")),
-      ("event_funnel_cycles", "packed fold in one aggregation; step pre-filter below the exchange",
-        Seq("collect_list", "ObjectHashAggregate", "IN (click,view,purchase)")),
-      ("quality_adaptive_length", "quantile bands broadcast back onto the scan",
-        Seq("BroadcastHashJoin", "percentile")),
-      ("url_domain_cap", "per-domain cap is one keyed window",
-        Seq("Window")),
-      ("bigram_logppl", "multiplicities aggregate map-side; scalar total broadcast",
-        Seq("partial_count", "partial_sum", "BroadcastNestedLoopJoin")),
-      ("index_bsq_knn", "sign-code scan bounds candidates before the rerank semi-join",
-        Seq("TakeOrderedAndProject", "LeftSemi", "bit_count")),
-      ("contamination_rate_report", "benchmark postings broadcast; rollup partial-aggregates",
-        Seq("BroadcastHashJoin", "partial_count")))
+  /** Marker-based checks: query name → (what, markers that must all
+    * appear in the executed plan). */
+  private val markerChecks: Seq[(String, String, Seq[String])] = Seq(
+    ("knn_manhattan", "TakeOrderedAndProject", Seq("TakeOrderedAndProject")),
+    ("projection_filter", "PushedFilters reach parquet", Seq("PushedFilters: [", "GreaterThan(l_quantity")),
+    ("q1_agg", "partial aggregation before shuffle", Seq("partial_sum", "HashAggregate")),
+    ("set_intersect", "semi join (broadcast-able)", Seq("LeftSemi")),
+    ("compound_setalgebra", "recursive tree plans as chained semi/anti joins",
+      Seq("LeftSemi", "LeftAnti")),
+    ("knn_rerank_half", "rerank candidates via semi join", Seq("LeftSemi")),
+    ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")),
+    ("q3_shipping", "small dimension broadcast into fact join", Seq("BroadcastHashJoin")),
+    ("ann_batch_topk", "map-side partial bounded top-k, no qid window funnel",
+      Seq("ObjectHashAggregate", "partial_bounded_topk")),
+    ("ann_ivf_topk", "IVF candidates aggregated map-side",
+      Seq("ObjectHashAggregate", "partial_bounded_topk")),
+    ("text_bm25", "posting partial aggregation + broadcast term stats",
+      Seq("partial_count", "BroadcastHashJoin")),
+    ("knn_sparse", "sparse kernel scans the struct directly (no densify)",
+      Seq("sparse_euclidean", "TakeOrderedAndProject")),
+    // the filter must appear INSIDE the brackets — an empty
+    // "PartitionFilters: []" plus a post-scan filter would otherwise
+    // match both markers and hide a pruning regression
+    ("partition_pruned_scan", "entity key-skip reaches the scan as partition pruning",
+      Seq("PartitionFilters: [ap_partition")),
+    ("repetition_signals_perrow", "per-row kernel stays in the scan stage",
+      Seq("repetition_stats")),
+    ("kv_point_lookup", "KV lookup prunes to bucket dirs + pushes the key filter",
+      Seq("PartitionFilters: [__kv_bucket", "PushedFilters: [", "In(p_partkey")),
+    ("corpus_contamination", "benchmark postings broadcast; corpus side never shuffles",
+      Seq("BroadcastHashJoin")),
+    ("pack_chunk_rows", "chunk rows stay on the one shard-keyed window shuffle",
+      Seq("Window", "Generate explode")),
+    ("repeated_chunks", "start offsets explode before window hashing; one groupBy",
+      Seq("Generate explode", "md5", "HashAggregate")),
+    // the assignment (sort_array centroid kernel) is materialized ONCE
+    // via localCheckpoint — both self-join sides must read the
+    // checkpointed RDD, never recompute the k-kernel projection
+    ("semantic_dedup", "checkpointed assignment feeds both pair-join sides (no recompute)",
+      Seq("Scan ExistingRDD")),
+    ("corpus_mix_report", "map-side partial aggregation on (source, lang)",
+      Seq("partial_count", "HashAggregate")),
+    ("unigram_logppl", "token-keyed partial counts; scalar total broadcast",
+      Seq("partial_count", "BroadcastNestedLoopJoin")),
+    ("knn_doc_lookup", "top-k bounds BEFORE the metadata join; doc side broadcast",
+      Seq("TakeOrderedAndProject", "BroadcastHashJoin")),
+    ("hash_features", "bucket counts partial-aggregate before the id shuffle",
+      Seq("partial_count", "HashAggregate")),
+    ("zorder_pruned_scan", "partkey range filter pushed to the z-ordered scan",
+      Seq("PushedFilters: [", "GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey")),
+    ("neardup_keep_best", "per-component priority window + anti-join of pairs-scale losers",
+      Seq("Window", "LeftAnti")),
+    // the vector leg's RANKING must scan the SQ8 byte-codes relation
+    // (pq_adc kernel), with the raw embedding table only reached
+    // through the candidate-bounded semi-join rerank
+    ("hybrid_search_rrf", "TakeOrdered-bounded fusion; vector leg ranks over index codes",
+      Seq("TakeOrderedAndProject", "FullOuter", "pq_adc", "LeftSemi")),
+    ("event_funnel", "funnel folds per-user sorted collect in one aggregation; " +
+      "non-step events nulled out map-side, below the exchange",
+      Seq("collect_list", "ObjectHashAggregate", "IN (click,view,purchase)")),
+    ("text_index_bm25", "index-served BM25: postings read is bucket-PARTITION-pruned",
+      Seq("PartitionFilters: [", "ap_bucket")),
+    ("strip_repeated_chunks", "dup-hash relation joins back; rewrite is an array filter",
+      Seq("Generate explode", "md5", "filter")),
+    // --- round-16 shapes ---
+    ("text_nfc_normalize", "NFC kernel stays in the scan stage",
+      Seq("nfc_normalize")),
+    ("url_blocklist_filter", "blocklist is a broadcast anti-join",
+      Seq("BroadcastHashJoin", "LeftAnti")),
+    ("ann_binary_topk", "Hamming phase is a map-side bounded top-k over popcount",
+      Seq("ObjectHashAggregate", "partial_bounded_topk", "bit_count")),
+    ("cdc_chunks", "CDC bounds kernel in the scan; chunks explode in-row",
+      Seq("cdc_bounds", "Generate explode")),
+    ("event_funnel_cycles", "packed fold in one aggregation; step pre-filter below the exchange",
+      Seq("collect_list", "ObjectHashAggregate", "IN (click,view,purchase)")),
+    ("quality_adaptive_length", "quantile bands broadcast back onto the scan",
+      Seq("BroadcastHashJoin", "percentile")),
+    ("url_domain_cap", "per-domain cap is one keyed window",
+      Seq("Window")),
+    ("bigram_logppl", "multiplicities aggregate map-side; scalar total broadcast",
+      Seq("partial_count", "partial_sum", "BroadcastNestedLoopJoin")),
+    ("index_bsq_knn", "sign-code scan bounds candidates before the rerank semi-join",
+      Seq("TakeOrderedAndProject", "LeftSemi", "bit_count")),
+    ("contamination_rate_report", "benchmark postings broadcast; rollup partial-aggregates",
+      Seq("BroadcastHashJoin", "partial_count")),
+    // --- round-17 shapes ---
+    ("maxsim_ivf_topk", "ONE batched candidate pass: per-qid bounded top-k over the codes scan",
+      Seq("posexplode", "partial_bounded_topk", "pq_adc")),
+    ("sample_temperature_mix", "factor table broadcast-joins back (no literal map)",
+      Seq("BroadcastHashJoin")),
+    ("sample_token_budget", "budget table broadcast; one domain-keyed window",
+      Seq("BroadcastHashJoin", "Window")))
 
-    // the as-of join must plan as ONE keyed shuffle + running window —
-    // no join operator at all; the range join must be a hash equi-join,
-    // never a nested loop over the range predicate
-    {
-      val asofPlan = SparkEntry.queries("event_asof_attribution")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      val asofJoins = "Join".r.findAllIn(asofPlan).length
-      if (asofJoins == 0 && asofPlan.contains("Window"))
-        println("[plan-ok] event_asof_attribution: tagged-union window, zero joins")
-      else {
-        println(s"[plan-MISS] event_asof_attribution: expected join-free window plan\n$asofPlan")
-        sys.exit(1)
-      }
-      // every binned join in the family must be a hash equi-join —
-      // a Catalyst upgrade silently re-planning any of them into
-      // BroadcastNestedLoopJoin/CartesianProduct is a scale regression
-      Seq(("range_join_price_bands", "binned hash equi-join"),
-          ("session_overlap_join", "interval-overlap binned equi-join"),
-          ("geo_radius_join", "lat/lng grid equi-join")).foreach {
-        case (name, what) =>
-          val plan = SparkEntry.queries(name)(spark, sfDir)
-            .queryExecution.executedPlan.toString
-          if (!plan.contains("NestedLoop") && !plan.contains("CartesianProduct")
-              && plan.contains("Join"))
-            println(s"[plan-ok] $name: $what, no nested loop")
-          else {
-            println(s"[plan-MISS] $name: expected hash join without NLJ\n$plan")
-            sys.exit(1)
-          }
-      }
+  /** Binned joins that must plan as hash equi-joins, never NLJ. */
+  private val noNljChecks: Seq[(String, String)] = Seq(
+    ("range_join_price_bands", "binned hash equi-join"),
+    ("session_overlap_join", "interval-overlap binned equi-join"),
+    ("geo_radius_join", "lat/lng grid equi-join"))
+
+  /** Per-row pipelines that must not shuffle before their
+    * (presentation-only) global sort. */
+  private val noShuffleChecks: Seq[(String, String)] = Seq(
+    ("repetition_signals_perrow", "zero non-sort exchanges"),
+    ("sample_weighted_len", "weighted sample is a pure codegen filter"),
+    ("distance_dispatch", "alias dispatch is a pure projection over the scan"),
+    ("url_canonicalize", "canonicalization is a pure projection over the scan"),
+    ("sample_split_assign", "split labels are a pure codegen projection"),
+    ("text_script_profile", "script counting is a pure projection over the scan"))
+
+  /** Stable, sorted names of every audited shape — the `plan_shapes`
+    * oracle is generated from this list, so adding a check here is the
+    * ONLY step needed to put it under the driver's correctness gate. */
+  val checkNames: Seq[String] =
+    (markerChecks.map(_._1).map("shape:" + _) ++
+      noNljChecks.map("no_nlj:" + _._1) ++
+      noShuffleChecks.map("no_shuffle:" + _._1) ++
+      Seq("window:event_asof_attribution", "layout:zorder_file_stats")).sorted
+
+  /** Run every audit; returns (check_name, ok, detail) — detail is the
+    * offending plan on a miss, a short note on success. */
+  def audit(spark: SparkSession, sfDir: String): Seq[(String, Boolean, String)] = {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    val marker = markerChecks.map { case (name, what, markers) =>
+      val p = plan(name)
+      val missing = markers.filterNot(p.contains)
+      ("shape:" + name, missing.isEmpty,
+        if (missing.isEmpty) what else s"expected $missing\n$p")
     }
 
-    // negative shape: these must not shuffle before their
-    // (presentation-only) global sort — strip the final Sort's own range
-    // exchange, then expect zero remaining exchanges
-    Seq(("repetition_signals_perrow", "zero non-sort exchanges"),
-        ("sample_weighted_len", "weighted sample is a pure codegen filter"),
-        ("distance_dispatch", "alias dispatch is a pure projection over the scan"),
-        ("url_canonicalize", "canonicalization is a pure projection over the scan"),
-        ("sample_split_assign", "split labels are a pure codegen projection"),
-        ("text_script_profile", "script counting is a pure projection over the scan"))
-      .foreach { case (name, what) =>
-      val perRowPlan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      // BroadcastExchange ships a tiny build side (the 1-row query
-      // vector), not the data — only shuffle exchanges count
-      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(perRowPlan).length
-      val rangeExchanges = "rangepartitioning".r.findAllIn(perRowPlan).length
-      if (exchanges > rangeExchanges) {
-        println(s"[plan-MISS] $name: unexpected shuffle\n$perRowPlan")
-        sys.exit(1)
-      } else println(s"[plan-ok] $name: $what")
+    // the as-of join must plan as ONE keyed shuffle + running window —
+    // no join operator at all
+    val asof = {
+      val p = plan("event_asof_attribution")
+      val joins = "Join".r.findAllIn(p).length
+      ("window:event_asof_attribution", joins == 0 && p.contains("Window"),
+        if (joins == 0) "tagged-union window, zero joins"
+        else s"expected join-free window plan\n$p")
+    }
+
+    // every binned join in the family must be a hash equi-join — a
+    // Catalyst upgrade silently re-planning any of them into
+    // BroadcastNestedLoopJoin/CartesianProduct is a scale regression
+    val nlj = noNljChecks.map { case (name, what) =>
+      val p = plan(name)
+      val ok = !p.contains("NestedLoop") && !p.contains("CartesianProduct") &&
+        p.contains("Join")
+      ("no_nlj:" + name, ok,
+        if (ok) s"$what, no nested loop" else s"expected hash join without NLJ\n$p")
+    }
+
+    // negative shape: no shuffle before the final presentation sort —
+    // strip the Sort's own range exchange, then expect zero remaining.
+    // BroadcastExchange ships a tiny build side, not the data.
+    val noShuf = noShuffleChecks.map { case (name, what) =>
+      val p = plan(name)
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      val rangeExchanges = "rangepartitioning".r.findAllIn(p).length
+      ("no_shuffle:" + name, exchanges <= rangeExchanges,
+        if (exchanges <= rangeExchanges) what else s"unexpected shuffle\n$p")
     }
 
     // z-order layout: per-file min/max of the NON-leading column must be
-    // tight enough that the BETWEEN [100,120] filter's row groups prune —
-    // i.e. most files' [min,max] ranges do not overlap the filter. A
-    // single-column sort on l_orderkey would leave l_partkey spanning its
-    // full domain in EVERY file (zero files prunable).
-    {
+    // tight enough that the BETWEEN [100,120] filter's row groups prune
+    val zorder = {
       import org.apache.spark.sql.functions._
       val perFile = spark.read.parquet(SparkEntry.zorderLayout(spark, sfDir))
         .groupBy(input_file_name().as("f"))
         .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"))
         .collect()
       val overlapping = perFile.count(r => r.getLong(1) <= 120 && r.getLong(2) >= 100)
-      if (perFile.length >= 4 && overlapping * 2 < perFile.length)
-        println(s"[plan-ok] zorder_pruned_scan: $overlapping/${perFile.length} " +
-          "files overlap the partkey filter — min/max stats prune the rest")
-      else {
-        println(s"[plan-MISS] zorder_pruned_scan: $overlapping/${perFile.length} " +
-          "files overlap [100,120] — layout does not cluster the non-leading column")
-        sys.exit(1)
-      }
+      ("layout:zorder_file_stats",
+        perFile.length >= 4 && overlapping * 2 < perFile.length,
+        s"$overlapping/${perFile.length} files overlap the partkey filter")
     }
 
+    (marker ++ Seq(asof) ++ nlj ++ noShuf ++ Seq(zorder)).sortBy(_._1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.core.GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = audit(spark, sfDir)
     var failed = 0
-    checks.foreach { case (name, what, markers) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
-      val missing = markers.filterNot(plan.contains)
-      if (missing.isEmpty) println(s"[plan-ok] $name: $what")
-      else {
-        failed += 1
-        println(s"[plan-MISS] $name: expected $missing\n$plan")
-      }
+    results.foreach { case (name, ok, detail) =>
+      if (ok) println(s"[plan-ok] $name: $detail")
+      else { failed += 1; println(s"[plan-MISS] $name: $detail") }
     }
     println(if (failed == 0) "[plans] all shapes OK" else s"[plans] $failed MISSING")
     spark.stop()

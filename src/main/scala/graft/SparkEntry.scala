@@ -705,6 +705,31 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(best.result.get: _*), seqPlan().schema)
     }),
 
+    "timed_knn" -> ((s, d) => {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // the §2.8 TIMED query as a correctness row: with a deadline
+      // generous enough for the exact leg to land, the winner is
+      // always the max-confidence (exact) result — deterministic and
+      // oracle-checkable — and the losing index leg is cancelled. The
+      // deadline-expired fallback path stays spec-covered
+      // (PlannerSpec), where nondeterminism is the point.
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val dist = Distances.euclidean(col("embedding"), Distances.vecLit(q))
+      def exact() = Knn.knn(emb, dist, 50, col("vec_id"))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("distance"))
+      val lsh = cachedIndex(s, d, "lsh")
+      val best = graft.plans.Progressive.timed(s, Seq(
+        graft.plans.Progressive.PlanSpec("timed-sequential", 1.0, () => exact()),
+        graft.plans.Progressive.PlanSpec("timed-index:lsh", 0.5,
+          () => lsh.knn(emb, "vec_id", dist, q, 50)
+            .select(col("vec_id"),
+              round(col(Knn.DistanceCol), 4).as("distance")))),
+        deadlineMs = 600000)
+      s.createDataFrame(java.util.Arrays.asList(best.result.get: _*),
+        exact().schema)
+    }),
+
     "partition_pruned_scan" -> ((s, d) => {
       // ByColumn layout + key-skip: kNN over ONLY the label∈{0,1,2}
       // parquet directories (Catalyst partition pruning, no data IO for
@@ -1446,6 +1471,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(coalesce(col("flag"), lit(0))).cast("long").as("n_contaminated"))
         .orderBy("source")
+    }),
+
+    "plan_shapes" -> ((s, d) => {
+      // the Plans audit as a correctness row: every scale-critical
+      // physical-plan shape (pushed filters, bounded top-k, broadcast
+      // dims, no-NLJ binned joins, zero-shuffle per-row kernels,
+      // z-order file stats) must hold, or this row hash-mismatches the
+      // all-true oracle and the ROUND goes red — not just the suite
+      import s.implicits._
+      graft.Plans.audit(s, d).map { case (n, ok, _) => (n, ok) }
+        .toDF("check_name", "ok").orderBy("check_name")
     }),
 
     "corpus_simhash_neardup" -> ((s, d) => {
@@ -2421,6 +2457,8 @@ object SparkEntry {
 
     "planner_hint_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "progressive_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    // timed race with a generous deadline: winner is the exact leg
+    "timed_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 50),
 
     "vertical_reassembly" ->
       """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS total
@@ -3623,6 +3661,13 @@ object SparkEntry {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
          |FROM documents WHERE doc_id >= 50
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // generated from the SAME list the audit runs, so adding a check
+    // to Plans.checkNames automatically extends this oracle
+    "plan_shapes" -> graft.Plans.checkNames
+      .map(n => s"('$n', true)")
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") AS t(check_name, ok) ORDER BY check_name"),
 
     // same portable-SimHash replay as simhash_neardup, restricted to the
     // incoming (id >= 400) × corpus (id < 400) cross pairs
