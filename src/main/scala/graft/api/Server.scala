@@ -11,7 +11,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.core.Entity
+import graft.core.{Entity, Partitioning}
 import graft.operators.BooleanPredicates
 
 /** Thin JSON-over-HTTP front door wrapping the programmatic API — the
@@ -86,6 +86,22 @@ import graft.operators.BooleanPredicates
   * | /metrics              | {} → catalog/jobs/heap snapshot              |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
+  * | /entity/details       | {name, attribute?} — props / attr detail     |
+  * | /index/details        | {entity, name} — type, stale, build recipe   |
+  * | /entity/vacuum        | {name, partitions?}                          |
+  * | /entity/sparsify      | {name, vecCol}                               |
+  * | /entity/partition     | {name, mode: hash|random|ecp|column|zorder,  |
+  * |                       |  n?, cols?/vecCol?/keyCol?}                  |
+  * | /index/partition      | {entity, name, mode, …} — index relation     |
+  * | /entity/storage       | {name, attributes: [..], handler}            |
+  * | /storagehandlers/list | {}                                           |
+  * | /entity/indexall      | {entity, vecCol, idCol?, extended?}          |
+  * | /entity/insertdemo    | {name, ntuples, ndims, distribution?, seed?} |
+  * | /import               | {name, format, path}                         |
+  * | /export               | {name, format, path}                         |
+  * | /search/compound      | {idCol, tree: {op: knn|boolean|union|        |
+  * |                       |  intersect|except|fuzzy_union|               |
+  * |                       |  fuzzy_intersect, …, left?, right?}}         |
   * | /pipeline/pack        | {entity, idCol, tokenCol, budget?, shards?,  |
   * |                       |  rows?: true → (doc, chunk) boundary map}    |
   * | /pipeline/components  | {entity, textCol, idCol, threshold?}         |
@@ -173,6 +189,50 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       BooleanPredicates.Predicate(p.get("attribute").asText(), p.get("op").asText(),
         p.get("values").elements().asScala.map(jsonScalar).toSeq)
     }.toSeq
+
+  /** Evaluate a /search/compound tree node to an `(idCol, distance)`
+    * frame — the HTTP twin of the gRPC compound FROM expression
+    * (reference `MessageParser.toExpression`). Leaves: `knn` (exact
+    * sequential scan, or a stored index with exact rerank when `index`
+    * is given) and `boolean` (conjunctive predicates, distance 0).
+    * Inner nodes: union | intersect | except | fuzzy_union |
+    * fuzzy_intersect over the two subtrees. */
+  private def compoundFrame(node: JsonNode, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.SetAlgebra
+    val dc = graft.operators.Knn.DistanceCol
+    def normalized(df: DataFrame): DataFrame =
+      if (df.columns.contains(dc)) df.select(col(idCol), col(dc).as("distance"))
+      else df.select(col(idCol)).withColumn("distance", lit(0.0))
+    node.get("op").asText() match {
+      case "knn" =>
+        val e = entity(node, "entity")
+        val q = node.get("q").elements().asScala.map(_.asDouble()).toSeq
+        val nnq = NnQuery(node.get("vecCol").asText(), q,
+          if (node.has("dist")) node.get("dist").asText() else "euclidean",
+          if (node.has("k")) node.get("k").asInt() else 10)
+        normalized(
+          if (node.has("index"))
+            QueryOps.index(e.read(), idCol,
+              e.loadIndex(node.get("index").asText()).index, nnq)
+          else QueryOps.sequential(e.read(), idCol, nnq))
+      case "boolean" =>
+        normalized(entity(node, "entity").read()
+          .filter(BooleanPredicates.conjunction(predicatesOf(node))))
+      case combine =>
+        val l = compoundFrame(node.get("left"), idCol)
+        val r = compoundFrame(node.get("right"), idCol)
+        combine match {
+          case "union" => SetAlgebra.union(l, r, idCol)
+          case "intersect" => SetAlgebra.intersect(l, r, idCol)
+          case "except" => SetAlgebra.except(l, r, idCol)
+          case "fuzzy_union" => SetAlgebra.fuzzyUnion(l, r, idCol)
+          case "fuzzy_intersect" => SetAlgebra.fuzzyIntersect(l, r, idCol)
+          case other =>
+            throw new IllegalArgumentException(s"unknown compound op: $other")
+        }
+    }
+  }
 
   private def jsonScalar(n: JsonNode): Any =
     if (n.isIntegralNumber) n.asLong()
@@ -895,6 +955,177 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out, graft.operators.Sampling.deterministicShuffle(
           entity(req, "entity").read(), req.get("idCol").asText(),
           if (req.has("seed")) req.get("seed").asLong() else 42L))
+      case "/entity/details" =>
+        // reference web `GET /entity/details` (AdamController.scala:53-75):
+        // entity-level properties, or per-attribute detail when
+        // `attribute` is given — the same keys the gRPC
+        // GetEntityProperties / GetAttributeProperties RPCs return
+        val e = entity(req)
+        if (req.has("attribute")) {
+          val attribute = req.get("attribute").asText()
+          val f = e.read().schema.fields.find(_.name == attribute).getOrElse(
+            throw new IllegalArgumentException(s"no such attribute: $attribute"))
+          val group = e.attributeGroups.find(_.attrs.contains(attribute))
+          out.put("attribute", attribute)
+          out.put("type", f.dataType.simpleString)
+          out.put("handler", group.map(_.handler).getOrElse("parquet"))
+          out.put("store", group.map(_.store).getOrElse(""))
+          val arr = out.putArray("indexes")
+          e.listIndexes.filter(n =>
+              IndexOps.knownTypes.exists(tp => n == s"${tp}_$attribute"))
+            .sorted.foreach(arr.add)
+        } else {
+          val (version, inserts) = e.stamp
+          out.put("count", e.count())
+          out.put("version", version)
+          out.put("inserts", inserts)
+          out.put("layout", e.layout.map(l =>
+            if (l.keyCol.nonEmpty) s"${l.mode}(${l.keyCol})" else l.mode)
+            .getOrElse("none"))
+          val sch = out.putArray("schema")
+          e.read().drop(Entity.ApId).schema.fields.foreach { f =>
+            val o = sch.addObject()
+            o.put("name", f.name)
+            o.put("type", f.dataType.simpleString)
+          }
+          val arr = out.putArray("indexes")
+          e.listIndexes.sorted.foreach(arr.add)
+        }
+      case "/index/details" =>
+        // reference web `GET /index/details`: type, staleness, and the
+        // recorded build recipe (what /index/refresh would rebuild with)
+        val e = entity(req, "entity")
+        val name = req.get("name").asText()
+        val loaded = e.loadIndex(name)
+        out.put("index", name)
+        out.put("indextype", loaded.index.indexType)
+        out.put("stale", loaded.stale)
+        val info = out.putObject("buildInfo")
+        e.indexBuildInfo(name).toSeq.sortBy(_._1).foreach {
+          case (k, v) => info.put(k, v) }
+      case "/entity/vacuum" =>
+        // reference web `GET /entity/vacuum`: compact small part files
+        val parts =
+          if (req.has("partitions")) req.get("partitions").asInt() else 8
+        withEntityLock(req.get("name").asText()) { entity(req).vacuum(parts) }
+        out.put("partitions", parts)
+      case "/entity/sparsify" =>
+        // reference web `GET /entity/sparsify`: rewrite a vector column
+        // to the sparse (idx, val, size) encoding
+        withEntityLock(req.get("name").asText()) {
+          entity(req).sparsify(req.get("vecCol").asText())
+        }
+        out.put("sparsified", req.get("vecCol").asText())
+      case "/entity/partition" | "/index/partition" =>
+        // reference web `POST /entity/partition` / `POST /index/partition`:
+        // rewrite the entity's (or a stored index's relation) physical
+        // layout. mode ∈ {hash(cols,n), random(n), ecp(vecCol,n),
+        // column(keyCol), zorder(col1,col2,n)}
+        val n = if (req.has("n")) req.get("n").asInt() else 8
+        def strs(field: String): Seq[String] =
+          req.get(field).elements().asScala.map(_.asText()).toSeq
+        val mode = req.get("mode").asText() match {
+          case "hash" => Partitioning.Hash(strs("cols"), n)
+          case "random" => Partitioning.Random(n)
+          case "ecp" => Partitioning.Ecp(req.get("vecCol").asText(), n)
+          case "column" => Partitioning.ByColumn(req.get("keyCol").asText())
+          case "zorder" =>
+            val cs = strs("cols")
+            require(cs.size == 2, "zorder takes exactly 2 cols")
+            Partitioning.ZOrder(cs.head, cs(1), n)
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        if (path == "/entity/partition") {
+          withEntityLock(req.get("name").asText()) {
+            entity(req).partitionLayout(mode)
+          }
+          out.put("partitioned", req.get("name").asText())
+        } else {
+          withEntityLock(req.get("entity").asText()) {
+            entity(req, "entity").repartitionIndex(req.get("name").asText(), mode)
+          }
+          out.put("partitioned", req.get("name").asText())
+        }
+      case "/entity/storage" =>
+        // reference web `POST /entity/storage` (transferStorageHandler):
+        // move attributes to a different storage engine; subsequent reads
+        // reassemble transparently by the system id
+        val attrs = req.get("attributes").elements().asScala.map(_.asText()).toSeq
+        withEntityLock(req.get("name").asText()) {
+          entity(req).transferAttributes(attrs, req.get("handler").asText())
+        }
+        out.put("handler", req.get("handler").asText())
+        out.put("moved", attrs.size)
+      case "/storagehandlers/list" =>
+        // reference web `GET /storagehandlers/list`
+        val arr = out.putArray("handlers")
+        (graft.sources.StorageHandlers.all.keys.toSeq ++
+          Seq("keyvalue", "compound")).sorted.foreach(arr.add)
+      case "/entity/indexall" =>
+        // reference web `POST /entity/indexall` (entityCreateAllIndexes):
+        // build the whole family over one attribute; extended=false pins
+        // the reference's 8 types
+        val e = entity(req, "entity")
+        val vecCol = req.get("vecCol").asText()
+        val idCol =
+          if (req.has("idCol")) req.get("idCol").asText() else Entity.ApId
+        val extended = !req.has("extended") || req.get("extended").asBoolean()
+        val types =
+          if (extended) IndexOps.knownTypes else IndexOps.referenceTypes
+        withEntityLock(req.get("entity").asText()) {
+          types.foreach { tp =>
+            e.saveIndex(s"${tp}_$vecCol",
+              IndexOps.create(tp, e.read(), idCol, vecCol),
+              Map(IndexOps.InfoType -> tp, IndexOps.InfoAttribute -> vecCol,
+                IndexOps.InfoIdCol -> idCol))
+          }
+        }
+        val arr = out.putArray("indexes")
+        types.foreach(tp => arr.add(s"${tp}_$vecCol"))
+      case "/entity/insertdemo" =>
+        // reference web `POST /entity/insertdemo` (GenerateRandomData):
+        // fill with deterministic synthetic rows — fully distributed
+        // generation (spark.range + hash columns), no driver row loop
+        val n = req.get("ntuples").asLong()
+        val dims = req.get("ndims").asInt()
+        val seed = if (req.has("seed")) req.get("seed").asLong() else 42L
+        val df =
+          if (req.has("distribution") &&
+              req.get("distribution").asText() == "gaussian")
+            graft.core.RandomData.generateGaussian(spark, n, dims, seed)
+          else graft.core.RandomData.generate(spark, n, dims, seed)
+        withEntityLock(req.get("name").asText()) { entity(req).insert(df) }
+        out.put("inserted", n)
+      case "/import" =>
+        // reference web `POST /import`: file import through the Spark
+        // reader (format ∈ {parquet, orc, json, csv}); creates the
+        // entity when absent, appends otherwise
+        val name = req.get("name").asText()
+        val df = graft.core.ImportExport.importTable(spark,
+          req.get("format").asText(), req.get("path").asText())
+        withEntityLock(name) {
+          val e = if (Entity.exists(base, name)) Entity.open(spark, base, name)
+                  else Entity.create(spark, base, name)
+          e.insert(df)
+        }
+        out.put("imported", name)
+      case "/export" =>
+        // export the entity's logical rows (system id dropped) to a file
+        // format — the reference's ProtoExporter role over open formats
+        graft.core.ImportExport.export(
+          entity(req).read().drop(Entity.ApId),
+          req.get("format").asText(), req.get("path").asText())
+        out.put("exported", req.get("path").asText())
+      case "/search/compound" =>
+        // reference web `POST /search/compound`: a recursive set-algebra
+        // tree over subqueries — the HTTP twin of the gRPC compound FROM
+        // expression (GrpcServer.queryFrame). Leaves are knn/boolean
+        // queries; inner nodes combine on the leaf id column. Results
+        // are (id, distance) rows: exact sets carry distance 0 like the
+        // reference's UnionExpression family, fuzzy forms merge scores.
+        val idCol = req.get("idCol").asText()
+        pagedRows(out, compoundFrame(req.get("tree"), idCol)
+          .orderBy(col("distance"), col(idCol)))
       case "/search/hybrid" =>
         // BM25 + vector cosine fused by reciprocal rank (k0 = 60)
         import org.apache.spark.sql.expressions.Window

@@ -831,6 +831,126 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/no/such", "{}").get("ok").asBoolean() shouldBe false
   }
 
+  test("admin surface over the wire: details, maintenance, partition, storage") {
+    post("/entity/create", """{"name":"adm"}""")
+    val rows = (0 until 60).map(i =>
+      s"""{"vid":$i,"grp":${i % 3},"vec":[${i % 9}.0,${(i * 2) % 7}.0]}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"adm","rows":$rows}""")
+    post("/index/create",
+      """{"entity":"adm","name":"vaf_vec","type":"vaf","idCol":"vid","vecCol":"vec"}""")
+
+    // entity-level details: count, version, schema, indexes
+    val det = post("/entity/details", """{"name":"adm"}""")
+    withClue(det.toString) { det.get("ok").asBoolean() shouldBe true }
+    det.get("count").asLong() shouldBe 60
+    det.get("version").asInt() should be >= 1
+    det.get("layout").asText() shouldBe "none"
+    det.get("schema").elements().asScala.map(_.get("name").asText()).toSet shouldBe
+      Set("vid", "grp", "vec")
+    det.get("indexes").elements().asScala.map(_.asText()).toSeq shouldBe Seq("vaf_vec")
+
+    // per-attribute details: type, serving handler, indexes over it
+    val attr = post("/entity/details", """{"name":"adm","attribute":"vec"}""")
+    attr.get("handler").asText() shouldBe "parquet"
+    attr.get("indexes").get(0).asText() shouldBe "vaf_vec"
+    post("/entity/details", """{"name":"adm","attribute":"nope"}""")
+      .get("ok").asBoolean() shouldBe false
+
+    // index details: type, staleness, recorded build recipe
+    val idet = post("/index/details", """{"entity":"adm","name":"vaf_vec"}""")
+    idet.get("indextype").asText() shouldBe "vaf"
+    idet.get("stale").asBoolean() shouldBe false
+    idet.get("buildInfo").get("indextype").asText() shouldBe "vaf"
+
+    post("/storagehandlers/list", "{}").get("handlers").elements().asScala
+      .map(_.asText()).toSet should contain allOf ("parquet", "orc", "keyvalue")
+
+    // maintenance: vacuum compacts, column partition records a layout
+    post("/entity/vacuum", """{"name":"adm","partitions":2}""")
+      .get("ok").asBoolean() shouldBe true
+    post("/entity/partition", """{"name":"adm","mode":"column","keyCol":"grp"}""")
+      .get("ok").asBoolean() shouldBe true
+    post("/entity/details", """{"name":"adm"}""")
+      .get("layout").asText() shouldBe "bycolumn(grp)"
+    post("/entity/count", """{"name":"adm"}""").get("count").asLong() shouldBe 60
+
+    // move an attribute to the KV store; reads reassemble transparently
+    post("/entity/storage",
+      """{"name":"adm","attributes":["grp"],"handler":"keyvalue"}""")
+      .get("moved").asInt() shouldBe 1
+    post("/entity/details", """{"name":"adm","attribute":"grp"}""")
+      .get("handler").asText() shouldBe "keyvalue"
+    post("/query/boolean",
+      """{"entity":"adm","predicates":[{"attribute":"grp","op":"=","values":[1]}]}""")
+      .get("rows").size() shouldBe 20
+
+    // index relation repartition keeps the scan serving
+    post("/index/partition",
+      """{"entity":"adm","name":"vaf_vec","mode":"random","n":3}""")
+      .get("ok").asBoolean() shouldBe true
+    val knn = post("/query/knn",
+      """{"entity":"adm","idCol":"vid","vecCol":"vec","q":[0.0,0.0],"k":3,"index":"vaf_vec"}""")
+    knn.get("rows").size() shouldBe 3
+  }
+
+  test("indexall, demo data, and import/export round trip over the wire") {
+    post("/entity/create", """{"name":"demofill"}""")
+    // distributed synthetic fill (reference insertdemo / GenerateRandomData)
+    post("/entity/insertdemo", """{"name":"demofill","ntuples":100,"ndims":8}""")
+      .get("inserted").asLong() shouldBe 100
+    post("/entity/count", """{"name":"demofill"}""").get("count").asLong() shouldBe 100
+
+    // the reference's 8 index types in one call
+    val all = post("/entity/indexall",
+      """{"entity":"demofill","vecCol":"feature","idCol":"id","extended":false}""")
+    all.get("indexes").size() shouldBe 8
+    post("/index/list", """{"entity":"demofill"}""")
+      .get("indexes").size() shouldBe 8
+    val k = post("/query/knn",
+      """{"entity":"demofill","idCol":"id","vecCol":"feature","q":[0.5,0.5,0.5,0.5,0.5,0.5,0.5,0.5],"k":4,"index":"ecp_feature"}""")
+    k.get("rows").size() shouldBe 4
+
+    // export logical rows, import them as a new entity
+    val dir = Files.createTempDirectory("graft-exp").toString
+    post("/export", s"""{"name":"demofill","format":"json","path":"$dir/out"}""")
+      .get("ok").asBoolean() shouldBe true
+    post("/import", s"""{"name":"demoimp","format":"json","path":"$dir/out"}""")
+      .get("imported").asText() shouldBe "demoimp"
+    post("/entity/count", """{"name":"demoimp"}""").get("count").asLong() shouldBe 100
+  }
+
+  test("compound set-algebra search over the wire") {
+    post("/entity/create", """{"name":"cmp"}""")
+    val rows = (0 until 40).map(i =>
+      s"""{"vid":$i,"grp":${i % 2},"vec":[$i.0,0.0]}""").mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"cmp","rows":$rows}""")
+
+    // knn(k=6 from origin) ∩ boolean(grp=0) = even ids 0,2,4 (distance 0)
+    val tree =
+      """{"op":"intersect",
+          "left":{"op":"knn","entity":"cmp","vecCol":"vec","q":[0.0,0.0],"k":6},
+          "right":{"op":"boolean","entity":"cmp",
+                   "predicates":[{"attribute":"grp","op":"=","values":[0]}]}}"""
+    val r = post("/search/compound", s"""{"idCol":"vid","tree":$tree}""")
+    r.get("rows").elements().asScala.map(_.get("vid").asInt()).toSeq shouldBe
+      Seq(0, 2, 4)
+    r.get("rows").get(0).get("distance").asDouble() shouldBe 0.0
+
+    // fuzzy union of two knns merges per-id distance by min
+    val fuzzy =
+      """{"op":"fuzzy_union",
+          "left":{"op":"knn","entity":"cmp","vecCol":"vec","q":[0.0,0.0],"k":3},
+          "right":{"op":"knn","entity":"cmp","vecCol":"vec","q":[2.0,0.0],"k":3}}"""
+    val f = post("/search/compound", s"""{"idCol":"vid","tree":$fuzzy}""")
+    val byId = f.get("rows").elements().asScala
+      .map(n => n.get("vid").asInt() -> n.get("distance").asDouble()).toMap
+    byId.keySet shouldBe Set(0, 1, 2, 3)
+    byId(1) shouldBe 1.0 // in both legs: min(1, 1)
+    byId(2) shouldBe 0.0 // in both legs: min(2, 0)
+    byId(0) shouldBe 0.0 // left-only: min(0, fuzzyDefault 0)
+  }
+
   override def afterAll(): Unit = {
     server.stop()
     super.afterAll()
