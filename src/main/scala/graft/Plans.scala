@@ -109,7 +109,11 @@ object Plans {
     ("sample_temperature_mix", "factor table broadcast-joins back (no literal map)",
       Seq("BroadcastHashJoin")),
     ("sample_token_budget", "budget table broadcast; one domain-keyed window",
-      Seq("BroadcastHashJoin", "Window")))
+      Seq("BroadcastHashJoin", "Window")),
+    ("distinct_kmv", "KMV sketch partial-aggregates map-side (≤k longs per partition-group)",
+      Seq("partial_kmv_distinct", "ObjectHashAggregate")),
+    ("heavy_hitters", "MG summary partial-aggregates map-side (≤m counters per partition)",
+      Seq("partial_heavy_hitters", "ObjectHashAggregate")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(

@@ -43,6 +43,7 @@ object Recall {
       "mi" -> MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15),
       "ivfpq" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
       "sq" -> SQIndex.build(emb, "vec_id", "embedding"),
+      "opq" -> OPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
       "ecp-a2" -> ECPIndex.build(emb, "vec_id", "embedding", assign = 2),
       "ecp-a3" -> ECPIndex.build(emb, "vec_id", "embedding", assign = 3),
       "ivfpq-a2" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16, assign = 2),

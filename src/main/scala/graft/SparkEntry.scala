@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{Distances, TextNorm}
+import graft.functions.{Distances, HeavyHitters, KmvDistinct, TextNorm}
 import graft.api.QueryOps
 import graft.index._
 import graft.operators._
@@ -630,6 +630,9 @@ object SparkEntry {
     "index_mi_knn" -> indexKnn("mi", timesK = 10),
     "index_ivfpq_knn" -> indexKnn("ivfpq"),
     "index_sq_knn" -> indexKnn("sq"),
+    // OPQ: learned-rotation PQ (Ge et al. CVPR'13) — same ADC scan as
+    // pq, candidates from the rotated space, exact euclidean rerank
+    "index_opq_knn" -> indexKnn("opq"),
 
     "index_bsq_knn" -> ((s, d) => {
       // persisted sign-code index: Hamming candidates (angular proxy),
@@ -1168,6 +1171,42 @@ object SparkEntry {
       Dedup.topNgrams(Tables.documents(s, d), "text", "doc_id", n = 2, k = 50)
         .withColumnRenamed("ngram", "bigram")),
 
+    "distinct_kmv" -> ((s, d) =>
+      // per-type distinct-user cardinality: exact count(DISTINCT) next
+      // to the KMV-64 sketch estimate. The fixture has 150 distinct
+      // users per type > k=64, so the ESTIMATOR path runs (not the
+      // exact-below-k fallback); the oracle replays the portable hash
+      // and the same (k-1)*range/kthMin arithmetic bit-for-bit. At
+      // scale the sketch ships ≤64 longs per (partition, group) through
+      // the exchange where count(DISTINCT) shuffles every distinct key.
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          round(KmvDistinct.kmv(Sampling.keyHash(col("user_id")), 64), 4)
+            .as("kmv_est"))
+        .orderBy("event_type")),
+
+    "heavy_hitters" -> ((s, d) =>
+      // corpus-vocabulary heavy hitters via the bounded Misra–Gries
+      // summary: capacity 64 ≥ the synthetic vocabulary, so the summary
+      // is PROVABLY exact (err 0) and the plain group-by-count oracle
+      // replays it; the capacity-bounded lossy regime (where no SQL
+      // replay exists) is spec-covered with its guarantee bounds. The
+      // aggregate state stays O(64) per partition no matter how many
+      // distinct tokens stream through — the 100 TB form of "top
+      // tokens" without a per-token shuffle.
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(HeavyHitters.hitters(col("tok"), 64).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("token"), col("h.count").as("cnt"),
+          col("h.err").as("err"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
     "quality_classifier_scores" -> ((s, d) => {
       // learned quality filter end-to-end: train Pegasos on the fixed
       // labeled sample (driver-side, bounded, deterministic), then score
@@ -1636,7 +1675,8 @@ object SparkEntry {
     "mi" -> (df => MIIndex.build(df, "vec_id", "embedding", ki = 15, ks = 15)),
     "ivfpq" -> (df => IVFPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
     "sq" -> (df => SQIndex.build(df, "vec_id", "embedding")),
-    "bsq" -> (df => BSQIndex.build(df, "vec_id", "embedding")))
+    "bsq" -> (df => BSQIndex.build(df, "vec_id", "embedding")),
+    "opq" -> (df => OPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)))
 
   private def cachedIndex(s: SparkSession, d: String, key: String): VectorIndex =
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
@@ -2604,6 +2644,7 @@ object SparkEntry {
     "index_mi_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_vote_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_ivfpq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_opq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_bsq_knn" -> {
       // exact two-phase replay: sign-mismatch Hamming top-500 (the
       // (hd, id) total order matches the index's TakeOrdered), cosine
@@ -2876,6 +2917,34 @@ object SparkEntry {
          |)
          |SELECT bigram, count(*) AS n_docs FROM sh GROUP BY bigram
          |ORDER BY n_docs DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    // KMV replay: k-th smallest DISTINCT portable hash per group, same
+    // (k-1)*range/kthMin arithmetic (IEEE double division is exactly
+    // rounded in both engines, so the estimates agree bit-for-bit)
+    "distinct_kmv" ->
+      s"""WITH h AS (
+         | SELECT DISTINCT event_type,
+         |        ${duckRawHash("CAST(user_id AS VARCHAR)")} AS hv
+         | FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |r AS (
+         | SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nd
+         | FROM h)
+         |SELECT event_type,
+         |  CAST(max(nd) AS BIGINT) AS n_exact,
+         |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |    ELSE 63.0 * 1000000007.0 /
+         |         CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+         |    END, 4) AS kmv_est
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // capacity ≥ vocabulary → the MG summary equals the exact count
+    "heavy_hitters" ->
+      s"""SELECT tok AS token, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+         |FROM (SELECT unnest($duckToks) AS tok FROM documents)
+         |WHERE tok <> '' GROUP BY tok
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "knn_doc_lookup" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

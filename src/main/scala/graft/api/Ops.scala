@@ -40,7 +40,8 @@ object IndexOps {
     * index names as `<type>_<attribute>` and needs the exact list to
     * parse them back. */
   val knownTypes: Seq[String] =
-    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq", "sq", "bsq")
+    Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq", "sq",
+      "bsq", "opq")
 
   /** Index factory by type name — reference `IndexTypes.scala:20-45`.
     * `options` carries per-type build parameters the way the reference's
@@ -74,6 +75,8 @@ object IndexOps {
         nCentroids = int("ncentroids", 16), assign = int("assign", 1))
       case "sq" => SQIndex.build(df, idCol, vecCol)
       case "bsq" => BSQIndex.build(df, idCol, vecCol)
+      case "opq" => OPQIndex.build(df, idCol, vecCol, nsq = int("nsq", 8),
+        nCentroids = int("ncentroids", 16), optIters = int("optiters", 6))
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     require(opts.isEmpty,

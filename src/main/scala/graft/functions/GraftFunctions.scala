@@ -127,6 +127,20 @@ object GraftFunctions {
           intArg(k, "k"))
         case args => throw new IllegalArgumentException(
           s"bounded_topk(distance, id, k) expects 3 args, got ${args.length}")
+      },
+      "kmv_distinct" -> {
+        case Seq(h, k) => KmvDistinct(
+          org.apache.spark.sql.catalyst.expressions.Cast(h, org.apache.spark.sql.types.LongType),
+          intArg(k, "k"), KmvDistinct.KeyHashRange)
+        case args => throw new IllegalArgumentException(
+          s"kmv_distinct(hash, k) expects 2 args, got ${args.length}")
+      },
+      "heavy_hitters" -> {
+        case Seq(key, m) => HeavyHitters(
+          org.apache.spark.sql.catalyst.expressions.Cast(key, org.apache.spark.sql.types.StringType),
+          intArg(m, "m"))
+        case args => throw new IllegalArgumentException(
+          s"heavy_hitters(key, m) expects 2 args, got ${args.length}")
       })
 
   /** Register into a live session's function registry. */

@@ -53,6 +53,7 @@ object IndexStore {
       case mi: MIIndex => (mi.postings, (mi.refPoints, mi.ki, mi.ks))
       case sq: SQIndex => (sq.codes, (sq.mins, sq.scales))
       case bsq: BSQIndex => (bsq.codes, bsq.dim)
+      case opq: OPQIndex => (opq.codes, (opq.rotation, opq.codebooks, opq.subLen))
       case other => throw new IllegalArgumentException(
         s"index type ${other.indexType} is not persistable")
     }
@@ -138,6 +139,10 @@ object IndexStore {
         new SQIndex(df, mins, scales, meta.idCol)
       case ("bsq", b) =>
         new BSQIndex(df, b.asInstanceOf[Int], meta.idCol)
+      case ("opq", b) =>
+        val (rot, books, subLen) = b.asInstanceOf[
+          (Array[Array[Double]], Array[Array[Array[Double]]], Int)]
+        new OPQIndex(df, rot, books, subLen, meta.idCol)
       case (other, _) => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     Loaded(idx, currentStamp.exists(_ != meta.stamp))

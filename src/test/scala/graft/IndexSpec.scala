@@ -208,6 +208,28 @@ class IndexSpec extends SparkSpec {
     recall(ids) should be > 0.5
   }
 
+  test("opq: learned rotation is orthogonal; recall at least matches plain PQ") {
+    val idx = OPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16)
+    // RᵀR = I — Procrustes must return a true rotation or ADC distances
+    // no longer equal squared-L2 in the original space
+    val r = idx.rotation
+    val d = r.length
+    var maxDev = 0.0
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0
+      for (t <- 0 until d) s += r(t)(i) * r(t)(j)
+      maxDev = math.max(maxDev, math.abs(s - (if (i == j) 1.0 else 0.0)))
+    }
+    maxDev should be < 1e-9
+    val ids = knnIds(idx)
+    ids should contain(bruteIds.head)
+    val pqIds = knnIds(PQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16))
+    info(f"opq recall@$K = ${recall(ids)}%.3f vs pq ${recall(pqIds)}%.3f")
+    // the rotation is fit to REDUCE quantization error — same code
+    // budget must not land materially below plain PQ
+    recall(ids) should be >= recall(pqIds) - 0.05
+  }
+
   test("sh: top-1 contained, recall reported") {
     val idx = SHIndex.build(data, "tid", "vectorfield", nBits = 32)
     val ids = knnIds(idx, timesK = 10)
@@ -252,7 +274,8 @@ class IndexSpec extends SparkSpec {
       "mi" -> MIIndex.build(data, "tid", "vectorfield", ki = 15, ks = 15),
       "ivfpq" -> IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
       "sq" -> SQIndex.build(data, "tid", "vectorfield"),
-      "bsq" -> BSQIndex.build(data, "tid", "vectorfield"))
+      "bsq" -> BSQIndex.build(data, "tid", "vectorfield"),
+      "opq" -> OPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16))
     family.foreach { case (name, built) =>
       IndexStore.save(base, name, built)
       val reopened = IndexStore.load(spark, base, name).index
@@ -304,7 +327,8 @@ class IndexSpec extends SparkSpec {
         nTables = 8, nHashes = 1, probes = 2), 5),
       ("mi", MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15), 10),
       ("ivfpq", IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5),
-      ("sq", SQIndex.build(emb, "vec_id", "embedding"), 5))
+      ("sq", SQIndex.build(emb, "vec_id", "embedding"), 5),
+      ("opq", OPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5))
     configs.foreach { case (name, idx, tk) =>
       val cand = idx.candidates(q, K, tk).collect().map(_.getLong(0)).toSet
       withClue(s"$name misses ${truth.count(!cand.contains(_))} of top-$K: ") {
