@@ -52,6 +52,44 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("events"))
 
+  /** Tumbling-window distinct-user estimate per event type via the KMV
+    * sketch — the streaming analog of the `distinct_kmv` batch query.
+    * `count(DISTINCT)` is unsupported in streaming aggregations (state
+    * would hold every key); the mergeable O(K) KMV buffer is exactly
+    * what the state store CAN hold per (type, window), and watermark
+    * expiry garbage-collects closed windows. Same estimator, same
+    * portable hash — a batch replay of the same rows produces the same
+    * estimates. */
+  def windowedDistinctUsers(events: DataFrame, k: Int = 64,
+                            window_ : String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), window_))
+      .agg(graft.functions.KmvDistinct.kmv(
+        graft.operators.Sampling.keyHash(col("user_id")), k).as("kmv_users"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("kmv_users"))
+
+  /** Tumbling-window heavy hitters per window via the bounded
+    * Misra–Gries summary: the top event types (or any string key) with
+    * guaranteed [count, count+err] bounds, O(m) state per window — the
+    * streaming "what is trending" primitive that a per-key groupBy
+    * cannot provide over an unbounded key domain. */
+  def windowedHeavyHitters(events: DataFrame, keyCol: String, m: Int = 64,
+                           window_ : String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.HeavyHitters.hitters(col(keyCol), m).as("hh"))
+      .select(col("window.start").as("window_start"),
+        explode(col("hh")).as("h"))
+      .select(col("window_start"), col("h.key").as("key"),
+        col("h.count").as("cnt"), col("h.err").as("err"))
+
   /** Streaming exact dedup for a document stream: normalized content
     * hash, duplicates dropped within the watermark horizon — the state
     * store only keeps hashes younger than the watermark, which is what

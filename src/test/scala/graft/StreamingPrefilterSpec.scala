@@ -33,6 +33,66 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed KMV distinct-users matches a batch replay of the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "user_id")
+    val q = EventStream.windowedDistinctUsers(events, k = 8, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_kmv")
+      .outputMode("update").start()
+    try {
+      // 20 distinct users for click (> k=8 → estimator path, merged
+      // ACROSS two micro-batches), 3 for view (< k → exact)
+      mem.addData((0 until 10).map(i => (i.toLong, ts(5), "click", 100L + i)): _*)
+      q.processAllAvailable()
+      mem.addData((0 until 10).map(i => (50L + i, ts(15), "click", 200L + i)) ++
+        Seq((90L, ts(20), "view", 1L), (91L, ts(25), "view", 2L),
+          (92L, ts(30), "view", 1L), (93L, ts(40), "view", 3L)): _*)
+      q.processAllAvailable()
+      val latest = spark.table("win_kmv").collect()
+        .map(r => (r.getString(0), r.getDouble(2))).groupBy(_._1)
+        .map { case (k2, vs) => k2 -> vs.last._2 }
+      // batch replay over the identical rows must agree exactly — the
+      // sketch is deterministic and merge-order-free
+      val batch = ((0 until 10).map(i => ("click", 100L + i)) ++
+        (0 until 10).map(i => ("click", 200L + i)) ++
+        Seq(("view", 1L), ("view", 2L), ("view", 1L), ("view", 3L)))
+        .toDF("event_type", "user_id")
+        .groupBy("event_type")
+        .agg(graft.functions.KmvDistinct.kmv(
+          graft.operators.Sampling.keyHash(col("user_id")), 8).as("est"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      latest("view") shouldBe 3.0
+      latest("click") shouldBe batch("click")
+      batch("click") should be > 8.0
+    } finally q.stop()
+  }
+
+  test("windowed heavy hitters carry MG bounds through streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.windowedHeavyHitters(events, "event_type", m = 2,
+        "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_hh")
+      .outputMode("update").start()
+    try {
+      // dominant key across micro-batches + a tail the m=2 summary drops
+      mem.addData((0 until 8).map(i => (i.toLong, ts(5), "hot")) ++
+        Seq((20L, ts(6), "a"), (21L, ts(7), "b")): _*)
+      q.processAllAvailable()
+      mem.addData((30 until 36).map(i => (i.toLong, ts(10), "hot")) ++
+        Seq((40L, ts(11), "c")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("win_hh").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val hot = rows.filter(_._1 == "hot").maxBy(_._2)
+      // true count 14; MG lower bound ≤ truth ≤ bound + err
+      hot._2 should be <= 14L
+      (hot._2 + hot._3) should be >= 14L
+    } finally q.stop()
+  }
+
   test("running totals keep per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.UserEvent]
