@@ -113,7 +113,9 @@ object Plans {
     ("distinct_kmv", "KMV sketch partial-aggregates map-side (≤k longs per partition-group)",
       Seq("partial_kmv_distinct", "ObjectHashAggregate")),
     ("heavy_hitters", "MG summary partial-aggregates map-side (≤m counters per partition)",
-      Seq("partial_heavy_hitters", "ObjectHashAggregate")))
+      Seq("partial_heavy_hitters", "ObjectHashAggregate")),
+    ("event_props_stats", "JSON extraction aggregates map-side over the scan",
+      Seq("partial_count", "partial_min")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(
@@ -138,7 +140,8 @@ object Plans {
     (markerChecks.map(_._1).map("shape:" + _) ++
       noNljChecks.map("no_nlj:" + _._1) ++
       noShuffleChecks.map("no_shuffle:" + _._1) ++
-      Seq("window:event_asof_attribution", "layout:zorder_file_stats")).sorted
+      Seq("window:event_asof_attribution", "layout:zorder_file_stats",
+        "reuse:event_top_paths")).sorted
 
   /** Run every audit; returns (check_name, ok, detail) — detail is the
     * offending plan on a miss, a short note on success. */
@@ -185,6 +188,17 @@ object Plans {
         if (exchanges <= rangeExchanges) what else s"unexpected shuffle\n$p")
     }
 
+    // top-paths: the per-user fold must REUSE the window's user-keyed
+    // hash partitioning — exactly one user-keyed exchange in the plan
+    // (a second one would double the operator's only shuffle)
+    val pathsReuse = {
+      val p = plan("event_top_paths")
+      val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+      ("reuse:event_top_paths", userExchanges == 1,
+        if (userExchanges == 1) "window partitioning reused by the fold"
+        else s"expected 1 user-keyed exchange, got $userExchanges\n$p")
+    }
+
     // z-order layout: per-file min/max of the NON-leading column must be
     // tight enough that the BETWEEN [100,120] filter's row groups prune
     val zorder = {
@@ -199,7 +213,7 @@ object Plans {
         s"$overlapping/${perFile.length} files overlap the partkey filter")
     }
 
-    (marker ++ Seq(asof) ++ nlj ++ noShuf ++ Seq(zorder)).sortBy(_._1)
+    (marker ++ Seq(asof, pathsReuse) ++ nlj ++ noShuf ++ Seq(zorder)).sortBy(_._1)
   }
 
   def main(args: Array[String]): Unit = {

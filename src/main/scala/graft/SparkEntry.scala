@@ -387,6 +387,18 @@ object SparkEntry {
       EventAnalytics.transitionMatrix(Tables.events(s, d))
         .orderBy("from_type", "to_type")),
 
+    "event_top_paths" -> ((s, d) =>
+      // top user-journey prefixes (first 5 event types per user) — the
+      // sequence view of onboarding; one user-keyed exchange, reused by
+      // the per-user fold
+      EventAnalytics.topPaths(Tables.events(s, d), steps = 5, k = 20)),
+
+    "event_props_stats" -> ((s, d) =>
+      // typed extraction over the JSON props blob: per-type stats of
+      // $.k with explicit missing-parse accounting
+      EventAnalytics.propsStats(Tables.events(s, d), "k")
+        .orderBy("event_type")),
+
     "event_value_quantiles" -> ((s, d) =>
       // per-type value distribution (exact interpolated percentiles,
       // same continuous-quantile definition both engines share)
@@ -2315,6 +2327,28 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, count(*) AS n FROM seq
         |WHERE t IS NOT NULL GROUP BY f, t
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "event_top_paths" ->
+      """WITH p AS (
+        | SELECT user_id,
+        |   array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "event_props_stats" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |   TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        | FROM events WHERE event_type IS NOT NULL)
+        |SELECT event_type,
+        |  count(k) AS n_parsed,
+        |  count(*) - count(k) AS n_missing,
+        |  min(k) AS min_v, max(k) AS max_v,
+        |  round(avg(k), 4) AS avg_v
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

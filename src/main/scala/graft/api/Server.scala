@@ -78,6 +78,8 @@ import graft.operators.BooleanPredicates
   * | /pipeline/cdc         | {entity, textCol, idCol, mode: chunks        |
   * |                       |  |repeated, window?, divisor?, minDocs?}     |
   * | /events/retention     | {entity, tsCol?, userCol?}                   |
+  * | /events/paths         | {entity, steps?, k?}                         |
+  * | /events/props         | {entity, field}                              |
   * | /events/sessions      | {entity, gapMs, tsCol?, userCol?}            |
   * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
   * | /entity/versions      | {name}                                       |
@@ -737,6 +739,17 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
           userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id")
           .orderBy("user_id", "session_id"))
+      case "/events/paths" =>
+        // top user-journey prefixes (first `steps` event types per user)
+        pagedRows(out, graft.operators.EventAnalytics.topPaths(
+          entity(req, "entity").read(),
+          steps = if (req.has("steps")) req.get("steps").asInt() else 5,
+          k = if (req.has("k")) req.get("k").asInt() else 20))
+      case "/events/props" =>
+        // typed stats over a JSON props field, per event type
+        pagedRows(out, graft.operators.EventAnalytics.propsStats(
+          entity(req, "entity").read(), req.get("field").asText())
+          .orderBy("event_type"))
       case "/events/retention" =>
         pagedRows(out, graft.operators.EventAnalytics.retention(
           entity(req, "entity").read(),

@@ -171,6 +171,63 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Top user-journey PREFIXES: each user's first `steps` event types
+    * in (ts, id) order joined with `>`, counted across users — the
+    * path-mining view of onboarding ("what do users actually do
+    * first"), the sequence twin of [[transitionMatrix]]'s one-step
+    * pairs. Output: `(path, n_users)`, top `k` by (count desc, path).
+    *
+    * Plan shape: the user-keyed window's hash partitioning is REUSED by
+    * the per-user fold (same key → no second exchange); only
+    * (user, ts, id, type) enter the window, rows beyond rank `steps`
+    * drop before the fold, and the path count is map-side combined —
+    * the final exchange carries at most |observed paths| rows, then a
+    * TakeOrdered bounds output at k. */
+  def topPaths(events: DataFrame, steps: Int = 5, k: Int = 20,
+               tsCol: String = "ts", userCol: String = "user_id",
+               typeCol: String = "event_type",
+               idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps > 0 && k > 0, s"steps and k must be positive: $steps, $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= steps)
+      .groupBy(col(userCol))
+      // (rn, type) structs sort by the unique rank — deterministic
+      // regardless of collect_list's arrival order
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+        s => s.getField("t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Typed stats over a JSON properties column: extract `$.field` as a
+    * number per event and aggregate per type — the "parse the props
+    * blob once, keep it columnar" step every event pipeline runs.
+    * Malformed / missing extractions count separately instead of
+    * silently vanishing. Zero-shuffle until the |types|-row aggregate. */
+  def propsStats(events: DataFrame, field: String,
+                 propsCol: String = "props",
+                 typeCol: String = "event_type"): DataFrame = {
+    val v = get_json_object(col(propsCol), s"$$.$field").cast("double")
+    events
+      .filter(col(typeCol).isNotNull)
+      .groupBy(col(typeCol))
+      .agg(
+        count(v).as("n_parsed"),
+        (count(lit(1)) - count(v)).as("n_missing"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        round(avg(v), 4).as("avg_v"))
+  }
+
   /** Gap-based session INTERVALS per user: consecutive events within
     * `gapMicros` merge into one session; output one row per session
     * with `user_id`, `session_id` (1-based per user), and the inclusive

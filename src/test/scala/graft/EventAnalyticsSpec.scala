@@ -139,6 +139,42 @@ class EventAnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(("a", "b"))
   }
 
+  test("topPaths: first-N prefix in (ts, id) order; ties break on event_id") {
+    val ev = Seq(
+      // user 1: a>b>c (d falls past steps=3)
+      (1L, ts(1), 1L, "a"), (2L, ts(2), 1L, "b"), (3L, ts(3), 1L, "c"),
+      (4L, ts(4), 1L, "d"),
+      // user 2: same prefix a>b>c
+      (5L, ts(1), 2L, "a"), (6L, ts(2), 2L, "b"), (7L, ts(3), 2L, "c"),
+      // user 3: same-timestamp tie — event_id order decides: a>b
+      (9L, ts(1), 3L, "b"), (8L, ts(1), 3L, "a"),
+      // user 4: shorter than steps — path is just what exists
+      (10L, ts(1), 4L, "z")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.topPaths(ev, steps = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("a>b>c" -> 2L, "a>b" -> 1L, "z" -> 1L)
+    // k cuts deterministically by (count desc, path asc)
+    EventAnalytics.topPaths(ev, steps = 3, k = 2)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("a>b>c", "a>b")
+  }
+
+  test("propsStats: JSON field extraction with missing-parse accounting") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "x", """{"k": 10}"""),
+      (2L, ts(2), 1L, "x", """{"k": 30}"""),
+      (3L, ts(3), 2L, "x", """{"other": 1}"""), // key absent -> missing
+      (4L, ts(4), 2L, "y", "not json"),         // malformed -> missing
+      (5L, ts(5), 2L, "y", """{"k": 7}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "props")
+    val out = EventAnalytics.propsStats(ev, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    out("x") shouldBe ((2L, 1L, 10.0, 30.0, 20.0))
+    out("y") shouldBe ((1L, 1L, 7.0, 7.0, 7.0))
+  }
+
   test("funnelCycles: counts repeat completions, resets after each cycle") {
     val ev = Seq(
       // user 1: two full click->view cycles plus a dangling click

@@ -617,7 +617,27 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .map(r => (r.get("day_offset").asInt(), r.get("n_users").asLong()))
     rows should contain((0, 2L))
     rows.map(_._1).max should be > 1000
+
+    // journey prefixes: user 1 = click>view>purchase, user 2 = click>view
+    val paths = post("/events/paths", """{"entity":"ev","steps":3,"k":5}""")
+    paths.get("rows").elements().asScala.toSeq
+      .map(r => r.get("path").asText() -> r.get("n_users").asLong()).toMap shouldBe
+      Map("click>view>purchase" -> 1L, "click>view" -> 1L)
     post("/entity/drop", """{"name":"ev"}""")
+
+    // typed props extraction over the wire
+    post("/entity/create", """{"name":"evp"}""")
+    post("/entity/insert",
+      """{"name":"evp","rows":[
+        |{"event_id":1,"event_type":"x","props":"{\"k\": 4}"},
+        |{"event_id":2,"event_type":"x","props":"{\"k\": 8}"},
+        |{"event_id":3,"event_type":"x","props":"nope"}]}""".stripMargin)
+    val pr = post("/events/props", """{"entity":"evp","field":"k"}""")
+    val x = pr.get("rows").get(0)
+    x.get("n_parsed").asLong() shouldBe 2L
+    x.get("n_missing").asLong() shouldBe 1L
+    x.get("avg_v").asDouble() shouldBe 6.0
+    post("/entity/drop", """{"name":"evp"}""")
   }
 
   test("events endpoints serve byte-identical rows to the battery queries (sf0.001)") {
