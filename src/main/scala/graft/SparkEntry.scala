@@ -399,6 +399,12 @@ object SparkEntry {
       EventAnalytics.propsStats(Tables.events(s, d), "k")
         .orderBy("event_type")),
 
+    "event_anomalies" -> ((s, d) =>
+      // hourly volume spikes/dips: |z| >= 3 vs the type's own hourly
+      // distribution; stats table broadcast back onto the buckets
+      EventAnalytics.hourlyAnomalies(Tables.events(s, d), threshold = 3.0)
+        .orderBy("event_type", "hour")),
+
     "event_value_quantiles" -> ((s, d) =>
       // per-type value distribution (exact interpolated percentiles,
       // same continuous-quantile definition both engines share)
@@ -645,6 +651,20 @@ object SparkEntry {
     // OPQ: learned-rotation PQ (Ge et al. CVPR'13) — same ADC scan as
     // pq, candidates from the rotated space, exact euclidean rerank
     "index_opq_knn" -> indexKnn("opq"),
+
+    "ann_refine_topk" -> ((s, d) => {
+      // three-stage funnel: 1-bit Hamming coarse scan → 8-bit ADC refine
+      // over coarse survivors only (semi-join) → exact cosine top-50.
+      // Full vectors are read for 100 rows; the corpus pass is 1 bit/dim
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecOf(emb)
+      val bsq = cachedIndex(s, d, "bsq")
+      val sq = hybridSqIndexes.getOrElseUpdate(d,
+        Ann.buildCosineSQIndex(emb, "vec_id", "embedding"))
+      Ann.refineTopK(emb, "vec_id", "embedding", bsq, sq, q, 50)
+        .select(col("vec_id"),
+          round(col(Knn.DistanceCol), 6).as("distance"))
+    }),
 
     "index_bsq_knn" -> ((s, d) => {
       // persisted sign-code index: Hamming candidates (angular proxy),
@@ -2338,6 +2358,20 @@ object SparkEntry {
         |SELECT path, count(*) AS n_users FROM p GROUP BY path
         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
+    "event_anomalies" ->
+      """WITH h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hb, count(*) AS cnt
+        | FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type, avg(cnt) AS m, stddev_pop(cnt) AS sd
+        | FROM h GROUP BY 1)
+        |SELECT event_type, strftime(hb, '%Y-%m-%d %H:00') AS hour, cnt,
+        |  round(m, 4) AS mean_cnt, round((cnt - m) / sd, 4) AS z
+        |FROM h JOIN s USING (event_type)
+        |WHERE sd > 0 AND abs((cnt - m) / sd) >= 3.0
+        |ORDER BY event_type, hour""".stripMargin,
+
     "event_props_stats" ->
       """WITH v AS (
         | SELECT event_type,
@@ -2679,6 +2713,12 @@ object SparkEntry {
     "index_vote_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_ivfpq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_opq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    // the funnel equals exact cosine while each stage's survivors cover
+    // the true top-k (IndexSpec pins this on the verify corpus)
+    "ann_refine_topk" -> duckKnn(
+      s"""CASE WHEN $duckNormE < 1e-5 OR $duckNormQ < 1e-5 THEN 0.0
+         | ELSE 1.0 - ($duckDot) / ($duckNormE * $duckNormQ) END""".stripMargin,
+      50, roundTo = 6),
     "index_bsq_knn" -> {
       // exact two-phase replay: sign-mismatch Hamming top-500 (the
       // (hd, id) total order matches the index's TakeOrdered), cosine

@@ -80,6 +80,9 @@ import graft.operators.BooleanPredicates
   * | /events/retention     | {entity, tsCol?, userCol?}                   |
   * | /events/paths         | {entity, steps?, k?}                         |
   * | /events/props         | {entity, field}                              |
+  * | /pipeline/sketch      | {entity, mode: distinct|heavy_hitters,       |
+  * |                       |  keyCol, groupCol?, k?/m?}                   |
+  * | /events/anomalies     | {entity, threshold?}                         |
   * | /events/sessions      | {entity, gapMs, tsCol?, userCol?}            |
   * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
   * | /entity/versions      | {name}                                       |
@@ -739,6 +742,43 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
           userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id")
           .orderBy("user_id", "session_id"))
+      case "/pipeline/sketch" =>
+        // bounded-memory profiling sketches: mode=distinct → KMV
+        // cardinality estimate of keyCol (optionally per groupCol);
+        // mode=heavy_hitters → Misra–Gries top keys with
+        // [count, count+err] guarantee bounds
+        val e = entity(req, "entity").read()
+        val keyCol = req.get("keyCol").asText()
+        val grouped =
+          if (req.has("groupCol"))
+            e.filter(col(req.get("groupCol").asText()).isNotNull)
+              .groupBy(col(req.get("groupCol").asText()))
+          else e.groupBy()
+        val outDf = req.get("mode").asText() match {
+          case "distinct" =>
+            val k = if (req.has("k")) req.get("k").asInt() else 256
+            grouped.agg(org.apache.spark.sql.functions.round(
+              graft.functions.KmvDistinct.kmv(
+                graft.operators.Sampling.keyHash(col(keyCol)), k), 4)
+              .as("distinct_est"))
+          case "heavy_hitters" =>
+            val m = if (req.has("m")) req.get("m").asInt() else 64
+            grouped.agg(graft.functions.HeavyHitters.hitters(col(keyCol), m).as("hh"))
+              .select((if (req.has("groupCol"))
+                  Seq(col(req.get("groupCol").asText())) else Seq.empty) :+
+                org.apache.spark.sql.functions.explode(col("hh")).as("h"): _*)
+              .select((if (req.has("groupCol"))
+                  Seq(col(req.get("groupCol").asText())) else Seq.empty) ++ Seq(
+                col("h.key").as("key"), col("h.count").as("cnt"),
+                col("h.err").as("err")): _*)
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        val sortCols =
+          if (outDf.columns.contains("cnt")) // hitters: biggest first
+            outDf.columns.toSeq.filterNot(Set("key", "cnt", "err")).map(col) ++
+              Seq(col("cnt").desc, col("key"))
+          else outDf.columns.toSeq.map(col)
+        pagedRows(out, outDf.orderBy(sortCols: _*))
       case "/events/paths" =>
         // top user-journey prefixes (first `steps` event types per user)
         pagedRows(out, graft.operators.EventAnalytics.topPaths(
@@ -750,6 +790,13 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out, graft.operators.EventAnalytics.propsStats(
           entity(req, "entity").read(), req.get("field").asText())
           .orderBy("event_type"))
+      case "/events/anomalies" =>
+        // hourly volume spikes/dips by per-type z-score
+        pagedRows(out, graft.operators.EventAnalytics.hourlyAnomalies(
+          entity(req, "entity").read(),
+          threshold =
+            if (req.has("threshold")) req.get("threshold").asDouble() else 3.0)
+          .orderBy("event_type", "hour"))
       case "/events/retention" =>
         pagedRows(out, graft.operators.EventAnalytics.retention(
           entity(req, "entity").read(),

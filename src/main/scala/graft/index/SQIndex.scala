@@ -50,6 +50,22 @@ class SQIndex(val codes: DataFrame, // (id, codes array<int>)
       .select(col(idCol))
   }
 
+  /** Candidates restricted to a prior candidate pool — the REFINE stage
+    * of a multi-level funnel (coarse 1-bit → 8-bit refine → exact): the
+    * ADC kernel runs over only `pool` survivors via a semi-join on the
+    * codes relation, so the 8-bit pass reads a bounded candidate set,
+    * not the corpus. Same (adc, id) total order as [[candidates]]. */
+  def candidatesAmong(pool: DataFrame, q: Seq[Double], k: Int,
+                      timesK: Int): DataFrame = {
+    val table = SQIndex.adcTable(mins, scales, q.toArray)
+    codes.join(pool, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        Bridge.column(PQAdcExpr(Bridge.expression(col("codes")), table)).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k * timesK)
+      .select(col(idCol))
+  }
+
   /** Batched candidates in ONE codes scan: all Q ADC tables ride as
     * codegen kernel columns over the same relation pass, and a per-qid
     * [[graft.functions.BoundedTopK]] keeps ≤ k·timesK pairs map-side —

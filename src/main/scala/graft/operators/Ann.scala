@@ -63,6 +63,34 @@ object Ann {
                          vecCol: String): graft.index.SQIndex =
     graft.index.SQIndex.build(normalized(df, idCol, vecCol), idCol, "nvec")
 
+  /** Three-stage retrieval FUNNEL — the billion-vector cosine serving
+    * shape (coarse → refine → exact, each stage strictly smaller and
+    * strictly higher precision):
+    *
+    *  1. COARSE: 1-bit sign codes rank by Hamming (32× less I/O than
+    *     floats) → k·timesK2·timesK1 survivors;
+    *  2. REFINE: 8-bit SQ codes ADC over ONLY the coarse survivors
+    *     (semi-join on the codes relation) → k·timesK2;
+    *  3. EXACT: full-precision cosine re-rank of the refined set → k.
+    *
+    * Full vectors are touched for k·timesK2 rows only; the corpus-wide
+    * pass reads 1 bit/dim. Equals brute force whenever each stage's
+    * survivor set covers the true top-k (IndexSpec pins this on the
+    * verify corpus — the same exactness contract as every approximate
+    * index in the family). */
+  def refineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 coarse: graft.index.VectorIndex, refine: graft.index.SQIndex,
+                 q: Seq[Double], k: Int,
+                 timesK1: Int = 5, timesK2: Int = 2): DataFrame = {
+    require(k > 0 && timesK1 > 0 && timesK2 > 0, "k and timesK must be positive")
+    val n = math.sqrt(q.map(x => x * x).sum)
+    val qn = if (n > 1e-12) q.map(_ / n) else q
+    val pool = coarse.candidates(qn, k * timesK2, timesK1)
+    val refined = refine.candidatesAmong(pool, qn, k, timesK2)
+    Knn.rerank(df, refined, idCol,
+      Distances.cosine(col(vecCol), Distances.vecLit(q)), k)
+  }
+
   /** Cosine top-k through an index built by [[buildCosineSQIndex]]:
     * candidates from the codes scan (query normalized to match), exact
     * cosine re-rank bounded to the candidate set. Identical to the

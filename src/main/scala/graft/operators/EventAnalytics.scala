@@ -208,6 +208,38 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Hourly volume ANOMALIES per event type: z-score of each
+    * (type, hour) bucket count against the type's own hourly
+    * mean / population-stddev; emit buckets with `|z| ≥ threshold` —
+    * the spike/outage detector over an event feed. Types whose hourly
+    * volume never varies (σ = 0) have no measurable anomaly and emit
+    * nothing.
+    *
+    * Plan shape: one map-side-combined bucket count, then a |types|-row
+    * stats table BROADCAST back onto the buckets — the second pass
+    * joins |types·hours| rows against |types| rows, no re-shuffle of
+    * the bucket relation. */
+  def hourlyAnomalies(events: DataFrame, threshold: Double = 3.0,
+                      tsCol: String = "ts",
+                      typeCol: String = "event_type"): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val hourly = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol),
+        date_trunc("hour", col(tsCol)).as("__hb"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col(typeCol))
+      .agg(avg(col("cnt")).as("__mean"), stddev_pop(col("cnt")).as("__sd"))
+    hourly.join(broadcast(stats), Seq(typeCol))
+      .where(col("__sd") > 0 &&
+        abs((col("cnt") - col("__mean")) / col("__sd")) >= threshold)
+      .select(col(typeCol),
+        date_format(col("__hb"), "yyyy-MM-dd HH:00").as("hour"),
+        col("cnt"),
+        round(col("__mean"), 4).as("mean_cnt"),
+        round((col("cnt") - col("__mean")) / col("__sd"), 4).as("z"))
+  }
+
   /** Typed stats over a JSON properties column: extract `$.field` as a
     * number per event and aggregate per type — the "parse the props
     * blob once, keep it columnar" step every event pipeline runs.

@@ -175,6 +175,25 @@ class EventAnalyticsSpec extends SparkSpec {
     out("y") shouldBe ((1L, 1L, 7.0, 7.0, 7.0))
   }
 
+  test("hourlyAnomalies: z-score flags the spike hour; flat series emit nothing") {
+    // type "spiky": 9 hours at 2 events + one hour at 30 → huge z there
+    // type "flat": constant 3/hour → σ=0 → no measurable anomaly
+    val spiky = (0 until 9).flatMap(h => Seq(
+      (h * 10L, tsd(1 + h / 24, h % 24), 1L, "spiky"),
+      (h * 10L + 1, tsd(1 + h / 24, h % 24), 2L, "spiky"))) ++
+      (0 until 30).map(i => (900L + i, tsd(2, 10), 1L, "spiky"))
+    val flat = (0 until 8).flatMap(h => (0 until 3).map(i =>
+      (2000L + h * 10 + i, tsd(3, h), 1L, "flat")))
+    val ev = (spiky ++ flat)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.hourlyAnomalies(ev, threshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    out.map(_._1).toSet shouldBe Set("spiky")
+    out.length shouldBe 1
+    out.head._2 shouldBe "2024-01-02 10:00"
+    out.head._3 shouldBe 30L
+  }
+
   test("funnelCycles: counts repeat completions, resets after each cycle") {
     val ev = Seq(
       // user 1: two full click->view cycles plus a dangling click

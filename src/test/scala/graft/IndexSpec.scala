@@ -335,6 +335,21 @@ class IndexSpec extends SparkSpec {
         truth.subsetOf(cand) shouldBe true
       }
     }
+
+    // ann_refine_topk's contract: the three-stage funnel (bsq coarse →
+    // sq refine among survivors → exact cosine) must equal brute force
+    // at the battery's k=50 configuration on this corpus
+    val bsq = BSQIndex.build(emb, "vec_id", "embedding")
+    val sq = graft.operators.Ann.buildCosineSQIndex(emb, "vec_id", "embedding")
+    val cdist = Distances.cosine(col("embedding"), Distances.vecLit(q))
+    val funnel = graft.operators.Ann
+      .refineTopK(emb, "vec_id", "embedding", bsq, sq, q, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val cosTruth = Knn.knn(emb, cdist, 50, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    withClue("funnel diverges from exact cosine top-50: ") {
+      funnel shouldBe cosTruth
+    }
     emb.unpersist()
   }
 

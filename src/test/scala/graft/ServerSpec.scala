@@ -940,6 +940,33 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/count", """{"name":"demoimp"}""").get("count").asLong() shouldBe 100
   }
 
+  test("profiling sketches over the wire: KMV distinct and heavy hitters") {
+    post("/entity/create", """{"name":"sk"}""")
+    val rows = (0 until 90).map(i =>
+      s"""{"rid":$i,"grp":"g${i % 3}","tok":"${if (i % 3 == 0) "hot" else s"t$i"}"}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"sk","rows":$rows}""")
+
+    // 90 distinct rids < k=256 → exact
+    val d = post("/pipeline/sketch",
+      """{"entity":"sk","mode":"distinct","keyCol":"rid"}""")
+    d.get("rows").get(0).get("distinct_est").asDouble() shouldBe 90.0
+    // per-group: 30 distinct each
+    val dg = post("/pipeline/sketch",
+      """{"entity":"sk","mode":"distinct","keyCol":"rid","groupCol":"grp"}""")
+    dg.get("rows").elements().asScala
+      .map(_.get("distinct_est").asDouble()).toSeq shouldBe Seq(30.0, 30.0, 30.0)
+
+    // hot token (30×) leads; capacity ≥ distinct → exact, err 0
+    val hh = post("/pipeline/sketch",
+      """{"entity":"sk","mode":"heavy_hitters","keyCol":"tok","m":128}""")
+    val first = hh.get("rows").get(0)
+    first.get("key").asText() shouldBe "hot"
+    first.get("cnt").asLong() shouldBe 30L
+    first.get("err").asLong() shouldBe 0L
+    post("/entity/drop", """{"name":"sk"}""")
+  }
+
   test("compound set-algebra search over the wire") {
     post("/entity/create", """{"name":"cmp"}""")
     val rows = (0 until 40).map(i =>
