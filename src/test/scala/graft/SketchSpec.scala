@@ -88,6 +88,64 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("property: KMV buffer merge is order-insensitive and ≡ bulk build") {
+    // pure-buffer property (no Spark): any grouping/ordering of the
+    // same hash multiset must produce the same k-min set — this is
+    // exactly what makes the aggregate's partial/merge path safe
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { trial =>
+      val hashes = Seq.fill(200 + rnd.nextInt(300))(rnd.nextInt(5000).toLong)
+      val k = 1 + rnd.nextInt(40) + 1
+      val bulk = new graft.functions.KmvBuffer(k)
+      hashes.foreach(bulk.add)
+      val nChunks = 1 + rnd.nextInt(6)
+      val merged = rnd.shuffle(hashes).grouped(
+          math.max(1, hashes.size / nChunks)).map { chunk =>
+        val b = new graft.functions.KmvBuffer(k)
+        chunk.foreach(b.add)
+        b
+      }.reduce((a, b) => a.mergeFrom(b))
+      withClue(s"trial $trial (k=$k): ") {
+        merged.mins shouldBe bulk.mins
+        merged.estimate(5000.0) shouldBe bulk.estimate(5000.0)
+      }
+    }
+  }
+
+  test("property: MG bounds hold for arbitrary streams, splits, and capacities") {
+    val rnd = new scala.util.Random(11)
+    (1 to 25).foreach { trial =>
+      // zipf-ish keys so some are heavy
+      val n = 300 + rnd.nextInt(700)
+      val keys = Seq.fill(n)(s"k${(math.pow(rnd.nextDouble(), 2.5) * 60).toInt}")
+      val m = 1 + rnd.nextInt(12)
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random split into buffers, random merge order — the guarantee
+      // must survive ANY partitioning the cluster could produce
+      val bufs = rnd.shuffle(keys).grouped(math.max(1, n / (1 + rnd.nextInt(8))))
+        .map { chunk =>
+          val b = new graft.functions.MGBuffer(m)
+          chunk.foreach(b.add)
+          b
+        }.toList
+      val merged = rnd.shuffle(bufs).reduce((a, b) => a.mergeFrom(b))
+      withClue(s"trial $trial (m=$m, n=$n): ") {
+        merged.counts.size should be <= m
+        merged.err should be <= n.toLong / (m + 1)
+        merged.sorted.foreach { case (key, est) =>
+          est should be <= truth(key)
+          (est + merged.err) should be >= truth(key)
+        }
+        // every guaranteed-frequent key (freq > N/(m+1)) must survive
+        truth.filter(_._2 > n.toLong / (m + 1)).keys.foreach { hot =>
+          withClue(s"lost hot key $hot: ") {
+            merged.counts.containsKey(hot) shouldBe true
+          }
+        }
+      }
+    }
+  }
+
   test("sketches are callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     (0 until 300).map(i => s"k${i % 50}").toDF("k")
