@@ -692,6 +692,31 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "entity_snapshot_diff" -> ((s, d) => {
+      // incremental-consumer view of entity history: what changed
+      // between snapshot v1 and the live v3 after an upsert (reprice +
+      // new band) and a delete — keys only, ops aggregated with key
+      // bounds so the oracle replays from the base table
+      val base = freshScratch("snapdiff")
+      val e = graft.core.Entity.create(s, base, "sd")
+        .retainVersions(3) // keep v1..v3 snapshots on disk for the diff
+      val orders = Tables.orders(s, d)
+      e.insert(orders.filter(col("o_totalprice") >= 400000)) // v1
+      val repriced = orders.filter(col("o_totalprice") >= 400000 &&
+          col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+      val fresh = orders.filter(col("o_totalprice") >= 300000 &&
+        col("o_totalprice") < 400000)
+      e.upsert(repriced.unionByName(fresh), "o_orderkey") // v2
+      e.deleteWhere(col("o_orderstatus") === "F")          // v3
+      e.diffVersions(1, 3, "o_orderkey")
+        .groupBy("op")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("op")
+    }),
+
     "entity_upsert" -> ((s, d) => {
       // merge-by-key: expensive orders get repriced (replace), a band of
       // mid-priced orders arrives as new keys (append) — one atomic
@@ -2546,6 +2571,25 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),2) AS qty
         |FROM lineitem WHERE l_quantity >= 49 AND l_linestatus != 'F'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // v1 = expensive orders; v3 = after reprice-upsert ('O' rows
+    // changed), band append (added unless F), delete F (removed)
+    "entity_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_totalprice >= 400000),
+        |fresh AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_totalprice >= 300000 AND o_totalprice < 400000),
+        |diff AS (
+        |  SELECT 'removed' AS op, o_orderkey FROM old WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'changed', o_orderkey FROM old WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'added', o_orderkey FROM fresh WHERE o_orderstatus <> 'F')
+        |SELECT op, count(*) AS cnt, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM diff GROUP BY op ORDER BY op""".stripMargin,
 
     // the merged table = untouched expensive rows + repriced 'O' rows
     // (replaced by key) + the newly-appended mid-price band

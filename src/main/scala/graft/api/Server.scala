@@ -88,6 +88,7 @@ import graft.operators.BooleanPredicates
   * | /entity/versions      | {name}                                       |
   * | /entity/retain        | {name, keep}                                 |
   * | /entity/snapshot_count | {name, version}                             |
+  * | /entity/diff          | {name, from, to, keyCol}                     |
   * | /metrics              | {} → catalog/jobs/heap snapshot              |
   * | /pipeline/dedup       | {entity, textCol, idCol, minQuality?,        |
   * |                       |  threshold?}                                 |
@@ -532,6 +533,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           entity(req).retainVersions(req.get("keep").asInt())
         }
         out.put("retain", req.get("keep").asInt())
+      case "/entity/diff" =>
+        // row-level diff between two retained snapshots, keyed
+        pagedRows(out, entity(req).diffVersions(
+          req.get("from").asInt(), req.get("to").asInt(),
+          req.get("keyCol").asText())
+          .orderBy(col("op"), col(req.get("keyCol").asText())))
       case "/entity/snapshot_count" =>
         // row count of a retained snapshot version
         out.put("count", entity(req).readVersion(req.get("version").asInt()).count())

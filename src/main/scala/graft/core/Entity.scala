@@ -554,6 +554,39 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     if (v == meta.version) read() else spark.read.parquet(dataPath(v).toString)
   }
 
+  /** Row-level DIFF between two retained snapshot versions, keyed by
+    * `keyCol` (assumed unique per version — the upsert key): one row
+    * per differing key with `op ∈ {added, removed, changed}`. Payload
+    * comparison is an `xxhash64` fingerprint over the SHARED non-system
+    * columns (sorted by name), so versions that evolved schema diff on
+    * the intersection, and the wide payload never crosses the wire —
+    * the join carries (key, 8-byte fingerprint) per side.
+    *
+    * Scale: one keyed full-outer join between two (key, fp) projections
+    * — hash-partitioned on the key; output is bounded by the number of
+    * DIFFERING keys, which is what an incremental consumer (index
+    * refresh, downstream sync, audit) actually wants. */
+  def diffVersions(vOld: Int, vNew: Int, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(vOld)
+    val b = readVersion(vNew)
+    val system = Set(ApId, Partitioning.PartitionCol, keyCol)
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+      .diff(system).toSeq.sorted
+    require(a.columns.contains(keyCol) && b.columns.contains(keyCol),
+      s"key column $keyCol must exist in both versions")
+    def fp(df: DataFrame, as: String) =
+      df.select(col(keyCol),
+        (if (shared.isEmpty) lit(0L) else xxhash64(shared.map(col): _*)).as(as))
+    fp(a, "__fa").join(fp(b, "__fb"), Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") =!= col("__fb"), "changed"))
+      .where(col("op").isNotNull)
+      .select(col("op"), col(keyCol))
+  }
+
   /** Metadata-only compaction check: number of data part files in the
     * live version directory (depth 2 covers partition subdirectories). */
   private def partFileCount(p: Path): Int = {

@@ -112,6 +112,27 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("diffVersions: added/removed/changed by key fingerprint across snapshots") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "dv").retainVersions(3)
+    e.insert(Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "v", "x")) // v1
+    // v2: key 2 repriced (changed), key 4 appended (added)
+    e.upsert(Seq((2, "b", 25.0), (4, "d", 40.0)).toDF("k", "v", "x"), "k")
+    // v3: key 3 deleted (removed)
+    e.deleteWhere(col("k") === 3)
+    val d13 = e.diffVersions(1, 3, "k")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSet
+    d13 shouldBe Set("added" -> 4, "changed" -> 2, "removed" -> 3)
+    // identical snapshots diff to nothing
+    e.diffVersions(3, 3, "k").count() shouldBe 0L
+    // v2 → v3 sees only the delete
+    e.diffVersions(2, 3, "k").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toSet shouldBe
+      Set("removed" -> 3)
+    e.drop()
+  }
+
   test("default retention keeps only the live version (old behavior)") {
     val base = freshBase()
     val e = Entity.create(spark, base, "snapdef")

@@ -580,6 +580,15 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"""{"name":"vsnap","version":${vs.get(0).asInt()}}""")
       .get("count").asLong() shouldBe 10 // the pre-delete snapshot
     post("/entity/count", """{"name":"vsnap"}""").get("count").asLong() shouldBe 5
+
+    // keyed diff between the retained snapshot and the live version:
+    // five removals, nothing added or changed
+    val diff = post("/entity/diff",
+      s"""{"name":"vsnap","from":${vs.get(0).asInt()},"to":${vs.get(1).asInt()},"keyCol":"k"}""")
+    val ops = diff.get("rows").elements().asScala.toSeq
+      .map(r => (r.get("op").asText(), r.get("k").asLong()))
+    ops.map(_._1).toSet shouldBe Set("removed")
+    ops.map(_._2).sorted shouldBe Seq(5L, 6L, 7L, 8L, 9L)
     post("/entity/drop", """{"name":"vsnap"}""")
   }
 
