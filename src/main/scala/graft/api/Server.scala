@@ -656,6 +656,14 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         }
         out.put("plan", df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+        // analyze=true additionally EXECUTES the plan and reports row
+        // count + wall time — the EXPLAIN ANALYZE role for quick
+        // serving-cost checks through the console
+        if (req.has("analyze") && req.get("analyze").asBoolean()) {
+          val t0 = System.nanoTime()
+          out.put("rows", df.count())
+          out.put("wallMs", (System.nanoTime() - t0) / 1000000)
+        }
       case "/pipeline/verdicts" =>
         // per-row quality-filter verdicts (the zero-shuffle kernel form)
         def d(name: String, dflt: Double) =

@@ -350,6 +350,52 @@ object EventStream {
       }
   }
 
+  final case class BucketCount(event_type: String,
+                               window_start: java.sql.Timestamp, cnt: Long)
+  final case class BucketAnomaly(event_type: String,
+                                 window_start: java.sql.Timestamp, cnt: Long,
+                                 mean_before: Double, z: Double,
+                                 anomalous: Boolean)
+  /** Online mean/variance accumulator (public: the state encoder's
+    * generated code must reach the accessors). */
+  final case class Welford(n: Long, mean: Double, m2: Double)
+
+  /** Streaming twin of the batch hourly-anomaly detector: score each
+    * closed (type, window) bucket count against the type's RUNNING
+    * mean/σ (Welford online update), maintained in `mapGroupsWithState`
+    * — state per type is three doubles, regardless of stream length.
+    * Each bucket is scored against the statistics of the buckets BEFORE
+    * it (a spike must not mask itself by inflating the baseline it is
+    * judged against); the first `minBuckets` buckets per type only
+    * train. Feed it CLOSED windows — the append-mode output of a
+    * watermarked [[windowedCounts]]-style aggregation — so each bucket
+    * is counted exactly once. */
+  def anomalyStream(buckets: Dataset[BucketCount], threshold: Double = 3.0,
+                    minBuckets: Int = 5): Dataset[BucketAnomaly] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Welford, BucketAnomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tp: String, rows: Iterator[BucketCount], state: GroupState[Welford]) =>
+          var st = state.getOption.getOrElse(Welford(0L, 0.0, 0.0))
+          // deterministic scoring order within a micro-batch
+          val out = rows.toSeq.sortBy(_.window_start.getTime).map { b =>
+            val sd = if (st.n > 1) math.sqrt(st.m2 / st.n) else 0.0
+            val z = if (sd > 0) (b.cnt - st.mean) / sd else 0.0
+            val scored = BucketAnomaly(tp, b.window_start, b.cnt, st.mean, z,
+              anomalous = st.n >= minBuckets && sd > 0 &&
+                math.abs(z) >= threshold)
+            val d = b.cnt - st.mean
+            val n1 = st.n + 1
+            val mean1 = st.mean + d / n1
+            st = Welford(n1, mean1, st.m2 + d * (b.cnt - mean1))
+            scored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

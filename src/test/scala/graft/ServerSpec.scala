@@ -561,6 +561,14 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     viaIdx.get("plan").asText() should include("LeftSemi")
     post("/query/explain", """{"entity":"wexp","mode":"nope"}""")
       .get("ok").asBoolean() shouldBe false
+
+    // analyze=true executes and reports rows + wall time with the plan
+    val an = post("/query/explain",
+      """{"entity":"wexp","mode":"knn","idCol":"vid","vecCol":"vec",
+        |"q":[0.0,0.0],"k":3,"analyze":true}""".stripMargin)
+    an.get("rows").asLong() shouldBe 3L
+    an.get("wallMs").asLong() should be >= 0L
+    an.get("plan").asText() should include("TakeOrderedAndProject")
     post("/entity/drop", """{"name":"wexp"}""")
   }
 

@@ -93,6 +93,31 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly stream: spike scored against PRE-spike running stats, state persists") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.BucketCount]
+    val q = EventStream.anomalyStream(mem.toDS(), threshold = 2.0, minBuckets = 4)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    try {
+      // six steady buckets train the baseline (counts 10±1)...
+      mem.addData((0 until 6).map(h =>
+        EventStream.BucketCount("click", ts(h), 10L + (h % 2))): _*)
+      q.processAllAvailable()
+      // ...then a 40-count spike in a later micro-batch
+      mem.addData(EventStream.BucketCount("click", ts(30), 40L))
+      q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+        .map(r => (r.getLong(2), r.getDouble(4), r.getBoolean(5)))
+      rows.length shouldBe 7
+      val spike = rows.maxBy(_._1)
+      spike._3 shouldBe true // flagged
+      spike._2 should be > 2.0 // z against the 10.5-mean baseline
+      // the training buckets were never flagged
+      rows.filter(_._1 <= 11L).forall(!_._3) shouldBe true
+    } finally q.stop()
+  }
+
   test("running totals keep per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.UserEvent]
