@@ -115,7 +115,13 @@ object Plans {
     ("heavy_hitters", "MG summary partial-aggregates map-side (≤m counters per partition)",
       Seq("partial_heavy_hitters", "ObjectHashAggregate")),
     ("event_props_stats", "JSON extraction aggregates map-side over the scan",
-      Seq("partial_count", "partial_min")))
+      Seq("partial_count", "partial_min")),
+    // the sketch leg runs eagerly (bounded |types|-array collect) so it
+    // is not part of the returned plan; the assertable shape is the
+    // exact calibration leg: broadcast keyed join + map-side count over
+    // a pushed-filter scan
+    ("distinct_overlap", "exact overlap leg broadcasts + partial-aggregates",
+      Seq("BroadcastHashJoin", "partial_count", "PushedFilters")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(

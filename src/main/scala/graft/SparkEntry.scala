@@ -1245,6 +1245,43 @@ object SparkEntry {
             .as("kmv_est"))
         .orderBy("event_type")),
 
+    "distinct_overlap" -> ((s, d) => {
+      import s.implicits._
+      // audience overlap between event types WITHOUT joining the raw
+      // keys: per-type KMV min-sets (|types| bounded arrays reach the
+      // driver — the documented bounded-collect contract), theta-sketch
+      // union/intersection estimates per pair, exact intersection
+      // alongside for calibration. At 10⁹ users the sketch path reads
+      // each row once and ships k longs per type; the exact join is the
+      // thing this operator exists to avoid.
+      val k = 64
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val minsByType = ev.groupBy("event_type")
+        .agg(graft.functions.KmvMins.mins(
+          Sampling.keyHash(col("user_id")), k).as("mins"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      val pairs = minsByType.keys.toSeq.sorted.combinations(2).map {
+        case Seq(a, b) =>
+          val (eu, ei) = graft.functions.ThetaSketch.unionIntersect(
+            minsByType(a), minsByType(b), k, KmvDistinct.KeyHashRange)
+          (a, b, eu, ei)
+        case other => throw new IllegalStateException(other.toString)
+      }.toSeq.toDF("type_a", "type_b", "eu", "ei")
+      val du = ev.select(col("event_type").as("t"), col("user_id").as("u"))
+        .distinct()
+      val exact = du.as("x")
+        .join(du.as("y"), col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+        .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      pairs.join(exact, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          round(col("eu"), 4).as("est_union"),
+          round(col("ei"), 4).as("est_intersect"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy("type_a", "type_b")
+    }),
+
     "heavy_hitters" -> ((s, d) =>
       // corpus-vocabulary heavy hitters via the bounded Misra–Gries
       // summary: capacity 64 ≥ the synthetic vocabulary, so the summary
@@ -3056,6 +3093,53 @@ object SparkEntry {
          |         CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
          |    END, 4) AS kmv_est
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // theta-sketch replay: per-type k-min sets, per-pair union k-mins,
+    // matching fraction, identical estimator arithmetic
+    "distinct_overlap" ->
+      s"""WITH d AS (
+         | SELECT DISTINCT event_type AS t, user_id AS u,
+         |   ${duckRawHash("CAST(user_id AS VARCHAR)")} AS hv
+         | FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |h AS (SELECT DISTINCT t, hv FROM d),
+         |r AS (SELECT t, hv, row_number() OVER (PARTITION BY t ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY t) AS nd FROM h),
+         |tn AS (SELECT t, max(nd) AS nd FROM r GROUP BY t),
+         |mins AS (SELECT t, hv FROM r WHERE rn <= 64),
+         |tl AS (SELECT DISTINCT t FROM mins),
+         |pairs AS (SELECT a.t AS ta, b.t AS tb FROM tl a, tl b WHERE a.t < b.t),
+         |allu AS (SELECT DISTINCT p.ta, p.tb, m.hv
+         |  FROM pairs p JOIN mins m ON m.t = p.ta OR m.t = p.tb),
+         |ur AS (SELECT ta, tb, hv,
+         |        row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+         |  FROM allu),
+         |uagg AS (SELECT ta, tb, count(*) AS nall FROM allu GROUP BY 1, 2),
+         |theta AS (SELECT ta, tb, max(hv) AS th FROM ur WHERE rn <= 64 GROUP BY 1, 2),
+         |jj AS (SELECT u.ta, u.tb, count(*) AS j FROM ur u
+         |  JOIN mins ma ON ma.t = u.ta AND ma.hv = u.hv
+         |  JOIN mins mb ON mb.t = u.tb AND mb.hv = u.hv
+         |  WHERE u.rn <= 64 GROUP BY 1, 2),
+         |iex AS (SELECT ma.t AS ta, mb.t AS tb, count(*) AS ni
+         |  FROM mins ma JOIN mins mb ON ma.hv = mb.hv AND ma.t < mb.t
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT a.t AS ta, b.t AS tb, count(*) AS ne
+         |  FROM d a JOIN d b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+         |SELECT p.ta AS type_a, p.tb AS type_b,
+         |  round(CASE WHEN xa.nd < 64 AND xb.nd < 64 THEN CAST(ua.nall AS DOUBLE)
+         |    ELSE 63.0 * 1000000007.0 / CAST(th.th AS DOUBLE) END, 4) AS est_union,
+         |  round(CASE WHEN xa.nd < 64 AND xb.nd < 64 THEN CAST(coalesce(ix.ni, 0) AS DOUBLE)
+         |    ELSE CAST(coalesce(jj.j, 0) AS DOUBLE) / 64.0 *
+         |         (63.0 * 1000000007.0 / CAST(th.th AS DOUBLE)) END, 4) AS est_intersect,
+         |  CAST(coalesce(ex.ne, 0) AS BIGINT) AS n_exact
+         |FROM pairs p
+         |JOIN tn xa ON xa.t = p.ta
+         |JOIN tn xb ON xb.t = p.tb
+         |JOIN uagg ua ON ua.ta = p.ta AND ua.tb = p.tb
+         |JOIN theta th ON th.ta = p.ta AND th.tb = p.tb
+         |LEFT JOIN jj ON jj.ta = p.ta AND jj.tb = p.tb
+         |LEFT JOIN iex ix ON ix.ta = p.ta AND ix.tb = p.tb
+         |LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+         |ORDER BY type_a, type_b""".stripMargin,
 
     // capacity ≥ vocabulary → the MG summary equals the exact count
     "heavy_hitters" ->

@@ -136,6 +136,111 @@ object KmvDistinct {
       KeyHashRange).toAggregateExpression())
 }
 
+/** `kmv_mins(hash, k)`: the raw k-minimum-values SET (sorted
+  * `array<long>`) instead of the scalar estimate — the exportable form
+  * of the sketch, enabling SET ALGEBRA over groups after aggregation
+  * (see [[ThetaSketch]]): union/intersection cardinality estimates
+  * between any two groups from |groups| bounded arrays, no join over
+  * the raw keys. */
+case class KmvMins(child: Expression, k: Int,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k > 1, s"k must be > 1, got $k")
+
+  override def checkInputDataTypes():
+  org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv_mins expects a bigint hash child, got ${child.dataType.sql}")
+
+  override def prettyName: String = "kmv_mins"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val h = child.eval(input)
+    if (h != null) buf.add(h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer =
+    buf.mergeFrom(other)
+
+  override def eval(buf: KmvBuffer): Any = {
+    val arr = new Array[Any](buf.mins.size)
+    val it = buf.mins.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr) // TreeSet iterates ascending
+  }
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.mins.size * 8)
+    bb.putInt(buf.k); bb.putInt(buf.mins.size)
+    val it = buf.mins.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new KmvBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMins =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMins =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMins =
+    copy(child = newChild)
+}
+
+object KmvMins {
+  /** `kmv_mins(hashCol, k)` aggregate column. */
+  def mins(hash: Column, k: Int): Column =
+    Bridge.column(KmvMins(Bridge.expression(hash.cast("long")), k)
+      .toAggregateExpression())
+}
+
+/** Theta-sketch set algebra over exported KMV min-sets: distinct-count
+  * estimates for unions and intersections of any two groups WITHOUT
+  * joining the raw keys — the audience-overlap primitive at 10⁹ users.
+  * Both groups exact (fewer than k mins on each side) → exact set
+  * arithmetic; otherwise the standard KMV union estimator over the
+  * combined k smallest, with the intersection scaled by the matching
+  * fraction J/k. Fully deterministic — the DuckDB oracle replays the
+  * identical arithmetic. */
+object ThetaSketch {
+
+  /** (estimatedUnion, estimatedIntersection) of two sorted min-sets
+    * exported by [[KmvMins]] with the same k and `hashRange`. */
+  def unionIntersect(a: Array[Long], b: Array[Long], k: Int,
+                     hashRange: Double): (Double, Double) = {
+    val sa = a.toSet
+    val sb = b.toSet
+    val all = (sa ++ sb).toArray.sorted
+    if (a.length < k && b.length < k) {
+      // both sides hold their COMPLETE distinct-hash sets
+      (all.length.toDouble, sa.intersect(sb).size.toDouble)
+    } else {
+      val u = all.take(k)
+      val theta = u.last.toDouble
+      val estUnion = (k - 1).toDouble * hashRange / theta
+      val j = u.count(h => sa.contains(h) && sb.contains(h))
+      (estUnion, j.toDouble / k * estUnion)
+    }
+  }
+}
+
 final class MGBuffer(val m: Int) {
   /** key → lower-bound counter (Misra–Gries invariant: ≤ m entries). */
   val counts = new java.util.HashMap[String, Long]()

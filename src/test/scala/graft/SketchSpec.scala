@@ -146,6 +146,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta sketch: exact set algebra below k, calibrated estimates above") {
+    import graft.functions.{KmvMins, ThetaSketch}
+    def minsOf(keys: Seq[String], k: Int): Array[Long] =
+      keys.toDF("k").repartition(5)
+        .agg(KmvMins.mins(Sampling.keyHash(col("k")), k).as("m"))
+        .head().getSeq[Long](0).toArray
+
+    // exact path: both sides under k — union/intersection are exact
+    val a = (0 until 30).map(i => s"u$i")
+    val b = (20 until 50).map(i => s"u$i") // overlap = 10, union = 50
+    val (eu, ei) = ThetaSketch.unionIntersect(
+      minsOf(a, 64), minsOf(b, 64), 64, graft.functions.KmvDistinct.KeyHashRange)
+    eu shouldBe 50.0
+    ei shouldBe 10.0
+
+    // estimator path: 2000-user sides, 500 shared — estimates within
+    // the sketch's expected error band, deterministic across runs
+    val big1 = (0 until 2000).map(i => s"x$i")
+    val big2 = (1500 until 3500).map(i => s"x$i") // ∩=500, ∪=3500
+    val k = 128
+    val (eu2, ei2) = ThetaSketch.unionIntersect(
+      minsOf(big1, k), minsOf(big2, k), k, graft.functions.KmvDistinct.KeyHashRange)
+    math.abs(eu2 - 3500) / 3500.0 should be < 0.35
+    math.abs(ei2 - 500) / 500.0 should be < 0.6 // J/k has higher variance
+    // determinism: same inputs, same estimates
+    ThetaSketch.unionIntersect(minsOf(big1, k), minsOf(big2, k), k,
+      graft.functions.KmvDistinct.KeyHashRange) shouldBe ((eu2, ei2))
+  }
+
   test("sketches are callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     (0 until 300).map(i => s"k${i % 50}").toDF("k")
