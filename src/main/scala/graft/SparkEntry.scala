@@ -1245,6 +1245,27 @@ object SparkEntry {
             .as("kmv_est"))
         .orderBy("event_type")),
 
+    "sketch_profile" -> ((s, d) => {
+      // per-source corpus profile in ONE aggregation pass: doc/token
+      // volumes, KMV-16 distinct-token estimate (k < the ~31-token
+      // vocabulary → estimator path) with the exact count alongside,
+      // and the top token from the exact-regime MG summary — the
+      // text-corpus `table_profile` built from bounded-memory state
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      toks.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct_exact"),
+          round(KmvDistinct.kmv(Sampling.keyHash(col("tok")), 16), 4)
+            .as("kmv_est"),
+          element_at(graft.functions.HeavyHitters.hitters(col("tok"), 64), 1)
+            .getField("key").as("top_token"))
+        .orderBy("source")
+    }),
+
     "distinct_overlap" -> ((s, d) => {
       import s.implicits._
       // audience overlap between event types WITHOUT joining the raw
@@ -3093,6 +3114,35 @@ object SparkEntry {
          |         CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
          |    END, 4) AS kmv_est
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // per-source token stream; KMV-16 replay + exact top token
+    "sketch_profile" ->
+      s"""WITH t AS (
+         | SELECT source, unnest($duckToks) AS tok FROM documents),
+         |tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+         |h AS (SELECT DISTINCT source, ${duckRawHash("tok")} AS hv FROM tt),
+         |r AS (SELECT source, hv,
+         |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS nd FROM h),
+         |kmv AS (SELECT source,
+         |  CASE WHEN max(nd) < 16 THEN CAST(max(nd) AS DOUBLE)
+         |    ELSE 15.0 * 1000000007.0 /
+         |         CAST(max(CASE WHEN rn = 16 THEN hv END) AS DOUBLE) END AS est
+         |  FROM r GROUP BY source),
+         |tc AS (SELECT source, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+         |top AS (SELECT source, tok FROM (
+         |  SELECT source, tok,
+         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+         |  FROM tc) WHERE rk = 1)
+         |SELECT tt.source,
+         |  count(*) AS n_tokens,
+         |  count(DISTINCT tt.tok) AS n_distinct_exact,
+         |  round(any_value(kmv.est), 4) AS kmv_est,
+         |  any_value(top.tok) AS top_token
+         |FROM tt
+         |JOIN kmv ON kmv.source = tt.source
+         |JOIN top ON top.source = tt.source
+         |GROUP BY tt.source ORDER BY tt.source""".stripMargin,
 
     // theta-sketch replay: per-type k-min sets, per-pair union k-mins,
     // matching fraction, identical estimator arithmetic
