@@ -30,6 +30,12 @@ object Plans {
     ("knn_rerank_half", "rerank candidates via semi join", Seq("LeftSemi")),
     ("predicate_in_lt", "IN-filter pushed", Seq("PushedFilters: [", "In(l_returnflag")),
     ("q3_shipping", "small dimension broadcast into fact join", Seq("BroadcastHashJoin")),
+    ("q5_region_revenue", "region→nation→supplier dims broadcast into the fact pipeline",
+      Seq("BroadcastHashJoin")),
+    ("q18_large_orders", "agg-filtered join-back cut by bounded TakeOrdered, partial sums map-side",
+      Seq("TakeOrderedAndProject", "partial_sum")),
+    ("events_cube", "all cube grouping sets ride one Expand + partial aggregation",
+      Seq("Expand", "partial_count")),
     ("ann_batch_topk", "map-side partial bounded top-k, no qid window funnel",
       Seq("ObjectHashAggregate", "partial_bounded_topk")),
     ("ann_ivf_topk", "IVF candidates aggregated map-side",

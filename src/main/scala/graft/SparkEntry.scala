@@ -1712,6 +1712,115 @@ object SparkEntry {
         .filter(col("dist_m") <= 250000.0)
         .orderBy("vec_id")
     }),
+
+    // --- multi-join analytics breadth (r17) ---
+    "q5_region_revenue" -> ((s, d) => {
+      // TPC-H Q5 shape — the 6-way star join. region⋈nation collapses
+      // to a 5-row broadcast; supplier picks up n_name through it and
+      // stays broadcast-able (SF×10k rows). The only at-scale shuffles
+      // are lineitem⋈orders on orderkey and the custkey exchange; the
+      // c_nationkey = s_nationkey local-supplier predicate rides the
+      // supplier join, never a separate exchange.
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q18_large_orders" -> ((s, d) => {
+      // TPC-H Q18 shape — aggregation-filtered join-back: the HAVING
+      // side is the one big orderkey shuffle; the surviving "large"
+      // orders are rare (p99 of sum_qty), so the join back to orders/
+      // customer is a small-side join and the final cut is a bounded
+      // TakeOrdered, never a global sort.
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    "events_cube" -> ((s, d) =>
+      // CUBE over (event_type, day): all four grouping sets in one
+      // Expand + aggregate — one shuffle carries the partial aggregates
+      // of every subtotal level, vs four separate group-bys re-reading
+      // the fact table. Rolled-up cells are labeled '(all)' so the
+      // subtotal marker can never collide with a real (filtered-non-
+      // null) event_type.
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("gid"),
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit("(all)")).as("day"),
+          col("cnt"), col("total_value"))
+        .orderBy("gid", "event_type", "day")),
+
+    "value_quantile_sketch" -> ((s, d) => {
+      // quantile member of the sketch trio: per-type p50/p90/p99 of
+      // `value` from a bottom-k-by-hash row sample (k=64 < ~2000 rows
+      // per type at sf0.01 → genuinely the sampled path). O(k) state
+      // per group and ≤k (hash, value) pairs through the exchange where
+      // exact percentile_approx-style summaries grow with data; the
+      // deterministic hash membership is what the oracle replays.
+      val k = 64
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          graft.functions.BottomKSample.sample(
+            Sampling.keyHash(col("event_id")), col("value"), k).as("smp"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("n_rows"),
+          size(col("smp")).as("n_sample"),
+          round(graft.functions.BottomKSample.quantileAt(col("smp"), 0.5), 2).as("p50_est"),
+          round(graft.functions.BottomKSample.quantileAt(col("smp"), 0.9), 2).as("p90_est"),
+          round(graft.functions.BottomKSample.quantileAt(col("smp"), 0.99), 2).as("p99_est"))
+        .orderBy("event_type")
+    }),
+
+    "quality_percentile_band" -> ((s, d) => {
+      // DCLM-style percentile gate: keep each language's top-30% by
+      // quality score, ranked WITHIN the language so no language is
+      // wiped out by a global threshold. One lang-keyed window
+      // exchange; the rank is over the ROUNDED score with doc_id
+      // tie-break, so the ordering (and the band cut) is exact integer
+      // /4-dp arithmetic both engines replay bit-identically.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("quality", round(TextAnalysis.qualityScore(col("text")), 4))
+        .withColumn("pct", round(percent_rank().over(w), 4))
+        .filter(col("pct") <= 0.3)
+        .select("doc_id", "lang", "quality", "pct")
+        .orderBy("lang", "pct", "doc_id")
+    }),
   )
 
   /** Epoch micros for either TIMESTAMP or TIMESTAMP_NTZ input. The
@@ -4126,6 +4235,67 @@ object SparkEntry {
          |  FROM p, q
          |) WHERE dist_m <= 300000.0 ORDER BY poi_id, vec_id""".stripMargin
     },
+
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 2) > 250)
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey  = o_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "events_cube" ->
+      """SELECT GROUPING(event_type, d) AS gid,
+        |  coalesce(event_type, '(all)') AS event_type,
+        |  coalesce(d, '(all)') AS day,
+        |  count(*) AS cnt, round(sum(value), 2) AS total_value
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, value
+        |      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+        |GROUP BY CUBE(event_type, d)
+        |ORDER BY gid, event_type, day""".stripMargin,
+
+    "value_quantile_sketch" ->
+      s"""WITH b AS (SELECT event_type, ${duckRawHash("CAST(event_id AS VARCHAR)")} AS h, value
+         |           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         | n AS (SELECT event_type, count(*) AS n_rows FROM b GROUP BY event_type),
+         | dh AS (SELECT event_type, h, min(value) AS v FROM b GROUP BY event_type, h),
+         | rk AS (SELECT event_type, v,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM dh),
+         | smp AS (SELECT event_type, list_sort(list(v)) AS ls
+         |         FROM rk WHERE r <= 64 GROUP BY event_type)
+         |SELECT smp.event_type, n.n_rows, len(ls) AS n_sample,
+         |  round(ls[greatest(1, CAST(ceil(0.5 * len(ls)) AS BIGINT))], 2) AS p50_est,
+         |  round(ls[greatest(1, CAST(ceil(0.9 * len(ls)) AS BIGINT))], 2) AS p90_est,
+         |  round(ls[greatest(1, CAST(ceil(0.99 * len(ls)) AS BIGINT))], 2) AS p99_est
+         |FROM smp JOIN n ON smp.event_type = n.event_type
+         |ORDER BY smp.event_type""".stripMargin,
+
+    "quality_percentile_band" ->
+      s"""SELECT doc_id, lang, quality, pct FROM (
+         | SELECT doc_id, lang, quality,
+         |   round(percent_rank() OVER
+         |     (PARTITION BY lang ORDER BY quality DESC, doc_id), 4) AS pct
+         | FROM (SELECT doc_id, lang, round((
+         |   least(length(text) / 200.0, 1.0)
+         |   + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
+         |   + least((CAST(len(list_filter($duckToks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($duckToks)) * 5.0, 1.0)
+         |  ) / 3.0, 4) AS quality FROM documents))
+         |WHERE pct <= 0.3 ORDER BY lang, pct, doc_id""".stripMargin,
   )
 
   private def fuzzyOracle(mergeFn: String): String =

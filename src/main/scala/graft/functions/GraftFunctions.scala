@@ -141,6 +141,14 @@ object GraftFunctions {
           intArg(m, "m"))
         case args => throw new IllegalArgumentException(
           s"heavy_hitters(key, m) expects 2 args, got ${args.length}")
+      },
+      "bottomk_sample" -> {
+        case Seq(h, v, k) => BottomKSample(
+          org.apache.spark.sql.catalyst.expressions.Cast(h, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(v, org.apache.spark.sql.types.DoubleType),
+          intArg(k, "k"))
+        case args => throw new IllegalArgumentException(
+          s"bottomk_sample(hash, value, k) expects 3 args, got ${args.length}")
       })
 
   /** Register into a live session's function registry. */

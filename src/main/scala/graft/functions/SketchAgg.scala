@@ -381,3 +381,131 @@ object HeavyHitters {
     Bridge.column(HeavyHitters(Bridge.expression(key.cast("string")), m)
       .toAggregateExpression())
 }
+
+/** Bottom-k-by-hash uniform row sample carrying VALUES — the
+  * quantile-sketch member of the trio (KMV = distinct, Misra–Gries =
+  * frequency, this = quantiles). Keeps the (value of the) k rows whose
+  * row-key hash is smallest: a uniform sample whose membership is a
+  * pure function of the key set (bottom-k / coordinated sampling,
+  * Cohen & Kaplan VLDB'08), so merges are order-INDEPENDENT and the
+  * result is deterministic under any partitioning — unlike reservoir
+  * sampling, whose merge depends on arrival order, and unlike GK/KLL,
+  * whose compactions are merge-order-sensitive. That determinism is
+  * what lets the DuckDB oracle replay the sketch bit-for-bit (the same
+  * reason the distinct sketch is KMV and not HLL). Rank error of a
+  * p-quantile from a k-sample is O(√(p(1−p)/k)) with high probability;
+  * state is O(k) per group and the exchange carries ≤k (hash, value)
+  * pairs per (partition, group).
+  *
+  * Semantics: per distinct hash the MINIMUM value is kept (an
+  * order-independent collision rule; with a 10⁹-range row-key hash,
+  * collisions at the test scales are the same rows both engines see).
+  * Below k distinct hashes the sample IS the whole group, so sample
+  * quantiles are exact.
+  */
+final class BkBuffer(val k: Int) {
+  /** hash → min value among rows with that hash; ≤ k smallest hashes. */
+  val m = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+  def add(h: Long, v: Double): Unit = {
+    val cur = m.get(h)
+    if (cur != null) { if (v < cur) { m.put(h, v); () } }
+    else if (m.size < k) { m.put(h, v); () }
+    else if (h < m.lastKey) { m.put(h, v); m.pollLastEntry(); () }
+  }
+
+  def mergeFrom(o: BkBuffer): BkBuffer = {
+    val it = o.m.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(e.getKey, e.getValue) }
+    this
+  }
+}
+
+/** `bottomk_sample(hash, value, k)`: the sampled values, sorted
+  * ascending (`array<double>`) — quantiles index into it via
+  * [[BottomKSample.quantileAt]]. Null hashes/values are skipped. */
+case class BottomKSample(left: Expression, right: Expression, k: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BkBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 1, s"k must be > 1, got $k")
+
+  override def checkInputDataTypes():
+  org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bottomk_sample expects (bigint hash, double value), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def prettyName: String = "bottomk_sample"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): BkBuffer = new BkBuffer(k)
+
+  override def update(buf: BkBuffer, input: InternalRow): BkBuffer = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      buf.add(h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: BkBuffer, other: BkBuffer): BkBuffer =
+    buf.mergeFrom(other)
+
+  override def eval(buf: BkBuffer): Any = {
+    val vs = new Array[Double](buf.m.size)
+    val it = buf.m.values().iterator()
+    var i = 0
+    while (it.hasNext) { vs(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(vs)
+    new GenericArrayData(vs.map(v => v: Any))
+  }
+
+  override def serialize(buf: BkBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.m.size * 16)
+    bb.putInt(buf.k); bb.putInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putLong(e.getKey); bb.putDouble(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BkBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new BkBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.add(bb.getLong, bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BottomKSample =
+    copy(left = newLeft, right = newRight)
+}
+
+object BottomKSample {
+  /** `bottomk_sample(hashCol, valueCol, k)` aggregate column. */
+  def sample(hash: Column, value: Column, k: Int): Column =
+    Bridge.column(BottomKSample(Bridge.expression(hash.cast("long")),
+      Bridge.expression(value.cast("double")), k).toAggregateExpression())
+
+  /** Type-1 (lower) sample quantile: element `ceil(p·n)` (1-based) of
+    * the sorted sample — integer indexing, no interpolation, so any
+    * engine replays it exactly. */
+  def quantileAt(sortedSample: Column, p: Double): Column = {
+    import org.apache.spark.sql.functions._
+    element_at(sortedSample,
+      greatest(lit(1), ceil(lit(p) * size(sortedSample)).cast("int")))
+  }
+}

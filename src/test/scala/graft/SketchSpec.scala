@@ -189,5 +189,86 @@ class SketchSpec extends SparkSpec {
       "SELECT heavy_hitters(k, 64) AS hh FROM sketch_in")
       .select(org.apache.spark.sql.functions.size(col("hh"))).head().getInt(0)
     hh shouldBe 50
+
+    (0 until 300).map(i => (s"id$i", i.toDouble)).toDF("id", "v")
+      .createOrReplaceTempView("bk_in")
+    val smp = spark.sql(
+      """SELECT bottomk_sample(
+        |  pmod((aggregate(split(id, ''), 7L, (h, c) -> (h * 131 + ascii(c)) % 1000000007)
+        |        * 2654435761), 1000000007), v, 32) AS s
+        |FROM bk_in""".stripMargin)
+      .select(org.apache.spark.sql.functions.size(col("s"))).head().getInt(0)
+    smp shouldBe 32
+  }
+
+  // ---- bottom-k sample quantiles ----
+
+  private def bkSample(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Double] =
+    df.agg(graft.functions.BottomKSample.sample(
+        Sampling.keyHash(col("id")), col("v"), k).as("s"))
+      .head().getSeq[Double](0)
+
+  test("bottom-k sample: below k the sample IS the group — quantiles exact") {
+    val vs = Seq(9.0, 1.0, 5.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (s"row$i", v) }
+      .toDF("id", "v").repartition(5)
+    bkSample(df, 64) shouldBe vs.sorted
+    // type-1 median of 9 values = 5th smallest
+    df.agg(graft.functions.BottomKSample.sample(
+        Sampling.keyHash(col("id")), col("v"), 64).as("s"))
+      .select(graft.functions.BottomKSample.quantileAt(col("s"), 0.5))
+      .head().getDouble(0) shouldBe 5.0
+  }
+
+  test("bottom-k sample: membership is a pure function of the keys — partitioning-invariant") {
+    val df = (0 until 2000).map(i => (s"row$i", i.toDouble)).toDF("id", "v")
+    val a = bkSample(df.repartition(1), 64)
+    val b = bkSample(df.repartition(17), 64)
+    val c = bkSample(df.orderBy(col("v").desc).repartition(3), 64)
+    a shouldBe b
+    a shouldBe c
+    a.length shouldBe 64
+  }
+
+  test("bottom-k sample: equal-hash collision keeps the min value, any order") {
+    // same id twice → same hash; the kept value must be the smaller one
+    // regardless of which arrives first
+    val df = Seq(("dup", 9.0), ("dup", 2.0), ("x", 5.0)).toDF("id", "v")
+    bkSample(df.repartition(3), 8) should contain theSameElementsAs Seq(2.0, 5.0)
+  }
+
+  test("bottom-k sample: rank error of the estimated median is O(1/sqrt(k))") {
+    val n = 4000
+    val df = (0 until n).map(i => (s"row$i", i.toDouble)).toDF("id", "v")
+    val k = 64
+    val s = bkSample(df.repartition(11), k)
+    s.length shouldBe k
+    val p50 = s(math.ceil(0.5 * k).toInt - 1)
+    // v == its own rank here; 4σ bound with σ = n·sqrt(p(1-p)/k)
+    val sigma = n * math.sqrt(0.25 / k)
+    math.abs(p50 - 0.5 * n) should be < 4.0 * sigma
+  }
+
+  test("property: bottom-k buffer merge is order-insensitive and ≡ bulk build") {
+    // narrow hash range (0..50) forces frequent collisions, exercising
+    // the min-value tie rule under every split/order
+    val rnd = new scala.util.Random(11)
+    (1 to 25).foreach { trial =>
+      val pairs = Seq.fill(50 + rnd.nextInt(200))(
+        (rnd.nextInt(50).toLong, (rnd.nextInt(400) - 200) / 10.0))
+      val k = 2 + rnd.nextInt(15)
+      val bulk = new graft.functions.BkBuffer(k)
+      pairs.foreach { case (h, v) => bulk.add(h, v) }
+      val nChunks = 1 + rnd.nextInt(6)
+      val merged = rnd.shuffle(pairs).grouped(
+          math.max(1, pairs.size / nChunks)).map { chunk =>
+        val b = new graft.functions.BkBuffer(k)
+        chunk.foreach { case (h, v) => b.add(h, v) }
+        b
+      }.reduce((a, b) => a.mergeFrom(b))
+      withClue(s"trial $trial (k=$k): ") {
+        merged.m shouldBe bulk.m
+      }
+    }
   }
 }
