@@ -44,6 +44,8 @@ object Recall {
       "ivfpq" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
       "sq" -> SQIndex.build(emb, "vec_id", "embedding"),
       "opq" -> OPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16),
+      "nsw" -> NSWIndex.build(emb, "vec_id", "embedding",
+        nShards = 4, m = 8, efC = 64, ef = 128),
       "ecp-a2" -> ECPIndex.build(emb, "vec_id", "embedding", assign = 2),
       "ecp-a3" -> ECPIndex.build(emb, "vec_id", "embedding", assign = 3),
       "ivfpq-a2" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16, assign = 2),

@@ -651,6 +651,7 @@ object SparkEntry {
     // OPQ: learned-rotation PQ (Ge et al. CVPR'13) — same ADC scan as
     // pq, candidates from the rotated space, exact euclidean rerank
     "index_opq_knn" -> indexKnn("opq"),
+    "index_nsw_knn" -> indexKnn("nsw"),
 
     "ann_refine_topk" -> ((s, d) => {
       // three-stage funnel: 1-bit Hamming coarse scan → 8-bit ADC refine
@@ -1900,7 +1901,12 @@ object SparkEntry {
     "ivfpq" -> (df => IVFPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
     "sq" -> (df => SQIndex.build(df, "vec_id", "embedding")),
     "bsq" -> (df => BSQIndex.build(df, "vec_id", "embedding")),
-    "opq" -> (df => OPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)))
+    "opq" -> (df => OPQIndex.build(df, "vec_id", "embedding", nsq = 8, nCentroids = 16)),
+    // 4 shards × ef 128: at the verify SF the beam covers each ≤500/4
+    // shard exhaustively (provable candidate cover); at corpus scale
+    // the same ef bounds the walk instead
+    "nsw" -> (df => NSWIndex.build(df, "vec_id", "embedding",
+      nShards = 4, m = 8, efC = 64, ef = 128)))
 
   private def cachedIndex(s: SparkSession, d: String, key: String): VectorIndex =
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
@@ -2924,6 +2930,7 @@ object SparkEntry {
     "index_vote_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_ivfpq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_opq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_nsw_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     // the funnel equals exact cosine while each stage's survivors cover
     // the true top-k (IndexSpec pins this on the verify corpus)
     "ann_refine_topk" -> duckKnn(

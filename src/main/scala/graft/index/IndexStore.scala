@@ -54,6 +54,7 @@ object IndexStore {
       case sq: SQIndex => (sq.codes, (sq.mins, sq.scales))
       case bsq: BSQIndex => (bsq.codes, bsq.dim)
       case opq: OPQIndex => (opq.codes, (opq.rotation, opq.codebooks, opq.subLen))
+      case nsw: NSWIndex => (nsw.graph, (nsw.nShards, nsw.m, nsw.ef))
       case other => throw new IllegalArgumentException(
         s"index type ${other.indexType} is not persistable")
     }
@@ -143,6 +144,9 @@ object IndexStore {
         val (rot, books, subLen) = b.asInstanceOf[
           (Array[Array[Double]], Array[Array[Array[Double]]], Int)]
         new OPQIndex(df, rot, books, subLen, meta.idCol)
+      case ("nsw", b) =>
+        val (nShards, m, ef) = b.asInstanceOf[(Int, Int, Int)]
+        NSWIndex.fromSaved(df, nShards, m, ef, meta.idCol)
       case (other, _) => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     Loaded(idx, currentStamp.exists(_ != meta.stamp))

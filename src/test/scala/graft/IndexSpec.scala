@@ -275,7 +275,9 @@ class IndexSpec extends SparkSpec {
       "ivfpq" -> IVFPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
       "sq" -> SQIndex.build(data, "tid", "vectorfield"),
       "bsq" -> BSQIndex.build(data, "tid", "vectorfield"),
-      "opq" -> OPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16))
+      "opq" -> OPQIndex.build(data, "tid", "vectorfield", nsq = 5, nCentroids = 16),
+      "nsw" -> NSWIndex.build(data, "tid", "vectorfield",
+        nShards = 3, m = 6, efC = 32, ef = 64))
     family.foreach { case (name, built) =>
       IndexStore.save(base, name, built)
       val reopened = IndexStore.load(spark, base, name).index
@@ -328,7 +330,9 @@ class IndexSpec extends SparkSpec {
       ("mi", MIIndex.build(emb, "vec_id", "embedding", ki = 15, ks = 15), 10),
       ("ivfpq", IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5),
       ("sq", SQIndex.build(emb, "vec_id", "embedding"), 5),
-      ("opq", OPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5))
+      ("opq", OPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16), 5),
+      ("nsw", NSWIndex.build(emb, "vec_id", "embedding",
+        nShards = 4, m = 8, efC = 64, ef = 128), 5))
     configs.foreach { case (name, idx, tk) =>
       val cand = idx.candidates(q, K, tk).collect().map(_.getLong(0)).toSet
       withClue(s"$name misses ${truth.count(!cand.contains(_))} of top-$K: ") {
@@ -351,6 +355,44 @@ class IndexSpec extends SparkSpec {
       funnel shouldBe cosTruth
     }
     emb.unpersist()
+  }
+
+  test("nsw: beam-bounded regime — top-1 contained, degree capped, recall reported") {
+    // ef far below the shard size forces the actual graph walk (not the
+    // exhaustive small-shard degenerate case the verify gate runs)
+    val idx = NSWIndex.build(data, "tid", "vectorfield",
+      nShards = 2, m = 6, efC = 24, ef = 24)
+    // k=10 keeps the per-shard budget at the ef floor (24 < shard size),
+    // so this exercises the bounded walk, not the exhaustive degenerate
+    val cand = idx.candidates(queryVec, 10, 2).collect().map(_.getLong(0))
+    cand.length should be <= 2 * 24
+    cand should contain(bruteIds.head)
+    val r10 = bruteIds.take(10).count(cand.toSet.contains) / 10.0
+    info(f"nsw(ef=24) candidate recall@10 = $r10%.3f over ${cand.length} candidates")
+    r10 should be > 0.5
+    // adjacency respects the 2m cap and never dangles outside the shard
+    val deg = idx.graph
+      .select(org.apache.spark.sql.functions.size(col("neighbors")).as("d"))
+      .agg(max("d")).head().getInt(0)
+    deg should be <= 12
+    idx.graph.selectExpr("shard", "explode(neighbors) AS nb")
+      .join(idx.graph.select(col("id").as("nb"),
+        col("shard").as("nb_shard")), "nb")
+      .filter(col("shard") =!= col("nb_shard")).count() shouldBe 0L
+  }
+
+  test("nsw: build is deterministic under any partitioning of the input") {
+    val a = NSWIndex.build(data.repartition(1), "tid", "vectorfield",
+      nShards = 3, m = 6, efC = 32, ef = 48)
+    val b = NSWIndex.build(data.repartition(13).sortWithinPartitions(col("tid").desc),
+      "tid", "vectorfield", nShards = 3, m = 6, efC = 32, ef = 48)
+    val ga = a.graph.orderBy("id").collect().map(r =>
+      (r.getLong(1), r.getSeq[Long](3).sorted))
+    val gb = b.graph.orderBy("id").collect().map(r =>
+      (r.getLong(1), r.getSeq[Long](3).sorted))
+    ga shouldBe gb
+    a.candidates(queryVec, K).collect().map(_.getLong(0)).sorted shouldBe
+      b.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
   }
 
   test("bsq: sign codes rank by angle; packed query matches signPack; cosine-only") {
