@@ -41,7 +41,7 @@ object IndexOps {
     * parse them back. */
   val knownTypes: Seq[String] =
     Seq("vaf", "vav", "vap", "ecp", "pq", "sh", "lsh", "mi", "ivfpq", "sq",
-      "bsq", "opq")
+      "bsq", "opq", "nsw")
 
   /** Index factory by type name — reference `IndexTypes.scala:20-45`.
     * `options` carries per-type build parameters the way the reference's
@@ -77,6 +77,9 @@ object IndexOps {
       case "bsq" => BSQIndex.build(df, idCol, vecCol)
       case "opq" => OPQIndex.build(df, idCol, vecCol, nsq = int("nsq", 8),
         nCentroids = int("ncentroids", 16), optIters = int("optiters", 6))
+      case "nsw" => NSWIndex.build(df, idCol, vecCol,
+        nShards = int("nshards", 4), m = int("m", 8),
+        efC = int("efc", 64), ef = int("ef", 128))
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     require(opts.isEmpty,

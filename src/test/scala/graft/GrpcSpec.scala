@@ -501,7 +501,7 @@ class GrpcSpec extends SparkSpec {
     call(mdDef("DropEntity", "EntityNameMessage", "AckMessage"), entityName("rpcprops"))
   }
 
-  test("GenerateAllIndexes builds the full 12-type family (reference 8 + ivfpq/sq/bsq/opq)") {
+  test("GenerateAllIndexes builds the full 13-type family (reference 8 + ivfpq/sq/bsq/opq/nsw)") {
     val d = Proto.msg("CreateEntityMessage")
     ackOk(call(mdDef("CreateEntity", "CreateEntityMessage", "AckMessage"),
       Proto.newMsg("CreateEntityMessage")
@@ -523,7 +523,7 @@ class GrpcSpec extends SparkSpec {
     val built = gen.getField(gen.getDescriptorForType.findFieldByName("indexes"))
       .asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSet
     built shouldBe graft.api.IndexOps.knownTypes.map(tp => s"${tp}_vec").toSet
-    built should have size 12
+    built should have size 13
 
     val li = call(mdDef("ListIndexes", "EntityNameMessage", "IndexesMessage"),
       entityName("rpcall"))
