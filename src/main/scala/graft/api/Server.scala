@@ -80,8 +80,9 @@ import graft.operators.BooleanPredicates
   * | /events/retention     | {entity, tsCol?, userCol?}                   |
   * | /events/paths         | {entity, steps?, k?}                         |
   * | /events/props         | {entity, field}                              |
-  * | /pipeline/sketch      | {entity, mode: distinct|heavy_hitters,       |
-  * |                       |  keyCol, groupCol?, k?/m?}                   |
+  * | /pipeline/sketch      | {entity, mode: distinct|heavy_hitters|       |
+  * |                       |  quantiles, keyCol, valueCol?, groupCol?,    |
+  * |                       |  k?/m?}                                      |
   * | /events/anomalies     | {entity, threshold?}                         |
   * | /events/sessions      | {entity, gapMs, tsCol?, userCol?}            |
   * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
@@ -786,6 +787,21 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
                   Seq(col(req.get("groupCol").asText())) else Seq.empty) ++ Seq(
                 col("h.key").as("key"), col("h.count").as("cnt"),
                 col("h.err").as("err")): _*)
+          case "quantiles" =>
+            // bottom-k-by-hash sample quantiles of valueCol; keyCol is
+            // the row key whose hash decides sample membership
+            val k = if (req.has("k")) req.get("k").asInt() else 256
+            val v = req.get("valueCol").asText()
+            import graft.functions.BottomKSample
+            grouped.agg(BottomKSample.sample(
+                graft.operators.Sampling.keyHash(col(keyCol)),
+                col(v), k).as("smp"))
+              .select((if (req.has("groupCol"))
+                  Seq(col(req.get("groupCol").asText())) else Seq.empty) ++ Seq(
+                org.apache.spark.sql.functions.size(col("smp")).as("n_sample"),
+                BottomKSample.quantileAt(col("smp"), 0.5).as("p50"),
+                BottomKSample.quantileAt(col("smp"), 0.9).as("p90"),
+                BottomKSample.quantileAt(col("smp"), 0.99).as("p99")): _*)
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         val sortCols =

@@ -90,6 +90,31 @@ object EventStream {
       .select(col("window_start"), col("h.key").as("key"),
         col("h.count").as("cnt"), col("h.err").as("err"))
 
+  /** Tumbling-window value quantiles per event type via the bottom-k
+    * sample aggregate — the quantile member of the streaming sketch
+    * trio (KMV distinct, MG hitters, this). State per (type, window) is
+    * O(k) regardless of event volume, and the sample membership is a
+    * pure function of the event ids, so a replayed/reordered stream
+    * yields the SAME windows (the batch `value_quantile_sketch`
+    * semantics, windowed). */
+  def windowedValueQuantiles(events: DataFrame, k: Int = 64,
+                             window_ : String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.BottomKSample
+    events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), window_))
+      .agg(BottomKSample.sample(
+        graft.operators.Sampling.keyHash(col("event_id")),
+        col("value"), k).as("smp"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        size(col("smp")).as("n_sample"),
+        BottomKSample.quantileAt(col("smp"), 0.5).as("p50"),
+        BottomKSample.quantileAt(col("smp"), 0.9).as("p90"),
+        BottomKSample.quantileAt(col("smp"), 0.99).as("p99"))
+  }
+
   /** Streaming exact dedup for a document stream: normalized content
     * hash, duplicates dropped within the watermark horizon — the state
     * store only keeps hashes younger than the watermark, which is what

@@ -960,7 +960,7 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("profiling sketches over the wire: KMV distinct and heavy hitters") {
     post("/entity/create", """{"name":"sk"}""")
     val rows = (0 until 90).map(i =>
-      s"""{"rid":$i,"grp":"g${i % 3}","tok":"${if (i % 3 == 0) "hot" else s"t$i"}"}""")
+      s"""{"rid":$i,"grp":"g${i % 3}","tok":"${if (i % 3 == 0) "hot" else s"t$i"}","v":$i.0}""")
       .mkString("[", ",", "]")
     post("/entity/insert", s"""{"name":"sk","rows":$rows}""")
 
@@ -981,6 +981,16 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     first.get("key").asText() shouldBe "hot"
     first.get("cnt").asLong() shouldBe 30L
     first.get("err").asLong() shouldBe 0L
+
+    // bottom-k quantiles: 90 rows < k=256 → the sample is the whole
+    // column and the type-1 quantiles are exact
+    val qn = post("/pipeline/sketch",
+      """{"entity":"sk","mode":"quantiles","keyCol":"rid","valueCol":"v"}""")
+    val qrow = qn.get("rows").get(0)
+    qrow.get("n_sample").asInt() shouldBe 90
+    qrow.get("p50").asDouble() shouldBe 44.0
+    qrow.get("p90").asDouble() shouldBe 80.0
+    qrow.get("p99").asDouble() shouldBe 89.0
     post("/entity/drop", """{"name":"sk"}""")
   }
 

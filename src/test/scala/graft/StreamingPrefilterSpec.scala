@@ -93,6 +93,40 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed value quantiles match a batch replay of the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.windowedValueQuantiles(events, k = 8, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_qn")
+      .outputMode("update").start()
+    try {
+      // 20 click rows (> k=8 → sampled path, merged ACROSS two
+      // micro-batches), 3 view rows (< k → exact quantiles)
+      mem.addData((0 until 10).map(i => (i.toLong, ts(5), "click", i * 10.0)): _*)
+      q.processAllAvailable()
+      mem.addData((0 until 10).map(i => (50L + i, ts(15), "click", 500.0 + i)) ++
+        Seq((90L, ts(20), "view", 7.0), (91L, ts(25), "view", 3.0),
+          (92L, ts(30), "view", 11.0)): _*)
+      q.processAllAvailable()
+      val latest = spark.table("win_qn").collect()
+        .map(r => (r.getString(0), (r.getInt(2), r.getDouble(3), r.getDouble(5))))
+        .groupBy(_._1).map { case (k2, vs) => k2 -> vs.last._2 }
+      // view: exact — p50 of {3,7,11} = 7, p99 = 11, full sample kept
+      latest("view") shouldBe ((3, 7.0, 11.0))
+      // click: the deterministic batch replay of the identical rows
+      val batchRows = (0 until 10).map(i => (i.toLong, i * 10.0)) ++
+        (0 until 10).map(i => (50L + i, 500.0 + i))
+      val batch = batchRows.toDF("event_id", "value")
+        .agg(graft.functions.BottomKSample.sample(
+          graft.operators.Sampling.keyHash(col("event_id")), col("value"), 8).as("s"))
+        .select(graft.functions.BottomKSample.quantileAt(col("s"), 0.5),
+          graft.functions.BottomKSample.quantileAt(col("s"), 0.99))
+        .head()
+      latest("click") shouldBe ((8, batch.getDouble(0), batch.getDouble(1)))
+    } finally q.stop()
+  }
+
   test("anomaly stream: spike scored against PRE-spike running stats, state persists") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.BucketCount]
