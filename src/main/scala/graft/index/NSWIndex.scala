@@ -63,6 +63,39 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
       .toDF(id)
   }
 
+  /** ONE pass over the graph relation running all Q beams per shard —
+    * the multi-vector (MaxSim) path costs one job instead of Q. Each
+    * shard's node array is materialized once and walked Q times;
+    * per-query results are bit-identical to sequential [[candidates]]
+    * (same beam, same entry, same tie order). */
+  override def candidatesBatch(qs: Seq[Seq[Double]], k: Int,
+                               timesK: Int): DataFrame = {
+    require(qs.nonEmpty, "at least one query vector required")
+    import graph.sparkSession.implicits._
+    val qArr = qs.map(_.toArray)
+    val efq = math.max(ef, k * timesK / math.max(1, nShards))
+    val id = idCol
+    graph.select(col("shard"), col("id"), col("vec"), col("neighbors"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val nodes = rows.toArray.sortBy(_._2)
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val ids = nodes.map(_._2)
+          val pos = ids.zipWithIndex.toMap
+          val vecs = nodes.map(_._3.toArray)
+          val adj = nodes.map(
+            _._4.flatMap(pos.get).to(scala.collection.immutable.ArraySeq))
+          qArr.iterator.zipWithIndex.flatMap { case (q, qi) =>
+            NSWIndex.beam(vecs, adj(_), q, efq, nBuilt = nodes.length)
+              .iterator.map(i => (qi, ids(i)))
+          }
+        }
+      }
+      .toDF("qid", id)
+  }
+
   /** Recall diagnostic: fraction of `truth` ids inside the candidates. */
   def recallOf(q: Seq[Double], k: Int, truth: Seq[Long],
                timesK: Int = VectorIndex.TimesK): Double = {

@@ -395,6 +395,19 @@ class IndexSpec extends SparkSpec {
       b.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
   }
 
+  test("nsw: batched candidates (one graph pass) equal Q sequential beam scans") {
+    val idx = NSWIndex.build(data, "tid", "vectorfield",
+      nShards = 3, m = 6, efC = 32, ef = 24)
+    val q2 = queryVec.map(_ * 0.5)
+    val batched = idx.candidatesBatch(Seq(queryVec, q2), 10, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    batched(0) shouldBe idx.candidates(queryVec, 10, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    batched(1) shouldBe idx.candidates(q2, 10, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+  }
+
   test("bsq: sign codes rank by angle; packed query matches signPack; cosine-only") {
     val idx = BSQIndex.build(data, "tid", "vectorfield")
     // candidate phase = exact sign-mismatch ranking: verify against a
