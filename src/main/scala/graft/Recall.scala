@@ -51,7 +51,12 @@ object Recall {
       "ivfpq-a2" -> IVFPQIndex.build(emb, "vec_id", "embedding", nsq = 8, nCentroids = 16, assign = 2),
       "lsh-12x3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 12, nHashes = 3),
       "lsh-32x1" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 32, nHashes = 1),
-      "lsh-8x1p3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 3))
+      "lsh-8x1p3" -> LSHIndex.build(emb, "vec_id", "embedding", nTables = 8, nHashes = 1, probes = 3),
+      // beam-bounded walk (ef < shard size) — the regime that runs at
+      // corpus scale, vs the exhaustive degenerate the battery config
+      // hits on the small fixture
+      "nsw-ef32" -> NSWIndex.build(emb, "vec_id", "embedding",
+        nShards = 4, m = 8, efC = 64, ef = 32))
 
     println(f"[recall] sf=$sfDir k=$k queries=${queries.size}")
     indexes.foreach { case (name, idx) =>

@@ -49,10 +49,16 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
   override def conformsTo(distName: String): Boolean =
     graft.functions.Distances.isL2Family(distName)
 
+  /** Per-shard beam width: `ef` IS the search beam (HNSW ef_search
+    * semantics — the structural knob, tuned at build/config time),
+    * floored only so the union across shards can still hold k rows. */
+  private def beamWidth(k: Int): Int =
+    math.max(ef, math.ceil(k.toDouble / math.max(1, nShards)).toInt)
+
   override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
     import graph.sparkSession.implicits._
     val qa = q.toArray
-    val efq = math.max(ef, k * timesK / math.max(1, nShards))
+    val efq = beamWidth(k)
     val id = idCol
     graph.select(col("shard"), col("id"), col("vec"), col("neighbors"))
       .as[(Int, Long, Seq[Double], Seq[Long])]
@@ -73,7 +79,7 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
     require(qs.nonEmpty, "at least one query vector required")
     import graph.sparkSession.implicits._
     val qArr = qs.map(_.toArray)
-    val efq = math.max(ef, k * timesK / math.max(1, nShards))
+    val efq = beamWidth(k)
     val id = idCol
     graph.select(col("shard"), col("id"), col("vec"), col("neighbors"))
       .as[(Int, Long, Seq[Double], Seq[Long])]
