@@ -36,6 +36,10 @@ object Plans {
       Seq("TakeOrderedAndProject", "partial_sum")),
     ("events_cube", "all cube grouping sets ride one Expand + partial aggregation",
       Seq("Expand", "partial_count")),
+    ("events_rolling_avg", "range frame runs over the aggregated daily relation",
+      Seq("Window", "partial_count")),
+    ("doc_top_terms", "idf joins back as a broadcast on the term key",
+      Seq("BroadcastHashJoin", "partial_count")),
     ("ann_batch_topk", "map-side partial bounded top-k, no qid window funnel",
       Seq("ObjectHashAggregate", "partial_bounded_topk")),
     ("ann_ivf_topk", "IVF candidates aggregated map-side",

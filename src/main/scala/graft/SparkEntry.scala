@@ -1782,6 +1782,77 @@ object SparkEntry {
           col("cnt"), col("total_value"))
         .orderBy("gid", "event_type", "day")),
 
+    "events_rolling_avg" -> ((s, d) => {
+      // trailing-7-day rolling mean of daily volume per type via a
+      // RANGE window frame — the frame binds by event-time seconds, so
+      // gaps in the series are handled by the frame itself (no explode
+      // or self-join); the window runs over the already-aggregated
+      // |types|·|days| relation, not raw events
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("day").cast("long"))
+        .rangeBetween(-6L * 86400, 0)
+      daily.select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), round(avg("cnt").over(w), 4).as("avg7"))
+        .orderBy("event_type", "day")
+    }),
+
+    "events_corr" -> ((s, d) => {
+      // Pearson correlation between event types' daily-count series:
+      // the |types|·|days| daily relation self-joins on day (small
+      // after aggregation — the raw events never join), corr aggregated
+      // per unordered type pair
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type").as("type_a"),
+        col("day"), col("cnt").as("cnt_a"))
+      val b = daily.select(col("event_type").as("type_b"),
+        col("day"), col("cnt").as("cnt_b"))
+      a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(round(corr(col("cnt_a"), col("cnt_b")), 4).as("corr_daily"),
+          count(lit(1)).as("n_days"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    "doc_top_terms" -> ((s, d) => {
+      // TF-IDF keyword extraction: top-3 terms per document. Term
+      // frequencies and document frequencies come from the SAME
+      // (doc, term) aggregate (one token shuffle); idf joins back on
+      // the term key (broadcast-able vocabulary — zipf-truncate at
+      // corpus scale); ranking is over the ROUNDED score with a term
+      // tie-break, so the cut is replayable across engines regardless
+      // of libm ln() ulps
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "" && col("term").rlike("^[a-z]+$"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round(col("tf") *
+          log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)), 4))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     "value_quantile_sketch" -> ((s, d) => {
       // quantile member of the sketch trio: per-type p50/p90/p99 of
       // `value` from a bottom-k-by-hash row sample (k=64 < ~2000 rows
@@ -4274,6 +4345,45 @@ object SparkEntry {
         |      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL)
         |GROUP BY CUBE(event_type, d)
         |ORDER BY gid, event_type, day""".stripMargin,
+
+    "events_rolling_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, cnt,
+        |  round(avg(cnt) OVER (PARTITION BY event_type ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4) AS avg7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+
+    "events_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  round(corr(a.cnt, b.cnt), 4) AS corr_daily, count(*) AS n_days
+        |FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    "doc_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' AND regexp_full_match(term, '[a-z]+')
+        |  GROUP BY doc_id, term),
+        | dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln((n_docs + 1.0) / (dfreq + 1.0)), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, score FROM (
+        |  SELECT doc_id, term, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "value_quantile_sketch" ->
       s"""WITH b AS (SELECT event_type, ${duckRawHash("CAST(event_id AS VARCHAR)")} AS h, value
