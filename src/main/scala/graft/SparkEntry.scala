@@ -1782,76 +1782,17 @@ object SparkEntry {
           col("cnt"), col("total_value"))
         .orderBy("gid", "event_type", "day")),
 
-    "events_rolling_avg" -> ((s, d) => {
-      // trailing-7-day rolling mean of daily volume per type via a
-      // RANGE window frame — the frame binds by event-time seconds, so
-      // gaps in the series are handled by the frame itself (no explode
-      // or self-join); the window runs over the already-aggregated
-      // |types|·|days| relation, not raw events
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, d)
-        .filter(col("event_type").isNotNull && col("ts").isNotNull)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("day").cast("long"))
-        .rangeBetween(-6L * 86400, 0)
-      daily.select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("cnt"), round(avg("cnt").over(w), 4).as("avg7"))
-        .orderBy("event_type", "day")
-    }),
+    "events_rolling_avg" -> ((s, d) =>
+      EventAnalytics.rollingDailyAvg(Tables.events(s, d))
+        .orderBy("event_type", "day")),
 
-    "events_corr" -> ((s, d) => {
-      // Pearson correlation between event types' daily-count series:
-      // the |types|·|days| daily relation self-joins on day (small
-      // after aggregation — the raw events never join), corr aggregated
-      // per unordered type pair
-      val daily = Tables.events(s, d)
-        .filter(col("event_type").isNotNull && col("ts").isNotNull)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val a = daily.select(col("event_type").as("type_a"),
-        col("day"), col("cnt").as("cnt_a"))
-      val b = daily.select(col("event_type").as("type_b"),
-        col("day"), col("cnt").as("cnt_b"))
-      a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(round(corr(col("cnt_a"), col("cnt_b")), 4).as("corr_daily"),
-          count(lit(1)).as("n_days"))
-        .orderBy("type_a", "type_b")
-    }),
+    "events_corr" -> ((s, d) =>
+      EventAnalytics.dailyCorr(Tables.events(s, d))
+        .orderBy("type_a", "type_b")),
 
-    "doc_top_terms" -> ((s, d) => {
-      // TF-IDF keyword extraction: top-3 terms per document. Term
-      // frequencies and document frequencies come from the SAME
-      // (doc, term) aggregate (one token shuffle); idf joins back on
-      // the term key (broadcast-able vocabulary — zipf-truncate at
-      // corpus scale); ranking is over the ROUNDED score with a term
-      // tie-break, so the cut is replayable across engines regardless
-      // of libm ln() ulps
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .filter(col("term") =!= "" && col("term").rlike("^[a-z]+$"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("score", round(col("tf") *
-          log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)), 4))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("term"), col("score"))
-        .orderBy("doc_id", "rank")
-    }),
+    "doc_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(Tables.documents(s, d), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")),
 
     "value_quantile_sketch" -> ((s, d) => {
       // quantile member of the sketch trio: per-type p50/p90/p99 of

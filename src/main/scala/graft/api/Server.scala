@@ -84,6 +84,9 @@ import graft.operators.BooleanPredicates
   * |                       |  quantiles, keyCol, valueCol?, groupCol?,    |
   * |                       |  k?/m?}                                      |
   * | /events/anomalies     | {entity, threshold?}                         |
+  * | /events/rolling       | {entity, days?}                              |
+  * | /events/corr          | {entity}                                     |
+  * | /pipeline/keywords    | {entity, textCol, idCol, k?}                 |
   * | /events/sessions      | {entity, gapMs, tsCol?, userCol?}            |
   * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
   * | /entity/versions      | {name}                                       |
@@ -821,6 +824,23 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out, graft.operators.EventAnalytics.propsStats(
           entity(req, "entity").read(), req.get("field").asText())
           .orderBy("event_type"))
+      case "/events/rolling" =>
+        // trailing-N-day rolling mean of daily volume per type
+        pagedRows(out, graft.operators.EventAnalytics.rollingDailyAvg(
+          entity(req, "entity").read(),
+          days = if (req.has("days")) req.get("days").asInt() else 7)
+          .orderBy("event_type", "day"))
+      case "/events/corr" =>
+        // Pearson correlation between types' daily-count series
+        pagedRows(out, graft.operators.EventAnalytics.dailyCorr(
+          entity(req, "entity").read()).orderBy("type_a", "type_b"))
+      case "/pipeline/keywords" =>
+        // TF-IDF top-k terms per document
+        pagedRows(out, graft.operators.TextAnalysis.topTerms(
+          entity(req, "entity").read(), req.get("textCol").asText(),
+          req.get("idCol").asText(),
+          k = if (req.has("k")) req.get("k").asInt() else 3)
+          .orderBy(req.get("idCol").asText(), "rank"))
       case "/events/anomalies" =>
         // hourly volume spikes/dips by per-type z-score
         pagedRows(out, graft.operators.EventAnalytics.hourlyAnomalies(

@@ -310,4 +310,47 @@ object EventAnalytics {
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Trailing-`days`-day rolling mean of daily event volume per type,
+    * via a RANGE window frame binding event-time seconds over the
+    * |types|·|days| DAILY aggregate — gaps in the series are handled by
+    * the frame (a ROWS frame would silently average over missing days),
+    * and the window never sees raw events. Output: (event_type, day,
+    * cnt, avg7) with `avg7` rounded to 4. */
+  def rollingDailyAvg(events: DataFrame, days: Int = 7,
+                      tsCol: String = "ts",
+                      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("day").cast("long"))
+      .rangeBetween(-(days - 1).toLong * 86400, 0)
+    daily.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), round(avg("cnt").over(w), 4).as("avg7"))
+  }
+
+  /** Pearson correlation between event types' daily-count series: the
+    * daily aggregate self-joins on day (|types|·|days| rows — the raw
+    * events never join), correlated per unordered type pair. */
+  def dailyCorr(events: DataFrame, tsCol: String = "ts",
+                typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("event_type").as("type_a"),
+      col("day"), col("cnt").as("cnt_a"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(round(corr(col("cnt_a"), col("cnt_b")), 4).as("corr_daily"),
+        count(lit(1)).as("n_days"))
+  }
 }

@@ -497,4 +497,34 @@ object TextAnalysis {
       aggregate(split(text, ""), lit(7L),
         (h, c) => pmod(h * 131L + ascii(c), p)))
   }
+
+  /** TF-IDF keyword extraction: top-`k` terms per document. Term and
+    * document frequencies come from the SAME (doc, term) aggregate
+    * (one token shuffle); idf joins back as a BROADCAST on the term
+    * key — at corpus scale truncate the vocabulary (zipf tail carries
+    * no keyword signal) to keep it broadcast-able. Ranking is over the
+    * ROUNDED score with a term tie-break so the cut is replayable
+    * across engines regardless of libm ln() ulps. Only pure
+    * `[a-z]+` tokens participate (punctuation/number grams make
+    * meaningless keywords). */
+  def topTerms(df: DataFrame, textCol: String, idCol: String,
+               k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "" && col("term").rlike("^[a-z]+$"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }

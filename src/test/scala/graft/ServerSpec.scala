@@ -712,6 +712,49 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/drop", """{"name":"evbattery"}""")
   }
 
+  test("rolling average, series correlation, and keywords over the wire") {
+    post("/entity/create", """{"name":"ra"}""")
+    // type a doubles day over day, type b grows in step → corr 1.0
+    val evs = Seq(
+      (1, "2024-01-01 00:00:00", "a"), (2, "2024-01-01 01:00:00", "a"),
+      (3, "2024-01-02 00:00:00", "a"), (4, "2024-01-02 01:00:00", "a"),
+      (5, "2024-01-02 02:00:00", "a"), (6, "2024-01-02 03:00:00", "a"),
+      (7, "2024-01-01 00:00:00", "b"),
+      (8, "2024-01-02 00:00:00", "b"), (9, "2024-01-02 01:00:00", "b"),
+      (10, "2024-01-02 02:00:00", "b"))
+      .map { case (i, t, ty) => s"""{"event_id":$i,"ts":"$t","event_type":"$ty"}""" }
+    post("/entity/insert", s"""{"name":"ra","rows":[${evs.mkString(",")}]}""")
+
+    val roll = post("/events/rolling", """{"entity":"ra","days":7}""")
+    val rrows = roll.get("rows").elements().asScala.toSeq
+      .map(r => (r.get("event_type").asText(), r.get("day").asText(),
+        r.get("cnt").asLong(), r.get("avg7").asDouble()))
+    rrows should contain(("a", "2024-01-01", 2L, 2.0))
+    rrows should contain(("a", "2024-01-02", 4L, 3.0)) // (2+4)/2
+    rrows should contain(("b", "2024-01-02", 3L, 2.0)) // (1+3)/2
+
+    val corr = post("/events/corr", """{"entity":"ra"}""")
+    val crow = corr.get("rows").get(0)
+    crow.get("type_a").asText() shouldBe "a"
+    crow.get("type_b").asText() shouldBe "b"
+    crow.get("corr_daily").asDouble() shouldBe 1.0
+    crow.get("n_days").asLong() shouldBe 2L
+    post("/entity/drop", """{"name":"ra"}""")
+
+    post("/entity/create", """{"name":"kw"}""")
+    post("/entity/insert",
+      """{"name":"kw","rows":[
+        |{"kid":1,"txt":"apple apple banana common common common"},
+        |{"kid":2,"txt":"cherry common common"}]}""".stripMargin)
+    val kws = post("/pipeline/keywords",
+      """{"entity":"kw","textCol":"txt","idCol":"kid","k":2}""")
+    val byDoc = kws.get("rows").elements().asScala.toSeq
+      .filter(_.get("rank").asInt() == 1)
+      .map(r => r.get("kid").asLong() -> r.get("term").asText()).toMap
+    byDoc shouldBe Map(1L -> "apple", 2L -> "cherry")
+    post("/entity/drop", """{"name":"kw"}""")
+  }
+
   test("round-16 pipeline surface over the wire: urls, cdc, novelty, splits, cycles") {
     post("/entity/create", """{"name":"web"}""").get("ok").asBoolean() shouldBe true
     post("/entity/insert",
