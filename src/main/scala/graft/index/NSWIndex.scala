@@ -94,12 +94,65 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
           val adj = nodes.map(
             _._4.flatMap(pos.get).to(scala.collection.immutable.ArraySeq))
           qArr.iterator.zipWithIndex.flatMap { case (q, qi) =>
-            NSWIndex.beam(vecs, adj(_), q, efq, nBuilt = nodes.length)
+            NSWIndex.beam(vecs(_), adj(_), q, efq, nBuilt = nodes.length)
               .iterator.map(i => (qi, ids(i)))
           }
         }
       }
       .toDF("qid", id)
+  }
+
+  /** Incrementally insert a batch of new vectors into the shard
+    * graphs — the index-maintenance path for appended entity rows (the
+    * alternative to a full rebuild on staleness). New nodes insert in
+    * ascending-id order via the same beam/connect/prune routine the
+    * builder uses, against each shard's EXISTING graph; ids already in
+    * the index are dropped (idempotent re-appends). The extended graph
+    * is deterministic given (existing graph, batch), though not
+    * necessarily identical to a from-scratch build (insertion order
+    * differs — standard incremental-HNSW behavior); degree caps and
+    * search semantics are unchanged. One `flatMapGroups` pass, no
+    * cross-shard traffic. */
+  def extend(newDf: DataFrame, newIdCol: String, newVecCol: String): NSWIndex = {
+    import graph.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val mC = m
+    val efIns = ef
+    val existing = graph.select(col("shard"), col("id"), col("vec"),
+      col("neighbors"), lit(false).as("is_new"))
+    val incoming = newDf.select(
+      pmod(col(newIdCol), lit(nShards)).cast("int").as("shard"),
+      col(newIdCol).cast("long").as("id"),
+      col(newVecCol).cast("array<double>").as("vec"),
+      typedLit(Seq.empty[Long]).as("neighbors"),
+      lit(true).as("is_new"))
+    val extended = existing.unionByName(incoming)
+      .as[(Int, Long, Seq[Double], Seq[Long], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val rows = it.toArray
+        val old = rows.filter(!_._5).sortBy(_._2)
+        val oldIds = old.map(_._2).toSet
+        val fresh = rows.filter(_._5).filter(r => !oldIds.contains(r._2))
+          .sortBy(_._2).distinctBy(_._2)
+        val ids = scala.collection.mutable.ArrayBuffer.from(old.map(_._2))
+        val pos = old.map(_._2).zipWithIndex.toMap
+        val vecs = scala.collection.mutable.ArrayBuffer.from(
+          old.map(_._3.toArray))
+        val adj = scala.collection.mutable.ArrayBuffer.from(old.map(
+          _._4.flatMap(pos.get).to(scala.collection.mutable.ArrayBuffer)))
+        fresh.foreach { r =>
+          NSWIndex.insertNode(vecs, adj, r._3.toArray, mC, efIns)
+          ids += r._2
+        }
+        ids.indices.iterator.map { i =>
+          (shard, ids(i), vecs(i).toSeq, adj(i).map(ids(_)).toSeq)
+        }
+      }
+      .toDF("shard", "id", "vec", "neighbors")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    extended.count()
+    new NSWIndex(extended, nShards, m, ef, idCol)
   }
 
   /** Recall diagnostic: fraction of `truth` ids inside the candidates. */
@@ -123,7 +176,7 @@ object NSWIndex {
   /** Beam search over one in-memory shard graph from the first node
     * (lowest id — the deterministic entry point). Returns the `ef` best
     * (distance, id)-ordered local indexes visited. */
-  private[index] def beam(vecs: Array[Array[Double]],
+  private[index] def beam(vecs: Int => Array[Double],
                           adj: Int => scala.collection.IndexedSeq[Int],
                           q: Array[Double], ef: Int,
                           nBuilt: Int): Array[Int] = {
@@ -164,14 +217,18 @@ object NSWIndex {
     best.dequeueAll.map((e: (Double, Int)) => e._2).toArray
   }
 
-  /** Sequential NSW construction for one shard: nodes in ascending-id
-    * order; node i links to its `m` nearest among a beam search of the
-    * graph built so far; edges are bidirectional, adjacency pruned to
-    * `2m` closest (the HNSW `M_max` rule). */
-  private[index] def buildShard(ids: Array[Long], vecs: Array[Array[Double]],
-                                m: Int, efC: Int): Array[Array[Int]] = {
-    val n = ids.length
-    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+  /** Insert one node into an in-construction shard graph: beam search
+    * of the existing graph, connect to the `m` nearest found, edges
+    * bidirectional, adjacency pruned to `2m` closest (the HNSW `M_max`
+    * rule). Shared by the builder and incremental [[NSWIndex.extend]]. */
+  private[index] def insertNode(
+      vecs: scala.collection.mutable.ArrayBuffer[Array[Double]],
+      adj: scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]],
+      v: Array[Double], m: Int, efC: Int): Unit = {
+    val i = vecs.length
+    vecs += v
+    adj += scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (i == 0) return
     val mMax = 2 * m
     def prune(node: Int): Unit = {
       val a = adj(node)
@@ -184,22 +241,28 @@ object NSWIndex {
         a ++= kept
       }
     }
-    var i = 1
-    while (i < n) {
-      val found = beam(vecs, adj(_), vecs(i), efC, nBuilt = i)
-      val nearest = found
-        .map(nb => (sqDist(vecs(i), vecs(nb)), nb))
-        .sortBy(identity)
-        .take(m).map(_._2)
-      nearest.foreach { nb =>
-        adj(i) += nb
-        adj(nb) += i
-        prune(nb)
-      }
-      prune(i)
-      i += 1
+    val found = beam(vecs(_), adj(_), v, efC, nBuilt = i)
+    val nearest = found
+      .map(nb => (sqDist(v, vecs(nb)), nb))
+      .sortBy(identity)
+      .take(m).map(_._2)
+    nearest.foreach { nb =>
+      adj(i) += nb
+      adj(nb) += i
+      prune(nb)
     }
-    adj.map(_.toArray)
+    prune(i)
+  }
+
+  /** Sequential NSW construction for one shard: nodes in ascending-id
+    * order through [[insertNode]]. */
+  private[index] def buildShard(ids: Array[Long], vecs: Array[Array[Double]],
+                                m: Int, efC: Int): Array[Array[Int]] = {
+    val vb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val ab = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Int]]
+    vecs.foreach(v => insertNode(vb, ab, v, m, efC))
+    ab.map(_.toArray).toArray
   }
 
   private[index] def searchShard(rows: Iterator[(Int, Long, Seq[Double], Seq[Long])],
@@ -210,7 +273,7 @@ object NSWIndex {
     val pos = ids.zipWithIndex.toMap
     val vecs = nodes.map(_._3.toArray)
     val adj = nodes.map(_._4.flatMap(pos.get).to(scala.collection.immutable.ArraySeq))
-    beam(vecs, adj(_), q, ef, nBuilt = nodes.length).iterator.map(ids(_))
+    beam(vecs(_), adj(_), q, ef, nBuilt = nodes.length).iterator.map(ids(_))
   }
 
   /** Build the sharded graph index. `nShards` sizes per-task state

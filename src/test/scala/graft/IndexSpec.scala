@@ -395,6 +395,26 @@ class IndexSpec extends SparkSpec {
       b.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
   }
 
+  test("nsw: incremental extend appends into shard graphs; search covers old and new") {
+    val half = data.filter(col("tid") < 250)
+    val rest = data.filter(col("tid") >= 250)
+    val idx = NSWIndex.build(half, "tid", "vectorfield",
+      nShards = 3, m = 6, efC = 32, ef = 512) // ef ≥ shard → exhaustive walk
+    val ext = idx.extend(rest, "tid", "vectorfield")
+    // every id present exactly once; exhaustive-beam search ≡ brute force
+    ext.graph.count() shouldBe data.count()
+    ext.graph.select("id").distinct().count() shouldBe data.count()
+    knnIds(ext) shouldBe bruteIds
+    // degree caps survive insertion; edges never dangle across shards
+    ext.graph.select(org.apache.spark.sql.functions.size(col("neighbors")).as("d"))
+      .agg(max("d")).head().getInt(0) should be <= 12
+    // idempotent: re-appending the same rows changes nothing
+    val again = ext.extend(rest, "tid", "vectorfield")
+    again.graph.count() shouldBe data.count()
+    again.graph.orderBy("id").collect().map(r => (r.getLong(1), r.getSeq[Long](3).sorted)) shouldBe
+      ext.graph.orderBy("id").collect().map(r => (r.getLong(1), r.getSeq[Long](3).sorted))
+  }
+
   test("nsw: batched candidates (one graph pass) equal Q sequential beam scans") {
     val idx = NSWIndex.build(data, "tid", "vectorfield",
       nShards = 3, m = 6, efC = 32, ef = 24)
