@@ -123,8 +123,22 @@ object IndexOps {
     val attribute = info.getOrElse(InfoAttribute, throw new IllegalStateException(
       s"index $name records no attribute — drop and recreate it"))
     val idCol = info.getOrElse(InfoIdCol, Entity.ApId)
-    val idx = create(tp, e.read(), idCol, attribute,
-      info - InfoType - InfoAttribute - InfoIdCol)
+    // Incremental maintenance when it is provably sound: the graph index
+    // can absorb appended rows in place, and "append-only since save"
+    // is exactly "saved stamp has the same entity version" (delete /
+    // vacuum / sparsify bump the version; inserts only move the count).
+    // A negative saved count means the index was built mid-insert —
+    // rebuild rather than reason about the pending window.
+    val incremental = tp.toLowerCase == "nsw" &&
+      e.indexSavedStamp(name).exists(s => s._1 == e.stamp._1 && s._2 >= 0)
+    val idx =
+      if (incremental) {
+        val nsw = e.loadIndex(name).index.asInstanceOf[NSWIndex]
+        val appended = e.read().join(
+          nsw.graph.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        nsw.extend(appended, idCol, attribute)
+      } else create(tp, e.read(), idCol, attribute,
+        info - InfoType - InfoAttribute - InfoIdCol)
     e.saveIndex(name, idx, info)
     name
   }

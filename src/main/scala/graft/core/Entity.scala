@@ -485,6 +485,11 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
   def loadIndex(name: String): graft.index.IndexStore.Loaded =
     graft.index.IndexStore.load(spark, dir.toString, name, Some(stamp))
 
+  /** The entity stamp recorded when the index was saved — same-version
+    * drift means append-only mutation since the save. */
+  def indexSavedStamp(name: String): Option[(Int, Int)] =
+    graft.index.IndexStore.savedStamp(dir.toString, name)
+
   def listIndexes: Seq[String] = graft.index.IndexStore.list(dir.toString)
 
   def dropIndex(name: String): Unit = graft.index.IndexStore.drop(dir.toString, name)

@@ -87,6 +87,23 @@ object IndexStore {
     }
   }
 
+  /** The entity stamp recorded when the index was saved — lets a
+    * refresh distinguish append-only drift (same version, larger
+    * insert count → incremental maintenance is sound) from rewrites
+    * (delete/vacuum bump the version → full rebuild required). */
+  def savedStamp(baseDir: String, name: String): Option[(Int, Int)] = {
+    val p = indexDir(baseDir, name).resolve("meta.bin")
+    if (!Files.exists(p)) None
+    else {
+      val in = new ObjectInputStream(Files.newInputStream(p)) {
+        override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] =
+          Class.forName(desc.getName, false, Thread.currentThread.getContextClassLoader)
+      }
+      val meta = try in.readObject().asInstanceOf[SavedMeta] finally in.close()
+      Some(meta.stamp)
+    }
+  }
+
   /** Reload an index; `currentStamp` (from the owning entity) drives the
     * stale flag — `None` skips the check (ad-hoc stores). */
   def load(spark: SparkSession, baseDir: String, name: String,

@@ -176,6 +176,48 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("nsw refresh is incremental for append-only drift, full rebuild after delete") {
+    import graft.api.IndexOps
+    val base = freshBase()
+    val e = Entity.create(spark, base, "nswr")
+    val rnd = new scala.util.Random(11)
+    e.insert((0 until 50).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat()))).toDF("id", "vec"))
+    val opts = Map("nshards" -> "2", "m" -> "4", "efc" -> "16", "ef" -> "256")
+    e.saveIndex("nsw_vec",
+      IndexOps.create("nsw", e.read(), Entity.ApId, "vec", opts),
+      Map(IndexOps.InfoType -> "nsw", IndexOps.InfoAttribute -> "vec") ++ opts)
+
+    e.insert((100 until 120).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat()))).toDF("id", "vec"))
+    e.loadIndex("nsw_vec").stale shouldBe true
+    // append-only since save → the refresh must EXTEND, not rebuild:
+    // bit-identical to extending the saved graph with the delta
+    val saved = e.loadIndex("nsw_vec").index.asInstanceOf[graft.index.NSWIndex]
+    val delta = e.read().join(saved.graph.select(
+      org.apache.spark.sql.functions.col("id").as(Entity.ApId)),
+      Seq(Entity.ApId), "left_anti")
+    val expected = saved.extend(delta, Entity.ApId, "vec")
+      .graph.orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](3).sorted))
+    IndexOps.refresh(e, "nsw_vec") shouldBe "nsw_vec"
+    val refreshed = e.loadIndex("nsw_vec")
+    refreshed.stale shouldBe false
+    refreshed.index.asInstanceOf[graft.index.NSWIndex]
+      .graph.orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](3).sorted)) shouldBe expected
+
+    // a delete bumps the version → extend would keep ghosts; the
+    // refresh must fall back to a full rebuild over the live rows
+    e.deleteWhere(col("id") < 10)
+    IndexOps.refresh(e, "nsw_vec") shouldBe "nsw_vec"
+    val rebuilt = e.loadIndex("nsw_vec")
+    rebuilt.stale shouldBe false
+    rebuilt.index.asInstanceOf[graft.index.NSWIndex]
+      .graph.count() shouldBe e.read().count()
+    e.drop()
+  }
+
   test("compound attribute group: scans reassemble, point lookups ride the KV half") {
     val base = freshBase()
     val e = Entity.create(spark, base, "compnd")
