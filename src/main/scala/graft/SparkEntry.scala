@@ -1764,22 +1764,7 @@ object SparkEntry {
     }),
 
     "events_cube" -> ((s, d) =>
-      // CUBE over (event_type, day): all four grouping sets in one
-      // Expand + aggregate — one shuffle carries the partial aggregates
-      // of every subtotal level, vs four separate group-bys re-reading
-      // the fact table. Rolled-up cells are labeled '(all)' so the
-      // subtotal marker can never collide with a real (filtered-non-
-      // null) event_type.
-      Tables.events(s, d)
-        .filter(col("event_type").isNotNull && col("ts").isNotNull)
-        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-        .cube("event_type", "day")
-        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
-          round(sum("value"), 2).as("total_value"))
-        .select(col("gid"),
-          coalesce(col("event_type"), lit("(all)")).as("event_type"),
-          coalesce(col("day"), lit("(all)")).as("day"),
-          col("cnt"), col("total_value"))
+      EventAnalytics.cubeReport(Tables.events(s, d))
         .orderBy("gid", "event_type", "day")),
 
     "events_rolling_avg" -> ((s, d) =>

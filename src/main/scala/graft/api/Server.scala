@@ -86,7 +86,9 @@ import graft.operators.BooleanPredicates
   * | /events/anomalies     | {entity, threshold?}                         |
   * | /events/rolling       | {entity, days?}                              |
   * | /events/corr          | {entity}                                     |
+  * | /events/cube          | {entity, valueCol?}                          |
   * | /pipeline/keywords    | {entity, textCol, idCol, k?}                 |
+  * | /pipeline/quality_band | {entity, textCol, idCol, langCol, keep?}    |
   * | /events/sessions      | {entity, gapMs, tsCol?, userCol?}            |
   * | /query/explain        | {entity, mode: knn|boolean, index?, ...}     |
   * | /entity/versions      | {name}                                       |
@@ -834,6 +836,20 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // Pearson correlation between types' daily-count series
         pagedRows(out, graft.operators.EventAnalytics.dailyCorr(
           entity(req, "entity").read()).orderBy("type_a", "type_b"))
+      case "/events/cube" =>
+        // all (event_type, day) grouping sets in one Expand + aggregate
+        pagedRows(out, graft.operators.EventAnalytics.cubeReport(
+          entity(req, "entity").read(),
+          valueCol = if (req.has("valueCol")) req.get("valueCol").asText() else "value")
+          .orderBy("gid", "event_type", "day"))
+      case "/pipeline/quality_band" =>
+        // per-language top-X% quality gate
+        pagedRows(out, graft.operators.TextAnalysis.qualityPercentileBand(
+          entity(req, "entity").read(), req.get("textCol").asText(),
+          req.get("idCol").asText(), req.get("langCol").asText(),
+          keepFraction =
+            if (req.has("keep")) req.get("keep").asDouble() else 0.3)
+          .orderBy(req.get("langCol").asText(), "pct", req.get("idCol").asText()))
       case "/pipeline/keywords" =>
         // TF-IDF top-k terms per document
         pagedRows(out, graft.operators.TextAnalysis.topTerms(

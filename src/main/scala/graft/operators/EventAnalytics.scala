@@ -353,4 +353,23 @@ object EventAnalytics {
       .agg(round(corr(col("cnt_a"), col("cnt_b")), 4).as("corr_daily"),
         count(lit(1)).as("n_days"))
   }
+
+  /** CUBE over (event_type, day): all four grouping sets in one Expand
+    * + aggregate — one shuffle carries the partial aggregates of every
+    * subtotal level, vs four group-bys re-reading the fact table.
+    * Rolled-up cells are labeled `'(all)'` after a not-null filter so
+    * the subtotal marker can never collide with data. */
+  def cubeReport(events: DataFrame, tsCol: String = "ts",
+                 typeCol: String = "event_type",
+                 valueCol: String = "value"): DataFrame =
+    events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .cube(col(typeCol).as("event_type"), col("day"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        round(sum(valueCol), 2).as("total_value"))
+      .select(col("gid"),
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"),
+        col("cnt"), col("total_value"))
 }

@@ -527,4 +527,25 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
+
+  /** DCLM-style per-language quality percentile gate: keep each
+    * language's top `keepFraction` by [[qualityScore]], ranked WITHIN
+    * the language so no language is wiped out by a global threshold.
+    * One lang-keyed window exchange; the rank runs over the ROUNDED
+    * (4-dp) score with an id tie-break, so the band cut is exact
+    * integer/4-dp arithmetic any engine replays identically. Output:
+    * (id, lang, quality, pct) for the kept rows. */
+  def qualityPercentileBand(df: DataFrame, textCol: String, idCol: String,
+                            langCol: String,
+                            keepFraction: Double = 0.3): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction out of range: $keepFraction")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("quality").desc, col(idCol))
+    df.withColumn("quality", round(qualityScore(col(textCol)), 4))
+      .withColumn("pct", round(percent_rank().over(w), 4))
+      .filter(col("pct") <= keepFraction)
+      .select(col(idCol), col(langCol), col("quality"), col("pct"))
+  }
 }

@@ -739,6 +739,14 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     crow.get("type_b").asText() shouldBe "b"
     crow.get("corr_daily").asDouble() shouldBe 1.0
     crow.get("n_days").asLong() shouldBe 2L
+
+    // cube: grand total row carries gid 3 and the full event count
+    val cube = post("/events/cube", """{"entity":"ra","valueCol":"event_id"}""")
+    val grand = cube.get("rows").elements().asScala.toSeq
+      .find(_.get("gid").asInt() == 3).get
+    grand.get("event_type").asText() shouldBe "(all)"
+    grand.get("day").asText() shouldBe "(all)"
+    grand.get("cnt").asLong() shouldBe 10L
     post("/entity/drop", """{"name":"ra"}""")
 
     post("/entity/create", """{"name":"kw"}""")
@@ -752,7 +760,23 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .filter(_.get("rank").asInt() == 1)
       .map(r => r.get("kid").asLong() -> r.get("term").asText()).toMap
     byDoc shouldBe Map(1L -> "apple", 2L -> "cherry")
+
     post("/entity/drop", """{"name":"kw"}""")
+
+    // quality band: keep=1.0 passes everything; rank 0 per lang leader
+    post("/entity/create", """{"name":"qb"}""")
+    post("/entity/insert",
+      """{"name":"qb","rows":[
+        |{"bid":1,"txt":"the quick brown fox, and then some.","lng":"en"},
+        |{"bid":2,"txt":"short","lng":"en"},
+        |{"bid":3,"txt":"kurz und gut.","lng":"de"}]}""".stripMargin)
+    val band = post("/pipeline/quality_band",
+      """{"entity":"qb","textCol":"txt","idCol":"bid","langCol":"lng","keep":1.0}""")
+    band.get("rows").size() shouldBe 3
+    val en = band.get("rows").elements().asScala.toSeq
+      .filter(_.get("lng").asText() == "en")
+    en.head.get("pct").asDouble() shouldBe 0.0
+    post("/entity/drop", """{"name":"qb"}""")
   }
 
   test("round-16 pipeline surface over the wire: urls, cdc, novelty, splits, cycles") {
