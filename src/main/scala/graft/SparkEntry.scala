@@ -1763,6 +1763,59 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "q7_nation_volume" -> ((s, d) => {
+      // TPC-H Q7 shape: the two nation dims broadcast onto the
+      // supplier/customer legs, the directional pair filter rides the
+      // join output, and the only at-scale exchanges are the
+      // lineitem⋈orders orderkey shuffle + the custkey/suppkey joins
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, d).join(broadcast(n1),
+        col("s_nationkey") === col("s_nk"))
+      val cust = Tables.customer(s, d).join(broadcast(n2),
+        col("c_nationkey") === col("c_nk"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") <= lit("1996-12-31"))
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(cust, o("o_custkey") === cust("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    "q10_returned_items" -> ((s, d) => {
+      // TPC-H Q10 shape: quarter-filtered orders join the R-flagged
+      // lineitems; the customer dim joins AFTER aggregation is not
+      // possible (revenue groups by customer), so customer rides the
+      // custkey exchange and nation broadcasts; final cut is a bounded
+      // TakeOrdered
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-10-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "events_cube" -> ((s, d) =>
       EventAnalytics.cubeReport(Tables.events(s, d))
         .orderBy("gid", "event_type", "day")),
@@ -4261,6 +4314,38 @@ object SparkEntry {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey  = o_custkey
         |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey  = l_suppkey
+        |  JOIN customer ON c_custkey  = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate <= TIMESTAMP '1996-12-31')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(c_acctbal, 2) AS acctbal, n_name
+        |FROM lineitem
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey  = o_custkey
+        |JOIN nation   ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "events_cube" ->
       """SELECT GROUPING(event_type, d) AS gid,
