@@ -415,6 +415,32 @@ class IndexSpec extends SparkSpec {
       ext.graph.orderBy("id").collect().map(r => (r.getLong(1), r.getSeq[Long](3).sorted))
   }
 
+  test("nsw: streaming maintenance — extend absorbs micro-batches via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    // the mutable "serving" reference a maintenance job would swap
+    @volatile var serving = NSWIndex.build(data.filter(col("tid") < 300),
+      "tid", "vectorfield", nShards = 3, m = 6, efC = 32, ef = 512)
+    val q = mem.toDF().toDF("tid", "vectorfield").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        serving = serving.extend(batch, "tid", "vectorfield")
+      }.start()
+    try {
+      val rest = data.filter(col("tid") >= 300)
+        .select(col("tid").cast("long"), col("vectorfield").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val (h1, h2) = rest.splitAt(rest.length / 2)
+      mem.addData(h1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq)
+      q.processAllAvailable()
+      serving.graph.count() shouldBe data.count()
+      // exhaustive-beam search over the streamed-in index ≡ brute force
+      knnIds(serving) shouldBe bruteIds
+    } finally q.stop()
+  }
+
   test("nsw: batched candidates (one graph pass) equal Q sequential beam scans") {
     val idx = NSWIndex.build(data, "tid", "vectorfield",
       nShards = 3, m = 6, efC = 32, ef = 24)
