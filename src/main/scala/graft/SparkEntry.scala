@@ -1763,6 +1763,20 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "events_pivot" -> ((s, d) =>
+      // wide daily report via PIVOT with an EXPLICIT value list: the
+      // explicit list keeps the pivot a single pass (no extra
+      // distinct-values job) and pins the output schema — the form
+      // that scales and the form an engine swap must reproduce
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
     "q7_nation_volume" -> ((s, d) => {
       // TPC-H Q7 shape: the two nation dims broadcast onto the
       // supplier/customer legs, the directional pair filter rides the
@@ -4314,6 +4328,16 @@ object SparkEntry {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey  = o_custkey
         |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
