@@ -129,6 +129,12 @@ object Pipeline {
           .select(col("id").as(idCol))
         df.join(kept, Seq(idCol), "left_semi")
 
+      case "quality_band" => // per-language top-X% quality percentile gate
+        val kept = TextAnalysis.qualityPercentileBand(df, textCol, idCol,
+            str("langCol"), d("keep", 0.3))
+          .select(col(idCol))
+        df.join(kept, Seq(idCol), "left_semi")
+
       case "adaptive_length" => // per-group [lo,hi] quantile length band
         st.params.get("lenCol") match {
           case Some(lc) => TextAnalysis.adaptiveLengthFilter(df, lc,

@@ -97,6 +97,21 @@ class PipelineSpec extends SparkSpec {
     novel shouldBe Set(3L) // the verbatim pair is all shared shingles
   }
 
+  test("quality_band stage keeps each language's top fraction, full-row shape") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox, and then some more words here."),
+      (2L, "en", "zzz"),
+      (3L, "de", "kurz."),
+      (4L, "de", "ein etwas besserer text, mit satzzeichen und ein paar worten.")
+    ).toDF("doc_id", "lang", "text")
+    val kept = Pipeline.run(docs, "text", "doc_id", Seq(
+      Stage("quality_band", Map("langCol" -> "lang", "keep" -> "0.5"))))
+    // keep=0.5 over 2-doc groups: percent_rank 0 (the leader) survives,
+    // rank 1.0 does not — one winner per language
+    kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 4L)
+    kept.columns should contain("lang") // full-row contract preserved
+  }
+
   test("unknown stages and missing params fail loudly") {
     an[IllegalArgumentException] should be thrownBy
       Pipeline.run(corpus, "text", "doc_id", Seq(Stage("frobnicate", Map.empty)))
