@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.index.{BSQIndex, NSWIndex, SQIndex}
+import graft.operators.Knn
+
+/** ANN scale probe: the fixture corpora (500 / 2 000 vectors) cannot
+  * show index economics, so this main generates a DETERMINISTIC
+  * synthetic corpus (xxhash64-seeded coordinates — rerunnable, no RNG
+  * state) at a configurable size, builds the scan-based (SQ8, BSQ) and
+  * graph (NSW) indexes, and times build + query against the exact
+  * brute-force scan. The number that matters at corpus scale is query
+  * wall-clock vs the full scan — the graph walk touches O(ef·M·log n)
+  * of each shard where every scan index still reads all n codes.
+  *
+  * `sbt "runMain graft.AnnScaleProbe [n] [dim] [nShards]"`
+  */
+object AnnScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** (result, coldSeconds, warmSeconds): first run pays any first-touch
+    * deserialization/caching; warm = min of two repeats — the serving
+    * number. */
+  private def timed3[A](f: => A): (A, Double, Double) = {
+    val (a, cold) = time(f)
+    val (_, w1) = time(f)
+    val (_, w2) = time(f)
+    (a, cold, math.min(w1, w2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val nShards = args.lift(2).map(_.toInt).getOrElse(8)
+    val k = 100
+    val spark = graft.core.GraftSession.builder("local[8]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic coordinates in [-1, 1): xxhash64(id, dim index)
+    // scaled — identical corpus on every run and every partitioning
+    val coords = (0 until dim).map(i =>
+      (xxhash64(col("id"), lit(i)).cast("double") / 9.223372036854776e18))
+    val emb = spark.range(n.toLong)
+      .select(col("id").as("vec_id"), array(coords: _*).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    println(s"[ann-scale] n=$n dim=$dim nShards=$nShards k=$k")
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val edist = Distances.euclidean(col("embedding"), Distances.vecLit(q))
+
+    val (truth, tBruteC, tBrute) = timed3(
+      Knn.knn(emb, edist, k, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+    println(f"[ann-scale] brute-force scan        query=$tBrute%6.2f s (cold $tBruteC%5.2f) (exact)")
+
+    val (sq, tSqBuild) = time(SQIndex.build(emb, "vec_id", "embedding"))
+    val (sqIds, tSqC, tSq) = timed3(
+      sq.knn(emb, "vec_id", edist, q, k).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    val (_, _, tSqCand) = timed3(sq.candidates(q, k).count())
+    println(f"[ann-scale] sq8 code scan           query=$tSq%6.2f s (cold $tSqC%5.2f, cand-only $tSqCand%5.2f)  build=$tSqBuild%6.2f s  " +
+      f"recall=${truth.intersect(sqIds).size.toDouble / k}%.3f")
+
+    val (nsw, tNswBuild) = time(NSWIndex.build(emb, "vec_id", "embedding",
+      nShards = nShards, m = 8, efC = 64, ef = 128))
+    val (nswIds, tNswC, tNsw) = timed3(
+      nsw.knn(emb, "vec_id", edist, q, k).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    val (_, _, tNswCand) = timed3(nsw.candidates(q, k).count())
+    println(f"[ann-scale] nsw graph walk          query=$tNsw%6.2f s (cold $tNswC%5.2f, cand-only $tNswCand%5.2f)  build=$tNswBuild%6.2f s  " +
+      f"recall=${truth.intersect(nswIds).size.toDouble / k}%.3f  " +
+      f"candidates=${nShards * 128}")
+
+    // BSQ ranks by angle — score it against the cosine ground truth
+    val cdist = Distances.cosine(col("embedding"), Distances.vecLit(q))
+    val cosTruth = Knn.knn(emb, cdist, k, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (bsq, tBsqBuild) = time(BSQIndex.build(emb, "vec_id", "embedding"))
+    val (bsqIds, tBsqC, tBsq) = timed3(
+      bsq.knn(emb, "vec_id", cdist, q, k).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    println(f"[ann-scale] bsq 1-bit scan (cosine) query=$tBsq%6.2f s (cold $tBsqC%5.2f)  build=$tBsqBuild%6.2f s  " +
+      f"recall=${cosTruth.intersect(bsqIds).size.toDouble / k}%.3f")
+
+    emb.unpersist()
+    spark.stop()
+  }
+}

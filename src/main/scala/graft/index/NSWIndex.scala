@@ -55,18 +55,38 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
   private def beamWidth(k: Int): Int =
     math.max(ef, math.ceil(k.toDouble / math.max(1, nShards)).toInt)
 
-  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
+  /** Serving-cache token: shard graphs deserialized on a task's first
+    * query are kept JVM-resident under this key (per partition), so
+    * repeat queries walk resident arrays instead of re-reading the
+    * relation — the vector-DB serving pattern. A new token per index
+    * instance (build/extend/load) is the invalidation. */
+  private val cacheToken: String = java.util.UUID.randomUUID().toString
+
+  /** Queries run as `mapPartitions` over the shard-partitioned cached
+    * graph relation — NO exchange per query (the `groupByKey` form
+    * shuffles the whole graph every call). A partition may carry more
+    * than one shard (hash packing); each is walked independently, in
+    * shard order, so results never depend on the packing. */
+  private def walkAll(qArr: Array[Array[Double]], efq: Int)
+  : Dataset[(Int, Long)] = {
     import graph.sparkSession.implicits._
-    val qa = q.toArray
-    val efq = beamWidth(k)
-    val id = idCol
+    val token = cacheToken
     graph.select(col("shard"), col("id"), col("vec"), col("neighbors"))
       .as[(Int, Long, Seq[Double], Seq[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        NSWIndex.searchShard(rows, qa, efq)
+      .mapPartitions { it =>
+        val shards = NSWIndex.residentShards(token, it)
+        shards.iterator.flatMap { g =>
+          qArr.iterator.zipWithIndex.flatMap { case (q, qi) =>
+            NSWIndex.beam(g.vecs(_), g.adj(_), q, efq, nBuilt = g.ids.length)
+              .iterator.map(i => (qi, g.ids(i)))
+          }
+        }
       }
-      .toDF(id)
+  }
+
+  override def candidates(q: Seq[Double], k: Int, timesK: Int): DataFrame = {
+    import graph.sparkSession.implicits._
+    walkAll(Array(q.toArray), beamWidth(k)).map(_._2).toDF(idCol)
   }
 
   /** ONE pass over the graph relation running all Q beams per shard —
@@ -77,30 +97,12 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
   override def candidatesBatch(qs: Seq[Seq[Double]], k: Int,
                                timesK: Int): DataFrame = {
     require(qs.nonEmpty, "at least one query vector required")
-    import graph.sparkSession.implicits._
-    val qArr = qs.map(_.toArray)
-    val efq = beamWidth(k)
-    val id = idCol
-    graph.select(col("shard"), col("id"), col("vec"), col("neighbors"))
-      .as[(Int, Long, Seq[Double], Seq[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        val nodes = rows.toArray.sortBy(_._2)
-        if (nodes.isEmpty) Iterator.empty
-        else {
-          val ids = nodes.map(_._2)
-          val pos = ids.zipWithIndex.toMap
-          val vecs = nodes.map(_._3.toArray)
-          val adj = nodes.map(
-            _._4.flatMap(pos.get).to(scala.collection.immutable.ArraySeq))
-          qArr.iterator.zipWithIndex.flatMap { case (q, qi) =>
-            NSWIndex.beam(vecs(_), adj(_), q, efq, nBuilt = nodes.length)
-              .iterator.map(i => (qi, ids(i)))
-          }
-        }
-      }
-      .toDF("qid", id)
+    walkAll(qs.map(_.toArray).toArray, beamWidth(k)).toDF("qid", idCol)
   }
+
+  /** Drop this index's JVM-resident shard graphs (driver side for
+    * local mode; executors age theirs out with the relation). */
+  def release(): Unit = NSWIndex.dropResident(cacheToken)
 
   /** Incrementally insert a batch of new vectors into the shard
     * graphs — the index-maintenance path for appended entity rows (the
@@ -150,6 +152,7 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
         }
       }
       .toDF("shard", "id", "vec", "neighbors")
+      .repartition(nShards, col("shard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     extended.count()
     new NSWIndex(extended, nShards, m, ef, idCol)
@@ -265,15 +268,38 @@ object NSWIndex {
     ab.map(_.toArray).toArray
   }
 
-  private[index] def searchShard(rows: Iterator[(Int, Long, Seq[Double], Seq[Long])],
-                                 q: Array[Double], ef: Int): Iterator[Long] = {
-    val nodes = rows.toArray.sortBy(_._2)
-    if (nodes.isEmpty) return Iterator.empty
-    val ids = nodes.map(_._2)
-    val pos = ids.zipWithIndex.toMap
-    val vecs = nodes.map(_._3.toArray)
-    val adj = nodes.map(_._4.flatMap(pos.get).to(scala.collection.immutable.ArraySeq))
-    beam(vecs(_), adj(_), q, ef, nBuilt = nodes.length).iterator.map(ids(_))
+  /** One shard's resident search structure. */
+  private[index] final case class ShardGraph(ids: Array[Long],
+                                             vecs: Array[Array[Double]],
+                                             adj: Array[Array[Int]])
+
+  /** (token, partitionId) → parsed shard graphs of that partition. */
+  private val resident =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[ShardGraph]]()
+
+  private[index] def residentShards(
+      token: String,
+      it: Iterator[(Int, Long, Seq[Double], Seq[Long])]): Array[ShardGraph] = {
+    val key = token + "#" + org.apache.spark.TaskContext.getPartitionId()
+    val hit = resident.get(key)
+    if (hit != null) hit // resident: skip deserializing the partition
+    else {
+      val parsed = it.toArray.groupBy(_._1).toArray.sortBy(_._1).map {
+        case (_, rows) =>
+          val nodes = rows.sortBy(_._2)
+          val ids = nodes.map(_._2)
+          val pos = ids.zipWithIndex.toMap
+          ShardGraph(ids, nodes.map(_._3.toArray),
+            nodes.map(_._4.flatMap(pos.get).toArray))
+      }
+      resident.putIfAbsent(key, parsed)
+      parsed
+    }
+  }
+
+  private[index] def dropResident(token: String): Unit = {
+    val it = resident.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(token + "#")) it.remove()
   }
 
   /** Build the sharded graph index. `nShards` sizes per-task state
@@ -300,6 +326,11 @@ object NSWIndex {
         }
       }
       .toDF("shard", "id", "vec", "neighbors")
+      // shard-partitioned BEFORE the persist: queries then run as
+      // mapPartitions over the cached relation — zero exchanges per
+      // query (one partition may pack several shards; the walk handles
+      // each independently)
+      .repartition(nShards, col("shard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     graph.count()
     new NSWIndex(graph, nShards, m, ef, idCol)
@@ -308,5 +339,5 @@ object NSWIndex {
   /** Rehydrate from a persisted graph relation (IndexStore). */
   def fromSaved(graph: DataFrame, nShards: Int, m: Int, ef: Int,
                 idCol: String): NSWIndex =
-    new NSWIndex(graph, nShards, m, ef, idCol)
+    new NSWIndex(graph.repartition(nShards, col("shard")), nShards, m, ef, idCol)
 }
