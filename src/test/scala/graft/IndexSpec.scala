@@ -441,6 +441,27 @@ class IndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nsw: resident serving cache — token isolation, release, re-query") {
+    val a = NSWIndex.build(data.filter(col("tid") < 250), "tid", "vectorfield",
+      nShards = 2, m = 6, efC = 24, ef = 512)
+    val b = NSWIndex.build(data.filter(col("tid") >= 250), "tid", "vectorfield",
+      nShards = 2, m = 6, efC = 24, ef = 512)
+    // warm both, then interleave — per-index tokens must never serve
+    // the other index's partitions even though partition ids collide
+    val ca1 = a.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
+    val cb1 = b.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
+    val ca2 = a.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
+    val cb2 = b.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
+    ca2 shouldBe ca1
+    cb2 shouldBe cb1
+    ca1.toSet.intersect(cb1.toSet) shouldBe Set.empty // disjoint corpora
+    // release drops the resident arrays; the next query re-parses and
+    // must return the identical answer
+    a.release()
+    a.candidates(queryVec, K).collect().map(_.getLong(0)).sorted shouldBe ca1
+    b.release()
+  }
+
   test("nsw: batched candidates (one graph pass) equal Q sequential beam scans") {
     val idx = NSWIndex.build(data, "tid", "vectorfield",
       nShards = 3, m = 6, efC = 32, ef = 24)
