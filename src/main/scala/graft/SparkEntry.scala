@@ -1830,6 +1830,121 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q4_order_priority" -> ((s, d) => {
+      // TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join — each
+      // order survives once no matter how many lineitems match, and the
+      // only exchange is the orderkey shuffle (the correlated
+      // l_shipdate > o_orderdate predicate rides the join condition, so
+      // no second pass re-filters). The grouped count is 5 rows.
+      // Adapted predicate: the fixture lineitem has no
+      // commit/receipt dates, so "late" = shipped after the order date.
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-04-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q12_late_shipment" -> ((s, d) => {
+      // TPC-H Q12 shape (shipmode → lateness bands: the fixture has no
+      // l_shipmode/commitdate): one orderkey join, then a two-way CASE
+      // split aggregated per band — the classic "pivot a priority flag
+      // under a group" plan. High = 1-URGENT/2-HIGH.
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .withColumn("ship_band",
+          when(lag <= 30, "0-30d").when(lag <= 90, "31-90d").otherwise("90d+"))
+        .groupBy("ship_band")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_band")
+    }),
+
+    "q14_promo_revenue" -> ((s, d) => {
+      // TPC-H Q14 shape: month-filtered lineitem joins the broadcast
+      // part dim; promo share is one conditional aggregate over the
+      // joined scan — a single-row answer with zero wide exchange
+      // (partial aggregation collapses before the final gather).
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-09-01") &&
+          col("l_shipdate") < lit("1995-10-01"))
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+            sum(rev), 4).as("promo_pct"))
+    }),
+
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      // TPC-H Q19 shape: three disjunctive brand×quantity×size arms.
+      // The per-table halves of the disjunction (brand/size on part,
+      // quantity on lineitem) are pushed as an OR-of-ranges into each
+      // scan; the cross-table residual evaluates on the broadcast-join
+      // output. One row out.
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val j = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val arm1 = col("p_brand") === "Brand#11" &&
+        col("l_quantity").between(1, 11) && col("p_size").between(1, 5)
+      val arm2 = col("p_brand") === "Brand#12" &&
+        col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+      val arm3 = col("p_brand") === "Brand#13" &&
+        col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+      j.filter(arm1 || arm2 || arm3)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "q22_idle_balance" -> ((s, d) => {
+      // TPC-H Q22 shape: scalar-subquery average broadcast onto the
+      // customer scan, then a LEFT ANTI join drops customers with a
+      // matching order — the "has money, hasn't converted" cohort per
+      // segment. Segments stand in for the fixture's missing phone
+      // prefixes; the anti side is urgent-1995 orders because every
+      // fixture customer has SOME order (all-orders would be empty).
+      val segs = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment").isin(segs: _*))
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("__avg_bal"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+        .select("o_custkey")
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "skew_salted_join" -> ((s, d) => {
+      // Salted join demo with an exactness oracle: result ==
+      // plain probe⋈build regardless of salt count. lineitem probes,
+      // orders replicates 8×; the hot-key risk this mitigates at 100 TB
+      // (one viral orderkey) is absent in the fixture, so the oracle is
+      // simply the unsalted join — which is the operator's contract.
+      val probe = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("okey"), col("l_quantity"))
+      val build = Tables.orders(s, d).select(
+        col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(probe, build, "okey", 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "events_cube" -> ((s, d) =>
       EventAnalytics.cubeReport(Tables.events(s, d))
         .orderBy("gid", "event_type", "day")),
@@ -4370,6 +4485,61 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1996-01-01'
         |GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-04-01'
+        |  AND o_orderdate <  TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_late_shipment" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30d'
+        |            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90d'
+        |            ELSE '90d+' END AS ship_band,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1995-10-01'""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0
+        |                     AND c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT'
+        |                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |                  AND o_orderdate <  TIMESTAMP '1996-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_cube" ->
       """SELECT GROUPING(event_type, d) AS gid,
