@@ -131,7 +131,15 @@ object Plans {
     // exact calibration leg: broadcast keyed join + map-side count over
     // a pushed-filter scan
     ("distinct_overlap", "exact overlap leg broadcasts + partial-aggregates",
-      Seq("BroadcastHashJoin", "partial_count", "PushedFilters")))
+      Seq("BroadcastHashJoin", "partial_count", "PushedFilters")),
+    ("winnow_neardup", "fingerprint kernel in the scan; hash-keyed pair agg",
+      Seq("winnow", "HashAggregate")),
+    ("q4_order_priority", "EXISTS decorrelates to a left semi join",
+      Seq("LeftSemi")),
+    ("q14_promo_revenue", "part dim broadcast; single-row conditional agg",
+      Seq("BroadcastHashJoin", "partial_sum")),
+    ("q22_idle_balance", "scalar-avg broadcast; NOT EXISTS is a left anti join",
+      Seq("LeftAnti", "BroadcastHashJoin")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(
@@ -147,7 +155,8 @@ object Plans {
     ("distance_dispatch", "alias dispatch is a pure projection over the scan"),
     ("url_canonicalize", "canonicalization is a pure projection over the scan"),
     ("sample_split_assign", "split labels are a pure codegen projection"),
-    ("text_script_profile", "script counting is a pure projection over the scan"))
+    ("text_script_profile", "script counting is a pure projection over the scan"),
+    ("winnow_profile", "fingerprint profile is a pure kernel projection over the scan"))
 
   /** Stable, sorted names of every audited shape — the `plan_shapes`
     * oracle is generated from this list, so adding a check here is the

@@ -1945,6 +1945,23 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "winnow_profile" -> ((s, d) =>
+      // zero-shuffle scan: fingerprints + counts are one codegen kernel
+      // call per row (see Plans.winnowProfileShape)
+      graft.operators.Winnow.profile(
+        Tables.documents(s, d), "text", "doc_id", k = 8, w = 15)
+        .orderBy("id")),
+
+    "winnow_neardup" -> ((s, d) =>
+      // local-passage overlap on the CDC demo corpus (head-inserted
+      // copies): winnowing's guarantee says every shared run of
+      // >= w+k-1 = 22 normalized chars yields a shared fingerprint, so
+      // each planted copy pairs with its original at containment ~1.0
+      graft.operators.Winnow.overlapPairs(cdcBase(s, d), "text", "doc_id",
+          k = 8, w = 15, minShared = 5)
+        .filter(col("containment") >= 0.5)
+        .orderBy("id_a", "id_b")),
+
     "events_cube" -> ((s, d) =>
       EventAnalytics.cubeReport(Tables.events(s, d))
         .orderBy("gid", "event_type", "day")),
@@ -2419,6 +2436,31 @@ object SparkEntry {
        |        FROM (SELECT doc_id, text, bs,
        |                unnest(generate_series(1, len(bs) - 1)) AS j FROM cwb)
        |        WHERE bs[j+1] - bs[j] > 0)""".stripMargin
+  }
+
+  /** Winnowing-fingerprint CTEs over a `(doc_id, text)` corpus CTE —
+    * the DuckDB replay of [[graft.operators.Winnow]] (k=8, w=15) via
+    * the window-min formulation (a DIFFERENT algorithm from the
+    * monotonic-deque kernel, which is the point of the oracle). Yields
+    * `wg(doc_id, G)` (gram counts, every doc) and
+    * `wfp(doc_id, G, m)` (selected packed fingerprints `hash·2^33 +
+    * pos0`). Window starts are capped at `G - w + 1` — trailing
+    * partial windows are not windows, matching the kernel. */
+  private def duckWinnowCtes(corpus: String): String = {
+    val gram = duckWinHash("t", "p + 7", 8)
+    s"""wn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |       FROM $corpus),
+       |wg AS (SELECT doc_id, t, greatest(length(t) - 7, 0) AS G FROM wn),
+       |wp AS (SELECT doc_id, G, t, unnest(generate_series(1, G)) AS p
+       |       FROM wg WHERE G >= 1),
+       |wpk AS (SELECT doc_id, G, p,
+       |          ($gram) * 8589934592 + (p - 1) AS pk FROM wp),
+       |wsel AS (SELECT doc_id, G, p,
+       |    min(pk) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS m
+       |  FROM wpk),
+       |wfp AS (SELECT DISTINCT doc_id, G, m FROM wsel
+       |        WHERE p <= greatest(G - 15, 0) + 1)""".stripMargin
   }
 
   /** Raw-URL construction + canonicalization + registrable-domain CTEs
@@ -4540,6 +4582,38 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "winnow_profile" ->
+      s"""WITH ${duckWinnowCtes("documents")}
+         |SELECT g.doc_id AS id, g.G AS n_grams,
+         |  coalesce(f.n_fps, 0) AS n_fps,
+         |  coalesce(f.n_dh, 0) AS n_distinct_hashes
+         |FROM wg g LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_fps,
+         |         count(DISTINCT m // 8589934592) AS n_dh
+         |  FROM wfp GROUP BY 1) f ON g.doc_id = f.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "winnow_neardup" ->
+      s"""WITH wbase AS (SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 10000, concat('NEW PREFIX ', text) FROM documents
+         | WHERE doc_id < 50),
+         |${duckWinnowCtes("wbase")},
+         |wrel AS (SELECT DISTINCT doc_id, m // 8589934592 AS fp_hash FROM wfp),
+         |wcnt AS (SELECT doc_id, count(*) AS n FROM wrel GROUP BY 1),
+         |wpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+         |  FROM wrel a JOIN wrel b ON a.fp_hash = b.fp_hash
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared_fps,
+         |  round(shared_fps / least(ca.n, cb.n), 4) AS containment
+         |FROM wpairs
+         |JOIN wcnt ca ON ca.doc_id = id_a
+         |JOIN wcnt cb ON cb.doc_id = id_b
+         |WHERE shared_fps >= 5
+         |  AND round(shared_fps / least(ca.n, cb.n), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "events_cube" ->
       """SELECT GROUPING(event_type, d) AS gid,
