@@ -80,6 +80,18 @@ object AnnScaleProbe {
       f"recall=${truth.intersect(nswIds).size.toDouble / k}%.3f  " +
       f"candidates=${nShards * 128}")
 
+    // multi-entry probes over the SAME graph (recall knob for the
+    // isotropic regime): 4 deterministic entry nodes per shard
+    val nsw4 = new NSWIndex(nsw.graph, nsw.nShards, nsw.m, nsw.ef,
+      nsw.idCol, nProbes = 4)
+    val (nsw4Ids, _, tNsw4) = timed3(
+      nsw4.knn(emb, "vec_id", edist, q, k).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    println(f"[ann-scale] nsw nProbes=4           query=$tNsw4%6.2f s  (same graph)  " +
+      f"recall=${truth.intersect(nsw4Ids).size.toDouble / k}%.3f  " +
+      f"(delta ${(truth.intersect(nsw4Ids).size - truth.intersect(nswIds).size).toDouble / k}%+.3f)")
+    nsw4.release()
+
     // BSQ ranks by angle — score it against the cosine ground truth
     val cdist = Distances.cosine(col("embedding"), Distances.vecLit(q))
     val cosTruth = Knn.knn(emb, cdist, k, col("vec_id"))

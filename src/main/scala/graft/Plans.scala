@@ -132,8 +132,12 @@ object Plans {
     // a pushed-filter scan
     ("distinct_overlap", "exact overlap leg broadcasts + partial-aggregates",
       Seq("BroadcastHashJoin", "partial_count", "PushedFilters")),
-    ("winnow_neardup", "fingerprint kernel in the scan; hash-keyed pair agg",
-      Seq("winnow", "HashAggregate")),
+    // the pair relation is materialized ONCE via localCheckpoint (the
+    // cached hash relation feeds counts + both self-join sides, then is
+    // released) — the returned plan must read the checkpointed RDD, never
+    // recompute the rolling-hash kernel per consumer
+    ("winnow_neardup", "checkpointed pairs (hash relation cached, kernel runs once)",
+      Seq("Scan ExistingRDD")),
     ("q4_order_priority", "EXISTS decorrelates to a left semi join",
       Seq("LeftSemi")),
     ("q14_promo_revenue", "part dim broadcast; single-row conditional agg",

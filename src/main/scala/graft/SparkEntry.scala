@@ -4542,8 +4542,8 @@ object SparkEntry {
       """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30d'
         |            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90d'
         |            ELSE '90d+' END AS ship_band,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -182,7 +182,7 @@ object Distances {
     * [[byName]] then applies the reference's default-to-euclidean
     * (`MessageParser.scala:314-341`) and every refusing site refuses
     * the same spelling. */
-  def canonical(name: String): String = name.toLowerCase match {
+  def canonical(name: String): String = name.toLowerCase(java.util.Locale.ROOT) match {
     case "minkowski-1" => "manhattan"
     case "minkowski-2" => "euclidean"
     case "minkowski-inf" => "chebyshev"

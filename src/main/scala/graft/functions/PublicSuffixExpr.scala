@@ -110,7 +110,9 @@ object RegistrableDomainExpr {
     * lower-case (Url.host lowers it); lowered defensively here so a
     * direct caller cannot miss a rule on case. */
   def compute(h: UTF8String): UTF8String = {
-    val host = h.toString.toLowerCase
+    // Locale.ROOT: under a Turkish default locale 'I' would lower to
+    // dotless 'ı' and silently stop matching PSL rules
+    val host = h.toString.toLowerCase(java.util.Locale.ROOT)
     if (host.isEmpty) return h
     val labels = host.split('.')
     val n = labels.length

@@ -242,8 +242,13 @@ object ThetaSketch {
 }
 
 final class MGBuffer(val m: Int) {
-  /** key → lower-bound counter (Misra–Gries invariant: ≤ m entries). */
-  val counts = new java.util.HashMap[String, Long]()
+  /** key → lower-bound counter (Misra–Gries invariant: ≤ m entries).
+    * Values are BOXED Long on purpose: with a primitive value type,
+    * `get` on an absent key silently unboxes null to 0L and the
+    * null-miss check can never fire — `add` would then insert every
+    * unseen key past capacity and the O(m) state bound would quietly
+    * become O(distinct) per partition-group. */
+  val counts = new java.util.HashMap[String, java.lang.Long]()
   /** Total decrement depth: every surviving key's true count is within
     * [counter, counter + err]. */
   var err: Long = 0L
@@ -267,7 +272,7 @@ final class MGBuffer(val m: Int) {
   def mergeFrom(o: MGBuffer): MGBuffer = {
     o.counts.forEach { (k, v) =>
       val cur = counts.get(k)
-      counts.put(k, if (cur == null) v else cur + v)
+      counts.put(k, if (cur == null) v else java.lang.Long.valueOf(cur + v))
     }
     err += o.err
     if (counts.size > m) {

@@ -54,11 +54,31 @@ object IndexStore {
       case sq: SQIndex => (sq.codes, (sq.mins, sq.scales))
       case bsq: BSQIndex => (bsq.codes, bsq.dim)
       case opq: OPQIndex => (opq.codes, (opq.rotation, opq.codebooks, opq.subLen))
-      case nsw: NSWIndex => (nsw.graph, (nsw.nShards, nsw.m, nsw.ef))
+      case nsw: NSWIndex => (nsw.graph, (nsw.nShards, nsw.m, nsw.ef, nsw.nProbes))
       case other => throw new IllegalArgumentException(
         s"index type ${other.indexType} is not persistable")
     }
-    df.write.mode("overwrite").parquet(dir.resolve("data").toString)
+    // Write-new-then-swap, NEVER overwrite in place: the frame being
+    // saved may lazily READ from this very directory — an incremental
+    // refresh extends a loaded index whose lineage scans
+    // `index_<name>/data` (IndexOps.refresh → NSWIndex.extend →
+    // saveIndex). A plain overwrite deletes the source files first, so
+    // any recomputation during the write (lost cached block, executor
+    // death) would read an already-deleted directory. Same dance as
+    // [[repartitionData]]; recoverData first heals a half-finished
+    // previous swap.
+    recoverData(dir)
+    val dataDir = dir.resolve("data")
+    val tmp = dir.resolve("data_tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(dataDir)) {
+      val old = dir.resolve("data_old")
+      graft.core.Entity.deleteRecursively(old) // stale debris from a prior crash
+      Files.move(dataDir, old)
+      try Files.move(tmp, dataDir)
+      catch { case e: Throwable => Files.move(old, dataDir); throw e }
+      graft.core.Entity.deleteRecursively(old)
+    } else Files.move(tmp, dataDir)
     val out = new ObjectOutputStream(Files.newOutputStream(dir.resolve("meta.bin")))
     try out.writeObject(SavedMeta(idx.indexType, idx.idCol, stamp,
       blob.asInstanceOf[Serializable]))
@@ -161,9 +181,14 @@ object IndexStore {
         val (rot, books, subLen) = b.asInstanceOf[
           (Array[Array[Double]], Array[Array[Array[Double]]], Int)]
         new OPQIndex(df, rot, books, subLen, meta.idCol)
-      case ("nsw", b) =>
-        val (nShards, m, ef) = b.asInstanceOf[(Int, Int, Int)]
-        NSWIndex.fromSaved(df, nShards, m, ef, meta.idCol)
+      case ("nsw", b) => b match {
+        case (nShards: Int, m: Int, ef: Int, nProbes: Int) =>
+          NSWIndex.fromSaved(df, nShards, m, ef, meta.idCol, nProbes)
+        case (nShards: Int, m: Int, ef: Int) => // pre-nProbes artifact
+          NSWIndex.fromSaved(df, nShards, m, ef, meta.idCol)
+        case other => throw new IllegalArgumentException(
+          s"unrecognized nsw metadata: ${other.getClass}")
+      }
       case (other, _) => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     Loaded(idx, currentStamp.exists(_ != meta.stamp))

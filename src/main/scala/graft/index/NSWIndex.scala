@@ -34,13 +34,22 @@ import org.apache.spark.storage.StorageLevel
   * insertion order is ascending id, beam and neighbor pruning order by
   * `(distance, id)`, shard assignment is `pmod(id)` — identical graphs
   * and identical candidate sets under any partitioning of the build
-  * input. When `ef ≥ shard size` the walk degenerates to an exhaustive
-  * shard scan, so small-scale candidate cover is provable while the
-  * beam bound is what runs at corpus scale.
+  * input. Reachability from the entry node is a build-time INVARIANT
+  * ([[NSWIndex.ensureReachable]] repairs any node the 2m-closest prune
+  * disconnected), so when `ef ≥ shard size` the walk PROVABLY
+  * degenerates to an exhaustive shard scan — candidate cover at small
+  * scale is a property, not fixture luck — while the beam bound is what
+  * runs at corpus scale.
   */
 class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
                val nShards: Int, val m: Int, val ef: Int,
-               val idCol: String) extends VectorIndex {
+               val idCol: String,
+               // opt-in recall knob for isotropic regimes: seed the beam
+               // with this many deterministic entry nodes per shard
+               // (spread over the ascending-id order) instead of one —
+               // costs a few extra seed distances, buys escape routes out
+               // of a poorly-linked entry neighborhood. 1 = classic NSW.
+               val nProbes: Int = 1) extends VectorIndex {
 
   override def indexType: String = "nsw"
   override def isExact: Boolean = false
@@ -71,13 +80,16 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
   : Dataset[(Int, Long)] = {
     import graph.sparkSession.implicits._
     val token = cacheToken
+    val probes = nProbes
     graph.select(col("shard"), col("id"), col("vec"), col("neighbors"))
       .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>
         val shards = NSWIndex.residentShards(token, it)
         shards.iterator.flatMap { g =>
+          val entries = NSWIndex.entryPoints(g.ids.length, probes)
           qArr.iterator.zipWithIndex.flatMap { case (q, qi) =>
-            NSWIndex.beam(g.vecs(_), g.adj(_), q, efq, nBuilt = g.ids.length)
+            NSWIndex.beamMulti(g.vecs(_), g.adj(_), q, efq,
+                nBuilt = g.ids.length, entries = entries)
               .iterator.map(i => (qi, g.ids(i)))
           }
         }
@@ -100,8 +112,13 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
     walkAll(qs.map(_.toArray).toArray, beamWidth(k)).toDF("qid", idCol)
   }
 
-  /** Drop this index's JVM-resident shard graphs (driver side for
-    * local mode; executors age theirs out with the relation). */
+  /** Eagerly drop this index's JVM-resident shard graphs in the calling
+    * JVM (local mode: the only JVM). On remote executors no call
+    * arrives, so resident entries are held SOFTLY — the GC reclaims a
+    * superseded instance's graphs under memory pressure and the map
+    * entries are swept on the next cache fill (see
+    * [[NSWIndex.residentShards]]); a long-running serving process
+    * therefore cannot leak one graph copy per build/extend/load. */
   def release(): Unit = NSWIndex.dropResident(cacheToken)
 
   /** Incrementally insert a batch of new vectors into the shard
@@ -147,6 +164,9 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
           NSWIndex.insertNode(vecs, adj, r._3.toArray, mC, efIns)
           ids += r._2
         }
+        // incremental inserts prune existing adjacencies too — re-assert
+        // the reachability invariant over the extended shard
+        if (fresh.nonEmpty) NSWIndex.ensureReachable(vecs, adj)
         ids.indices.iterator.map { i =>
           (shard, ids(i), vecs(i).toSeq, adj(i).map(ids(_)).toSeq)
         }
@@ -155,7 +175,7 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
       .repartition(nShards, col("shard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     extended.count()
-    new NSWIndex(extended, nShards, m, ef, idCol)
+    new NSWIndex(extended, nShards, m, ef, idCol, nProbes)
   }
 
   /** Recall diagnostic: fraction of `truth` ids inside the candidates. */
@@ -176,20 +196,58 @@ object NSWIndex {
     s
   }
 
-  /** Beam search over one in-memory shard graph from the first node
-    * (lowest id — the deterministic entry point). Returns the `ef` best
-    * (distance, id)-ordered local indexes visited. */
-  private[index] def beam(vecs: Int => Array[Double],
+  /** Deterministic multi-entry points for a shard of `n` built nodes:
+    * local indexes spread evenly over the ascending-id order (entry 0
+    * always included, so `nProbes = 1` is the classic single-entry
+    * walk). Spreading by id — not by geometry — costs nothing and is
+    * replay-identical under any partitioning. */
+  private[graft] def entryPoints(n: Int, nProbes: Int): Array[Int] = {
+    val p = math.max(1, math.min(nProbes, n))
+    Array.tabulate(p)(j => (j.toLong * n / p).toInt).distinct
+  }
+
+  /** Multi-restart beam: one INDEPENDENT classic walk per entry node
+    * (each with its own visited set and beam — a shared beam would
+    * terminate later restarts instantly against the first walk's
+    * results), merged to the `ef` best distinct local indexes. This is
+    * the isotropic-regime recall knob: cost scales ~linearly with
+    * `entries.length`, each restart buys an escape route out of a
+    * poorly-linked entry neighborhood. `entries = [0]` IS [[beam]]. */
+  private[graft] def beamMulti(vecs: Int => Array[Double],
+                               adj: Int => scala.collection.IndexedSeq[Int],
+                               q: Array[Double], ef: Int, nBuilt: Int,
+                               entries: Array[Int]): Array[Int] = {
+    if (entries.length == 1) return beam(vecs, adj, q, ef, nBuilt, entries(0))
+    implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2(
+      Ordering.Double.TotalOrdering, Ordering.Int)
+    val merged = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+    val seen = new java.util.BitSet(nBuilt)
+    entries.foreach { e =>
+      beam(vecs, adj, q, ef, nBuilt, e).foreach { i =>
+        if (!seen.get(i)) {
+          seen.set(i)
+          merged.enqueue((sqDist(vecs(i), q), i))
+          if (merged.size > ef) merged.dequeue()
+        }
+      }
+    }
+    merged.dequeueAll.map((e: (Double, Int)) => e._2).toArray
+  }
+
+  /** Beam search over one in-memory shard graph from a deterministic
+    * entry node. Returns the `ef` best (distance, id)-ordered local
+    * indexes visited. */
+  private[graft] def beam(vecs: Int => Array[Double],
                           adj: Int => scala.collection.IndexedSeq[Int],
                           q: Array[Double], ef: Int,
-                          nBuilt: Int): Array[Int] = {
+                          nBuilt: Int,
+                          entry: Int = 0): Array[Int] = {
     // (dist, idx) ordering; candidates = min-heap, result = max-heap
     implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2(
       Ordering.Double.TotalOrdering, Ordering.Int)
     val visited = new java.util.BitSet(nBuilt)
     val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
     val best = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
-    val entry = 0
     val d0 = sqDist(vecs(entry), q)
     visited.set(entry)
     cand.enqueue((d0, entry))
@@ -257,14 +315,78 @@ object NSWIndex {
     prune(i)
   }
 
+  /** Build-time connectivity REPAIR — what turns "empirically connected"
+    * into an invariant: bidirectional insert + 2m-closest pruning can
+    * strip a node of every IN-edge on the entry side (all its neighbors
+    * pruned their edge back), leaving it unreachable from entry node 0
+    * no matter how large `ef` is. A directed BFS from node 0 finds the
+    * unreachable set; each unreachable node `u` (ascending local index)
+    * gets ONE repair edge `nearestReachable → u`, after which `u`'s own
+    * out-edges are BFS-absorbed (so a severed cluster costs one repair
+    * edge, not one per node). Repair edges are deliberately exempt from
+    * the degree cap — they exist precisely because the cap severed the
+    * last in-path. Deterministic (ties break on the lower index); cost is
+    * O(E) for the BFS plus O(U·n·d) for the U repairs, with U ~ 0 on
+    * non-adversarial data. Returns the repair-edge count (diagnostic).
+    *
+    * This is what makes the documented guarantee — `ef ≥ shard size`
+    * degenerates to an exhaustive shard scan — a PROVABLE property
+    * rather than a fixture-connectivity accident: with every node
+    * reachable and no beam pruning, the walk visits the whole shard. */
+  private[graft] def ensureReachable(
+      vecs: scala.collection.IndexedSeq[Array[Double]],
+      adj: scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]): Int = {
+    val n = vecs.length
+    if (n == 0) return 0
+    val reach = new java.util.BitSet(n)
+    val stack = new java.util.ArrayDeque[Integer]()
+    def mark(start: Int): Unit = {
+      reach.set(start)
+      stack.push(start)
+      while (!stack.isEmpty) {
+        val c = stack.pop().intValue()
+        val ns = adj(c)
+        var i = 0
+        while (i < ns.length) {
+          val nb = ns(i)
+          if (!reach.get(nb)) { reach.set(nb); stack.push(nb) }
+          i += 1
+        }
+      }
+    }
+    mark(0)
+    var repaired = 0
+    var u = 0
+    while (u < n) {
+      if (!reach.get(u)) {
+        var bestD = Double.PositiveInfinity
+        var best = 0
+        var r = 0
+        while (r < n) {
+          if (reach.get(r)) {
+            val d = sqDist(vecs(r), vecs(u))
+            if (d < bestD) { bestD = d; best = r }
+          }
+          r += 1
+        }
+        adj(best) += u
+        repaired += 1
+        mark(u)
+      }
+      u += 1
+    }
+    repaired
+  }
+
   /** Sequential NSW construction for one shard: nodes in ascending-id
-    * order through [[insertNode]]. */
+    * order through [[insertNode]], then connectivity repair. */
   private[index] def buildShard(ids: Array[Long], vecs: Array[Array[Double]],
                                 m: Int, efC: Int): Array[Array[Int]] = {
     val vb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val ab = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[Int]]
     vecs.foreach(v => insertNode(vb, ab, v, m, efC))
+    ensureReachable(vb, ab)
     ab.map(_.toArray).toArray
   }
 
@@ -273,15 +395,31 @@ object NSWIndex {
                                              vecs: Array[Array[Double]],
                                              adj: Array[Array[Int]])
 
-  /** (token, partitionId) → parsed shard graphs of that partition. */
-  private val resident =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[ShardGraph]]()
+  /** (token, partitionId) → parsed shard graphs of that partition,
+    * SOFTLY referenced: a long-running serving JVM that builds/extends/
+    * loads many index instances mints a fresh token each time, and no
+    * executor-side release() call exists — without soft references each
+    * superseded instance would leak one deserialized graph copy per JVM
+    * for the process lifetime. The GC reclaims unreferenced graphs under
+    * memory pressure (oldest-referenced first per the soft-ref contract),
+    * and [[sweepCleared]] prunes the emptied map entries so the key set
+    * stays bounded too. A reclaimed entry is a cache MISS, not an error:
+    * the next query re-parses the partition from the persisted relation. */
+  private val resident = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[Array[ShardGraph]]]()
+
+  /** Drop map entries whose soft referent was GC-reclaimed. */
+  private def sweepCleared(): Unit = {
+    val it = resident.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+  }
 
   private[index] def residentShards(
       token: String,
       it: Iterator[(Int, Long, Seq[Double], Seq[Long])]): Array[ShardGraph] = {
     val key = token + "#" + org.apache.spark.TaskContext.getPartitionId()
-    val hit = resident.get(key)
+    val ref = resident.get(key)
+    val hit = if (ref == null) null else ref.get()
     if (hit != null) hit // resident: skip deserializing the partition
     else {
       val parsed = it.toArray.groupBy(_._1).toArray.sortBy(_._1).map {
@@ -292,7 +430,8 @@ object NSWIndex {
           ShardGraph(ids, nodes.map(_._3.toArray),
             nodes.map(_._4.flatMap(pos.get).toArray))
       }
-      resident.putIfAbsent(key, parsed)
+      sweepCleared()
+      resident.put(key, new java.lang.ref.SoftReference(parsed))
       parsed
     }
   }
@@ -300,6 +439,19 @@ object NSWIndex {
   private[index] def dropResident(token: String): Unit = {
     val it = resident.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(token + "#")) it.remove()
+    sweepCleared()
+  }
+
+  /** Resident-cache introspection for specs/diagnostics: live entry
+    * count under a token (cleared refs not counted). */
+  private[index] def residentCount(token: String): Int = {
+    var n = 0
+    val it = resident.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(token + "#") && e.getValue.get() != null) n += 1
+    }
+    n
   }
 
   /** Build the sharded graph index. `nShards` sizes per-task state
@@ -307,7 +459,7 @@ object NSWIndex {
     * are the NSW degree and construction beam. */
   def build(df: DataFrame, idCol: String, vecCol: String,
             nShards: Int = 4, m: Int = 8, efC: Int = 64,
-            ef: Int = 128): NSWIndex = {
+            ef: Int = 128, nProbes: Int = 1): NSWIndex = {
     val spark = df.sparkSession
     import spark.implicits._
     val graph = df
@@ -333,11 +485,12 @@ object NSWIndex {
       .repartition(nShards, col("shard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     graph.count()
-    new NSWIndex(graph, nShards, m, ef, idCol)
+    new NSWIndex(graph, nShards, m, ef, idCol, nProbes)
   }
 
   /** Rehydrate from a persisted graph relation (IndexStore). */
   def fromSaved(graph: DataFrame, nShards: Int, m: Int, ef: Int,
-                idCol: String): NSWIndex =
-    new NSWIndex(graph.repartition(nShards, col("shard")), nShards, m, ef, idCol)
+                idCol: String, nProbes: Int = 1): NSWIndex =
+    new NSWIndex(graph.repartition(nShards, col("shard")), nShards, m, ef,
+      idCol, nProbes)
 }

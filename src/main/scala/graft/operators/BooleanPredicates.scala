@@ -21,7 +21,7 @@ object BooleanPredicates {
 
   def toColumn(p: Predicate): Column = {
     val c = col(p.attribute)
-    val op = p.op.toLowerCase.trim
+    val op = p.op.toLowerCase(java.util.Locale.ROOT).trim
     def v: Any = {
       require(p.values.nonEmpty,
         s"predicate '$op' on '${p.attribute}' requires at least one value")

@@ -335,6 +335,24 @@ object Dedup {
                           threshold: Double, numHashes: Int = 96,
                           numBands: Int = 24, n: Int = 3,
                           maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (pairs, banded) =
+      minhashPlan(df, textCol, idCol, threshold, numHashes, numBands, n, maxBucket)
+    // Materialize the (pair-scale) verified result eagerly so the banded
+    // cache is released NOW rather than accumulating one session-lifetime
+    // cached relation per ad-hoc call (same discipline as
+    // ngramJaccardNearDupPairs / Winnow.overlapPairs).
+    val out = pairs.localCheckpoint(true)
+    banded.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[minhashNearDupPairs]]: (verified pairs, the
+    * persisted banded relation the caller must unpersist). Package-private
+    * so specs can assert the band self-join shape pre-checkpoint. */
+  private[graft] def minhashPlan(df: DataFrame, textCol: String, idCol: String,
+                                 threshold: Double, numHashes: Int,
+                                 numBands: Int, n: Int,
+                                 maxBucket: Int): (DataFrame, DataFrame) = {
     // Candidate generation carries only (band, key, id) through the
     // shuffle; shingle sets are re-joined by id afterwards, so the heavy
     // arrays never ride the band explosion (24× per doc). The banded
@@ -352,12 +370,13 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val sh = df.select(col(idCol).as("id"),
       graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), n).as("sh"))
-    cand
+    val pairs = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", setJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    (pairs, banded)
   }
 
   /** EXACT n-gram Jaccard near-duplicate pairs via a prefix-filtered

@@ -39,6 +39,15 @@ object Sampling {
     pmod(TextAnalysis.rawRollingFingerprint(coalesce(key.cast("string"), lit("")))
       * lit(2654435761L), lit(1000000007L))
 
+  /** Collision-free working-column namer: `__graft_<base>_<i>` with the
+    * smallest `i` absent from `df` — a caller frame that already carries
+    * a `__graft_*` column must never be silently replaced by a
+    * withColumn or made ambiguous by a join. */
+  private def freshNamer(df: DataFrame): String => String = {
+    val taken = df.columns.toSet
+    base => Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(taken).next()
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose key hashes into the
     * first `fraction` of the hash space. `fraction` is quantized to
     * 1/10000 so the predicate is exact integer arithmetic. Rows sharing a
@@ -185,14 +194,20 @@ object Sampling {
     // domain takes defaultEpochs.
     val spark = df.sparkSession
     import spark.implicits._
+    // working columns take collision-free names (same pattern as
+    // tokenBudgetSample): a caller frame already holding "__graft_epochs"
+    // would otherwise be silently replaced by withColumn
+    val fresh = freshNamer(df)
+    val eDom = fresh("epoch_dom")
+    val eT = fresh("epochs_t")
+    val eName = fresh("epochs")
     val withE =
-      if (epochs.isEmpty) df.withColumn("__graft_epochs", lit(defaultEpochs))
+      if (epochs.isEmpty) df.withColumn(eName, lit(defaultEpochs))
       else df.join(
-          broadcast(epochs.toSeq.toDF("__graft_epoch_dom", "__graft_epochs_t")),
-          col(domainCol) === col("__graft_epoch_dom"), "left")
-        .withColumn("__graft_epochs",
-          coalesce(col("__graft_epochs_t"), lit(defaultEpochs)))
-    val e = col("__graft_epochs")
+          broadcast(epochs.toSeq.toDF(eDom, eT)),
+          col(domainCol) === col(eDom), "left")
+        .withColumn(eName, coalesce(col(eT), lit(defaultEpochs)))
+    val e = col(eName)
     val cut = round((e - floor(e)) * 10000).cast("int")
     val extra = when(pmod(keyHash(col(keyCol)), lit(10000)) < cut, 1L).otherwise(0L)
     val copies = floor(e).cast("long") + extra
@@ -233,21 +248,27 @@ object Sampling {
                          keyCol: String): DataFrame = {
     require(!df.columns.contains("ap_epoch"), "ap_epoch is reserved")
     val dec = "decimal(38,0)"
-    val counts = df.groupBy(col(domainCol).as("__graft_mix_dom"))
-      .agg(count(lit(1)).as("__graft_mix_n"))
-      .withColumn("__graft_mix_sd",
+    // collision-free working names (see epochMix)
+    val fresh = freshNamer(df)
+    val mixDom = fresh("mix_dom")
+    val mixN = fresh("mix_n")
+    val mixSd = fresh("mix_sd")
+    val mixF = fresh("mix_f")
+    val counts = df.groupBy(col(domainCol).as(mixDom))
+      .agg(count(lit(1)).as(mixN))
+      .withColumn(mixSd,
         // milli-precision integer sqrt: exact while n·10⁶ < 2⁵³ and
         // sqrt is correctly rounded — same as the driver-side
         // math.sqrt this replaces, and as the oracle's SQL replay
-        floor(sqrt((col("__graft_mix_n") * lit(1000000L)).cast("double")))
+        floor(sqrt((col(mixN) * lit(1000000L)).cast("double")))
           .cast(dec))
     val tot = counts.agg(
-      sum(col("__graft_mix_sd")).cast(dec).as("ssum"),
-      sum(col("__graft_mix_n")).cast(dec).as("ntot")).head()
+      sum(col(mixSd)).cast(dec).as("ssum"),
+      sum(col(mixN)).cast(dec).as("ntot")).head()
     require(!tot.isNullAt(0), "temperature mix over an empty frame")
     val (ssum, ntot) = (tot.getDecimal(0), tot.getDecimal(1))
-    val num = col("__graft_mix_sd") * lit(ntot) * lit(10000L)
-    val den = lit(ssum) * col("__graft_mix_n").cast(dec)
+    val num = col(mixSd) * lit(ntot) * lit(10000L)
+    val den = lit(ssum) * col(mixN).cast(dec)
     // exact floor division: subtract the remainder first; the decimal
     // quotient is then an exact integer and the long cast is lossless
     val f = ((num - num % den) / den).cast("long")
@@ -255,20 +276,20 @@ object Sampling {
     // 1-doc domain in an N-doc corpus repeats ~sqrt(N)/sqrt-share
     // times); 100 000 copies covers any sane mixture — past it the
     // caller should shard or floor tiny domains, not explode rows
-    val factors = counts.select(col("__graft_mix_dom"),
+    val factors = counts.select(col(mixDom),
       when(f < 10000L * 100001L, f).otherwise(raise_error(concat(
         lit("temperature factor for domain '"),
-        coalesce(col("__graft_mix_dom").cast("string"), lit("NULL")),
+        coalesce(col(mixDom).cast("string"), lit("NULL")),
         lit("' exceeds 100000 copies — extreme domain skew; "),
-        lit("pre-filter or shard tiny domains")))).as("__graft_mix_f"))
+        lit("pre-filter or shard tiny domains")))).as(mixF))
     // null-safe equality: the old literal fold matched a NULL domain
     // explicitly, and every domain (incl. NULL) exists in the factor
     // table by construction, so the join is effectively inner
-    val fCol = col("__graft_mix_f")
+    val fCol = col(mixF)
     val extra = when(pmod(keyHash(col(keyCol)), lit(10000)) < fCol % 10000L, 1L)
       .otherwise(0L)
     val copies = (fCol / 10000L).cast("long") + extra
-    df.join(broadcast(factors), col(domainCol) <=> col("__graft_mix_dom"))
+    df.join(broadcast(factors), col(domainCol) <=> col(mixDom))
       .withColumn("ap_epoch",
         explode(when(copies >= 1L, sequence(lit(1L), copies))
           .otherwise(array().cast("array<bigint>"))))
@@ -300,9 +321,7 @@ object Sampling {
                         priority: Option[Column] = None): DataFrame = {
     (budgets.values.toSeq :+ defaultBudget).foreach(b =>
       require(b >= 0L, s"budget out of range: $b"))
-    val taken = df.columns.toSet
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(taken).next()
+    val fresh = freshNamer(df)
     val tok = fresh("tok")
     val cum = fresh("cum")
     // budgets ride as a broadcast-joined table (same reasoning as

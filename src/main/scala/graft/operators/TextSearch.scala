@@ -33,13 +33,13 @@ object TextSearch {
   /** Docs containing every query term (Solr `q=+a +b`). */
   def matchAll(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "empty term list")
-    docs.filter(terms.map(t => array_contains(toks(textCol), t.toLowerCase)).reduce(_ && _))
+    docs.filter(terms.map(t => array_contains(toks(textCol), t.toLowerCase(java.util.Locale.ROOT))).reduce(_ && _))
   }
 
   /** Docs containing at least one query term (Solr `q=a b`). */
   def matchAny(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "empty term list")
-    docs.filter(terms.map(t => array_contains(toks(textCol), t.toLowerCase)).reduce(_ || _))
+    docs.filter(terms.map(t => array_contains(toks(textCol), t.toLowerCase(java.util.Locale.ROOT))).reduce(_ || _))
   }
 
   /** Docs containing the exact phrase (adjacent tokens, in order).
@@ -50,7 +50,7 @@ object TextSearch {
     * regex-quoted. */
   def phraseMatch(docs: DataFrame, textCol: String, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val quoted = phrase.map(t => java.util.regex.Pattern.quote(t.toLowerCase))
+    val quoted = phrase.map(t => java.util.regex.Pattern.quote(t.toLowerCase(java.util.Locale.ROOT)))
     docs.filter(Dedup.normalize(col(textCol))
       .rlike("(^| )" + quoted.mkString(" ") + "( |$)"))
   }
@@ -74,7 +74,7 @@ object TextSearch {
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty term list")
-    val lowered = terms.map(_.toLowerCase)
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
     val corpus = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
     val n = corpus.getLong(0)
@@ -107,7 +107,7 @@ object TextSearch {
     require(fields.nonEmpty, "at least one field required")
     fields.foreach { case (f, w) => require(w > 0, s"field $f weight must be positive") }
     require(terms.nonEmpty, "empty term list")
-    val lowered = terms.map(_.toLowerCase)
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     val dlExpr = fields.map { case (f, w) =>
       size(TextAnalysis.tokens(col(f))) * w }.reduce(_ + _)
     val lens = docs.select(col(idCol).as("doc_id"), dlExpr.cast("double").as("dl"))

@@ -75,13 +75,33 @@ object Winnow {
   def overlapPairs(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 8, w: Int = 15, minShared: Int = 2,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (pairs, rel) = overlapPlan(df, textCol, idCol, k, w, minShared, maxBucket)
+    // Materialize the (pair-scale) result eagerly so the cached hash
+    // relation can be released NOW — same discipline as
+    // Dedup.ngramJaccardNearDupPairs. Without the persist the
+    // O(chars)-per-row rolling-hash kernel would re-execute once per
+    // consumer (counts + both self-join sides = 3× the corpus scan).
+    val out = pairs.localCheckpoint(true)
+    rel.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[overlapPairs]]: (pairs, the persisted hash
+    * relation the caller must unpersist after materializing). The hash
+    * relation feeds three consumers (per-doc counts and both self-join
+    * sides), so it MUST be cached — package-private so specs can assert
+    * the join shape pre-checkpoint. */
+  private[graft] def overlapPlan(df: DataFrame, textCol: String, idCol: String,
+                                 k: Int, w: Int, minShared: Int,
+                                 maxBucket: Int): (DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val rel = Dedup.capBuckets(
       hashRelation(df, textCol, idCol, k, w), Seq("fp_hash"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rel.groupBy("id").agg(count(lit(1)).as("n"))
     val a = rel.select(col("id").as("id_a"), col("fp_hash"))
     val b = rel.select(col("id").as("id_b"), col("fp_hash"))
-    a.join(b, Seq("fp_hash"))
+    val pairs = a.join(b, Seq("fp_hash"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_fps"))
@@ -91,5 +111,6 @@ object Winnow {
       .select(col("id_a"), col("id_b"), col("shared_fps"),
         round(col("shared_fps") / least(col("__na"), col("__nb")), 4)
           .as("containment"))
+    (pairs, rel)
   }
 }

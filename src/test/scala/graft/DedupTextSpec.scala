@@ -1070,4 +1070,17 @@ class DedupTextSpec extends SparkSpec {
     "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
     plan should include("partial_max")
   }
+
+  test("minhashNearDupPairs releases its banded cache after materializing") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.4)
+    out.count() should be > 0L
+    // the banded relation must be unpersisted by the call itself; the
+    // only persisted RDD allowed to linger is the localCheckpoint of the
+    // pair-scale RESULT (released when `out` is garbage-collected), so a
+    // forgotten banded unpersist shows up as a second lingering entry
+    val lingering = (sc.getPersistentRDDs.keySet -- before).size
+    lingering should be <= 1
+  }
 }

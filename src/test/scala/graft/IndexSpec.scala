@@ -475,6 +475,63 @@ class IndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
   }
 
+  test("nsw: connectivity repair — pruned-unreachable nodes get a repair in-edge") {
+    import scala.collection.mutable.ArrayBuffer
+    // hand-built broken graph: node 3 has an out-edge but no in-edge
+    // (what 2m-closest pruning can produce), so it is invisible to any
+    // walk from entry 0 no matter how large ef is
+    val vecs = ArrayBuffer(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(2.0, 0.0), Array(10.0, 0.0))
+    val adj = ArrayBuffer(
+      ArrayBuffer(1), ArrayBuffer(0, 2), ArrayBuffer(1), ArrayBuffer(2))
+    NSWIndex.beam(vecs(_), adj(_), Array(9.0, 0.0), 16, 4).sorted shouldBe
+      Array(0, 1, 2) // broken: 3 unreachable
+    val repaired = NSWIndex.ensureReachable(vecs, adj)
+    repaired shouldBe 1
+    adj(2) should contain(3) // repair edge FROM the nearest reachable node
+    NSWIndex.beam(vecs(_), adj(_), Array(9.0, 0.0), 16, 4).sorted shouldBe
+      Array(0, 1, 2, 3)
+    // idempotent: a connected graph needs no repairs
+    NSWIndex.ensureReachable(vecs, adj) shouldBe 0
+  }
+
+  test("nsw: entry-reachability invariant — exhaustive walk covers every shard fully") {
+    // tiny degree + tiny construction beam = the pruning-hostile regime;
+    // the ef ≥ shard-size guarantee must hold as a PROPERTY (repair),
+    // not as fixture luck
+    val n = data.count()
+    val idx = NSWIndex.build(data, "tid", "vectorfield",
+      nShards = 3, m = 2, efC = 4, ef = 100000)
+    idx.candidates(queryVec, n.toInt).count() shouldBe n
+    // and after an adversarial incremental extension
+    val half = data.filter(col("tid") < 250)
+    val ext = NSWIndex.build(half, "tid", "vectorfield",
+        nShards = 3, m = 2, efC = 4, ef = 100000)
+      .extend(data.filter(col("tid") >= 250), "tid", "vectorfield")
+    ext.candidates(queryVec, n.toInt).count() shouldBe n
+  }
+
+  test("nsw: multi-entry probes — deterministic entries, exhaustive regime unchanged") {
+    NSWIndex.entryPoints(10, 1) shouldBe Array(0)
+    NSWIndex.entryPoints(10, 4) shouldBe Array(0, 2, 5, 7)
+    NSWIndex.entryPoints(3, 8) shouldBe Array(0, 1, 2) // capped at n
+    // ef ≥ shard size: every probe count visits the whole shard, so the
+    // candidate set is identical — nProbes only matters beam-bounded
+    val one = NSWIndex.build(data, "tid", "vectorfield",
+      nShards = 2, m = 6, efC = 24, ef = 512)
+    val four = NSWIndex.build(data, "tid", "vectorfield",
+      nShards = 2, m = 6, efC = 24, ef = 512, nProbes = 4)
+    four.candidates(queryVec, K).collect().map(_.getLong(0)).sorted shouldBe
+      one.candidates(queryVec, K).collect().map(_.getLong(0)).sorted
+    // beam-bounded: probes still produce a valid bounded candidate set
+    // containing the true nearest neighbor
+    val bounded = NSWIndex.build(data, "tid", "vectorfield",
+      nShards = 2, m = 6, efC = 24, ef = 24, nProbes = 4)
+    val cand = bounded.candidates(queryVec, 10, 2).collect().map(_.getLong(0))
+    cand.length should be <= 2 * 24
+    cand should contain(bruteIds.head)
+  }
+
   test("bsq: sign codes rank by angle; packed query matches signPack; cosine-only") {
     val idx = BSQIndex.build(data, "tid", "vectorfield")
     // candidate phase = exact sign-mismatch ranking: verify against a

@@ -462,6 +462,21 @@ class SamplingSpec extends SparkSpec {
     (1 to 200).foreach(i => b(s"doc $i") shouldBe a(s"doc $i"))
   }
 
+  test("epochMix/sqrtTemperatureMix: caller __graft_* columns survive intact") {
+    // a frame already carrying the operators' old hardcoded working
+    // names must round-trip unchanged (fresh() skips taken names)
+    val df = Seq(("web", 1L, "s1"), ("web", 2L, "s2"), ("books", 3L, "s3"))
+      .toDF("domain", "id", "__graft_epochs_0")
+      .withColumn("__graft_mix_dom_0", col("__graft_epochs_0"))
+    val em = Sampling.epochMix(df, "domain", "id", Map("web" -> 2.0))
+    em.columns should contain allOf ("__graft_epochs_0", "__graft_mix_dom_0")
+    em.filter($"id" === 1L).select("__graft_epochs_0").head().getString(0) shouldBe "s1"
+    em.filter($"id" === 1L).count() shouldBe 2L // epochs honored, not the sentinel
+    val tm = Sampling.sqrtTemperatureMix(df, "domain", "id")
+    tm.columns should contain allOf ("__graft_epochs_0", "__graft_mix_dom_0")
+    tm.filter($"id" === 3L).select("__graft_mix_dom_0").head().getString(0) shouldBe "s3"
+  }
+
   test("splitAssign: rows sharing a key share a split; bad fractions rejected") {
     val df = Seq(("k1", 1), ("k1", 2), ("k2", 3), ("k2", 4)).toDF("k", "v")
     val out = Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "b" -> 0.5))

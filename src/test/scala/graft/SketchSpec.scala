@@ -112,6 +112,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("MG buffer: m-bound holds on a SINGLE unmerged buffer (add-path decrements)") {
+    // regression: with a primitive-Long value map, get() unboxes the
+    // null miss to 0L and add() inserts every unseen key — state grew
+    // to O(distinct) per partition and only merge-time reduction hid it
+    val b = new graft.functions.MGBuffer(8)
+    (0 until 500).foreach(i => b.add(s"k${i % 100}")) // 100 distinct ≫ m=8
+    b.counts.size should be <= 8
+    b.err should be > 0L // the classic MG decrement step actually ran
+    b.err should be <= 500L / 9
+  }
+
   test("property: MG bounds hold for arbitrary streams, splits, and capacities") {
     val rnd = new scala.util.Random(11)
     (1 to 25).foreach { trial =>

@@ -128,4 +128,29 @@ class WinnowSpec extends SparkSpec {
     Winnow.overlapPairs(docs, "text", "doc_id", minShared = 1, maxBucket = 8)
       .count() shouldBe 0L
   }
+
+  test("overlapPairs caches the hash relation once and releases it") {
+    val passage = "a sufficiently long copied passage that winnowing must " +
+      "flag across documents in the cache release test"
+    val docs = Seq(
+      (1L, "intro words before " + passage),
+      (2L, passage + " and a different tail after the copied span")
+    ).toDF("doc_id", "text")
+    // pre-checkpoint plan: the hash relation must be persisted (it feeds
+    // counts + both self-join sides — uncached, the rolling-hash kernel
+    // would re-execute 3× per query)
+    val (pairs, rel) = Winnow.overlapPlan(docs, "text", "doc_id",
+      k = 8, w = 15, minShared = 2, maxBucket = Int.MaxValue)
+    rel.storageLevel.useMemory shouldBe true
+    pairs.queryExecution.executedPlan.toString should include("InMemoryTableScan")
+    rel.unpersist()
+
+    // public entry point: cache released by the call itself; only the
+    // localCheckpoint of the pair-scale result may linger
+    val sc = docs.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Winnow.overlapPairs(docs, "text", "doc_id", minShared = 2)
+    out.count() should be > 0L
+    (sc.getPersistentRDDs.keySet -- before).size should be <= 1
+  }
 }
