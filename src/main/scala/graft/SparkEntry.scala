@@ -1267,42 +1267,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
-    "distinct_overlap" -> ((s, d) => {
-      import s.implicits._
+    "distinct_overlap" -> ((s, d) =>
       // audience overlap between event types WITHOUT joining the raw
-      // keys: per-type KMV min-sets (|types| bounded arrays reach the
-      // driver — the documented bounded-collect contract), theta-sketch
-      // union/intersection estimates per pair, exact intersection
-      // alongside for calibration. At 10⁹ users the sketch path reads
-      // each row once and ships k longs per type; the exact join is the
-      // thing this operator exists to avoid.
-      val k = 64
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
-      val minsByType = ev.groupBy("event_type")
-        .agg(graft.functions.KmvMins.mins(
-          Sampling.keyHash(col("user_id")), k).as("mins"))
-        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-      val pairs = minsByType.keys.toSeq.sorted.combinations(2).map {
-        case Seq(a, b) =>
-          val (eu, ei) = graft.functions.ThetaSketch.unionIntersect(
-            minsByType(a), minsByType(b), k, KmvDistinct.KeyHashRange)
-          (a, b, eu, ei)
-        case other => throw new IllegalStateException(other.toString)
-      }.toSeq.toDF("type_a", "type_b", "eu", "ei")
-      val du = ev.select(col("event_type").as("t"), col("user_id").as("u"))
-        .distinct()
-      val exact = du.as("x")
-        .join(du.as("y"), col("x.u") === col("y.u") && col("x.t") < col("y.t"))
-        .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
-        .agg(count(lit(1)).as("n_exact"))
-      pairs.join(exact, Seq("type_a", "type_b"), "left")
-        .select(col("type_a"), col("type_b"),
-          round(col("eu"), 4).as("est_union"),
-          round(col("ei"), 4).as("est_intersect"),
-          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
-        .orderBy("type_a", "type_b")
-    }),
+      // keys (Sketches.audienceOverlap): per-type KMV min-sets +
+      // theta-sketch pair estimates. The battery opts INTO the exact
+      // calibration column (`exact = true` — a distinct-pair self-join,
+      // deliberately not the library default at scale) so the oracle
+      // can check the estimates against DuckDB's exact replay.
+      graft.operators.Sketches.audienceOverlap(
+          Tables.events(s, d), "event_type", "user_id", k = 64, exact = true)
+        .orderBy("type_a", "type_b")),
 
     "heavy_hitters" -> ((s, d) =>
       // corpus-vocabulary heavy hitters via the bounded Misra–Gries

@@ -66,7 +66,25 @@ class FileFormatHandler(val name: String, format: String,
   * of the reference's hand-rendered per-engine SQL
   * (`PostgresqlEngine.scala:180-187`). `url` addresses the database;
   * `storename` is the table. Works against any DriverManager-visible
-  * driver (embedded Derby ships with Spark's jars). */
+  * driver (embedded Derby ships with Spark's jars).
+  *
+  * DIALECT ASSUMPTIONS (documented, not proven live): this sandbox has
+  * no network egress and no pg-wire server, so the pushdown suite
+  * (`StorageHandlerSpec`) runs against embedded Derby only. What Spark
+  * emits to any dialect is standard and small: the scan is
+  * `SELECT <cols> FROM <dbtable> WHERE <pushed filters>` where pushed
+  * filters are compiled by Spark's per-dialect `JdbcDialect`
+  * (quoting, type literals) — for PostgreSQL that is the built-in
+  * `PostgresDialect`, which renders `=, <>, <, >, <=, >=, IN, LIKE,
+  * IS NULL, AND/OR/NOT` plus (Spark 4) aggregate/limit pushdown where
+  * `supportsExpressions` allows. Writes are `CREATE TABLE` from the
+  * dialect's type map + batched `INSERT INTO ... VALUES (?,...)`;
+  * `drop` issues `DROP TABLE <dbtable>`. None of this is
+  * handler-rendered SQL — the handler only sets options — so the
+  * single untested surface is the remote dialect's type mapping, which
+  * Spark owns. Against a real PostgreSQL, run `StorageHandlerSpec`
+  * with `url = jdbc:postgresql://...` to convert this note into a
+  * green spec case. */
 class JdbcHandler(val name: String, url: String,
                   options: Map[String, String] = Map.empty) extends StorageHandler {
 

@@ -186,6 +186,29 @@ class SketchSpec extends SparkSpec {
       graft.functions.KmvDistinct.KeyHashRange) shouldBe ((eu2, ei2))
   }
 
+  test("audienceOverlap: sketch-only mode skips the exact pair join entirely") {
+    val ev = Seq(
+      ("click", "u1"), ("click", "u2"), ("click", "u3"),
+      ("view", "u2"), ("view", "u3"), ("view", "u4"),
+      ("buy", "u3")).toDF("t", "u")
+    // exact mode: calibration column present and correct
+    val withExact = graft.operators.Sketches
+      .audienceOverlap(ev, "t", "u", k = 64, exact = true)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    withExact(("click", "view")) shouldBe 2L
+    withExact(("buy", "click")) shouldBe 1L
+    // library default: no n_exact column, and the PLAN carries no join
+    // at all — below k both estimates are exact, so the sketch column
+    // alone is the product at scale
+    val sketchOnly = graft.operators.Sketches.audienceOverlap(ev, "t", "u", k = 64)
+    sketchOnly.columns.toSeq shouldBe
+      Seq("type_a", "type_b", "est_union", "est_intersect")
+    sketchOnly.queryExecution.executedPlan.toString should not include "Join"
+    val est = sketchOnly.collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    est(("click", "view")) shouldBe ((4.0, 2.0)) // |∪|=4, |∩|=2, exact below k
+  }
+
   test("sketches are callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     (0 until 300).map(i => s"k${i % 50}").toDF("k")
