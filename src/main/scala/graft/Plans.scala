@@ -143,13 +143,18 @@ object Plans {
     ("q14_promo_revenue", "part dim broadcast; single-row conditional agg",
       Seq("BroadcastHashJoin", "partial_sum")),
     ("q22_idle_balance", "scalar-avg broadcast; NOT EXISTS is a left anti join",
-      Seq("LeftAnti", "BroadcastHashJoin")))
+      Seq("LeftAnti", "BroadcastHashJoin")),
+    // --- round-18 shapes ---
+    ("geo_polygon_intersects", "5-row region poly dim broadcast under the intersects predicate",
+      Seq("BroadcastNestedLoopJoin")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(
     ("range_join_price_bands", "binned hash equi-join"),
     ("session_overlap_join", "interval-overlap binned equi-join"),
-    ("geo_radius_join", "lat/lng grid equi-join"))
+    ("geo_radius_join", "lat/lng grid equi-join"),
+    ("geo_contains_join", "square-grid tile equi-join + exact raycast"),
+    ("geo_buffer_contains", "buffer octagon tile equi-join"))
 
   /** Per-row pipelines that must not shuffle before their
     * (presentation-only) global sort. */
@@ -160,7 +165,10 @@ object Plans {
     ("url_canonicalize", "canonicalization is a pure projection over the scan"),
     ("sample_split_assign", "split labels are a pure codegen projection"),
     ("text_script_profile", "script counting is a pure projection over the scan"),
-    ("winnow_profile", "fingerprint profile is a pure kernel projection over the scan"))
+    ("winnow_profile", "fingerprint profile is a pure kernel projection over the scan"),
+    ("geo_polygon_contains", "raycast predicate is a pure codegen filter over the scan"),
+    ("geo_line_distance", "segment-distance kernel is a pure projection over the scan"),
+    ("geo_polygon_stats", "shoelace measures are per-row kernels over the dim scan"))
 
   /** Stable, sorted names of every audited shape — the `plan_shapes`
     * oracle is generated from this list, so adding a check here is the

@@ -1688,6 +1688,103 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // --- planar geometry algebra (r18): contains/intersects/buffer/
+    //     distance over WKT columns — the PostGIS-role slice. All pure
+    //     codegen expressions (raycast/shoelace/orientation), quarter-grid
+    //     fixtures so every op except the trig-bearing buffer is
+    //     bit-identical to the DuckDB oracle with NO rounding slack.
+    "geo_polygon_stats" -> ((s, d) => {
+      // WKT round-trips the exact doubles, so parsing the printed polygon
+      // and measuring it equals measuring the generating arithmetic —
+      // which is exactly what the oracle does numerically.
+      val ring = GeoAlgebra.wktPolygonRing(col("wkt"))
+      val cen = GeoAlgebra.stCentroid(ring)
+      val env = GeoAlgebra.stEnvelope(ring)
+      nationPolys(s, d).select(col("n_nationkey"),
+          round(GeoAlgebra.stArea(ring), 6).as("area"),
+          round(GeoAlgebra.stLength(ring), 6).as("perimeter"),
+          round(cen.getField("x"), 6).as("cx"),
+          round(cen.getField("y"), 6).as("cy"),
+          round(env.getField("xmin"), 6).as("xmin"),
+          round(env.getField("ymin"), 6).as("ymin"),
+          round(env.getField("xmax"), 6).as("xmax"),
+          round(env.getField("ymax"), 6).as("ymax"))
+        .orderBy("n_nationkey")
+    }),
+
+    "geo_polygon_contains" -> ((s, d) => {
+      // Point-in-polygon SCAN: even-odd raycast against a non-convex
+      // literal star — a per-row codegen predicate, no join, no shuffle
+      // before the presentation sort.
+      val ring = GeoAlgebra.wktPolygonRing(lit(
+        "POLYGON ((21 10, 15 13, 12 19, 9 13, 3 10, 9 7, 12 1, 15 7, 21 10))"))
+      customerPoints(s, d)
+        .filter(GeoAlgebra.stContains(ring, col("px"), col("py")))
+        .orderBy("c_custkey")
+    }),
+
+    "geo_contains_join" -> ((s, d) => {
+      // Points-in-polygons JOIN via the square-grid equi-join (each point
+      // one tile, each polygon its envelope's tiles) + exact raycast —
+      // never a nested loop; the shape that survives 10⁹ points × 10⁶
+      // polygons.
+      val polys = nationPolys(s, d).select(col("n_nationkey"),
+        GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+      GeoAlgebra.containsJoin(customerPoints(s, d), "px", "py",
+          polys, "ring", cell = 4.0)
+        .select("n_nationkey", "c_custkey")
+        .orderBy("n_nationkey", "c_custkey")
+    }),
+
+    "geo_polygon_intersects" -> ((s, d) => {
+      // Polygon-polygon intersects: proper edge crossing (orientation
+      // signs — exact integer-grid arithmetic) or either first vertex
+      // contained. The 5-row region dim broadcasts; at scale the big side
+      // streams through the predicate without reshuffling.
+      val np = nationPolys(s, d).select(col("n_nationkey"),
+        GeoAlgebra.wktPolygonRing(col("wkt")).as("ring_n"))
+      val rp = regionPolys(s, d).select(col("r_regionkey"),
+        GeoAlgebra.wktPolygonRing(col("rwkt")).as("ring_r"))
+      np.crossJoin(broadcast(rp))
+        .filter(GeoAlgebra.stIntersects(col("ring_n"), col("ring_r")))
+        .select("n_nationkey", "r_regionkey")
+        .orderBy("n_nationkey", "r_regionkey")
+    }),
+
+    "geo_line_distance" -> ((s, d) => {
+      // Distance-to-route: min over the linestring's segments of the
+      // clamped-projection point-segment distance — per-row kernel over
+      // the scan, dwithin filter on the rounded value.
+      val line = GeoAlgebra.wktLineString(lit(
+        "LINESTRING (0 0, 6 8, 12 2, 18 14, 24 6)"))
+      customerPoints(s, d)
+        .withColumn("dist", round(GeoAlgebra.stDistanceLine(line,
+          col("px"), col("py")), 6))
+        .filter(col("dist") <= 3.0)
+        .orderBy("c_custkey")
+    }),
+
+    "geo_buffer_contains" -> ((s, d) => {
+      // ST_Buffer(point) as an off-axis regular octagon ring, then the
+      // grid containment join counts customers inside each supplier's
+      // buffer; buffer area via shoelace. The one trig-bearing query —
+      // measures rounded to absorb cross-engine libm ulps.
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") % 23).cast("double") + 0.125).as("sx"),
+        ((col("s_suppkey") % 19).cast("double") + 0.125).as("sy"),
+        (lit(1.0) + (col("s_suppkey") % 4).cast("double") * 0.5).as("r"))
+      val polys = sup.select(col("s_suppkey"),
+        GeoAlgebra.stBufferPoint(col("sx"), col("sy"), col("r"), 8).as("ring"))
+      val inside = GeoAlgebra.containsJoin(customerPoints(s, d), "px", "py",
+          polys, "ring", cell = 1.0)
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_inside"))
+      polys.select(col("s_suppkey"),
+          round(GeoAlgebra.stArea(col("ring")), 6).as("buf_area"))
+        .join(inside, Seq("s_suppkey"), "left")
+        .na.fill(0L, Seq("n_inside"))
+        .orderBy("s_suppkey")
+    }),
+
     // --- multi-join analytics breadth (r17) ---
     "q5_region_revenue" -> ((s, d) => {
       // TPC-H Q5 shape — the 6-way star join. region⋈nation collapses
@@ -2163,6 +2260,74 @@ object SparkEntry {
         "doc_id", "text")
       dir
     })
+
+  // ---- geometry fixtures (r18) -------------------------------------------
+  // Quarter-grid synthetic planar coordinates derived from keys: every
+  // coordinate is an exact binary double (multiple of 1/4), so raycast /
+  // shoelace / orientation arithmetic — IEEE correctly-rounded ops only —
+  // is BIT-IDENTICAL between Spark and the DuckDB oracle.
+
+  /** Customer points on the quarter grid: px ∈ [0, 24], py ∈ [0, 22]. */
+  private def customerPoints(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+      ((col("c_custkey") % 97).cast("double") * 0.25).as("px"),
+      ((col("c_custkey") % 89).cast("double") * 0.25).as("py"))
+
+  /** Non-convex 8-point star offsets (unit scale). */
+  private val starOffsets = Seq((3.0, 0.0), (1.0, 1.0), (0.0, 3.0),
+    (-1.0, 1.0), (-3.0, 0.0), (-1.0, -1.0), (0.0, -3.0), (1.0, -1.0))
+
+  /** Closed ring: center + scaled offsets, closing vertex repeated. */
+  private def offsetRing(cx: Column, cy: Column, scale: Column,
+                         offsets: Seq[(Double, Double)]): Column =
+    array((offsets :+ offsets.head).map { case (ox, oy) =>
+      struct((cx + lit(ox) * scale).as("x"), (cy + lit(oy) * scale).as("y"))
+    }: _*)
+
+  /** One star polygon per nation: centers on a 5×5 grid of pitch 5,
+    * scale cycling 1.0/1.5/2.0 — neighbors overlap, so intersects and
+    * containment queries exercise both outcomes. */
+  private def nationPolys(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(col("n_nationkey"),
+      GeoAlgebra.wktPolygon(offsetRing(
+        (col("n_nationkey") % 5).cast("double") * 5.0,
+        floor(col("n_nationkey") / lit(5.0)) * 5.0,
+        lit(1.0) + (col("n_nationkey") % 3).cast("double") * 0.5,
+        starOffsets)).as("wkt"))
+
+  /** One diamond per region, centered on the y = 10 row. */
+  private def regionPolys(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_regionkey"),
+      GeoAlgebra.wktPolygon(offsetRing(
+        col("r_regionkey").cast("double") * 5.0 + 2.0, lit(10.0), lit(1.0),
+        Seq((4.0, 0.0), (0.0, 4.0), (-4.0, 0.0), (0.0, -4.0)))).as("rwkt"))
+
+  /** DuckDB twin of [[nationPolys]]: per-nation star vertices `nv` and
+    * directed edges `ne(n_nationkey, x1, y1, x2, y2)` — same arithmetic,
+    * exact doubles. Starts inside a WITH clause (no leading `WITH`). */
+  private val nationEdgesSql =
+    """off(i, dx, dy) AS (VALUES
+      |  (0,3.0,0.0),(1,1.0,1.0),(2,0.0,3.0),(3,-1.0,1.0),
+      |  (4,-3.0,0.0),(5,-1.0,-1.0),(6,0.0,-3.0),(7,1.0,-1.0)),
+      |nv AS (SELECT n_nationkey, i,
+      |         (n_nationkey % 5) * 5.0 + dx * (1.0 + (n_nationkey % 3) * 0.5) AS x,
+      |         floor(n_nationkey / 5.0) * 5.0 + dy * (1.0 + (n_nationkey % 3) * 0.5) AS y
+      |       FROM nation CROSS JOIN off),
+      |ne AS (SELECT a.n_nationkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      |       FROM nv a JOIN nv b ON a.n_nationkey = b.n_nationkey
+      |                          AND b.i = (a.i + 1) % 8)""".stripMargin
+
+  /** DuckDB twin of [[customerPoints]]. */
+  private val customerPointsSql =
+    """cp AS (SELECT c_custkey, (c_custkey % 97) * 0.25 AS px,
+      |         (c_custkey % 89) * 0.25 AS py FROM customer)""".stripMargin
+
+  /** Even-odd raycast crossing term against an edge row — the exact
+    * mirror of [[GeoAlgebra.stContains]]'s fold body. */
+  private def raycastSql(e: String = "", px: String = "px", py: String = "py"): String =
+    s"""CASE WHEN (${e}y1 > $py) <> (${e}y2 > $py)
+       | AND $px < (${e}x2 - ${e}x1) * ($py - ${e}y1) / (${e}y2 - ${e}y1) + ${e}x1
+       | THEN 1 ELSE 0 END""".stripMargin.replace("\n", "")
 
   /** Key-value store over `part` — one-time layout artifact per
     * (JVM, data dir), the embedded-KV-engine analogue. */
@@ -4437,6 +4602,114 @@ object SparkEntry {
          |  FROM p, q
          |) WHERE dist_m <= 300000.0 ORDER BY poi_id, vec_id""".stripMargin
     },
+
+    // --- geometry algebra oracles (r18): same quarter-grid fixtures, same
+    //     IEEE formulas — bit-identical; round(_, 6) only absorbs
+    //     summation-order / libm ulps where noted.
+    "geo_polygon_stats" ->
+      s"""WITH $nationEdgesSql
+         |SELECT n_nationkey,
+         |  round(abs(sum(x1*y2 - x2*y1)) / 2.0, 6) AS area,
+         |  round(sum(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))), 6) AS perimeter,
+         |  round(sum((x1+x2)*(x1*y2 - x2*y1)) / (sum(x1*y2 - x2*y1) / 2.0 * 6.0), 6) AS cx,
+         |  round(sum((y1+y2)*(x1*y2 - x2*y1)) / (sum(x1*y2 - x2*y1) / 2.0 * 6.0), 6) AS cy,
+         |  round(min(least(x1, x2)), 6) AS xmin,
+         |  round(min(least(y1, y2)), 6) AS ymin,
+         |  round(max(greatest(x1, x2)), 6) AS xmax,
+         |  round(max(greatest(y1, y2)), 6) AS ymax
+         |FROM ne GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
+    "geo_polygon_contains" ->
+      s"""WITH poly(i, x1, y1) AS (VALUES
+         |  (0,21.0,10.0),(1,15.0,13.0),(2,12.0,19.0),(3,9.0,13.0),
+         |  (4,3.0,10.0),(5,9.0,7.0),(6,12.0,1.0),(7,15.0,7.0)),
+         |e AS (SELECT a.x1, a.y1, b.x1 AS x2, b.y1 AS y2
+         |      FROM poly a JOIN poly b ON b.i = (a.i + 1) % 8),
+         |$customerPointsSql
+         |SELECT c_custkey, px, py FROM (
+         |  SELECT cp.c_custkey, cp.px, cp.py, sum(${raycastSql()}) AS cr
+         |  FROM cp CROSS JOIN e GROUP BY cp.c_custkey, cp.px, cp.py)
+         |WHERE cr % 2 = 1 ORDER BY c_custkey""".stripMargin,
+
+    "geo_contains_join" ->
+      s"""WITH $nationEdgesSql,
+         |$customerPointsSql
+         |SELECT n_nationkey, c_custkey FROM (
+         |  SELECT ne.n_nationkey, cp.c_custkey, sum(${raycastSql()}) AS cr
+         |  FROM cp CROSS JOIN ne GROUP BY 1, 2)
+         |WHERE cr % 2 = 1 ORDER BY n_nationkey, c_custkey""".stripMargin,
+
+    "geo_polygon_intersects" ->
+      s"""WITH $nationEdgesSql,
+         |roff(i, dx, dy) AS (VALUES (0,4.0,0.0),(1,0.0,4.0),(2,-4.0,0.0),(3,0.0,-4.0)),
+         |rv AS (SELECT r_regionkey, i,
+         |         r_regionkey * 5.0 + 2.0 + dx * 1.0 AS x, 10.0 + dy * 1.0 AS y
+         |       FROM region CROSS JOIN roff),
+         |re AS (SELECT a.r_regionkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |       FROM rv a JOIN rv b ON a.r_regionkey = b.r_regionkey
+         |                          AND b.i = (a.i + 1) % 4),
+         |crossed AS (
+         |  SELECT ne.n_nationkey, re.r_regionkey FROM ne CROSS JOIN re
+         |  WHERE ((ne.x2-ne.x1)*(re.y1-ne.y1) - (ne.y2-ne.y1)*(re.x1-ne.x1))
+         |      * ((ne.x2-ne.x1)*(re.y2-ne.y1) - (ne.y2-ne.y1)*(re.x2-ne.x1)) < 0
+         |    AND ((re.x2-re.x1)*(ne.y1-re.y1) - (re.y2-re.y1)*(ne.x1-re.x1))
+         |      * ((re.x2-re.x1)*(ne.y2-re.y1) - (re.y2-re.y1)*(ne.x2-re.x1)) < 0
+         |  GROUP BY 1, 2),
+         |n_in_r AS (
+         |  SELECT v.n_nationkey, re.r_regionkey,
+         |    sum(${raycastSql("re.", "v.x", "v.y")}) AS cr
+         |  FROM (SELECT n_nationkey, x, y FROM nv WHERE i = 0) v
+         |  CROSS JOIN re GROUP BY 1, 2),
+         |r_in_n AS (
+         |  SELECT ne.n_nationkey, v.r_regionkey,
+         |    sum(${raycastSql("ne.", "v.x", "v.y")}) AS cr
+         |  FROM (SELECT r_regionkey, x, y FROM rv WHERE i = 0) v
+         |  CROSS JOIN ne GROUP BY 1, 2)
+         |SELECT DISTINCT n_nationkey, r_regionkey FROM (
+         |  SELECT * FROM crossed
+         |  UNION ALL SELECT n_nationkey, r_regionkey FROM n_in_r WHERE cr % 2 = 1
+         |  UNION ALL SELECT n_nationkey, r_regionkey FROM r_in_n WHERE cr % 2 = 1)
+         |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+
+    "geo_line_distance" ->
+      s"""WITH seg(x1, y1, x2, y2) AS (VALUES
+         |  (0.0,0.0,6.0,8.0),(6.0,8.0,12.0,2.0),
+         |  (12.0,2.0,18.0,14.0),(18.0,14.0,24.0,6.0)),
+         |$customerPointsSql
+         |SELECT c_custkey, px, py, dist FROM (
+         |  SELECT c_custkey, px, py,
+         |    round(min(sqrt((px - (x1 + t*(x2-x1))) * (px - (x1 + t*(x2-x1)))
+         |                 + (py - (y1 + t*(y2-y1))) * (py - (y1 + t*(y2-y1))))), 6) AS dist
+         |  FROM (SELECT cp.*, seg.*,
+         |          greatest(0.0, least(1.0,
+         |            ((px-x1)*(x2-x1) + (py-y1)*(y2-y1))
+         |            / ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)))) AS t
+         |        FROM cp CROSS JOIN seg)
+         |  GROUP BY c_custkey, px, py)
+         |WHERE dist <= 3.0 ORDER BY c_custkey""".stripMargin,
+
+    "geo_buffer_contains" ->
+      s"""WITH sup AS (SELECT s_suppkey, (s_suppkey % 23) + 0.125 AS sx,
+         |               (s_suppkey % 19) + 0.125 AS sy,
+         |               1.0 + (s_suppkey % 4) * 0.5 AS r FROM supplier),
+         |idx(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+         |v AS (SELECT s_suppkey, i,
+         |        sx + r * cos(2.0 * pi() * i / 8.0 + pi() / 8.0) AS x,
+         |        sy + r * sin(2.0 * pi() * i / 8.0 + pi() / 8.0) AS y
+         |      FROM sup CROSS JOIN idx),
+         |e AS (SELECT a.s_suppkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |      FROM v a JOIN v b ON a.s_suppkey = b.s_suppkey
+         |                       AND b.i = (a.i + 1) % 8),
+         |$customerPointsSql,
+         |cnt AS (SELECT e.s_suppkey, cp.c_custkey, sum(${raycastSql()}) AS cr
+         |        FROM cp CROSS JOIN e GROUP BY 1, 2),
+         |ins AS (SELECT s_suppkey, count(*) AS n_inside FROM cnt
+         |        WHERE cr % 2 = 1 GROUP BY 1),
+         |ar AS (SELECT s_suppkey, round(abs(sum(x1*y2 - x2*y1)) / 2.0, 6) AS buf_area
+         |       FROM e GROUP BY 1)
+         |SELECT sup.s_suppkey, ar.buf_area, coalesce(ins.n_inside, 0) AS n_inside
+         |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

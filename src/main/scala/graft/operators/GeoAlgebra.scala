@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Planar geometry algebra over WKT columns — the contains / intersects /
+  * buffer / distance slice of the reference's GEOMETRY attribute type
+  * (`/root/reference/src/main/scala/org/vitrivr/adampro/data/datatypes/AttributeTypes.scala:41-43`,
+  * which delegates to PostGIS via `.../gis/GeometryWrapper.scala`; here
+  * the algebra is evaluated in-engine so it distributes with the scan
+  * instead of round-tripping an external store).
+  *
+  * Representation: a ring is `array<struct<x:double, y:double>>`, closed
+  * (last vertex repeats the first, as WKT prints it); a linestring is the
+  * same array, open. Every operation below is a pure Catalyst expression
+  * tree (`transform`/`aggregate`/`exists` over the vertex array — all
+  * codegen'd, zero shuffle, per-row), so predicates like [[stContains]]
+  * push through projections and run inside the scan stage like any other
+  * filter.
+  *
+  * Numeric contract: everything except [[stBufferPoint]] uses only IEEE
+  * `+ - * /` and `sqrt`, all correctly-rounded operations — so given the
+  * same inputs the results are BIT-IDENTICAL across engines (the DuckDB
+  * oracles replay the same formulas verbatim). Boundary semantics follow
+  * the even-odd raycast: a point exactly on an edge lands deterministically
+  * on one side, the same side in every engine. [[stIntersects]] assumes
+  * simple polygons in general position (boundary-touching without proper
+  * crossing may report disjoint — the PostGIS `ST_Relate` boundary cases
+  * are out of scope).
+  */
+object GeoAlgebra {
+
+  // ---- WKT parse / emit ------------------------------------------------
+
+  private def pt(s: Column): Column = {
+    val c = split(s, " ")
+    struct(element_at(c, 1).cast("double").as("x"),
+      element_at(c, 2).cast("double").as("y"))
+  }
+
+  private def ringOf(inner: Column): Column =
+    transform(split(inner, ", "), s => pt(s))
+
+  /** Exterior ring (ringIdx = 0) or hole of a WKT `POLYGON ((...), (...))`;
+    * null on malformed input or a missing ring. Vertices keep the closing
+    * repeat. */
+  def wktPolygonRing(wkt: Column, ringIdx: Int = 0): Column = {
+    val body = regexp_extract(wkt, "^POLYGON \\(\\((.+)\\)\\)$", 1)
+    val rings = split(body, "\\), \\(")
+    when(body === "", lit(null))
+      .otherwise(ringOf(element_at(rings, ringIdx + 1)))
+  }
+
+  /** Vertex chain of a WKT `LINESTRING (x y, x y, ...)`; null on malformed
+    * input. */
+  def wktLineString(wkt: Column): Column = {
+    val body = regexp_extract(wkt, "^LINESTRING \\((.+)\\)$", 1)
+    when(body === "", lit(null)).otherwise(ringOf(body))
+  }
+
+  /** WKT `POLYGON ((...))` from a closed ring array. Doubles print their
+    * shortest decimal representation, so the text round-trips the exact
+    * bits back through [[wktPolygonRing]]. */
+  def wktPolygon(ring: Column): Column =
+    concat(lit("POLYGON (("),
+      array_join(transform(ring, p =>
+        concat(p.getField("x").cast("string"), lit(" "),
+          p.getField("y").cast("string"))), ", "),
+      lit("))"))
+
+  // ---- edge decomposition ----------------------------------------------
+
+  /** Consecutive vertex pairs as `array<struct<ax,ay,bx,by>>` — the n-1
+    * edges of a closed ring (the closing repeat supplies the wrap edge)
+    * or an open linestring. */
+  def edges(chain: Column): Column =
+    transform(sequence(lit(1), size(chain) - 1), i => {
+      val a = element_at(chain, i)
+      val b = element_at(chain, i + 1)
+      struct(a.getField("x").as("ax"), a.getField("y").as("ay"),
+        b.getField("x").as("bx"), b.getField("y").as("by"))
+    })
+
+  // ---- predicates -------------------------------------------------------
+
+  /** Even-odd raycast crossing count of the horizontal ray from (px, py)
+    * toward +x against the chain's edges. */
+  private def crossings(chain: Column, px: Column, py: Column): Column =
+    aggregate(edges(chain), lit(0L), (acc, e) => {
+      val ax = e.getField("ax"); val ay = e.getField("ay")
+      val bx = e.getField("bx"); val by = e.getField("by")
+      val straddles = (ay > py) =!= (by > py)
+      val crossX = (bx - ax) * (py - ay) / (by - ay) + ax
+      acc + when(straddles && px < crossX, 1L).otherwise(0L)
+    })
+
+  /** Point-in-polygon (even-odd rule). `ring` is a closed ring array. */
+  def stContains(ring: Column, px: Column, py: Column): Column =
+    crossings(ring, px, py) % 2 === 1
+
+  /** Orientation sign of (p→q, p→r): positive = counter-clockwise. Exact
+    * for coordinates whose products stay inside the 53-bit mantissa. */
+  private def orient(px: Column, py: Column, qx: Column, qy: Column,
+                     rx: Column, ry: Column): Column =
+    (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+  /** Proper segment crossing (interiors intersect). Touching endpoints /
+    * collinear overlap report false — see the class-level general-position
+    * note. */
+  private def properCross(ea: Column, eb: Column): Column = {
+    val (ax, ay) = (ea.getField("ax"), ea.getField("ay"))
+    val (bx, by) = (ea.getField("bx"), ea.getField("by"))
+    val (cx, cy) = (eb.getField("ax"), eb.getField("ay"))
+    val (dx, dy) = (eb.getField("bx"), eb.getField("by"))
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    o1 * o2 < 0 && o3 * o4 < 0
+  }
+
+  /** Polygon-polygon intersection for simple rings in general position:
+    * some edge pair properly crosses, or one ring's first vertex lies
+    * inside the other (covers full containment). O(|A|·|B|) per row —
+    * rings are small attribute payloads, not relations. */
+  def stIntersects(ringA: Column, ringB: Column): Column = {
+    val edgeCross = exists(edges(ringA), ea =>
+      exists(edges(ringB), eb => properCross(ea, eb)))
+    val a0 = element_at(ringA, 1)
+    val b0 = element_at(ringB, 1)
+    edgeCross ||
+      stContains(ringB, a0.getField("x"), a0.getField("y")) ||
+      stContains(ringA, b0.getField("x"), b0.getField("y"))
+  }
+
+  // ---- measures ----------------------------------------------------------
+
+  /** Signed shoelace area (positive = counter-clockwise ring). */
+  def stSignedArea(ring: Column): Column =
+    aggregate(edges(ring), lit(0.0), (acc, e) =>
+      acc + (e.getField("ax") * e.getField("by") -
+        e.getField("bx") * e.getField("ay"))) / 2.0
+
+  /** Polygon area. */
+  def stArea(ring: Column): Column = abs(stSignedArea(ring))
+
+  /** Ring perimeter / linestring length. */
+  def stLength(chain: Column): Column =
+    aggregate(edges(chain), lit(0.0), (acc, e) => {
+      val dx = e.getField("bx") - e.getField("ax")
+      val dy = e.getField("by") - e.getField("ay")
+      acc + sqrt(dx * dx + dy * dy)
+    })
+
+  /** Polygon centroid `struct<x, y>` (shoelace-weighted; undefined for
+    * zero-area rings). */
+  def stCentroid(ring: Column): Column = {
+    val a6 = stSignedArea(ring) * 6.0
+    def momentum(f: Column => Column): Column =
+      aggregate(edges(ring), lit(0.0), (acc, e) => {
+        val cross = e.getField("ax") * e.getField("by") -
+          e.getField("bx") * e.getField("ay")
+        acc + f(e) * cross
+      })
+    struct(
+      (momentum(e => e.getField("ax") + e.getField("bx")) / a6).as("x"),
+      (momentum(e => e.getField("ay") + e.getField("by")) / a6).as("y"))
+  }
+
+  /** Bounding box `struct<xmin, ymin, xmax, ymax>`. */
+  def stEnvelope(chain: Column): Column = struct(
+    array_min(transform(chain, _.getField("x"))).as("xmin"),
+    array_min(transform(chain, _.getField("y"))).as("ymin"),
+    array_max(transform(chain, _.getField("x"))).as("xmax"),
+    array_max(transform(chain, _.getField("y"))).as("ymax"))
+
+  /** Squared distance from (px, py) to the nearest point of the chain's
+    * edges (boundary distance — combine with [[stContains]] for the
+    * interior-is-zero polygon convention). */
+  private def boundaryDist2(chain: Column, px: Column, py: Column): Column =
+    aggregate(edges(chain), lit(Double.MaxValue), (acc, e) => {
+      val ax = e.getField("ax"); val ay = e.getField("ay")
+      val dx = e.getField("bx") - ax
+      val dy = e.getField("by") - ay
+      val len2 = dx * dx + dy * dy
+      val tRaw = ((px - ax) * dx + (py - ay) * dy) / len2
+      val t = greatest(lit(0.0), least(lit(1.0), tRaw))
+      val qx = ax + t * dx
+      val qy = ay + t * dy
+      val d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+      val toA = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+      least(acc, when(len2 === 0.0, toA).otherwise(d2))
+    })
+
+  /** Distance from a point to a linestring (min over segments). */
+  def stDistanceLine(line: Column, px: Column, py: Column): Column =
+    sqrt(boundaryDist2(line, px, py))
+
+  /** Distance from a point to a polygon: 0 inside, else boundary
+    * distance. */
+  def stDistance(ring: Column, px: Column, py: Column): Column =
+    when(stContains(ring, px, py), lit(0.0))
+      .otherwise(sqrt(boundaryDist2(ring, px, py)))
+
+  /** Closed regular-n-gon ring approximating the radius-`r` disc around
+    * (x, y), rotated half a step off-axis so no vertex or edge midpoint is
+    * axis-aligned. The one trig-bearing operation here (everything else in
+    * the algebra is exact-rounded arithmetic); consumers that need
+    * cross-engine bit-parity should round derived measures. */
+  def stBufferPoint(x: Column, y: Column, r: Column, n: Int = 8): Column = {
+    require(n >= 3, "buffer polygon needs at least 3 vertices")
+    transform(sequence(lit(0), lit(n)), i => {
+      val theta = lit(2.0) * lit(math.Pi) * (i % n).cast("double") / n.toDouble +
+        lit(math.Pi) / n.toDouble
+      struct((x + r * cos(theta)).as("x"), (y + r * sin(theta)).as("y"))
+    })
+  }
+
+  // ---- scale operator: grid-partitioned containment join ------------------
+
+  /** Points-in-polygons JOIN: every (point, polygon) pair where the point
+    * lies inside the polygon ring. Catalyst would plan the raw
+    * [[stContains]] predicate as a nested-loop join; here both sides map
+    * onto a square grid of `cell`-sized tiles — each point lands in ONE
+    * tile, each polygon explodes to the tiles its envelope overlaps — and
+    * one hash equi-join on the tile key feeds the exact raycast filter.
+    * Pairs join exactly once (a point's tile is unique; a polygon emits
+    * each tile once). Tile fan-out per polygon is (envelope/cell)²,
+    * guarded by `maxCellsPerRow` via a distributed `raise_error` —
+    * mirror of [[Geo.radiusJoin]]'s lat/lng grid.
+    *
+    * Output: all columns of both sides. Non-shared names must be
+    * disjoint; `ringCol` names the polygon-side closed-ring array. */
+  def containsJoin(points: DataFrame, xCol: String, yCol: String,
+                   polys: DataFrame, ringCol: String,
+                   cell: Double, maxCellsPerRow: Long = 1024L): DataFrame = {
+    require(cell > 0, "cell must be positive")
+    require(maxCellsPerRow > 0, "maxCellsPerRow must be positive")
+    val overlap = points.columns.toSet.intersect(polys.columns.toSet)
+    require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
+
+    def tile(v: Column) = floor(v / cell).cast("long")
+
+    val p = points
+      .withColumn("ap_gx", tile(col(xCol).cast("double")))
+      .withColumn("ap_gy", tile(col(yCol).cast("double")))
+
+    val env = stEnvelope(col(ringCol))
+    val gxLo = tile(env.getField("xmin"))
+    val gxHi = tile(env.getField("xmax"))
+    val gyLo = tile(env.getField("ymin"))
+    val gyHi = tile(env.getField("ymax"))
+    val tooMany = (gxHi - gxLo + 1) * (gyHi - gyLo + 1) > maxCellsPerRow
+    // guard rides the sequence bound so projection pruning can't skip it
+    def guarded(c: Column): Column = coalesce(
+      when(tooMany, raise_error(concat(
+        lit(s"polygon envelope spans more than $maxCellsPerRow cells of size $cell"),
+        lit("")))).cast("long"),
+      c)
+    val b = polys
+      .withColumn("ap_gx", explode(sequence(gxLo, guarded(gxHi))))
+      .withColumn("ap_gy", explode(sequence(gyLo, guarded(gyHi))))
+
+    p.join(b, Seq("ap_gx", "ap_gy"))
+      .filter(stContains(col(ringCol), col(xCol).cast("double"),
+        col(yCol).cast("double")))
+      .drop("ap_gx", "ap_gy")
+  }
+}

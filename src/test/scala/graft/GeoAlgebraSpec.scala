@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GeoAlgebra
+
+/** Planar geometry algebra: WKT round-trip, raycast containment,
+  * measures, segment intersection, buffer, and the grid containment
+  * join vs the cross-filter reference. */
+class GeoAlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  // unit square, closed
+  private val squareWkt = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+  // non-convex star (same as the battery literal, scaled down)
+  private val starWkt = "POLYGON ((7 0, 1 1, 0 7, -1 1, -7 0, -1 -1, 0 -7, 1 -1, 7 0))"
+
+  private def one(wkt: String) = Seq(wkt).toDF("wkt")
+    .select(GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+
+  test("WKT polygon parse/emit round-trips the exact doubles") {
+    val back = one(squareWkt)
+      .select(GeoAlgebra.wktPolygon(col("ring"))).as[String].head()
+    // emit prints shortest-repr doubles: 0 -> 0.0
+    back shouldBe "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    val reparsed = Seq(back).toDF("wkt")
+      .select(GeoAlgebra.stArea(GeoAlgebra.wktPolygonRing(col("wkt"))))
+      .as[Double].head()
+    reparsed shouldBe 16.0
+  }
+
+  test("malformed WKT parses to null, not an error") {
+    Seq("POINT (1 2)", "garbage").toDF("wkt")
+      .select(GeoAlgebra.wktPolygonRing(col("wkt")))
+      .collect().foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("contains: convex membership matches the half-plane definition") {
+    val pts = for (x <- -1 to 5; y <- -1 to 5) yield (x + 0.5, y + 0.5)
+    val got = pts.toDF("x", "y")
+      .withColumn("ring", GeoAlgebra.wktPolygonRing(lit(squareWkt)))
+      .filter(GeoAlgebra.stContains(col("ring"), col("x"), col("y")))
+      .select("x", "y").as[(Double, Double)].collect().toSet
+    val want = pts.filter { case (x, y) => x > 0 && x < 4 && y > 0 && y < 4 }.toSet
+    got shouldBe want
+  }
+
+  test("contains: non-convex star includes spikes, excludes notches") {
+    val cases = Seq(
+      (0.0, 0.1, true),   // center-ish
+      (5.0, 0.1, true),   // inside the +x spike
+      (3.0, 3.0, false),  // notch between +x and +y spikes
+      (0.1, 5.0, true),   // +y spike
+      (-5.0, -0.1, true), // -x spike
+      (8.0, 0.0, false))  // outside entirely
+    val got = cases.map(c => (c._1, c._2)).toDF("x", "y")
+      .withColumn("ring", GeoAlgebra.wktPolygonRing(lit(starWkt)))
+      .select(GeoAlgebra.stContains(col("ring"), col("x"), col("y")))
+      .as[Boolean].collect()
+    got.toSeq shouldBe cases.map(_._3)
+  }
+
+  test("area / perimeter / centroid / envelope of known shapes") {
+    val row = one(squareWkt).select(
+      GeoAlgebra.stArea(col("ring")),
+      GeoAlgebra.stLength(col("ring")),
+      GeoAlgebra.stCentroid(col("ring")).getField("x"),
+      GeoAlgebra.stCentroid(col("ring")).getField("y"),
+      GeoAlgebra.stEnvelope(col("ring")).getField("xmax")).head()
+    row.getDouble(0) shouldBe 16.0
+    row.getDouble(1) shouldBe 16.0
+    row.getDouble(2) shouldBe 2.0
+    row.getDouble(3) shouldBe 2.0
+    row.getDouble(4) shouldBe 4.0
+    // signed area: the square above is counter-clockwise
+    one(squareWkt).select(GeoAlgebra.stSignedArea(col("ring")))
+      .as[Double].head() shouldBe 16.0
+  }
+
+  test("area is translation-invariant; centroid translates") {
+    val shifted = "POLYGON ((10 20, 14 20, 14 24, 10 24, 10 20))"
+    val a = one(shifted).select(GeoAlgebra.stArea(col("ring")),
+      GeoAlgebra.stCentroid(col("ring")).getField("x")).head()
+    a.getDouble(0) shouldBe 16.0
+    a.getDouble(1) shouldBe 12.0
+  }
+
+  test("stDistance: zero inside, exact boundary distance outside") {
+    val d = Seq((2.0, 2.0), (6.0, 2.0), (-3.0, 0.0), (7.0, 8.0))
+      .toDF("x", "y")
+      .withColumn("ring", GeoAlgebra.wktPolygonRing(lit(squareWkt)))
+      .select(GeoAlgebra.stDistance(col("ring"), col("x"), col("y")))
+      .as[Double].collect()
+    d(0) shouldBe 0.0
+    d(1) shouldBe 2.0 // right of the x=4 edge
+    d(2) shouldBe 3.0 // left of x=0 (projects onto the corner segment)
+    d(3) shouldBe math.sqrt(9.0 + 16.0) // corner (4,4) is nearest
+  }
+
+  test("stDistanceLine: clamped projection onto segment interiors and endpoints") {
+    val line = GeoAlgebra.wktLineString(lit("LINESTRING (0 0, 10 0, 10 10)"))
+    val d = Seq((5.0, 3.0), (-4.0, 3.0), (13.0, 14.0)).toDF("x", "y")
+      .select(GeoAlgebra.stDistanceLine(line, col("x"), col("y")))
+      .as[Double].collect()
+    d(0) shouldBe 3.0
+    d(1) shouldBe 5.0 // endpoint (0,0)
+    d(2) shouldBe 5.0 // endpoint (10,10)
+  }
+
+  test("intersects: crossing, containment, disjoint") {
+    val a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val cases = Seq(
+      ("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", true),   // proper overlap
+      ("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", true),   // fully inside
+      ("POLYGON ((-2 -2, 7 -2, 7 7, -2 7, -2 -2))", true), // contains a
+      ("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))", false)) // disjoint
+    val got = cases.map(_._1).toDF("wkt")
+      .select(GeoAlgebra.stIntersects(
+        GeoAlgebra.wktPolygonRing(lit(a)),
+        GeoAlgebra.wktPolygonRing(col("wkt"))))
+      .as[Boolean].collect()
+    got.toSeq shouldBe cases.map(_._2)
+  }
+
+  test("buffer: off-axis n-gon, area approaches the disc from inside") {
+    val r = 2.0
+    val row = Seq((0.0, 0.0)).toDF("x", "y")
+      .select(GeoAlgebra.stArea(GeoAlgebra.stBufferPoint(col("x"), col("y"),
+        lit(r), 16)).as("a"))
+      .as[Double].head()
+    val disc = math.Pi * r * r
+    val inscribed16 = 0.5 * 16 * r * r * math.sin(2 * math.Pi / 16)
+    row shouldBe inscribed16 +- 1e-9
+    assert(row < disc && row > 0.9 * disc)
+    // rotation keeps every vertex off the axes
+    val ring = Seq((0.0, 0.0)).toDF("x", "y")
+      .select(GeoAlgebra.stBufferPoint(col("x"), col("y"), lit(r), 8))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    ring.foreach { v =>
+      assert(math.abs(v.getDouble(0)) > 1e-9 && math.abs(v.getDouble(1)) > 1e-9)
+    }
+  }
+
+  test("containsJoin matches the cross-filter reference, joins each pair once") {
+    val pts = (1 to 400).map(i => (i.toLong, (i % 29) * 0.7, (i % 23) * 0.9))
+      .toDF("pid", "x", "y")
+    val polys = Seq(
+      (1L, "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"),
+      (2L, "POLYGON ((5 5, 20 5, 20 20, 5 20, 5 5))"),
+      (3L, "POLYGON ((17 0, 11 1, 10 7, 9 1, 3 0, 9 -1, 10 -7, 11 -1, 17 0))"))
+      .toDF("gid", "wkt")
+      .select(col("gid"), GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+    val got = GeoAlgebra.containsJoin(pts, "x", "y", polys, "ring", cell = 3.0)
+      .select("pid", "gid").as[(Long, Long)].collect()
+    val want = pts.crossJoin(polys)
+      .filter(GeoAlgebra.stContains(col("ring"), col("x"), col("y")))
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    got.length shouldBe got.toSet.size // exactly-once
+    got.toSet shouldBe want
+    want.size should be > 100 // the fixture actually exercises containment
+  }
+
+  test("containsJoin plans a hash equi-join on the tile key, never NLJ") {
+    val pts = Seq((1L, 1.0, 1.0)).toDF("pid", "x", "y")
+    val polys = Seq((1L, squareWkt)).toDF("gid", "wkt")
+      .select(col("gid"), GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+    val plan = GeoAlgebra.containsJoin(pts, "x", "y", polys, "ring", cell = 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("Join"))
+  }
+
+  test("containsJoin: oversized envelope fails loudly via the cell guard") {
+    val pts = Seq((1L, 1.0, 1.0)).toDF("pid", "x", "y")
+    val polys = Seq((1L, "POLYGON ((0 0, 9000 0, 9000 9000, 0 9000, 0 0))"))
+      .toDF("gid", "wkt")
+      .select(col("gid"), GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+    val e = intercept[Exception] {
+      GeoAlgebra.containsJoin(pts, "x", "y", polys, "ring", cell = 1.0,
+        maxCellsPerRow = 64).count()
+    }
+    assert(e.getMessage != null)
+  }
+}
