@@ -146,7 +146,26 @@ object Plans {
       Seq("LeftAnti", "BroadcastHashJoin")),
     // --- round-18 shapes ---
     ("geo_polygon_intersects", "5-row region poly dim broadcast under the intersects predicate",
-      Seq("BroadcastNestedLoopJoin")))
+      Seq("BroadcastNestedLoopJoin")),
+    // the PushedFilters list renders truncated ("GreaterThanOrEqual(l_shipda…")
+    // so markers stop at the visible prefix
+    ("q6_forecast_revenue", "all predicates pushed to the scan; map-side partial sum",
+      Seq("PushedFilters: [IsNotNull(l_shipdate)", "GreaterThanOrEqual(l_shipda",
+        "partial_sum")),
+    ("q8_market_share", "part/supplier/nation dims broadcast into the fact pipeline",
+      Seq("BroadcastHashJoin", "partial_sum")),
+    ("q9_product_profit", "name-matched part broadcast; name filter pushed to the part scan",
+      Seq("BroadcastHashJoin", "StringContains(p_name,red)", "partial_sum")),
+    ("q13_order_distribution", "LEFT OUTER keeps zero-order customers; double aggregation",
+      Seq("LeftOuter", "partial_count")),
+    ("q15_top_supplier", "scalar max equi-joins back as a 1-row broadcast; winner broadcast into supplier",
+      Seq("BroadcastHashJoin", "partial_max")),
+    ("q17_small_quantity_revenue", "brand parts + per-part (sum,cnt) both broadcast back",
+      Seq("BroadcastHashJoin", "partial_sum")),
+    ("q20_excess_suppliers", "aggregate-then-semi-join nesting plans as a LEFT SEMI",
+      Seq("LeftSemi", "partial_sum")),
+    ("geo_fence_hourly", "dim-sized fence table broadcast under the raycast; map-side partial counts",
+      Seq("BroadcastNestedLoopJoin", "partial_count")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(
@@ -178,7 +197,7 @@ object Plans {
       noNljChecks.map("no_nlj:" + _._1) ++
       noShuffleChecks.map("no_shuffle:" + _._1) ++
       Seq("window:event_asof_attribution", "layout:zorder_file_stats",
-        "reuse:event_top_paths")).sorted
+        "reuse:event_top_paths", "reuse:q21_waiting_suppliers")).sorted
 
   /** Run every audit; returns (check_name, ok, detail) — detail is the
     * offending plan on a miss, a short note on success. */
@@ -236,6 +255,18 @@ object Plans {
         else s"expected 1 user-keyed exchange, got $userExchanges\n$p")
     }
 
+    // Q21: both existence tests fold into ONE orderkey-keyed window —
+    // at most one orderkey exchange (zero when the orders join already
+    // partitioned the stream), never the textbook three self-joins
+    val q21Reuse = {
+      val p = plan("q21_waiting_suppliers")
+      val keyExchanges = "hashpartitioning\\(l_orderkey".r.findAllIn(p).length
+      ("reuse:q21_waiting_suppliers",
+        keyExchanges <= 1 && p.contains("Window"),
+        if (keyExchanges <= 1) "one window, no lineitem self-joins"
+        else s"expected <=1 orderkey exchange, got $keyExchanges\n$p")
+    }
+
     // z-order layout: per-file min/max of the NON-leading column must be
     // tight enough that the BETWEEN [100,120] filter's row groups prune
     val zorder = {
@@ -250,7 +281,8 @@ object Plans {
         s"$overlapping/${perFile.length} files overlap the partkey filter")
     }
 
-    (marker ++ Seq(asof, pathsReuse) ++ nlj ++ noShuf ++ Seq(zorder)).sortBy(_._1)
+    (marker ++ Seq(asof, pathsReuse, q21Reuse) ++ nlj ++ noShuf ++ Seq(zorder))
+      .sortBy(_._1)
   }
 
   def main(args: Array[String]): Unit = {

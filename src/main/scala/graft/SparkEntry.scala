@@ -1785,6 +1785,24 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "geo_fence_hourly" -> ((s, d) => {
+      // Batch twin of EventStream.geofenceCounts: events tagged with
+      // every containing fence via the broadcast raycast (stateless,
+      // dim-sized fence table — the geofence-alerting shape), counted
+      // per (hour, fence). Overlapping fences each count the event.
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"),
+        ((col("event_id") % 101).cast("double") * 0.25).as("ex"),
+        ((col("event_id") % 103).cast("double") * 0.25).as("ey"))
+      val fences = nationPolys(s, d).select(col("n_nationkey"),
+        GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+      ev.join(broadcast(fences),
+          GeoAlgebra.stContains(col("ring"), col("ex"), col("ey")))
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+          .as("hour"), col("n_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("hour", "n_nationkey")
+    }),
+
     // --- multi-join analytics breadth (r17) ---
     "q5_region_revenue" -> ((s, d) => {
       // TPC-H Q5 shape — the 6-way star join. region⋈nation collapses
@@ -1997,6 +2015,193 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // --- TPC-H completion (r18): every remaining query shape the fixture
+    //     schema can express (no partsupp table, no commit/receipt dates
+    //     or containers — Q2/Q11/Q16 are inexpressible; Q9/Q13/Q20/Q21
+    //     adapt their predicates, keeping the reference join shape).
+    "q6_forecast_revenue" -> ((s, d) => {
+      // TPC-H Q6: the pure scan-aggregate. Every predicate pushes to the
+      // parquet scan (plan-gated); partial sums collapse map-side, so the
+      // only exchange carries ONE row per task.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    "q8_market_share" -> ((s, d) => {
+      // TPC-H Q8: national market share inside a region's customers.
+      // part (type-filtered), supplier, and both nation legs broadcast;
+      // the two at-scale exchanges are lineitem⋈orders (orderkey) and
+      // orders⋈customer (custkey). The share is a conditional-sum ratio
+      // per year — 2 rows out.
+      val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val n1 = Tables.nation(s, d).filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey").as("c_nkey"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .select("c_custkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") <= lit("1996-12-31"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(year(col("o_orderdate")).as("o_year"), vol, col("supp_nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(0.0)) /
+            sum(col("volume")), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    "q9_product_profit" -> ((s, d) => {
+      // TPC-H Q9 shape (profit = revenue; the fixture has no partsupp /
+      // supplycost): name-matched parts and supplier→nation broadcast
+      // into the lineitem scan, orders joined on the one orderkey
+      // exchange, grouped by (nation, year).
+      val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+        .select("p_partkey")
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q13_order_distribution" -> ((s, d) => {
+      // TPC-H Q13: the histogram-of-counts double aggregation. LEFT
+      // OUTER join keeps zero-order customers; the join predicate's
+      // order filter (priority stands in for the fixture's missing
+      // o_comment pattern) rides the join so non-matching orders count
+      // as absent, not as zero rows dropped. One custkey exchange; the
+      // second aggregate is |distinct counts| rows.
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "3-MEDIUM")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q15_top_supplier" -> ((s, d) => {
+      // TPC-H Q15: the revenue view + scalar-max subquery. Revenue
+      // aggregates to |suppliers| rows on one suppkey exchange; the max
+      // broadcasts back as a 1-row build (BroadcastNestedLoopJoin is the
+      // right plan for a scalar); the surviving ~1 row broadcasts into
+      // the supplier dim. Revenue rounds BEFORE the max so tie
+      // semantics are exact 2-dp arithmetic in both engines.
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+      val top = rev.join(broadcast(mx), col("total_revenue") === col("__mx"))
+      Tables.supplier(s, d)
+        .join(broadcast(top), col("s_suppkey") === col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    "q17_small_quantity_revenue" -> ((s, d) => {
+      // TPC-H Q17: the correlated per-part average. Brand-filtered parts
+      // broadcast into the lineitem scan; the per-part (sum, count)
+      // aggregate — |parts-in-brand| rows — broadcasts back onto the
+      // same joined relation. The threshold l_quantity < 0.2·avg is
+      // evaluated as qty·cnt·5 < sum: quantities are integral doubles,
+      // so both sides are EXACT integer arithmetic — no avg-rounding
+      // ulp can flip a row (0.2·avg itself is inexact in binary).
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#11" && col("p_size") <= 5)
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("p_partkey").as("ap_pk"))
+        .agg(sum(col("l_quantity")).as("ap_sum"), count(lit(1)).as("ap_cnt"))
+      li.join(broadcast(perPart), col("p_partkey") === col("ap_pk"))
+        .filter(col("l_quantity") * col("ap_cnt") * 5.0 < col("ap_sum"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    "q20_excess_suppliers" -> ((s, d) => {
+      // TPC-H Q20 shape (availqty lives in the missing partsupp; the
+      // aggregate-then-semi-join nesting is the point): suppliers who
+      // shipped > 40 units of any single PROMO part in 1995. The inner
+      // aggregate shuffles once on (suppkey, partkey); its distinct
+      // suppkeys broadcast as a LEFT SEMI into the supplier dim.
+      val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val heavy = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 40.0)
+        .select("l_suppkey")
+      Tables.supplier(s, d)
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    "q21_waiting_suppliers" -> ((s, d) => {
+      // TPC-H Q21 shape: the EXISTS / NOT EXISTS pair over same-order
+      // lines. Instead of the textbook three lineitem self-joins (three
+      // orderkey shuffles), both existence tests fold into ONE orderkey
+      // window: distinct suppliers on the order, and distinct LATE
+      // suppliers (late = shipped >90 days after the order date — the
+      // fixture has no receipt/commit dates). A line waits alone iff it
+      // is late, others supplied the order, and no OTHER supplier was
+      // late. Supplier and nation broadcast; numwait counts l1 lines,
+      // as in the reference query.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val j = Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      val w = Window.partitionBy("l_orderkey")
+      val flagged = j
+        .withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late", size(collect_set(
+          when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late") && col("n_supps") > 1 && col("n_late") === 1)
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      flagged.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }),
 
     "skew_salted_join" -> ((s, d) => {
@@ -4711,6 +4916,18 @@ object SparkEntry {
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
 
+    "geo_fence_hourly" ->
+      s"""WITH $nationEdgesSql,
+         |ev AS (SELECT event_id, ts, (event_id % 101) * 0.25 AS ex,
+         |         (event_id % 103) * 0.25 AS ey FROM events),
+         |hit AS (SELECT ev.event_id, ev.ts, ne.n_nationkey,
+         |          sum(${raycastSql("", "ex", "ey")}) AS cr
+         |        FROM ev CROSS JOIN ne GROUP BY 1, 2, 3)
+         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         |       n_nationkey, count(*) AS cnt
+         |FROM hit WHERE cr % 2 = 1
+         |GROUP BY 1, 2 ORDER BY hour, n_nationkey""".stripMargin,
+
     "q5_region_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem
@@ -4823,6 +5040,108 @@ object SparkEntry {
         |                  AND o_orderdate >= TIMESTAMP '1995-01-01'
         |                  AND o_orderdate <  TIMESTAMP '1996-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // --- TPC-H completion oracles (r18) ---
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
+        |        / sum(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part      ON p_partkey = l_partkey
+        |  JOIN supplier  ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders    ON l_orderkey = o_orderkey
+        |  JOIN customer  ON o_custkey  = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND n1.n_regionkey = 1
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate <= TIMESTAMP '1996-12-31')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS amount
+        |  FROM lineitem
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  WHERE p_name LIKE '%red%')
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_quantity_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN (SELECT l_partkey AS ap_pk, sum(l_quantity) AS ap_sum,
+        |             count(*) AS ap_cnt
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      WHERE p_brand = 'Brand#11' AND p_size <= 5
+        |      GROUP BY l_partkey) ON p_partkey = ap_pk
+        |WHERE p_brand = 'Brand#11' AND p_size <= 5
+        |  AND l_quantity * ap_cnt * 5.0 < ap_sum""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 40.0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey  = l1.l_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |WHERE datediff('day', o_orderdate, l1.l_shipdate) > 90
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND datediff('day', o_orderdate, l3.l_shipdate) > 90)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

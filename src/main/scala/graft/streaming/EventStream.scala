@@ -421,6 +421,29 @@ object EventStream {
       }
   }
 
+  /** STREAMING geofence: tag each event with every fence polygon
+    * containing its (x, y) point, then count per (fence, tumbling
+    * window). Containment is the stateless
+    * [[graft.operators.GeoAlgebra.stContains]] raycast evaluated against
+    * a BROADCAST static fence dim, so the tagging stage carries ZERO
+    * streaming state and no stream-side shuffle; the watermarked
+    * windowed count is the only stateful stage. A point inside k
+    * overlapping fences counts toward all k. Fence sets too large to
+    * broadcast should pre-bucket on [[graft.operators.GeoAlgebra
+    * .containsJoin]]'s grid tiles instead — for the dim-sized fence
+    * tables this models (the PostGIS-role geofence alerting shape), the
+    * broadcast is the right plan. */
+  def geofenceCounts(events: DataFrame, xCol: String, yCol: String, tsCol: String,
+                     fences: DataFrame, fenceKey: String, ringCol: String,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .join(broadcast(fences),
+        graft.operators.GeoAlgebra.stContains(col(ringCol), col(xCol), col(yCol)))
+      .groupBy(window(col(tsCol), window_), col(fenceKey))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(fenceKey), col("cnt"))
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

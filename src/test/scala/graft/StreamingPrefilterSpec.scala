@@ -33,6 +33,40 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming geofence counts match a batch replay; overlapping fences both count") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.GeoAlgebra
+    val fences = Seq(
+      (1L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      (2L, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")) // overlaps fence 1
+      .toDF("fence_id", "wkt")
+      .select(col("fence_id"), GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+    val mem = MemoryStream[(Long, Timestamp, Double, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "x", "y")
+    val q = EventStream.geofenceCounts(events, "x", "y", "ts",
+        fences, "fence_id", "ring", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("geofence")
+      .outputMode("update").start()
+    try {
+      val rows = Seq(
+        (1L, ts(5), 2.0, 2.0),   // fence 1 only
+        (2L, ts(10), 7.0, 7.0),  // overlap region: both fences
+        (3L, ts(15), 12.0, 12.0), // fence 2 only
+        (4L, ts(20), 20.0, 20.0)) // no fence
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("geofence").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      got shouldBe Set((1L, 2L), (2L, 2L))
+      // batch replay of the identical rows through the same predicate
+      val batch = rows.toDF("event_id", "ts", "x", "y")
+        .join(broadcast(fences), GeoAlgebra.stContains(col("ring"), col("x"), col("y")))
+        .groupBy("fence_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      batch shouldBe got
+    } finally q.stop()
+  }
+
   test("windowed KMV distinct-users matches a batch replay of the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Long)]
