@@ -96,9 +96,29 @@ object JoinScaleProbe {
         binWidth = gapUs.toDouble, keys = Seq("user_id")).count()
     }
 
+    // containment join: N× points against a fixed fence set — the grid
+    // tile equi-join + codegen raycast; per-cell density grows ×N, the
+    // plan must stay ~linear (an NLJ regression would show ≈N²)
+    val fences = Tables.supplier(spark, sfDir).select(col("s_suppkey"),
+      graft.operators.GeoAlgebra.stBufferPoint(
+        (col("s_suppkey") % 23).cast("double") + 0.125,
+        (col("s_suppkey") % 19).cast("double") + 0.125,
+        lit(1.0) + (col("s_suppkey") % 4).cast("double") * 0.5, 8).as("ring"))
+    val custPts = Tables.customer(spark, sfDir).select(col("c_custkey"),
+      ((col("c_custkey") % 97).cast("double") * 0.25).as("px"),
+      ((col("c_custkey") % 89).cast("double") * 0.25).as("py"))
+    def containsCount(f: Int): Long = {
+      val pts = if (f == 1) custPts else copies(custPts)
+        .select((col("c_custkey") + col("ap_copy") * 1000000000L).as("c_custkey"),
+          col("px"), col("py"))
+      graft.operators.GeoAlgebra.containsJoin(pts, "px", "py",
+        fences, "ring", cell = 1.0).count()
+    }
+
     val probes: Seq[(String, Int => Long)] = Seq(
       ("asof_join", asofCount), ("range_join", rangeCount),
-      ("geo_radius_join", geoCount), ("interval_overlap", overlapCount))
+      ("geo_radius_join", geoCount), ("interval_overlap", overlapCount),
+      ("geo_contains_join", containsCount))
 
     println(f"${"operator"}%-16s ${"rows_1x"}%10s ${"ms_1x"}%8s ${"rows_Nx"}%12s ${"ms_Nx"}%8s ratio")
     probes.foreach { case (name, run) =>

@@ -164,8 +164,10 @@ object Plans {
       Seq("BroadcastHashJoin", "partial_sum")),
     ("q20_excess_suppliers", "aggregate-then-semi-join nesting plans as a LEFT SEMI",
       Seq("LeftSemi", "partial_sum")),
-    ("geo_fence_hourly", "dim-sized fence table broadcast under the raycast; map-side partial counts",
-      Seq("BroadcastNestedLoopJoin", "partial_count")))
+    ("geo_fence_hourly", "fence dim broadcast; codegen raycast kernel in the join condition",
+      Seq("BroadcastNestedLoopJoin", "partial_count", "poly_contains")),
+    ("geo_clip_area", "Sutherland-Hodgman fold is a pure projection over the dim scan",
+      Seq("aggregate(")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(

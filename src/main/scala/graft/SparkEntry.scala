@@ -1785,6 +1785,22 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "geo_clip_area" -> ((s, d) => {
+      // ST_Intersection (convex clip): each region diamond folded
+      // through the literal window's half-planes (Sutherland–Hodgman as
+      // a pure expression fold). Slope-±1 edges, power-of-two radius,
+      // and quarter-grid bounds keep every intersection vertex an exact
+      // dyadic double, so the fold and the oracle's INDEPENDENT
+      // convex-vertex-set computation (candidate points → angular sort
+      // → shoelace) agree bit-for-bit.
+      val window = GeoAlgebra.wktPolygonRing(lit(
+        "POLYGON ((4 6.5, 18 6.5, 18 13.5, 4 13.5, 4 6.5))"))
+      regionPolys(s, d).select(col("r_regionkey"),
+          round(GeoAlgebra.stIntersectionArea(
+            GeoAlgebra.wktPolygonRing(col("rwkt")), window), 6).as("clip_area"))
+        .orderBy("r_regionkey")
+    }),
+
     "geo_fence_hourly" -> ((s, d) => {
       // Batch twin of EventStream.geofenceCounts: events tagged with
       // every containing fence via the broadcast raycast (stateless,
@@ -2232,9 +2248,13 @@ object SparkEntry {
       // local-passage overlap on the CDC demo corpus (head-inserted
       // copies): winnowing's guarantee says every shared run of
       // >= w+k-1 = 22 normalized chars yields a shared fingerprint, so
-      // each planted copy pairs with its original at containment ~1.0
+      // each planted copy pairs with its original at containment ~1.0.
+      // maxBucket=64 drops corpus-ubiquitous fingerprints (the MOSS
+      // boilerplate rule) — the sf0.1 probe (SCALING.md) measured 96%
+      // of the self-join's pair-work in buckets >64 that contribute
+      // zero true near-dup signal
       graft.operators.Winnow.overlapPairs(cdcBase(s, d), "text", "doc_id",
-          k = 8, w = 15, minShared = 5)
+          k = 8, w = 15, minShared = 5, maxBucket = 64)
         .filter(col("containment") >= 0.5)
         .orderBy("id_a", "id_b")),
 
@@ -4916,6 +4936,60 @@ object SparkEntry {
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
 
+    // independent convex∩convex area: candidate vertices (subject verts
+    // in window ∪ window corners in subject ∪ edge×edge crossings) →
+    // filter to both shapes → dedupe → angular sort → shoelace. Never
+    // runs the Sutherland–Hodgman fold it checks.
+    "geo_clip_area" ->
+      """WITH rp AS (SELECT r_regionkey, r_regionkey * 5.0 + 2.0 AS cx,
+        |              10.0 AS cy FROM region),
+        |dv(i, ox, oy) AS (VALUES (0,4.0,0.0),(1,0.0,4.0),(2,-4.0,0.0),(3,0.0,-4.0)),
+        |dverts AS (SELECT r_regionkey, cx, cy, i, cx + ox AS x, cy + oy AS y
+        |           FROM rp CROSS JOIN dv),
+        |dedges AS (SELECT a.r_regionkey, a.cx, a.cy, a.x AS x1, a.y AS y1,
+        |                  b.x AS x2, b.y AS y2
+        |           FROM dverts a JOIN dverts b
+        |             ON a.r_regionkey = b.r_regionkey AND b.i = (a.i + 1) % 4),
+        |rv(j, x, y) AS (VALUES (0,4.0,6.5),(1,18.0,6.5),(2,18.0,13.5),(3,4.0,13.5)),
+        |redges AS (SELECT a.j, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |           FROM rv a JOIN rv b ON b.j = (a.j + 1) % 4),
+        |xing AS (
+        |  SELECT de.r_regionkey,
+        |         de.x1 + t * (de.x2 - de.x1) AS x,
+        |         de.y1 + t * (de.y2 - de.y1) AS y
+        |  FROM (
+        |    SELECT de.*,
+        |      ((re.x2-re.x1)*(de.y1-re.y1) - (re.y2-re.y1)*(de.x1-re.x1))
+        |      / ((re.y2-re.y1)*(de.x2-de.x1) - (re.x2-re.x1)*(de.y2-de.y1)) AS t
+        |    FROM dedges de CROSS JOIN redges re) de
+        |  WHERE t >= 0 AND t <= 1),
+        |cand AS (
+        |  SELECT r_regionkey, cx, cy, x, y FROM dverts
+        |  UNION ALL SELECT r_regionkey, cx, cy, rv.x, rv.y FROM rp CROSS JOIN rv
+        |  UNION ALL SELECT x.r_regionkey, rp.cx, rp.cy, x.x, x.y
+        |            FROM xing x JOIN rp USING (r_regionkey)),
+        |verts AS (
+        |  SELECT DISTINCT r_regionkey, x, y FROM cand
+        |  WHERE abs(x - cx) + abs(y - cy) <= 4.0
+        |    AND x >= 4.0 AND x <= 18.0 AND y >= 6.5 AND y <= 13.5),
+        |cent AS (SELECT r_regionkey, avg(x) AS mx, avg(y) AS my,
+        |                count(*) AS n
+        |         FROM verts GROUP BY r_regionkey),
+        |ordered AS (
+        |  SELECT v.r_regionkey, v.x, v.y, c.n,
+        |    row_number() OVER (PARTITION BY v.r_regionkey
+        |      ORDER BY atan2(v.y - c.my, v.x - c.mx)) AS rn
+        |  FROM verts v JOIN cent c USING (r_regionkey)),
+        |area AS (
+        |  SELECT a.r_regionkey,
+        |         round(abs(sum(a.x * b.y - b.x * a.y)) / 2.0, 6) AS clip_area
+        |  FROM ordered a JOIN ordered b
+        |    ON a.r_regionkey = b.r_regionkey AND b.rn = a.rn % a.n + 1
+        |  GROUP BY a.r_regionkey)
+        |SELECT r.r_regionkey, coalesce(area.clip_area, 0.0) AS clip_area
+        |FROM region r LEFT JOIN area ON r.r_regionkey = area.r_regionkey
+        |ORDER BY r.r_regionkey""".stripMargin,
+
     "geo_fence_hourly" ->
       s"""WITH $nationEdgesSql,
          |ev AS (SELECT event_id, ts, (event_id % 101) * 0.25 AS ex,
@@ -5166,7 +5240,10 @@ object SparkEntry {
          | SELECT doc_id + 10000, concat('NEW PREFIX ', text) FROM documents
          | WHERE doc_id < 50),
          |${duckWinnowCtes("wbase")},
-         |wrel AS (SELECT DISTINCT doc_id, m // 8589934592 AS fp_hash FROM wfp),
+         |wrel0 AS (SELECT DISTINCT doc_id, m // 8589934592 AS fp_hash FROM wfp),
+         |wok AS (SELECT fp_hash FROM wrel0 GROUP BY fp_hash
+         |        HAVING count(*) <= 64),
+         |wrel AS (SELECT wrel0.* FROM wrel0 JOIN wok USING (fp_hash)),
          |wcnt AS (SELECT doc_id, count(*) AS n FROM wrel GROUP BY 1),
          |wpairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps

@@ -9,7 +9,7 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, round}
 
 import graft.core.{Entity, Partitioning}
 import graft.operators.BooleanPredicates
@@ -1082,6 +1082,45 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out, graft.operators.Sampling.deterministicShuffle(
           entity(req, "entity").read(), req.get("idCol").asText(),
           if (req.has("seed")) req.get("seed").asLong() else 42L))
+      case "/pipeline/geo" =>
+        // planar geometry over entity point columns (the PostGIS-role
+        // wire surface): contains = rows inside one WKT polygon;
+        // contains_join = grid tile join against a fence list;
+        // distance = dwithin filter against a WKT linestring route
+        import graft.operators.GeoAlgebra
+        val e = entity(req, "entity").read()
+        val xCol = req.get("xCol").asText()
+        val yCol = req.get("yCol").asText()
+        val idCol = req.get("idCol").asText()
+        val dfg = req.get("mode").asText() match {
+          case "contains" =>
+            val ring = GeoAlgebra.wktPolygonRing(lit(req.get("wkt").asText()))
+            e.filter(GeoAlgebra.stContains(ring, col(xCol), col(yCol)))
+              .orderBy(idCol)
+          case "contains_join" =>
+            import scala.jdk.CollectionConverters._
+            val spark = e.sparkSession
+            import spark.implicits._
+            val fences = req.get("fences").elements().asScala.map(f =>
+              (f.get("id").asLong(), f.get("wkt").asText())).toSeq
+              .toDF("fence_id", "ap_wkt")
+              .select(col("fence_id"),
+                GeoAlgebra.wktPolygonRing(col("ap_wkt")).as("ap_ring"))
+            GeoAlgebra.containsJoin(
+                e.select(col(idCol), col(xCol), col(yCol)), xCol, yCol,
+                fences, "ap_ring",
+                cell = if (req.has("cell")) req.get("cell").asDouble() else 4.0)
+              .select(col("fence_id"), col(idCol))
+              .orderBy("fence_id", idCol)
+          case "distance" =>
+            val line = GeoAlgebra.wktLineString(lit(req.get("wkt").asText()))
+            val d = e.withColumn("dist",
+              round(GeoAlgebra.stDistanceLine(line, col(xCol), col(yCol)), 6))
+            (if (req.has("dwithin")) d.filter(col("dist") <= req.get("dwithin").asDouble())
+             else d).orderBy(idCol)
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        pagedRows(out, dfg)
       case "/entity/details" =>
         // reference web `GET /entity/details` (AdamController.scala:53-75):
         // entity-level properties, or per-attribute detail when

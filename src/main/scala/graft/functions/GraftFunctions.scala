@@ -142,6 +142,22 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"heavy_hitters(key, m) expects 2 args, got ${args.length}")
       },
+      "poly_contains" -> {
+        case Seq(ring, px, py) => GeoPointExpr(ring,
+          org.apache.spark.sql.catalyst.expressions.Cast(px, org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(py, org.apache.spark.sql.types.DoubleType),
+          GeoKernel.Contains)
+        case args => throw new IllegalArgumentException(
+          s"poly_contains(ring, px, py) expects 3 args, got ${args.length}")
+      },
+      "poly_dist2" -> {
+        case Seq(chain, px, py) => GeoPointExpr(chain,
+          org.apache.spark.sql.catalyst.expressions.Cast(px, org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(py, org.apache.spark.sql.types.DoubleType),
+          GeoKernel.Dist2)
+        case args => throw new IllegalArgumentException(
+          s"poly_dist2(chain, px, py) expects 3 args, got ${args.length}")
+      },
       "bottomk_sample" -> {
         case Seq(h, v, k) => BottomKSample(
           org.apache.spark.sql.catalyst.expressions.Cast(h, org.apache.spark.sql.types.LongType),

@@ -83,20 +83,24 @@ object GeoAlgebra {
 
   // ---- predicates -------------------------------------------------------
 
-  /** Even-odd raycast crossing count of the horizontal ray from (px, py)
-    * toward +x against the chain's edges. */
-  private def crossings(chain: Column, px: Column, py: Column): Column =
-    aggregate(edges(chain), lit(0L), (acc, e) => {
+  /** Point-in-polygon (even-odd rule) — the native codegen raycast
+    * ([[graft.functions.GeoKernel]]), op-for-op identical to
+    * [[stContainsFold]]. `ring` is a closed ring array. */
+  def stContains(ring: Column, px: Column, py: Column): Column =
+    graft.functions.GeoKernel(graft.functions.GeoKernel.Contains,
+      ring, px.cast("double"), py.cast("double"))
+
+  /** Pure higher-order-function raycast — interpreted (Spark HOFs are
+    * CodegenFallback), kept as the independently-written reference the
+    * codegen kernel is spec-checked against. */
+  private[graft] def stContainsFold(ring: Column, px: Column, py: Column): Column =
+    aggregate(edges(ring), lit(0L), (acc, e) => {
       val ax = e.getField("ax"); val ay = e.getField("ay")
       val bx = e.getField("bx"); val by = e.getField("by")
       val straddles = (ay > py) =!= (by > py)
       val crossX = (bx - ax) * (py - ay) / (by - ay) + ax
       acc + when(straddles && px < crossX, 1L).otherwise(0L)
-    })
-
-  /** Point-in-polygon (even-odd rule). `ring` is a closed ring array. */
-  def stContains(ring: Column, px: Column, py: Column): Column =
-    crossings(ring, px, py) % 2 === 1
+    }) % 2 === 1
 
   /** Orientation sign of (p→q, p→r): positive = counter-clockwise. Exact
     * for coordinates whose products stay inside the 53-bit mantissa. */
@@ -176,8 +180,13 @@ object GeoAlgebra {
 
   /** Squared distance from (px, py) to the nearest point of the chain's
     * edges (boundary distance — combine with [[stContains]] for the
-    * interior-is-zero polygon convention). */
+    * interior-is-zero polygon convention). Native codegen kernel. */
   private def boundaryDist2(chain: Column, px: Column, py: Column): Column =
+    graft.functions.GeoKernel(graft.functions.GeoKernel.Dist2,
+      chain, px.cast("double"), py.cast("double"))
+
+  /** HOF twin of [[boundaryDist2]] — the spec-check reference. */
+  private[graft] def boundaryDist2Fold(chain: Column, px: Column, py: Column): Column =
     aggregate(edges(chain), lit(Double.MaxValue), (acc, e) => {
       val ax = e.getField("ax"); val ay = e.getField("ay")
       val dx = e.getField("bx") - ax
@@ -214,6 +223,58 @@ object GeoAlgebra {
         lit(math.Pi) / n.toDouble
       struct((x + r * cos(theta)).as("x"), (y + r * sin(theta)).as("y"))
     })
+  }
+
+  // ---- convex clipping (ST_Intersection slice) ----------------------------
+
+  /** Signed side of point p relative to the directed clip edge (a→b):
+    * positive = left (inside, for a counter-clockwise clip ring). */
+  private def sideOf(e: Column, px: Column, py: Column): Column =
+    orient(e.getField("ax"), e.getField("ay"),
+      e.getField("bx"), e.getField("by"), px, py)
+
+  /** One Sutherland–Hodgman pass: keep the part of the (closed) ring on
+    * the inside of the clip edge's infinite line. Returns a closed ring,
+    * or an empty array when nothing survives. */
+  private def clipHalfPlane(ring: Column, ce: Column): Column = {
+    val open = flatten(transform(edges(ring), se => {
+      val ax = se.getField("ax"); val ay = se.getField("ay")
+      val bx = se.getField("bx"); val by = se.getField("by")
+      val sa = sideOf(ce, ax, ay)
+      val sb = sideOf(ce, bx, by)
+      val t = sa / (sa - sb)
+      val ix = ax + t * (bx - ax)
+      val iy = ay + t * (by - ay)
+      val b = array(struct(bx.as("x"), by.as("y")))
+      val i = array(struct(ix.as("x"), iy.as("y")))
+      when(sa >= 0 && sb >= 0, b)
+        .when(sa >= 0 && sb < 0, i)
+        .when(sa < 0 && sb >= 0, concat(i, b))
+        .otherwise(array().cast("array<struct<x:double,y:double>>"))
+    }))
+    // close the ring (each input vertex appeared once as an edge head);
+    // guard FIRST on the incoming ring — edges() on an empty array would
+    // otherwise build sequence(1, -1), a descending index range
+    when(size(ring) < 4,
+        array().cast("array<struct<x:double,y:double>>"))
+      .when(size(open) >= 3, concat(open, slice(open, 1, 1)))
+      .otherwise(array().cast("array<struct<x:double,y:double>>"))
+  }
+
+  /** Intersection of a simple ring with a CONVEX clip ring (Sutherland–
+    * Hodgman): fold the subject through each clip edge's half-plane. The
+    * clip ring must be counter-clockwise and convex; the subject may be
+    * any simple polygon (a non-convex subject clipped to a convex window
+    * stays a single ring up to degenerate bridging edges, the standard
+    * SH caveat). Empty array = empty intersection. Pure expression fold
+    * — O(|subject|·|clip|) per row, zero shuffle. */
+  def stClipConvex(subject: Column, clip: Column): Column =
+    aggregate(edges(clip), subject, (ring, ce) => clipHalfPlane(ring, ce))
+
+  /** Area of `ring ∩ convex clip ring` — 0.0 for empty intersection. */
+  def stIntersectionArea(subject: Column, clip: Column): Column = {
+    val clipped = stClipConvex(subject, clip)
+    when(size(clipped) < 4, lit(0.0)).otherwise(stArea(clipped))
   }
 
   // ---- scale operator: grid-partitioned containment join ------------------

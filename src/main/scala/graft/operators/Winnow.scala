@@ -54,7 +54,7 @@ object Winnow {
     * relation pair detection joins on. Position is dropped here on
     * purpose: a copied passage sits at different offsets in the two
     * documents, so cross-doc identity is the hash alone. */
-  private def hashRelation(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def hashRelation(df: DataFrame, textCol: String, idCol: String,
                            k: Int, w: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         // packed = hash·2^33 + pos with hash < 2^30, pos < 2^33, so the

@@ -140,6 +140,90 @@ class GeoAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("codegen raycast/dist2 kernels == the interpreted HOF folds, bit-for-bit") {
+    // dense point sweep over the star: interiors, spikes, notches,
+    // boundary-adjacent and exactly-on-vertex points
+    val pts = (for (xi <- -32 to 32; yi <- -16 to 16 by 2)
+      yield (xi * 0.25, yi * 0.5)).toDF("x", "y")
+      .withColumn("ring", GeoAlgebra.wktPolygonRing(lit(starWkt)))
+    val mismatch = pts.filter(
+      GeoAlgebra.stContains(col("ring"), col("x"), col("y")) =!=
+        GeoAlgebra.stContainsFold(col("ring"), col("x"), col("y"))).count()
+    mismatch shouldBe 0L
+    val line = GeoAlgebra.wktLineString(lit("LINESTRING (0 0, 6 8, 12 2, 18 14, 24 6)"))
+    val d2 = pts.select(
+      graft.functions.GeoKernel(graft.functions.GeoKernel.Dist2, line, col("x"), col("y")).as("k"),
+      GeoAlgebra.boundaryDist2Fold(line, col("x"), col("y")).as("f"))
+    d2.filter(col("k") =!= col("f")).count() shouldBe 0L
+    // the kernel reaches the executed plan over a REAL scan (a local
+    // relation would be constant-folded away) — not CodegenFallback
+    val plan = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumn("ring", GeoAlgebra.wktPolygonRing(lit(starWkt)))
+      .filter(GeoAlgebra.stContains(col("ring"),
+        col("c_acctbal"), col("c_acctbal")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("poly_contains"))
+  }
+
+  test("poly_contains / poly_dist2 registered as SQL functions") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT poly_contains(array(struct(0.0d AS x, 0.0d AS y), struct(4.0d AS x, 0.0d AS y),
+        |  struct(4.0d AS x, 4.0d AS y), struct(0.0d AS x, 4.0d AS y),
+        |  struct(0.0d AS x, 0.0d AS y)), 2.0, 2.0) AS c,
+        |  poly_dist2(array(struct(0.0d AS x, 0.0d AS y), struct(4.0d AS x, 0.0d AS y)),
+        |  2.0, 3.0) AS d
+        |""".stripMargin).head()
+    r.getBoolean(0) shouldBe true
+    r.getDouble(1) shouldBe 9.0
+  }
+
+  test("convex clip: known areas, symmetry halving, containment, disjoint") {
+    def clipArea(subj: String, clip: String): Double =
+      Seq((subj, clip)).toDF("s", "c")
+        .select(GeoAlgebra.stIntersectionArea(
+          GeoAlgebra.wktPolygonRing(col("s")),
+          GeoAlgebra.wktPolygonRing(col("c"))))
+        .as[Double].head()
+    // overlapping axis rectangles: exact overlap area
+    clipArea("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((2 1, 10 1, 10 3, 2 3, 2 1))") shouldBe 4.0 // [2,4]x[1,3]
+    // star (area 28) clipped by the right half square: symmetric half
+    clipArea(starWkt, "POLYGON ((0 -10, 10 -10, 10 10, 0 10, 0 -10))") shouldBe 14.0
+    // subject fully inside the clip window: full star area
+    clipArea(starWkt, "POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))") shouldBe 28.0
+    // clip window fully inside the subject: window area
+    clipArea(squareWkt, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") shouldBe 1.0
+    // disjoint: empty
+    clipArea(squareWkt, "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))") shouldBe 0.0
+    // single-point touch: degenerate, zero area
+    clipArea("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((4 4, 8 4, 8 8, 4 8, 4 4))") shouldBe 0.0
+  }
+
+  test("convex clip: fold through all four half-planes yields the hexagon") {
+    // diamond r=4 at (12,10) clipped to [4,18]x[6.5,13.5]: y-tips cut
+    val got = Seq(1).toDF("i").select(GeoAlgebra.stClipConvex(
+        GeoAlgebra.wktPolygonRing(lit(
+          "POLYGON ((16 10, 12 14, 8 10, 12 6, 16 10))")),
+        GeoAlgebra.wktPolygonRing(lit(
+          "POLYGON ((4 6.5, 18 6.5, 18 13.5, 4 13.5, 4 6.5))"))))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    // hexagon: diamond verts (16,10),(8,10) survive; tips replaced by
+    // crossings of the slope-±1 edges with y = 13.5 and y = 6.5
+    got shouldBe Set((16.0, 10.0), (8.0, 10.0),
+      (12.5, 13.5), (11.5, 13.5), (11.5, 6.5), (12.5, 6.5))
+    // area via the independent trapezoid decomposition:
+    // full diamond 32 minus two tips of height 0.5 (area 2*(0.5^2)) each
+    Seq(1).toDF("i").select(GeoAlgebra.stIntersectionArea(
+        GeoAlgebra.wktPolygonRing(lit(
+          "POLYGON ((16 10, 12 14, 8 10, 12 6, 16 10))")),
+        GeoAlgebra.wktPolygonRing(lit(
+          "POLYGON ((4 6.5, 18 6.5, 18 13.5, 4 13.5, 4 6.5))"))))
+      .as[Double].head() shouldBe (32.0 - 2 * 0.25)
+  }
+
   test("containsJoin matches the cross-filter reference, joins each pair once") {
     val pts = (1 to 400).map(i => (i.toLong, (i % 29) * 0.7, (i % 23) * 0.9))
       .toDF("pid", "x", "y")

@@ -1092,6 +1092,34 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     byId(0) shouldBe 0.0 // left-only: min(0, fuzzyDefault 0)
   }
 
+  test("geometry over the wire: contains, fence join, route distance") {
+    post("/entity/create", """{"name":"geo"}""")
+    val rows = Seq((1, 2.0, 2.0), (2, 7.0, 7.0), (3, 12.0, 12.0), (4, 30.0, 30.0))
+      .map { case (i, x, y) => s"""{"pid":$i,"x":$x,"y":$y}""" }
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"geo","rows":$rows}""")
+
+    val in = post("/pipeline/geo",
+      """{"entity":"geo","mode":"contains","xCol":"x","yCol":"y","idCol":"pid",
+        |"wkt":"POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"}""".stripMargin)
+    in.get("rows").elements().asScala.map(_.get("pid").asInt()).toSeq shouldBe Seq(1, 2)
+
+    val join = post("/pipeline/geo",
+      """{"entity":"geo","mode":"contains_join","xCol":"x","yCol":"y","idCol":"pid",
+        |"cell":4.0,"fences":[
+        |{"id":10,"wkt":"POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"},
+        |{"id":20,"wkt":"POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"}]}""".stripMargin)
+    join.get("rows").elements().asScala
+      .map(n => (n.get("fence_id").asInt(), n.get("pid").asInt())).toSeq shouldBe
+      Seq((10, 1), (10, 2), (20, 2), (20, 3))
+
+    val near = post("/pipeline/geo",
+      """{"entity":"geo","mode":"distance","xCol":"x","yCol":"y","idCol":"pid",
+        |"wkt":"LINESTRING (0 0, 20 20)","dwithin":1.0}""".stripMargin)
+    near.get("rows").elements().asScala.map(_.get("pid").asInt()).toSeq shouldBe
+      Seq(1, 2, 3) // all on the diagonal; pid 4 is past the endpoint
+  }
+
   override def afterAll(): Unit = {
     server.stop()
     super.afterAll()
