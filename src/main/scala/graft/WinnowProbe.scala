@@ -38,8 +38,8 @@ object WinnowProbe {
     hist.foreach(r => println(s"[probe] bucket ${r.getString(0)}: " +
       s"${r.getLong(1)} hashes, pair-work ${r.getLong(2)}"))
     def pairsOf(r: org.apache.spark.sql.DataFrame): Long =
-      r.select(col("doc_id").as("id_a"), col("fp_hash"))
-        .join(r.select(col("doc_id").as("id_b"), col("fp_hash")), Seq("fp_hash"))
+      r.select(col("id").as("id_a"), col("fp_hash"))
+        .join(r.select(col("id").as("id_b"), col("fp_hash")), Seq("fp_hash"))
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1))).count()
     t("self-join, uncapped")(println("[probe] pairs = " + pairsOf(rel)))
