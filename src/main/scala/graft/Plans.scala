@@ -167,7 +167,9 @@ object Plans {
     ("geo_fence_hourly", "fence dim broadcast; codegen raycast kernel in the join condition",
       Seq("BroadcastNestedLoopJoin", "partial_count", "poly_contains")),
     ("geo_clip_area", "Sutherland-Hodgman fold is a pure projection over the dim scan",
-      Seq("aggregate(")))
+      Seq("aggregate(")),
+    ("geo_tile_pruned_scan", "radius tiles prune at the scan as partition filters",
+      Seq("PartitionFilters: [ap_tile")))
 
   /** Binned joins that must plan as hash equi-joins, never NLJ. */
   private val noNljChecks: Seq[(String, String)] = Seq(
@@ -175,7 +177,8 @@ object Plans {
     ("session_overlap_join", "interval-overlap binned equi-join"),
     ("geo_radius_join", "lat/lng grid equi-join"),
     ("geo_contains_join", "square-grid tile equi-join + exact raycast"),
-    ("geo_buffer_contains", "buffer octagon tile equi-join"))
+    ("geo_buffer_contains", "buffer octagon tile equi-join"),
+    ("geo_nearest_poi", "3x3-neighborhood grid equi-join + per-point window"))
 
   /** Per-row pipelines that must not shuffle before their
     * (presentation-only) global sort. */

@@ -1785,6 +1785,41 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "geo_tile_pruned_scan" -> ((s, d) => {
+      // The PostGIS-spatial-index ROLE as a physical layout: points
+      // tile-partitioned on disk, radius query enumerates the covered
+      // tiles at plan time → partition pruning reads ONLY those dirs
+      // (plan-gated), exact distance filter on the pruned scan.
+      // Lossless: the tile set covers the circle's bounding box.
+      val (qx, qy, r) = (12.0, 10.0, 3.0)
+      val tiles = for {
+        gx <- math.floor((qx - r) / 2.0).toLong to math.floor((qx + r) / 2.0).toLong
+        gy <- math.floor((qy - r) / 2.0).toLong to math.floor((qy + r) / 2.0).toLong
+      } yield gx * 1024L + gy
+      val d2 = (col("px") - qx) * (col("px") - qx) +
+        (col("py") - qy) * (col("py") - qy)
+      s.read.parquet(geoLayout(s, d))
+        .filter(col("ap_tile").isin(tiles: _*))
+        .filter(d2 <= r * r)
+        .select(col("c_custkey"), col("px"), col("py"),
+          round(sqrt(d2), 6).as("dist"))
+        .orderBy("c_custkey")
+    }),
+
+    "geo_nearest_poi" -> ((s, d) => {
+      // Bounded-radius nearest-neighbor spatial join: candidates from
+      // the maxDist grid (poi → 3×3 neighborhood — lossless), exact
+      // distance filter, one per-point window picks the closest. Exact
+      // planar arithmetic → rankings replay bit-identically in DuckDB.
+      val pois = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") % 23).cast("double") + 0.125).as("sx"),
+        ((col("s_suppkey") % 19).cast("double") + 0.125).as("sy"))
+      GeoAlgebra.nearestJoin(customerPoints(s, d), "c_custkey", "px", "py",
+          pois, "sx", "sy", "s_suppkey", maxDist = 3.0)
+        .select(col("c_custkey"), col("s_suppkey"), round(col("dist"), 6).as("dist"))
+        .orderBy("c_custkey")
+    }),
+
     "geo_clip_area" -> ((s, d) => {
       // ST_Intersection (convex clip): each region diamond folded
       // through the literal window's half-planes (Sutherland–Hodgman as
@@ -2563,6 +2598,23 @@ object SparkEntry {
       dir
     })
 
+  private val geoLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Tile-partitioned point layout (cell 2.0, tile key gx·1024+gy) —
+    * the PostGIS-spatial-index role as a partition-pruned physical
+    * layout; one-time artifact per (JVM, data dir). */
+  private def geoLayout(s: SparkSession, d: String): String =
+    geoLayouts.getOrElseUpdate(d, {
+      val dir = freshScratch(s"geo-${dirTag(d)}")
+      customerPoints(s, d)
+        .withColumn("ap_tile",
+          floor(col("px") / 2.0).cast("long") * 1024L +
+            floor(col("py") / 2.0).cast("long"))
+        .write.mode("overwrite").partitionBy("ap_tile").parquet(dir)
+      dir
+    })
+
   /** Pre-build the one-time entity-layout artifacts (untimed bench
     * warmup, alongside [[warmIndexes]]). */
   def warmLayouts(s: SparkSession, d: String): Unit = {
@@ -2570,6 +2622,7 @@ object SparkEntry {
     sparseLayout(s, d)
     kvLayout(s, d)
     fullTextLayout(s, d)
+    geoLayout(s, d)
   }
 
   /** Pre-build the corpus admission indexes (MinHash bands, cosine
@@ -4935,6 +4988,30 @@ object SparkEntry {
          |SELECT sup.s_suppkey, ar.buf_area, coalesce(ins.n_inside, 0) AS n_inside
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "geo_tile_pruned_scan" ->
+      s"""WITH $customerPointsSql
+         |SELECT c_custkey, px, py,
+         |  round(sqrt((px - 12.0) * (px - 12.0) + (py - 10.0) * (py - 10.0)), 6) AS dist
+         |FROM cp
+         |WHERE (px - 12.0) * (px - 12.0) + (py - 10.0) * (py - 10.0) <= 9.0
+         |ORDER BY c_custkey""".stripMargin,
+
+    "geo_nearest_poi" ->
+      s"""WITH $customerPointsSql,
+         |sp AS (SELECT s_suppkey, (s_suppkey % 23) + 0.125 AS sx,
+         |         (s_suppkey % 19) + 0.125 AS sy FROM supplier),
+         |cand AS (
+         |  SELECT c_custkey, s_suppkey,
+         |         (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2
+         |  FROM cp CROSS JOIN sp
+         |  WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= 9.0),
+         |rk AS (SELECT c_custkey, s_suppkey, d2,
+         |         row_number() OVER (PARTITION BY c_custkey
+         |           ORDER BY d2, s_suppkey) AS rn
+         |       FROM cand)
+         |SELECT c_custkey, s_suppkey, round(sqrt(d2), 6) AS dist
+         |FROM rk WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
 
     // independent convex∩convex area: candidate vertices (subject verts
     // in window ∪ window corners in subject ∪ edge×edge crossings) →

@@ -225,6 +225,56 @@ object GeoAlgebra {
     })
   }
 
+  // ---- bounded nearest-neighbor join ---------------------------------------
+
+  /** For each point, its k nearest `pois` within `maxDist` (planar
+    * Euclidean) — the bounded-radius NN spatial join. Candidates come
+    * from a `maxDist`-sized grid: each point lands in ONE cell, each poi
+    * replicates to its 3×3 cell neighborhood (lossless: any point within
+    * maxDist of the poi lies in one of those cells), one hash equi-join
+    * on the cell key feeds the exact distance filter, and a per-point
+    * window keeps the k closest (ties break on `poiKey`). Points with no
+    * poi within `maxDist` drop — the bounded contract that keeps the
+    * candidate set O(density·area) instead of O(|points|·|pois|).
+    *
+    * Output: all point columns + `poiKey` + `nn_rank` + `dist`.
+    * `pointKey` must identify a point row (the window key). */
+  def nearestJoin(points: DataFrame, pointKey: String, xCol: String, yCol: String,
+                  pois: DataFrame, poiXCol: String, poiYCol: String,
+                  poiKey: String, maxDist: Double, k: Int = 1): DataFrame = {
+    require(maxDist > 0, "maxDist must be positive")
+    require(k >= 1, "k must be >= 1")
+    val overlap = points.columns.toSet.intersect(pois.columns.toSet)
+    require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
+
+    def cell(v: Column) = floor(v / maxDist).cast("long")
+    val p = points
+      .withColumn("ap_gx", cell(col(xCol).cast("double")))
+      .withColumn("ap_gy", cell(col(yCol).cast("double")))
+    val neighbors = Seq(-1L, 0L, 1L)
+    val b = pois
+      .withColumn("ap_dx", explode(array(neighbors.map(lit): _*)))
+      .withColumn("ap_dy", explode(array(neighbors.map(lit): _*)))
+      .withColumn("ap_gx", cell(col(poiXCol).cast("double")) + col("ap_dx"))
+      .withColumn("ap_gy", cell(col(poiYCol).cast("double")) + col("ap_dy"))
+      .drop("ap_dx", "ap_dy")
+
+    val dx = col(xCol).cast("double") - col(poiXCol).cast("double")
+    val dy = col(yCol).cast("double") - col(poiYCol).cast("double")
+    val d2 = dx * dx + dy * dy
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pointKey))
+      .orderBy(col("ap_d2").asc, col(poiKey).asc)
+    p.join(b, Seq("ap_gx", "ap_gy"))
+      .withColumn("ap_d2", d2)
+      .filter(col("ap_d2") <= maxDist * maxDist)
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= k)
+      .withColumn("dist", sqrt(col("ap_d2")))
+      .drop("ap_gx", "ap_gy", "ap_d2")
+      .drop(pois.columns.filter(c => c != poiKey): _*)
+  }
+
   // ---- convex clipping (ST_Intersection slice) ----------------------------
 
   /** Signed side of point p relative to the directed clip edge (a→b):

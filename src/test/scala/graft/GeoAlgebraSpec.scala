@@ -243,6 +243,31 @@ class GeoAlgebraSpec extends SparkSpec {
     want.size should be > 100 // the fixture actually exercises containment
   }
 
+  test("nearestJoin == brute-force NN within maxDist; k>1 ranks; bounded drop") {
+    val pts = (1 to 300).map(i => (i.toLong, (i % 31) * 0.7, (i % 27) * 0.9))
+      .toDF("pid", "x", "y")
+    val pois = (1 to 40).map(j => (100L + j, (j % 13) * 1.7, (j % 11) * 2.3))
+      .toDF("poi", "qx", "qy")
+    val got = GeoAlgebra.nearestJoin(pts, "pid", "x", "y",
+        pois, "qx", "qy", "poi", maxDist = 4.0, k = 2)
+      .select("pid", "poi", "nn_rank").as[(Long, Long, Int)].collect().toSet
+    // brute force: all pairs within 4.0, rank by (d2, poi), keep top 2
+    import org.apache.spark.sql.expressions.Window
+    val d2 = (col("x") - col("qx")) * (col("x") - col("qx")) +
+      (col("y") - col("qy")) * (col("y") - col("qy"))
+    val want = pts.crossJoin(pois).withColumn("d2", d2)
+      .filter(col("d2") <= 16.0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("d2"), col("poi"))))
+      .filter(col("rn") <= 2)
+      .select("pid", "poi", "rn").as[(Long, Long, Int)].collect().toSet
+    got shouldBe want
+    want.size should be > 100
+    // some point has NO poi within range and drops (bounded contract)
+    val covered = got.map(_._1)
+    assert(covered.size < 300)
+  }
+
   test("containsJoin plans a hash equi-join on the tile key, never NLJ") {
     val pts = Seq((1L, 1.0, 1.0)).toDF("pid", "x", "y")
     val polys = Seq((1L, squareWkt)).toDF("gid", "wkt")
