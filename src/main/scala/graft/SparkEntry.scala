@@ -1785,6 +1785,23 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "predicate_geo_dwithin" -> ((s, d) => {
+      // PostGIS-role predicates through the Boolean front door: a WKT
+      // point ATTRIBUTE queried with st_within (polygon) AND st_dwithin
+      // (route linestring) — the reference's GEOMETRYTYPE WHERE
+      // pass-through, evaluated in-engine. WKT round-trips the exact
+      // doubles, so the oracle computes off the raw coordinates.
+      val pts = customerPoints(s, d)
+        .withColumn("loc", Geo.wktPoint(col("px"), col("py")))
+      pts.filter(BooleanPredicates.conjunction(Seq(
+          BooleanPredicates.Predicate("loc", "st_within", Seq(
+            "POLYGON ((21 10, 15 13, 12 19, 9 13, 3 10, 9 7, 12 1, 15 7, 21 10))")),
+          BooleanPredicates.Predicate("loc", "st_dwithin", Seq(
+            "LINESTRING (0 0, 6 8, 12 2, 18 14, 24 6)", "4.0")))))
+        .select("c_custkey", "px", "py")
+        .orderBy("c_custkey")
+    }),
+
     "geo_tile_pruned_scan" -> ((s, d) => {
       // The PostGIS-spatial-index ROLE as a physical layout: points
       // tile-partitioned on disk, radius query enumerates the covered
@@ -4988,6 +5005,32 @@ object SparkEntry {
          |SELECT sup.s_suppkey, ar.buf_area, coalesce(ins.n_inside, 0) AS n_inside
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "predicate_geo_dwithin" ->
+      s"""WITH poly(i, x1, y1) AS (VALUES
+         |  (0,21.0,10.0),(1,15.0,13.0),(2,12.0,19.0),(3,9.0,13.0),
+         |  (4,3.0,10.0),(5,9.0,7.0),(6,12.0,1.0),(7,15.0,7.0)),
+         |e AS (SELECT a.x1, a.y1, b.x1 AS x2, b.y1 AS y2
+         |      FROM poly a JOIN poly b ON b.i = (a.i + 1) % 8),
+         |seg(x1, y1, x2, y2) AS (VALUES
+         |  (0.0,0.0,6.0,8.0),(6.0,8.0,12.0,2.0),
+         |  (12.0,2.0,18.0,14.0),(18.0,14.0,24.0,6.0)),
+         |$customerPointsSql,
+         |inq AS (SELECT cp.c_custkey, cp.px, cp.py, sum(${raycastSql()}) AS cr
+         |        FROM cp CROSS JOIN e GROUP BY 1, 2, 3),
+         |dq AS (SELECT c_custkey,
+         |         min(sqrt((px - (x1 + t*(x2-x1))) * (px - (x1 + t*(x2-x1)))
+         |               + (py - (y1 + t*(y2-y1))) * (py - (y1 + t*(y2-y1))))) AS dist
+         |       FROM (SELECT cp.*, seg.*,
+         |               greatest(0.0, least(1.0,
+         |                 ((px-x1)*(x2-x1) + (py-y1)*(y2-y1))
+         |                 / ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)))) AS t
+         |             FROM cp CROSS JOIN seg)
+         |       GROUP BY c_custkey)
+         |SELECT i.c_custkey, i.px, i.py
+         |FROM inq i JOIN dq ON i.c_custkey = dq.c_custkey
+         |WHERE i.cr % 2 = 1 AND dq.dist <= 4.0
+         |ORDER BY i.c_custkey""".stripMargin,
 
     "geo_tile_pruned_scan" ->
       s"""WITH $customerPointsSql

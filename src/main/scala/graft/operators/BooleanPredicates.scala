@@ -39,6 +39,33 @@ object BooleanPredicates {
       case "like" => c.like(v.toString)
       case "isnull" => c.isNull
       case "isnotnull" => c.isNotNull
+      // PostGIS-role predicates (the reference's GEOMETRYTYPE attributes
+      // query through PostGIS WHERE pass-through; here they evaluate
+      // in-engine on a WKT point attribute and compose/push like any
+      // other atom). st_within: value = polygon WKT. st_dwithin:
+      // values = [geometry WKT (POINT|LINESTRING|POLYGON), distance].
+      case "st_within" =>
+        val (px, py) = (Geo.wktLng(c), Geo.wktLat(c))
+        GeoAlgebra.stContains(
+          GeoAlgebra.wktPolygonRing(lit(v.toString)), px, py)
+      case "st_dwithin" =>
+        require(p.values.size == 2,
+          s"st_dwithin on '${p.attribute}' needs [wkt, distance]")
+        val wkt = v.toString
+        val dist = p.values(1).toString.toDouble
+        val (px, py) = (Geo.wktLng(c), Geo.wktLat(c))
+        val d =
+          if (wkt.startsWith("POLYGON")) GeoAlgebra.stDistance(
+            GeoAlgebra.wktPolygonRing(lit(wkt)), px, py)
+          else if (wkt.startsWith("LINESTRING")) GeoAlgebra.stDistanceLine(
+            GeoAlgebra.wktLineString(lit(wkt)), px, py)
+          else {
+            val q = lit(wkt)
+            val dx = px - Geo.wktLng(q)
+            val dy = py - Geo.wktLat(q)
+            sqrt(dx * dx + dy * dy)
+          }
+        d <= dist
       case other => throw new IllegalArgumentException(s"unsupported predicate op: $other")
     }
   }

@@ -224,6 +224,32 @@ class GeoAlgebraSpec extends SparkSpec {
       .as[Double].head() shouldBe (32.0 - 2 * 0.25)
   }
 
+  test("st_within / st_dwithin predicates through the Boolean front door") {
+    import graft.operators.{BooleanPredicates, Geo}
+    val pts = Seq((1L, 2.0, 2.0), (2L, 3.5, 0.5), (3L, 20.0, 20.0))
+      .toDF("pid", "x", "y")
+      .withColumn("loc", Geo.wktPoint(col("x"), col("y")))
+    def ids(p: BooleanPredicates.Predicate): Seq[Long] =
+      pts.filter(BooleanPredicates.toColumn(p)).select("pid")
+        .as[Long].collect().toSeq
+    ids(BooleanPredicates.Predicate("loc", "st_within",
+      Seq(squareWkt))) shouldBe Seq(1L, 2L)
+    // point form: within 1.0 of POINT (2 2) — only pid 1
+    ids(BooleanPredicates.Predicate("loc", "st_dwithin",
+      Seq("POINT (2 2)", "1.0"))) shouldBe Seq(1L)
+    // linestring form: the x-axis within 1.0 — only pid 2 (y=0.5)
+    ids(BooleanPredicates.Predicate("loc", "st_dwithin",
+      Seq("LINESTRING (0 0, 30 0)", "1.0"))) shouldBe Seq(2L)
+    // polygon form: distance 0 inside, boundary distance outside
+    ids(BooleanPredicates.Predicate("loc", "st_dwithin",
+      Seq(squareWkt, "0.9"))) shouldBe Seq(1L, 2L)
+    // degenerate: missing distance arg fails loudly
+    intercept[IllegalArgumentException] {
+      BooleanPredicates.toColumn(
+        BooleanPredicates.Predicate("loc", "st_dwithin", Seq(squareWkt)))
+    }
+  }
+
   test("containsJoin matches the cross-filter reference, joins each pair once") {
     val pts = (1 to 400).map(i => (i.toLong, (i % 29) * 0.7, (i % 23) * 0.9))
       .toDF("pid", "x", "y")
