@@ -1785,6 +1785,24 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "geo_extent_by_nation" -> ((s, d) => {
+      // grouped spatial extents: per-nation point count, bounding box,
+      // mean center — one map-side-combined aggregation over the point
+      // scan (no geometry objects shuffle, just 4 doubles + count).
+      // Quarter-grid coords: sums exact, mean = one division → the
+      // oracle replays bit-identically.
+      Tables.customer(s, d).select(col("c_nationkey"),
+          ((col("c_custkey") % 97).cast("double") * 0.25).as("px"),
+          ((col("c_custkey") % 89).cast("double") * 0.25).as("py"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_points"),
+          min("px").as("xmin"), min("py").as("ymin"),
+          max("px").as("xmax"), max("py").as("ymax"),
+          round(sum("px") / count(lit(1)), 6).as("cx"),
+          round(sum("py") / count(lit(1)), 6).as("cy"))
+        .orderBy("c_nationkey")
+    }),
+
     "predicate_geo_dwithin" -> ((s, d) => {
       // PostGIS-role predicates through the Boolean front door: a WKT
       // point ATTRIBUTE queried with st_within (polygon) AND st_dwithin
@@ -5005,6 +5023,14 @@ object SparkEntry {
          |SELECT sup.s_suppkey, ar.buf_area, coalesce(ins.n_inside, 0) AS n_inside
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "geo_extent_by_nation" ->
+      """SELECT c_nationkey, count(*) AS n_points,
+        |  min((c_custkey % 97) * 0.25) AS xmin, min((c_custkey % 89) * 0.25) AS ymin,
+        |  max((c_custkey % 97) * 0.25) AS xmax, max((c_custkey % 89) * 0.25) AS ymax,
+        |  round(sum((c_custkey % 97) * 0.25) / count(*), 6) AS cx,
+        |  round(sum((c_custkey % 89) * 0.25) / count(*), 6) AS cy
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "predicate_geo_dwithin" ->
       s"""WITH poly(i, x1, y1) AS (VALUES

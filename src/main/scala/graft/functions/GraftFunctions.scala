@@ -64,6 +64,13 @@ object GraftFunctions {
     }
   }
 
+  /** Bridge a one-WKT-argument geometry Column composition back to an
+    * expression for SQL registration. */
+  private def geoSql(wkt: Expression)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.graft.Bridge.expressionEager(
+      f(org.apache.spark.sql.graft.Bridge.column(wkt)))
+
   private def sparseQueryBuilder(kind: String): Seq[Expression] => Expression = {
     // minkowski REQUIRES its p — a silent 2-arg default would compute
     // euclidean under a name promising an explicit power
@@ -141,6 +148,70 @@ object GraftFunctions {
           intArg(m, "m"))
         case args => throw new IllegalArgumentException(
           s"heavy_hitters(key, m) expects 2 args, got ${args.length}")
+      },
+      // ST_* SQL surface over the geometry algebra: WKT in, measures/
+      // predicates out — Column compositions re-bridged to expressions,
+      // so `spark.sql("SELECT st_area('POLYGON (...)')")` just works.
+      "st_area" -> {
+        case Seq(wkt) => geoSql(wkt)(w =>
+          graft.operators.GeoAlgebra.stArea(
+            graft.operators.GeoAlgebra.wktPolygonRing(w)))
+        case args => throw new IllegalArgumentException(
+          s"st_area(wkt) expects 1 arg, got ${args.length}")
+      },
+      "st_perimeter" -> {
+        case Seq(wkt) => geoSql(wkt)(w =>
+          graft.operators.GeoAlgebra.stLength(
+            graft.operators.GeoAlgebra.wktPolygonRing(w)))
+        case args => throw new IllegalArgumentException(
+          s"st_perimeter(wkt) expects 1 arg, got ${args.length}")
+      },
+      "st_centroid" -> {
+        case Seq(wkt) => geoSql(wkt)(w =>
+          graft.operators.GeoAlgebra.stCentroid(
+            graft.operators.GeoAlgebra.wktPolygonRing(w)))
+        case args => throw new IllegalArgumentException(
+          s"st_centroid(wkt) expects 1 arg, got ${args.length}")
+      },
+      "st_envelope" -> {
+        case Seq(wkt) => geoSql(wkt)(w =>
+          graft.operators.GeoAlgebra.stEnvelope(
+            graft.operators.GeoAlgebra.wktPolygonRing(w)))
+        case args => throw new IllegalArgumentException(
+          s"st_envelope(wkt) expects 1 arg, got ${args.length}")
+      },
+      "st_contains" -> {
+        case Seq(wkt, px, py) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.GeoAlgebra.stContains(
+              graft.operators.GeoAlgebra.wktPolygonRing(
+                org.apache.spark.sql.graft.Bridge.column(wkt)),
+              org.apache.spark.sql.graft.Bridge.column(px),
+              org.apache.spark.sql.graft.Bridge.column(py)))
+        case args => throw new IllegalArgumentException(
+          s"st_contains(wkt, px, py) expects 3 args, got ${args.length}")
+      },
+      "st_intersects" -> {
+        case Seq(wktA, wktB) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.GeoAlgebra.stIntersects(
+              graft.operators.GeoAlgebra.wktPolygonRing(
+                org.apache.spark.sql.graft.Bridge.column(wktA)),
+              graft.operators.GeoAlgebra.wktPolygonRing(
+                org.apache.spark.sql.graft.Bridge.column(wktB))))
+        case args => throw new IllegalArgumentException(
+          s"st_intersects(wktA, wktB) expects 2 args, got ${args.length}")
+      },
+      "st_intersection_area" -> {
+        case Seq(wktA, wktB) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.GeoAlgebra.stIntersectionArea(
+              graft.operators.GeoAlgebra.wktPolygonRing(
+                org.apache.spark.sql.graft.Bridge.column(wktA)),
+              graft.operators.GeoAlgebra.wktPolygonRing(
+                org.apache.spark.sql.graft.Bridge.column(wktB))))
+        case args => throw new IllegalArgumentException(
+          s"st_intersection_area(wktA, wktB) expects 2 args, got ${args.length}")
       },
       "poly_contains" -> {
         case Seq(ring, px, py) => GeoPointExpr(ring,

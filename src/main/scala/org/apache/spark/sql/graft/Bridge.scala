@@ -14,6 +14,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. [[expression]] wraps the
+    * column node lazily (`ColumnNodeExpression`), which the Dataset API
+    * resolves but the SQL function registry does not — a composite
+    * Column registered as a SQL function would reach the analyzer as an
+    * untyped node. This converts the whole node tree to catalyst
+    * expressions up front (inner functions become `UnresolvedFunction`s
+    * the analyzer then resolves normally). */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap an (analyzed) logical plan back into a DataFrame — needed by
     * optimizer rules that graft DataFrame-built sub-plans into a plan
     * under rewrite (`Dataset.ofRows` is `private[sql]`). */

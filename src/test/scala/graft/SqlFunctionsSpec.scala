@@ -21,6 +21,33 @@ class SqlFunctionsSpec extends SparkSpec {
     r.getDouble(2) shouldBe (25.0 / (math.sqrt(14) * math.sqrt(61)) +- Epsilon)
   }
 
+  test("st_* geometry surface callable from SQL") {
+    GraftFunctions.register(spark)
+    // struct outputs (centroid/envelope) extract through one projection
+    // level — the bridged builder's type resolves with the inner SELECT
+    val r = spark.sql(
+      """SELECT a, p, c.x AS cx, env.xmax AS xmax, c_in, c_out, ix, xa FROM (
+        |SELECT st_area('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS a,
+        |       st_perimeter('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS p,
+        |       st_centroid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS c,
+        |       st_envelope('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS env,
+        |       st_contains('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 2.0, 2.0) AS c_in,
+        |       st_contains('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 9.0, 2.0) AS c_out,
+        |       st_intersects('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+        |                     'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') AS ix,
+        |       st_intersection_area('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+        |                            'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') AS xa)
+        |""".stripMargin).head()
+    r.getDouble(0) shouldBe 16.0
+    r.getDouble(1) shouldBe 16.0
+    r.getDouble(2) shouldBe 2.0
+    r.getDouble(3) shouldBe 4.0
+    r.getBoolean(4) shouldBe true
+    r.getBoolean(5) shouldBe false
+    r.getBoolean(6) shouldBe true
+    r.getDouble(7) shouldBe 4.0
+  }
+
   test("signature kernels callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
