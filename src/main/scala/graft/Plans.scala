@@ -169,7 +169,7 @@ object Plans {
     ("geo_clip_area", "Sutherland-Hodgman fold is a pure projection over the dim scan",
       Seq("aggregate(")),
     ("geo_tile_pruned_scan", "radius tiles prune at the scan as partition filters",
-      Seq("PartitionFilters: [ap_tile")),
+      Seq("PartitionFilters: [ap_partition")),
     ("geo_extent_by_nation", "extents aggregate map-side; no geometry shuffles",
       Seq("partial_min", "partial_count", "HashAggregate")))
 

@@ -1821,20 +1821,17 @@ object SparkEntry {
     }),
 
     "geo_tile_pruned_scan" -> ((s, d) => {
-      // The PostGIS-spatial-index ROLE as a physical layout: points
-      // tile-partitioned on disk, radius query enumerates the covered
-      // tiles at plan time → partition pruning reads ONLY those dirs
-      // (plan-gated), exact distance filter on the pruned scan.
-      // Lossless: the tile set covers the circle's bounding box.
+      // The PostGIS-spatial-index ROLE as an ENTITY layout: points
+      // tile-partitioned via Partitioning.Tile (survives inserts and
+      // mutation rewrites like any entity layout), the radius read
+      // prunes to the covered tile dirs (plan-gated PartitionFilters),
+      // exact distance filter on the pruned scan. Lossless: the tile
+      // set covers the circle's bounding box.
       val (qx, qy, r) = (12.0, 10.0, 3.0)
-      val tiles = for {
-        gx <- math.floor((qx - r) / 2.0).toLong to math.floor((qx + r) / 2.0).toLong
-        gy <- math.floor((qy - r) / 2.0).toLong to math.floor((qy + r) / 2.0).toLong
-      } yield gx * 1024L + gy
       val d2 = (col("px") - qx) * (col("px") - qx) +
         (col("py") - qy) * (col("py") - qy)
-      s.read.parquet(geoLayout(s, d))
-        .filter(col("ap_tile").isin(tiles: _*))
+      graft.core.Entity.open(s, geoLayout(s, d), "geopts")
+        .readPrunedRadius(qx, qy, r)
         .filter(d2 <= r * r)
         .select(col("c_custkey"), col("px"), col("py"),
           round(sqrt(d2), 6).as("dist"))
@@ -2636,17 +2633,15 @@ object SparkEntry {
   private val geoLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Tile-partitioned point layout (cell 2.0, tile key gx·1024+gy) —
-    * the PostGIS-spatial-index role as a partition-pruned physical
-    * layout; one-time artifact per (JVM, data dir). */
+  /** Tile-partitioned point ENTITY (cell 2.0) — the PostGIS-spatial-
+    * index role as a partition-pruned entity layout; one-time artifact
+    * per (JVM, data dir). */
   private def geoLayout(s: SparkSession, d: String): String =
     geoLayouts.getOrElseUpdate(d, {
       val dir = freshScratch(s"geo-${dirTag(d)}")
-      customerPoints(s, d)
-        .withColumn("ap_tile",
-          floor(col("px") / 2.0).cast("long") * 1024L +
-            floor(col("py") / 2.0).cast("long"))
-        .write.mode("overwrite").partitionBy("ap_tile").parquet(dir)
+      val e = graft.core.Entity.create(s, dir, "geopts")
+      e.insert(customerPoints(s, d))
+      e.partitionLayout(graft.core.Partitioning.Tile("px", "py", 2.0))
       dir
     })
 

@@ -1199,6 +1199,10 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             val cs = strs("cols")
             require(cs.size == 2, "zorder takes exactly 2 cols")
             Partitioning.ZOrder(cs.head, cs(1), n)
+          case "tile" =>
+            val cs = strs("cols")
+            require(cs.size == 2, "tile takes exactly 2 cols")
+            Partitioning.Tile(cs.head, cs(1), req.get("cell").asDouble())
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         if (path == "/entity/partition") {

@@ -108,6 +108,15 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
           .write.mode("overwrite").partitionBy(Partitioning.PartitionCol)
           .parquet(dataPath(next).toString)
         writeLayout(layoutPath, Layout("bycolumn", c, Array.empty))
+      case Partitioning.Tile(x, y, cell) =>
+        df.withColumn(Partitioning.PartitionCol,
+            Partitioning.tileKey(col(x), col(y), cell))
+          .repartition(col(Partitioning.PartitionCol))
+          .write.mode("overwrite").partitionBy(Partitioning.PartitionCol)
+          .parquet(dataPath(next).toString)
+        // keyCol carries "x,y"; the cell rides the (otherwise ecp-only)
+        // centroids slot so the descriptor schema stays unchanged
+        writeLayout(layoutPath, Layout("tile", s"$x,$y", Array(Array(cell))))
       case other =>
         Partitioning.repartition(df, other)
           .write.mode("overwrite").parquet(dataPath(next).toString)
@@ -135,6 +144,17 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     Partitioning.partitionSkipKeys(read(), keys)
   }
 
+  /** Tile-pruned radius read: scans ONLY the tile directories covering
+    * the disc's bounding box (plain partition pruning — lossless, the
+    * tile set covers the region; callers apply the exact distance
+    * filter). Requires a Tile layout. */
+  def readPrunedRadius(qx: Double, qy: Double, r: Double): DataFrame = {
+    val l = layout.getOrElse(throw new IllegalStateException(s"$name has no layout"))
+    require(l.mode == "tile", s"readPrunedRadius needs a tile layout, found ${l.mode}")
+    Partitioning.partitionSkipKeys(read(),
+      Partitioning.tileKeysFor(qx, qy, r, l.centroids(0)(0)))
+  }
+
   /** Assign the layout's partition column to a batch (no-op without a
     * directory layout). */
   private def assignPartition(df: DataFrame): DataFrame = layout match {
@@ -146,6 +166,11 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       Partitioning.assignLeaders(df, vecCol, centers)
     case Some(Layout("bycolumn", c, _)) if df.columns.contains(c) =>
       df.withColumn(Partitioning.PartitionCol, col(c))
+    case Some(Layout("tile", xy, cells))
+        if xy.split(',').forall(df.columns.contains) =>
+      val Array(x, y) = xy.split(',')
+      df.withColumn(Partitioning.PartitionCol,
+        Partitioning.tileKey(col(x), col(y), cells(0)(0)))
     case _ => df
   }
 

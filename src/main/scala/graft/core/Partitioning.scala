@@ -38,6 +38,31 @@ object Partitioning {
     * single-column sort only helps its own column). The lakehouse
     * multi-dimension clustering tool at 100 TB. */
   case class ZOrder(col1: String, col2: String, n: Int) extends Mode
+  /** Spatial grid layout on two numeric point columns: one directory
+    * per `cell`-sized square tile — radius/bbox reads prune to the
+    * covered tiles as plain partition pruning (lossless: the tile set
+    * covers the query region). The PostGIS-spatial-index role as a
+    * physical layout. */
+  case class Tile(xCol: String, yCol: String, cell: Double) extends Mode {
+    require(cell > 0, "tile cell must be positive")
+  }
+
+  /** Packed tile key: (gx, gy) grid indexes into one long. 2^17 rows
+    * per x-stripe keeps keys unique for |gy| < 65536 — beyond any
+    * realistic cell/extent ratio. */
+  def tileKey(x: Column, y: Column, cell: Double): Column =
+    floor(x.cast("double") / cell).cast("long") * 131072L +
+      floor(y.cast("double") / cell).cast("long")
+
+  /** Tile keys covering the radius-`r` disc around (qx, qy) — the
+    * bounding box's tiles, enumerable at plan time. */
+  def tileKeysFor(qx: Double, qy: Double, r: Double, cell: Double): Seq[Long] = {
+    require(r >= 0 && cell > 0, "radius must be >= 0, cell > 0")
+    for {
+      gx <- math.floor((qx - r) / cell).toLong to math.floor((qx + r) / cell).toLong
+      gy <- math.floor((qy - r) / cell).toLong to math.floor((qy + r) / cell).toLong
+    } yield gx * 131072L + gy
+  }
 
   /** KMeans leaders trained on a bounded sample (≤5000 rows). */
   def trainLeaders(df: DataFrame, vecCol: String, k: Int): Array[Array[Double]] = {
@@ -111,6 +136,9 @@ object Partitioning {
       ecpAssign(df, vecCol, k)._1.repartition(col(PartitionCol))
     case ByColumn(c) =>
       df.withColumn(PartitionCol, col(c)).repartition(col(PartitionCol))
+    case Tile(x, y, cell) =>
+      df.withColumn(PartitionCol, tileKey(col(x), col(y), cell))
+        .repartition(col(PartitionCol))
     case ZOrder(c1, c2, n) =>
       // range-partition + in-partition sort on the Morton code: files
       // cover small (c1, c2) rectangles; the helper column is dropped
@@ -129,7 +157,7 @@ object Partitioning {
       assigned.repartition(col(PartitionCol))
         .write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
       centroids
-    case ByColumn(_) =>
+    case ByColumn(_) | Tile(_, _, _) =>
       repartition(df, mode)
         .write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
       Array.empty

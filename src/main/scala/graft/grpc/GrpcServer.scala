@@ -546,6 +546,10 @@ class GraftGrpcServer(spark: SparkSession, base: String) {
           case "zorder" =>
             require(attrs.size >= 2, "zorder partitioner needs two attributes")
             graft.core.Partitioning.ZOrder(attrs(0), attrs(1), math.max(n, 1))
+          case "tile" =>
+            // attributes = [xCol, yCol, cellSize]
+            require(attrs.size >= 3, "tile partitioner needs [x, y, cell]")
+            graft.core.Partitioning.Tile(attrs(0), attrs(1), attrs(2).toDouble)
           case other => throw new IllegalArgumentException(s"unknown partitioner: $other")
         }
         Entity.open(spark, base, str(req, "entity")).partitionLayout(mode)

@@ -270,6 +270,45 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("tile layout: lossless pruned radius reads, appends land in tile dirs") {
+    val base = freshBase()
+    val e = Entity.create(spark, base, "geo")
+    def batch(from: Int, n: Int) =
+      (from until from + n).map(i =>
+        (i.toLong, (i % 17) * 1.0, (i % 13) * 1.0)).toDF("id", "x", "y")
+    e.insert(batch(0, 150))
+    e.partitionLayout(graft.core.Partitioning.Tile("x", "y", 4.0))
+    val l = Entity.open(spark, base, "geo").layout.get
+    l.mode shouldBe "tile"
+    l.keyCol shouldBe "x,y"
+    l.centroids(0)(0) shouldBe 4.0
+    def tileDirs(): Int = {
+      val (v, _) = e.stamp
+      new java.io.File(s"$base/geo/data_v$v").listFiles()
+        .count(_.getName.startsWith("ap_partition="))
+    }
+    tileDirs() should be >= 4
+    // pruned radius read == full-scan filter (lossless cover)
+    val (qx, qy, r) = (8.0, 6.0, 5.0)
+    def inDisc(df: org.apache.spark.sql.DataFrame) = df.filter(
+      (col("x") - qx) * (col("x") - qx) + (col("y") - qy) * (col("y") - qy)
+        <= r * r).select("id").as[Long].collect().toSet
+    val pruned = inDisc(e.readPrunedRadius(qx, qy, r))
+    pruned shouldBe inDisc(e.read())
+    pruned.size should be > 10
+    // the pruned scan lists only covered tile dirs
+    e.readPrunedRadius(qx, qy, r).queryExecution.executedPlan.toString should
+      include("PartitionFilters: [ap_partition")
+    // appends assign tiles (no relayout rewrite); new rows are pruned-visible
+    e.insert(batch(150, 30))
+    e.count() shouldBe 180
+    inDisc(e.readPrunedRadius(qx, qy, r)) shouldBe inDisc(e.read())
+    // non-tile layouts refuse the radius read
+    intercept[Exception] {
+      Entity.create(spark, freshBase(), "flat").readPrunedRadius(0, 0, 1)
+    }
+  }
+
   test("ecp partition layout round-trips and survives insert and vacuum") {
     val base = freshBase()
     val e = Entity.create(spark, base, "laid")
