@@ -224,6 +224,47 @@ class GeoAlgebraSpec extends SparkSpec {
       .as[Double].head() shouldBe (32.0 - 2 * 0.25)
   }
 
+  test("contains matches java.awt Path2D (even-odd) on random star polygons") {
+    // independent reference implementation from the JDK: Path2D with
+    // WIND_EVEN_ODD. Star-shaped polygons (random radii at sorted
+    // angles) are simple by construction; probe points keep a margin
+    // from the boundary so the two implementations' last-ulp behavior
+    // cannot differ on the in/out verdict.
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val n = 5 + rnd.nextInt(8)
+      val angles = Seq.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
+      val verts = angles.map { a =>
+        val r = 1.0 + rnd.nextDouble() * 9.0
+        (r * math.cos(a), r * math.sin(a))
+      }
+      val path = new java.awt.geom.Path2D.Double(
+        java.awt.geom.Path2D.WIND_EVEN_ODD)
+      path.moveTo(verts.head._1, verts.head._2)
+      verts.tail.foreach { case (x, y) => path.lineTo(x, y) }
+      path.closePath()
+      val wkt = "POLYGON ((" + (verts :+ verts.head)
+        .map { case (x, y) => s"$x $y" }.mkString(", ") + "))"
+      def segDist(px: Double, py: Double): Double =
+        (verts :+ verts.head).sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+          val (dx, dy) = (bx - ax, by - ay)
+          val len2 = dx * dx + dy * dy
+          val t = math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+          math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+        }.min
+      val probes = Seq.fill(200)((rnd.nextDouble() * 22 - 11, rnd.nextDouble() * 22 - 11))
+        .filter { case (x, y) => segDist(x, y) > 1e-6 }
+      val got = probes.toDF("x", "y")
+        .select(GeoAlgebra.stContains(
+          GeoAlgebra.wktPolygonRing(lit(wkt)), col("x"), col("y")))
+        .as[Boolean].collect()
+      probes.zip(got).foreach { case ((x, y), in) =>
+        assert(in == path.contains(x, y),
+          s"disagree at ($x, $y) for $wkt")
+      }
+    }
+  }
+
   test("st_within / st_dwithin predicates through the Boolean front door") {
     import graft.operators.{BooleanPredicates, Geo}
     val pts = Seq((1L, 2.0, 2.0), (2L, 3.5, 0.5), (3L, 20.0, 20.0))

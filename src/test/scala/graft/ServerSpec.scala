@@ -1092,6 +1092,20 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     byId(0) shouldBe 0.0 // left-only: min(0, fuzzyDefault 0)
   }
 
+  test("tile partitioning over the wire records the layout") {
+    post("/entity/create", """{"name":"tiled"}""")
+    val rows = (0 until 60).map(i =>
+      s"""{"pid":$i,"x":${(i % 9) * 1.0},"y":${(i % 7) * 1.0}}""")
+      .mkString("[", ",", "]")
+    post("/entity/insert", s"""{"name":"tiled","rows":$rows}""")
+    post("/entity/partition",
+      """{"name":"tiled","mode":"tile","cols":["x","y"],"cell":3.0}""")
+      .get("ok").asBoolean() shouldBe true
+    post("/entity/details", """{"name":"tiled"}""")
+      .get("layout").asText() shouldBe "tile(x,y)"
+    post("/entity/count", """{"name":"tiled"}""").get("count").asLong() shouldBe 60
+  }
+
   test("geometry over the wire: contains, fence join, route distance") {
     post("/entity/create", """{"name":"geo"}""")
     val rows = Seq((1, 2.0, 2.0), (2, 7.0, 7.0), (3, 12.0, 12.0), (4, 30.0, 30.0))
