@@ -1785,6 +1785,21 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "geo_multipolygon_contains" -> ((s, d) => {
+      // full WKT polygon semantics: even-odd parity across every ring —
+      // a POLYGON's hole subtracts, a MULTIPOLYGON's parts union. Same
+      // exact-arithmetic contract as the single-ring raycast.
+      val donut = lit(
+        "POLYGON ((2 2, 22 2, 22 20, 2 20, 2 2), (8 6, 16 6, 16 14, 8 14, 8 6))")
+      val multi = lit("MULTIPOLYGON (((0 0, 6 0, 6 6, 0 6, 0 0)), " +
+        "((18 14, 24 14, 24 22, 18 22, 18 14)))")
+      customerPoints(s, d).select(col("c_custkey"), col("px"), col("py"),
+          GeoAlgebra.stContainsWkt(donut, col("px"), col("py")).as("in_donut"),
+          GeoAlgebra.stContainsWkt(multi, col("px"), col("py")).as("in_multi"))
+        .filter(col("in_donut") || col("in_multi"))
+        .orderBy("c_custkey")
+    }),
+
     "geo_extent_by_nation" -> ((s, d) => {
       // grouped spatial extents: per-nation point count, bounding box,
       // mean center — one map-side-combined aggregation over the point
@@ -5018,6 +5033,25 @@ object SparkEntry {
          |SELECT sup.s_suppkey, ar.buf_area, coalesce(ins.n_inside, 0) AS n_inside
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "geo_multipolygon_contains" ->
+      s"""WITH $customerPointsSql,
+         |de(x1, y1, x2, y2) AS (VALUES
+         |  (2.0,2.0,22.0,2.0),(22.0,2.0,22.0,20.0),(22.0,20.0,2.0,20.0),(2.0,20.0,2.0,2.0),
+         |  (8.0,6.0,16.0,6.0),(16.0,6.0,16.0,14.0),(16.0,14.0,8.0,14.0),(8.0,14.0,8.0,6.0)),
+         |me(x1, y1, x2, y2) AS (VALUES
+         |  (0.0,0.0,6.0,0.0),(6.0,0.0,6.0,6.0),(6.0,6.0,0.0,6.0),(0.0,6.0,0.0,0.0),
+         |  (18.0,14.0,24.0,14.0),(24.0,14.0,24.0,22.0),(24.0,22.0,18.0,22.0),(18.0,22.0,18.0,14.0)),
+         |dq AS (SELECT c_custkey, sum(${raycastSql()}) AS cr
+         |       FROM cp CROSS JOIN de GROUP BY 1),
+         |mq AS (SELECT c_custkey, sum(${raycastSql()}) AS cr
+         |       FROM cp CROSS JOIN me GROUP BY 1)
+         |SELECT cp.c_custkey, cp.px, cp.py,
+         |       dq.cr % 2 = 1 AS in_donut, mq.cr % 2 = 1 AS in_multi
+         |FROM cp JOIN dq ON cp.c_custkey = dq.c_custkey
+         |        JOIN mq ON cp.c_custkey = mq.c_custkey
+         |WHERE dq.cr % 2 = 1 OR mq.cr % 2 = 1
+         |ORDER BY cp.c_custkey""".stripMargin,
 
     "geo_extent_by_nation" ->
       """SELECT c_nationkey, count(*) AS n_points,

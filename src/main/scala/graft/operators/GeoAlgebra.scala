@@ -58,6 +58,31 @@ object GeoAlgebra {
     when(body === "", lit(null)).otherwise(ringOf(body))
   }
 
+  /** ALL rings of a WKT `POLYGON` (shell + holes) or `MULTIPOLYGON`
+    * (every polygon's shell + holes) as `array<array<struct<x,y>>>`;
+    * null on malformed input. Ring grouping is deliberately flattened:
+    * the even-odd rule over the union of ring boundaries is exactly
+    * polygon-with-holes / multipolygon membership. */
+  def wktRings(wkt: Column): Column = {
+    val polyBody = regexp_extract(wkt, "^POLYGON \\(\\((.+)\\)\\)$", 1)
+    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON \\(\\(\\((.+)\\)\\)\\)$", 1)
+    def ringsOf(body: Column): Column =
+      transform(split(body, "\\), \\("), r => ringOf(r))
+    when(polyBody =!= "", ringsOf(polyBody))
+      .when(multiBody =!= "",
+        // polygons separate with ")), ((", rings inside with "), (" —
+        // splitting on BOTH separators yields the flat ring list
+        transform(split(multiBody, "\\)\\), \\(\\(|\\), \\("), r => ringOf(r)))
+      .otherwise(lit(null))
+  }
+
+  /** Point membership for full WKT polygon semantics: even-odd parity
+    * across every ring, so holes subtract and MULTIPOLYGON parts union.
+    * Accepts `POLYGON` and `MULTIPOLYGON` text. */
+  def stContainsWkt(wkt: Column, px: Column, py: Column): Column =
+    aggregate(wktRings(wkt), lit(false), (acc, r) =>
+      acc =!= stContains(r, px, py))
+
   /** WKT `POLYGON ((...))` from a closed ring array. Doubles print their
     * shortest decimal representation, so the text round-trips the exact
     * bits back through [[wktPolygonRing]]. */

@@ -34,6 +34,33 @@ class GeoAlgebraSpec extends SparkSpec {
       .collect().foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("stContainsWkt: holes subtract, multipolygon parts union, malformed null") {
+    val donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    val multi = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 8 5, 8 8, 5 8, 5 5)))"
+    val mpHoles = "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(3 3, 7 3, 7 7, 3 7, 3 3)), ((20 20, 22 20, 22 22, 20 22, 20 20)))"
+    def in(wkt: String, x: Double, y: Double): Boolean =
+      Seq((x, y)).toDF("x", "y")
+        .select(GeoAlgebra.stContainsWkt(lit(wkt), col("x"), col("y")))
+        .as[Boolean].head()
+    in(donut, 1.0, 1.0) shouldBe true    // shell, outside hole
+    in(donut, 5.0, 5.0) shouldBe false   // inside the hole
+    in(donut, 12.0, 5.0) shouldBe false  // outside entirely
+    in(multi, 1.0, 1.0) shouldBe true    // first part
+    in(multi, 6.0, 6.0) shouldBe true    // second part
+    in(multi, 3.5, 3.5) shouldBe false   // between parts
+    in(mpHoles, 5.0, 5.0) shouldBe false // hole inside a multi part
+    in(mpHoles, 1.0, 1.0) shouldBe true
+    in(mpHoles, 21.0, 21.0) shouldBe true
+    // malformed input -> null rings -> null verdict (not an error)
+    Seq(("garbage", 0.0, 0.0)).toDF("w", "x", "y")
+      .select(GeoAlgebra.stContainsWkt(col("w"), col("x"), col("y")))
+      .collect().head.isNullAt(0) shouldBe true
+    // single-ring POLYGON agrees with the single-ring kernel
+    in(squareWkt, 2.0, 2.0) shouldBe true
+    in(squareWkt, 5.0, 2.0) shouldBe false
+  }
+
   test("contains: convex membership matches the half-plane definition") {
     val pts = for (x <- -1 to 5; y <- -1 to 5) yield (x + 0.5, y + 0.5)
     val got = pts.toDF("x", "y")
