@@ -1094,8 +1094,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         val idCol = req.get("idCol").asText()
         val dfg = req.get("mode").asText() match {
           case "contains" =>
-            val ring = GeoAlgebra.wktPolygonRing(lit(req.get("wkt").asText()))
-            e.filter(GeoAlgebra.stContains(ring, col(xCol), col(yCol)))
+            e.filter(GeoAlgebra.stContainsWktLiteral(req.get("wkt").asText(),
+                col(xCol).cast("double"), col(yCol).cast("double")))
               .orderBy(idCol)
           case "contains_join" =>
             import scala.jdk.CollectionConverters._

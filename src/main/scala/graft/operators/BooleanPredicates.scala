@@ -46,8 +46,7 @@ object BooleanPredicates {
       // values = [geometry WKT (POINT|LINESTRING|POLYGON), distance].
       case "st_within" =>
         val (px, py) = (Geo.wktLng(c), Geo.wktLat(c))
-        GeoAlgebra.stContains(
-          GeoAlgebra.wktPolygonRing(lit(v.toString)), px, py)
+        GeoAlgebra.stContainsWktLiteral(v.toString, px, py)
       case "st_dwithin" =>
         require(p.values.size == 2,
           s"st_dwithin on '${p.attribute}' needs [wkt, distance]")

@@ -83,6 +83,16 @@ object GeoAlgebra {
     aggregate(wktRings(wkt), lit(false), (acc, r) =>
       acc =!= stContains(r, px, py))
 
+  /** Literal-WKT containment: the codegen single-ring kernel when the
+    * text is a plain POLYGON, the all-rings parity fold when holes or
+    * MULTIPOLYGON parts are present (the fold wraps the kernel in an
+    * interpreted lambda — correct, but only worth paying when the
+    * geometry needs it). */
+  def stContainsWktLiteral(wkt: String, px: Column, py: Column): Column =
+    if (wkt.startsWith("MULTIPOLYGON") || wkt.contains("), ("))
+      stContainsWkt(lit(wkt), px, py)
+    else stContains(wktPolygonRing(lit(wkt)), px, py)
+
   /** WKT `POLYGON ((...))` from a closed ring array. Doubles print their
     * shortest decimal representation, so the text round-trips the exact
     * bits back through [[wktPolygonRing]]. */

@@ -316,6 +316,11 @@ class GeoAlgebraSpec extends SparkSpec {
       BooleanPredicates.toColumn(
         BooleanPredicates.Predicate("loc", "st_dwithin", Seq(squareWkt)))
     }
+    // holes honored through the predicate path: pid 1 (2,2) falls in
+    // the donut's hole, pid 2 stays in the shell
+    ids(BooleanPredicates.Predicate("loc", "st_within", Seq(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"
+    ))) shouldBe Seq(2L)
   }
 
   test("containsJoin matches the cross-filter reference, joins each pair once") {
