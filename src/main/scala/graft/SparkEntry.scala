@@ -1785,6 +1785,35 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // --- fuzzy string matching (r18): FastSS deletion-neighborhood
+    //     edit-distance joins — exact, never all-pairs.
+    "fuzzy_name_pairs" -> ((s, d) => {
+      // all distinct part-name pairs within edit distance 2; the name
+      // itself is the id (string < gives the deterministic pair order)
+      val names = Tables.part(s, d).select("p_name").distinct()
+      FuzzyJoin.editDistancePairs(names, "p_name", "p_name", maxDist = 2)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("name_a", "name_b")
+    }),
+
+    "fuzzy_typo_lookup" -> ((s, d) => {
+      // dictionary correction: every part name with one deterministic
+      // character deleted, matched back against the distinct-name
+      // dictionary at edit distance <= 1
+      val name = col("p_name")
+      val pos = pmod(col("p_partkey"), length(name)) + 1
+      val typos = Tables.part(s, d).select(col("p_partkey"),
+        concat(name.substr(lit(1), pos - 1),
+          name.substr(pos + 1, length(name))).as("typo"))
+      val dict = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      FuzzyJoin.editDistanceJoin(typos, "typo", "p_partkey",
+          dict, "name", "name", maxDist = 1)
+        .select(col("p_partkey"), col("typo"), col("name"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("p_partkey", "name")
+    }),
+
     "geo_multipolygon_contains" -> ((s, d) => {
       // full WKT polygon semantics: even-odd parity across every ring —
       // a POLYGON's hole subtracts, a MULTIPOLYGON's parts union. Same
@@ -5033,6 +5062,25 @@ object SparkEntry {
          |SELECT sup.s_suppkey, ar.buf_area, coalesce(ins.n_inside, 0) AS n_inside
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "fuzzy_name_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "fuzzy_typo_lookup" ->
+      """WITH t AS (SELECT p_partkey,
+        |    substr(p_name, 1, (p_partkey % length(p_name)))
+        |      || substr(p_name, (p_partkey % length(p_name)) + 2) AS typo
+        |  FROM part),
+        |n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT p_partkey, typo, name,
+        |       CAST(levenshtein(typo, name) AS BIGINT) AS dist
+        |FROM t CROSS JOIN n WHERE levenshtein(typo, name) <= 1
+        |ORDER BY p_partkey, name""".stripMargin,
 
     "geo_multipolygon_contains" ->
       s"""WITH $customerPointsSql,

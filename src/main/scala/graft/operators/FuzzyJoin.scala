@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT edit-distance similarity joins via FastSS deletion
+  * neighborhoods (Bocek et al., "Fast Similarity Search in Large
+  * Dictionaries", 2007): two strings with Levenshtein distance ≤ k
+  * share at least one member of their ≤k-deletion neighborhoods, so
+  * candidates come from ONE hash equi-join on the variant key and the
+  * exact `levenshtein` kernel (codegen) verifies — never an all-pairs
+  * product. The entity-resolution / fuzzy-dedup primitive (typo'd
+  * titles, OCR'd names) the reference would push to an external
+  * fuzzy-match service.
+  *
+  * Scale shape: a string of length L emits O(L) variants at k=1 and
+  * O(L²) at k=2 — keys only, no payload; the join shuffles (id,
+  * variant) pairs and the verify runs on the candidate set, which the
+  * neighborhood property keeps proportional to the true result (plus
+  * hash-collision noise bounded by `maxBucket`, the banded-dedup
+  * mega-bucket guard). k ≤ 2 enforced — beyond that the neighborhood
+  * blowup favors q-gram filtering instead.
+  */
+object FuzzyJoin {
+
+  /** All single-deletion variants; empty array for the empty string. */
+  private def del1(s: Column): Column =
+    when(length(s) <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+
+  /** The ≤k-deletion neighborhood, original included, deduplicated. */
+  private[graft] def neighborhood(s: Column, k: Int): Column = {
+    require(k == 1 || k == 2, s"maxDist must be 1 or 2, got $k")
+    val base = concat(array(s), del1(s))
+    val full = if (k == 1) base
+      else concat(base, flatten(transform(del1(s), t => del1(t))))
+    array_distinct(full)
+  }
+
+  private def keyed(df: DataFrame, strCol: String, idCol: String,
+                    k: Int): DataFrame =
+    df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__fid"), col(strCol).as("__fstr"))
+      .withColumn("__fkey", explode(neighborhood(col("__fstr"), k)))
+
+  /** Self-join: all pairs (id_a < id_b) with
+    * `levenshtein(str_a, str_b) <= maxDist`. Exact — the neighborhood
+    * property guarantees every true pair shares a candidate key; the
+    * verify removes the rest. `maxBucket` drops variant keys shared by
+    * more than that many rows (stop-fragment buckets), the documented
+    * recall/cost knob of the banded-dedup family. */
+  def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
+                        maxDist: Int = 1,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val nb = Dedup.capBuckets(keyed(df, strCol, idCol, maxDist),
+      Seq("__fkey"), maxBucket)
+    val a = nb.select(col("__fid").as("id_a"), col("__fstr").as("str_a"),
+      col("__fkey"))
+    val b = nb.select(col("__fid").as("id_b"), col("__fstr").as("str_b"),
+      col("__fkey"))
+    a.join(b, Seq("__fkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "str_a", "str_b").distinct()
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Cross-join form: each left row matched to every right row within
+    * `maxDist` — the typo-lookup / dictionary-correction shape. Output:
+    * leftId, leftStr, rightId, rightStr, dist. */
+  def editDistanceJoin(left: DataFrame, leftStr: String, leftId: String,
+                       right: DataFrame, rightStr: String, rightId: String,
+                       maxDist: Int = 1,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // a side may use its string AS its id — emit each name once
+    def named(df: DataFrame, id: String, str: String): DataFrame =
+      if (id == str) df.select(col("__fstr").as(str), col("__fkey"))
+      else df.select(col("__fid").as(id), col("__fstr").as(str), col("__fkey"))
+    val a = named(Dedup.capBuckets(keyed(left, leftStr, leftId, maxDist),
+      Seq("__fkey"), maxBucket), leftId, leftStr)
+    val b = named(keyed(right, rightStr, rightId, maxDist), rightId, rightStr)
+    val outCols = Seq(leftId, leftStr, rightId, rightStr).distinct
+    a.join(b, Seq("__fkey"))
+      .select(outCols.map(col): _*).distinct()
+      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
+      .filter(col("dist") <= maxDist)
+  }
+}
