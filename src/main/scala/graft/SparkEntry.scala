@@ -1829,6 +1829,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "geo_donut_measures" -> ((s, d) => {
+      // hole-aware measures: per-nation donuts (star shell + a scaled
+      // hole) — area subtracts the hole, perimeter counts both rings'
+      // boundaries. Quarter-grid arithmetic → bit-identical oracle.
+      val shell = offsetRing((col("n_nationkey") % 5).cast("double") * 5.0,
+        floor(col("n_nationkey") / lit(5.0)) * 5.0,
+        lit(1.0) + (col("n_nationkey") % 3).cast("double") * 0.5, starOffsets)
+      val hole = offsetRing((col("n_nationkey") % 5).cast("double") * 5.0,
+        floor(col("n_nationkey") / lit(5.0)) * 5.0, lit(0.25), starOffsets)
+      val wkt = concat(lit("POLYGON (("),
+        array_join(transform(shell, p => concat(p.getField("x").cast("string"),
+          lit(" "), p.getField("y").cast("string"))), ", "),
+        lit("), ("),
+        array_join(transform(hole, p => concat(p.getField("x").cast("string"),
+          lit(" "), p.getField("y").cast("string"))), ", "),
+        lit("))"))
+      Tables.nation(s, d).select(col("n_nationkey"),
+          round(GeoAlgebra.stAreaWkt(wkt), 6).as("area"),
+          round(GeoAlgebra.stLengthWkt(wkt), 6).as("perimeter"))
+        .orderBy("n_nationkey")
+    }),
+
     "geo_extent_by_nation" -> ((s, d) => {
       // grouped spatial extents: per-nation point count, bounding box,
       // mean center — one map-side-combined aggregation over the point
@@ -5100,6 +5122,35 @@ object SparkEntry {
          |        JOIN mq ON cp.c_custkey = mq.c_custkey
          |WHERE dq.cr % 2 = 1 OR mq.cr % 2 = 1
          |ORDER BY cp.c_custkey""".stripMargin,
+
+    "geo_donut_measures" ->
+      """WITH off(i, dx, dy) AS (VALUES
+        |  (0,3.0,0.0),(1,1.0,1.0),(2,0.0,3.0),(3,-1.0,1.0),
+        |  (4,-3.0,0.0),(5,-1.0,-1.0),(6,0.0,-3.0),(7,1.0,-1.0)),
+        |sv AS (SELECT n_nationkey, i,
+        |         (n_nationkey % 5) * 5.0 + dx * (1.0 + (n_nationkey % 3) * 0.5) AS x,
+        |         floor(n_nationkey / 5.0) * 5.0 + dy * (1.0 + (n_nationkey % 3) * 0.5) AS y
+        |       FROM nation CROSS JOIN off),
+        |se AS (SELECT a.n_nationkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |       FROM sv a JOIN sv b ON a.n_nationkey = b.n_nationkey
+        |                          AND b.i = (a.i + 1) % 8),
+        |hv AS (SELECT n_nationkey, i,
+        |         (n_nationkey % 5) * 5.0 + dx * 0.25 AS x,
+        |         floor(n_nationkey / 5.0) * 5.0 + dy * 0.25 AS y
+        |       FROM nation CROSS JOIN off),
+        |he AS (SELECT a.n_nationkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |       FROM hv a JOIN hv b ON a.n_nationkey = b.n_nationkey
+        |                          AND b.i = (a.i + 1) % 8),
+        |sa AS (SELECT n_nationkey, abs(sum(x1*y2 - x2*y1)) / 2.0 AS a,
+        |              sum(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))) AS p
+        |       FROM se GROUP BY n_nationkey),
+        |ha AS (SELECT n_nationkey, abs(sum(x1*y2 - x2*y1)) / 2.0 AS a,
+        |              sum(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))) AS p
+        |       FROM he GROUP BY n_nationkey)
+        |SELECT sa.n_nationkey, round(sa.a - ha.a, 6) AS area,
+        |       round(sa.p + ha.p, 6) AS perimeter
+        |FROM sa JOIN ha ON sa.n_nationkey = ha.n_nationkey
+        |ORDER BY sa.n_nationkey""".stripMargin,
 
     "geo_extent_by_nation" ->
       """SELECT c_nationkey, count(*) AS n_points,

@@ -152,17 +152,17 @@ object GraftFunctions {
       // ST_* SQL surface over the geometry algebra: WKT in, measures/
       // predicates out — Column compositions re-bridged to expressions,
       // so `spark.sql("SELECT st_area('POLYGON (...)')")` just works.
+      // hole-aware (PostGIS ST_Area/ST_Perimeter semantics): holes
+      // subtract from area, count toward the boundary length
       "st_area" -> {
         case Seq(wkt) => geoSql(wkt)(w =>
-          graft.operators.GeoAlgebra.stArea(
-            graft.operators.GeoAlgebra.wktPolygonRing(w)))
+          graft.operators.GeoAlgebra.stAreaWkt(w))
         case args => throw new IllegalArgumentException(
           s"st_area(wkt) expects 1 arg, got ${args.length}")
       },
       "st_perimeter" -> {
         case Seq(wkt) => geoSql(wkt)(w =>
-          graft.operators.GeoAlgebra.stLength(
-            graft.operators.GeoAlgebra.wktPolygonRing(w)))
+          graft.operators.GeoAlgebra.stLengthWkt(w))
         case args => throw new IllegalArgumentException(
           s"st_perimeter(wkt) expects 1 arg, got ${args.length}")
       },

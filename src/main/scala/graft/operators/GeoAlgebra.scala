@@ -83,6 +83,31 @@ object GeoAlgebra {
     aggregate(wktRings(wkt), lit(false), (acc, r) =>
       acc =!= stContains(r, px, py))
 
+  /** Hole-aware area of full WKT text (PostGIS `ST_Area` semantics):
+    * each polygon contributes shell minus holes; MULTIPOLYGON parts
+    * sum. Computed per polygon body as `2·area(shell) − Σ area(ring)`
+    * (= shell − Σ holes), all exact-rounded ops. Null on malformed
+    * input. */
+  def stAreaWkt(wkt: Column): Column = {
+    def polyArea(body: Column): Column = {
+      val rings = transform(split(body, "\\), \\("), r => ringOf(r))
+      val total = aggregate(rings, lit(0.0), (acc, r) => acc + stArea(r))
+      stArea(element_at(rings, 1)) * 2.0 - total
+    }
+    val polyBody = regexp_extract(wkt, "^POLYGON \\(\\((.+)\\)\\)$", 1)
+    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON \\(\\(\\((.+)\\)\\)\\)$", 1)
+    when(polyBody =!= "", polyArea(polyBody))
+      .when(multiBody =!= "",
+        aggregate(split(multiBody, "\\)\\), \\(\\("), lit(0.0),
+          (acc, p) => acc + polyArea(p)))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Boundary length of full WKT text: every ring's perimeter counts
+    * (holes are boundary too — PostGIS `ST_Perimeter`). */
+  def stLengthWkt(wkt: Column): Column =
+    aggregate(wktRings(wkt), lit(0.0), (acc, r) => acc + stLength(r))
+
   /** Literal-WKT containment: the codegen single-ring kernel when the
     * text is a plain POLYGON, the all-rings parity fold when holes or
     * MULTIPOLYGON parts are present (the fold wraps the kernel in an

@@ -61,6 +61,22 @@ class GeoAlgebraSpec extends SparkSpec {
     in(squareWkt, 5.0, 2.0) shouldBe false
   }
 
+  test("hole-aware area/length: holes subtract from area, add to boundary") {
+    val donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    val multi = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 8 5, 8 8, 5 8, 5 5)))"
+    val r = Seq((donut, multi)).toDF("d", "m").select(
+      GeoAlgebra.stAreaWkt(col("d")), GeoAlgebra.stLengthWkt(col("d")),
+      GeoAlgebra.stAreaWkt(col("m")), GeoAlgebra.stLengthWkt(col("m")),
+      GeoAlgebra.stAreaWkt(lit(squareWkt)),
+      GeoAlgebra.stAreaWkt(lit("junk"))).head()
+    r.getDouble(0) shouldBe 96.0   // 100 - 4
+    r.getDouble(1) shouldBe 48.0   // 40 + 8
+    r.getDouble(2) shouldBe 13.0   // 4 + 9
+    r.getDouble(3) shouldBe 20.0   // 8 + 12
+    r.getDouble(4) shouldBe 16.0   // plain polygon unchanged
+    r.isNullAt(5) shouldBe true
+  }
+
   test("contains: convex membership matches the half-plane definition") {
     val pts = for (x <- -1 to 5; y <- -1 to 5) yield (x + 0.5, y + 0.5)
     val got = pts.toDF("x", "y")
