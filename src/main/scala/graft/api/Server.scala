@@ -1082,6 +1082,29 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out, graft.operators.Sampling.deterministicShuffle(
           entity(req, "entity").read(), req.get("idCol").asText(),
           if (req.has("seed")) req.get("seed").asLong() else 42L))
+      case "/pipeline/fuzzy" =>
+        // FastSS edit-distance joins: pairs = self near-dup names;
+        // lookup = correct entity strings against a dictionary entity
+        import graft.operators.FuzzyJoin
+        val e = entity(req, "entity").read()
+        val strCol = req.get("strCol").asText()
+        val idCol = req.get("idCol").asText()
+        val k = if (req.has("maxDist")) req.get("maxDist").asInt() else 1
+        val dff = req.get("mode").asText() match {
+          case "pairs" =>
+            FuzzyJoin.editDistancePairs(e, strCol, idCol, k,
+                maxBucket = if (req.has("maxBucket")) req.get("maxBucket").asInt()
+                  else Int.MaxValue)
+              .orderBy("id_a", "id_b")
+          case "lookup" =>
+            val dict = entity(req, "dict").read()
+            FuzzyJoin.editDistanceJoin(e, strCol, idCol,
+                dict, req.get("dictStrCol").asText(),
+                req.get("dictIdCol").asText(), k)
+              .orderBy(idCol, req.get("dictIdCol").asText())
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        pagedRows(out, dff)
       case "/pipeline/geo" =>
         // planar geometry over entity point columns (the PostGIS-role
         // wire surface): contains = rows inside one WKT polygon;

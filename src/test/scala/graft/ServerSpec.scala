@@ -1106,6 +1106,27 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     post("/entity/count", """{"name":"tiled"}""").get("count").asLong() shouldBe 60
   }
 
+  test("fuzzy matching over the wire: self pairs and dictionary lookup") {
+    post("/entity/create", """{"name":"fz"}""")
+    post("/entity/insert",
+      """{"name":"fz","rows":[
+        |{"fid":1,"w":"widget"},{"fid":2,"w":"widgat"},{"fid":3,"w":"gizmo"}]}""".stripMargin)
+    val pairs = post("/pipeline/fuzzy",
+      """{"entity":"fz","mode":"pairs","strCol":"w","idCol":"fid","maxDist":1}""")
+    pairs.get("rows").elements().asScala
+      .map(n => (n.get("id_a").asLong(), n.get("id_b").asLong())).toSeq shouldBe
+      Seq((1L, 2L))
+    post("/entity/create", """{"name":"fzdict"}""")
+    post("/entity/insert",
+      """{"name":"fzdict","rows":[{"did":10,"term":"widget"},{"did":11,"term":"gizmo"}]}""")
+    val lk = post("/pipeline/fuzzy",
+      """{"entity":"fz","mode":"lookup","strCol":"w","idCol":"fid",
+        |"dict":"fzdict","dictStrCol":"term","dictIdCol":"did","maxDist":1}""".stripMargin)
+    lk.get("rows").elements().asScala
+      .map(n => (n.get("fid").asLong(), n.get("did").asLong())).toSet shouldBe
+      Set((1L, 10L), (2L, 10L), (3L, 11L))
+  }
+
   test("geometry over the wire: contains, fence join, route distance") {
     post("/entity/create", """{"name":"geo"}""")
     val rows = Seq((1, 2.0, 2.0), (2, 7.0, 7.0), (3, 12.0, 12.0), (4, 30.0, 30.0))
