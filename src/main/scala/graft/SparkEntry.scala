@@ -1829,6 +1829,24 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "fuzzy_name_components" -> ((s, d) => {
+      // fuzzy clustering end to end: FastSS ED≤2 pairs feed the
+      // min-label connected components (names mapped to dense long ids
+      // both engines derive identically by sorted rank)
+      import org.apache.spark.sql.expressions.Window
+      val names = Tables.part(s, d).select("p_name").distinct()
+      val ids = names.withColumn("nid",
+        row_number().over(Window.orderBy("p_name")).cast("long"))
+      val pairs = FuzzyJoin.editDistancePairs(names, "p_name", "p_name", 2)
+        .join(broadcast(ids.select(col("p_name").as("id_a"), col("nid").as("nid_a"))), Seq("id_a"))
+        .join(broadcast(ids.select(col("p_name").as("id_b"), col("nid").as("nid_b"))), Seq("id_b"))
+        .select("nid_a", "nid_b")
+      Dedup.connectedComponents(pairs, "nid_a", "nid_b")
+        .join(broadcast(ids), col("id") === col("nid"))
+        .select(col("p_name").as("name"), col("component"))
+        .orderBy("name")
+    }),
+
     "geo_donut_measures" -> ((s, d) => {
       // hole-aware measures: per-nation donuts (star shell + a scaled
       // hole) — area subtracts the hole, perimeter counts both rings'
@@ -5122,6 +5140,24 @@ object SparkEntry {
          |        JOIN mq ON cp.c_custkey = mq.c_custkey
          |WHERE dq.cr % 2 = 1 OR mq.cr % 2 = 1
          |ORDER BY cp.c_custkey""".stripMargin,
+
+    "fuzzy_name_components" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |ids AS (SELECT p_name,
+        |          CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS nid
+        |        FROM n),
+        |e AS (SELECT a.nid AS id_a, b.nid AS id_b
+        |      FROM ids a JOIN ids b ON a.p_name < b.p_name
+        |      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |ed AS (SELECT id_a AS s, id_b AS t FROM e
+        |       UNION SELECT id_b, id_a FROM e),
+        |r AS (SELECT s AS id, t AS reach FROM ed
+        |      UNION SELECT r.id, ed.t FROM r JOIN ed ON r.reach = ed.s),
+        |comp AS (SELECT id, CAST(least(id, min(reach)) AS BIGINT) AS component
+        |         FROM r GROUP BY id)
+        |SELECT ids.p_name AS name, comp.component
+        |FROM comp JOIN ids ON comp.id = ids.nid
+        |ORDER BY name""".stripMargin,
 
     "geo_donut_measures" ->
       """WITH off(i, dx, dy) AS (VALUES
