@@ -92,6 +92,27 @@ object AnnScaleProbe {
       f"(delta ${(truth.intersect(nsw4Ids).size - truth.intersect(nswIds).size).toDouble / k}%+.3f)")
     nsw4.release()
 
+    // build-side recall lever: HNSW Algorithm-4 diverse selection with
+    // keep-pruned-connections (r18 advice #7 follow-through) — a NEW
+    // graph, same degree/beam budget, so the query cost is comparable
+    val (nswH, tNswHBuild) = time(NSWIndex.build(emb, "vec_id", "embedding",
+      nShards = nShards, m = 8, efC = 64, ef = 128, heuristic = true))
+    val (nswHIds, tNswHC, tNswH) = timed3(
+      nswH.knn(emb, "vec_id", edist, q, k).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    println(f"[ann-scale] nsw heuristic build     query=$tNswH%6.2f s (cold $tNswHC%5.2f)  build=$tNswHBuild%6.2f s  " +
+      f"recall=${truth.intersect(nswHIds).size.toDouble / k}%.3f  " +
+      f"(delta ${(truth.intersect(nswHIds).size - truth.intersect(nswIds).size).toDouble / k}%+.3f)")
+    val nswH4 = new NSWIndex(nswH.graph, nswH.nShards, nswH.m, nswH.ef,
+      nswH.idCol, nProbes = 4, heuristic = true)
+    val (nswH4Ids, _, tNswH4) = timed3(
+      nswH4.knn(emb, "vec_id", edist, q, k).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    println(f"[ann-scale] nsw heuristic+probes4   query=$tNswH4%6.2f s  (same graph)  " +
+      f"recall=${truth.intersect(nswH4Ids).size.toDouble / k}%.3f")
+    nswH4.release()
+    nswH.release()
+
     // BSQ ranks by angle — score it against the cosine ground truth
     val cdist = Distances.cosine(col("embedding"), Distances.vecLit(q))
     val cosTruth = Knn.knn(emb, cdist, k, col("vec_id"))

@@ -10,6 +10,21 @@ object Bench {
       case _ => -1L
     }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * the memory-pressure half of the contention signature. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** A recorded minimum that should NOT be read as the query's cost:
+    * the process was starved of CPU (wall ≫ cpu — something else owned
+    * the box) or spent a large share of the wall in GC (heap thrash).
+    * Sub-second walls are exempt — scheduling noise, not distortion. */
+  private def distorted(wall: Double, cpu: Double, gc: Double): Boolean =
+    wall >= 1.0 && (cpu < 0.4 * wall || gc > 0.5 * wall)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,14 +75,16 @@ object Bench {
     // re-running the battery.
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Double) = {
+      def once(): (Double, Double, Double) = {
+        val g0 = gcMillis()
         val c0 = processCpuNanos()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
-          ((System.nanoTime() - t0) / 1e9, (processCpuNanos() - c0) / 1e9) }
+          ((System.nanoTime() - t0) / 1e9, (processCpuNanos() - c0) / 1e9,
+            (gcMillis() - g0) / 1e3) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (-1.0, -1.0)
+          (-1.0, -1.0, -1.0)
         }
       }
       var times = (1 to nRuns).map(_ => once())
@@ -75,23 +92,40 @@ object Bench {
       if (nRuns >= 2 && goodWall.nonEmpty && goodWall.max > 2 * goodWall.min)
         times = times :+ once() // contention retry
       val good = times.filter(_._1 >= 0)
-      val best = if (good.nonEmpty) good.minBy(_._1) else (-1.0, -1.0)
-      (name, best._1, best._2, times.map(_._1))
+      val best = if (good.nonEmpty) good.minBy(_._1) else (-1.0, -1.0, -1.0)
+      (name, best._1, best._2, best._3, times.map(_._1))
     }
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val (gates, workload) = results.partition(r => gateNames(r._1))
-    val qs = jmap(workload.map { case (k, v, _, _) => k -> v.toString })
-    val gs = jmap(gates.map { case (k, v, _, _) => k -> v.toString })
-    val cpu = jmap(results.map { case (k, _, c, _) =>
+    val qs = jmap(workload.map { case (k, v, _, _, _) => k -> v.toString })
+    val gs = jmap(gates.map { case (k, v, _, _, _) => k -> v.toString })
+    val cpu = jmap(results.map { case (k, _, c, _, _) =>
       k -> (math.round(c * 1000) / 1000.0).toString })
-    val rs = jmap(results.map { case (k, _, _, ts) =>
+    val gc = jmap(results.map { case (k, _, _, g, _) =>
+      k -> (math.round(g * 1000) / 1000.0).toString })
+    val rs = jmap(results.map { case (k, _, _, _, ts) =>
       k -> ts.mkString("[", ",", "]") })
-    val ok = workload.collect { case (_, v, _, _) if v >= 0 => v }
+    val ok = workload.collect { case (_, v, _, _, _) if v >= 0 => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
+    // Machine-decidable contention verdict (r18 advice #5): the r17/r18
+    // driver records were wall-inflated by co-located load, visible only
+    // after a judge re-run. Self-label instead: a record is "contended"
+    // when several minimum-runs still show the starved-or-thrashing
+    // signature (distorted()), or GC owns >20% of the battery's wall —
+    // either way the totals measure the box, not the plans.
+    val distortedQs = workload.collect {
+      case (k, w, c, g, _) if w >= 0 && distorted(w, c, g) => k }
+    val gcTotal = workload.collect { case (_, w, _, g, _) if w >= 0 => g }.sum
+    val contended =
+      distortedQs.size >= math.max(3, workload.size / 20) ||
+        (total > 0 && gcTotal > 0.2 * total)
     // "queries" LAST: the driver records a truncated stdout TAIL, so the
     // per-query minima map must sit at the end of the line
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","gates":$gs,"cpu":$cpu,"runs":$rs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,""" +
+      s""""distorted":${distortedQs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""gc_total":${math.round(gcTotal * 1000) / 1000.0},""" +
+      s""""gates":$gs,"cpu":$cpu,"gc":$gc,"runs":$rs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The harness captures a truncated stdout tail, which has lost half
     // the per-query timings two rounds running — ALSO persist the full

@@ -107,8 +107,8 @@ object Plans {
       Seq("BroadcastHashJoin", "percentile")),
     ("url_domain_cap", "per-domain cap is one keyed window",
       Seq("Window")),
-    ("bigram_logppl", "multiplicities aggregate map-side; scalar total broadcast",
-      Seq("partial_count", "partial_sum", "BroadcastNestedLoopJoin")),
+    ("bigram_logppl", "model branches read the materialized multiplicities; scalar total broadcast",
+      Seq("Scan ExistingRDD", "partial_sum", "BroadcastNestedLoopJoin")),
     ("index_bsq_knn", "sign-code scan bounds candidates before the rerank semi-join",
       Seq("TakeOrderedAndProject", "LeftSemi", "bit_count")),
     ("contamination_rate_report", "benchmark postings broadcast; rollup partial-aggregates",
@@ -196,7 +196,10 @@ object Plans {
     ("winnow_profile", "fingerprint profile is a pure kernel projection over the scan"),
     ("geo_polygon_contains", "raycast predicate is a pure codegen filter over the scan"),
     ("geo_line_distance", "segment-distance kernel is a pure projection over the scan"),
-    ("geo_polygon_stats", "shoelace measures are per-row kernels over the dim scan"))
+    ("geo_polygon_stats", "shoelace measures are per-row kernels over the dim scan"),
+    ("geo_geodesic_measures", "great-circle measures are per-row trig folds over the dim scan"),
+    ("geo_geodesic_dwithin", "geodesic radius predicate is a pure filter over the scan"),
+    ("geo_covers_boundary", "covers + on-segment tests are per-row folds over the scan"))
 
   /** Stable, sorted names of every audited shape — the `plan_shapes`
     * oracle is generated from this list, so adding a check here is the
@@ -206,7 +209,8 @@ object Plans {
       noNljChecks.map("no_nlj:" + _._1) ++
       noShuffleChecks.map("no_shuffle:" + _._1) ++
       Seq("window:event_asof_attribution", "layout:zorder_file_stats",
-        "reuse:event_top_paths", "reuse:q21_waiting_suppliers")).sorted
+        "reuse:event_top_paths", "reuse:q21_waiting_suppliers",
+        "no_window:fuzzy_name_components", "reuse:bigram_logppl")).sorted
 
   /** Run every audit; returns (check_name, ok, detail) — detail is the
     * offending plan on a miss, a short note on success. */
@@ -276,6 +280,28 @@ object Plans {
         else s"expected <=1 orderkey exchange, got $keyExchanges\n$p")
     }
 
+    // fuzzy clustering: node ids are a per-row portable-hash projection —
+    // the plan must carry NO Window operator (a dense rank over all
+    // distinct names would be a single-partition global sort)
+    val fuzzyNoWindow = {
+      val p = plan("fuzzy_name_components")
+      val ok = !p.contains("Window")
+      ("no_window:fuzzy_name_components", ok,
+        if (ok) "hash node ids, no global-sort window" else s"unexpected Window\n$p")
+    }
+
+    // bigram model: the four model branches (bigram/context/unigram/
+    // total) must all read the MATERIALIZED multiplicities relation —
+    // zero corpus FileScans below it (their differing pushed
+    // null-filters defeat ReuseExchange, so recompute = 4 corpus reads)
+    val bigramReuse = {
+      val p = plan("bigram_logppl")
+      val scans = "FileScan".r.findAllIn(p).length
+      ("reuse:bigram_logppl", scans == 0 && p.contains("Scan ExistingRDD"),
+        if (scans == 0) "all branches read the checkpointed multiplicities"
+        else s"expected 0 corpus FileScans below the materialization, got $scans\n$p")
+    }
+
     // z-order layout: per-file min/max of the NON-leading column must be
     // tight enough that the BETWEEN [100,120] filter's row groups prune
     val zorder = {
@@ -290,7 +316,8 @@ object Plans {
         s"$overlapping/${perFile.length} files overlap the partkey filter")
     }
 
-    (marker ++ Seq(asof, pathsReuse, q21Reuse) ++ nlj ++ noShuf ++ Seq(zorder))
+    (marker ++ Seq(asof, pathsReuse, q21Reuse, fuzzyNoWindow, bigramReuse) ++
+      nlj ++ noShuf ++ Seq(zorder))
       .sortBy(_._1)
   }
 

@@ -1785,6 +1785,49 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // --- geodesic (GEOGRAPHY-role) measures (r19): great-circle length
+    //     and spherical (Chamberlain–Duquette) area on the R = 6371 km
+    //     Haversine sphere, same WKT fixtures read as lng/lat. Trig-
+    //     bearing like the buffer query — measures rounded to absorb
+    //     cross-engine libm ulps.
+    "geo_geodesic_measures" -> ((s, d) => {
+      val wkt = col("wkt")
+      nationPolys(s, d).select(col("n_nationkey"),
+          round(Geo.stLengthGeo(wkt), 2).as("perim_m"),
+          round(Geo.stAreaGeo(wkt) / 1e6, 2).as("area_km2"))
+        .orderBy("n_nationkey")
+    }),
+
+    "geo_geodesic_dwithin" -> ((s, d) => {
+      // ST_DWithin(geography): customers as WKT lng/lat points within
+      // 600 km great-circle of a query point. The predicate prunes with
+      // a half-cm slack; the exact cut is on the rounded distance (the
+      // geo_radius convention, so both engines decide ties identically).
+      val q = lit("POINT (10 10)")
+      customerPoints(s, d)
+        .withColumn("wkt", Geo.wktPoint(col("px"), col("py")))
+        .filter(Geo.stDWithinGeo(col("wkt"), q, lit(600000.01)))
+        .select(col("c_custkey"),
+          round(Geo.stDistanceGeo(col("wkt"), q), 2).as("dist_m"))
+        .filter(col("dist_m") <= 600000.0)
+        .orderBy("c_custkey")
+    }),
+
+    "geo_covers_boundary" -> ((s, d) => {
+      // ST_Covers semantics: boundary-INCLUSIVE containment — customers
+      // on the 0.25-lattice land exactly on the square's edges, where
+      // the raw even-odd raycast is deterministic-but-arbitrary; covers
+      // must report every closed-box point, with the exact on-segment
+      // test flagged alongside.
+      val wkt = lit("POLYGON ((2 2, 12 2, 12 12, 2 12, 2 2))")
+      val ring = GeoAlgebra.wktPolygonRing(wkt)
+      customerPoints(s, d)
+        .filter(GeoAlgebra.stCoversWkt(wkt, col("px"), col("py")))
+        .select(col("c_custkey"), col("px"), col("py"),
+          GeoAlgebra.stOnBoundary(ring, col("px"), col("py")).as("on_edge"))
+        .orderBy("c_custkey")
+    }),
+
     // --- fuzzy string matching (r18): FastSS deletion-neighborhood
     //     edit-distance joins — exact, never all-pairs.
     "fuzzy_name_pairs" -> ((s, d) => {
@@ -1831,12 +1874,13 @@ object SparkEntry {
 
     "fuzzy_name_components" -> ((s, d) => {
       // fuzzy clustering end to end: FastSS ED≤2 pairs feed the
-      // min-label connected components (names mapped to dense long ids
-      // both engines derive identically by sorted rank)
-      import org.apache.spark.sql.expressions.Window
+      // min-label connected components. Node ids are the PORTABLE key
+      // hash (Sampling.keyHash — the sketch family's rolling hash both
+      // engines replay) so id assignment is a pure per-row projection;
+      // a dense rank would force a single-partition global sort of all
+      // distinct names (the scale bottleneck the hash avoids).
       val names = Tables.part(s, d).select("p_name").distinct()
-      val ids = names.withColumn("nid",
-        row_number().over(Window.orderBy("p_name")).cast("long"))
+      val ids = names.withColumn("nid", Sampling.keyHash(col("p_name")))
       val pairs = FuzzyJoin.editDistancePairs(names, "p_name", "p_name", 2)
         .join(broadcast(ids.select(col("p_name").as("id_a"), col("nid").as("nid_a"))), Seq("id_a"))
         .join(broadcast(ids.select(col("p_name").as("id_b"), col("nid").as("nid_b"))), Seq("id_b"))
@@ -5103,6 +5147,61 @@ object SparkEntry {
          |FROM sup JOIN ar USING (s_suppkey) LEFT JOIN ins USING (s_suppkey)
          |ORDER BY s_suppkey""".stripMargin,
 
+    // geodesic replays: the same Haversine text as knn_haversine (lat
+    // clamp, lng wrap, R = 6371000) over the nation-star edges /
+    // customer lattice; Chamberlain–Duquette area term mirrors
+    // Geo.areaGeoSqMeters op-for-op, round(_, 2) absorbing libm ulps
+    // and the SUM-vs-ordered-fold addition order.
+    "geo_geodesic_measures" -> {
+      def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
+      def gln(e: String) =
+        s"""radians(CASE WHEN fmod(fmod($e, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod($e, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod($e, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        s"""(power(sin((${gla("y2")} - ${gla("y1")}) / 2), 2)
+           | + cos(${gla("y1")}) * cos(${gla("y2")})
+           |   * power(sin((${gln("x2")} - ${gln("x1")}) / 2), 2))""".stripMargin
+      s"""WITH $nationEdgesSql,
+         |seg AS (SELECT n_nationkey,
+         |          2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)) AS len_m,
+         |          (radians(x2) - radians(x1))
+         |            * (2.0 + sin(radians(y1)) + sin(radians(y2))) AS aterm
+         |        FROM ne)
+         |SELECT n_nationkey, round(sum(len_m), 2) AS perim_m,
+         |       round(abs(sum(aterm)) * 6371000.0 * 6371000.0 / 2.0
+         |             / 1000000.0, 2) AS area_km2
+         |FROM seg GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+    },
+
+    "geo_geodesic_dwithin" -> {
+      def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
+      def gln(e: String) =
+        s"""radians(CASE WHEN fmod(fmod($e, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod($e, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod($e, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        s"""(power(sin((${gla("10.0")} - ${gla("py")}) / 2), 2)
+           | + cos(${gla("py")}) * cos(${gla("10.0")})
+           |   * power(sin((${gln("10.0")} - ${gln("px")}) / 2), 2))""".stripMargin
+      s"""WITH $customerPointsSql,
+         |d AS (SELECT c_custkey,
+         |        round(2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)), 2) AS dist_m
+         |      FROM cp)
+         |SELECT c_custkey, dist_m FROM d
+         |WHERE dist_m <= 600000.0 ORDER BY c_custkey""".stripMargin
+    },
+
+    // covers on an axis-aligned square IS the closed box; on-edge is the
+    // exact lattice condition — both sides decide with exact arithmetic
+    "geo_covers_boundary" ->
+      s"""WITH $customerPointsSql
+         |SELECT c_custkey, px, py,
+         |       (px = 2.0 OR px = 12.0 OR py = 2.0 OR py = 12.0) AS on_edge
+         |FROM cp
+         |WHERE px >= 2.0 AND px <= 12.0 AND py >= 2.0 AND py <= 12.0
+         |ORDER BY c_custkey""".stripMargin,
+
     "fuzzy_name_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -5142,9 +5241,9 @@ object SparkEntry {
          |ORDER BY cp.c_custkey""".stripMargin,
 
     "fuzzy_name_components" ->
-      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+      s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
         |ids AS (SELECT p_name,
-        |          CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS nid
+        |          CAST(${duckRawHash("p_name")} AS BIGINT) AS nid
         |        FROM n),
         |e AS (SELECT a.nid AS id_a, b.nid AS id_b
         |      FROM ids a JOIN ids b ON a.p_name < b.p_name

@@ -1090,17 +1090,23 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         val strCol = req.get("strCol").asText()
         val idCol = req.get("idCol").asText()
         val k = if (req.has("maxDist")) req.get("maxDist").asInt() else 1
+        // maxLen: rows with longer strings are EXCLUDED, not truncated
+        // (FuzzyJoin's short-string contract); surfaced so a caller can
+        // widen it knowingly for long SKUs/titles
+        val maxLen = if (req.has("maxLen")) req.get("maxLen").asInt()
+          else FuzzyJoin.DefaultMaxLen
         val dff = req.get("mode").asText() match {
           case "pairs" =>
             FuzzyJoin.editDistancePairs(e, strCol, idCol, k,
                 maxBucket = if (req.has("maxBucket")) req.get("maxBucket").asInt()
-                  else Int.MaxValue)
+                  else Int.MaxValue,
+                maxLen = maxLen)
               .orderBy("id_a", "id_b")
           case "lookup" =>
             val dict = entity(req, "dict").read()
             FuzzyJoin.editDistanceJoin(e, strCol, idCol,
                 dict, req.get("dictStrCol").asText(),
-                req.get("dictIdCol").asText(), k)
+                req.get("dictIdCol").asText(), k, maxLen = maxLen)
               .orderBy(idCol, req.get("dictIdCol").asText())
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }

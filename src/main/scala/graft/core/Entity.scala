@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Materialize.Ops
 import org.apache.spark.sql.types.StructType
 
 /** Entity lifecycle over Parquet — the reference's DDL/DML surface
@@ -247,7 +248,7 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
       // with external groups the batch is split per store; pin the
       // assigned ids first — re-evaluating monotonically_increasing_id
       // per store write could drift across actions
-      val pinned = if (groups.isEmpty) withId else withId.localCheckpoint(true)
+      val pinned = if (groups.isEmpty) withId else withId.materialized
       val mainBatch =
         if (groups.isEmpty) pinned
         else {

@@ -191,6 +191,47 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"st_contains(wkt, px, py) expects 3 args, got ${args.length}")
       },
+      "st_covers" -> {
+        case Seq(wkt, px, py) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.GeoAlgebra.stCoversWkt(
+              org.apache.spark.sql.graft.Bridge.column(wkt),
+              org.apache.spark.sql.graft.Bridge.column(px),
+              org.apache.spark.sql.graft.Bridge.column(py)))
+        case args => throw new IllegalArgumentException(
+          s"st_covers(wkt, px, py) expects 3 args, got ${args.length}")
+      },
+      // geodesic (GEOGRAPHY-role) twins: WKT in lng/lat axis order,
+      // measures in meters / m² on the R = 6371 km Haversine sphere
+      "st_area_geo" -> {
+        case Seq(wkt) => geoSql(wkt)(w => graft.operators.Geo.stAreaGeo(w))
+        case args => throw new IllegalArgumentException(
+          s"st_area_geo(wkt) expects 1 arg, got ${args.length}")
+      },
+      "st_length_geo" -> {
+        case Seq(wkt) => geoSql(wkt)(w => graft.operators.Geo.stLengthGeo(w))
+        case args => throw new IllegalArgumentException(
+          s"st_length_geo(wkt) expects 1 arg, got ${args.length}")
+      },
+      "st_distance_geo" -> {
+        case Seq(a, b) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.Geo.stDistanceGeo(
+              org.apache.spark.sql.graft.Bridge.column(a),
+              org.apache.spark.sql.graft.Bridge.column(b)))
+        case args => throw new IllegalArgumentException(
+          s"st_distance_geo(wktA, wktB) expects 2 args, got ${args.length}")
+      },
+      "st_dwithin_geo" -> {
+        case Seq(a, b, m) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.Geo.stDWithinGeo(
+              org.apache.spark.sql.graft.Bridge.column(a),
+              org.apache.spark.sql.graft.Bridge.column(b),
+              org.apache.spark.sql.graft.Bridge.column(m)))
+        case args => throw new IllegalArgumentException(
+          s"st_dwithin_geo(wktA, wktB, meters) expects 3 args, got ${args.length}")
+      },
       "st_intersects" -> {
         case Seq(wktA, wktB) =>
           org.apache.spark.sql.graft.Bridge.expressionEager(

@@ -49,7 +49,12 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
                // (spread over the ascending-id order) instead of one —
                // costs a few extra seed distances, buys escape routes out
                // of a poorly-linked entry neighborhood. 1 = classic NSW.
-               val nProbes: Int = 1) extends VectorIndex {
+               val nProbes: Int = 1,
+               // build-side twin of nProbes: this graph was built with
+               // HNSW Algorithm-4 diverse selection (keep-pruned-
+               // connections); carried so extend() keeps inserting the
+               // same way. Search is unaffected by the flag itself.
+               val heuristic: Boolean = false) extends VectorIndex {
 
   override def indexType: String = "nsw"
   override def isExact: Boolean = false
@@ -137,6 +142,7 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
     import org.apache.spark.sql.functions.typedLit
     val mC = m
     val efIns = ef
+    val heur = heuristic
     val existing = graph.select(col("shard"), col("id"), col("vec"),
       col("neighbors"), lit(false).as("is_new"))
     val incoming = newDf.select(
@@ -161,7 +167,7 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
         val adj = scala.collection.mutable.ArrayBuffer.from(old.map(
           _._4.flatMap(pos.get).to(scala.collection.mutable.ArrayBuffer)))
         fresh.foreach { r =>
-          NSWIndex.insertNode(vecs, adj, r._3.toArray, mC, efIns)
+          NSWIndex.insertNode(vecs, adj, r._3.toArray, mC, efIns, heur)
           ids += r._2
         }
         // incremental inserts prune existing adjacencies too — re-assert
@@ -175,7 +181,7 @@ class NSWIndex(val graph: DataFrame, // (shard, id, vec, neighbors)
       .repartition(nShards, col("shard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     extended.count()
-    new NSWIndex(extended, nShards, m, ef, idCol, nProbes)
+    new NSWIndex(extended, nShards, m, ef, idCol, nProbes, heuristic)
   }
 
   /** Recall diagnostic: fraction of `truth` ids inside the candidates. */
@@ -278,14 +284,43 @@ object NSWIndex {
     best.dequeueAll.map((e: (Double, Int)) => e._2).toArray
   }
 
+  /** HNSW Algorithm-4 diverse neighbor selection with
+    * keep-pruned-connections: scan candidates in ascending
+    * `(distance, index)` order, keep `c` when it is closer to the base
+    * point than to every already-kept neighbor (otherwise `c` is
+    * "shadowed" — the graph can reach it THROUGH the kept one), then
+    * back-fill remaining capacity with the closest shadowed candidates.
+    * Keeping a shadowing survivor plus a long-range link instead of two
+    * mutually-close neighbors is what preserves navigability on
+    * isotropic data, where the plain closest-prune collapses every
+    * adjacency into one tight angular cluster. Deterministic: candidate
+    * order and the strict `<` test break ties identically everywhere. */
+  private def selectDiverse(vecs: Int => Array[Double], base: Array[Double],
+                            cands: Array[(Double, Int)],
+                            limit: Int): Array[Int] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val shadowed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    cands.sortBy(identity).foreach { case (dc, c) =>
+      if (kept.length < limit &&
+          kept.forall(s => dc < sqDist(vecs(c), vecs(s)))) kept += c
+      else shadowed += c
+    }
+    (kept ++ shadowed.take(limit - kept.length)).toArray
+  }
+
   /** Insert one node into an in-construction shard graph: beam search
     * of the existing graph, connect to the `m` nearest found, edges
     * bidirectional, adjacency pruned to `2m` closest (the HNSW `M_max`
-    * rule). Shared by the builder and incremental [[NSWIndex.extend]]. */
+    * rule). With `heuristic = true` both the new node's links and the
+    * overflow prune use [[selectDiverse]] (HNSW Algorithm 4 +
+    * keep-pruned-connections) instead of plain closest — the build-side
+    * recall lever for isotropic regimes (SCALING.md run 29 measures
+    * it). Shared by the builder and incremental [[NSWIndex.extend]]. */
   private[index] def insertNode(
       vecs: scala.collection.mutable.ArrayBuffer[Array[Double]],
       adj: scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]],
-      v: Array[Double], m: Int, efC: Int): Unit = {
+      v: Array[Double], m: Int, efC: Int,
+      heuristic: Boolean = false): Unit = {
     val i = vecs.length
     vecs += v
     adj += scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -294,19 +329,19 @@ object NSWIndex {
     def prune(node: Int): Unit = {
       val a = adj(node)
       if (a.length > mMax) {
-        val kept = a.toArray
-          .map(nb => (sqDist(vecs(node), vecs(nb)), nb))
-          .sortBy(identity)
-          .take(mMax).map(_._2)
+        val pairs = a.toArray.map(nb => (sqDist(vecs(node), vecs(nb)), nb))
+        val kept =
+          if (heuristic) selectDiverse(vecs(_), vecs(node), pairs, mMax)
+          else pairs.sortBy(identity).take(mMax).map(_._2)
         a.clear()
         a ++= kept
       }
     }
     val found = beam(vecs(_), adj(_), v, efC, nBuilt = i)
-    val nearest = found
-      .map(nb => (sqDist(v, vecs(nb)), nb))
-      .sortBy(identity)
-      .take(m).map(_._2)
+    val foundPairs = found.map(nb => (sqDist(v, vecs(nb)), nb))
+    val nearest =
+      if (heuristic) selectDiverse(vecs(_), v, foundPairs, m)
+      else foundPairs.sortBy(identity).take(m).map(_._2)
     nearest.foreach { nb =>
       adj(i) += nb
       adj(nb) += i
@@ -381,11 +416,12 @@ object NSWIndex {
   /** Sequential NSW construction for one shard: nodes in ascending-id
     * order through [[insertNode]], then connectivity repair. */
   private[index] def buildShard(ids: Array[Long], vecs: Array[Array[Double]],
-                                m: Int, efC: Int): Array[Array[Int]] = {
+                                m: Int, efC: Int,
+                                heuristic: Boolean = false): Array[Array[Int]] = {
     val vb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val ab = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[Int]]
-    vecs.foreach(v => insertNode(vb, ab, v, m, efC))
+    vecs.foreach(v => insertNode(vb, ab, v, m, efC, heuristic))
     ensureReachable(vb, ab)
     ab.map(_.toArray).toArray
   }
@@ -459,7 +495,8 @@ object NSWIndex {
     * are the NSW degree and construction beam. */
   def build(df: DataFrame, idCol: String, vecCol: String,
             nShards: Int = 4, m: Int = 8, efC: Int = 64,
-            ef: Int = 128, nProbes: Int = 1): NSWIndex = {
+            ef: Int = 128, nProbes: Int = 1,
+            heuristic: Boolean = false): NSWIndex = {
     val spark = df.sparkSession
     import spark.implicits._
     val graph = df
@@ -472,7 +509,7 @@ object NSWIndex {
         val nodes = rows.toArray.sortBy(_._2)
         val ids = nodes.map(_._2)
         val vecs = nodes.map(_._3.toArray)
-        val adj = buildShard(ids, vecs, m, efC)
+        val adj = buildShard(ids, vecs, m, efC, heuristic)
         nodes.indices.iterator.map { i =>
           (shard, ids(i), nodes(i)._3, adj(i).map(ids(_)).toSeq)
         }
@@ -485,7 +522,7 @@ object NSWIndex {
       .repartition(nShards, col("shard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     graph.count()
-    new NSWIndex(graph, nShards, m, ef, idCol, nProbes)
+    new NSWIndex(graph, nShards, m, ef, idCol, nProbes, heuristic)
   }
 
   /** Rehydrate from a persisted graph relation (IndexStore). */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Materialize.Ops
 
 import graft.functions.{BoundedTopK, Distances}
 
@@ -336,10 +337,10 @@ object Ann {
       .join(banded.select(col("band"), col("chunk"), col("id").as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      // NB: localCheckpoint truncates lineage — on executor loss the job
-      // fails rather than recomputes. Acceptable for pair-scale data; a
-      // reliable-checkpoint dir would trade latency for recoverability.
-      .localCheckpoint(true)
+      // NB: Materialize truncates lineage — without a checkpoint dir an
+      // executor loss fails the job rather than recomputing; call
+      // setCheckpointDir on a real cluster for the reliable mode.
+      .materialized
     banded.unpersist()
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Distances.norm2(col(vecCol)).as("nrm"))
@@ -402,14 +403,14 @@ object Ann {
     // both sides of the cluster self-join (and the survivors anti-join
     // downstream) read this frame — materialize it once, eagerly, or
     // the k-fused-cosine assignment kernel (k·d FLOPs/row) and the
-    // underlying scan run 2-3×. localCheckpoint (not persist/unpersist)
+    // underlying scan run 2-3×. Materialize (not persist/unpersist)
     // because the result is returned lazily: the checkpointed blocks
     // live as long as the returned plan references them and are
     // reclaimed by the ContextCleaner when the caller drops it.
     val checkpointed = assignClusters(df, vecCol, centroids)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"),
         Distances.norm2(col(vecCol)).as("nrm"))
-      .localCheckpoint(true)
+      .materialized
     // mega-cluster guard, same rationale as the banded paths: a
     // degenerate centroid set (or a mass of zero-norm rows, which all
     // tie to cluster 0) makes ONE cluster emit O(|cluster|²) pairs that

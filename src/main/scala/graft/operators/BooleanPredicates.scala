@@ -47,6 +47,17 @@ object BooleanPredicates {
       case "st_within" =>
         val (px, py) = (Geo.wktLng(c), Geo.wktLat(c))
         GeoAlgebra.stContainsWktLiteral(v.toString, px, py)
+      // boundary-inclusive variant (PostGIS ST_Covers): edge/vertex
+      // points count as inside — value = polygon WKT
+      case "st_covers" =>
+        val (px, py) = (Geo.wktLng(c), Geo.wktLat(c))
+        GeoAlgebra.stCoversWkt(lit(v.toString), px, py)
+      // geodesic within-distance (PostGIS ST_DWithin(geography)):
+      // values = [point WKT, meters] on the R = 6371 km sphere
+      case "st_dwithin_geo" =>
+        require(p.values.size == 2,
+          s"st_dwithin_geo on '${p.attribute}' needs [point wkt, meters]")
+        Geo.stDWithinGeo(c, lit(v.toString), lit(p.values(1).toString.toDouble))
       case "st_dwithin" =>
         require(p.values.size == 2,
           s"st_dwithin on '${p.attribute}' needs [wkt, distance]")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Materialize.Ops
 
 /** Deduplication operators for training-data pipelines: exact (content
   * hash), MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
@@ -341,7 +342,7 @@ object Dedup {
     // cache is released NOW rather than accumulating one session-lifetime
     // cached relation per ad-hoc call (same discipline as
     // ngramJaccardNearDupPairs / Winnow.overlapPairs).
-    val out = pairs.localCheckpoint(true)
+    val out = pairs.materialized
     banded.unpersist()
     out
   }
@@ -405,9 +406,10 @@ object Dedup {
     // shingle cache can be released NOW — returning the lazy frame
     // would pin one persisted copy of the corpus shingles per call for
     // the session lifetime (the CorpusIndex.release() hazard).
-    // NB: localCheckpoint truncates lineage — on executor loss the job
-    // fails rather than recomputes. Acceptable for pair-scale data.
-    val out = pairs.localCheckpoint(true)
+    // NB: Materialize truncates lineage — without a checkpoint dir an
+    // executor loss fails the job rather than recomputing (see
+    // graft.core.Materialize for the reliable cluster mode).
+    val out = pairs.materialized
     sh.unpersist()
     out
   }
@@ -477,7 +479,7 @@ object Dedup {
     // final anti-join — persist or every reference re-runs the quality
     // scan + exact-dedup window shuffle. The cache is scoped to this
     // call: survivors (ids only) are eagerly materialized via
-    // localCheckpoint, then `exact` is unpersisted — a lazily returned
+    // Materialize, then `exact` is unpersisted — a lazily returned
     // frame would pin the cached relation for the session lifetime
     // (one leak per /pipeline/dedup request).
     val exact = dropExactDups(quality, textCol, idCol)
@@ -486,7 +488,7 @@ object Dedup {
       val drops = minhashNearDupPairs(exact, textCol, idCol, threshold)
         .select(col("id_b").as(idCol)).distinct()
       exact.join(drops, Seq(idCol), "left_anti").select(idCol)
-        .localCheckpoint(true)
+        .materialized
     } finally exact.unpersist()
   }
 
@@ -594,16 +596,16 @@ object Dedup {
     * side of the admission workflow (`foreachBatch`: flag incoming
     * near-dups against the index, then extend it with the novel docs so
     * the NEXT batch checks against them too). Bands + shingles of `docs`
-    * union into the index relations and are eagerly local-checkpointed,
-    * so repeated extension keeps a BOUNDED plan instead of a union tree
+    * union into the index relations and are eagerly materialized, so
+    * repeated extension keeps a BOUNDED plan instead of a union tree
     * growing one level per batch (same executor-loss tradeoff as the
-    * other localCheckpoint sites). The old index and the temporary
+    * other Materialize sites). The old index and the temporary
     * build are released; use the RETURNED index afterwards. */
   def extendCorpus(idx: CorpusIndex, docs: DataFrame, textCol: String,
                    idCol: String): CorpusIndex = {
     val add = indexCorpus(docs, textCol, idCol, idx.numHashes, idx.numBands, idx.n)
-    val banded = idx.banded.union(add.banded).localCheckpoint(true)
-    val sh = idx.shingles.union(add.shingles).localCheckpoint(true)
+    val banded = idx.banded.union(add.banded).materialized
+    val sh = idx.shingles.union(add.shingles).materialized
     idx.release()
     add.release()
     CorpusIndex(banded, sh, idx.numHashes, idx.numBands, idx.n)
@@ -735,7 +737,7 @@ object Dedup {
     * Algorithm: iterative min-label propagation — each round every node
     * adopts the min of its own label and its neighbours' labels; one
     * shuffle-join + one aggregation per round, labels eagerly
-    * localCheckpointed so the plan never grows with iterations.
+    * materialized so the plan never grows with iterations.
     * Converges in O(graph diameter) rounds; near-dup cluster graphs are
     * shallow (duplicates of a common source link to each other), so a
     * handful of rounds suffices even at corpus scale — the 100 TB cost
@@ -765,9 +767,9 @@ object Dedup {
       val parts = math.max(1, math.min(
         pairs.sparkSession.sessionState.conf.numShufflePartitions,
         (nEdges / 500000L + 1L).toInt))
-      val sym = symWide.coalesce(parts).localCheckpoint(true)
+      val sym = symWide.coalesce(parts).materialized
       var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")).coalesce(parts).localCheckpoint(true)
+        .withColumn("component", col("id")).coalesce(parts).materialized
       var iter = 0
       var done = false
       while (!done && iter < maxIter) {
@@ -782,7 +784,7 @@ object Dedup {
           .select(col("id"), col("component").as("old"),
             least(col("component"), coalesce(col("nmin"), col("component")))
               .as("component"))
-          .coalesce(parts).localCheckpoint(true)
+          .coalesce(parts).materialized
         done = updated.filter(col("component") =!= col("old")).isEmpty
         labels = updated.select("id", "component")
         iter += 1

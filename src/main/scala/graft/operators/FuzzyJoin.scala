@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * hash-collision noise bounded by `maxBucket`, the banded-dedup
   * mega-bucket guard). k ≤ 2 enforced — beyond that the neighborhood
   * blowup favors q-gram filtering instead.
+  *
+  * This is a SHORT-STRING operator (names, titles, SKUs): the `maxLen`
+  * guard (default 128) EXCLUDES longer rows from the join rather than
+  * truncating them — truncated-prefix keys would break the exactness
+  * guarantee (prefix edit distance of a true pair can exceed k, so a
+  * prefix-keyed candidate set can miss pairs). A document-length corpus
+  * belongs in the n-gram/minhash family ([[Dedup.ngramJaccardNearDupPairs]]),
+  * not here: at k=2 a 10 kB text would emit ~10⁸ variant keys per row
+  * before any cap could help.
   */
 object FuzzyJoin {
 
@@ -38,22 +47,30 @@ object FuzzyJoin {
     array_distinct(full)
   }
 
+  /** Default row-exclusion length bound — see the class doc. */
+  val DefaultMaxLen = 128
+
   private def keyed(df: DataFrame, strCol: String, idCol: String,
-                    k: Int): DataFrame =
-    df.filter(col(strCol).isNotNull)
+                    k: Int, maxLen: Int): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    df.filter(col(strCol).isNotNull && length(col(strCol)) <= maxLen)
       .select(col(idCol).as("__fid"), col(strCol).as("__fstr"))
       .withColumn("__fkey", explode(neighborhood(col("__fstr"), k)))
+  }
 
   /** Self-join: all pairs (id_a < id_b) with
-    * `levenshtein(str_a, str_b) <= maxDist`. Exact — the neighborhood
-    * property guarantees every true pair shares a candidate key; the
-    * verify removes the rest. `maxBucket` drops variant keys shared by
-    * more than that many rows (stop-fragment buckets), the documented
-    * recall/cost knob of the banded-dedup family. */
+    * `levenshtein(str_a, str_b) <= maxDist`. Exact over the rows
+    * admitted by `maxLen` — the neighborhood property guarantees every
+    * true pair shares a candidate key; the verify removes the rest.
+    * `maxBucket` drops variant keys shared by more than that many rows
+    * (stop-fragment buckets), the documented recall/cost knob of the
+    * banded-dedup family. Rows longer than `maxLen` chars are EXCLUDED
+    * (not truncated) — the O(L²)-keys-per-row guard. */
   def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
                         maxDist: Int = 1,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    val nb = Dedup.capBuckets(keyed(df, strCol, idCol, maxDist),
+                        maxBucket: Int = Int.MaxValue,
+                        maxLen: Int = DefaultMaxLen): DataFrame = {
+    val nb = Dedup.capBuckets(keyed(df, strCol, idCol, maxDist, maxLen),
       Seq("__fkey"), maxBucket)
     val a = nb.select(col("__fid").as("id_a"), col("__fstr").as("str_a"),
       col("__fkey"))
@@ -68,18 +85,22 @@ object FuzzyJoin {
 
   /** Cross-join form: each left row matched to every right row within
     * `maxDist` — the typo-lookup / dictionary-correction shape. Output:
-    * leftId, leftStr, rightId, rightStr, dist. */
+    * leftId, leftStr, rightId, rightStr, dist. `maxBucket` caps the
+    * variant-key bucket width on BOTH sides — a stop-fragment key on
+    * either relation would otherwise blow up the candidate product. */
   def editDistanceJoin(left: DataFrame, leftStr: String, leftId: String,
                        right: DataFrame, rightStr: String, rightId: String,
                        maxDist: Int = 1,
-                       maxBucket: Int = Int.MaxValue): DataFrame = {
+                       maxBucket: Int = Int.MaxValue,
+                       maxLen: Int = DefaultMaxLen): DataFrame = {
     // a side may use its string AS its id — emit each name once
     def named(df: DataFrame, id: String, str: String): DataFrame =
       if (id == str) df.select(col("__fstr").as(str), col("__fkey"))
       else df.select(col("__fid").as(id), col("__fstr").as(str), col("__fkey"))
-    val a = named(Dedup.capBuckets(keyed(left, leftStr, leftId, maxDist),
+    val a = named(Dedup.capBuckets(keyed(left, leftStr, leftId, maxDist, maxLen),
       Seq("__fkey"), maxBucket), leftId, leftStr)
-    val b = named(keyed(right, rightStr, rightId, maxDist), rightId, rightStr)
+    val b = named(Dedup.capBuckets(keyed(right, rightStr, rightId, maxDist, maxLen),
+      Seq("__fkey"), maxBucket), rightId, rightStr)
     val outCols = Seq(leftId, leftStr, rightId, rightStr).distinct
     a.join(b, Seq("__fkey"))
       .select(outCols.map(col): _*).distinct()

@@ -60,6 +60,67 @@ object Geo {
                    meters: Column): Column =
     haversineMeters(lat, lng, qLat, qLng) <= meters
 
+  // ---- geodesic (GEOGRAPHY-role) measures --------------------------------
+  //
+  // The reference routes its GEOGRAPHYTYPE to PostGIS geography
+  // (`/root/reference/src/main/scala/org/vitrivr/adampro/data/datatypes/gis/GeographyWrapper.scala`);
+  // here great-circle measures evaluate in-engine on the same
+  // R = 6 371 000 m sphere the Haversine kernel uses, over the planar
+  // algebra's WKT parse (x = longitude, y = latitude — WKT axis order).
+  // Like the buffer op these are trig-bearing: consumers needing
+  // cross-engine bit-parity round derived measures (the class-level
+  // numeric-contract note in GeoAlgebra).
+
+  /** Great-circle length in meters of a lat/lng vertex chain
+    * (`array<struct<x:lng,y:lat>>`): Σ Haversine over consecutive
+    * vertices — a closed ring yields its geodesic perimeter, an open
+    * linestring its route length. */
+  def lengthGeoMeters(chain: Column): Column =
+    aggregate(GeoAlgebra.edges(chain), lit(0.0), (acc, e) =>
+      acc + haversineMeters(e.getField("ay"), e.getField("ax"),
+        e.getField("by"), e.getField("bx")))
+
+  /** Spherical polygon area in m² of a closed lat/lng ring — the
+    * Chamberlain–Duquette line integral (JPL Publication 07-3):
+    * `|Σ (λ₂−λ₁)·(2 + sin φ₁ + sin φ₂)| · R²/2`, summed over the ring's
+    * edges in radians. Excellent for polygons small against the Earth
+    * (the geodesic twin of the planar shoelace); rings must not cross
+    * the ±180° antimeridian (the λ difference would wrap). */
+  def areaGeoSqMeters(ring: Column): Column = {
+    val r = lit(6371000.0)
+    abs(aggregate(GeoAlgebra.edges(ring), lit(0.0), (acc, e) =>
+      acc + (radians(e.getField("bx")) - radians(e.getField("ax"))) *
+        (lit(2.0) + sin(radians(e.getField("ay"))) +
+          sin(radians(e.getField("by")))))) * r * r / 2.0
+  }
+
+  /** Geodesic area of full WKT text (`POLYGON`/`MULTIPOLYGON`, holes
+    * subtract, parts sum) — `ST_Area(geography)` semantics on the
+    * sphere. Null on malformed input. */
+  def stAreaGeo(wkt: Column): Column =
+    GeoAlgebra.areaWktWith(wkt, areaGeoSqMeters)
+
+  /** Geodesic length in meters of full WKT text: a `LINESTRING`'s route
+    * length, or the boundary length of a `POLYGON`/`MULTIPOLYGON`
+    * (every ring counts — the geodesic `ST_Perimeter`). Null on
+    * malformed input. */
+  def stLengthGeo(wkt: Column): Column = {
+    val line = GeoAlgebra.wktLineString(wkt)
+    when(line.isNotNull, lengthGeoMeters(line))
+      .otherwise(aggregate(GeoAlgebra.wktRings(wkt), lit(0.0),
+        (acc, r) => acc + lengthGeoMeters(r)))
+  }
+
+  /** Great-circle distance in meters between two WKT `POINT (lng lat)`
+    * values; null if either fails to parse. */
+  def stDistanceGeo(wktA: Column, wktB: Column): Column =
+    haversineMeters(wktLat(wktA), wktLng(wktA), wktLat(wktB), wktLng(wktB))
+
+  /** Geodesic within-distance predicate over two WKT points —
+    * `ST_DWithin(geography)` semantics. */
+  def stDWithinGeo(wktA: Column, wktB: Column, meters: Column): Column =
+    stDistanceGeo(wktA, wktB) <= meters
+
   /** Meridian degree length on the spherical Earth the Haversine kernel
     * uses (R = 6 371 000 m): π·R/180. */
   private val MetersPerDeg = 6371000.0 * math.Pi / 180.0

@@ -31,31 +31,46 @@ import org.apache.spark.sql.functions._
 object GeoAlgebra {
 
   // ---- WKT parse / emit ------------------------------------------------
+  //
+  // Tolerant of whitespace variation (compact `POLYGON((0 0,1 0,...))`
+  // parses the same as the canonical spaced form) and of coordinate-level
+  // garbage: a non-numeric or missing coordinate nulls the whole chain
+  // via try_element_at/try_cast instead of throwing under ANSI mode —
+  // "null on malformed input" holds all the way down, not just for
+  // header-level regex misses.
+
+  private val ChainType = "array<struct<x:double,y:double>>"
 
   private def pt(s: Column): Column = {
-    val c = split(s, " ")
-    struct(element_at(c, 1).cast("double").as("x"),
-      element_at(c, 2).cast("double").as("y"))
+    val c = split(trim(s), "\\s+")
+    struct(try_element_at(c, lit(1)).try_cast("double").as("x"),
+      try_element_at(c, lit(2)).try_cast("double").as("y"))
   }
 
   private def ringOf(inner: Column): Column =
-    transform(split(inner, ", "), s => pt(s))
+    transform(split(inner, ",\\s*"), s => pt(s))
+
+  /** Null when any vertex failed to parse, the chain otherwise. */
+  private def validChain(chain: Column): Column =
+    when(exists(chain, p =>
+        p.getField("x").isNull || p.getField("y").isNull),
+      lit(null).cast(ChainType)).otherwise(chain)
 
   /** Exterior ring (ringIdx = 0) or hole of a WKT `POLYGON ((...), (...))`;
     * null on malformed input or a missing ring. Vertices keep the closing
     * repeat. */
   def wktPolygonRing(wkt: Column, ringIdx: Int = 0): Column = {
-    val body = regexp_extract(wkt, "^POLYGON \\(\\((.+)\\)\\)$", 1)
-    val rings = split(body, "\\), \\(")
+    val body = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
+    val rings = split(body, "\\)\\s*,\\s*\\(")
     when(body === "", lit(null))
-      .otherwise(ringOf(element_at(rings, ringIdx + 1)))
+      .otherwise(validChain(ringOf(try_element_at(rings, lit(ringIdx + 1)))))
   }
 
   /** Vertex chain of a WKT `LINESTRING (x y, x y, ...)`; null on malformed
     * input. */
   def wktLineString(wkt: Column): Column = {
-    val body = regexp_extract(wkt, "^LINESTRING \\((.+)\\)$", 1)
-    when(body === "", lit(null)).otherwise(ringOf(body))
+    val body = regexp_extract(wkt, "^LINESTRING\\s*\\((.+)\\)$", 1)
+    when(body === "", lit(null)).otherwise(validChain(ringOf(body)))
   }
 
   /** ALL rings of a WKT `POLYGON` (shell + holes) or `MULTIPOLYGON`
@@ -64,15 +79,20 @@ object GeoAlgebra {
     * the even-odd rule over the union of ring boundaries is exactly
     * polygon-with-holes / multipolygon membership. */
   def wktRings(wkt: Column): Column = {
-    val polyBody = regexp_extract(wkt, "^POLYGON \\(\\((.+)\\)\\)$", 1)
-    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON \\(\\(\\((.+)\\)\\)\\)$", 1)
+    val polyBody = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
+    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON\\s*\\(\\(\\((.+)\\)\\)\\)$", 1)
     def ringsOf(body: Column): Column =
-      transform(split(body, "\\), \\("), r => ringOf(r))
-    when(polyBody =!= "", ringsOf(polyBody))
+      transform(split(body, "\\)\\s*,\\s*\\("), r => validChain(ringOf(r)))
+    def allValid(rings: Column): Column =
+      when(exists(rings, _.isNull), lit(null).cast(s"array<$ChainType>"))
+        .otherwise(rings)
+    when(polyBody =!= "", allValid(ringsOf(polyBody)))
       .when(multiBody =!= "",
         // polygons separate with ")), ((", rings inside with "), (" —
         // splitting on BOTH separators yields the flat ring list
-        transform(split(multiBody, "\\)\\), \\(\\(|\\), \\("), r => ringOf(r)))
+        allValid(transform(
+          split(multiBody, "\\)\\)\\s*,\\s*\\(\\(|\\)\\s*,\\s*\\("),
+          r => validChain(ringOf(r)))))
       .otherwise(lit(null))
   }
 
@@ -88,17 +108,23 @@ object GeoAlgebra {
     * sum. Computed per polygon body as `2·area(shell) − Σ area(ring)`
     * (= shell − Σ holes), all exact-rounded ops. Null on malformed
     * input. */
-  def stAreaWkt(wkt: Column): Column = {
+  def stAreaWkt(wkt: Column): Column = areaWktWith(wkt, stArea)
+
+  /** The shell-minus-holes / parts-sum WKT area skeleton, parameterized
+    * by the per-ring area kernel — the planar shoelace ([[stAreaWkt]])
+    * and the spherical line integral ([[Geo.stAreaGeo]]) share it. */
+  private[operators] def areaWktWith(wkt: Column,
+                                     ringArea: Column => Column): Column = {
     def polyArea(body: Column): Column = {
-      val rings = transform(split(body, "\\), \\("), r => ringOf(r))
-      val total = aggregate(rings, lit(0.0), (acc, r) => acc + stArea(r))
-      stArea(element_at(rings, 1)) * 2.0 - total
+      val rings = transform(split(body, "\\)\\s*,\\s*\\("), r => ringOf(r))
+      val total = aggregate(rings, lit(0.0), (acc, r) => acc + ringArea(r))
+      ringArea(element_at(rings, 1)) * 2.0 - total
     }
-    val polyBody = regexp_extract(wkt, "^POLYGON \\(\\((.+)\\)\\)$", 1)
-    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON \\(\\(\\((.+)\\)\\)\\)$", 1)
+    val polyBody = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
+    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON\\s*\\(\\(\\((.+)\\)\\)\\)$", 1)
     when(polyBody =!= "", polyArea(polyBody))
       .when(multiBody =!= "",
-        aggregate(split(multiBody, "\\)\\), \\(\\("), lit(0.0),
+        aggregate(split(multiBody, "\\)\\)\\s*,\\s*\\(\\("), lit(0.0),
           (acc, p) => acc + polyArea(p)))
       .otherwise(lit(null).cast("double"))
   }
@@ -161,6 +187,40 @@ object GeoAlgebra {
       val crossX = (bx - ax) * (py - ay) / (by - ay) + ax
       acc + when(straddles && px < crossX, 1L).otherwise(0L)
     }) % 2 === 1
+
+  /** True when the point lies ON the chain — some segment has a zero
+    * orientation cross-product with the point AND the point falls inside
+    * that segment's bounding box (collinear + between = on-segment).
+    * Exact for coordinates whose products stay inside the 53-bit
+    * mantissa, the same contract as [[stIntersects]]'s orientation
+    * tests. Works on closed rings (boundary membership) and open
+    * linestrings alike. */
+  def stOnBoundary(chain: Column, px: Column, py: Column): Column = {
+    val x = px.cast("double"); val y = py.cast("double")
+    exists(edges(chain), e => {
+      val ax = e.getField("ax"); val ay = e.getField("ay")
+      val bx = e.getField("bx"); val by = e.getField("by")
+      orient(ax, ay, bx, by, x, y) === 0.0 &&
+        x >= least(ax, bx) && x <= greatest(ax, bx) &&
+        y >= least(ay, by) && y <= greatest(ay, by)
+    })
+  }
+
+  /** Boundary-INCLUSIVE point containment — PostGIS `ST_Covers`
+    * semantics: a point on an edge or vertex counts as covered, where
+    * the raw even-odd raycast of [[stContains]] lands it
+    * deterministically but arbitrarily. One extra exact on-segment
+    * sweep over the ring; use [[stContains]] when boundary points
+    * don't matter. */
+  def stCovers(ring: Column, px: Column, py: Column): Column =
+    stOnBoundary(ring, px, py) || stContains(ring, px, py)
+
+  /** [[stCovers]] over full WKT text (`POLYGON`/`MULTIPOLYGON`, holes):
+    * covered = on ANY ring's boundary (a hole's boundary belongs to the
+    * polygon — PostGIS convention) or even-odd inside. */
+  def stCoversWkt(wkt: Column, px: Column, py: Column): Column =
+    exists(wktRings(wkt), r => stOnBoundary(r, px, py)) ||
+      stContainsWkt(wkt, px, py)
 
   /** Orientation sign of (p→q, p→r): positive = counter-clockwise. Exact
     * for coordinates whose products stay inside the 53-bit mantissa. */
@@ -306,32 +366,40 @@ object GeoAlgebra {
     require(k >= 1, "k must be >= 1")
     val overlap = points.columns.toSet.intersect(pois.columns.toSet)
     require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
+    // output columns are part of the contract and must not clobber;
+    // internal working columns get collision-free fresh names instead
+    // (the Sampling.freshNamer discipline)
+    val fresh = freshNames(points.columns ++ pois.columns)
+    Seq("nn_rank", "dist").foreach(c =>
+      require(!points.columns.contains(c) && !pois.columns.contains(c),
+        s"output column '$c' already exists on an input — rename it away"))
+    val (gx, gy, d2n) = (fresh("gx"), fresh("gy"), fresh("d2"))
 
     def cell(v: Column) = floor(v / maxDist).cast("long")
     val p = points
-      .withColumn("ap_gx", cell(col(xCol).cast("double")))
-      .withColumn("ap_gy", cell(col(yCol).cast("double")))
+      .withColumn(gx, cell(col(xCol).cast("double")))
+      .withColumn(gy, cell(col(yCol).cast("double")))
     val neighbors = Seq(-1L, 0L, 1L)
+    def offsets = explode(array(neighbors.map(lit): _*))
     val b = pois
-      .withColumn("ap_dx", explode(array(neighbors.map(lit): _*)))
-      .withColumn("ap_dy", explode(array(neighbors.map(lit): _*)))
-      .withColumn("ap_gx", cell(col(poiXCol).cast("double")) + col("ap_dx"))
-      .withColumn("ap_gy", cell(col(poiYCol).cast("double")) + col("ap_dy"))
-      .drop("ap_dx", "ap_dy")
+      .withColumn(gx, offsets)
+      .withColumn(gy, offsets)
+      .withColumn(gx, cell(col(poiXCol).cast("double")) + col(gx))
+      .withColumn(gy, cell(col(poiYCol).cast("double")) + col(gy))
 
     val dx = col(xCol).cast("double") - col(poiXCol).cast("double")
     val dy = col(yCol).cast("double") - col(poiYCol).cast("double")
     val d2 = dx * dx + dy * dy
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pointKey))
-      .orderBy(col("ap_d2").asc, col(poiKey).asc)
-    p.join(b, Seq("ap_gx", "ap_gy"))
-      .withColumn("ap_d2", d2)
-      .filter(col("ap_d2") <= maxDist * maxDist)
+      .orderBy(col(d2n).asc, col(poiKey).asc)
+    p.join(b, Seq(gx, gy))
+      .withColumn(d2n, d2)
+      .filter(col(d2n) <= maxDist * maxDist)
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= k)
-      .withColumn("dist", sqrt(col("ap_d2")))
-      .drop("ap_gx", "ap_gy", "ap_d2")
+      .withColumn("dist", sqrt(col(d2n)))
+      .drop(gx, gy, d2n)
       .drop(pois.columns.filter(c => c != poiKey): _*)
   }
 
@@ -409,12 +477,14 @@ object GeoAlgebra {
     require(maxCellsPerRow > 0, "maxCellsPerRow must be positive")
     val overlap = points.columns.toSet.intersect(polys.columns.toSet)
     require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
+    val fresh = freshNames(points.columns ++ polys.columns)
+    val (gx, gy) = (fresh("gx"), fresh("gy"))
 
     def tile(v: Column) = floor(v / cell).cast("long")
 
     val p = points
-      .withColumn("ap_gx", tile(col(xCol).cast("double")))
-      .withColumn("ap_gy", tile(col(yCol).cast("double")))
+      .withColumn(gx, tile(col(xCol).cast("double")))
+      .withColumn(gy, tile(col(yCol).cast("double")))
 
     val env = stEnvelope(col(ringCol))
     val gxLo = tile(env.getField("xmin"))
@@ -429,12 +499,21 @@ object GeoAlgebra {
         lit("")))).cast("long"),
       c)
     val b = polys
-      .withColumn("ap_gx", explode(sequence(gxLo, guarded(gxHi))))
-      .withColumn("ap_gy", explode(sequence(gyLo, guarded(gyHi))))
+      .withColumn(gx, explode(sequence(gxLo, guarded(gxHi))))
+      .withColumn(gy, explode(sequence(gyLo, guarded(gyHi))))
 
-    p.join(b, Seq("ap_gx", "ap_gy"))
+    p.join(b, Seq(gx, gy))
       .filter(stContains(col(ringCol), col(xCol).cast("double"),
         col(yCol).cast("double")))
-      .drop("ap_gx", "ap_gy")
+      .drop(gx, gy)
+  }
+
+  /** Collision-free working-column namer over the union of both sides'
+    * columns — the [[Sampling]] freshNamer discipline: a caller frame
+    * already carrying a `__graft_*` name must never be clobbered by a
+    * withColumn or made ambiguous by the grid equi-join. */
+  private def freshNames(taken: Iterable[String]): String => String = {
+    val t = taken.toSet
+    base => Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(t).next()
   }
 }

@@ -32,7 +32,10 @@ object Sketches {
                       k: Int = 64, exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // group key normalized to string so a numeric/date typeCol works —
+    // r.getString below would otherwise ClassCastException at collect
     val ev = df.filter(col(typeCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn(typeCol, col(typeCol).cast("string"))
     val minsByType = ev.groupBy(col(typeCol).as("t"))
       .agg(KmvMins.mins(Sampling.keyHash(col(keyCol)), k).as("mins"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap

@@ -306,7 +306,12 @@ object TextAnalysis {
     *
     * Scale shape: one O(tokens) per-row zip builds `(prev, tok)` pairs,
     * then the token stream crosses the wire EXACTLY ONCE — a map-side-
-    * combined groupBy to per-doc `(id, prev, tok, m)` multiplicities.
+    * combined groupBy to per-doc `(id, prev, tok, m)` multiplicities,
+    * eagerly materialized ([[graft.core.Materialize]]) because FOUR
+    * branches consume it (bigram/context/unigram tables + the scoring
+    * probe) and their differing pushed null-filters make the branches
+    * non-canonical, so Catalyst's ReuseExchange cannot dedupe them — an
+    * un-materialized plan re-reads and re-explodes the corpus 4×.
     * Everything downstream re-aggregates that (much smaller) relation:
     * the bigram table derives from it, the context and unigram tables
     * derive from the bigram table (not from the raw stream), the scalar
@@ -329,7 +334,8 @@ object TextAnalysis {
           .as("prev"),
         col("t").as("tok"))).as("p"))
       .select(col("id"), col("p.prev").as("prev"), col("p.tok").as("tok"))
-    val grouped = pairs.groupBy("id", "prev", "tok").agg(count(lit(1)).as("m"))
+    val grouped = graft.core.Materialize(
+      pairs.groupBy("id", "prev", "tok").agg(count(lit(1)).as("m")))
     val big = grouped.groupBy("prev", "tok").agg(sum("m").as("bc"))
     val ctx = big.groupBy("prev").agg(sum("bc").as("cc"))
     val uni = big.groupBy("tok").agg(sum("bc").as("uc"))

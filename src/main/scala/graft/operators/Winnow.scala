@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Materialize.Ops
 
 import graft.functions.{WinnowExpr, WinnowFingerprints}
 
@@ -81,7 +82,7 @@ object Winnow {
     // Dedup.ngramJaccardNearDupPairs. Without the persist the
     // O(chars)-per-row rolling-hash kernel would re-execute once per
     // consumer (counts + both self-join sides = 3× the corpus scan).
-    val out = pairs.localCheckpoint(true)
+    val out = pairs.materialized
     rel.unpersist()
     out
   }

@@ -3,6 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.core.Materialize.Ops
 
 import graft.index.VectorIndex
 import graft.operators.Knn
@@ -334,7 +335,7 @@ object DedupPlanner {
     // pin each sample so the timed paths see the same materialized
     // rows, not limit+scan variance
     def sampleOf(s: Int): DataFrame =
-      df.select(col(idCol), col(vecCol)).limit(s).localCheckpoint(true)
+      df.select(col(idCol), col(vecCol)).limit(s).materialized
     sizes.foreach { s =>
       val sample = sampleOf(s)
       val n = sample.count()

@@ -72,6 +72,35 @@ class FuzzyJoinSpec extends SparkSpec {
     capped.subsetOf(bruteWithin(df, 1)) shouldBe true
   }
 
+  test("maxLen excludes document-length rows on both sides, never truncates") {
+    val longText = "lorem ipsum " * 40 // 480 chars — a misfed document
+    val df = Seq((1L, "widget"), (2L, "widgt"), (3L, longText))
+      .toDF("id", "s")
+    val pairs = FuzzyJoin.editDistancePairs(df, "s", "id", 1, maxLen = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L)) // the long row joins nothing
+    // cross form: a long dictionary row is excluded too
+    val dict = Seq((10L, "widget"), (11L, longText)).toDF("did", "w")
+    val got = FuzzyJoin.editDistanceJoin(df, "s", "id", dict, "w", "did",
+        maxDist = 1, maxLen = 64)
+      .select("id", "did").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 10L), (2L, 10L))
+    // and the guard rejects nonsense configuration eagerly
+    an[IllegalArgumentException] should be thrownBy
+      FuzzyJoin.editDistancePairs(df, "s", "id", 1, maxLen = 0)
+  }
+
+  test("cross form caps stop-fragment buckets on the dictionary side too") {
+    // 40 dictionary rows share variant "a"; the distinctive pair survives
+    val dict = ((1 to 40).map(i => (i.toLong, "a" + ('a' + i % 3).toChar)) ++
+      Seq((100L, "zqw"))).toDF("did", "w")
+    val probes = Seq((200L, "zqx")).toDF("pid", "p")
+    val got = FuzzyJoin.editDistanceJoin(probes, "p", "pid",
+        dict, "w", "did", maxDist = 1, maxBucket = 8)
+      .select("pid", "did").as[(Long, Long)].collect().toSet
+    got shouldBe Set((200L, 100L))
+  }
+
   test("null and empty strings don't break the join") {
     val df = Seq((1L, "ab"), (2L, null.asInstanceOf[String]), (3L, ""),
       (4L, "b")).toDF("id", "s")

@@ -337,6 +337,19 @@ class GeoAlgebraSpec extends SparkSpec {
     ids(BooleanPredicates.Predicate("loc", "st_within", Seq(
       "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"
     ))) shouldBe Seq(2L)
+    // st_covers: a point ON the boundary counts (pid 4 sits on the
+    // square's bottom edge)
+    val withEdge = pts.unionByName(Seq((4L, 2.0, 0.0)).toDF("pid", "x", "y")
+      .withColumn("loc", Geo.wktPoint(col("x"), col("y"))))
+    withEdge.filter(BooleanPredicates.toColumn(BooleanPredicates.Predicate(
+        "loc", "st_covers", Seq(squareWkt))))
+      .select("pid").as[Long].collect().toSeq.sorted shouldBe Seq(1L, 2L, 4L)
+    // st_dwithin_geo: one degree of latitude ≈ 111.19 km on the sphere
+    val geoPts = Seq((1L, "POINT (0 0)"), (2L, "POINT (0 1)"),
+      (3L, "POINT (0 2)")).toDF("pid", "loc")
+    geoPts.filter(BooleanPredicates.toColumn(BooleanPredicates.Predicate(
+        "loc", "st_dwithin_geo", Seq("POINT (0 0)", "120000"))))
+      .select("pid").as[Long].collect().toSeq shouldBe Seq(1L, 2L)
   }
 
   test("containsJoin matches the cross-filter reference, joins each pair once") {
@@ -391,6 +404,144 @@ class GeoAlgebraSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
     assert(plan.contains("Join"))
+  }
+
+  test("tolerant WKT parse: compact and extra-spaced forms equal canonical") {
+    val canonical = one(squareWkt).select(GeoAlgebra.stArea(col("ring")))
+      .as[Double].head()
+    Seq("POLYGON((0 0,4 0,4 4,0 4,0 0))",
+        "POLYGON (( 0 0 ,  4 0 , 4 4 , 0 4 , 0 0 ))").foreach { w =>
+      one(w).select(GeoAlgebra.stArea(col("ring"))).as[Double].head() shouldBe canonical
+    }
+    // compact MULTIPOLYGON through wktRings
+    val m = Seq("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((5 5,8 5,8 8,5 8,5 5)))")
+      .toDF("wkt")
+    m.select(GeoAlgebra.stAreaWkt(col("wkt"))).as[Double].head() shouldBe 13.0
+  }
+
+  test("coordinate-level garbage nulls the chain instead of throwing (ANSI)") {
+    // non-numeric coordinate, missing coordinate, empty vertex
+    val bad = Seq("POLYGON ((0 0, x 0, 4 4, 0 0))",
+      "POLYGON ((0 0, 4, 4 4, 0 0))",
+      "LINESTRING (0 0, oops 3)")
+    bad.take(2).toDF("wkt").select(GeoAlgebra.wktPolygonRing(col("wkt")))
+      .collect().foreach(r => assert(r.isNullAt(0)))
+    bad.take(2).toDF("wkt").select(GeoAlgebra.wktRings(col("wkt")))
+      .collect().foreach(r => assert(r.isNullAt(0)))
+    Seq(bad(2)).toDF("wkt").select(GeoAlgebra.wktLineString(col("wkt")))
+      .collect().foreach(r => assert(r.isNullAt(0)))
+    // and the measures follow: null, not an exception
+    bad.take(2).toDF("wkt").select(GeoAlgebra.stAreaWkt(col("wkt")))
+      .collect().foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("stCovers: boundary-inclusive — edges and vertices count, outside doesn't") {
+    val ring = GeoAlgebra.wktPolygonRing(lit(squareWkt))
+    val pts = Seq(
+      (2.0, 0.0, true),   // on bottom edge
+      (4.0, 4.0, true),   // vertex
+      (0.0, 3.0, true),   // on left edge
+      (2.0, 2.0, true),   // interior
+      (4.5, 2.0, false),  // outside, collinear with nothing
+      (5.0, 0.0, false),  // outside but collinear with the bottom edge line
+      (-1.0, 0.0, false)) // outside, collinear with bottom edge, other side
+      .toDF("px", "py", "want")
+    pts.select(GeoAlgebra.stCovers(ring, col("px"), col("py")).as("got"),
+        col("want")).collect()
+      .foreach(r => r.getBoolean(0) shouldBe r.getBoolean(1))
+    // covers ⊇ contains everywhere on a lattice sweep
+    val sweep = (0 to 20).flatMap(i => (0 to 20).map(j => (i * 0.25, j * 0.25)))
+      .toDF("px", "py")
+    sweep.filter(GeoAlgebra.stContains(ring, col("px"), col("py")) &&
+        !GeoAlgebra.stCovers(ring, col("px"), col("py"))).count() shouldBe 0L
+  }
+
+  test("stCoversWkt: a hole's boundary is covered, its interior is not") {
+    val donut = lit(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))")
+    val pts = Seq(
+      (3.0, 5.0, true),   // on the hole's boundary — covered (PostGIS)
+      (5.0, 5.0, false),  // inside the hole — not covered
+      (1.0, 1.0, true),   // in the annulus
+      (10.0, 10.0, true), // outer vertex
+      (11.0, 5.0, false)) // outside
+      .toDF("px", "py", "want")
+    pts.select(GeoAlgebra.stCoversWkt(donut, col("px"), col("py")).as("got"),
+        col("want")).collect()
+      .foreach(r => r.getBoolean(0) shouldBe r.getBoolean(1))
+  }
+
+  test("st_covers / st_area_geo / st_length_geo / st_dwithin_geo in SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"SELECT st_covers('$squareWkt', 2.0, 0.0)")
+      .as[Boolean].head() shouldBe true
+    spark.sql(s"SELECT st_covers('$squareWkt', 5.0, 0.0)")
+      .as[Boolean].head() shouldBe false
+    // quarter-meridian: equator to pole along a meridian = π·R/2
+    val quarter = spark.sql("SELECT st_length_geo('LINESTRING (0 0, 0 90)')")
+      .as[Double].head()
+    quarter shouldBe (math.Pi * 6371000.0 / 2.0 +- 1e-3)
+    val d = spark.sql(
+      "SELECT st_dwithin_geo('POINT (0 0)', 'POINT (0 1)', 111200.0)")
+      .as[Boolean].head()
+    d shouldBe true // one degree of latitude ≈ 111.195 km
+    spark.sql("SELECT st_area_geo('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')")
+      .as[Double].head() should be > 0.0
+  }
+
+  test("geodesic measures: known great-circle values, planar limit, holes") {
+    import graft.operators.Geo
+    // 1° of longitude along the equator = π·R/180
+    val oneDeg = Seq("LINESTRING (10 0, 11 0)").toDF("wkt")
+      .select(Geo.stLengthGeo(col("wkt"))).as[Double].head()
+    oneDeg shouldBe (math.Pi * 6371000.0 / 180.0 +- 1e-4)
+    // small square at the equator ≈ its planar area in meters
+    val mPerDeg = math.Pi * 6371000.0 / 180.0
+    val sq = Seq("POLYGON ((10 0, 10.1 0, 10.1 0.1, 10 0.1, 10 0))").toDF("wkt")
+    val area = sq.select(Geo.stAreaGeo(col("wkt"))).as[Double].head()
+    val planar = (0.1 * mPerDeg) * (0.1 * mPerDeg)
+    math.abs(area - planar) / planar should be < 1e-4
+    // perimeter of the same square ≈ 4 sides (meridian sides exact, the
+    // two parallel sides shrink by cos(lat) ≤ 1)
+    val perim = sq.select(Geo.stLengthGeo(col("wkt"))).as[Double].head()
+    perim shouldBe (0.4 * mPerDeg +- 0.4 * mPerDeg * 1e-4)
+    // holes subtract on the sphere exactly as on the plane
+    val withHole = Seq(("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0), " +
+      "(0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))")).toDF("wkt")
+    val full = Seq("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))").toDF("wkt")
+      .select(Geo.stAreaGeo(col("wkt"))).as[Double].head()
+    val hole = Seq("POLYGON ((0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))")
+      .toDF("wkt").select(Geo.stAreaGeo(col("wkt"))).as[Double].head()
+    val holed = withHole.select(Geo.stAreaGeo(col("wkt"))).as[Double].head()
+    holed shouldBe (full - hole +- 1e-6 * full)
+    // antimeridian-adjacent sanity: symmetric east/west rings agree
+    val east = Seq("POLYGON ((100 10, 101 10, 101 11, 100 11, 100 10))")
+      .toDF("wkt").select(Geo.stAreaGeo(col("wkt"))).as[Double].head()
+    val west = Seq("POLYGON ((-101 10, -100 10, -100 11, -101 11, -101 10))")
+      .toDF("wkt").select(Geo.stAreaGeo(col("wkt"))).as[Double].head()
+    east shouldBe (west +- 1e-6 * east)
+  }
+
+  test("containsJoin / nearestJoin tolerate caller __graft_* and grid-name columns") {
+    // a caller frame already carrying the old fixed working names must
+    // survive unharmed (the freshNamer discipline)
+    val pts = Seq((1L, 1.0, 1.0, "keepme")).toDF("pid", "x", "y", "__graft_gx_0")
+    val polys = Seq((10L, squareWkt)).toDF("gid", "wkt")
+      .select(col("gid"), GeoAlgebra.wktPolygonRing(col("wkt")).as("ring"))
+    val got = GeoAlgebra.containsJoin(pts, "x", "y", polys, "ring", cell = 2.0)
+    got.columns should contain("__graft_gx_0")
+    got.select("pid", "gid", "__graft_gx_0").as[(Long, Long, String)]
+      .collect().toSeq shouldBe Seq((1L, 10L, "keepme"))
+    val pois = Seq((7L, 1.1, 1.1)).toDF("poi", "qx", "qy")
+    val nn = GeoAlgebra.nearestJoin(pts, "pid", "x", "y",
+      pois, "qx", "qy", "poi", maxDist = 1.0)
+    nn.columns should contain("__graft_gx_0")
+    nn.select("pid", "poi").as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 7L))
+    // reserved output names are rejected eagerly, not clobbered
+    val clash = Seq((1L, 1.0, 1.0, 9.9)).toDF("pid", "x", "y", "dist")
+    an[IllegalArgumentException] should be thrownBy
+      GeoAlgebra.nearestJoin(clash, "pid", "x", "y",
+        pois, "qx", "qy", "poi", maxDist = 1.0)
   }
 
   test("containsJoin: oversized envelope fails loudly via the cell guard") {

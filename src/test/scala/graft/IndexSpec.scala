@@ -532,6 +532,41 @@ class IndexSpec extends SparkSpec {
     cand should contain(bruteIds.head)
   }
 
+  test("nsw: heuristic (keep-pruned) build — caps hold, exhaustive regime exact, bounded walk sound") {
+    // degree cap and shard-locality invariants survive Algorithm-4
+    // diverse selection
+    val idx = NSWIndex.build(data, "tid", "vectorfield",
+      nShards = 2, m = 6, efC = 24, ef = 24, heuristic = true)
+    val deg = idx.graph
+      .select(org.apache.spark.sql.functions.size(col("neighbors")).as("d"))
+      .agg(max("d")).head().getInt(0)
+    deg should be <= 12
+    val cand = idx.candidates(queryVec, 10, 2).collect().map(_.getLong(0))
+    cand.length should be <= 2 * 24
+    cand should contain(bruteIds.head)
+    // ef ≥ shard size: reachability repair + exhaustive walk still
+    // covers every node — the provable-degenerate guarantee is
+    // selection-strategy-independent
+    val n = data.count()
+    NSWIndex.build(data, "tid", "vectorfield",
+        nShards = 3, m = 2, efC = 4, ef = 100000, heuristic = true)
+      .candidates(queryVec, n.toInt).count() shouldBe n
+    // deterministic under partitioning, like the plain build
+    val a = NSWIndex.build(data.repartition(1), "tid", "vectorfield",
+      nShards = 3, m = 6, efC = 32, ef = 48, heuristic = true)
+    val b = NSWIndex.build(data.repartition(13), "tid", "vectorfield",
+      nShards = 3, m = 6, efC = 32, ef = 48, heuristic = true)
+    a.graph.orderBy("id").collect().map(r => (r.getLong(1), r.getSeq[Long](3).sorted))
+      .toSeq shouldBe
+      b.graph.orderBy("id").collect().map(r => (r.getLong(1), r.getSeq[Long](3).sorted)).toSeq
+    // extend carries the flag and still covers old + new
+    val ext = NSWIndex.build(data.filter(col("tid") < 250), "tid", "vectorfield",
+        nShards = 3, m = 2, efC = 4, ef = 100000, heuristic = true)
+      .extend(data.filter(col("tid") >= 250), "tid", "vectorfield")
+    ext.heuristic shouldBe true
+    ext.candidates(queryVec, n.toInt).count() shouldBe n
+  }
+
   test("bsq: sign codes rank by angle; packed query matches signPack; cosine-only") {
     val idx = BSQIndex.build(data, "tid", "vectorfield")
     // candidate phase = exact sign-mismatch ranking: verify against a
