@@ -79,7 +79,11 @@ object IndexOps {
         nCentroids = int("ncentroids", 16), optIters = int("optiters", 6))
       case "nsw" => NSWIndex.build(df, idCol, vecCol,
         nShards = int("nshards", 4), m = int("m", 8),
-        efC = int("efc", 64), ef = int("ef", 128))
+        efC = int("efc", 64), ef = int("ef", 128),
+        nProbes = int("nprobes", 1),
+        // HNSW Algorithm-4 diverse selection + keep-pruned-connections
+        // (the isotropic-recall build knob, SCALING.md run 29)
+        heuristic = int("heuristic", 0) != 0)
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     require(opts.isEmpty,

@@ -54,7 +54,8 @@ object IndexStore {
       case sq: SQIndex => (sq.codes, (sq.mins, sq.scales))
       case bsq: BSQIndex => (bsq.codes, bsq.dim)
       case opq: OPQIndex => (opq.codes, (opq.rotation, opq.codebooks, opq.subLen))
-      case nsw: NSWIndex => (nsw.graph, (nsw.nShards, nsw.m, nsw.ef, nsw.nProbes))
+      case nsw: NSWIndex =>
+        (nsw.graph, (nsw.nShards, nsw.m, nsw.ef, nsw.nProbes, nsw.heuristic))
       case other => throw new IllegalArgumentException(
         s"index type ${other.indexType} is not persistable")
     }
@@ -182,7 +183,9 @@ object IndexStore {
           (Array[Array[Double]], Array[Array[Array[Double]]], Int)]
         new OPQIndex(df, rot, books, subLen, meta.idCol)
       case ("nsw", b) => b match {
-        case (nShards: Int, m: Int, ef: Int, nProbes: Int) =>
+        case (nShards: Int, m: Int, ef: Int, nProbes: Int, heuristic: Boolean) =>
+          NSWIndex.fromSaved(df, nShards, m, ef, meta.idCol, nProbes, heuristic)
+        case (nShards: Int, m: Int, ef: Int, nProbes: Int) => // pre-heuristic
           NSWIndex.fromSaved(df, nShards, m, ef, meta.idCol, nProbes)
         case (nShards: Int, m: Int, ef: Int) => // pre-nProbes artifact
           NSWIndex.fromSaved(df, nShards, m, ef, meta.idCol)

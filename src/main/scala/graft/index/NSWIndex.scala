@@ -527,7 +527,8 @@ object NSWIndex {
 
   /** Rehydrate from a persisted graph relation (IndexStore). */
   def fromSaved(graph: DataFrame, nShards: Int, m: Int, ef: Int,
-                idCol: String, nProbes: Int = 1): NSWIndex =
+                idCol: String, nProbes: Int = 1,
+                heuristic: Boolean = false): NSWIndex =
     new NSWIndex(graph.repartition(nShards, col("shard")), nShards, m, ef,
-      idCol, nProbes)
+      idCol, nProbes, heuristic)
 }

@@ -218,6 +218,33 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("nsw heuristic/nprobes options flow through create and survive reload") {
+    import graft.api.IndexOps
+    val base = freshBase()
+    val e = Entity.create(spark, base, "nswh")
+    val rnd = new scala.util.Random(13)
+    e.insert((0 until 40).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat()))).toDF("id", "vec"))
+    val opts = Map("nshards" -> "2", "m" -> "4", "efc" -> "16", "ef" -> "256",
+      "nprobes" -> "2", "heuristic" -> "1")
+    val idx = IndexOps.create("nsw", e.read(), Entity.ApId, "vec", opts)
+      .asInstanceOf[graft.index.NSWIndex]
+    idx.heuristic shouldBe true
+    idx.nProbes shouldBe 2
+    e.saveIndex("nsw_vec", idx,
+      Map(IndexOps.InfoType -> "nsw", IndexOps.InfoAttribute -> "vec") ++ opts)
+    val back = e.loadIndex("nsw_vec").index.asInstanceOf[graft.index.NSWIndex]
+    back.heuristic shouldBe true
+    back.nProbes shouldBe 2
+    // the loaded graph answers exactly in the exhaustive regime
+    back.candidates(Seq.fill(6)(0.5), 40).count() shouldBe 40L
+    // a typo'd knob still fails loudly instead of building a default
+    an[IllegalArgumentException] should be thrownBy
+      IndexOps.create("nsw", e.read(), Entity.ApId, "vec",
+        Map("heuristics" -> "1"))
+    e.drop()
+  }
+
   test("compound attribute group: scans reassemble, point lookups ride the KV half") {
     val base = freshBase()
     val e = Entity.create(spark, base, "compnd")
