@@ -81,6 +81,12 @@ object JoinScaleProbe {
         (element_at(col("embedding"), 2).cast("double") * 40.0).as("poi_lng"))
     def geoCount(f: Int): Long =
       Geo.radiusJoin(geoPts(f), "lat", "lng", pois, "poi_lat", "poi_lng", 300000.0).count()
+    // geodesic k-NN: same grid candidates + a per-point window; output
+    // is bounded at k rows/point, so rows_Nx ≈ N · rows_1x and wall must
+    // stay ~linear (the window shuffles only radius-filtered pairs)
+    def geoNearestCount(f: Int): Long =
+      Geo.nearestJoinGeo(geoPts(f), "vec_id", "lat", "lng",
+        pois, "poi_lat", "poi_lng", "poi_id", 300000.0, k = 2).count()
 
     // interval overlap: sessions of two event types, users fresh per copy
     def overlapCount(f: Int): Long = {
@@ -118,7 +124,8 @@ object JoinScaleProbe {
     val probes: Seq[(String, Int => Long)] = Seq(
       ("asof_join", asofCount), ("range_join", rangeCount),
       ("geo_radius_join", geoCount), ("interval_overlap", overlapCount),
-      ("geo_contains_join", containsCount))
+      ("geo_contains_join", containsCount),
+      ("geo_nearest_geo", geoNearestCount))
 
     println(f"${"operator"}%-16s ${"rows_1x"}%10s ${"ms_1x"}%8s ${"rows_Nx"}%12s ${"ms_Nx"}%8s ratio")
     probes.foreach { case (name, run) =>

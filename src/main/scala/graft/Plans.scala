@@ -181,6 +181,7 @@ object Plans {
     ("geo_contains_join", "square-grid tile equi-join + exact raycast"),
     ("geo_buffer_contains", "buffer octagon tile equi-join"),
     ("geo_nearest_poi", "3x3-neighborhood grid equi-join + per-point window"),
+    ("geo_geodesic_nearest", "lat/lng radius-grid equi-join + per-point window"),
     ("fuzzy_name_pairs", "deletion-neighborhood variant equi-join + levenshtein verify"),
     ("fuzzy_typo_lookup", "typo variants equi-join the dictionary neighborhood"))
 

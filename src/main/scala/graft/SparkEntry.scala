@@ -1813,6 +1813,24 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "geo_geodesic_nearest" -> ((s, d) => {
+      // nearest-depot: each customer's 2 closest supplier depots by
+      // great-circle distance within 300 km — radius-grid candidates +
+      // per-point window, never a nested loop. Grid radius carries the
+      // 5 mm slack so the rounded cutoff is the ONLY cut both engines
+      // apply (the geo_radius_join convention).
+      val dep = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") % 19).cast("double") + 0.125).as("dep_lat"),
+        ((col("s_suppkey") % 23).cast("double") + 0.125).as("dep_lng"))
+      Geo.nearestJoinGeo(customerPoints(s, d), "c_custkey", "py", "px",
+          dep, "dep_lat", "dep_lng", "s_suppkey", 300000.005, k = 2)
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("nn_rank").cast("long").as("nn_rank"),
+          round(col("dist_m"), 2).as("dist_m"))
+        .filter(col("dist_m") <= 300000.0)
+        .orderBy("c_custkey", "nn_rank")
+    }),
+
     "geo_covers_boundary" -> ((s, d) => {
       // ST_Covers semantics: boundary-INCLUSIVE containment — customers
       // on the 0.25-lattice land exactly on the square's edges, where
@@ -5190,6 +5208,33 @@ object SparkEntry {
          |      FROM cp)
          |SELECT c_custkey, dist_m FROM d
          |WHERE dist_m <= 600000.0 ORDER BY c_custkey""".stripMargin
+    },
+
+    "geo_geodesic_nearest" -> {
+      def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
+      def gln(e: String) =
+        s"""radians(CASE WHEN fmod(fmod($e, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod($e, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod($e, 360.0) + 360.0, 360.0) END)""".stripMargin
+      // radiusJoin computes haversine(pointLat, pointLng, poiLat, poiLng)
+      val h =
+        s"""(power(sin((${gla("dlat")} - ${gla("py")}) / 2), 2)
+           | + cos(${gla("py")}) * cos(${gla("dlat")})
+           |   * power(sin((${gln("dlng")} - ${gln("px")}) / 2), 2))""".stripMargin
+      s"""WITH $customerPointsSql,
+         |dep AS (SELECT s_suppkey, (s_suppkey % 19) + 0.125 AS dlat,
+         |          (s_suppkey % 23) + 0.125 AS dlng FROM supplier),
+         |d AS (SELECT c_custkey, s_suppkey,
+         |        2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)) AS dm
+         |      FROM cp CROSS JOIN dep),
+         |r AS (SELECT c_custkey, s_suppkey, dm,
+         |        row_number() OVER (PARTITION BY c_custkey
+         |                           ORDER BY dm, s_suppkey) AS nn_rank
+         |      FROM d WHERE dm <= 300000.005)
+         |SELECT c_custkey, s_suppkey, CAST(nn_rank AS BIGINT) AS nn_rank,
+         |       round(dm, 2) AS dist_m
+         |FROM r WHERE nn_rank <= 2 AND round(dm, 2) <= 300000.0
+         |ORDER BY c_custkey, nn_rank""".stripMargin
     },
 
     // covers on an axis-aligned square IS the closed box; on-edge is the

@@ -1147,6 +1147,39 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
               round(GeoAlgebra.stDistanceLine(line, col(xCol), col(yCol)), 6))
             (if (req.has("dwithin")) d.filter(col("dist") <= req.get("dwithin").asDouble())
              else d).orderBy(idCol)
+          // geodesic (GEOGRAPHY-role) modes: x = longitude, y = latitude
+          // on the R = 6371 km sphere. covers = boundary-inclusive
+          // membership; dwithin_geo = great-circle radius filter around
+          // a WKT POINT; nearest_geo = k nearest of a POI list within
+          // the radius (grid equi-join + per-point window, no NLJ)
+          case "covers" =>
+            e.filter(GeoAlgebra.stCoversWkt(lit(req.get("wkt").asText()),
+                col(xCol).cast("double"), col(yCol).cast("double")))
+              .orderBy(idCol)
+          case "dwithin_geo" =>
+            val q = lit(req.get("wkt").asText())
+            val meters = req.get("meters").asDouble()
+            e.withColumn("dist_m", round(graft.operators.Geo.haversineMeters(
+                col(yCol), col(xCol), graft.operators.Geo.wktLat(q),
+                graft.operators.Geo.wktLng(q)), 2))
+              .filter(col("dist_m") <= meters)
+              .orderBy(idCol)
+          case "nearest_geo" =>
+            import scala.jdk.CollectionConverters._
+            val spark = e.sparkSession
+            import spark.implicits._
+            val pois = req.get("pois").elements().asScala.map(p =>
+              (p.get("id").asLong(), p.get("lat").asDouble(),
+                p.get("lng").asDouble())).toSeq
+              .toDF("poi_id", "ap_plat", "ap_plng")
+            graft.operators.Geo.nearestJoinGeo(
+                e.select(col(idCol), col(xCol), col(yCol)), idCol, yCol, xCol,
+                pois, "ap_plat", "ap_plng", "poi_id",
+                req.get("meters").asDouble(),
+                k = if (req.has("k")) req.get("k").asInt() else 1)
+              .select(col(idCol), col("poi_id"), col("nn_rank"),
+                round(col("dist_m"), 2).as("dist_m"))
+              .orderBy(col(idCol), col("nn_rank"))
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, dfg)

@@ -159,6 +159,15 @@ object Geo {
     require(maxCellsPerRow > 0, "maxCellsPerRow must be positive")
     val overlap = points.columns.toSet.intersect(pois.columns.toSet)
     require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
+    // output column is contract; internal grid columns are fresh names
+    // (the Sampling.freshNamer discipline — a caller's same-named column
+    // must neither be clobbered nor made join-ambiguous)
+    require(!points.columns.contains("dist_m") && !pois.columns.contains("dist_m"),
+      "output column 'dist_m' already exists on an input — rename it away")
+    val taken = (points.columns ++ pois.columns).toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"__graft_${base}_$i").filterNot(taken).next()
+    val (cLat, cLng) = (fresh("clat"), fresh("clng"))
     val dDeg = radiusMeters / MetersPerDeg
     // integral cells per longitude ring → the grid wraps EXACTLY at the
     // seam; cell width shrinks to ≤ dDeg, never widens, so the degree
@@ -178,8 +187,8 @@ object Geo {
       least(floor((normLng(c) + 180.0) / lngW), lit(nLng - 1)).cast("long")
 
     val p = points
-      .withColumn("ap_clat", cellOf(normLat(col(latCol))))
-      .withColumn("ap_clng", lngCell(col(lngCol)))
+      .withColumn(cLat, cellOf(normLat(col(latCol))))
+      .withColumn(cLng, lngCell(col(lngCol)))
 
     val lat0 = normLat(col(poiLatCol))
     val lng0s = normLng(col(poiLngCol)) + 180.0
@@ -208,13 +217,46 @@ object Geo {
       .otherwise(transform(sequence(lngLoRaw, guarded(lngHiRaw)),
         i => pmod(i, lit(nLng))))
     val b = pois
-      .withColumn("ap_clat", explode(sequence(latLo, latHi)))
-      .withColumn("ap_clng", explode(lngCells))
+      .withColumn(cLat, explode(sequence(latLo, latHi)))
+      .withColumn(cLng, explode(lngCells))
 
-    p.join(b, Seq("ap_clat", "ap_clng"))
+    p.join(b, Seq(cLat, cLng))
       .withColumn("dist_m", haversineMeters(col(latCol), col(lngCol),
         col(poiLatCol), col(poiLngCol)))
       .filter(col("dist_m") <= radiusMeters)
-      .drop("ap_clat", "ap_clng")
+      .drop(cLat, cLng)
+  }
+
+  /** Geodesic bounded k-nearest join: for each point, its `k` nearest
+    * pois by great-circle distance WITHIN `radiusMeters` — the
+    * nearest-depot / nearest-station shape, the spherical twin of
+    * [[GeoAlgebra.nearestJoin]]. Candidates come from [[radiusJoin]]'s
+    * lossless lat/lng grid (one hash equi-join, antimeridian-wrapping,
+    * never a nested loop); a per-point window keeps the k closest, ties
+    * broken on `poiKey`. Points with no poi inside the radius drop —
+    * the bounded contract that keeps the candidate set O(density·area)
+    * instead of O(|points|·|pois|). At scale the window shuffles only
+    * the radius-filtered pairs on the point key.
+    *
+    * Output: all point columns + `poiKey` + `dist_m` + `nn_rank`;
+    * other poi columns drop ([[GeoAlgebra.nearestJoin]] parity). */
+  def nearestJoinGeo(points: org.apache.spark.sql.DataFrame,
+                     pointKey: String, latCol: String, lngCol: String,
+                     pois: org.apache.spark.sql.DataFrame,
+                     poiLatCol: String, poiLngCol: String, poiKey: String,
+                     radiusMeters: Double, k: Int = 1,
+                     maxCellsPerRow: Long = 256L): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(!points.columns.contains("nn_rank") && !pois.columns.contains("nn_rank"),
+      "output column 'nn_rank' already exists on an input — rename it away")
+    val within = radiusJoin(points, latCol, lngCol, pois, poiLatCol, poiLngCol,
+      radiusMeters, maxCellsPerRow)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pointKey))
+      .orderBy(col("dist_m").asc, col(poiKey).asc)
+    within
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= k)
+      .drop(pois.columns.filter(c => c != poiKey): _*)
   }
 }

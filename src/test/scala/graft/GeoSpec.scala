@@ -70,6 +70,47 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("nearestJoinGeo == brute-force k-NN within radius; ranks; bounded drop") {
+    val pts = (0 until 120).map { i =>
+      (i.toLong, ((i * 37) % 160 - 80) * 0.9, ((i * 53) % 360 - 180) * 0.95)
+    }.toDF("pid", "lat", "lng")
+    val pois = (0 until 25).map { i =>
+      (1000L + i, ((i * 71) % 160 - 80) * 0.9, ((i * 29) % 360 - 180) * 0.95)
+    }.toDF("qid", "qlat", "qlng")
+    val radius = 2000000.0
+    val got = Geo.nearestJoinGeo(pts, "pid", "lat", "lng",
+        pois, "qlat", "qlng", "qid", radius, k = 2)
+      .select("pid", "qid", "nn_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: rank all in-radius pairs per point, keep 2
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pid").orderBy(col("dm").asc, col("qid").asc)
+    val want = pts.crossJoin(pois)
+      .withColumn("dm", Geo.haversineMeters(col("lat"), col("lng"),
+        col("qlat"), col("qlng")))
+      .filter(col("dm") <= radius)
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 2)
+      .select("pid", "qid", "nn_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe want
+    want.size should be > 0
+    // bounded contract: some point has no poi within a small radius
+    val small = Geo.nearestJoinGeo(pts, "pid", "lat", "lng",
+      pois, "qlat", "qlng", "qid", 50000.0, k = 1)
+    small.select("pid").distinct().count() should be < 120L
+    // output-name clash rejected eagerly
+    an[IllegalArgumentException] should be thrownBy
+      Geo.nearestJoinGeo(pts.withColumn("nn_rank", lit(1)), "pid", "lat",
+        "lng", pois, "qlat", "qlng", "qid", radius)
+    // a caller's __graft_* working-name column survives untouched
+    val marked = pts.withColumn("__graft_clat_0", lit("keep"))
+    Geo.nearestJoinGeo(marked, "pid", "lat", "lng",
+        pois, "qlat", "qlng", "qid", radius)
+      .select("__graft_clat_0").distinct().as[String].collect()
+      .toSeq shouldBe Seq("keep")
+  }
+
   test("radiusJoin wraps the antimeridian: pairs straddling ±180° join exactly once") {
     // 179.9° vs −179.9° is a 0.2° (~22 km) gap across the seam — a
     // non-wrapping grid puts them at opposite ends of the ring

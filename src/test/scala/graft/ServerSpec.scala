@@ -1153,6 +1153,36 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         |"wkt":"LINESTRING (0 0, 20 20)","dwithin":1.0}""".stripMargin)
     near.get("rows").elements().asScala.map(_.get("pid").asInt()).toSeq shouldBe
       Seq(1, 2, 3) // all on the diagonal; pid 4 is past the endpoint
+
+    // covers: pid 1 sits ON the square's corner-adjacent interior; a
+    // boundary point (10, 10) would be excluded by raw contains but
+    // covers includes edges — exercise with the on-edge fixture row
+    post("/entity/insert", """{"name":"geo","rows":[{"pid":5,"x":10.0,"y":5.0}]}""")
+    val cov = post("/pipeline/geo",
+      """{"entity":"geo","mode":"covers","xCol":"x","yCol":"y","idCol":"pid",
+        |"wkt":"POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"}""".stripMargin)
+    cov.get("rows").elements().asScala.map(_.get("pid").asInt()).toSeq shouldBe
+      Seq(1, 2, 5) // 5 is on the right edge — covered, not "contained"
+
+    // geodesic radius: x=lng, y=lat; the nearest other point (7,7) is
+    // ~780 km from (2,2), so a 250 km radius keeps only pid 1 (0 m)
+    val geo = post("/pipeline/geo",
+      """{"entity":"geo","mode":"dwithin_geo","xCol":"x","yCol":"y","idCol":"pid",
+        |"wkt":"POINT (2 2)","meters":250000.0}""".stripMargin)
+    geo.get("rows").elements().asScala.map(_.get("pid").asInt()).toSeq shouldBe
+      Seq(1)
+
+    // geodesic nearest: each row's closest depot within 1500 km
+    val nng = post("/pipeline/geo",
+      """{"entity":"geo","mode":"nearest_geo","xCol":"x","yCol":"y","idCol":"pid",
+        |"meters":1500000.0,"k":1,"pois":[
+        |{"id":100,"lat":2.0,"lng":2.0},{"id":200,"lat":12.0,"lng":12.0}]}""".stripMargin)
+    nng.get("rows").elements().asScala
+      .map(n => (n.get("pid").asInt(), n.get("poi_id").asInt())).toSeq shouldBe
+      Seq((1, 100), (2, 200), (3, 200), (5, 200))
+    // pid 2 (7,7) is marginally closer to depot 200 (781 vs 785 km —
+    // higher latitude shrinks the longitude arc); pid 4 (30,30) is
+    // ~2730 km from the nearest depot — the bounded-radius drop
   }
 
   override def afterAll(): Unit = {
