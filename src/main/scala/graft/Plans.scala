@@ -199,6 +199,7 @@ object Plans {
     ("geo_line_distance", "segment-distance kernel is a pure projection over the scan"),
     ("geo_polygon_stats", "shoelace measures are per-row kernels over the dim scan"),
     ("geo_geodesic_measures", "great-circle measures are per-row trig folds over the dim scan"),
+    ("geo_geodesic_buffer", "destination-point buffer + measures are per-row folds over the dim scan"),
     ("geo_geodesic_dwithin", "geodesic radius predicate is a pure filter over the scan"),
     ("geo_covers_boundary", "covers + on-segment tests are per-row folds over the scan"))
 

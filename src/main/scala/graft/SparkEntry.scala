@@ -1813,6 +1813,22 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "geo_geodesic_buffer" -> ((s, d) => {
+      // geodesic ST_Buffer(point): destination-point octagon at each
+      // depot's service radius, measured with the spherical kernels —
+      // every op trig-bearing, so both measures round (the buffer
+      // convention), per-row over the supplier dim scan.
+      val dep = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") % 19).cast("double") + 0.125).as("dlat"),
+        ((col("s_suppkey") % 23).cast("double") + 0.125).as("dlng"),
+        (lit(50000.0) + (col("s_suppkey") % 4).cast("double") * 25000.0).as("r"))
+      val ring = Geo.stBufferPointGeo(col("dlat"), col("dlng"), col("r"), 8)
+      dep.select(col("s_suppkey"),
+          round(Geo.lengthGeoMeters(ring), 2).as("perim_m"),
+          round(Geo.areaGeoSqMeters(ring) / 1e6, 2).as("area_km2"))
+        .orderBy("s_suppkey")
+    }),
+
     "geo_geodesic_nearest" -> ((s, d) => {
       // nearest-depot: each customer's 2 closest supplier depots by
       // great-circle distance within 300 km — radius-grid candidates +
@@ -5208,6 +5224,44 @@ object SparkEntry {
          |      FROM cp)
          |SELECT c_custkey, dist_m FROM d
          |WHERE dist_m <= 600000.0 ORDER BY c_custkey""".stripMargin
+    },
+
+    "geo_geodesic_buffer" -> {
+      def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
+      def gln(e: String) =
+        s"""radians(CASE WHEN fmod(fmod($e, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod($e, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod($e, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        s"""(power(sin((${gla("y2")} - ${gla("y1")}) / 2), 2)
+           | + cos(${gla("y1")}) * cos(${gla("y2")})
+           |   * power(sin((${gln("x2")} - ${gln("x1")}) / 2), 2))""".stripMargin
+      s"""WITH sup AS (SELECT s_suppkey, (s_suppkey % 19) + 0.125 AS dlat,
+         |               (s_suppkey % 23) + 0.125 AS dlng,
+         |               50000.0 + (s_suppkey % 4) * 25000.0 AS r FROM supplier),
+         |idx(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+         |b0 AS (SELECT s_suppkey, i, radians(dlat) AS p1, radians(dlng) AS l1,
+         |         r / 6371000.0 AS dl, 2.0 * pi() * i / 8.0 + pi() / 8.0 AS th
+         |       FROM sup CROSS JOIN idx),
+         |b1 AS (SELECT *, asin(sin(p1) * cos(dl) + cos(p1) * sin(dl) * cos(th)) AS p2
+         |       FROM b0),
+         |v AS (SELECT s_suppkey, i,
+         |        degrees(l1 + atan2(sin(th) * sin(dl) * cos(p1),
+         |                           cos(dl) - sin(p1) * sin(p2))) AS x,
+         |        degrees(p2) AS y
+         |      FROM b1),
+         |e AS (SELECT a.s_suppkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |      FROM v a JOIN v b ON a.s_suppkey = b.s_suppkey
+         |                       AND b.i = (a.i + 1) % 8),
+         |seg AS (SELECT s_suppkey,
+         |          2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)) AS len_m,
+         |          (radians(x2) - radians(x1))
+         |            * (2.0 + sin(radians(y1)) + sin(radians(y2))) AS aterm
+         |        FROM e)
+         |SELECT s_suppkey, round(sum(len_m), 2) AS perim_m,
+         |       round(abs(sum(aterm)) * 6371000.0 * 6371000.0 / 2.0
+         |             / 1000000.0, 2) AS area_km2
+         |FROM seg GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
     },
 
     "geo_geodesic_nearest" -> {

@@ -111,6 +111,36 @@ object Geo {
         (acc, r) => acc + lengthGeoMeters(r)))
   }
 
+  /** Closed regular-n-gon ring of great-circle DESTINATION points at
+    * `rMeters` around (lat, lng) — the geodesic `ST_Buffer(point)`
+    * analogue of [[GeoAlgebra.stBufferPoint]], via the standard
+    * direct-geodesy formulas on the sphere (aviation formulary):
+    * `φ₂ = asin(sin φ₁ cos δ + cos φ₁ sin δ cos θ)`,
+    * `λ₂ = λ₁ + atan2(sin θ sin δ cos φ₁, cos δ − sin φ₁ sin φ₂)`
+    * with `δ = r/R` and bearings rotated half a step off-axis (no
+    * vertex due north). Returns `array<struct<x:lng, y:lat>>` in
+    * degrees, closing vertex repeated — feed it [[areaGeoSqMeters]] /
+    * [[lengthGeoMeters]] or emit as WKT. Every vertex sits exactly
+    * `rMeters` from the center by construction. Longitudes are not
+    * re-wrapped: buffers touching the ±180° seam come back with
+    * |lng| > 180 (still correct for the distance/area kernels, which
+    * wrap internally). */
+  def stBufferPointGeo(lat: Column, lng: Column, rMeters: Column,
+                       n: Int = 8): Column = {
+    require(n >= 3, "buffer polygon needs at least 3 vertices")
+    val delta = rMeters.cast("double") / 6371000.0
+    val phi1 = radians(lat.cast("double"))
+    val lam1 = radians(lng.cast("double"))
+    transform(sequence(lit(0), lit(n)), i => {
+      val theta = lit(2.0) * lit(math.Pi) * (i % n).cast("double") / n.toDouble +
+        lit(math.Pi) / n.toDouble
+      val phi2 = asin(sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(theta))
+      val lam2 = lam1 + atan2(sin(theta) * sin(delta) * cos(phi1),
+        cos(delta) - sin(phi1) * sin(phi2))
+      struct(degrees(lam2).as("x"), degrees(phi2).as("y"))
+    })
+  }
+
   /** Great-circle distance in meters between two WKT `POINT (lng lat)`
     * values; null if either fails to parse. */
   def stDistanceGeo(wktA: Column, wktB: Column): Column =

@@ -111,6 +111,40 @@ class GeoSpec extends SparkSpec {
       .toSeq shouldBe Seq("keep")
   }
 
+  test("geodesic point buffer: vertices at exact radius, octagon measures, closure") {
+    val r = 80000.0
+    val ring = Seq((10.0, 20.0)).toDF("lat", "lng")
+      .select(Geo.stBufferPointGeo(col("lat"), col("lng"), lit(r), 8).as("ring"),
+        col("lat"), col("lng"))
+    // every vertex sits exactly r great-circle meters from the center
+    val devs = ring.select(explode(col("ring")).as("p"), col("lat"), col("lng"))
+      .select(abs(Geo.haversineMeters(col("p.y"), col("p.x"),
+        col("lat"), col("lng")) - r))
+      .as[Double].collect()
+    devs.length shouldBe 9
+    all(devs) should be < 1e-6
+    // closing vertex repeats the first exactly
+    val vs = ring.select(col("ring")).as[Seq[(Double, Double)]].head()
+    vs.head shouldBe vs.last
+    // regular-octagon limits: area -> (n/2)sin(2π/n)r², perimeter ->
+    // n·2r·sin(π/n) as r/R -> 0 (chord ≈ arc at 80 km)
+    val area = ring.select(Geo.areaGeoSqMeters(col("ring"))).as[Double].head()
+    val planarOct = 4.0 * math.sin(math.Pi / 4) * r * r
+    math.abs(area - planarOct) / planarOct should be < 1e-3
+    val perim = ring.select(Geo.lengthGeoMeters(col("ring"))).as[Double].head()
+    val planarPerim = 16.0 * r * math.sin(math.Pi / 8)
+    math.abs(perim - planarPerim) / planarPerim should be < 1e-3
+    // high latitude: the same invariant holds where lng degrees shrink
+    val hi = Seq((72.0, -150.0)).toDF("lat", "lng")
+      .select(Geo.stBufferPointGeo(col("lat"), col("lng"), lit(r), 6).as("ring"),
+        col("lat"), col("lng"))
+      .select(explode(col("ring")).as("p"), col("lat"), col("lng"))
+      .select(abs(Geo.haversineMeters(col("p.y"), col("p.x"),
+        col("lat"), col("lng")) - r))
+      .as[Double].collect()
+    all(hi) should be < 1e-6
+  }
+
   test("radiusJoin wraps the antimeridian: pairs straddling ±180° join exactly once") {
     // 179.9° vs −179.9° is a 0.2° (~22 km) gap across the seam — a
     // non-wrapping grid puts them at opposite ends of the ring
