@@ -167,9 +167,10 @@ object GraftFunctions {
           s"st_perimeter(wkt) expects 1 arg, got ${args.length}")
       },
       "st_centroid" -> {
+        // hole-aware (PostGIS semantics): holes subtract their
+        // area-weighted moments, MULTIPOLYGON parts sum
         case Seq(wkt) => geoSql(wkt)(w =>
-          graft.operators.GeoAlgebra.stCentroid(
-            graft.operators.GeoAlgebra.wktPolygonRing(w)))
+          graft.operators.GeoAlgebra.stCentroidWkt(w))
         case args => throw new IllegalArgumentException(
           s"st_centroid(wkt) expects 1 arg, got ${args.length}")
       },

@@ -134,6 +134,20 @@ object GeoAlgebra {
   def stLengthWkt(wkt: Column): Column =
     aggregate(wktRings(wkt), lit(0.0), (acc, r) => acc + stLength(r))
 
+  /** Hole-aware centroid of full WKT text (PostGIS `ST_Centroid`
+    * semantics): area-weighted moments, holes subtracting and
+    * MULTIPOLYGON parts summing — same shell·2 − Σ skeleton as
+    * [[stAreaWkt]], orientation-independent because each ring's moment
+    * is its |area|-weighted centroid. Undefined (NaN/null) for
+    * zero-total-area input; null on malformed text. */
+  def stCentroidWkt(wkt: Column): Column = {
+    def mom(f: Column => Column): Column =
+      areaWktWith(wkt, r => f(stCentroid(r)) * stArea(r))
+    val a = stAreaWkt(wkt)
+    struct((mom(_.getField("x")) / a).as("x"),
+      (mom(_.getField("y")) / a).as("y"))
+  }
+
   /** Literal-WKT containment: the codegen single-ring kernel when the
     * text is a plain POLYGON, the all-rings parity fold when holes or
     * MULTIPOLYGON parts are present (the fold wraps the kernel in an

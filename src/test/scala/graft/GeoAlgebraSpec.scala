@@ -471,6 +471,35 @@ class GeoAlgebraSpec extends SparkSpec {
       .foreach(r => r.getBoolean(0) shouldBe r.getBoolean(1))
   }
 
+  test("stCentroidWkt: holes subtract moments, multipolygon parts sum") {
+    def cOf(wkt: String): (Double, Double) = {
+      val c = Seq(wkt).toDF("wkt")
+        .select(GeoAlgebra.stCentroidWkt(col("wkt")).as("c"))
+        .select(col("c.x"), col("c.y")).head()
+      (c.getDouble(0), c.getDouble(1))
+    }
+    // single ring: plain centroid
+    cOf(squareWkt) shouldBe ((2.0, 2.0))
+    // symmetric hole: centroid unmoved
+    cOf("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(4 4, 6 4, 6 6, 4 6, 4 4))") shouldBe ((5.0, 5.0))
+    // offset hole: moments subtract — (100·5 − 4·7) / 96
+    val (hx, hy) = cOf("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(6 6, 8 6, 8 8, 6 8, 6 6))")
+    hx shouldBe ((100.0 * 5 - 4.0 * 7) / 96.0 +- 1e-12)
+    hy shouldBe hx
+    // multipolygon: area-weighted part centroids — (4·1 + 16·6)/20
+    val (mx, my) = cOf("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+      "((4 0, 8 0, 8 4, 4 4, 4 0)))")
+    mx shouldBe ((4.0 * 1 + 16.0 * 6) / 20.0 +- 1e-12)
+    my shouldBe ((4.0 * 1 + 16.0 * 2) / 20.0 +- 1e-12)
+    // and through SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("SELECT c.x FROM (SELECT st_centroid('POLYGON ((0 0, 10 0, " +
+        "10 10, 0 10, 0 0), (6 6, 8 6, 8 8, 6 8, 6 6))') AS c)")
+      .as[Double].head() shouldBe (hx +- 1e-12)
+  }
+
   test("st_covers / st_area_geo / st_length_geo / st_dwithin_geo in SQL") {
     graft.functions.GraftFunctions.register(spark)
     spark.sql(s"SELECT st_covers('$squareWkt', 2.0, 0.0)")

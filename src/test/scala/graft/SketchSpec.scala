@@ -207,6 +207,13 @@ class SketchSpec extends SparkSpec {
     val est = sketchOnly.collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getDouble(3)))).toMap
     est(("click", "view")) shouldBe ((4.0, 2.0)) // |∪|=4, |∩|=2, exact below k
+    // a NUMERIC group column works too (normalized to string, not a
+    // ClassCastException at collect)
+    val numeric = Seq((1, "u1"), (1, "u2"), (2, "u2"), (2, "u3"))
+      .toDF("t", "u")
+    val byNum = graft.operators.Sketches.audienceOverlap(numeric, "t", "u", k = 64)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    byNum(("1", "2")) shouldBe 1.0 // u2 shared
   }
 
   test("sketches are callable from SQL") {
