@@ -113,6 +113,20 @@ object AnnScaleProbe {
     nswH4.release()
     nswH.release()
 
+    // budget ladder: what (m, efC, ef) reaches ~0.9 on the isotropic
+    // worst case with the heuristic build — documents the knob cost in
+    // SCALING.md instead of leaving "below 0.9" open-ended
+    Seq((8, 128, 256), (16, 128, 256)).foreach { case (mB, efCB, efB) =>
+      val (g, tB) = time(NSWIndex.build(emb, "vec_id", "embedding",
+        nShards = nShards, m = mB, efC = efCB, ef = efB, heuristic = true))
+      val (ids2, _, tQ) = timed3(
+        g.knn(emb, "vec_id", edist, q, k).select("vec_id")
+          .collect().map(_.getLong(0)).toSet)
+      println(f"[ann-scale] nsw heur m=$mB%2d efC=$efCB ef=$efB  query=$tQ%6.2f s  build=$tB%6.2f s  " +
+        f"recall=${truth.intersect(ids2).size.toDouble / k}%.3f")
+      g.release()
+    }
+
     // BSQ ranks by angle — score it against the cosine ground truth
     val cdist = Distances.cosine(col("embedding"), Distances.vecLit(q))
     val cosTruth = Knn.knn(emb, cdist, k, col("vec_id"))

@@ -214,6 +214,30 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"st_length_geo(wkt) expects 1 arg, got ${args.length}")
       },
+      // buffer constructors: POINT buffers as WKT polygon text — planar
+      // n-gon and geodesic destination-point ring (x=lng, y=lat, meters)
+      "st_buffer_point" -> {
+        case Seq(x, y, r) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.GeoAlgebra.wktPolygon(
+              graft.operators.GeoAlgebra.stBufferPoint(
+                org.apache.spark.sql.graft.Bridge.column(x),
+                org.apache.spark.sql.graft.Bridge.column(y),
+                org.apache.spark.sql.graft.Bridge.column(r))))
+        case args => throw new IllegalArgumentException(
+          s"st_buffer_point(x, y, r) expects 3 args, got ${args.length}")
+      },
+      "st_buffer_point_geo" -> {
+        case Seq(lng, lat, m) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.GeoAlgebra.wktPolygon(
+              graft.operators.Geo.stBufferPointGeo(
+                org.apache.spark.sql.graft.Bridge.column(lat),
+                org.apache.spark.sql.graft.Bridge.column(lng),
+                org.apache.spark.sql.graft.Bridge.column(m))))
+        case args => throw new IllegalArgumentException(
+          s"st_buffer_point_geo(lng, lat, meters) expects 3 args, got ${args.length}")
+      },
       "st_distance_geo" -> {
         case Seq(a, b) =>
           org.apache.spark.sql.graft.Bridge.expressionEager(

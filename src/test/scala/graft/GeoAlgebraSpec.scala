@@ -516,6 +516,15 @@ class GeoAlgebraSpec extends SparkSpec {
     d shouldBe true // one degree of latitude ≈ 111.195 km
     spark.sql("SELECT st_area_geo('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')")
       .as[Double].head() should be > 0.0
+    // buffer constructors emit WKT that round-trips through the parsers
+    val bufArea = spark.sql(
+      "SELECT st_area(st_buffer_point(3.0, 4.0, 2.0))").as[Double].head()
+    bufArea shouldBe (4.0 * math.sin(math.Pi / 4) * 4.0 +- 1e-9) // octagon r=2
+    val geoArea = spark.sql(
+      "SELECT st_area_geo(st_buffer_point_geo(10.0, 20.0, 50000.0))")
+      .as[Double].head()
+    val oct = 4.0 * math.sin(math.Pi / 4) * 50000.0 * 50000.0
+    math.abs(geoArea - oct) / oct should be < 1e-3
   }
 
   test("geodesic measures: known great-circle values, planar limit, holes") {
