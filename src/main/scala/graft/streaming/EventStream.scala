@@ -444,6 +444,32 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col(fenceKey), col("cnt"))
 
+  /** STREAMING geodesic proximity alerts — the GEOGRAPHY-role twin of
+    * [[geofenceCounts]]: tag each event with every POI within
+    * `radiusMeters` great-circle distance of its (lat, lng), then count
+    * per (poi, tumbling window). The Haversine predicate
+    * ([[graft.operators.Geo.withinRadius]]) evaluates against a
+    * BROADCAST static POI dim, so tagging carries ZERO streaming state
+    * and no stream-side shuffle; the watermarked windowed count is the
+    * only stateful stage. An event inside k POIs' radii counts toward
+    * all k. POI sets too large to broadcast should pre-bucket on
+    * [[graft.operators.Geo.radiusJoin]]'s lat/lng grid instead — for
+    * the dim-sized POI tables this models, the broadcast is the right
+    * plan. */
+  def geoRadiusAlerts(events: DataFrame, latCol: String, lngCol: String,
+                      tsCol: String, pois: DataFrame, poiKey: String,
+                      poiLatCol: String, poiLngCol: String,
+                      radiusMeters: Double,
+                      window_ : String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .join(broadcast(pois),
+        graft.operators.Geo.withinRadius(col(latCol), col(lngCol),
+          col(poiLatCol), col(poiLngCol), lit(radiusMeters)))
+      .groupBy(window(col(tsCol), window_), col(poiKey))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(poiKey), col("cnt"))
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 

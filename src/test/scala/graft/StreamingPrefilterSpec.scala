@@ -67,6 +67,40 @@ class StreamingPrefilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming geodesic radius alerts match a batch replay; overlap counts twice") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Geo
+    // two depots ~157 km apart (1° lat + 1° lng at the equator); a
+    // 200 km radius overlaps between them
+    val pois = Seq((10L, 0.0, 0.0), (20L, 1.0, 1.0))
+      .toDF("poi_id", "plat", "plng")
+    val mem = MemoryStream[(Long, Timestamp, Double, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "lat", "lng")
+    val q = EventStream.geoRadiusAlerts(events, "lat", "lng", "ts",
+        pois, "poi_id", "plat", "plng", 200000.0, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("georadius")
+      .outputMode("update").start()
+    try {
+      val rows = Seq(
+        (1L, ts(5), 0.1, 0.1),   // near depot 10; ~141 km from 20 → both
+        (2L, ts(10), 1.0, 1.0),  // at depot 20; ~157 km from 10 → both
+        (3L, ts(15), 1.5, 1.5),  // ~78 km from depot 20 only
+        (4L, ts(20), 10.0, 10.0)) // nowhere
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("georadius").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val batch = rows.toDF("event_id", "ts", "lat", "lng")
+        .join(broadcast(pois), Geo.withinRadius(col("lat"), col("lng"),
+          col("plat"), col("plng"), lit(200000.0)))
+        .groupBy("poi_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe batch
+      got.map(_._1) shouldBe Set(10L, 20L)
+      got.toMap.apply(20L) shouldBe 3L // events 1, 2, 3
+    } finally q.stop()
+  }
+
   test("windowed KMV distinct-users matches a batch replay of the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Long)]
