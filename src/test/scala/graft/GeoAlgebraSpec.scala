@@ -560,6 +560,35 @@ class GeoAlgebraSpec extends SparkSpec {
     east shouldBe (west +- 1e-6 * east)
   }
 
+  test("geodesic area property: lat/lng rectangles equal the closed-form spherical area") {
+    // for a rectangle [λ1,λ2]×[φ1,φ2] the Chamberlain–Duquette line
+    // integral telescopes EXACTLY to R²·Δλ·(sin φ2 − sin φ1) — the
+    // classic spherical-zone area; random rectangles must agree to
+    // fp round-off, not just approximation error
+    import graft.operators.Geo
+    val rnd = new scala.util.Random(7)
+    val R = 6371000.0
+    val cases = (1 to 25).map { _ =>
+      val lng1 = rnd.nextDouble() * 300 - 150
+      val lat1 = rnd.nextDouble() * 140 - 70
+      val dLng = rnd.nextDouble() * 20 + 0.01
+      val dLat = rnd.nextDouble() * 15 + 0.01
+      (lng1, lat1, math.min(170.0, lng1 + dLng), math.min(85.0, lat1 + dLat))
+    }
+    val wkts = cases.map { case (x1, y1, x2, y2) =>
+      s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+    }
+    val got = wkts.toDF("wkt").select(Geo.stAreaGeo(col("wkt")))
+      .as[Double].collect()
+    got.zip(cases).foreach { case (a, (x1, y1, x2, y2)) =>
+      val want = R * R * math.toRadians(x2 - x1) *
+        (math.sin(math.toRadians(y2)) - math.sin(math.toRadians(y1)))
+      withClue(s"rect ($x1,$y1)-($x2,$y2): ") {
+        math.abs(a - want) / want should be < 1e-9
+      }
+    }
+  }
+
   test("containsJoin / nearestJoin tolerate caller __graft_* and grid-name columns") {
     // a caller frame already carrying the old fixed working names must
     // survive unharmed (the freshNamer discipline)
