@@ -64,7 +64,7 @@ object Plans {
     ("repeated_chunks", "start offsets explode before window hashing; one groupBy",
       Seq("Generate explode", "md5", "HashAggregate")),
     // the assignment (sort_array centroid kernel) is materialized ONCE
-    // via localCheckpoint — both self-join sides must read the
+    // via Materialize — both self-join sides must read the
     // checkpointed RDD, never recompute the k-kernel projection
     ("semantic_dedup", "checkpointed assignment feeds both pair-join sides (no recompute)",
       Seq("Scan ExistingRDD")),
@@ -132,7 +132,7 @@ object Plans {
     // a pushed-filter scan
     ("distinct_overlap", "exact overlap leg broadcasts + partial-aggregates",
       Seq("BroadcastHashJoin", "partial_count", "PushedFilters")),
-    // the pair relation is materialized ONCE via localCheckpoint (the
+    // the pair relation is materialized ONCE via Materialize (the
     // cached hash relation feeds counts + both self-join sides, then is
     // released) — the returned plan must read the checkpointed RDD, never
     // recompute the rolling-hash kernel per consumer

@@ -1644,8 +1644,8 @@ object SparkEntry {
       // final anti-join — materialize it ONCE, call-scoped, or the
       // quality scan + dedup window + join replay per reference (same
       // pattern as dedupPipeline's internal checkpoint)
-      val joined = ex.join(emb, col("doc_id") === col("vec_id"))
-        .localCheckpoint(true)
+      val joined = graft.core.Materialize(
+        ex.join(emb, col("doc_id") === col("vec_id")))
       val surv = Ann.semanticDedupSurvivors(joined, "doc_id", "embedding",
         seedCentroids(emb, 16), 0.35)
       Packing.chunkAssignments(

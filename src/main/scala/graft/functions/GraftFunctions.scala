@@ -268,6 +268,17 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"st_intersects(wktA, wktB) expects 2 args, got ${args.length}")
       },
+      "st_intersects_inclusive" -> {
+        case Seq(wktA, wktB) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.GeoAlgebra.stIntersectsInclusive(
+              graft.operators.GeoAlgebra.wktPolygonRing(
+                org.apache.spark.sql.graft.Bridge.column(wktA)),
+              graft.operators.GeoAlgebra.wktPolygonRing(
+                org.apache.spark.sql.graft.Bridge.column(wktB))))
+        case args => throw new IllegalArgumentException(
+          s"st_intersects_inclusive(wktA, wktB) expects 2 args, got ${args.length}")
+      },
       "st_intersection_area" -> {
         case Seq(wktA, wktB) =>
           org.apache.spark.sql.graft.Bridge.expressionEager(

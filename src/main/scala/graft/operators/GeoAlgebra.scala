@@ -260,7 +260,9 @@ object GeoAlgebra {
   /** Polygon-polygon intersection for simple rings in general position:
     * some edge pair properly crosses, or one ring's first vertex lies
     * inside the other (covers full containment). O(|A|·|B|) per row —
-    * rings are small attribute payloads, not relations. */
+    * rings are small attribute payloads, not relations. Boundary-
+    * touching without proper crossing may report disjoint — use
+    * [[stIntersectsInclusive]] when touch must count. */
   def stIntersects(ringA: Column, ringB: Column): Column = {
     val edgeCross = exists(edges(ringA), ea =>
       exists(edges(ringB), eb => properCross(ea, eb)))
@@ -270,6 +272,21 @@ object GeoAlgebra {
       stContains(ringB, a0.getField("x"), a0.getField("y")) ||
       stContains(ringA, b0.getField("x"), b0.getField("y"))
   }
+
+  /** Boundary-INCLUSIVE polygon-polygon intersects — the PostGIS
+    * `ST_Intersects` convention where mere TOUCHING counts:
+    * [[stIntersects]]' general-position test OR'd with an exact
+    * vertex-on-boundary sweep in both directions. Complete for simple
+    * closed polygons: two boundaries that meet do so either at a proper
+    * crossing (detected by the orientation test) or at a point that is
+    * a VERTEX of at least one ring (two non-collinear segments meeting
+    * at a non-endpoint interior point of both cross properly; collinear
+    * overlap puts an endpoint of one inside the other) — and every such
+    * vertex trips [[stOnBoundary]]. Same O(|A|·|B|) class. */
+  def stIntersectsInclusive(ringA: Column, ringB: Column): Column =
+    stIntersects(ringA, ringB) ||
+      exists(ringA, p => stOnBoundary(ringB, p.getField("x"), p.getField("y"))) ||
+      exists(ringB, p => stOnBoundary(ringA, p.getField("x"), p.getField("y")))
 
   // ---- measures ----------------------------------------------------------
 

@@ -560,6 +560,37 @@ class GeoAlgebraSpec extends SparkSpec {
     east shouldBe (west +- 1e-6 * east)
   }
 
+  test("stIntersectsInclusive: touching counts — shared vertex, shared edge, tangent") {
+    def rings(a: String, b: String) = Seq((a, b)).toDF("a", "b")
+      .select(GeoAlgebra.wktPolygonRing(col("a")).as("ra"),
+        GeoAlgebra.wktPolygonRing(col("b")).as("rb"))
+    def check(a: String, b: String): (Boolean, Boolean) = {
+      val r = rings(a, b).select(
+        GeoAlgebra.stIntersects(col("ra"), col("rb")),
+        GeoAlgebra.stIntersectsInclusive(col("ra"), col("rb"))).head()
+      (r.getBoolean(0), r.getBoolean(1))
+    }
+    val sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    // corner touch at (2,2): general-position test misses, inclusive hits
+    check(sq, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))") shouldBe ((false, true))
+    // shared edge x=2: inclusive hits
+    check(sq, "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))") shouldBe ((false, true))
+    // vertex of B on A's edge interior (tangent): inclusive hits
+    check(sq, "POLYGON ((2 1, 4 0, 4 2, 2 1))") shouldBe ((false, true))
+    // proper overlap: both
+    check(sq, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))") shouldBe ((true, true))
+    // containment: both
+    check(sq, "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))") shouldBe
+      ((true, true))
+    // disjoint: neither
+    check(sq, "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))") shouldBe ((false, false))
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"SELECT st_intersects_inclusive('$sq', " +
+        "'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))')")
+      .as[Boolean].head() shouldBe true
+  }
+
   test("geodesic area property: lat/lng rectangles equal the closed-form spherical area") {
     // for a rectangle [λ1,λ2]×[φ1,φ2] the Chamberlain–Duquette line
     // integral telescopes EXACTLY to R²·Δλ·(sin φ2 − sin φ1) — the
