@@ -29,9 +29,10 @@ import org.apache.spark.sql.types._
   * fallback, edges walked first-to-last.
   */
 object GeoKernel {
-  val Contains = "contains"   // boolean even-odd raycast
-  val Dist2 = "dist2"         // min squared distance to the edge chain
-  val All: Set[String] = Set(Contains, Dist2)
+  val Contains = "contains"       // boolean even-odd raycast
+  val Dist2 = "dist2"             // min squared distance to the edge chain
+  val OnBoundary = "on_boundary"  // exact on-segment test (covers support)
+  val All: Set[String] = Set(Contains, Dist2, OnBoundary)
 
   def apply(kind: String, chain: Column, px: Column, py: Column): Column =
     Bridge.column(GeoPointExpr(Bridge.expression(chain),
@@ -58,7 +59,7 @@ case class GeoPointExpr(first: Expression, second: Expression,
   }
 
   override def dataType: DataType =
-    if (kind == GeoKernel.Contains) BooleanType else DoubleType
+    if (kind == GeoKernel.Dist2) DoubleType else BooleanType
 
   override def prettyName: String = s"poly_$kind"
 
@@ -109,6 +110,20 @@ case class GeoPointExpr(first: Expression, second: Expression,
           i += 1
         }
         acc
+      case GeoKernel.OnBoundary =>
+        var hit = false
+        var i = 0
+        while (!hit && i < n - 1) {
+          val a = chain.getStruct(i, 2)
+          val b = chain.getStruct(i + 1, 2)
+          val ax = a.getDouble(0); val ay = a.getDouble(1)
+          val bx = b.getDouble(0); val by = b.getDouble(1)
+          hit = (bx - ax) * (py - ay) - (by - ay) * (px - ax) == 0.0 &&
+            px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+            py >= math.min(ay, by) && py <= math.max(ay, by)
+          i += 1
+        }
+        hit
     }
   }
 
@@ -158,6 +173,19 @@ case class GeoPointExpr(first: Expression, second: Expression,
              |  if (d < $acc) $acc = d;
              |}
              |${ev.value} = $acc;""".stripMargin
+        case GeoKernel.OnBoundary =>
+          val hit = ctx.freshName("hit")
+          s"""boolean $hit = false;
+             |for (int $i = 0; !$hit && $i < $n - 1; $i++) {
+             |  $a = $chain.getStruct($i, 2);
+             |  $b = $chain.getStruct($i + 1, 2);
+             |  double ax = $a.getDouble(0); double ay = $a.getDouble(1);
+             |  double bx = $b.getDouble(0); double by = $b.getDouble(1);
+             |  $hit = (bx - ax) * ($py - ay) - (by - ay) * ($px - ax) == 0.0 &&
+             |    $px >= java.lang.Math.min(ax, bx) && $px <= java.lang.Math.max(ax, bx) &&
+             |    $py >= java.lang.Math.min(ay, by) && $py <= java.lang.Math.max(ay, by);
+             |}
+             |${ev.value} = $hit;""".stripMargin
       }
       header + "\n" + body
     })

@@ -298,6 +298,14 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"poly_contains(ring, px, py) expects 3 args, got ${args.length}")
       },
+      "poly_on_boundary" -> {
+        case Seq(chain, px, py) => GeoPointExpr(chain,
+          org.apache.spark.sql.catalyst.expressions.Cast(px, org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(py, org.apache.spark.sql.types.DoubleType),
+          GeoKernel.OnBoundary)
+        case args => throw new IllegalArgumentException(
+          s"poly_on_boundary(chain, px, py) expects 3 args, got ${args.length}")
+      },
       "poly_dist2" -> {
         case Seq(chain, px, py) => GeoPointExpr(chain,
           org.apache.spark.sql.catalyst.expressions.Cast(px, org.apache.spark.sql.types.DoubleType),

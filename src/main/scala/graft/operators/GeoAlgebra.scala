@@ -209,7 +209,13 @@ object GeoAlgebra {
     * mantissa, the same contract as [[stIntersects]]'s orientation
     * tests. Works on closed rings (boundary membership) and open
     * linestrings alike. */
-  def stOnBoundary(chain: Column, px: Column, py: Column): Column = {
+  def stOnBoundary(chain: Column, px: Column, py: Column): Column =
+    graft.functions.GeoKernel(graft.functions.GeoKernel.OnBoundary,
+      chain, px.cast("double"), py.cast("double"))
+
+  /** HOF twin of [[stOnBoundary]] — the independently-written reference
+    * the codegen kernel is spec-checked against. */
+  private[graft] def stOnBoundaryFold(chain: Column, px: Column, py: Column): Column = {
     val x = px.cast("double"); val y = py.cast("double")
     exists(edges(chain), e => {
       val ax = e.getField("ax"); val ay = e.getField("ay")

@@ -198,6 +198,14 @@ class GeoAlgebraSpec extends SparkSpec {
       graft.functions.GeoKernel(graft.functions.GeoKernel.Dist2, line, col("x"), col("y")).as("k"),
       GeoAlgebra.boundaryDist2Fold(line, col("x"), col("y")).as("f"))
     d2.filter(col("k") =!= col("f")).count() shouldBe 0L
+    // on_boundary kernel == its fold on the same sweep (the 0.25/0.5
+    // lattice lands points exactly on star edges and vertices)
+    val ob = pts.filter(
+      GeoAlgebra.stOnBoundary(col("ring"), col("x"), col("y")) =!=
+        GeoAlgebra.stOnBoundaryFold(col("ring"), col("x"), col("y"))).count()
+    ob shouldBe 0L
+    pts.filter(GeoAlgebra.stOnBoundary(col("ring"), col("x"), col("y")))
+      .count() should be > 0L // the sweep actually hits boundary points
     // the kernel reaches the executed plan over a REAL scan (a local
     // relation would be constant-folded away) — not CodegenFallback
     val plan = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
