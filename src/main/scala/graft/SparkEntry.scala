@@ -1813,6 +1813,31 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "geo_tiling_adjacency" -> ((s, d) => {
+      // boundary-inclusive intersects under the oracle gate: nations as
+      // a 5×5 tiling of side-2 squares whose neighbors share edges or
+      // corners — interiors are disjoint, so the general-position test
+      // reports every distinct pair disjoint while the inclusive sweep
+      // reports exactly the grid adjacency (which the oracle states as
+      // pure integer arithmetic, no geometry needed). 25×25 broadcast
+      // dim pairs — the geo_polygon_intersects precedent.
+      val tiles = Tables.nation(s, d).select(col("n_nationkey"),
+        GeoAlgebra.wktPolygon(offsetRing(
+          (col("n_nationkey") % 5).cast("double") * 2.0 + 1.0,
+          floor(col("n_nationkey") / lit(5.0)) * 2.0 + 1.0, lit(1.0),
+          Seq((-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)))).as("wkt"))
+      val a = tiles.select(col("n_nationkey").as("n_a"),
+        GeoAlgebra.wktPolygonRing(col("wkt")).as("ring_a"))
+      val b = tiles.select(col("n_nationkey").as("n_b"),
+        GeoAlgebra.wktPolygonRing(col("wkt")).as("ring_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("n_a") < col("n_b"))
+        .filter(GeoAlgebra.stIntersectsInclusive(col("ring_a"), col("ring_b")) &&
+          !GeoAlgebra.stIntersects(col("ring_a"), col("ring_b")))
+        .select("n_a", "n_b")
+        .orderBy("n_a", "n_b")
+    }),
+
     "geo_geodesic_buffer" -> ((s, d) => {
       // geodesic ST_Buffer(point): destination-point octagon at each
       // depot's service radius, measured with the spherical kernels —
@@ -5225,6 +5250,17 @@ object SparkEntry {
          |SELECT c_custkey, dist_m FROM d
          |WHERE dist_m <= 600000.0 ORDER BY c_custkey""".stripMargin
     },
+
+    // interiors of a tiling are disjoint, so inclusive-minus-plain
+    // intersects IS the 8-neighbor grid adjacency — statable exactly in
+    // integer arithmetic, no geometry replay needed
+    "geo_tiling_adjacency" ->
+      """WITH g AS (SELECT n_nationkey, n_nationkey % 5 AS gx,
+        |             CAST(floor(n_nationkey / 5.0) AS BIGINT) AS gy FROM nation)
+        |SELECT a.n_nationkey AS n_a, b.n_nationkey AS n_b
+        |FROM g a JOIN g b ON a.n_nationkey < b.n_nationkey
+        | AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+        |ORDER BY n_a, n_b""".stripMargin,
 
     "geo_geodesic_buffer" -> {
       def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
