@@ -121,11 +121,35 @@ object JoinScaleProbe {
         fences, "ring", cell = 1.0).count()
     }
 
+    // polygon×polygon grid join: copies shift SPATIALLY (fresh y band
+    // per copy) so density per cell stays constant and true pairs scale
+    // ×N — a non-shifted copy set would overlap identically and grow
+    // pairs ×N², measuring the fixture, not the plan
+    def fencePolys(f: Int, tag: String): DataFrame = {
+      val base = Tables.supplier(spark, sfDir).select(
+        col("s_suppkey"),
+        ((col("s_suppkey") % 23).cast("double") + 0.125).as("fx"),
+        ((col("s_suppkey") % 19).cast("double") + 0.125).as("fy"),
+        (lit(1.0) + (col("s_suppkey") % 4).cast("double") * 0.5).as("fr"))
+      val shifted = if (f == 1) base.withColumn("ap_copy", lit(0L))
+        else copies(base)
+      shifted.select(
+        (col("s_suppkey") + col("ap_copy") * 1000000000L).as(s"${tag}_id"),
+        graft.operators.GeoAlgebra.stBufferPoint(col("fx"),
+          col("fy") + col("ap_copy").cast("double") * 100.0, col("fr"), 8)
+          .as(s"${tag}_ring"))
+    }
+    def polyJoinCount(f: Int): Long =
+      graft.operators.GeoAlgebra.intersectsJoin(
+        fencePolys(f, "pa"), "pa_ring", fencePolys(f, "pb"), "pb_ring",
+        cell = 4.0).count()
+
     val probes: Seq[(String, Int => Long)] = Seq(
       ("asof_join", asofCount), ("range_join", rangeCount),
       ("geo_radius_join", geoCount), ("interval_overlap", overlapCount),
       ("geo_contains_join", containsCount),
-      ("geo_nearest_geo", geoNearestCount))
+      ("geo_nearest_geo", geoNearestCount),
+      ("geo_intersects_join", polyJoinCount))
 
     println(f"${"operator"}%-16s ${"rows_1x"}%10s ${"ms_1x"}%8s ${"rows_Nx"}%12s ${"ms_Nx"}%8s ratio")
     probes.foreach { case (name, run) =>

@@ -182,6 +182,7 @@ object Plans {
     ("geo_buffer_contains", "buffer octagon tile equi-join"),
     ("geo_nearest_poi", "3x3-neighborhood grid equi-join + per-point window"),
     ("geo_geodesic_nearest", "lat/lng radius-grid equi-join + per-point window"),
+    ("geo_tiling_adjacency_join", "tile equi-join + min-common-tile report-once, polygon x polygon"),
     ("fuzzy_name_pairs", "deletion-neighborhood variant equi-join + levenshtein verify"),
     ("fuzzy_typo_lookup", "typo variants equi-join the dictionary neighborhood"))
 

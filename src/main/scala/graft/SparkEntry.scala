@@ -1838,6 +1838,25 @@ object SparkEntry {
         .orderBy("n_a", "n_b")
     }),
 
+    "geo_tiling_adjacency_join" -> ((s, d) => {
+      // the SAME adjacency through the big×big path: grid-partitioned
+      // polygon-polygon intersects JOIN (PBSM report-once — each pair
+      // from its min common tile, no distinct) instead of the broadcast
+      // cross product. Identical oracle = the two paths must agree.
+      val tiles = Tables.nation(s, d).select(col("n_nationkey"),
+        GeoAlgebra.wktPolygonRing(GeoAlgebra.wktPolygon(offsetRing(
+          (col("n_nationkey") % 5).cast("double") * 2.0 + 1.0,
+          floor(col("n_nationkey") / lit(5.0)) * 2.0 + 1.0, lit(1.0),
+          Seq((-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0))))).as("ring"))
+      val a = tiles.select(col("n_nationkey").as("n_a"), col("ring").as("ring_a"))
+      val b = tiles.select(col("n_nationkey").as("n_b"), col("ring").as("ring_b"))
+      GeoAlgebra.intersectsJoin(a, "ring_a", b, "ring_b",
+          cell = 2.0, inclusive = true)
+        .filter(col("n_a") < col("n_b"))
+        .select("n_a", "n_b")
+        .orderBy("n_a", "n_b")
+    }),
+
     "geo_geodesic_buffer" -> ((s, d) => {
       // geodesic ST_Buffer(point): destination-point octagon at each
       // depot's service radius, measured with the spherical kernels —
@@ -5255,6 +5274,14 @@ object SparkEntry {
     // intersects IS the 8-neighbor grid adjacency — statable exactly in
     // integer arithmetic, no geometry replay needed
     "geo_tiling_adjacency" ->
+      """WITH g AS (SELECT n_nationkey, n_nationkey % 5 AS gx,
+        |             CAST(floor(n_nationkey / 5.0) AS BIGINT) AS gy FROM nation)
+        |SELECT a.n_nationkey AS n_a, b.n_nationkey AS n_b
+        |FROM g a JOIN g b ON a.n_nationkey < b.n_nationkey
+        | AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+        |ORDER BY n_a, n_b""".stripMargin,
+
+    "geo_tiling_adjacency_join" ->
       """WITH g AS (SELECT n_nationkey, n_nationkey % 5 AS gx,
         |             CAST(floor(n_nationkey / 5.0) AS BIGINT) AS gy FROM nation)
         |SELECT a.n_nationkey AS n_a, b.n_nationkey AS n_b

@@ -266,10 +266,18 @@ object GeoAlgebra {
   /** Polygon-polygon intersection for simple rings in general position:
     * some edge pair properly crosses, or one ring's first vertex lies
     * inside the other (covers full containment). O(|A|·|B|) per row —
-    * rings are small attribute payloads, not relations. Boundary-
-    * touching without proper crossing may report disjoint — use
-    * [[stIntersectsInclusive]] when touch must count. */
-  def stIntersects(ringA: Column, ringB: Column): Column = {
+    * rings are small attribute payloads, not relations; the native
+    * codegen pair kernel ([[graft.functions.GeoPairKernel]]) keeps the
+    * [[intersectsJoin]] candidate filter inside whole-stage codegen.
+    * Boundary-touching without proper crossing may report disjoint —
+    * use [[stIntersectsInclusive]] when touch must count. */
+  def stIntersects(ringA: Column, ringB: Column): Column =
+    graft.functions.GeoPairKernel(
+      graft.functions.GeoPairKernel.Intersects, ringA, ringB)
+
+  /** HOF twin of [[stIntersects]] — the independently-written reference
+    * the codegen pair kernel is spec-checked against. */
+  private[graft] def stIntersectsFold(ringA: Column, ringB: Column): Column = {
     val edgeCross = exists(edges(ringA), ea =>
       exists(edges(ringB), eb => properCross(ea, eb)))
     val a0 = element_at(ringA, 1)
@@ -288,11 +296,17 @@ object GeoAlgebra {
     * a VERTEX of at least one ring (two non-collinear segments meeting
     * at a non-endpoint interior point of both cross properly; collinear
     * overlap puts an endpoint of one inside the other) — and every such
-    * vertex trips [[stOnBoundary]]. Same O(|A|·|B|) class. */
+    * vertex trips [[stOnBoundary]]. Same O(|A|·|B|) class, same codegen
+    * pair kernel. */
   def stIntersectsInclusive(ringA: Column, ringB: Column): Column =
-    stIntersects(ringA, ringB) ||
-      exists(ringA, p => stOnBoundary(ringB, p.getField("x"), p.getField("y"))) ||
-      exists(ringB, p => stOnBoundary(ringA, p.getField("x"), p.getField("y")))
+    graft.functions.GeoPairKernel(
+      graft.functions.GeoPairKernel.IntersectsInclusive, ringA, ringB)
+
+  /** HOF twin of [[stIntersectsInclusive]] — the spec-check reference. */
+  private[graft] def stIntersectsInclusiveFold(ringA: Column, ringB: Column): Column =
+    stIntersectsFold(ringA, ringB) ||
+      exists(ringA, p => stOnBoundaryFold(ringB, p.getField("x"), p.getField("y"))) ||
+      exists(ringB, p => stOnBoundaryFold(ringA, p.getField("x"), p.getField("y")))
 
   // ---- measures ----------------------------------------------------------
 
@@ -523,25 +537,77 @@ object GeoAlgebra {
       .withColumn(gx, tile(col(xCol).cast("double")))
       .withColumn(gy, tile(col(yCol).cast("double")))
 
+    val b = tileExplode(polys, ringCol, cell, maxCellsPerRow, gx, gy)
+
+    p.join(b, Seq(gx, gy))
+      .filter(stContains(col(ringCol), col(xCol).cast("double"),
+        col(yCol).cast("double")))
+      .drop(gx, gy)
+  }
+
+  /** Explode a polygon relation to the grid tiles its envelope overlaps
+    * (each tile once), with the fan-out guard riding the sequence bound
+    * so projection pruning can't skip it — shared by [[containsJoin]]
+    * and [[intersectsJoin]]. */
+  private def tileExplode(df: DataFrame, ringCol: String, cell: Double,
+                          maxCellsPerRow: Long, gx: String, gy: String): DataFrame = {
+    def tile(v: Column) = floor(v / cell).cast("long")
     val env = stEnvelope(col(ringCol))
     val gxLo = tile(env.getField("xmin"))
     val gxHi = tile(env.getField("xmax"))
     val gyLo = tile(env.getField("ymin"))
     val gyHi = tile(env.getField("ymax"))
     val tooMany = (gxHi - gxLo + 1) * (gyHi - gyLo + 1) > maxCellsPerRow
-    // guard rides the sequence bound so projection pruning can't skip it
     def guarded(c: Column): Column = coalesce(
       when(tooMany, raise_error(concat(
         lit(s"polygon envelope spans more than $maxCellsPerRow cells of size $cell"),
         lit("")))).cast("long"),
       c)
-    val b = polys
-      .withColumn(gx, explode(sequence(gxLo, guarded(gxHi))))
+    df.withColumn(gx, explode(sequence(gxLo, guarded(gxHi))))
       .withColumn(gy, explode(sequence(gyLo, guarded(gyHi))))
+  }
 
-    p.join(b, Seq(gx, gy))
-      .filter(stContains(col(ringCol), col(xCol).cast("double"),
-        col(yCol).cast("double")))
+  /** Polygon-polygon intersects JOIN: every (a, b) pair whose rings
+    * intersect — the big×big spatial join the broadcast form of
+    * [[stIntersects]] can't serve. Both sides explode to their
+    * envelopes' grid tiles (guarded fan-out), ONE hash equi-join on the
+    * tile key feeds the exact orientation/raycast test, and each
+    * qualifying pair reports EXACTLY ONCE with NO distinct shuffle:
+    * a pair is emitted only from the MIN COMMON TILE of the two
+    * envelopes (the PBSM report-once rule — that tile is the
+    * component-wise max of the lower tile corners, computable per
+    * candidate row from the two rings alone, and always lies in the
+    * shared-tile range). `inclusive = true` uses
+    * [[stIntersectsInclusive]] so boundary-touching pairs count.
+    *
+    * Output: all columns of both sides (names must be disjoint). Scale
+    * shape: candidates are O(Σ shared tiles), never |A|·|B|; size
+    * `cell` near the typical polygon diameter so fan-out stays a few
+    * tiles per row. */
+  def intersectsJoin(as: DataFrame, ringColA: String,
+                     bs: DataFrame, ringColB: String,
+                     cell: Double, inclusive: Boolean = false,
+                     maxCellsPerRow: Long = 1024L): DataFrame = {
+    require(cell > 0, "cell must be positive")
+    require(maxCellsPerRow > 0, "maxCellsPerRow must be positive")
+    val overlap = as.columns.toSet.intersect(bs.columns.toSet)
+    require(overlap.isEmpty, s"columns ${overlap.mkString(",")} appear on both sides")
+    val fresh = freshNames(as.columns ++ bs.columns)
+    val (gx, gy) = (fresh("gx"), fresh("gy"))
+    def tile(v: Column) = floor(v / cell).cast("long")
+
+    val ja = tileExplode(as, ringColA, cell, maxCellsPerRow, gx, gy)
+    val jb = tileExplode(bs, ringColB, cell, maxCellsPerRow, gx, gy)
+    val envA = stEnvelope(col(ringColA))
+    val envB = stEnvelope(col(ringColB))
+    val minCommonX = greatest(tile(envA.getField("xmin")), tile(envB.getField("xmin")))
+    val minCommonY = greatest(tile(envA.getField("ymin")), tile(envB.getField("ymin")))
+    val test =
+      if (inclusive) stIntersectsInclusive(col(ringColA), col(ringColB))
+      else stIntersects(col(ringColA), col(ringColB))
+    ja.join(jb, Seq(gx, gy))
+      .filter(col(gx) === minCommonX && col(gy) === minCommonY)
+      .filter(test)
       .drop(gx, gy)
   }
 

@@ -650,6 +650,62 @@ class GeoAlgebraSpec extends SparkSpec {
         pois, "qx", "qy", "poi", maxDist = 1.0)
   }
 
+  test("intersectsJoin == cross-filter reference, each pair exactly once, no NLJ") {
+    // random stars vs random diamonds over a shared field — sizes vary
+    // so pairs share 1..many tiles; report-once must still emit one row
+    def stars(seed: Int, n: Int, tag: String) = {
+      val rnd = new scala.util.Random(seed)
+      (1 to n).map { i =>
+        val cx = rnd.nextInt(40) * 1.0; val cy = rnd.nextInt(40) * 1.0
+        val s = 1.0 + rnd.nextInt(3) * 0.75
+        (i.toLong, Seq((3 * s, 0.0), (0.0, 3 * s), (-3 * s, 0.0), (0.0, -3 * s))
+          .map { case (dx, dy) => (cx + dx, cy + dy) })
+      }.toDF(s"${tag}_id", s"${tag}_pts")
+        .select(col(s"${tag}_id"), transform(col(s"${tag}_pts"), p =>
+          struct(p.getField("_1").as("x"), p.getField("_2").as("y")))
+          .as(s"${tag}_pre"))
+        .select(col(s"${tag}_id"),
+          concat(col(s"${tag}_pre"), slice(col(s"${tag}_pre"), 1, 1))
+            .as(s"${tag}_ring"))
+    }
+    val a = stars(3, 40, "a")
+    val b = stars(9, 35, "b")
+    for (cell <- Seq(2.0, 5.0, 11.0)) {
+      val got = GeoAlgebra.intersectsJoin(a, "a_ring", b, "b_ring", cell)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      withClue(s"cell $cell: ") {
+        got.length shouldBe got.toSet.size // exactly once, no distinct
+        // reference deliberately uses the interpreted FOLD — this also
+        // pins codegen pair kernel == fold on every candidate pair
+        val want = a.crossJoin(b)
+          .filter(GeoAlgebra.stIntersectsFold(col("a_ring"), col("b_ring")))
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        got.toSet shouldBe want
+        want.size should be > 10
+      }
+    }
+    // inclusive kernel == inclusive fold over the full cross product
+    a.crossJoin(b).filter(
+      GeoAlgebra.stIntersectsInclusive(col("a_ring"), col("b_ring")) =!=
+        GeoAlgebra.stIntersectsInclusiveFold(col("a_ring"), col("b_ring")))
+      .count() shouldBe 0L
+    // inclusive mode reports touching pairs the plain test misses
+    val t1 = Seq((1L, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+      .toDF("a_id", "wkt")
+      .select(col("a_id"), GeoAlgebra.wktPolygonRing(col("wkt")).as("a_ring"))
+    val t2 = Seq((2L, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"))
+      .toDF("b_id", "wkt")
+      .select(col("b_id"), GeoAlgebra.wktPolygonRing(col("wkt")).as("b_ring"))
+    GeoAlgebra.intersectsJoin(t1, "a_ring", t2, "b_ring", 2.0).count() shouldBe 0L
+    GeoAlgebra.intersectsJoin(t1, "a_ring", t2, "b_ring", 2.0,
+      inclusive = true).count() shouldBe 1L
+    // plans as a hash equi-join on the tile key
+    val plan = GeoAlgebra.intersectsJoin(a, "a_ring", b, "b_ring", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("Join"))
+  }
+
   test("containsJoin: oversized envelope fails loudly via the cell guard") {
     val pts = Seq((1L, 1.0, 1.0)).toDF("pid", "x", "y")
     val polys = Seq((1L, "POLYGON ((0 0, 9000 0, 9000 9000, 0 9000, 0 0))"))
