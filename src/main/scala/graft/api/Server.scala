@@ -1164,6 +1164,26 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
                 graft.operators.Geo.wktLng(q)), 2))
               .filter(col("dist_m") <= meters)
               .orderBy(idCol)
+          case "intersects_join" =>
+            // entity rows carry polygon WKT; fence list joins via the
+            // grid tile equi-join + report-once (no NLJ, no distinct)
+            import scala.jdk.CollectionConverters._
+            val spark = e.sparkSession
+            import spark.implicits._
+            val wktCol = req.get("wktCol").asText()
+            val fences = req.get("fences").elements().asScala.map(f =>
+              (f.get("id").asLong(), f.get("wkt").asText())).toSeq
+              .toDF("fence_id", "ap_wkt")
+              .select(col("fence_id"),
+                GeoAlgebra.wktPolygonRing(col("ap_wkt")).as("ap_ring"))
+            GeoAlgebra.intersectsJoin(
+                e.select(col(idCol),
+                  GeoAlgebra.wktPolygonRing(col(wktCol)).as("ap_ring_e")),
+                "ap_ring_e", fences, "ap_ring",
+                cell = if (req.has("cell")) req.get("cell").asDouble() else 4.0,
+                inclusive = req.has("inclusive") && req.get("inclusive").asBoolean())
+              .select(col("fence_id"), col(idCol))
+              .orderBy("fence_id", idCol)
           case "nearest_geo" =>
             import scala.jdk.CollectionConverters._
             val spark = e.sparkSession

@@ -1172,6 +1172,22 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     geo.get("rows").elements().asScala.map(_.get("pid").asInt()).toSeq shouldBe
       Seq(1)
 
+    // polygon entity against a fence list through the grid join —
+    // inclusive mode so the edge-sharing square counts
+    post("/entity/create", """{"name":"geopoly"}""")
+    post("/entity/insert",
+      """{"name":"geopoly","rows":[
+        |{"gid":1,"wkt":"POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"},
+        |{"gid":2,"wkt":"POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"}]}""".stripMargin)
+    val ij = post("/pipeline/geo",
+      """{"entity":"geopoly","mode":"intersects_join","xCol":"x","yCol":"y",
+        |"idCol":"gid","wktCol":"wkt","cell":2.0,"inclusive":true,"fences":[
+        |{"id":100,"wkt":"POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"},
+        |{"id":200,"wkt":"POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"}]}""".stripMargin)
+    ij.get("rows").elements().asScala
+      .map(n => (n.get("fence_id").asInt(), n.get("gid").asInt())).toSeq shouldBe
+      Seq((100, 1), (200, 1)) // fence 100 overlaps gid 1; 200 shares its edge
+
     // geodesic nearest: each row's closest depot within 1500 km
     val nng = post("/pipeline/geo",
       """{"entity":"geo","mode":"nearest_geo","xCol":"x","yCol":"y","idCol":"pid",
