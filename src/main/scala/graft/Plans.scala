@@ -202,7 +202,9 @@ object Plans {
     ("geo_geodesic_measures", "great-circle measures are per-row trig folds over the dim scan"),
     ("geo_geodesic_buffer", "destination-point buffer + measures are per-row folds over the dim scan"),
     ("geo_geodesic_dwithin", "geodesic radius predicate is a pure filter over the scan"),
-    ("geo_covers_boundary", "covers + on-segment tests are per-row folds over the scan"))
+    ("geo_covers_boundary", "covers + on-segment tests are per-row folds over the scan"),
+    ("geo_geodesic_antimeridian", "dateline wrap is exact per-row arithmetic over the dim scan"),
+    ("geo_geodesic_spheroid", "spheroid-radius measures are per-row trig folds over the dim scan"))
 
   /** Stable, sorted names of every audited shape — the `plan_shapes`
     * oracle is generated from this list, so adding a check here is the
@@ -216,10 +218,44 @@ object Plans {
         "no_window:fuzzy_name_components", "reuse:bigram_logppl")).sorted
 
   /** Run every audit; returns (check_name, ok, detail) — detail is the
-    * offending plan on a miss, a short note on success. */
+    * offending plan on a miss, a short note on success.
+    *
+    * Plan MATERIALIZATION runs on a small fixed thread pool: planning
+    * is driver-side and embarrassingly parallel (each query gets its
+    * own `executedPlan`; Catalyst sessions are thread-safe for
+    * planning), and the audit's wall-clock otherwise grows linearly
+    * with every shape added — the checks themselves then read the
+    * pre-planned strings serially, so results are identical to the
+    * sequential form. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, Boolean, String)] = {
-    def plan(name: String): String =
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    val planNames: Seq[String] =
+      (markerChecks.map(_._1) ++ noNljChecks.map(_._1) ++
+        noShuffleChecks.map(_._1) ++
+        Seq("event_asof_attribution", "event_top_paths",
+          "q21_waiting_suppliers", "fuzzy_name_components",
+          "bigram_logppl")).distinct
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, planNames.size))
+    val plans: Map[String, String] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futures = planNames.map { name =>
+          name -> scala.concurrent.Future {
+            // child threads inherit no active session by default when
+            // spawned from a pool — pin it so operator code that asks
+            // for the active session plans against the right one
+            org.apache.spark.sql.SparkSession.setActiveSession(spark)
+            SparkEntry.queries(name)(spark, sfDir)
+              .queryExecution.executedPlan.toString
+          }
+        }
+        futures.map { case (name, f) =>
+          name -> scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)
+        }.toMap
+      } finally pool.shutdown()
+    def plan(name: String): String = plans(name)
 
     val marker = markerChecks.map { case (name, what, markers) =>
       val p = plan(name)

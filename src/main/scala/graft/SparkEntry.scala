@@ -652,6 +652,10 @@ object SparkEntry {
     // pq, candidates from the rotated space, exact euclidean rerank
     "index_opq_knn" -> indexKnn("opq"),
     "index_nsw_knn" -> indexKnn("nsw"),
+    // the recommended (served-default) NSW build: heuristic neighbor
+    // selection at the Run-29 budget ladder — exact at the verify SF
+    // (ef ≥ shard size ⇒ provable candidate cover), recall 0.99 at scale
+    "index_nsw_heur_knn" -> indexKnn("nsw_heur"),
 
     "ann_refine_topk" -> ((s, d) => {
       // three-stage funnel: 1-bit Hamming coarse scan → 8-bit ADC refine
@@ -1873,6 +1877,44 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "geo_geodesic_antimeridian" -> ((s, d) => {
+      // dateline-straddling rings: the SAME nation stars with every
+      // longitude shifted half a world east and re-wrapped into
+      // [-180, 180) — vertices land on BOTH sides of ±180°, so every
+      // seam-crossing edge exercises areaGeoSqMeters' Δλ wrap (without
+      // it the ±2π jumps integrate the polygon's WORLD-COMPLEMENT).
+      // Shift arithmetic is exact (quarter-grid doubles through
+      // +/fmod/−), the only rounding is the usual trig round(_, 2),
+      // and GeoSpec asserts the shift-invariance property against the
+      // unshifted measures.
+      val shifted = Tables.nation(s, d).select(col("n_nationkey"),
+        transform(offsetRing(
+          (col("n_nationkey") % 5).cast("double") * 5.0,
+          floor(col("n_nationkey") / lit(5.0)) * 5.0,
+          lit(1.0) + (col("n_nationkey") % 3).cast("double") * 0.5,
+          starOffsets), p =>
+          struct((pmod(p.getField("x") + 360.0, lit(360.0)) - 180.0).as("x"),
+            p.getField("y").as("y"))).as("ring"))
+      shifted.select(col("n_nationkey"),
+          round(Geo.lengthGeoMeters(col("ring")), 2).as("perim_m"),
+          round(Geo.areaGeoSqMeters(col("ring")) / 1e6, 2).as("area_km2"))
+        .orderBy("n_nationkey")
+    }),
+
+    "geo_geodesic_spheroid" -> ((s, d) => {
+      // WGS84 first-order spheroid corrections (PostGIS geography is
+      // ellipsoidal by default): areas on the authalic sphere, lengths
+      // on the rectifying sphere — same fixtures as
+      // geo_geodesic_measures, same per-row zero-shuffle shape; the
+      // residual vs true WGS84 geodesics is documented on the Geo
+      // constants (~0.1 % areas, ≤0.5 % lengths worst-case).
+      val wkt = col("wkt")
+      nationPolys(s, d).select(col("n_nationkey"),
+          round(Geo.stLengthGeo(wkt, spheroid = true), 2).as("perim_m"),
+          round(Geo.stAreaGeo(wkt, spheroid = true) / 1e6, 2).as("area_km2"))
+        .orderBy("n_nationkey")
+    }),
+
     "geo_geodesic_nearest" -> ((s, d) => {
       // nearest-depot: each customer's 2 closest supplier depots by
       // great-circle distance within 300 km — radius-grid candidates +
@@ -1952,13 +1994,16 @@ object SparkEntry {
 
     "fuzzy_name_components" -> ((s, d) => {
       // fuzzy clustering end to end: FastSS ED≤2 pairs feed the
-      // min-label connected components. Node ids are the PORTABLE key
-      // hash (Sampling.keyHash — the sketch family's rolling hash both
-      // engines replay) so id assignment is a pure per-row projection;
-      // a dense rank would force a single-partition global sort of all
-      // distinct names (the scale bottleneck the hash avoids).
+      // min-label connected components. Node ids are the PORTABLE
+      // identity hash (Sampling.keyHash62 — TWO independent rolling
+      // hashes packed into one BIGINT, both replayed by the oracle) so
+      // id assignment is a pure per-row projection: a dense rank would
+      // force a single-partition global sort of all distinct names,
+      // and a single 30-bit hash would silently MERGE components at
+      // ~4·10⁴ distinct names (keyHash62's horizon is ~10⁹ — the
+      // collision-bound note on the hash itself).
       val names = Tables.part(s, d).select("p_name").distinct()
-      val ids = names.withColumn("nid", Sampling.keyHash(col("p_name")))
+      val ids = names.withColumn("nid", Sampling.keyHash62(col("p_name")))
       val pairs = FuzzyJoin.editDistancePairs(names, "p_name", "p_name", 2)
         .join(broadcast(ids.select(col("p_name").as("id_a"), col("nid").as("nid_a"))), Seq("id_a"))
         .join(broadcast(ids.select(col("p_name").as("id_b"), col("nid").as("nid_b"))), Seq("id_b"))
@@ -2671,7 +2716,13 @@ object SparkEntry {
     // shard exhaustively (provable candidate cover); at corpus scale
     // the same ef bounds the walk instead
     "nsw" -> (df => NSWIndex.build(df, "vec_id", "embedding",
-      nShards = 4, m = 8, efC = 64, ef = 128)))
+      nShards = 4, m = 8, efC = 64, ef = 128)),
+    // the SERVED default config (SCALING.md Run 29 budget ladder:
+    // heuristic diverse selection, m=16, efC=128, ef=256 — recall 0.99
+    // with the family's fastest walk at corpus scale) pinned under the
+    // correctness gate as its own row
+    "nsw_heur" -> (df => NSWIndex.build(df, "vec_id", "embedding",
+      nShards = 4, m = 16, efC = 128, ef = 256)))
 
   private def cachedIndex(s: SparkSession, d: String, key: String): VectorIndex =
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
@@ -2819,6 +2870,13 @@ object SparkEntry {
   private val customerPointsSql =
     """cp AS (SELECT c_custkey, (c_custkey % 97) * 0.25 AS px,
       |         (c_custkey % 89) * 0.25 AS py FROM customer)""".stripMargin
+
+  /** Antimeridian wrap of an edge's longitude step into [−π, π) — the
+    * exact mirror of [[graft.operators.Geo.areaGeoSqMeters]]'s `wrapPi`
+    * (`Δλ − 2π·⌊Δλ/2π + ½⌋`, identity for |Δλ| < π; all exact-rounded
+    * ops, 6.283185307179586 is the double 2π both engines share). */
+  private def duckWrapPi(e: String): String =
+    s"(($e) - 6.283185307179586 * floor(($e) / 6.283185307179586 + 0.5))"
 
   /** Even-odd raycast crossing term against an edge row — the exact
     * mirror of [[GeoAlgebra.stContains]]'s fold body. */
@@ -3044,6 +3102,19 @@ object SparkEntry {
        | list_reduce(list_prepend(CAST(7 AS BIGINT),
        |   list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
        |   (h, c) -> (h * 131 + c) % 1000000007) END) * 2654435761) % 1000000007""".stripMargin
+
+  /** The independent second hash ([[graft.operators.Sampling.keyHash2]]):
+    * multiplier 137, modulus 998244353, seed 11, avalanche 3266489917. */
+  private def duckRawHash2(expr: String) =
+    s"""((CASE WHEN $expr IS NULL OR length($expr) = 0 THEN CAST(11 AS BIGINT) ELSE
+       | list_reduce(list_prepend(CAST(11 AS BIGINT),
+       |   list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |   (h, c) -> (h * 137 + c) % 998244353) END) * 3266489917) % 998244353""".stripMargin
+
+  /** [[graft.operators.Sampling.keyHash62]]: the identity-grade packed
+    * pair `h1 · 2³¹ + h2`. */
+  private def duckKeyHash62(expr: String) =
+    s"(${duckRawHash(expr)}) * 2147483648 + (${duckRawHash2(expr)})"
 
   /** The CDC demo corpus: every document plus, for `doc_id < 50`, a
     * copy with text prefixed (head insertion) under `doc_id + 10000` —
@@ -3805,6 +3876,7 @@ object SparkEntry {
     "index_ivfpq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_opq_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     "index_nsw_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
+    "index_nsw_heur_knn" -> duckKnn(s"sqrt(${duckSum(s"($dx - $dq)*($dx - $dq)")})", 100),
     // the funnel equals exact cosine while each stage's survivors cover
     // the true top-k (IndexSpec pins this on the verify corpus)
     "ann_refine_topk" -> duckKnn(
@@ -5243,7 +5315,7 @@ object SparkEntry {
       s"""WITH $nationEdgesSql,
          |seg AS (SELECT n_nationkey,
          |          2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)) AS len_m,
-         |          (radians(x2) - radians(x1))
+         |          ${duckWrapPi("radians(x2) - radians(x1)")}
          |            * (2.0 + sin(radians(y1)) + sin(radians(y2))) AS aterm
          |        FROM ne)
          |SELECT n_nationkey, round(sum(len_m), 2) AS perim_m,
@@ -5318,13 +5390,76 @@ object SparkEntry {
          |                       AND b.i = (a.i + 1) % 8),
          |seg AS (SELECT s_suppkey,
          |          2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)) AS len_m,
-         |          (radians(x2) - radians(x1))
+         |          ${duckWrapPi("radians(x2) - radians(x1)")}
          |            * (2.0 + sin(radians(y1)) + sin(radians(y2))) AS aterm
          |        FROM e)
          |SELECT s_suppkey, round(sum(len_m), 2) AS perim_m,
          |       round(abs(sum(aterm)) * 6371000.0 * 6371000.0 / 2.0
          |             / 1000000.0, 2) AS area_km2
          |FROM seg GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+    },
+
+    // the same star fixtures shifted half a world east and re-wrapped
+    // into [-180, 180): seam-crossing edges exercise the Δλ wrap — the
+    // shift arithmetic (+360 / pmod / −180 on quarter-grid doubles) is
+    // exact, so only the usual trig rounding applies
+    "geo_geodesic_antimeridian" -> {
+      def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
+      def gln(e: String) =
+        s"""radians(CASE WHEN fmod(fmod($e, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod($e, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod($e, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        s"""(power(sin((${gla("y2")} - ${gla("y1")}) / 2), 2)
+           | + cos(${gla("y1")}) * cos(${gla("y2")})
+           |   * power(sin((${gln("x2")} - ${gln("x1")}) / 2), 2))""".stripMargin
+      s"""WITH off(i, dx, dy) AS (VALUES
+         |  (0,3.0,0.0),(1,1.0,1.0),(2,0.0,3.0),(3,-1.0,1.0),
+         |  (4,-3.0,0.0),(5,-1.0,-1.0),(6,0.0,-3.0),(7,1.0,-1.0)),
+         |nv AS (SELECT n_nationkey, i,
+         |         fmod(fmod((n_nationkey % 5) * 5.0
+         |             + dx * (1.0 + (n_nationkey % 3) * 0.5) + 360.0, 360.0)
+         |           + 360.0, 360.0) - 180.0 AS x,
+         |         floor(n_nationkey / 5.0) * 5.0
+         |           + dy * (1.0 + (n_nationkey % 3) * 0.5) AS y
+         |       FROM nation CROSS JOIN off),
+         |ne AS (SELECT a.n_nationkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |       FROM nv a JOIN nv b ON a.n_nationkey = b.n_nationkey
+         |                          AND b.i = (a.i + 1) % 8),
+         |seg AS (SELECT n_nationkey,
+         |          2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)) AS len_m,
+         |          ${duckWrapPi("radians(x2) - radians(x1)")}
+         |            * (2.0 + sin(radians(y1)) + sin(radians(y2))) AS aterm
+         |        FROM ne)
+         |SELECT n_nationkey, round(sum(len_m), 2) AS perim_m,
+         |       round(abs(sum(aterm)) * 6371000.0 * 6371000.0 / 2.0
+         |             / 1000000.0, 2) AS area_km2
+         |FROM seg GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+    },
+
+    // spheroid-corrected twin of geo_geodesic_measures: lengths on the
+    // WGS84 rectifying sphere, areas on the authalic sphere — the same
+    // constants the Geo object documents
+    "geo_geodesic_spheroid" -> {
+      def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
+      def gln(e: String) =
+        s"""radians(CASE WHEN fmod(fmod($e, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod($e, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod($e, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val h =
+        s"""(power(sin((${gla("y2")} - ${gla("y1")}) / 2), 2)
+           | + cos(${gla("y1")}) * cos(${gla("y2")})
+           |   * power(sin((${gln("x2")} - ${gln("x1")}) / 2), 2))""".stripMargin
+      s"""WITH $nationEdgesSql,
+         |seg AS (SELECT n_nationkey,
+         |          2.0 * 6367449.145823415 * atan2(sqrt($h), sqrt(1.0 - $h)) AS len_m,
+         |          ${duckWrapPi("radians(x2) - radians(x1)")}
+         |            * (2.0 + sin(radians(y1)) + sin(radians(y2))) AS aterm
+         |        FROM ne)
+         |SELECT n_nationkey, round(sum(len_m), 2) AS perim_m,
+         |       round(abs(sum(aterm)) * 6371007.1809184737 * 6371007.1809184737
+         |             / 2.0 / 1000000.0, 2) AS area_km2
+         |FROM seg GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
     },
 
     "geo_geodesic_nearest" -> {
@@ -5405,7 +5540,7 @@ object SparkEntry {
     "fuzzy_name_components" ->
       s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
         |ids AS (SELECT p_name,
-        |          CAST(${duckRawHash("p_name")} AS BIGINT) AS nid
+        |          CAST(${duckKeyHash62("p_name")} AS BIGINT) AS nid
         |        FROM n),
         |e AS (SELECT a.nid AS id_a, b.nid AS id_b
         |      FROM ids a JOIN ids b ON a.p_name < b.p_name

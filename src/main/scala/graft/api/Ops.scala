@@ -81,9 +81,12 @@ object IndexOps {
         nShards = int("nshards", 4), m = int("m", 8),
         efC = int("efc", 64), ef = int("ef", 128),
         nProbes = int("nprobes", 1),
-        // HNSW Algorithm-4 diverse selection + keep-pruned-connections
-        // (the isotropic-recall build knob, SCALING.md run 29)
-        heuristic = int("heuristic", 0) != 0)
+        // HNSW Algorithm-4 diverse selection + keep-pruned-connections —
+        // DEFAULT ON for new builds (SCALING.md Run 29: strictly better
+        // recall/speed on isotropic data); heuristic=0 opts back into
+        // the plain closest-prune NSW. Persisted graphs are untouched:
+        // the flag is stored with the index and restored on load.
+        heuristic = int("heuristic", 1) != 0)
       case other => throw new IllegalArgumentException(s"unknown index type: $other")
     }
     require(opts.isEmpty,

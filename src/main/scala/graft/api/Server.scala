@@ -193,8 +193,18 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     ex.close()
   }
 
+  /** Required request field: a missing/null field is a CLIENT error —
+    * IllegalArgumentException (→ 400 with the field name), never an
+    * NPE from a blind `req.get(...).asText()`. */
+  private def reqField(req: JsonNode, field: String): JsonNode = {
+    val n = req.get(field)
+    if (n == null || n.isNull)
+      throw new IllegalArgumentException(s"missing required field: $field")
+    n
+  }
+
   private def entity(req: JsonNode, field: String = "name"): Entity =
-    Entity.open(spark, base, req.get(field).asText())
+    Entity.open(spark, base, reqField(req, field).asText())
 
   private def predicatesOf(req: JsonNode): Seq[BooleanPredicates.Predicate] =
     req.get("predicates").elements().asScala.map { p =>
@@ -1087,27 +1097,31 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // lookup = correct entity strings against a dictionary entity
         import graft.operators.FuzzyJoin
         val e = entity(req, "entity").read()
-        val strCol = req.get("strCol").asText()
-        val idCol = req.get("idCol").asText()
+        val strCol = reqField(req, "strCol").asText()
+        val idCol = reqField(req, "idCol").asText()
         val k = if (req.has("maxDist")) req.get("maxDist").asInt() else 1
-        // maxLen: rows with longer strings are EXCLUDED, not truncated
-        // (FuzzyJoin's short-string contract); surfaced so a caller can
-        // widen it knowingly for long SKUs/titles
+        // maxLen: rows with longer strings FAIL the request loudly
+        // unless dropLong=true excludes them (FuzzyJoin's short-string
+        // contract) — surfaced so a caller can widen the bound
+        // knowingly for long SKUs/titles, or opt into the admission
+        // filter explicitly
         val maxLen = if (req.has("maxLen")) req.get("maxLen").asInt()
           else FuzzyJoin.DefaultMaxLen
-        val dff = req.get("mode").asText() match {
+        val dropLong = req.has("dropLong") && req.get("dropLong").asBoolean()
+        val dff = reqField(req, "mode").asText() match {
           case "pairs" =>
             FuzzyJoin.editDistancePairs(e, strCol, idCol, k,
                 maxBucket = if (req.has("maxBucket")) req.get("maxBucket").asInt()
                   else Int.MaxValue,
-                maxLen = maxLen)
+                maxLen = maxLen, dropLongStrings = dropLong)
               .orderBy("id_a", "id_b")
           case "lookup" =>
             val dict = entity(req, "dict").read()
             FuzzyJoin.editDistanceJoin(e, strCol, idCol,
-                dict, req.get("dictStrCol").asText(),
-                req.get("dictIdCol").asText(), k, maxLen = maxLen)
-              .orderBy(idCol, req.get("dictIdCol").asText())
+                dict, reqField(req, "dictStrCol").asText(),
+                reqField(req, "dictIdCol").asText(), k, maxLen = maxLen,
+                dropLongStrings = dropLong)
+              .orderBy(idCol, reqField(req, "dictIdCol").asText())
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, dff)
@@ -1118,20 +1132,23 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // distance = dwithin filter against a WKT linestring route
         import graft.operators.GeoAlgebra
         val e = entity(req, "entity").read()
-        val xCol = req.get("xCol").asText()
-        val yCol = req.get("yCol").asText()
-        val idCol = req.get("idCol").asText()
-        val dfg = req.get("mode").asText() match {
+        val xCol = reqField(req, "xCol").asText()
+        val yCol = reqField(req, "yCol").asText()
+        val idCol = reqField(req, "idCol").asText()
+        // per-mode required fields go through reqField: a missing or
+        // null `wkt`/`fences`/`meters`/`wktCol`/`pois` is a 400 naming
+        // the field, never an NPE
+        val dfg = reqField(req, "mode").asText() match {
           case "contains" =>
-            e.filter(GeoAlgebra.stContainsWktLiteral(req.get("wkt").asText(),
+            e.filter(GeoAlgebra.stContainsWktLiteral(reqField(req, "wkt").asText(),
                 col(xCol).cast("double"), col(yCol).cast("double")))
               .orderBy(idCol)
           case "contains_join" =>
             import scala.jdk.CollectionConverters._
             val spark = e.sparkSession
             import spark.implicits._
-            val fences = req.get("fences").elements().asScala.map(f =>
-              (f.get("id").asLong(), f.get("wkt").asText())).toSeq
+            val fences = reqField(req, "fences").elements().asScala.map(f =>
+              (reqField(f, "id").asLong(), reqField(f, "wkt").asText())).toSeq
               .toDF("fence_id", "ap_wkt")
               .select(col("fence_id"),
                 GeoAlgebra.wktPolygonRing(col("ap_wkt")).as("ap_ring"))
@@ -1142,7 +1159,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
               .select(col("fence_id"), col(idCol))
               .orderBy("fence_id", idCol)
           case "distance" =>
-            val line = GeoAlgebra.wktLineString(lit(req.get("wkt").asText()))
+            val line = GeoAlgebra.wktLineString(lit(reqField(req, "wkt").asText()))
             val d = e.withColumn("dist",
               round(GeoAlgebra.stDistanceLine(line, col(xCol), col(yCol)), 6))
             (if (req.has("dwithin")) d.filter(col("dist") <= req.get("dwithin").asDouble())
@@ -1153,12 +1170,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           // a WKT POINT; nearest_geo = k nearest of a POI list within
           // the radius (grid equi-join + per-point window, no NLJ)
           case "covers" =>
-            e.filter(GeoAlgebra.stCoversWkt(lit(req.get("wkt").asText()),
+            e.filter(GeoAlgebra.stCoversWkt(lit(reqField(req, "wkt").asText()),
                 col(xCol).cast("double"), col(yCol).cast("double")))
               .orderBy(idCol)
           case "dwithin_geo" =>
-            val q = lit(req.get("wkt").asText())
-            val meters = req.get("meters").asDouble()
+            val q = lit(reqField(req, "wkt").asText())
+            val meters = reqField(req, "meters").asDouble()
             e.withColumn("dist_m", round(graft.operators.Geo.haversineMeters(
                 col(yCol), col(xCol), graft.operators.Geo.wktLat(q),
                 graft.operators.Geo.wktLng(q)), 2))
@@ -1166,13 +1183,17 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
               .orderBy(idCol)
           case "intersects_join" =>
             // entity rows carry polygon WKT; fence list joins via the
-            // grid tile equi-join + report-once (no NLJ, no distinct)
+            // grid tile equi-join + report-once (no NLJ, no distinct).
+            // PLANAR contract (GeoAlgebra.intersectsJoin): the tiling
+            // does not wrap at ±180° — dateline-straddling lat/lng
+            // polygons must be shifted into one contiguous window
+            // client-side first
             import scala.jdk.CollectionConverters._
             val spark = e.sparkSession
             import spark.implicits._
-            val wktCol = req.get("wktCol").asText()
-            val fences = req.get("fences").elements().asScala.map(f =>
-              (f.get("id").asLong(), f.get("wkt").asText())).toSeq
+            val wktCol = reqField(req, "wktCol").asText()
+            val fences = reqField(req, "fences").elements().asScala.map(f =>
+              (reqField(f, "id").asLong(), reqField(f, "wkt").asText())).toSeq
               .toDF("fence_id", "ap_wkt")
               .select(col("fence_id"),
                 GeoAlgebra.wktPolygonRing(col("ap_wkt")).as("ap_ring"))
@@ -1188,14 +1209,14 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             import scala.jdk.CollectionConverters._
             val spark = e.sparkSession
             import spark.implicits._
-            val pois = req.get("pois").elements().asScala.map(p =>
-              (p.get("id").asLong(), p.get("lat").asDouble(),
-                p.get("lng").asDouble())).toSeq
+            val pois = reqField(req, "pois").elements().asScala.map(p =>
+              (reqField(p, "id").asLong(), reqField(p, "lat").asDouble(),
+                reqField(p, "lng").asDouble())).toSeq
               .toDF("poi_id", "ap_plat", "ap_plng")
             graft.operators.Geo.nearestJoinGeo(
                 e.select(col(idCol), col(xCol), col(yCol)), idCol, yCol, xCol,
                 pois, "ap_plat", "ap_plng", "poi_id",
-                req.get("meters").asDouble(),
+                reqField(req, "meters").asDouble(),
                 k = if (req.has("k")) req.get("k").asInt() else 1)
               .select(col(idCol), col("poi_id"), col("nn_rank"),
                 round(col("dist_m"), 2).as("dist_m"))

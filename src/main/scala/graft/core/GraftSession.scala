@@ -16,6 +16,12 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 50L * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // reliable checkpoints (Materialize's cluster mode) are otherwise
+      // never deleted — per-iteration materializations would accumulate
+      // unbounded files in the checkpoint dir; with this the
+      // ContextCleaner removes a checkpoint's files once the frame is
+      // GC'd, the lifecycle cached blocks already follow
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       // bucketed catalog tables (co-located joins) land in a temp
       // warehouse, not the process working directory

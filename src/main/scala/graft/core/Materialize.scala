@@ -15,7 +15,14 @@ import org.apache.spark.sql.DataFrame
   *    written to the (typically HDFS/object-store) checkpoint dir, so on
   *    a real cluster an executor loss recomputes nothing and loses
   *    nothing. This is the 100 TB mode: set a checkpoint dir in any
-  *    multi-executor deployment.
+  *    multi-executor deployment — AND set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  *    ([[GraftSession]] does): without it Spark never deletes reliable
+  *    checkpoint files, so per-iteration call sites (the
+  *    connected-components frontier, per-batch corpus extension)
+  *    accumulate unbounded files in the checkpoint dir. With it the
+  *    ContextCleaner removes each checkpoint's files when the frame is
+  *    garbage-collected, the same lifecycle the cached blocks follow.
   *  - **Local** (`df.localCheckpoint(eager = true)`) otherwise — blocks
   *    live in executor storage (MEMORY_AND_DISK), which is faster but
   *    NOT fault-tolerant: an executor loss makes the frame

@@ -150,10 +150,15 @@ case class GeoPairExpr(left: Expression, right: Expression, kind: String)
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val res = ctx.freshName("res")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val contains = ctx.freshName("geoPairContains")
-      val onB = ctx.freshName("geoPairOnBoundary")
-      ctx.addNewFunction(contains,
-        s"""private boolean $contains(org.apache.spark.sql.catalyst.util.ArrayData ring,
+      val containsRaw = ctx.freshName("geoPairContains")
+      val onBRaw = ctx.freshName("geoPairOnBoundary")
+      // addNewFunction may relocate the body into a nested private class
+      // once the outer class crosses the size threshold — the generated
+      // CALL must use the returned (possibly qualified) name, or codegen
+      // compilation fails and the whole stage silently drops to the
+      // interpreted path (Spark's own expressions follow this pattern)
+      val contains = ctx.addNewFunction(containsRaw,
+        s"""private boolean $containsRaw(org.apache.spark.sql.catalyst.util.ArrayData ring,
            |    int n, double px, double py) {
            |  long cr = 0L;
            |  for (int k = 0; k < n - 1; k++) {
@@ -166,8 +171,8 @@ case class GeoPairExpr(left: Expression, right: Expression, kind: String)
            |  }
            |  return (cr % 2L) == 1L;
            |}""".stripMargin)
-      ctx.addNewFunction(onB,
-        s"""private boolean $onB(org.apache.spark.sql.catalyst.util.ArrayData ring,
+      val onB = ctx.addNewFunction(onBRaw,
+        s"""private boolean $onBRaw(org.apache.spark.sql.catalyst.util.ArrayData ring,
            |    int n, double px, double py) {
            |  for (int k = 0; k < n - 1; k++) {
            |    org.apache.spark.sql.catalyst.InternalRow pa = ring.getStruct(k, 2);

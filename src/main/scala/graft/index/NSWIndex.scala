@@ -492,11 +492,21 @@ object NSWIndex {
 
   /** Build the sharded graph index. `nShards` sizes per-task state
     * (shard ≈ n/nShards nodes must fit one executor task); `m`/`efC`
-    * are the NSW degree and construction beam. */
+    * are the NSW degree and construction beam.
+    *
+    * `heuristic` (HNSW Algorithm-4 diverse selection +
+    * keep-pruned-connections) defaults TRUE for new builds: SCALING.md
+    * Run 29 measured it strictly better on isotropic data — recall
+    * 0.79 vs 0.42 at identical build cost and ~2.4× faster walks, 0.99
+    * under the `m=16, efC=128, ef=256` budget ladder — so it is what a
+    * new user gets. Graphs persisted before the flag existed (or built
+    * with `heuristic = false`) replay bit-identically: the flag is
+    * stored with the index and [[fromSaved]] restores it, so only NEW
+    * builds see the new default. */
   def build(df: DataFrame, idCol: String, vecCol: String,
             nShards: Int = 4, m: Int = 8, efC: Int = 64,
             ef: Int = 128, nProbes: Int = 1,
-            heuristic: Boolean = false): NSWIndex = {
+            heuristic: Boolean = true): NSWIndex = {
     val spark = df.sparkSession
     import spark.implicits._
     val graph = df

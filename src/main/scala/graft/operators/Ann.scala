@@ -404,9 +404,11 @@ object Ann {
     // downstream) read this frame — materialize it once, eagerly, or
     // the k-fused-cosine assignment kernel (k·d FLOPs/row) and the
     // underlying scan run 2-3×. Materialize (not persist/unpersist)
-    // because the result is returned lazily: the checkpointed blocks
-    // live as long as the returned plan references them and are
-    // reclaimed by the ContextCleaner when the caller drops it.
+    // because the result is returned lazily: the blocks live as long
+    // as the returned plan references them and are reclaimed by the
+    // ContextCleaner when the caller drops it — in RELIABLE mode the
+    // checkpoint FILES too, via the cleanCheckpoints conf Materialize
+    // documents (GraftSession sets it).
     val checkpointed = assignClusters(df, vecCol, centroids)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"),
         Distances.norm2(col(vecCol)).as("nrm"))

@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   * blowup favors q-gram filtering instead.
   *
   * This is a SHORT-STRING operator (names, titles, SKUs): the `maxLen`
-  * guard (default 128) EXCLUDES longer rows from the join rather than
-  * truncating them — truncated-prefix keys would break the exactness
-  * guarantee (prefix edit distance of a true pair can exceed k, so a
-  * prefix-keyed candidate set can miss pairs). A document-length corpus
-  * belongs in the n-gram/minhash family ([[Dedup.ngramJaccardNearDupPairs]]),
-  * not here: at k=2 a 10 kB text would emit ~10⁸ variant keys per row
-  * before any cap could help.
+  * guard (default 128) FAILS LOUDLY — a distributed `raise_error`, the
+  * tileExplode fan-out-guard discipline — when a row's string exceeds
+  * it, rather than truncating (truncated-prefix keys would break the
+  * exactness guarantee: prefix edit distance of a true pair can exceed
+  * k, so a prefix-keyed candidate set can miss pairs) or silently
+  * dropping (a caller that fed longer strings would lose pairs with no
+  * signal). Callers that WANT the admission filter opt in with
+  * `dropLongStrings = true`, which excludes over-long rows — exact over
+  * the admitted rows, documented data loss over the rest. A
+  * document-length corpus belongs in the n-gram/minhash family
+  * ([[Dedup.ngramJaccardNearDupPairs]]), not here: at k=2 a 10 kB text
+  * would emit ~10⁸ variant keys per row before any cap could help.
   */
 object FuzzyJoin {
 
@@ -47,14 +52,28 @@ object FuzzyJoin {
     array_distinct(full)
   }
 
-  /** Default row-exclusion length bound — see the class doc. */
+  /** Default length bound (raise-or-exclude per `dropLongStrings`) —
+    * see the class doc. */
   val DefaultMaxLen = 128
 
   private def keyed(df: DataFrame, strCol: String, idCol: String,
-                    k: Int, maxLen: Int): DataFrame = {
+                    k: Int, maxLen: Int, dropLongStrings: Boolean): DataFrame = {
     require(maxLen > 0, s"maxLen must be positive, got $maxLen")
-    df.filter(col(strCol).isNotNull && length(col(strCol)) <= maxLen)
-      .select(col(idCol).as("__fid"), col(strCol).as("__fstr"))
+    // guard rides the string the keys derive from, so projection
+    // pruning can't skip it; raise_error fails the job with the
+    // offending length instead of silently losing the row's pairs
+    val guarded =
+      if (dropLongStrings) col(strCol)
+      else coalesce(
+        when(length(col(strCol)) > maxLen, raise_error(concat(
+          lit(s"string longer than maxLen=$maxLen in edit-distance join " +
+            s"(length "), length(col(strCol)).cast("string"),
+          lit(s") — raise maxLen, or pass dropLongStrings=true to " +
+            s"exclude long rows")))).cast("string"),
+        col(strCol))
+    df.filter(col(strCol).isNotNull &&
+        (if (dropLongStrings) length(col(strCol)) <= maxLen else lit(true)))
+      .select(col(idCol).as("__fid"), guarded.as("__fstr"))
       .withColumn("__fkey", explode(neighborhood(col("__fstr"), k)))
   }
 
@@ -64,13 +83,16 @@ object FuzzyJoin {
     * true pair shares a candidate key; the verify removes the rest.
     * `maxBucket` drops variant keys shared by more than that many rows
     * (stop-fragment buckets), the documented recall/cost knob of the
-    * banded-dedup family. Rows longer than `maxLen` chars are EXCLUDED
-    * (not truncated) — the O(L²)-keys-per-row guard. */
+    * banded-dedup family. Rows longer than `maxLen` chars FAIL the job
+    * loudly unless `dropLongStrings = true` excludes them (never
+    * truncation) — the O(L²)-keys-per-row guard, see the class doc. */
   def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
                         maxDist: Int = 1,
                         maxBucket: Int = Int.MaxValue,
-                        maxLen: Int = DefaultMaxLen): DataFrame = {
-    val nb = Dedup.capBuckets(keyed(df, strCol, idCol, maxDist, maxLen),
+                        maxLen: Int = DefaultMaxLen,
+                        dropLongStrings: Boolean = false): DataFrame = {
+    val nb = Dedup.capBuckets(
+      keyed(df, strCol, idCol, maxDist, maxLen, dropLongStrings),
       Seq("__fkey"), maxBucket)
     val a = nb.select(col("__fid").as("id_a"), col("__fstr").as("str_a"),
       col("__fkey"))
@@ -92,14 +114,17 @@ object FuzzyJoin {
                        right: DataFrame, rightStr: String, rightId: String,
                        maxDist: Int = 1,
                        maxBucket: Int = Int.MaxValue,
-                       maxLen: Int = DefaultMaxLen): DataFrame = {
+                       maxLen: Int = DefaultMaxLen,
+                       dropLongStrings: Boolean = false): DataFrame = {
     // a side may use its string AS its id — emit each name once
     def named(df: DataFrame, id: String, str: String): DataFrame =
       if (id == str) df.select(col("__fstr").as(str), col("__fkey"))
       else df.select(col("__fid").as(id), col("__fstr").as(str), col("__fkey"))
-    val a = named(Dedup.capBuckets(keyed(left, leftStr, leftId, maxDist, maxLen),
+    val a = named(Dedup.capBuckets(
+      keyed(left, leftStr, leftId, maxDist, maxLen, dropLongStrings),
       Seq("__fkey"), maxBucket), leftId, leftStr)
-    val b = named(Dedup.capBuckets(keyed(right, rightStr, rightId, maxDist, maxLen),
+    val b = named(Dedup.capBuckets(
+      keyed(right, rightStr, rightId, maxDist, maxLen, dropLongStrings),
       Seq("__fkey"), maxBucket), rightId, rightStr)
     val outCols = Seq(leftId, leftStr, rightId, rightStr).distinct
     a.join(b, Seq("__fkey"))

@@ -26,7 +26,11 @@ object Geo {
     concat(lit("POINT ("), lng.cast("double").cast("string"), lit(" "),
       lat.cast("double").cast("string"), lit(")"))
 
-  private val PointRe = "^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$"
+  // whitespace-tolerant like the POLYGON/LINESTRING parsers in
+  // GeoAlgebra: compact `POINT(x y)` parses the same as the canonical
+  // spaced form — one tolerance contract across the whole WKT surface
+  private val PointRe =
+    "^POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)$"
 
   /** Longitude (first coordinate) of a WKT point; null on malformed input. */
   def wktLng(wkt: Column): Column = {
@@ -40,10 +44,35 @@ object Geo {
     when(m === "", lit(null).cast("double")).otherwise(m.cast("double"))
   }
 
+  /** The Haversine kernel's sphere: R = 6 371 000 m, shared with
+    * [[graft.functions.Distances.haversine]]. */
+  val SphereRadiusMeters = 6371000.0
+
+  /** WGS84 authalic (equal-total-area) sphere radius — the standard
+    * first-order spheroid correction for AREAS (Snyder, "Map
+    * Projections — A Working Manual", USGS PP 1395, eq. 3-11/3-13):
+    * a sphere of this radius has exactly the ellipsoid's surface area,
+    * so authalic-sphere areas track WGS84 ellipsoidal areas to ~0.1 %
+    * locally (the mapping's latitude-dependent scale residual). */
+  val AuthalicRadiusMeters = 6371007.1809184737
+
+  /** WGS84 rectifying sphere radius (the meridian-arc mean
+    * `A = a/(1+n)·(1+n²/4+n⁴/64)` of Karney, "Transverse Mercator with
+    * an accuracy of a few nanometers", 2011 — pole-to-pole meridian
+    * length exact): the matching first-order correction for LENGTHS.
+    * Residual vs true WGS84 geodesics stays within ~0.2 % typically
+    * and ~0.5 % worst-case (equatorial east–west runs, where the
+    * ellipsoid's normal radius exceeds the rectifying mean); full
+    * Karney geodesics are out of scope. */
+  val RectifyingRadiusMeters = 6367449.145823415
+
   /** Great-circle distance in meters between two (lat, lng) pairs —
-    * scalar twin of `Distances.haversine`. */
-  def haversineMeters(latA: Column, lngA: Column, latB: Column, lngB: Column): Column = {
-    val earthR = lit(6371000.0)
+    * scalar twin of `Distances.haversine`. `radiusMeters` selects the
+    * sphere (default the Haversine R; pass [[RectifyingRadiusMeters]]
+    * for the spheroid-corrected length convention). */
+  def haversineMeters(latA: Column, lngA: Column, latB: Column, lngB: Column,
+                      radiusMeters: Double = SphereRadiusMeters): Column = {
+    val earthR = lit(radiusMeters)
     def lat(v: Column) = radians(greatest(lit(-90.0), least(lit(90.0), v.cast("double"))))
     def lng(v: Column) = {
       val wrapped = (v.cast("double") % 360.0 + 360.0) % 360.0
@@ -75,40 +104,59 @@ object Geo {
     * (`array<struct<x:lng,y:lat>>`): Σ Haversine over consecutive
     * vertices — a closed ring yields its geodesic perimeter, an open
     * linestring its route length. */
-  def lengthGeoMeters(chain: Column): Column =
+  def lengthGeoMeters(chain: Column,
+                      radiusMeters: Double = SphereRadiusMeters): Column =
     aggregate(GeoAlgebra.edges(chain), lit(0.0), (acc, e) =>
       acc + haversineMeters(e.getField("ay"), e.getField("ax"),
-        e.getField("by"), e.getField("bx")))
+        e.getField("by"), e.getField("bx"), radiusMeters))
 
   /** Spherical polygon area in m² of a closed lat/lng ring — the
     * Chamberlain–Duquette line integral (JPL Publication 07-3):
-    * `|Σ (λ₂−λ₁)·(2 + sin φ₁ + sin φ₂)| · R²/2`, summed over the ring's
-    * edges in radians. Excellent for polygons small against the Earth
-    * (the geodesic twin of the planar shoelace); rings must not cross
-    * the ±180° antimeridian (the λ difference would wrap). */
-  def areaGeoSqMeters(ring: Column): Column = {
-    val r = lit(6371000.0)
+    * `|Σ Δλ'·(2 + sin φ₁ + sin φ₂)| · R²/2`, summed over the ring's
+    * edges in radians, with each edge's longitude step wrapped into
+    * [−π, π): `Δλ' = Δλ − 2π·⌊Δλ/2π + ½⌋`. The wrap is the IDENTITY
+    * for edges that stay inside one 360° window (⌊·⌋ = 0, `Δλ − 0.0`
+    * is bit-exact), and makes dateline-crossing rings — a vertex at
+    * +179.9° linked to one at −179.9° — integrate their true small
+    * step instead of the ±2π jump, so the formula is correct across
+    * the ±180° antimeridian with no change to non-crossing results.
+    * All wrap arithmetic is exact-rounded (multiply/divide/floor/
+    * subtract), so the oracle replays it bit-identically. Excellent
+    * for polygons small against the Earth (the geodesic twin of the
+    * planar shoelace). */
+  def areaGeoSqMeters(ring: Column,
+                      radiusMeters: Double = SphereRadiusMeters): Column = {
+    val r = lit(radiusMeters)
+    val twoPi = 2.0 * math.Pi
+    def wrapPi(d: Column): Column = d - lit(twoPi) * floor(d / twoPi + 0.5)
     abs(aggregate(GeoAlgebra.edges(ring), lit(0.0), (acc, e) =>
-      acc + (radians(e.getField("bx")) - radians(e.getField("ax"))) *
+      acc + wrapPi(radians(e.getField("bx")) - radians(e.getField("ax"))) *
         (lit(2.0) + sin(radians(e.getField("ay"))) +
           sin(radians(e.getField("by")))))) * r * r / 2.0
   }
 
   /** Geodesic area of full WKT text (`POLYGON`/`MULTIPOLYGON`, holes
-    * subtract, parts sum) — `ST_Area(geography)` semantics on the
-    * sphere. Null on malformed input. */
-  def stAreaGeo(wkt: Column): Column =
-    GeoAlgebra.areaWktWith(wkt, areaGeoSqMeters)
+    * subtract, parts sum) — `ST_Area(geography)` semantics. Null on
+    * malformed input. `spheroid = true` evaluates on the WGS84
+    * authalic sphere ([[AuthalicRadiusMeters]]) — the PostGIS
+    * `geography` ellipsoidal-default analogue, accurate to ~0.1 % of
+    * true WGS84 areas — instead of the Haversine sphere. */
+  def stAreaGeo(wkt: Column, spheroid: Boolean = false): Column =
+    GeoAlgebra.areaWktWith(wkt, areaGeoSqMeters(_,
+      if (spheroid) AuthalicRadiusMeters else SphereRadiusMeters))
 
   /** Geodesic length in meters of full WKT text: a `LINESTRING`'s route
     * length, or the boundary length of a `POLYGON`/`MULTIPOLYGON`
     * (every ring counts — the geodesic `ST_Perimeter`). Null on
-    * malformed input. */
-  def stLengthGeo(wkt: Column): Column = {
+    * malformed input. `spheroid = true` measures on the WGS84
+    * rectifying sphere ([[RectifyingRadiusMeters]]) — see that
+    * constant's residual-error note. */
+  def stLengthGeo(wkt: Column, spheroid: Boolean = false): Column = {
+    val r = if (spheroid) RectifyingRadiusMeters else SphereRadiusMeters
     val line = GeoAlgebra.wktLineString(wkt)
-    when(line.isNotNull, lengthGeoMeters(line))
+    when(line.isNotNull, lengthGeoMeters(line, r))
       .otherwise(aggregate(GeoAlgebra.wktRings(wkt), lit(0.0),
-        (acc, r) => acc + lengthGeoMeters(r)))
+        (acc, rr) => acc + lengthGeoMeters(rr, r)))
   }
 
   /** Closed regular-n-gon ring of great-circle DESTINATION points at

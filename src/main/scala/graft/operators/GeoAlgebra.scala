@@ -112,11 +112,15 @@ object GeoAlgebra {
 
   /** The shell-minus-holes / parts-sum WKT area skeleton, parameterized
     * by the per-ring area kernel — the planar shoelace ([[stAreaWkt]])
-    * and the spherical line integral ([[Geo.stAreaGeo]]) share it. */
+    * and the spherical line integral ([[Geo.stAreaGeo]]) share it.
+    * Rings route through [[validChain]] (identity for well-formed
+    * input), so coordinate-level garbage nulls the measure by the same
+    * contract as every other parser, not merely by cast propagation. */
   private[operators] def areaWktWith(wkt: Column,
                                      ringArea: Column => Column): Column = {
     def polyArea(body: Column): Column = {
-      val rings = transform(split(body, "\\)\\s*,\\s*\\("), r => ringOf(r))
+      val rings = transform(split(body, "\\)\\s*,\\s*\\("),
+        r => validChain(ringOf(r)))
       val total = aggregate(rings, lit(0.0), (acc, r) => acc + ringArea(r))
       ringArea(element_at(rings, 1)) * 2.0 - total
     }
@@ -138,14 +142,40 @@ object GeoAlgebra {
     * semantics): area-weighted moments, holes subtracting and
     * MULTIPOLYGON parts summing — same shell·2 − Σ skeleton as
     * [[stAreaWkt]], orientation-independent because each ring's moment
-    * is its |area|-weighted centroid. Undefined (NaN/null) for
-    * zero-total-area input; null on malformed text. */
+    * is its |area|-weighted centroid. ONE parse/fold pass: the kernel
+    * returns `struct(mx, my, a)` and the skeleton combines
+    * component-wise (arithmetic per component identical to three
+    * scalar passes — the bit-parity contract), with rings routed
+    * through [[validChain]] like every other parser. Undefined
+    * (NaN/null) for zero-total-area input; null on malformed text. */
   def stCentroidWkt(wkt: Column): Column = {
-    def mom(f: Column => Column): Column =
-      areaWktWith(wkt, r => f(stCentroid(r)) * stArea(r))
-    val a = stAreaWkt(wkt)
-    struct((mom(_.getField("x")) / a).as("x"),
-      (mom(_.getField("y")) / a).as("y"))
+    val MomType = "struct<mx:double,my:double,a:double>"
+    def kernel(r: Column): Column = {
+      val c = stCentroid(r)
+      val ar = stArea(r)
+      struct((c.getField("x") * ar).as("mx"),
+        (c.getField("y") * ar).as("my"), ar.as("a"))
+    }
+    def each(f: (Column, Column) => Column)(a: Column, b: Column): Column =
+      struct(f(a.getField("mx"), b.getField("mx")).as("mx"),
+        f(a.getField("my"), b.getField("my")).as("my"),
+        f(a.getField("a"), b.getField("a")).as("a"))
+    val zero = struct(lit(0.0).as("mx"), lit(0.0).as("my"), lit(0.0).as("a"))
+    def polyMom(body: Column): Column = {
+      val rings = transform(split(body, "\\)\\s*,\\s*\\("),
+        r => validChain(ringOf(r)))
+      val total = aggregate(rings, zero, (acc, r) => each(_ + _)(acc, kernel(r)))
+      each((s, t) => s * 2.0 - t)(kernel(element_at(rings, 1)), total)
+    }
+    val polyBody = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
+    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON\\s*\\(\\(\\((.+)\\)\\)\\)$", 1)
+    val m = when(polyBody =!= "", polyMom(polyBody))
+      .when(multiBody =!= "",
+        aggregate(split(multiBody, "\\)\\)\\s*,\\s*\\(\\("), zero,
+          (acc, p) => each(_ + _)(acc, polyMom(p))))
+      .otherwise(lit(null).cast(MomType))
+    struct((m.getField("mx") / m.getField("a")).as("x"),
+      (m.getField("my") / m.getField("a")).as("y"))
   }
 
   /** Literal-WKT containment: the codegen single-ring kernel when the
@@ -583,7 +613,17 @@ object GeoAlgebra {
     * Output: all columns of both sides (names must be disjoint). Scale
     * shape: candidates are O(Σ shared tiles), never |A|·|B|; size
     * `cell` near the typical polygon diameter so fan-out stays a few
-    * tiles per row. */
+    * tiles per row.
+    *
+    * PLANAR contract: coordinates tile a flat grid — unlike
+    * [[Geo.radiusJoin]]'s lat/lng grid, the tiling does NOT wrap at
+    * the ±180° antimeridian, so two lat/lng polygons meeting across
+    * the dateline (one at +179.9°, one at −179.9°) land in far-apart
+    * tiles and report disjoint. For dateline-straddling lat/lng data,
+    * shift longitudes into one contiguous window first (e.g.
+    * `pmod(lng + 360, 360)` re-centers the seam at 0°/360°); true
+    * spherical polygon joins are out of scope (the geodesic family
+    * covers points/radii, not polygon×polygon). */
   def intersectsJoin(as: DataFrame, ringColA: String,
                      bs: DataFrame, ringColB: String,
                      cell: Double, inclusive: Boolean = false,

@@ -39,6 +39,33 @@ object Sampling {
     pmod(TextAnalysis.rawRollingFingerprint(coalesce(key.cast("string"), lit("")))
       * lit(2654435761L), lit(1000000007L))
 
+  /** Independent second key hash in [0, 998244353): different rolling
+    * multiplier/modulus/seed ([[TextAnalysis.rawRollingFingerprint2]])
+    * and a different avalanche constant (0xC2B2AE3D, the second
+    * xxHash-family prime — 998244352 · 3266489917 < 2⁶² keeps the
+    * finalizer replayable in 63-bit SQL arithmetic). A [[keyHash]]
+    * collision and a keyHash2 collision are uncorrelated — the
+    * widening pair for identity-grade keys. */
+  def keyHash2(key: Column): Column =
+    pmod(TextAnalysis.rawRollingFingerprint2(coalesce(key.cast("string"), lit("")))
+      * lit(3266489917L), lit(998244353L))
+
+  /** IDENTITY-grade portable key hash: [[keyHash]] and [[keyHash2]]
+    * packed into one BIGINT (`h1 · 2³¹ + h2` < 2⁶¹ — replayable in any
+    * 64-bit SQL engine; ordering = lexicographic on (h1, h2)).
+    * Collision space ≈ 10¹⁸ (the primes' product): two distinct keys
+    * silently collide with p ≈ 10⁻¹⁸, a birthday horizon of ~10⁹
+    * distinct keys (expected colliding pairs n²/2 · 10⁻¹⁸ — at n = 10⁹
+    * that is 0.5; [[keyHash]] alone saturates at ~4·10⁴). Use for keys
+    * whose collision MERGES identities (dedup component node ids,
+    * cluster keys); plain [[keyHash]] remains right for sampling
+    * residues and sketch inputs, where a collision only adds estimator
+    * noise bounded by the sketch's own guarantees. Corpora beyond 10⁹
+    * distinct identity keys should carry a true content hash (md5/
+    * sha2) instead — cross-engine replay is what this hash buys. */
+  def keyHash62(key: Column): Column =
+    keyHash(key) * lit(2147483648L) + keyHash2(key)
+
   /** Collision-free working-column namer: `__graft_<base>_<i>` with the
     * smallest `i` absent from `df` — a caller frame that already carries
     * a `__graft_*` column must never be silently replaced by a

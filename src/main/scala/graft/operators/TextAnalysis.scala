@@ -504,6 +504,19 @@ object TextAnalysis {
         (h, c) => pmod(h * 131L + ascii(c), p)))
   }
 
+  /** An INDEPENDENT second raw rolling hash — different multiplier
+    * (137), modulus (998244353, the NTT prime) and seed (11), so a
+    * collision in [[rawRollingFingerprint]] is uncorrelated with a
+    * collision here. Pairs with it to form the widened
+    * [[Sampling.keyHash62]] identity hash; same engine-replayable
+    * primitive contract (codepoints + 63-bit modular arithmetic). */
+  def rawRollingFingerprint2(text: Column): Column = {
+    val p = lit(998244353L)
+    when(length(text) === 0, lit(11L)).otherwise(
+      aggregate(split(text, ""), lit(11L),
+        (h, c) => pmod(h * 137L + ascii(c), p)))
+  }
+
   /** TF-IDF keyword extraction: top-`k` terms per document. Term and
     * document frequencies come from the SAME (doc, term) aggregate
     * (one token shuffle); idf joins back as a BROADCAST on the term

@@ -72,19 +72,36 @@ class FuzzyJoinSpec extends SparkSpec {
     capped.subsetOf(bruteWithin(df, 1)) shouldBe true
   }
 
-  test("maxLen excludes document-length rows on both sides, never truncates") {
+  test("maxLen fails loudly by default; dropLongStrings opts into exclusion") {
     val longText = "lorem ipsum " * 40 // 480 chars — a misfed document
     val df = Seq((1L, "widget"), (2L, "widgt"), (3L, longText))
       .toDF("id", "s")
-    val pairs = FuzzyJoin.editDistancePairs(df, "s", "id", 1, maxLen = 64)
+    // DEFAULT: an over-long row fails the job with the limit in the
+    // message — never a silent loss of its pairs
+    val loud = intercept[Exception] {
+      FuzzyJoin.editDistancePairs(df, "s", "id", 1, maxLen = 64).collect()
+    }
+    loud.getMessage should include("maxLen=64")
+    // OPT-IN exclusion: the long row joins nothing, short pairs exact
+    val pairs = FuzzyJoin.editDistancePairs(df, "s", "id", 1, maxLen = 64,
+        dropLongStrings = true)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    pairs shouldBe Set((1L, 2L)) // the long row joins nothing
-    // cross form: a long dictionary row is excluded too
+    pairs shouldBe Set((1L, 2L))
+    // cross form: loud default on a long dictionary row…
     val dict = Seq((10L, "widget"), (11L, longText)).toDF("did", "w")
+    an[Exception] should be thrownBy
+      FuzzyJoin.editDistanceJoin(df, "s", "id", dict, "w", "did",
+        maxDist = 1, maxLen = 64).collect()
+    // …and opt-in exclusion there too
     val got = FuzzyJoin.editDistanceJoin(df, "s", "id", dict, "w", "did",
-        maxDist = 1, maxLen = 64)
+        maxDist = 1, maxLen = 64, dropLongStrings = true)
       .select("id", "did").as[(Long, Long)].collect().toSet
     got shouldBe Set((1L, 10L), (2L, 10L))
+    // rows AT the bound pass the loud guard untouched
+    FuzzyJoin.editDistancePairs(df.filter(col("id") < 3L), "s", "id", 1,
+        maxLen = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L))
     // and the guard rejects nonsense configuration eagerly
     an[IllegalArgumentException] should be thrownBy
       FuzzyJoin.editDistancePairs(df, "s", "id", 1, maxLen = 0)

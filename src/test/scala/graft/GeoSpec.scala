@@ -24,14 +24,19 @@ class GeoSpec extends SparkSpec {
     }
   }
 
-  test("malformed WKT parses to null, not an error") {
-    val r = Seq("POINT (1 2)", "LINESTRING (0 0, 1 1)", "garbage", "POINT(1 2)")
+  test("malformed WKT parses to null; whitespace variation tolerated") {
+    val r = Seq("POINT (1 2)", "LINESTRING (0 0, 1 1)", "garbage",
+        "POINT(1 2)", "POINT ( 1  2 )", "POINT (1)")
       .toDF("wkt")
       .select(Geo.wktLng(col("wkt")).as("lng")).collect()
     r(0).getDouble(0) shouldBe 1.0
     r(1).isNullAt(0) shouldBe true
     r(2).isNullAt(0) shouldBe true
-    r(3).isNullAt(0) shouldBe true // strict form: space after POINT required
+    // compact + padded forms parse like the canonical one — the same
+    // tolerance contract as the POLYGON/LINESTRING parsers
+    r(3).getDouble(0) shouldBe 1.0
+    r(4).getDouble(0) shouldBe 1.0
+    r(5).isNullAt(0) shouldBe true
   }
 
   test("scalar haversine agrees with the vector kernel and known distances") {
@@ -143,6 +148,64 @@ class GeoSpec extends SparkSpec {
         col("lat"), col("lng")) - r))
       .as[Double].collect()
     all(hi) should be < 1e-6
+  }
+
+  test("areaGeoSqMeters is antimeridian-safe: 180° lng shift leaves measures unchanged") {
+    // rings centered near lng 0, shifted half a world east and
+    // re-wrapped into [-180, 180): the shifted coordinates JUMP across
+    // ±180° mid-ring (…179.8, −179.9…), so every seam edge exercises
+    // the Δλ wrap — without it the crossing edges integrate ±2π jumps
+    // (the world-complement area)
+    val rings = Seq(
+      Geo.stBufferPointGeo(lit(35.0), lit(0.4), lit(60000.0), 8),
+      Geo.stBufferPointGeo(lit(-10.0), lit(-0.2), lit(250000.0), 6))
+    rings.foreach { ring =>
+      val df = Seq(1).toDF("one").select(ring.as("ring"))
+      def shiftLng(r: org.apache.spark.sql.Column) = transform(r, p =>
+        struct((pmod(p.getField("x") + 360.0, lit(360.0)) - 180.0).as("x"),
+          p.getField("y").as("y")))
+      // the shifted ring really does straddle the seam
+      val sides = df.select(shiftLng(col("ring")).as("r"))
+        .select(explode(col("r")).as("p"))
+        .select(signum(col("p.x"))).as[Double].collect().toSet
+      sides should contain allOf (1.0, -1.0)
+      val base = df.select(Geo.areaGeoSqMeters(col("ring")).as("a"),
+        Geo.lengthGeoMeters(col("ring")).as("p")).head()
+      val shifted = df.select(Geo.areaGeoSqMeters(shiftLng(col("ring"))).as("a"),
+        Geo.lengthGeoMeters(shiftLng(col("ring"))).as("p")).head()
+      math.abs(shifted.getDouble(0) - base.getDouble(0)) /
+        base.getDouble(0) should be < 1e-9
+      math.abs(shifted.getDouble(1) - base.getDouble(1)) /
+        base.getDouble(1) should be < 1e-9
+    }
+    // direct seam ring: ~1°×1° quad across ±180° must measure ~1.2e10 m²
+    // (the small patch), never the world complement
+    val quad = Seq(1).toDF("one").select(array(
+      struct(lit(179.5).as("x"), lit(0.0).as("y")),
+      struct(lit(-179.5).as("x"), lit(0.0).as("y")),
+      struct(lit(-179.5).as("x"), lit(1.0).as("y")),
+      struct(lit(179.5).as("x"), lit(1.0).as("y")),
+      struct(lit(179.5).as("x"), lit(0.0).as("y"))).as("ring"))
+    val a = quad.select(Geo.areaGeoSqMeters(col("ring"))).as[Double].head()
+    a should be > 1.0e10
+    a should be < 1.5e10
+  }
+
+  test("spheroid option scales measures by the documented WGS84 radii ratios") {
+    val wkt = lit("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
+    val df = Seq(1).toDF("one")
+    val row = df.select(
+      Geo.stAreaGeo(wkt).as("a"), Geo.stAreaGeo(wkt, spheroid = true).as("as"),
+      Geo.stLengthGeo(wkt).as("l"),
+      Geo.stLengthGeo(wkt, spheroid = true).as("ls")).head()
+    val ra = Geo.AuthalicRadiusMeters / Geo.SphereRadiusMeters
+    val rr = Geo.RectifyingRadiusMeters / Geo.SphereRadiusMeters
+    row.getDouble(1) / row.getDouble(0) shouldBe (ra * ra) +- 1e-12
+    row.getDouble(3) / row.getDouble(2) shouldBe rr +- 1e-12
+    // the corrections point the documented directions: authalic area up
+    // (Ra > R), rectifying length down (Rr < R)
+    row.getDouble(1) should be > row.getDouble(0)
+    row.getDouble(3) should be < row.getDouble(2)
   }
 
   test("radiusJoin wraps the antimeridian: pairs straddling ±180° join exactly once") {

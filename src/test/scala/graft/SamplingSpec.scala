@@ -34,6 +34,35 @@ class SamplingSpec extends SparkSpec {
     h shouldBe expect
   }
 
+  test("keyHash2/keyHash62: independent portable pair, packed ordering and replay") {
+    // keyHash2 manual replay: raw2 = ((11*137 + 'A')*137 + ' ')*137 + 'b'
+    // mod 998244353; final = raw2 * 3266489917 mod 998244353
+    val raw2 = (((11L * 137 + 'A') * 137 + ' ') * 137 + 'b') % 998244353L
+    val expect2 = (raw2 * 3266489917L) % 998244353L
+    val row = Seq("A b").toDF("k")
+      .select(Sampling.keyHash(col("k")).as("h1"),
+        Sampling.keyHash2(col("k")).as("h2"),
+        Sampling.keyHash62(col("k")).as("h62")).head()
+    row.getLong(1) shouldBe expect2
+    // the packed id IS h1·2³¹ + h2 — bijective in the pair, 64-bit safe
+    row.getLong(2) shouldBe row.getLong(0) * 2147483648L + row.getLong(1)
+    row.getLong(2) should be < (1L << 61)
+    // independence smoke: trailing-neighbor keys whose keyHash residues
+    // run consecutively must not correlate between the two hashes
+    val hs = (1 to 200).map(i => s"doc $i").toDF("k")
+      .select(Sampling.keyHash(col("k")).as("h1"),
+        Sampling.keyHash2(col("k")).as("h2"))
+      .as[(Long, Long)].collect()
+    hs.map(_._1).distinct.length shouldBe 200
+    hs.map(_._2).distinct.length shouldBe 200
+    // parity of (h1 mod 2, h2 mod 2) spreads over all four cells
+    hs.map { case (a, b) => (a % 2, b % 2) }.distinct.length shouldBe 4
+    // null key: both hashes collapse to their finalized seeds
+    val n = Seq[Option[String]](None).toDF("k")
+      .select(Sampling.keyHash2(col("k"))).head().getLong(0)
+    n shouldBe (11L * 3266489917L) % 998244353L
+  }
+
   test("keyHash decorrelates trailing-character neighbors (sampling uniformity)") {
     // raw rolling hashes of "doc 201".."doc 300" come in runs of
     // consecutive values; the avalanche step must break that up

@@ -1201,6 +1201,40 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // ~2730 km from the nearest depot — the bounded-radius drop
   }
 
+  test("geo wire surface: a missing per-mode field is a 400 naming the field, not an NPE") {
+    // reuses the `geo`/`geopoly` entities of the previous test; every
+    // mode's required field, omitted, must come back ok=false with the
+    // field name in the error — the reqField contract
+    def expectMissing(body: String, field: String): Unit = {
+      val r = post("/pipeline/geo", body)
+      r.get("ok").asBoolean() shouldBe false
+      r.get("error").asText() should include(field)
+    }
+    expectMissing( // contains without wkt
+      """{"entity":"geo","mode":"contains","xCol":"x","yCol":"y","idCol":"pid"}""",
+      "wkt")
+    expectMissing( // contains_join without fences
+      """{"entity":"geo","mode":"contains_join","xCol":"x","yCol":"y","idCol":"pid"}""",
+      "fences")
+    expectMissing( // fence entry without its wkt
+      """{"entity":"geo","mode":"contains_join","xCol":"x","yCol":"y","idCol":"pid",
+        |"fences":[{"id":1}]}""".stripMargin, "wkt")
+    expectMissing( // dwithin_geo without meters
+      """{"entity":"geo","mode":"dwithin_geo","xCol":"x","yCol":"y","idCol":"pid",
+        |"wkt":"POINT (2 2)"}""".stripMargin, "meters")
+    expectMissing( // intersects_join without wktCol
+      """{"entity":"geopoly","mode":"intersects_join","xCol":"x","yCol":"y",
+        |"idCol":"gid","fences":[]}""".stripMargin, "wktCol")
+    expectMissing( // nearest_geo without pois
+      """{"entity":"geo","mode":"nearest_geo","xCol":"x","yCol":"y","idCol":"pid",
+        |"meters":1000.0}""".stripMargin, "pois")
+    expectMissing( // mode itself missing
+      """{"entity":"geo","xCol":"x","yCol":"y","idCol":"pid"}""", "mode")
+    expectMissing( // shared coordinate columns missing
+      """{"entity":"geo","mode":"contains","yCol":"y","idCol":"pid",
+        |"wkt":"POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"}""".stripMargin, "xCol")
+  }
+
   override def afterAll(): Unit = {
     server.stop()
     super.afterAll()
