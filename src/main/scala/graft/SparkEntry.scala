@@ -4465,13 +4465,13 @@ object SparkEntry {
     "cdc_chunks" ->
       s"""WITH $duckCdcCtes
          |SELECT doc_id, chunk_idx, start_pos, chunk_len,
-         |  ${duckRawHash("ctext")} AS chunk_hash
+         |  ${duckKeyHash62("ctext")} AS chunk_hash
          |FROM cch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "cdc_repeated_chunks" ->
       s"""WITH $duckCdcCtes
          |SELECT chunk_hash, count(*) AS n_docs FROM (
-         |  SELECT DISTINCT doc_id, ${duckRawHash("ctext")} AS chunk_hash FROM cch)
+         |  SELECT DISTINCT doc_id, ${duckKeyHash62("ctext")} AS chunk_hash FROM cch)
          |GROUP BY chunk_hash HAVING count(*) >= 2 ORDER BY chunk_hash""".stripMargin,
 
     "ngram_novelty" ->

@@ -59,8 +59,12 @@ object Dedup {
     * token-window hashing ([[repeatedChunks]] misses shifted copies;
     * this catches them). Expected chunk length ≈ `divisor` chars.
     * Emits one row per chunk: `(id, chunk_idx, start_pos, chunk_len,
-    * chunk_hash)` with the portable
-    * [[graft.operators.Sampling.keyHash]] of the chunk text.
+    * chunk_hash)` with the portable IDENTITY-grade
+    * [[graft.operators.Sampling.keyHash62]] of the chunk text — the
+    * hash is a dedup identity key (a collision falsely marks two
+    * DIFFERENT chunks as a shared span), so it carries the packed
+    * dual-hash's ~10⁹-distinct-chunk collision horizon, not the
+    * single 30-bit hash's ~4·10⁴.
     *
     * Scale shape: boundary detection is ONE per-row pass of the
     * [[graft.functions.CdcBoundsExpr]] codegen kernel — O(window·chars)
@@ -92,7 +96,7 @@ object Dedup {
     df.select(col(idCol).as("id"), explode(chunks).as("c"))
       .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.start_pos").as("start_pos"), col("c.chunk_len").as("chunk_len"),
-        Sampling.keyHash(col("c.chunk_text")).as("chunk_hash"))
+        Sampling.keyHash62(col("c.chunk_text")).as("chunk_hash"))
   }
 
   /** CDC chunks shared by ≥ `minDocs` distinct documents — the
