@@ -27,6 +27,12 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
   /** Fold a numeric literal to double — SQL parses bare `2.5` as
     * DECIMAL, so Decimal must be accepted alongside the primitive
     * literal types or the natural invocation form throws. */
@@ -203,16 +209,23 @@ object GraftFunctions {
           s"st_covers(wkt, px, py) expects 3 args, got ${args.length}")
       },
       // geodesic (GEOGRAPHY-role) twins: WKT in lng/lat axis order,
-      // measures in meters / m² on the R = 6371 km Haversine sphere
+      // measures in meters / m² on the R = 6371 km Haversine sphere.
+      // The optional boolean literal mirrors PostGIS's
+      // `ST_Area(geography, use_spheroid)`: true evaluates on the
+      // WGS84 authalic (area) / rectifying (length) sphere instead
       "st_area_geo" -> {
         case Seq(wkt) => geoSql(wkt)(w => graft.operators.Geo.stAreaGeo(w))
+        case Seq(wkt, sph) => geoSql(wkt)(w => graft.operators.Geo.stAreaGeo(w,
+          spheroid = boolArg(sph, "st_area_geo spheroid")))
         case args => throw new IllegalArgumentException(
-          s"st_area_geo(wkt) expects 1 arg, got ${args.length}")
+          s"st_area_geo(wkt[, use_spheroid]) expects 1-2 args, got ${args.length}")
       },
       "st_length_geo" -> {
         case Seq(wkt) => geoSql(wkt)(w => graft.operators.Geo.stLengthGeo(w))
+        case Seq(wkt, sph) => geoSql(wkt)(w => graft.operators.Geo.stLengthGeo(w,
+          spheroid = boolArg(sph, "st_length_geo spheroid")))
         case args => throw new IllegalArgumentException(
-          s"st_length_geo(wkt) expects 1 arg, got ${args.length}")
+          s"st_length_geo(wkt[, use_spheroid]) expects 1-2 args, got ${args.length}")
       },
       // buffer constructors: POINT buffers as WKT polygon text — planar
       // n-gon and geodesic destination-point ring (x=lng, y=lat, meters)

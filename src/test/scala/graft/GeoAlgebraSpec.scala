@@ -533,6 +533,21 @@ class GeoAlgebraSpec extends SparkSpec {
       .as[Double].head()
     val oct = 4.0 * math.sin(math.Pi / 4) * 50000.0 * 50000.0
     math.abs(geoArea - oct) / oct should be < 1e-3
+    // optional use_spheroid literal (the PostGIS ST_Area(geog, bool)
+    // shape): measures scale by the documented WGS84 radii ratios
+    val sq = "'POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))'"
+    val r = spark.sql(
+      s"""SELECT st_area_geo($sq, true) / st_area_geo($sq) AS ar,
+         |  st_length_geo($sq, true) / st_length_geo($sq) AS lr""".stripMargin)
+      .as[(Double, Double)].head()
+    val ra = graft.operators.Geo.AuthalicRadiusMeters /
+      graft.operators.Geo.SphereRadiusMeters
+    r._1 shouldBe (ra * ra +- 1e-12)
+    r._2 shouldBe (graft.operators.Geo.RectifyingRadiusMeters /
+      graft.operators.Geo.SphereRadiusMeters +- 1e-12)
+    // non-literal spheroid arg is rejected eagerly, never half-applied
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT st_area_geo($sq, 1 = 1)").collect()
   }
 
   test("geodesic measures: known great-circle values, planar limit, holes") {
@@ -704,6 +719,34 @@ class GeoAlgebraSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
     assert(plan.contains("Join"))
+  }
+
+  test("intersectsJoin planar contract: seam pairs disjoint as documented; the shift recovers them") {
+    // two lat/lng squares overlapping ACROSS ±180° — in planar
+    // coordinates they sit 360° apart, so the non-wrapping tiling
+    // reports disjoint (the documented contract, unlike radiusJoin)
+    def sq(id: Long, x0: Double, tag: String) = Seq((id,
+        Seq(x0, x0 + 0.4, x0 + 0.4, x0, x0).zip(Seq(0.0, 0.0, 1.0, 1.0, 0.0))))
+      .toDF(s"${tag}_id", s"${tag}_pts")
+      .select(col(s"${tag}_id"), transform(col(s"${tag}_pts"), p =>
+        struct(p.getField("_1").as("x"), p.getField("_2").as("y")))
+        .as(s"${tag}_ring"))
+    val east = sq(1L, 179.7, "a")   // 179.7..180.1 (continuous past 180)
+    val west = sq(2L, -180.1, "b")  // -180.1..-179.7 = 179.9..180.3 wrapped
+    GeoAlgebra.intersectsJoin(east, "a_ring", west, "b_ring", 1.0)
+      .count() shouldBe 0L
+    // the documented client-side re-centering (pmod(lng+360, 360) maps
+    // both into one contiguous window) makes the same pair join —
+    // exactly once, through the same grid path
+    def recenter(df: org.apache.spark.sql.DataFrame, ring: String) =
+      df.withColumn(ring, transform(col(ring), p =>
+        struct(pmod(p.getField("x") + 360.0, lit(360.0)).as("x"),
+          p.getField("y").as("y"))))
+    val got = GeoAlgebra.intersectsJoin(
+        recenter(east, "a_ring"), "a_ring",
+        recenter(west, "b_ring"), "b_ring", 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 2L))
   }
 
   test("containsJoin: oversized envelope fails loudly via the cell guard") {
