@@ -1176,9 +1176,16 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case "dwithin_geo" =>
             val q = lit(reqField(req, "wkt").asText())
             val meters = reqField(req, "meters").asDouble()
+            // spheroid=true measures on the WGS84 rectifying sphere
+            // (the PostGIS use_spheroid analogue, Geo's documented
+            // residual bounds) instead of the Haversine R
+            val radius =
+              if (req.has("spheroid") && req.get("spheroid").asBoolean())
+                graft.operators.Geo.RectifyingRadiusMeters
+              else graft.operators.Geo.SphereRadiusMeters
             e.withColumn("dist_m", round(graft.operators.Geo.haversineMeters(
                 col(yCol), col(xCol), graft.operators.Geo.wktLat(q),
-                graft.operators.Geo.wktLng(q)), 2))
+                graft.operators.Geo.wktLng(q), radius), 2))
               .filter(col("dist_m") <= meters)
               .orderBy(idCol)
           case "intersects_join" =>

@@ -1230,6 +1230,18 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         |"meters":1000.0}""".stripMargin, "pois")
     expectMissing( // mode itself missing
       """{"entity":"geo","xCol":"x","yCol":"y","idCol":"pid"}""", "mode")
+    // spheroid flag: the same dwithin query measures on the WGS84
+    // rectifying sphere — distances scale by exactly Rr/R
+    def dist(extra: String): Double = post("/pipeline/geo",
+      s"""{"entity":"geo","mode":"dwithin_geo","xCol":"x","yCol":"y",
+         |"idCol":"pid","wkt":"POINT (2 3)","meters":1.0e9$extra}""".stripMargin)
+      .get("rows").elements().asScala
+      .map(n => (n.get("pid").asInt(), n.get("dist_m").asDouble())).toMap
+      .apply(3)
+    val ratio = dist(""","spheroid":true""") / dist("")
+    val rr = graft.operators.Geo.RectifyingRadiusMeters /
+      graft.operators.Geo.SphereRadiusMeters
+    math.abs(ratio - rr) should be < 1e-7
     expectMissing( // shared coordinate columns missing
       """{"entity":"geo","mode":"contains","yCol":"y","idCol":"pid",
         |"wkt":"POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"}""".stripMargin, "xCol")
