@@ -204,7 +204,8 @@ object Plans {
     ("geo_geodesic_dwithin", "geodesic radius predicate is a pure filter over the scan"),
     ("geo_covers_boundary", "covers + on-segment tests are per-row folds over the scan"),
     ("geo_geodesic_antimeridian", "dateline wrap is exact per-row arithmetic over the dim scan"),
-    ("geo_geodesic_spheroid", "spheroid-radius measures are per-row trig folds over the dim scan"))
+    ("geo_geodesic_spheroid", "spheroid-radius measures are per-row trig folds over the dim scan"),
+    ("geo_geodesic_azimuth", "bearing is a pure trig projection over the point scan"))
 
   /** Stable, sorted names of every audited shape — the `plan_shapes`
     * oracle is generated from this list, so adding a check here is the

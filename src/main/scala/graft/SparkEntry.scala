@@ -1915,6 +1915,21 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    "geo_geodesic_azimuth" -> ((s, d) => {
+      // ST_Azimuth(geography): initial great-circle bearing from the
+      // query point to every customer point, radians clockwise from
+      // north in [0, 2π). Due-north/south/self rows hit the formula's
+      // exact-zero branches (sin 0 = 0 and the commuting-product
+      // cancellation are exact in both engines), so the 0/2π wrap
+      // never straddles a rounding ulp; everything else rounds (6).
+      customerPoints(s, d).select(col("c_custkey"),
+          round(Geo.azimuthGeo(lit(10.0), lit(10.0), col("py"), col("px")), 6)
+            .as("az_rad"),
+          round(Geo.haversineMeters(lit(10.0), lit(10.0), col("py"), col("px")), 2)
+            .as("dist_m"))
+        .orderBy("c_custkey")
+    }),
+
     "geo_geodesic_nearest" -> ((s, d) => {
       // nearest-depot: each customer's 2 closest supplier depots by
       // great-circle distance within 300 km — radius-grid candidates +
@@ -5460,6 +5475,32 @@ object SparkEntry {
          |       round(abs(sum(aterm)) * 6371007.1809184737 * 6371007.1809184737
          |             / 2.0 / 1000000.0, 2) AS area_km2
          |FROM seg GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+    },
+
+    // bearing replay: same atan2 text as Geo.azimuthGeo, wrap via
+    // fmod(fmod(θ,2π)+2π,2π) — θ ∈ (−π, π] makes the first fmod the
+    // identity; the shared 2π double literal keeps the wrap exact
+    "geo_geodesic_azimuth" -> {
+      def gla(e: String) = s"radians(greatest(-90.0, least(90.0, $e)))"
+      def gln(e: String) =
+        s"""radians(CASE WHEN fmod(fmod($e, 360.0) + 360.0, 360.0) >= 180.0
+           | THEN fmod(fmod($e, 360.0) + 360.0, 360.0) - 360.0
+           | ELSE fmod(fmod($e, 360.0) + 360.0, 360.0) END)""".stripMargin
+      val dl = s"(${gln("px")} - ${gln("10.0")})"
+      val theta =
+        s"""atan2(sin($dl) * cos(${gla("py")}),
+           | cos(${gla("10.0")}) * sin(${gla("py")})
+           |   - sin(${gla("10.0")}) * cos(${gla("py")}) * cos($dl))""".stripMargin
+      val az = s"""fmod(fmod($theta, 6.283185307179586)
+                  | + 6.283185307179586, 6.283185307179586)""".stripMargin
+      val h =
+        s"""(power(sin((${gla("py")} - ${gla("10.0")}) / 2), 2)
+           | + cos(${gla("10.0")}) * cos(${gla("py")})
+           |   * power(sin((${gln("px")} - ${gln("10.0")}) / 2), 2))""".stripMargin
+      s"""WITH $customerPointsSql
+         |SELECT c_custkey, round($az, 6) AS az_rad,
+         |       round(2.0 * 6371000.0 * atan2(sqrt($h), sqrt(1.0 - $h)), 2) AS dist_m
+         |FROM cp ORDER BY c_custkey""".stripMargin
     },
 
     "geo_geodesic_nearest" -> {

@@ -227,6 +227,31 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"st_length_geo(wkt[, use_spheroid]) expects 1-2 args, got ${args.length}")
       },
+      // bearing + destination (PostGIS ST_Azimuth / ST_Project on the
+      // geography role): radians clockwise from north in [0, 2π);
+      // the destination emits WKT POINT text (x=lng, y=lat, meters)
+      "st_azimuth_geo" -> {
+        case Seq(a, b) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager(
+            graft.operators.Geo.stAzimuthGeo(
+              org.apache.spark.sql.graft.Bridge.column(a),
+              org.apache.spark.sql.graft.Bridge.column(b)))
+        case args => throw new IllegalArgumentException(
+          s"st_azimuth_geo(wktA, wktB) expects 2 args, got ${args.length}")
+      },
+      "st_project_geo" -> {
+        case Seq(lat, lng, r, az) =>
+          org.apache.spark.sql.graft.Bridge.expressionEager {
+            val p = graft.operators.Geo.projectGeo(
+              org.apache.spark.sql.graft.Bridge.column(lat),
+              org.apache.spark.sql.graft.Bridge.column(lng),
+              org.apache.spark.sql.graft.Bridge.column(r),
+              org.apache.spark.sql.graft.Bridge.column(az))
+            graft.operators.Geo.wktPoint(p.getField("x"), p.getField("y"))
+          }
+        case args => throw new IllegalArgumentException(
+          s"st_project_geo(lat, lng, meters, azimuth) expects 4 args, got ${args.length}")
+      },
       // buffer constructors: POINT buffers as WKT polygon text — planar
       // n-gon and geodesic destination-point ring (x=lng, y=lat, meters)
       "st_buffer_point" -> {

@@ -70,19 +70,71 @@ object Geo {
     * scalar twin of `Distances.haversine`. `radiusMeters` selects the
     * sphere (default the Haversine R; pass [[RectifyingRadiusMeters]]
     * for the spheroid-corrected length convention). */
+  /** Clamped latitude in radians — the Haversine kernel's input
+    * normalization, shared by every geodesic formula here. */
+  private def latRad(v: Column): Column =
+    radians(greatest(lit(-90.0), least(lit(90.0), v.cast("double"))))
+
+  /** Wrapped longitude in radians ([−π, π)) — ditto. */
+  private def lngRad(v: Column): Column = {
+    val wrapped = (v.cast("double") % 360.0 + 360.0) % 360.0
+    radians(when(wrapped >= 180.0, wrapped - 360.0).otherwise(wrapped))
+  }
+
   def haversineMeters(latA: Column, lngA: Column, latB: Column, lngB: Column,
                       radiusMeters: Double = SphereRadiusMeters): Column = {
     val earthR = lit(radiusMeters)
-    def lat(v: Column) = radians(greatest(lit(-90.0), least(lit(90.0), v.cast("double"))))
-    def lng(v: Column) = {
-      val wrapped = (v.cast("double") % 360.0 + 360.0) % 360.0
-      radians(when(wrapped >= 180.0, wrapped - 360.0).otherwise(wrapped))
-    }
-    val dPhi = lat(latB) - lat(latA)
-    val dLam = lng(lngB) - lng(lngA)
-    val h = pow(sin(dPhi / 2), 2) + cos(lat(latA)) * cos(lat(latB)) * pow(sin(dLam / 2), 2)
+    val dPhi = latRad(latB) - latRad(latA)
+    val dLam = lngRad(lngB) - lngRad(lngA)
+    val h = pow(sin(dPhi / 2), 2) +
+      cos(latRad(latA)) * cos(latRad(latB)) * pow(sin(dLam / 2), 2)
     lit(2.0) * earthR * atan2(sqrt(h), sqrt(lit(1.0) - h))
   }
+
+  /** Initial great-circle bearing from (latA, lngA) toward
+    * (latB, lngB), in radians clockwise from true north, normalized to
+    * [0, 2π) — `ST_Azimuth(geography)` semantics (aviation formulary:
+    * `θ = atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)`).
+    * Due-north/south inputs hit the formula's exact-zero first
+    * argument (`sin 0 = 0` exactly), so the 0/2π wrap boundary is
+    * never straddled by a rounding ulp — the property that makes the
+    * rounded oracle replay safe. */
+  def azimuthGeo(latA: Column, lngA: Column, latB: Column, lngB: Column): Column = {
+    val phi1 = latRad(latA); val phi2 = latRad(latB)
+    val dLam = lngRad(lngB) - lngRad(lngA)
+    val theta = atan2(sin(dLam) * cos(phi2),
+      cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dLam))
+    val twoPi = 2.0 * math.Pi
+    (theta % twoPi + twoPi) % twoPi
+  }
+
+  /** Great-circle DESTINATION point: start at (lat, lng), travel
+    * `rMeters` along initial bearing `bearingRad` (radians clockwise
+    * from north) — `ST_Project(geography)` semantics via the direct
+    * geodesy formulas on the sphere (aviation formulary):
+    * `φ₂ = asin(sin φ₁ cos δ + cos φ₁ sin δ cos θ)`,
+    * `λ₂ = λ₁ + atan2(sin θ sin δ cos φ₁, cos δ − sin φ₁ sin φ₂)` with
+    * `δ = r/R`. Returns `struct<x:lng, y:lat>` in degrees; the
+    * longitude is not re-wrapped (the [[stBufferPointGeo]] convention —
+    * destinations past the ±180° seam come back with |lng| > 180,
+    * still correct for the distance/area kernels, which wrap
+    * internally). */
+  def projectGeo(lat: Column, lng: Column, rMeters: Column,
+                 bearingRad: Column): Column = {
+    val delta = rMeters.cast("double") / SphereRadiusMeters
+    val phi1 = radians(lat.cast("double"))
+    val lam1 = radians(lng.cast("double"))
+    val theta = bearingRad.cast("double")
+    val phi2 = asin(sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(theta))
+    val lam2 = lam1 + atan2(sin(theta) * sin(delta) * cos(phi1),
+      cos(delta) - sin(phi1) * sin(phi2))
+    struct(degrees(lam2).as("x"), degrees(phi2).as("y"))
+  }
+
+  /** [[azimuthGeo]] over two WKT `POINT (lng lat)` values; null if
+    * either fails to parse. */
+  def stAzimuthGeo(wktA: Column, wktB: Column): Column =
+    azimuthGeo(wktLat(wktA), wktLng(wktA), wktLat(wktB), wktLng(wktB))
 
   /** Radius predicate: point within `meters` of (qLat, qLng). */
   def withinRadius(lat: Column, lng: Column, qLat: Column, qLng: Column,
@@ -176,16 +228,12 @@ object Geo {
   def stBufferPointGeo(lat: Column, lng: Column, rMeters: Column,
                        n: Int = 8): Column = {
     require(n >= 3, "buffer polygon needs at least 3 vertices")
-    val delta = rMeters.cast("double") / 6371000.0
-    val phi1 = radians(lat.cast("double"))
-    val lam1 = radians(lng.cast("double"))
     transform(sequence(lit(0), lit(n)), i => {
       val theta = lit(2.0) * lit(math.Pi) * (i % n).cast("double") / n.toDouble +
         lit(math.Pi) / n.toDouble
-      val phi2 = asin(sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(theta))
-      val lam2 = lam1 + atan2(sin(theta) * sin(delta) * cos(phi1),
-        cos(delta) - sin(phi1) * sin(phi2))
-      struct(degrees(lam2).as("x"), degrees(phi2).as("y"))
+      // each vertex IS the ST_Project destination at bearing θ —
+      // identical arithmetic, shared formula
+      projectGeo(lat, lng, rMeters, theta)
     })
   }
 

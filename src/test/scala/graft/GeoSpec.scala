@@ -150,6 +150,42 @@ class GeoSpec extends SparkSpec {
     all(hi) should be < 1e-6
   }
 
+  test("azimuthGeo/projectGeo: compass points exact, roundtrip closes, buffer uses project") {
+    // cardinal bearings from the origin (ST_Azimuth convention:
+    // radians clockwise from north)
+    val az = Seq((0.0, 10.0, math.Pi / 2), (10.0, 0.0, 0.0),
+        (0.0, -10.0, 3 * math.Pi / 2), (-10.0, 0.0, math.Pi))
+      .toDF("blat", "blng", "want")
+      .select(Geo.azimuthGeo(lit(0.0), lit(0.0), col("blat"), col("blng"))
+        .as("az"), col("want"))
+      .as[(Double, Double)].collect()
+    az.foreach { case (got, want) => got shouldBe want +- 1e-12 }
+    // self-azimuth is exactly 0 (the exact-zero branch the oracle row
+    // leans on), and wrap keeps every bearing in [0, 2π)
+    Seq(1).toDF("one")
+      .select(Geo.azimuthGeo(lit(10.0), lit(10.0), lit(10.0), lit(10.0)))
+      .as[Double].head() shouldBe 0.0
+    // roundtrip: project then re-measure — distance and initial
+    // bearing both recovered
+    val rt = Seq(1).toDF("one")
+      .select(Geo.projectGeo(lit(35.0), lit(20.0), lit(500000.0), lit(1.2)).as("p"))
+      .select(Geo.haversineMeters(lit(35.0), lit(20.0),
+          col("p.y"), col("p.x")).as("d"),
+        Geo.azimuthGeo(lit(35.0), lit(20.0), col("p.y"), col("p.x")).as("a"))
+      .as[(Double, Double)].head()
+    rt._1 shouldBe 500000.0 +- 1e-6
+    rt._2 shouldBe 1.2 +- 1e-12
+    // SQL surface + WKT round-trip
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("SELECT st_azimuth_geo('POINT (0 0)', 'POINT (10 0)')")
+      .as[Double].head() shouldBe (math.Pi / 2) +- 1e-12
+    val d = spark.sql(
+      """SELECT st_distance_geo('POINT (20 35)',
+        |  st_project_geo(35.0, 20.0, 75000.0, 0.7))""".stripMargin)
+      .as[Double].head()
+    d shouldBe 75000.0 +- 1e-6
+  }
+
   test("areaGeoSqMeters is antimeridian-safe: 180° lng shift leaves measures unchanged") {
     // rings centered near lng 0, shifted half a world east and
     // re-wrapped into [-180, 180): the shifted coordinates JUMP across
