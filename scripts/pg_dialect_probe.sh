@@ -21,7 +21,12 @@
 # Usage: pg_dialect_probe.sh [host] [port] [user] [db]
 set -e
 HOST=${1:-/tmp/pgsock}; PORT=${2:-54329}; USER=${3:-graft}; DB=${4:-postgres}
-psql -h "$HOST" -p "$PORT" -U "$USER" "$DB" -X -q -t -A <<'EOF'
+# ON_ERROR_STOP makes psql exit non-zero on any statement failure (set
+# -e alone only sees psql's exit code); the IF EXISTS preamble clears a
+# stale table a previously interrupted run may have left behind
+psql -h "$HOST" -p "$PORT" -U "$USER" "$DB" -X -q -t -A \
+  -v ON_ERROR_STOP=1 <<'EOF'
+DROP TABLE IF EXISTS Foo_Bar;
 CREATE TABLE Foo_Bar (p_partkey bigint, p_name text, p_retailprice double precision);
 SELECT 'normalized:' || table_name FROM information_schema.tables WHERE table_schema='public';
 SELECT 'probe_raw:' || count(*) FROM information_schema.tables WHERE table_name='Foo_Bar';

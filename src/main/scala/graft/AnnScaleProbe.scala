@@ -70,8 +70,12 @@ object AnnScaleProbe {
     println(f"[ann-scale] sq8 code scan           query=$tSq%6.2f s (cold $tSqC%5.2f, cand-only $tSqCand%5.2f)  build=$tSqBuild%6.2f s  " +
       f"recall=${truth.intersect(sqIds).size.toDouble / k}%.3f")
 
+    // heuristic = false: this row IS the plain-NSW baseline the
+    // heuristic-build row below deltas against (the build default
+    // flipped to heuristic in r20 — without the explicit opt-out the
+    // A/B would compare two identical graphs)
     val (nsw, tNswBuild) = time(NSWIndex.build(emb, "vec_id", "embedding",
-      nShards = nShards, m = 8, efC = 64, ef = 128))
+      nShards = nShards, m = 8, efC = 64, ef = 128, heuristic = false))
     val (nswIds, tNswC, tNsw) = timed3(
       nsw.knn(emb, "vec_id", edist, q, k).select("vec_id")
         .collect().map(_.getLong(0)).toSet)

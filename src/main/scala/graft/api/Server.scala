@@ -207,9 +207,10 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     Entity.open(spark, base, reqField(req, field).asText())
 
   private def predicatesOf(req: JsonNode): Seq[BooleanPredicates.Predicate] =
-    req.get("predicates").elements().asScala.map { p =>
-      BooleanPredicates.Predicate(p.get("attribute").asText(), p.get("op").asText(),
-        p.get("values").elements().asScala.map(jsonScalar).toSeq)
+    reqField(req, "predicates").elements().asScala.map { p =>
+      BooleanPredicates.Predicate(reqField(p, "attribute").asText(),
+        reqField(p, "op").asText(),
+        reqField(p, "values").elements().asScala.map(jsonScalar).toSeq)
     }.toSeq
 
   /** Evaluate a /search/compound tree node to an `(idCol, distance)`
@@ -226,11 +227,11 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     def normalized(df: DataFrame): DataFrame =
       if (df.columns.contains(dc)) df.select(col(idCol), col(dc).as("distance"))
       else df.select(col(idCol)).withColumn("distance", lit(0.0))
-    node.get("op").asText() match {
+    reqField(node, "op").asText() match {
       case "knn" =>
         val e = entity(node, "entity")
-        val q = node.get("q").elements().asScala.map(_.asDouble()).toSeq
-        val nnq = NnQuery(node.get("vecCol").asText(), q,
+        val q = reqField(node, "q").elements().asScala.map(_.asDouble()).toSeq
+        val nnq = NnQuery(reqField(node, "vecCol").asText(), q,
           if (node.has("dist")) node.get("dist").asText() else "euclidean",
           if (node.has("k")) node.get("k").asInt() else 10)
         normalized(
@@ -242,8 +243,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         normalized(entity(node, "entity").read()
           .filter(BooleanPredicates.conjunction(predicatesOf(node))))
       case combine =>
-        val l = compoundFrame(node.get("left"), idCol)
-        val r = compoundFrame(node.get("right"), idCol)
+        val l = compoundFrame(reqField(node, "left"), idCol)
+        val r = compoundFrame(reqField(node, "right"), idCol)
         combine match {
           case "union" => SetAlgebra.union(l, r, idCol)
           case "intersect" => SetAlgebra.intersect(l, r, idCol)
@@ -415,11 +416,11 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val req = mapper.readTree(body)
       val e = entity(req, "entity")
-      val idCol = req.get("idCol").asText()
-      val nnq = NnQuery(req.get("vecCol").asText(),
-        req.get("q").elements().asScala.map(_.asDouble()).toSeq,
-        if (req.has("dist")) req.get("dist").asText() else "euclidean",
-        if (req.has("k")) req.get("k").asInt() else 10)
+      val idCol = reqField(req, "idCol").asText()
+      val nnq = NnQuery(reqField(req, "vecCol").asText(),
+        reqField(req, "q").elements().asScala.map(_.asDouble()).toSeq,
+        if (req.has("dist")) reqField(req, "dist").asText() else "euclidean",
+        if (req.has("k")) reqField(req, "k").asInt() else 10)
       val indexes = e.listIndexes.map(n => e.loadIndex(n))
         .filterNot(_.stale).map(_.index)
       val frame = e.read()
@@ -479,12 +480,12 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       }
       val hints =
         if (req.has("hints")) graft.plans.Planner.hintsByName(
-          req.get("hints").elements().asScala.map(_.asText()).toSeq)
+          reqField(req, "hints").elements().asScala.map(_.asText()).toSeq)
         else Nil
       if (req.has("timedDeadlineMs")) {
         // best-by-deadline: single winning observation (QueryOp.timedParallel)
         val best = QueryOps.timedParallel(spark, frame, idCol, indexes, nnq,
-          req.get("timedDeadlineMs").asLong(), hints)
+          reqField(req, "timedDeadlineMs").asLong(), hints)
         writeLine(obsNode(best))
       } else {
         QueryOps.parallel(spark, frame, idCol, indexes, nnq, hints)(o => writeLine(obsNode(o)))
@@ -514,14 +515,14 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
     val out = mapper.createObjectNode()
     path match {
       case "/entity/create" =>
-        withEntityLock(req.get("name").asText()) {
-          Entity.create(spark, base, req.get("name").asText())
+        withEntityLock(reqField(req, "name").asText()) {
+          Entity.create(spark, base, reqField(req, "name").asText())
         }
-        out.put("name", req.get("name").asText())
+        out.put("name", reqField(req, "name").asText())
       case "/entity/insert" =>
-        val rows = req.get("rows").elements().asScala.map(_.toString).toSeq
+        val rows = reqField(req, "rows").elements().asScala.map(_.toString).toSeq
         val df = spark.read.json(spark.createDataset(rows)(Encoders.STRING))
-        withEntityLock(req.get("name").asText()) { entity(req).insert(df) }
+        withEntityLock(reqField(req, "name").asText()) { entity(req).insert(df) }
         out.put("inserted", rows.size)
       case "/entity/list" =>
         val arr = out.putArray("entities")
@@ -545,51 +546,51 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/entity/retain" =>
         // read-modify-write of entity meta: must serialize with other
         // mutations on the same entity, like every mutating endpoint
-        withEntityLock(req.get("name").asText()) {
-          entity(req).retainVersions(req.get("keep").asInt())
+        withEntityLock(reqField(req, "name").asText()) {
+          entity(req).retainVersions(reqField(req, "keep").asInt())
         }
-        out.put("retain", req.get("keep").asInt())
+        out.put("retain", reqField(req, "keep").asInt())
       case "/entity/diff" =>
         // row-level diff between two retained snapshots, keyed
         pagedRows(out, entity(req).diffVersions(
-          req.get("from").asInt(), req.get("to").asInt(),
-          req.get("keyCol").asText())
-          .orderBy(col("op"), col(req.get("keyCol").asText())))
+          reqField(req, "from").asInt(), reqField(req, "to").asInt(),
+          reqField(req, "keyCol").asText())
+          .orderBy(col("op"), col(reqField(req, "keyCol").asText())))
       case "/entity/snapshot_count" =>
         // row count of a retained snapshot version
-        out.put("count", entity(req).readVersion(req.get("version").asInt()).count())
+        out.put("count", entity(req).readVersion(reqField(req, "version").asInt()).count())
       case "/entity/delete" =>
-        out.put("deleted", withEntityLock(req.get("name").asText()) {
+        out.put("deleted", withEntityLock(reqField(req, "name").asText()) {
           entity(req).deleteWhere(BooleanPredicates.conjunction(predicatesOf(req)))
         })
       case "/entity/preview" =>
-        val k = if (req.has("k")) req.get("k").asInt() else 100
+        val k = if (req.has("k")) reqField(req, "k").asInt() else 100
         out.set("rows", rowsNode(entity(req).read().limit(k)))
       case "/entity/drop" =>
-        withEntityLock(req.get("name").asText()) { entity(req).drop() }
-        out.put("dropped", req.get("name").asText())
+        withEntityLock(reqField(req, "name").asText()) { entity(req).drop() }
+        out.put("dropped", reqField(req, "name").asText())
       case "/index/create" =>
-        withEntityLock(req.get("entity").asText()) {
+        withEntityLock(reqField(req, "entity").asText()) {
           val e = entity(req, "entity")
           // optional per-type build parameters, same contract as the
           // gRPC IndexMessage.options map
           val options = Option(req.get("options")).map(o =>
             o.fields().asScala.map(en =>
               en.getKey -> en.getValue.asText()).toMap).getOrElse(Map.empty)
-          val idx = IndexOps.create(req.get("type").asText(), e.read(),
-            req.get("idCol").asText(), req.get("vecCol").asText(), options)
+          val idx = IndexOps.create(reqField(req, "type").asText(), e.read(),
+            reqField(req, "idCol").asText(), reqField(req, "vecCol").asText(), options)
           // recorded build recipe → IndexOps.refresh rebuilds a stale
           // index with the original tuning
-          e.saveIndex(req.get("name").asText(), idx, Map(
-            IndexOps.InfoType -> req.get("type").asText(),
-            IndexOps.InfoAttribute -> req.get("vecCol").asText(),
-            IndexOps.InfoIdCol -> req.get("idCol").asText()) ++ options)
+          e.saveIndex(reqField(req, "name").asText(), idx, Map(
+            IndexOps.InfoType -> reqField(req, "type").asText(),
+            IndexOps.InfoAttribute -> reqField(req, "vecCol").asText(),
+            IndexOps.InfoIdCol -> reqField(req, "idCol").asText()) ++ options)
         }
-        out.put("index", req.get("name").asText())
+        out.put("index", reqField(req, "name").asText())
       case "/index/refresh" =>
-        withEntityLock(req.get("entity").asText()) {
+        withEntityLock(reqField(req, "entity").asText()) {
           out.put("index",
-            IndexOps.refresh(entity(req, "entity"), req.get("name").asText()))
+            IndexOps.refresh(entity(req, "entity"), reqField(req, "name").asText()))
         }
       case "/index/list" =>
         val arr = out.putArray("indexes")
@@ -598,37 +599,37 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out,
           QueryOps.booleanQuery(entity(req, "entity").read(), predicatesOf(req)))
       case "/query/page" =>
-        nextPage(out, req.get("pageToken").asText())
+        nextPage(out, reqField(req, "pageToken").asText())
       case "/query/text" =>
-        val mode = req.get("mode").asText()
-        val terms = req.get("terms").elements().asScala.map(_.asText()).toSeq
+        val mode = reqField(req, "mode").asText()
+        val terms = reqField(req, "terms").elements().asScala.map(_.asText()).toSeq
         if (mode == "bm25_indexed") {
           // served from the persisted bucketed-postings layout — the
           // corpus is never re-tokenized at query time
           require(req.has("idCol"), "bm25_indexed requires idCol")
-          val idCol = req.get("idCol").asText()
-          val dir = textIndexDir(req.get("entity").asText(),
-            req.get("textCol").asText(), idCol)
+          val idCol = reqField(req, "idCol").asText()
+          val dir = textIndexDir(reqField(req, "entity").asText(),
+            reqField(req, "textCol").asText(), idCol)
           // same (doc_id, score) shape as the scan-time bm25 mode
           pagedRows(out, graft.sources.FullTextStore.bm25TopK(spark, dir,
-            terms, if (req.has("k")) req.get("k").asInt() else 10))
+            terms, if (req.has("k")) reqField(req, "k").asInt() else 10))
         } else pagedRows(out, QueryOps.text(
           entity(req, "entity").read(),
-          req.get("textCol").asText(),
+          reqField(req, "textCol").asText(),
           mode,
           terms,
-          idCol = if (req.has("idCol")) req.get("idCol").asText() else "",
-          k = if (req.has("k")) req.get("k").asInt() else 10))
+          idCol = if (req.has("idCol")) reqField(req, "idCol").asText() else "",
+          k = if (req.has("k")) reqField(req, "k").asInt() else 10))
       case "/query/knn" =>
         val e = entity(req, "entity")
-        val q = req.get("q").elements().asScala.map(_.asDouble()).toSeq
-        val nnq = NnQuery(req.get("vecCol").asText(), q,
-          if (req.has("dist")) req.get("dist").asText() else "euclidean",
-          if (req.has("k")) req.get("k").asInt() else 10)
-        val idCol = req.get("idCol").asText()
+        val q = reqField(req, "q").elements().asScala.map(_.asDouble()).toSeq
+        val nnq = NnQuery(reqField(req, "vecCol").asText(), q,
+          if (req.has("dist")) reqField(req, "dist").asText() else "euclidean",
+          if (req.has("k")) reqField(req, "k").asInt() else 10)
+        val idCol = reqField(req, "idCol").asText()
         val result =
           if (req.has("index")) {
-            val loaded = e.loadIndex(req.get("index").asText())
+            val loaded = e.loadIndex(reqField(req, "index").asText())
             out.put("stale", loaded.stale)
             QueryOps.index(e.read(), idCol, loaded.index, nnq)
           } else if (req.has("hints")) {
@@ -640,7 +641,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             // could diverge when concurrent queries record planner
             // measurements between the two calls).
             val hints = graft.plans.Planner.hintsByName(
-              req.get("hints").elements().asScala.map(_.asText()).toSeq)
+              reqField(req, "hints").elements().asScala.map(_.asText()).toSeq)
             val frame = e.read()
             val indexes =
               if (hints.forall(_ == graft.plans.Planner.SequentialHint)) Nil
@@ -654,18 +655,18 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // formatted physical plan of a kNN or boolean query WITHOUT
         // running it — lets users confirm pushdown/top-k/index shapes
         val e = entity(req, "entity")
-        val df = req.get("mode").asText() match {
+        val df = reqField(req, "mode").asText() match {
           case "knn" =>
-            val q = req.get("q").elements().asScala.map(_.asDouble()).toSeq
-            val nnq = NnQuery(req.get("vecCol").asText(), q,
-              if (req.has("dist")) req.get("dist").asText() else "euclidean",
-              if (req.has("k")) req.get("k").asInt() else 10)
+            val q = reqField(req, "q").elements().asScala.map(_.asDouble()).toSeq
+            val nnq = NnQuery(reqField(req, "vecCol").asText(), q,
+              if (req.has("dist")) reqField(req, "dist").asText() else "euclidean",
+              if (req.has("k")) reqField(req, "k").asInt() else 10)
             // same routing as /query/knn: an index parameter explains the
             // index-served plan, not the sequential scan
             if (req.has("index"))
-              QueryOps.index(e.read(), req.get("idCol").asText(),
-                e.loadIndex(req.get("index").asText()).index, nnq)
-            else QueryOps.sequential(e.read(), req.get("idCol").asText(), nnq)
+              QueryOps.index(e.read(), reqField(req, "idCol").asText(),
+                e.loadIndex(reqField(req, "index").asText()).index, nnq)
+            else QueryOps.sequential(e.read(), reqField(req, "idCol").asText(), nnq)
           case "boolean" =>
             e.read().filter(BooleanPredicates.conjunction(predicatesOf(req)))
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
@@ -675,7 +676,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // analyze=true additionally EXECUTES the plan and reports row
         // count + wall time — the EXPLAIN ANALYZE role for quick
         // serving-cost checks through the console
-        if (req.has("analyze") && req.get("analyze").asBoolean()) {
+        if (req.has("analyze") && reqField(req, "analyze").asBoolean()) {
           val t0 = System.nanoTime()
           out.put("rows", df.count())
           out.put("wallMs", (System.nanoTime() - t0) / 1000000)
@@ -686,53 +687,53 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           if (req.has(name)) req.get(name).asDouble() else dflt
         pagedRows(out, graft.operators.TextAnalysis.qualityVerdictsPerRow(
           entity(req, "entity").read(),
-          req.get("textCol").asText(), req.get("idCol").asText(),
+          reqField(req, "textCol").asText(), reqField(req, "idCol").asText(),
           minQuality = d("minQuality", 0.5),
           maxDupTokenFrac = d("maxDupTokenFrac", 0.6),
           maxTopTokenFrac = d("maxTopTokenFrac", 0.15),
           maxDupBigramFrac = d("maxDupBigramFrac", 0.08),
-          maxPii = if (req.has("maxPii")) req.get("maxPii").asInt() else 0))
+          maxPii = if (req.has("maxPii")) reqField(req, "maxPii").asInt() else 0))
       case "/pipeline/sample" =>
         import graft.operators.Sampling
         val e = entity(req, "entity").read()
-        val keyCol = req.get("keyCol").asText()
-        val sampled = req.get("mode").asText() match {
+        val keyCol = reqField(req, "keyCol").asText()
+        val sampled = reqField(req, "mode").asText() match {
           case "bernoulli" =>
-            Sampling.bernoulliSample(e, keyCol, req.get("fraction").asDouble())
+            Sampling.bernoulliSample(e, keyCol, reqField(req, "fraction").asDouble())
           case "stratified" =>
-            Sampling.stratifiedSample(e, req.get("strataCol").asText(), keyCol,
-              req.get("fraction").asDouble())
-          case "exact" => Sampling.exactSample(e, keyCol, req.get("n").asInt())
+            Sampling.stratifiedSample(e, reqField(req, "strataCol").asText(), keyCol,
+              reqField(req, "fraction").asDouble())
+          case "exact" => Sampling.exactSample(e, keyCol, reqField(req, "n").asInt())
           case "weighted" => // per-row keep probability from a column
-            Sampling.weightedBernoulli(e, keyCol, col(req.get("weightCol").asText()))
+            Sampling.weightedBernoulli(e, keyCol, col(reqField(req, "weightCol").asText()))
           case "epoch_mix" => // fractional-epoch oversampling per domain
             import scala.jdk.CollectionConverters._
             val epochs =
               if (req.has("epochs"))
-                req.get("epochs").fields().asScala
+                reqField(req, "epochs").fields().asScala
                   .map(en => en.getKey -> en.getValue.asDouble()).toMap
               else Map.empty[String, Double]
-            Sampling.epochMix(e, req.get("domainCol").asText(), keyCol, epochs,
-              if (req.has("defaultEpochs")) req.get("defaultEpochs").asDouble() else 1.0)
+            Sampling.epochMix(e, reqField(req, "domainCol").asText(), keyCol, epochs,
+              if (req.has("defaultEpochs")) reqField(req, "defaultEpochs").asDouble() else 1.0)
           case "temperature_mix" => // sqrt-share domain rebalance
-            Sampling.sqrtTemperatureMix(e, req.get("domainCol").asText(), keyCol)
+            Sampling.sqrtTemperatureMix(e, reqField(req, "domainCol").asText(), keyCol)
           case "split_assign" => // deterministic train/val/test labels
             import scala.jdk.CollectionConverters._
             Sampling.splitAssign(e, keyCol,
-              req.get("fractions").fields().asScala
+              reqField(req, "fractions").fields().asScala
                 .map(en => en.getKey -> en.getValue.asDouble()).toSeq)
           case "token_budget" => // per-domain token caps, best docs first
             import scala.jdk.CollectionConverters._
             val budgets =
               if (req.has("budgets"))
-                req.get("budgets").fields().asScala
+                reqField(req, "budgets").fields().asScala
                   .map(en => en.getKey -> en.getValue.asLong()).toMap
               else Map.empty[String, Long]
-            Sampling.tokenBudgetSample(e, req.get("domainCol").asText(), keyCol,
-              col(req.get("tokenCol").asText()), budgets,
-              if (req.has("defaultBudget")) req.get("defaultBudget").asLong()
+            Sampling.tokenBudgetSample(e, reqField(req, "domainCol").asText(), keyCol,
+              col(reqField(req, "tokenCol").asText()), budgets,
+              if (req.has("defaultBudget")) reqField(req, "defaultBudget").asLong()
               else Long.MaxValue,
-              if (req.has("priorityCol")) Some(col(req.get("priorityCol").asText()))
+              if (req.has("priorityCol")) Some(col(reqField(req, "priorityCol").asText()))
               else None)
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
@@ -741,37 +742,37 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // Markov transition matrix of event types
         pagedRows(out, graft.operators.EventAnalytics.transitionMatrix(
           entity(req, "entity").read(),
-          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
-          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id",
-          typeCol = if (req.has("typeCol")) req.get("typeCol").asText() else "event_type",
-          idCol = if (req.has("idCol")) req.get("idCol").asText() else "event_id")
+          tsCol = if (req.has("tsCol")) reqField(req, "tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) reqField(req, "userCol").asText() else "user_id",
+          typeCol = if (req.has("typeCol")) reqField(req, "typeCol").asText() else "event_type",
+          idCol = if (req.has("idCol")) reqField(req, "idCol").asText() else "event_id")
           .orderBy("from_type", "to_type"))
       case "/events/funnel_cycles" =>
         // repeat-conversion counting (packed-integer fold)
         import scala.jdk.CollectionConverters._
         pagedRows(out, graft.operators.EventAnalytics.funnelCycles(
           entity(req, "entity").read(),
-          req.get("steps").elements().asScala.map(_.asText()).toSeq,
-          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
-          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id",
-          typeCol = if (req.has("typeCol")) req.get("typeCol").asText() else "event_type",
-          maxCycles = if (req.has("maxCycles")) req.get("maxCycles").asInt() else 255)
+          reqField(req, "steps").elements().asScala.map(_.asText()).toSeq,
+          tsCol = if (req.has("tsCol")) reqField(req, "tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) reqField(req, "userCol").asText() else "user_id",
+          typeCol = if (req.has("typeCol")) reqField(req, "typeCol").asText() else "event_type",
+          maxCycles = if (req.has("maxCycles")) reqField(req, "maxCycles").asInt() else 255)
           .orderBy("user_id"))
       case "/events/funnel" =>
         import scala.jdk.CollectionConverters._
         pagedRows(out, graft.operators.EventAnalytics.funnel(
           entity(req, "entity").read(),
-          req.get("steps").elements().asScala.map(_.asText()).toSeq,
-          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
-          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id",
-          typeCol = if (req.has("typeCol")) req.get("typeCol").asText() else "event_type"))
+          reqField(req, "steps").elements().asScala.map(_.asText()).toSeq,
+          tsCol = if (req.has("tsCol")) reqField(req, "tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) reqField(req, "userCol").asText() else "user_id",
+          typeCol = if (req.has("typeCol")) reqField(req, "typeCol").asText() else "event_type"))
       case "/events/sessions" =>
         // gap-based session intervals (bounds + event counts) per user
         pagedRows(out, graft.operators.EventAnalytics.sessions(
           entity(req, "entity").read(),
-          gapMicros = req.get("gapMs").asLong() * 1000L,
-          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
-          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id")
+          gapMicros = reqField(req, "gapMs").asLong() * 1000L,
+          tsCol = if (req.has("tsCol")) reqField(req, "tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) reqField(req, "userCol").asText() else "user_id")
           .orderBy("user_id", "session_id"))
       case "/pipeline/sketch" =>
         // bounded-memory profiling sketches: mode=distinct → KMV
@@ -779,40 +780,40 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // mode=heavy_hitters → Misra–Gries top keys with
         // [count, count+err] guarantee bounds
         val e = entity(req, "entity").read()
-        val keyCol = req.get("keyCol").asText()
+        val keyCol = reqField(req, "keyCol").asText()
         val grouped =
           if (req.has("groupCol"))
-            e.filter(col(req.get("groupCol").asText()).isNotNull)
-              .groupBy(col(req.get("groupCol").asText()))
+            e.filter(col(reqField(req, "groupCol").asText()).isNotNull)
+              .groupBy(col(reqField(req, "groupCol").asText()))
           else e.groupBy()
-        val outDf = req.get("mode").asText() match {
+        val outDf = reqField(req, "mode").asText() match {
           case "distinct" =>
-            val k = if (req.has("k")) req.get("k").asInt() else 256
+            val k = if (req.has("k")) reqField(req, "k").asInt() else 256
             grouped.agg(org.apache.spark.sql.functions.round(
               graft.functions.KmvDistinct.kmv(
                 graft.operators.Sampling.keyHash(col(keyCol)), k), 4)
               .as("distinct_est"))
           case "heavy_hitters" =>
-            val m = if (req.has("m")) req.get("m").asInt() else 64
+            val m = if (req.has("m")) reqField(req, "m").asInt() else 64
             grouped.agg(graft.functions.HeavyHitters.hitters(col(keyCol), m).as("hh"))
               .select((if (req.has("groupCol"))
-                  Seq(col(req.get("groupCol").asText())) else Seq.empty) :+
+                  Seq(col(reqField(req, "groupCol").asText())) else Seq.empty) :+
                 org.apache.spark.sql.functions.explode(col("hh")).as("h"): _*)
               .select((if (req.has("groupCol"))
-                  Seq(col(req.get("groupCol").asText())) else Seq.empty) ++ Seq(
+                  Seq(col(reqField(req, "groupCol").asText())) else Seq.empty) ++ Seq(
                 col("h.key").as("key"), col("h.count").as("cnt"),
                 col("h.err").as("err")): _*)
           case "quantiles" =>
             // bottom-k-by-hash sample quantiles of valueCol; keyCol is
             // the row key whose hash decides sample membership
-            val k = if (req.has("k")) req.get("k").asInt() else 256
-            val v = req.get("valueCol").asText()
+            val k = if (req.has("k")) reqField(req, "k").asInt() else 256
+            val v = reqField(req, "valueCol").asText()
             import graft.functions.BottomKSample
             grouped.agg(BottomKSample.sample(
                 graft.operators.Sampling.keyHash(col(keyCol)),
                 col(v), k).as("smp"))
               .select((if (req.has("groupCol"))
-                  Seq(col(req.get("groupCol").asText())) else Seq.empty) ++ Seq(
+                  Seq(col(reqField(req, "groupCol").asText())) else Seq.empty) ++ Seq(
                 org.apache.spark.sql.functions.size(col("smp")).as("n_sample"),
                 BottomKSample.quantileAt(col("smp"), 0.5).as("p50"),
                 BottomKSample.quantileAt(col("smp"), 0.9).as("p90"),
@@ -829,18 +830,18 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // top user-journey prefixes (first `steps` event types per user)
         pagedRows(out, graft.operators.EventAnalytics.topPaths(
           entity(req, "entity").read(),
-          steps = if (req.has("steps")) req.get("steps").asInt() else 5,
-          k = if (req.has("k")) req.get("k").asInt() else 20))
+          steps = if (req.has("steps")) reqField(req, "steps").asInt() else 5,
+          k = if (req.has("k")) reqField(req, "k").asInt() else 20))
       case "/events/props" =>
         // typed stats over a JSON props field, per event type
         pagedRows(out, graft.operators.EventAnalytics.propsStats(
-          entity(req, "entity").read(), req.get("field").asText())
+          entity(req, "entity").read(), reqField(req, "field").asText())
           .orderBy("event_type"))
       case "/events/rolling" =>
         // trailing-N-day rolling mean of daily volume per type
         pagedRows(out, graft.operators.EventAnalytics.rollingDailyAvg(
           entity(req, "entity").read(),
-          days = if (req.has("days")) req.get("days").asInt() else 7)
+          days = if (req.has("days")) reqField(req, "days").asInt() else 7)
           .orderBy("event_type", "day"))
       case "/events/corr" =>
         // Pearson correlation between types' daily-count series
@@ -850,48 +851,48 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // all (event_type, day) grouping sets in one Expand + aggregate
         pagedRows(out, graft.operators.EventAnalytics.cubeReport(
           entity(req, "entity").read(),
-          valueCol = if (req.has("valueCol")) req.get("valueCol").asText() else "value")
+          valueCol = if (req.has("valueCol")) reqField(req, "valueCol").asText() else "value")
           .orderBy("gid", "event_type", "day"))
       case "/pipeline/quality_band" =>
         // per-language top-X% quality gate
         pagedRows(out, graft.operators.TextAnalysis.qualityPercentileBand(
-          entity(req, "entity").read(), req.get("textCol").asText(),
-          req.get("idCol").asText(), req.get("langCol").asText(),
+          entity(req, "entity").read(), reqField(req, "textCol").asText(),
+          reqField(req, "idCol").asText(), reqField(req, "langCol").asText(),
           keepFraction =
-            if (req.has("keep")) req.get("keep").asDouble() else 0.3)
-          .orderBy(req.get("langCol").asText(), "pct", req.get("idCol").asText()))
+            if (req.has("keep")) reqField(req, "keep").asDouble() else 0.3)
+          .orderBy(reqField(req, "langCol").asText(), "pct", reqField(req, "idCol").asText()))
       case "/pipeline/keywords" =>
         // TF-IDF top-k terms per document
         pagedRows(out, graft.operators.TextAnalysis.topTerms(
-          entity(req, "entity").read(), req.get("textCol").asText(),
-          req.get("idCol").asText(),
-          k = if (req.has("k")) req.get("k").asInt() else 3)
-          .orderBy(req.get("idCol").asText(), "rank"))
+          entity(req, "entity").read(), reqField(req, "textCol").asText(),
+          reqField(req, "idCol").asText(),
+          k = if (req.has("k")) reqField(req, "k").asInt() else 3)
+          .orderBy(reqField(req, "idCol").asText(), "rank"))
       case "/events/anomalies" =>
         // hourly volume spikes/dips by per-type z-score
         pagedRows(out, graft.operators.EventAnalytics.hourlyAnomalies(
           entity(req, "entity").read(),
           threshold =
-            if (req.has("threshold")) req.get("threshold").asDouble() else 3.0)
+            if (req.has("threshold")) reqField(req, "threshold").asDouble() else 3.0)
           .orderBy("event_type", "hour"))
       case "/events/retention" =>
         pagedRows(out, graft.operators.EventAnalytics.retention(
           entity(req, "entity").read(),
-          tsCol = if (req.has("tsCol")) req.get("tsCol").asText() else "ts",
-          userCol = if (req.has("userCol")) req.get("userCol").asText() else "user_id")
+          tsCol = if (req.has("tsCol")) reqField(req, "tsCol").asText() else "ts",
+          userCol = if (req.has("userCol")) reqField(req, "userCol").asText() else "user_id")
           .orderBy("cohort_day", "day_offset"))
       case "/pipeline/run" =>
         // declarative stage list compiled into one plan; each stage is
         // {op, ...params} with params passed through as strings
         import scala.jdk.CollectionConverters._
-        val stages = req.get("stages").elements().asScala.map { s =>
-          graft.operators.Pipeline.Stage(s.get("op").asText(),
+        val stages = reqField(req, "stages").elements().asScala.map { s =>
+          graft.operators.Pipeline.Stage(reqField(s, "op").asText(),
             s.fields().asScala.filter(_.getKey != "op")
               .map(en => en.getKey -> en.getValue.asText()).toMap)
         }.toSeq
         pagedRows(out, graft.operators.Pipeline.run(
           entity(req, "entity").read(),
-          req.get("textCol").asText(), req.get("idCol").asText(), stages))
+          reqField(req, "textCol").asText(), reqField(req, "idCol").asText(), stages))
       case "/pipeline/asof" =>
         // point-in-time enrichment of one entity from another: nearest
         // right row per key at-or-before (backward) / at-or-after
@@ -901,50 +902,50 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           req.get(name).elements().asScala.map(_.asText()).toSeq
         pagedRows(out, graft.operators.AsOfJoin.asOf(
           entity(req, "left").read(), entity(req, "right").read(),
-          keys = strs("keys"), tsCol = req.get("tsCol").asText(),
-          tieCol = req.get("tieCol").asText(), payload = strs("payload"),
+          keys = strs("keys"), tsCol = reqField(req, "tsCol").asText(),
+          tieCol = reqField(req, "tieCol").asText(), payload = strs("payload"),
           direction =
-            if (req.has("direction")) req.get("direction").asText() else "backward",
-          strict = req.has("strict") && req.get("strict").asBoolean(),
+            if (req.has("direction")) reqField(req, "direction").asText() else "backward",
+          strict = req.has("strict") && reqField(req, "strict").asBoolean(),
           toleranceMicros =
-            if (req.has("toleranceMs")) Some(req.get("toleranceMs").asLong() * 1000L)
+            if (req.has("toleranceMs")) Some(reqField(req, "toleranceMs").asLong() * 1000L)
             else None))
       case "/pipeline/strip_lines" =>
         // C4-style line-level boilerplate removal
         pagedRows(out, graft.operators.Dedup.stripRepeatedLines(
           entity(req, "entity").read(),
-          req.get("idCol").asText(), req.get("textCol").asText(),
-          if (req.has("minDocs")) req.get("minDocs").asInt() else 2))
+          reqField(req, "idCol").asText(), reqField(req, "textCol").asText(),
+          if (req.has("minDocs")) reqField(req, "minDocs").asInt() else 2))
       case "/pipeline/strip_chunks" =>
         // boilerplate removal: documents rewritten with corpus-duplicated
         // token windows erased (the fix half of repeated-chunk detection)
         pagedRows(out, graft.operators.Dedup.stripRepeatedChunks(
           entity(req, "entity").read(),
-          req.get("idCol").asText(), req.get("textCol").asText(),
-          if (req.has("window")) req.get("window").asInt() else 20,
-          if (req.has("stride")) req.get("stride").asInt() else 10,
-          if (req.has("minDocs")) req.get("minDocs").asInt() else 2))
+          reqField(req, "idCol").asText(), reqField(req, "textCol").asText(),
+          if (req.has("window")) reqField(req, "window").asInt() else 20,
+          if (req.has("stride")) reqField(req, "stride").asInt() else 10,
+          if (req.has("minDocs")) reqField(req, "minDocs").asInt() else 2))
       case "/pipeline/dedup" =>
         // surviving ids of the end-to-end dedup pipeline
         pagedRows(out, graft.operators.Dedup.dedupPipeline(
           entity(req, "entity").read(),
-          req.get("textCol").asText(), req.get("idCol").asText(),
+          reqField(req, "textCol").asText(), reqField(req, "idCol").asText(),
           minQuality =
-            if (req.has("minQuality")) req.get("minQuality").asDouble() else 0.0,
+            if (req.has("minQuality")) reqField(req, "minQuality").asDouble() else 0.0,
           threshold =
-            if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
+            if (req.has("threshold")) reqField(req, "threshold").asDouble() else 0.8))
       case "/pipeline/pack" =>
         // per-document assignments by default; rows=true emits the
         // loader-facing (document, chunk) boundary map instead
         val packFn =
-          if (req.has("rows") && req.get("rows").asBoolean())
+          if (req.has("rows") && reqField(req, "rows").asBoolean())
             graft.operators.Packing.chunkRows _
           else graft.operators.Packing.chunkAssignments _
         pagedRows(out, packFn(
           entity(req, "entity").read(),
-          req.get("idCol").asText(), req.get("tokenCol").asText(),
-          if (req.has("budget")) req.get("budget").asLong() else 2048L,
-          if (req.has("shards")) req.get("shards").asInt() else 32))
+          reqField(req, "idCol").asText(), reqField(req, "tokenCol").asText(),
+          if (req.has("budget")) reqField(req, "budget").asLong() else 2048L,
+          if (req.has("shards")) reqField(req, "shards").asInt() else 32))
       case "/pipeline/components" =>
         // near-dup clustering: banded-minhash pairs -> min-label
         // connected components (id, component = canonical representative)
@@ -952,8 +953,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         pagedRows(out, Dedup.connectedComponents(
           Dedup.minhashNearDupPairs(
             entity(req, "entity").read(),
-            req.get("textCol").asText(), req.get("idCol").asText(),
-            if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
+            reqField(req, "textCol").asText(), reqField(req, "idCol").asText(),
+            if (req.has("threshold")) reqField(req, "threshold").asDouble() else 0.8))
           .orderBy("id"))
       case "/pipeline/contamination" =>
         // benchmark entity is indexed per request here (the RPC/driver
@@ -961,82 +962,82 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         import graft.operators.Dedup
         val bench = entity(req, "bench").read()
         val idx = Dedup.indexCorpus(bench,
-          req.get("textCol").asText(), req.get("idCol").asText())
+          reqField(req, "textCol").asText(), reqField(req, "idCol").asText())
         try pagedRows(out, Dedup.contaminationAgainstCorpus(
           entity(req, "entity").read(),
-          req.get("textCol").asText(), req.get("idCol").asText(), idx,
-          if (req.has("threshold")) req.get("threshold").asDouble() else 0.8))
+          reqField(req, "textCol").asText(), reqField(req, "idCol").asText(), idx,
+          if (req.has("threshold")) reqField(req, "threshold").asDouble() else 0.8))
         finally idx.release()
       case "/pipeline/quality_score" =>
         // train the fastText-style linear filter on a labeled entity
         // (labelCol = +1 keep / -1 drop), score the target entity
         import graft.operators.QualityClassifier
-        val textCol = req.get("textCol").asText()
-        val idCol = req.get("idCol").asText()
+        val textCol = reqField(req, "textCol").asText()
+        val idCol = reqField(req, "idCol").asText()
         val w = QualityClassifier.train(
           entity(req, "labeled").read(), textCol, idCol,
-          req.get("labelCol").asText(),
-          dim = if (req.has("dim")) req.get("dim").asInt() else 64)
+          reqField(req, "labelCol").asText(),
+          dim = if (req.has("dim")) reqField(req, "dim").asInt() else 64)
         pagedRows(out, QualityClassifier.score(
           entity(req, "entity").read(), textCol, idCol, w).orderBy("id"))
       case "/pipeline/logppl" =>
         // corpus-frequency LM scores (CCNet-style filter proxy);
         // model=bigram scores TRANSITIONS (interpolated), default unigram
         val e = entity(req, "entity").read()
-        val textCol = req.get("textCol").asText()
-        val idCol = req.get("idCol").asText()
+        val textCol = reqField(req, "textCol").asText()
+        val idCol = reqField(req, "idCol").asText()
         val scored =
-          if (req.has("model") && req.get("model").asText() == "bigram")
+          if (req.has("model") && reqField(req, "model").asText() == "bigram")
             graft.operators.TextAnalysis.bigramLogPerplexity(e, textCol, idCol,
-              if (req.has("lambda")) req.get("lambda").asDouble() else 0.7)
+              if (req.has("lambda")) reqField(req, "lambda").asDouble() else 0.7)
           else graft.operators.TextAnalysis.unigramLogPerplexity(e, textCol, idCol)
         pagedRows(out, scored.orderBy("id"))
       case "/pipeline/novelty" =>
         // cross-corpus n-gram originality scores
         pagedRows(out, graft.operators.TextAnalysis.ngramNovelty(
           entity(req, "entity").read(),
-          req.get("textCol").asText(), req.get("idCol").asText(),
-          n = if (req.has("n")) req.get("n").asInt() else 3).orderBy("id"))
+          reqField(req, "textCol").asText(), reqField(req, "idCol").asText(),
+          n = if (req.has("n")) reqField(req, "n").asInt() else 3).orderBy("id"))
       case "/pipeline/urls" =>
         // URL hygiene: canonicalize | dedup | domain_cap | blocklist
         import graft.operators.Url
         val e = entity(req, "entity").read()
-        val urlCol = req.get("urlCol").asText()
-        val dfu = req.get("mode").asText() match {
+        val urlCol = reqField(req, "urlCol").asText()
+        val dfu = reqField(req, "mode").asText() match {
           case "canonicalize" =>
-            e.select(col(req.get("idCol").asText()).as("id"),
+            e.select(col(reqField(req, "idCol").asText()).as("id"),
               Url.canonicalizeUrl(col(urlCol)).as("url_canon"),
               Url.registrableDomain(Url.host(col(urlCol))).as("domain"))
               .orderBy("id")
           case "dedup" =>
-            Url.dedupByCanonicalUrl(e, urlCol, req.get("idCol").asText())
+            Url.dedupByCanonicalUrl(e, urlCol, reqField(req, "idCol").asText())
               .orderBy("url_canon")
           case "domain_cap" =>
-            Url.domainCap(e, urlCol, req.get("idCol").asText(),
-              req.get("cap").asInt()).orderBy("id")
+            Url.domainCap(e, urlCol, reqField(req, "idCol").asText(),
+              reqField(req, "cap").asInt()).orderBy("id")
           case "blocklist" =>
             import scala.jdk.CollectionConverters._
             // orderBy so the wire response is run-stable like the other
             // modes, not plan-dependent row order
             Url.domainBlocklistFilter(e, urlCol,
-              req.get("blocked").elements().asScala.map(_.asText()).toSeq)
+              reqField(req, "blocked").elements().asScala.map(_.asText()).toSeq)
               .orderBy(col(
-                if (req.has("idCol")) req.get("idCol").asText() else urlCol))
+                if (req.has("idCol")) reqField(req, "idCol").asText() else urlCol))
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         pagedRows(out, dfu)
       case "/pipeline/cdc" =>
         // content-defined chunking: chunks | repeated (cross-doc spans)
         val e = entity(req, "entity").read()
-        val w = if (req.has("window")) req.get("window").asInt() else 8
-        val dv = if (req.has("divisor")) req.get("divisor").asInt() else 64
-        val dfc = req.get("mode").asText() match {
+        val w = if (req.has("window")) reqField(req, "window").asInt() else 8
+        val dv = if (req.has("divisor")) reqField(req, "divisor").asInt() else 64
+        val dfc = reqField(req, "mode").asText() match {
           case "chunks" => graft.operators.Dedup.cdcChunks(e,
-            req.get("textCol").asText(), req.get("idCol").asText(), w, dv)
+            reqField(req, "textCol").asText(), reqField(req, "idCol").asText(), w, dv)
             .orderBy("id", "chunk_idx")
           case "repeated" => graft.operators.Dedup.cdcRepeatedChunks(e,
-            req.get("textCol").asText(), req.get("idCol").asText(), w, dv,
-            minDocs = if (req.has("minDocs")) req.get("minDocs").asInt() else 2)
+            reqField(req, "textCol").asText(), reqField(req, "idCol").asText(), w, dv,
+            minDocs = if (req.has("minDocs")) reqField(req, "minDocs").asInt() else 2)
             .orderBy("chunk_hash")
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
@@ -1045,9 +1046,9 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // cross-document repeated spans (strided chunk hashing)
         pagedRows(out, graft.operators.Dedup.repeatedChunks(
           entity(req, "entity").read(),
-          req.get("idCol").asText(), req.get("textCol").asText(),
-          window = if (req.has("window")) req.get("window").asInt() else 20,
-          stride = if (req.has("stride")) req.get("stride").asInt() else 10)
+          reqField(req, "idCol").asText(), reqField(req, "textCol").asText(),
+          window = if (req.has("window")) reqField(req, "window").asInt() else 20,
+          stride = if (req.has("stride")) reqField(req, "stride").asInt() else 10)
           .orderBy("chunk_hash"))
       case "/pipeline/semantic_dedup" =>
         // SemDeDup over an embedding column; centroids default to the k
@@ -1056,19 +1057,19 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // emits the pair list instead of the surviving rows
         import graft.operators.Ann
         val e = entity(req, "entity").read()
-        val idCol = req.get("idCol").asText()
-        val vecCol = req.get("vecCol").asText()
-        val k = if (req.has("k")) req.get("k").asInt() else 16
+        val idCol = reqField(req, "idCol").asText()
+        val vecCol = reqField(req, "vecCol").asText()
+        val k = if (req.has("k")) reqField(req, "k").asInt() else 16
         val threshold =
-          if (req.has("threshold")) req.get("threshold").asDouble() else 0.9
+          if (req.has("threshold")) reqField(req, "threshold").asDouble() else 0.9
         val centroids =
-          if (req.has("train") && req.get("train").asBoolean())
+          if (req.has("train") && reqField(req, "train").asBoolean())
             Ann.trainSemanticCentroids(e, vecCol, k)
           else e.orderBy(col(idCol)).limit(k)
             .select(col(vecCol).cast("array<double>"))
             .collect().map(_.getSeq[Double](0).toSeq).toSeq
         val outDf =
-          if (req.has("pairs") && req.get("pairs").asBoolean())
+          if (req.has("pairs") && reqField(req, "pairs").asBoolean())
             Ann.semanticDedupPairs(e, idCol, vecCol, centroids, threshold)
               .orderBy("cluster", "id_a", "id_b")
           else Ann.semanticDedupSurvivors(e, idCol, vecCol, centroids, threshold)
@@ -1078,20 +1079,20 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // near-dup cluster survivors under a priority column (keep the
         // longest/highest-quality variant per cluster; default priority
         // is text length)
-        val textCol = req.get("textCol").asText()
+        val textCol = reqField(req, "textCol").asText()
         val pri =
-          if (req.has("priorityCol")) col(req.get("priorityCol").asText())
+          if (req.has("priorityCol")) col(reqField(req, "priorityCol").asText())
           else org.apache.spark.sql.functions.length(col(textCol))
-        val idCol = req.get("idCol").asText()
+        val idCol = reqField(req, "idCol").asText()
         pagedRows(out, graft.operators.Dedup.nearDupKeepBest(
           entity(req, "entity").read(), textCol, idCol,
-          if (req.has("threshold")) req.get("threshold").asDouble() else 0.8,
+          if (req.has("threshold")) reqField(req, "threshold").asDouble() else 0.8,
           pri).orderBy(col(idCol)))
       case "/pipeline/shuffle" =>
         // reproducible training-order shuffle (hash-of-(id, seed) key)
         pagedRows(out, graft.operators.Sampling.deterministicShuffle(
-          entity(req, "entity").read(), req.get("idCol").asText(),
-          if (req.has("seed")) req.get("seed").asLong() else 42L))
+          entity(req, "entity").read(), reqField(req, "idCol").asText(),
+          if (req.has("seed")) reqField(req, "seed").asLong() else 42L))
       case "/pipeline/fuzzy" =>
         // FastSS edit-distance joins: pairs = self near-dup names;
         // lookup = correct entity strings against a dictionary entity
@@ -1099,19 +1100,19 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         val e = entity(req, "entity").read()
         val strCol = reqField(req, "strCol").asText()
         val idCol = reqField(req, "idCol").asText()
-        val k = if (req.has("maxDist")) req.get("maxDist").asInt() else 1
+        val k = if (req.has("maxDist")) reqField(req, "maxDist").asInt() else 1
         // maxLen: rows with longer strings FAIL the request loudly
         // unless dropLong=true excludes them (FuzzyJoin's short-string
         // contract) — surfaced so a caller can widen the bound
         // knowingly for long SKUs/titles, or opt into the admission
         // filter explicitly
-        val maxLen = if (req.has("maxLen")) req.get("maxLen").asInt()
+        val maxLen = if (req.has("maxLen")) reqField(req, "maxLen").asInt()
           else FuzzyJoin.DefaultMaxLen
-        val dropLong = req.has("dropLong") && req.get("dropLong").asBoolean()
+        val dropLong = req.has("dropLong") && reqField(req, "dropLong").asBoolean()
         val dff = reqField(req, "mode").asText() match {
           case "pairs" =>
             FuzzyJoin.editDistancePairs(e, strCol, idCol, k,
-                maxBucket = if (req.has("maxBucket")) req.get("maxBucket").asInt()
+                maxBucket = if (req.has("maxBucket")) reqField(req, "maxBucket").asInt()
                   else Int.MaxValue,
                 maxLen = maxLen, dropLongStrings = dropLong)
               .orderBy("id_a", "id_b")
@@ -1155,14 +1156,14 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             GeoAlgebra.containsJoin(
                 e.select(col(idCol), col(xCol), col(yCol)), xCol, yCol,
                 fences, "ap_ring",
-                cell = if (req.has("cell")) req.get("cell").asDouble() else 4.0)
+                cell = if (req.has("cell")) reqField(req, "cell").asDouble() else 4.0)
               .select(col("fence_id"), col(idCol))
               .orderBy("fence_id", idCol)
           case "distance" =>
             val line = GeoAlgebra.wktLineString(lit(reqField(req, "wkt").asText()))
             val d = e.withColumn("dist",
               round(GeoAlgebra.stDistanceLine(line, col(xCol), col(yCol)), 6))
-            (if (req.has("dwithin")) d.filter(col("dist") <= req.get("dwithin").asDouble())
+            (if (req.has("dwithin")) d.filter(col("dist") <= reqField(req, "dwithin").asDouble())
              else d).orderBy(idCol)
           // geodesic (GEOGRAPHY-role) modes: x = longitude, y = latitude
           // on the R = 6371 km sphere. covers = boundary-inclusive
@@ -1180,7 +1181,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
             // (the PostGIS use_spheroid analogue, Geo's documented
             // residual bounds) instead of the Haversine R
             val radius =
-              if (req.has("spheroid") && req.get("spheroid").asBoolean())
+              if (req.has("spheroid") && reqField(req, "spheroid").asBoolean())
                 graft.operators.Geo.RectifyingRadiusMeters
               else graft.operators.Geo.SphereRadiusMeters
             e.withColumn("dist_m", round(graft.operators.Geo.haversineMeters(
@@ -1208,8 +1209,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
                 e.select(col(idCol),
                   GeoAlgebra.wktPolygonRing(col(wktCol)).as("ap_ring_e")),
                 "ap_ring_e", fences, "ap_ring",
-                cell = if (req.has("cell")) req.get("cell").asDouble() else 4.0,
-                inclusive = req.has("inclusive") && req.get("inclusive").asBoolean())
+                cell = if (req.has("cell")) reqField(req, "cell").asDouble() else 4.0,
+                inclusive = req.has("inclusive") && reqField(req, "inclusive").asBoolean())
               .select(col("fence_id"), col(idCol))
               .orderBy("fence_id", idCol)
           case "nearest_geo" =>
@@ -1224,7 +1225,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
                 e.select(col(idCol), col(xCol), col(yCol)), idCol, yCol, xCol,
                 pois, "ap_plat", "ap_plng", "poi_id",
                 reqField(req, "meters").asDouble(),
-                k = if (req.has("k")) req.get("k").asInt() else 1)
+                k = if (req.has("k")) reqField(req, "k").asInt() else 1)
               .select(col(idCol), col("poi_id"), col("nn_rank"),
                 round(col("dist_m"), 2).as("dist_m"))
               .orderBy(col(idCol), col("nn_rank"))
@@ -1238,7 +1239,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // GetEntityProperties / GetAttributeProperties RPCs return
         val e = entity(req)
         if (req.has("attribute")) {
-          val attribute = req.get("attribute").asText()
+          val attribute = reqField(req, "attribute").asText()
           val f = e.read().schema.fields.find(_.name == attribute).getOrElse(
             throw new IllegalArgumentException(s"no such attribute: $attribute"))
           val group = e.attributeGroups.find(_.attrs.contains(attribute))
@@ -1271,7 +1272,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // reference web `GET /index/details`: type, staleness, and the
         // recorded build recipe (what /index/refresh would rebuild with)
         val e = entity(req, "entity")
-        val name = req.get("name").asText()
+        val name = reqField(req, "name").asText()
         val loaded = e.loadIndex(name)
         out.put("index", name)
         out.put("indextype", loaded.index.indexType)
@@ -1282,29 +1283,29 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/entity/vacuum" =>
         // reference web `GET /entity/vacuum`: compact small part files
         val parts =
-          if (req.has("partitions")) req.get("partitions").asInt() else 8
-        withEntityLock(req.get("name").asText()) { entity(req).vacuum(parts) }
+          if (req.has("partitions")) reqField(req, "partitions").asInt() else 8
+        withEntityLock(reqField(req, "name").asText()) { entity(req).vacuum(parts) }
         out.put("partitions", parts)
       case "/entity/sparsify" =>
         // reference web `GET /entity/sparsify`: rewrite a vector column
         // to the sparse (idx, val, size) encoding
-        withEntityLock(req.get("name").asText()) {
-          entity(req).sparsify(req.get("vecCol").asText())
+        withEntityLock(reqField(req, "name").asText()) {
+          entity(req).sparsify(reqField(req, "vecCol").asText())
         }
-        out.put("sparsified", req.get("vecCol").asText())
+        out.put("sparsified", reqField(req, "vecCol").asText())
       case "/entity/partition" | "/index/partition" =>
         // reference web `POST /entity/partition` / `POST /index/partition`:
         // rewrite the entity's (or a stored index's relation) physical
         // layout. mode ∈ {hash(cols,n), random(n), ecp(vecCol,n),
         // column(keyCol), zorder(col1,col2,n)}
-        val n = if (req.has("n")) req.get("n").asInt() else 8
+        val n = if (req.has("n")) reqField(req, "n").asInt() else 8
         def strs(field: String): Seq[String] =
           req.get(field).elements().asScala.map(_.asText()).toSeq
-        val mode = req.get("mode").asText() match {
+        val mode = reqField(req, "mode").asText() match {
           case "hash" => Partitioning.Hash(strs("cols"), n)
           case "random" => Partitioning.Random(n)
-          case "ecp" => Partitioning.Ecp(req.get("vecCol").asText(), n)
-          case "column" => Partitioning.ByColumn(req.get("keyCol").asText())
+          case "ecp" => Partitioning.Ecp(reqField(req, "vecCol").asText(), n)
+          case "column" => Partitioning.ByColumn(reqField(req, "keyCol").asText())
           case "zorder" =>
             val cs = strs("cols")
             require(cs.size == 2, "zorder takes exactly 2 cols")
@@ -1312,29 +1313,29 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
           case "tile" =>
             val cs = strs("cols")
             require(cs.size == 2, "tile takes exactly 2 cols")
-            Partitioning.Tile(cs.head, cs(1), req.get("cell").asDouble())
+            Partitioning.Tile(cs.head, cs(1), reqField(req, "cell").asDouble())
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
         if (path == "/entity/partition") {
-          withEntityLock(req.get("name").asText()) {
+          withEntityLock(reqField(req, "name").asText()) {
             entity(req).partitionLayout(mode)
           }
-          out.put("partitioned", req.get("name").asText())
+          out.put("partitioned", reqField(req, "name").asText())
         } else {
-          withEntityLock(req.get("entity").asText()) {
-            entity(req, "entity").repartitionIndex(req.get("name").asText(), mode)
+          withEntityLock(reqField(req, "entity").asText()) {
+            entity(req, "entity").repartitionIndex(reqField(req, "name").asText(), mode)
           }
-          out.put("partitioned", req.get("name").asText())
+          out.put("partitioned", reqField(req, "name").asText())
         }
       case "/entity/storage" =>
         // reference web `POST /entity/storage` (transferStorageHandler):
         // move attributes to a different storage engine; subsequent reads
         // reassemble transparently by the system id
-        val attrs = req.get("attributes").elements().asScala.map(_.asText()).toSeq
-        withEntityLock(req.get("name").asText()) {
-          entity(req).transferAttributes(attrs, req.get("handler").asText())
+        val attrs = reqField(req, "attributes").elements().asScala.map(_.asText()).toSeq
+        withEntityLock(reqField(req, "name").asText()) {
+          entity(req).transferAttributes(attrs, reqField(req, "handler").asText())
         }
-        out.put("handler", req.get("handler").asText())
+        out.put("handler", reqField(req, "handler").asText())
         out.put("moved", attrs.size)
       case "/storagehandlers/list" =>
         // reference web `GET /storagehandlers/list`
@@ -1346,13 +1347,13 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // build the whole family over one attribute; extended=false pins
         // the reference's 8 types
         val e = entity(req, "entity")
-        val vecCol = req.get("vecCol").asText()
+        val vecCol = reqField(req, "vecCol").asText()
         val idCol =
-          if (req.has("idCol")) req.get("idCol").asText() else Entity.ApId
-        val extended = !req.has("extended") || req.get("extended").asBoolean()
+          if (req.has("idCol")) reqField(req, "idCol").asText() else Entity.ApId
+        val extended = !req.has("extended") || reqField(req, "extended").asBoolean()
         val types =
           if (extended) IndexOps.knownTypes else IndexOps.referenceTypes
-        withEntityLock(req.get("entity").asText()) {
+        withEntityLock(reqField(req, "entity").asText()) {
           types.foreach { tp =>
             e.saveIndex(s"${tp}_$vecCol",
               IndexOps.create(tp, e.read(), idCol, vecCol),
@@ -1366,23 +1367,23 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // reference web `POST /entity/insertdemo` (GenerateRandomData):
         // fill with deterministic synthetic rows — fully distributed
         // generation (spark.range + hash columns), no driver row loop
-        val n = req.get("ntuples").asLong()
-        val dims = req.get("ndims").asInt()
-        val seed = if (req.has("seed")) req.get("seed").asLong() else 42L
+        val n = reqField(req, "ntuples").asLong()
+        val dims = reqField(req, "ndims").asInt()
+        val seed = if (req.has("seed")) reqField(req, "seed").asLong() else 42L
         val df =
           if (req.has("distribution") &&
-              req.get("distribution").asText() == "gaussian")
+              reqField(req, "distribution").asText() == "gaussian")
             graft.core.RandomData.generateGaussian(spark, n, dims, seed)
           else graft.core.RandomData.generate(spark, n, dims, seed)
-        withEntityLock(req.get("name").asText()) { entity(req).insert(df) }
+        withEntityLock(reqField(req, "name").asText()) { entity(req).insert(df) }
         out.put("inserted", n)
       case "/import" =>
         // reference web `POST /import`: file import through the Spark
         // reader (format ∈ {parquet, orc, json, csv}); creates the
         // entity when absent, appends otherwise
-        val name = req.get("name").asText()
+        val name = reqField(req, "name").asText()
         val df = graft.core.ImportExport.importTable(spark,
-          req.get("format").asText(), req.get("path").asText())
+          reqField(req, "format").asText(), reqField(req, "path").asText())
         withEntityLock(name) {
           val e = if (Entity.exists(base, name)) Entity.open(spark, base, name)
                   else Entity.create(spark, base, name)
@@ -1394,8 +1395,8 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // format — the reference's ProtoExporter role over open formats
         graft.core.ImportExport.export(
           entity(req).read().drop(Entity.ApId),
-          req.get("format").asText(), req.get("path").asText())
-        out.put("exported", req.get("path").asText())
+          reqField(req, "format").asText(), reqField(req, "path").asText())
+        out.put("exported", reqField(req, "path").asText())
       case "/search/compound" =>
         // reference web `POST /search/compound`: a recursive set-algebra
         // tree over subqueries — the HTTP twin of the gRPC compound FROM
@@ -1403,25 +1404,25 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // queries; inner nodes combine on the leaf id column. Results
         // are (id, distance) rows: exact sets carry distance 0 like the
         // reference's UnionExpression family, fuzzy forms merge scores.
-        val idCol = req.get("idCol").asText()
-        pagedRows(out, compoundFrame(req.get("tree"), idCol)
+        val idCol = reqField(req, "idCol").asText()
+        pagedRows(out, compoundFrame(reqField(req, "tree"), idCol)
           .orderBy(col("distance"), col(idCol)))
       case "/search/hybrid" =>
         // BM25 + vector cosine fused by reciprocal rank (k0 = 60)
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{round => sround, _}
         val e = entity(req, "entity").read()
-        val idCol = req.get("idCol").asText()
-        val terms = req.get("terms").elements().asScala.map(_.asText()).toSeq
-        val qv = req.get("q").elements().asScala.map(_.asDouble()).toSeq
-        val n = if (req.has("k")) req.get("k").asInt() else 10
+        val idCol = reqField(req, "idCol").asText()
+        val terms = reqField(req, "terms").elements().asScala.map(_.asText()).toSeq
+        val qv = reqField(req, "q").elements().asScala.map(_.asDouble()).toSeq
+        val n = if (req.has("k")) reqField(req, "k").asInt() else 10
         val lex = graft.operators.TextSearch.bm25TopK(
-            e, idCol, req.get("textCol").asText(), terms, 5 * n)
+            e, idCol, reqField(req, "textCol").asText(), terms, 5 * n)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("score").desc, col("doc_id").asc)))
           .withColumnRenamed("doc_id", idCol)
         val vec = graft.operators.Knn.knn(e,
-            graft.functions.Distances.cosine(col(req.get("vecCol").asText()),
+            graft.functions.Distances.cosine(col(reqField(req, "vecCol").asText()),
               graft.functions.Distances.vecLit(qv)), 5 * n, col(idCol))
           .withColumn("rank", row_number().over(
             Window.orderBy(col(graft.operators.Knn.DistanceCol).asc,

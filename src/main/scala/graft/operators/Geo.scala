@@ -66,10 +66,6 @@ object Geo {
     * Karney geodesics are out of scope. */
   val RectifyingRadiusMeters = 6367449.145823415
 
-  /** Great-circle distance in meters between two (lat, lng) pairs —
-    * scalar twin of `Distances.haversine`. `radiusMeters` selects the
-    * sphere (default the Haversine R; pass [[RectifyingRadiusMeters]]
-    * for the spheroid-corrected length convention). */
   /** Clamped latitude in radians — the Haversine kernel's input
     * normalization, shared by every geodesic formula here. */
   private def latRad(v: Column): Column =
@@ -81,6 +77,10 @@ object Geo {
     radians(when(wrapped >= 180.0, wrapped - 360.0).otherwise(wrapped))
   }
 
+  /** Great-circle distance in meters between two (lat, lng) pairs —
+    * scalar twin of `Distances.haversine`. `radiusMeters` selects the
+    * sphere (default the Haversine R; pass [[RectifyingRadiusMeters]]
+    * for the spheroid-corrected length convention). */
   def haversineMeters(latA: Column, lngA: Column, latB: Column, lngB: Column,
                       radiusMeters: Double = SphereRadiusMeters): Column = {
     val earthR = lit(radiusMeters)
@@ -122,8 +122,11 @@ object Geo {
   def projectGeo(lat: Column, lng: Column, rMeters: Column,
                  bearingRad: Column): Column = {
     val delta = rMeters.cast("double") / SphereRadiusMeters
-    val phi1 = radians(lat.cast("double"))
-    val lam1 = radians(lng.cast("double"))
+    // inputs take the sibling entry points' normalization (lat clamp,
+    // lng wrap — bit-identity for in-range values, so the buffer
+    // oracle is unchanged); the bearing is naturally periodic
+    val phi1 = latRad(lat)
+    val lam1 = lngRad(lng)
     val theta = bearingRad.cast("double")
     val phi2 = asin(sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(theta))
     val lam2 = lam1 + atan2(sin(theta) * sin(delta) * cos(phi1),

@@ -110,28 +110,42 @@ object GeoAlgebra {
     * input. */
   def stAreaWkt(wkt: Column): Column = areaWktWith(wkt, stArea)
 
-  /** The shell-minus-holes / parts-sum WKT area skeleton, parameterized
-    * by the per-ring area kernel — the planar shoelace ([[stAreaWkt]])
-    * and the spherical line integral ([[Geo.stAreaGeo]]) share it.
-    * Rings route through [[validChain]] (identity for well-formed
-    * input), so coordinate-level garbage nulls the measure by the same
-    * contract as every other parser, not merely by cast propagation. */
-  private[operators] def areaWktWith(wkt: Column,
-                                     ringArea: Column => Column): Column = {
-    def polyArea(body: Column): Column = {
+  /** The ONE shell-minus-holes / parts-sum WKT fold skeleton: parse
+    * the polygon bodies, route every ring through [[validChain]]
+    * (identity for well-formed input — coordinate-level garbage nulls
+    * the measure by the same contract as every other parser), fold
+    * `kernel` over the rings with `add` from `zero`, and combine each
+    * polygon as `shell2Minus(kernel(shell), total)` (= shell − Σ holes
+    * when it is `s·2 − t`); MULTIPOLYGON parts `add` up. The scalar
+    * instance serves [[stAreaWkt]] / [[Geo.stAreaGeo]] /
+    * [[stLengthWkt]]'s family, the struct instance [[stCentroidWkt]] —
+    * a parser fix lands here ONCE for all of them. */
+  private def wktFoldWith(wkt: Column, kernel: Column => Column,
+                          zero: Column, add: (Column, Column) => Column,
+                          shell2Minus: (Column, Column) => Column,
+                          nullValue: Column): Column = {
+    def polyVal(body: Column): Column = {
       val rings = transform(split(body, "\\)\\s*,\\s*\\("),
         r => validChain(ringOf(r)))
-      val total = aggregate(rings, lit(0.0), (acc, r) => acc + ringArea(r))
-      ringArea(element_at(rings, 1)) * 2.0 - total
+      val total = aggregate(rings, zero, (acc, r) => add(acc, kernel(r)))
+      shell2Minus(kernel(element_at(rings, 1)), total)
     }
     val polyBody = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
     val multiBody = regexp_extract(wkt, "^MULTIPOLYGON\\s*\\(\\(\\((.+)\\)\\)\\)$", 1)
-    when(polyBody =!= "", polyArea(polyBody))
+    when(polyBody =!= "", polyVal(polyBody))
       .when(multiBody =!= "",
-        aggregate(split(multiBody, "\\)\\)\\s*,\\s*\\(\\("), lit(0.0),
-          (acc, p) => acc + polyArea(p)))
-      .otherwise(lit(null).cast("double"))
+        aggregate(split(multiBody, "\\)\\)\\s*,\\s*\\(\\("), zero,
+          (acc, p) => add(acc, polyVal(p))))
+      .otherwise(nullValue)
   }
+
+  /** Scalar instance of [[wktFoldWith]] for per-ring area kernels —
+    * the planar shoelace ([[stAreaWkt]]) and the spherical line
+    * integral ([[Geo.stAreaGeo]]) share it. */
+  private[operators] def areaWktWith(wkt: Column,
+                                     ringArea: Column => Column): Column =
+    wktFoldWith(wkt, ringArea, lit(0.0), _ + _, (s, t) => s * 2.0 - t,
+      lit(null).cast("double"))
 
   /** Boundary length of full WKT text: every ring's perimeter counts
     * (holes are boundary too — PostGIS `ST_Perimeter`). */
@@ -149,7 +163,6 @@ object GeoAlgebra {
     * through [[validChain]] like every other parser. Undefined
     * (NaN/null) for zero-total-area input; null on malformed text. */
   def stCentroidWkt(wkt: Column): Column = {
-    val MomType = "struct<mx:double,my:double,a:double>"
     def kernel(r: Column): Column = {
       val c = stCentroid(r)
       val ar = stArea(r)
@@ -160,20 +173,10 @@ object GeoAlgebra {
       struct(f(a.getField("mx"), b.getField("mx")).as("mx"),
         f(a.getField("my"), b.getField("my")).as("my"),
         f(a.getField("a"), b.getField("a")).as("a"))
-    val zero = struct(lit(0.0).as("mx"), lit(0.0).as("my"), lit(0.0).as("a"))
-    def polyMom(body: Column): Column = {
-      val rings = transform(split(body, "\\)\\s*,\\s*\\("),
-        r => validChain(ringOf(r)))
-      val total = aggregate(rings, zero, (acc, r) => each(_ + _)(acc, kernel(r)))
-      each((s, t) => s * 2.0 - t)(kernel(element_at(rings, 1)), total)
-    }
-    val polyBody = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
-    val multiBody = regexp_extract(wkt, "^MULTIPOLYGON\\s*\\(\\(\\((.+)\\)\\)\\)$", 1)
-    val m = when(polyBody =!= "", polyMom(polyBody))
-      .when(multiBody =!= "",
-        aggregate(split(multiBody, "\\)\\)\\s*,\\s*\\(\\("), zero,
-          (acc, p) => each(_ + _)(acc, polyMom(p))))
-      .otherwise(lit(null).cast(MomType))
+    val m = wktFoldWith(wkt, kernel,
+      zero = struct(lit(0.0).as("mx"), lit(0.0).as("my"), lit(0.0).as("a")),
+      add = each(_ + _), shell2Minus = each((s, t) => s * 2.0 - t),
+      nullValue = lit(null).cast("struct<mx:double,my:double,a:double>"))
     struct((m.getField("mx") / m.getField("a")).as("x"),
       (m.getField("my") / m.getField("a")).as("y"))
   }

@@ -382,10 +382,15 @@ class IndexSpec extends SparkSpec {
   }
 
   test("nsw: build is deterministic under any partitioning of the input") {
+    // heuristic = false keeps this the PLAIN closest-prune path's only
+    // coverage (still a supported opt-out via {"heuristic":"0"}) now
+    // that the build default is the heuristic; its heuristic twin
+    // lives in the keep-pruned test below
     val a = NSWIndex.build(data.repartition(1), "tid", "vectorfield",
-      nShards = 3, m = 6, efC = 32, ef = 48)
+      nShards = 3, m = 6, efC = 32, ef = 48, heuristic = false)
     val b = NSWIndex.build(data.repartition(13).sortWithinPartitions(col("tid").desc),
-      "tid", "vectorfield", nShards = 3, m = 6, efC = 32, ef = 48)
+      "tid", "vectorfield", nShards = 3, m = 6, efC = 32, ef = 48,
+      heuristic = false)
     val ga = a.graph.orderBy("id").collect().map(r =>
       (r.getLong(1), r.getSeq[Long](3).sorted))
     val gb = b.graph.orderBy("id").collect().map(r =>
@@ -500,14 +505,18 @@ class IndexSpec extends SparkSpec {
     // the ef ≥ shard-size guarantee must hold as a PROPERTY (repair),
     // not as fixture luck
     val n = data.count()
+    // plain prune (explicit opt-out): the repair invariant must hold
+    // for BOTH selection strategies — the heuristic twin is asserted
+    // in the keep-pruned test below
     val idx = NSWIndex.build(data, "tid", "vectorfield",
-      nShards = 3, m = 2, efC = 4, ef = 100000)
+      nShards = 3, m = 2, efC = 4, ef = 100000, heuristic = false)
     idx.candidates(queryVec, n.toInt).count() shouldBe n
     // and after an adversarial incremental extension
     val half = data.filter(col("tid") < 250)
     val ext = NSWIndex.build(half, "tid", "vectorfield",
-        nShards = 3, m = 2, efC = 4, ef = 100000)
+        nShards = 3, m = 2, efC = 4, ef = 100000, heuristic = false)
       .extend(data.filter(col("tid") >= 250), "tid", "vectorfield")
+    ext.heuristic shouldBe false // extend carries the opt-out too
     ext.candidates(queryVec, n.toInt).count() shouldBe n
   }
 

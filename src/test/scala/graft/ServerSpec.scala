@@ -933,6 +933,21 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     r.get("ok").asBoolean() shouldBe false
     r.get("error").asText() should include("nope")
     post("/no/such", "{}").get("ok").asBoolean() shouldBe false
+    // the missing-required-field contract is SERVER-WIDE (reqField),
+    // not a geo-endpoint special: a boolean query without predicates,
+    // a predicate entry without its op, and a knn without q all name
+    // the field instead of NPEing
+    def missing(path: String, body: String, field: String): Unit = {
+      val m = post(path, body)
+      m.get("ok").asBoolean() shouldBe false
+      m.get("error").asText() should include(field)
+    }
+    missing("/query/boolean", """{"entity":"wire"}""", "predicates")
+    missing("/query/boolean",
+      """{"entity":"wire","predicates":[{"attribute":"grp","values":[1]}]}""",
+      "op")
+    missing("/query/knn", """{"entity":"wire","vecCol":"vec","k":3}""", "q")
+    missing("/entity/count", "{}", "name")
   }
 
   test("admin surface over the wire: details, maintenance, partition, storage") {
