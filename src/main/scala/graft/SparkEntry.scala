@@ -1918,10 +1918,11 @@ object SparkEntry {
     "geo_geodesic_azimuth" -> ((s, d) => {
       // ST_Azimuth(geography): initial great-circle bearing from the
       // query point to every customer point, radians clockwise from
-      // north in [0, 2π). Due-north/south/self rows hit the formula's
-      // exact-zero branches (sin 0 = 0 and the commuting-product
-      // cancellation are exact in both engines), so the 0/2π wrap
-      // never straddles a rounding ulp; everything else rounds (6).
+      // north in [0, 2π); the coincident row (customer at the query
+      // point) is NULL — the PostGIS no-bearing convention.
+      // Due-north/south rows hit the formula's exact-zero branches
+      // (sin 0 = 0 is exact in both engines), so the 0/2π wrap never
+      // straddles a rounding ulp; everything else rounds (6).
       customerPoints(s, d).select(col("c_custkey"),
           round(Geo.azimuthGeo(lit(10.0), lit(10.0), col("py"), col("px")), 6)
             .as("az_rad"),
@@ -2743,10 +2744,10 @@ object SparkEntry {
     IndexCache.of(s, d, key)(indexBuilders(key)(Tables.embeddings(s, d)))
 
   private val partLayouts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.OnceMemo[String, String]
 
   private val sparseLayouts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.OnceMemo[String, String]
 
   /** Label-partitioned embeddings entity — one-time layout artifact per
     * (JVM, data dir). */
@@ -2760,10 +2761,10 @@ object SparkEntry {
     })
 
   private val zorderDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.OnceMemo[String, String]
 
   private val qcWeightsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+    new graft.core.OnceMemo[String, Seq[Double]]
   // the most recent training run — read by oracleSql (a def, evaluated
   // by Verify AFTER all queries ran) to inline the weights as literals
   @volatile private var lastQcWeights: Seq[Double] = Seq.fill(64)(0.0)
@@ -2808,12 +2809,12 @@ object SparkEntry {
     })
 
   private val kvLayouts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.OnceMemo[String, String]
 
   private[graft] val kvHandler = graft.sources.StorageHandlers.keyValue("p_partkey")
 
   private val fullTextLayouts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.OnceMemo[String, String]
 
   /** Persisted full-text index over `documents` — one-time layout
     * artifact per (JVM, data dir), the Solr-engine analogue. */
@@ -2910,7 +2911,7 @@ object SparkEntry {
     })
 
   private val geoLayouts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.OnceMemo[String, String]
 
   /** Tile-partitioned point ENTITY (cell 2.0) — the PostGIS-spatial-
     * index role as a partition-pruned entity layout; one-time artifact
@@ -3010,7 +3011,7 @@ object SparkEntry {
     * entries were released. */
   def releaseCaches(dir: String): Int = {
     var n = 0
-    def drop[A](m: scala.collection.concurrent.TrieMap[String, A])
+    def drop[A](m: graft.core.OnceMemo[String, A])
                (free: A => Unit): Unit =
       m.remove(dir).foreach { v => free(v); n += 1 }
     drop(corpusIndexes)(_.release())
@@ -3031,24 +3032,24 @@ object SparkEntry {
   }
 
   private val corpusIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusIndex]
+    new graft.core.OnceMemo[String, Dedup.CorpusIndex]
 
   /** SQ8-over-normalized-embeddings index for the hybrid vector leg —
     * build-once per data dir (one min/max agg + one encode pass). */
   private val hybridSqIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, graft.index.SQIndex]
+    new graft.core.OnceMemo[String, graft.index.SQIndex]
 
   private val cosineCorpusIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Ann.CosineCorpusIndex]
+    new graft.core.OnceMemo[String, Ann.CosineCorpusIndex]
 
   private val simhashCorpusIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Dedup.SimHashCorpusIndex]
+    new graft.core.OnceMemo[String, Dedup.SimHashCorpusIndex]
 
   private val semanticCorpusIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Ann.SemanticCorpusIndex]
+    new graft.core.OnceMemo[String, Ann.SemanticCorpusIndex]
 
   private val benchIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusIndex]
+    new graft.core.OnceMemo[String, Dedup.CorpusIndex]
 
   /** Documents text with synthetic PII appended (email + IP + phone
     * derived from doc_id) so the PII scan exercises real matches; every
@@ -5390,7 +5391,8 @@ object SparkEntry {
          |               (s_suppkey % 23) + 0.125 AS dlng,
          |               50000.0 + (s_suppkey % 4) * 25000.0 AS r FROM supplier),
          |idx(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
-         |b0 AS (SELECT s_suppkey, i, radians(dlat) AS p1, radians(dlng) AS l1,
+         |b0 AS (SELECT s_suppkey, i,
+         |         ${gla("dlat")} AS p1, ${gln("dlng")} AS l1,
          |         r / 6371000.0 AS dl, 2.0 * pi() * i / 8.0 + pi() / 8.0 AS th
          |       FROM sup CROSS JOIN idx),
          |b1 AS (SELECT *, asin(sin(p1) * cos(dl) + cos(p1) * sin(dl) * cos(th)) AS p2
@@ -5491,8 +5493,10 @@ object SparkEntry {
         s"""atan2(sin($dl) * cos(${gla("py")}),
            | cos(${gla("10.0")}) * sin(${gla("py")})
            |   - sin(${gla("10.0")}) * cos(${gla("py")}) * cos($dl))""".stripMargin
-      val az = s"""fmod(fmod($theta, 6.283185307179586)
-                  | + 6.283185307179586, 6.283185307179586)""".stripMargin
+      val az =
+        s"""CASE WHEN ${gla("py")} = ${gla("10.0")} AND $dl = 0.0 THEN NULL
+           | ELSE fmod(fmod($theta, 6.283185307179586)
+           |   + 6.283185307179586, 6.283185307179586) END""".stripMargin
       val h =
         s"""(power(sin((${gla("py")} - ${gla("10.0")}) / 2), 2)
            | + cos(${gla("10.0")}) * cos(${gla("py")})

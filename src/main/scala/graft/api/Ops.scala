@@ -144,8 +144,20 @@ object IndexOps {
         val appended = e.read().join(
           nsw.graph.select(col("id").as(idCol)), Seq(idCol), "left_anti")
         nsw.extend(appended, idCol, attribute)
-      } else create(tp, e.read(), idCol, attribute,
-        info - InfoType - InfoAttribute - InfoIdCol)
+      } else {
+        val opts = info - InfoType - InfoAttribute - InfoIdCol
+        // a pre-r20 nsw recipe records no heuristic option (plain was
+        // the build default then, and only EXPLICIT options persist) —
+        // rebuild with the PERSISTED graph's own flag, never the
+        // current default, so refresh keeps its "same configuration"
+        // promise across default changes
+        val pinned =
+          if (tp.toLowerCase == "nsw" && !opts.contains("heuristic"))
+            opts + ("heuristic" -> (if (e.loadIndex(name).index
+              .asInstanceOf[NSWIndex].heuristic) "1" else "0"))
+          else opts
+        create(tp, e.read(), idCol, attribute, pinned)
+      }
     e.saveIndex(name, idx, info)
     name
   }

@@ -684,7 +684,9 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
       case "/pipeline/verdicts" =>
         // per-row quality-filter verdicts (the zero-shuffle kernel form)
         def d(name: String, dflt: Double) =
-          if (req.has(name)) req.get(name).asDouble() else dflt
+          // reqField also rejects an EXPLICIT null (has() passes it,
+          // asDouble would silently read 0.0)
+          if (req.has(name)) reqField(req, name).asDouble() else dflt
         pagedRows(out, graft.operators.TextAnalysis.qualityVerdictsPerRow(
           entity(req, "entity").read(),
           reqField(req, "textCol").asText(), reqField(req, "idCol").asText(),
@@ -899,7 +901,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // (forward) each left row, optional tolerance horizon
         import scala.jdk.CollectionConverters._
         def strs(name: String): Seq[String] =
-          req.get(name).elements().asScala.map(_.asText()).toSeq
+          reqField(req, name).elements().asScala.map(_.asText()).toSeq
         pagedRows(out, graft.operators.AsOfJoin.asOf(
           entity(req, "left").read(), entity(req, "right").read(),
           keys = strs("keys"), tsCol = reqField(req, "tsCol").asText(),
@@ -1300,7 +1302,7 @@ class Server private(spark: SparkSession, base: String, http: HttpServer,
         // column(keyCol), zorder(col1,col2,n)}
         val n = if (req.has("n")) reqField(req, "n").asInt() else 8
         def strs(field: String): Seq[String] =
-          req.get(field).elements().asScala.map(_.asText()).toSeq
+          reqField(req, field).elements().asScala.map(_.asText()).toSeq
         val mode = reqField(req, "mode").asText() match {
           case "hash" => Partitioning.Hash(strs("cols"), n)
           case "random" => Partitioning.Random(n)

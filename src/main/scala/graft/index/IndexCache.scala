@@ -2,7 +2,7 @@ package graft.index
 
 import java.nio.file.Files
 
-import scala.collection.concurrent.TrieMap
+import graft.core.OnceMemo
 
 import org.apache.spark.sql.SparkSession
 
@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexCache {
 
-  private val cache = TrieMap.empty[(String, String), VectorIndex]
+  // OnceMemo (not TrieMap.getOrElseUpdate): a racing double-build
+  // would run TWO IndexStore.save calls against the same persisted
+  // path — the builder must run at most once per (dir, key)
+  private val cache = new OnceMemo[(String, String), VectorIndex]
   private lazy val tmpBase = Files.createTempDirectory("graft-idxcache").toString
 
   /** Collision-free per-data-dir tag (String.hashCode is 32-bit; a

@@ -94,18 +94,21 @@ object Geo {
   /** Initial great-circle bearing from (latA, lngA) toward
     * (latB, lngB), in radians clockwise from true north, normalized to
     * [0, 2π) — `ST_Azimuth(geography)` semantics (aviation formulary:
-    * `θ = atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)`).
-    * Due-north/south inputs hit the formula's exact-zero first
-    * argument (`sin 0 = 0` exactly), so the 0/2π wrap boundary is
-    * never straddled by a rounding ulp — the property that makes the
-    * rounded oracle replay safe. */
+    * `θ = atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)`),
+    * including the NULL-for-coincident-points convention (a self-pair
+    * has no bearing; without the guard `atan2(0, 0) = 0` would claim
+    * due north). Due-north/south inputs hit the formula's exact-zero
+    * first argument (`sin 0 = 0` exactly), so the 0/2π wrap boundary
+    * is never straddled by a rounding ulp — the property that makes
+    * the rounded oracle replay safe. */
   def azimuthGeo(latA: Column, lngA: Column, latB: Column, lngB: Column): Column = {
     val phi1 = latRad(latA); val phi2 = latRad(latB)
     val dLam = lngRad(lngB) - lngRad(lngA)
     val theta = atan2(sin(dLam) * cos(phi2),
       cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dLam))
     val twoPi = 2.0 * math.Pi
-    (theta % twoPi + twoPi) % twoPi
+    when(phi1 === phi2 && dLam === 0.0, lit(null).cast("double"))
+      .otherwise((theta % twoPi + twoPi) % twoPi)
   }
 
   /** Great-circle DESTINATION point: start at (lat, lng), travel
@@ -123,8 +126,11 @@ object Geo {
                  bearingRad: Column): Column = {
     val delta = rMeters.cast("double") / SphereRadiusMeters
     // inputs take the sibling entry points' normalization (lat clamp,
-    // lng wrap — bit-identity for in-range values, so the buffer
-    // oracle is unchanged); the bearing is naturally periodic
+    // lng wrap). NB the wrap is only VALUE-preserving for in-range
+    // longitudes, not bit-preserving (x+360−360 re-rounds off the
+    // dyadic grid) — the buffer oracle therefore replays gla/gln
+    // rather than raw radians(), keeping the mirror exact for any
+    // fixture. The bearing is naturally periodic and stays raw.
     val phi1 = latRad(lat)
     val lam1 = lngRad(lng)
     val theta = bearingRad.cast("double")

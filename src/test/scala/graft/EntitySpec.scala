@@ -245,6 +245,41 @@ class EntitySpec extends SparkSpec {
     e.drop()
   }
 
+  test("refresh pins the persisted nsw heuristic flag when the recipe predates the option") {
+    import graft.api.IndexOps
+    val base = freshBase()
+    val e = Entity.create(spark, base, "nswr")
+    val rnd = new scala.util.Random(17)
+    e.insert((0 until 40).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat()))).toDF("id", "vec"))
+    // a pre-r20 deployment: PLAIN build (the then-default), recipe
+    // persisted WITHOUT a heuristic option
+    val idx = graft.index.NSWIndex.build(e.read(), Entity.ApId, "vec",
+      nShards = 2, m = 4, efC = 16, ef = 256, heuristic = false)
+    e.saveIndex("nsw_vec", idx,
+      Map(IndexOps.InfoType -> "nsw", IndexOps.InfoAttribute -> "vec",
+        "nshards" -> "2", "m" -> "4", "efc" -> "16", "ef" -> "256"))
+    // version bump forces the FULL-REBUILD refresh path — the rebuilt
+    // graph must keep the persisted plain configuration, not silently
+    // adopt the new heuristic default
+    e.deleteWhere(col("id") < 5)
+    IndexOps.refresh(e, "nsw_vec") shouldBe "nsw_vec"
+    val rebuilt = e.loadIndex("nsw_vec").index.asInstanceOf[graft.index.NSWIndex]
+    rebuilt.heuristic shouldBe false
+    rebuilt.graph.count() shouldBe e.read().count()
+    // and an explicit heuristic recipe keeps winning over the pin
+    e.saveIndex("nsw_vec2",
+      IndexOps.create("nsw", e.read(), Entity.ApId, "vec",
+        Map("heuristic" -> "1", "nshards" -> "2")),
+      Map(IndexOps.InfoType -> "nsw", IndexOps.InfoAttribute -> "vec",
+        "heuristic" -> "1", "nshards" -> "2"))
+    e.deleteWhere(col("id") >= 35)
+    IndexOps.refresh(e, "nsw_vec2") shouldBe "nsw_vec2"
+    e.loadIndex("nsw_vec2").index.asInstanceOf[graft.index.NSWIndex]
+      .heuristic shouldBe true
+    e.drop()
+  }
+
   test("compound attribute group: scans reassemble, point lookups ride the KV half") {
     val base = freshBase()
     val e = Entity.create(spark, base, "compnd")

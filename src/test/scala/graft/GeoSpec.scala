@@ -160,11 +160,11 @@ class GeoSpec extends SparkSpec {
         .as("az"), col("want"))
       .as[(Double, Double)].collect()
     az.foreach { case (got, want) => got shouldBe want +- 1e-12 }
-    // self-azimuth is exactly 0 (the exact-zero branch the oracle row
-    // leans on), and wrap keeps every bearing in [0, 2π)
+    // a coincident pair has NO bearing — NULL, the PostGIS ST_Azimuth
+    // convention (atan2(0,0)=0 would claim due north)
     Seq(1).toDF("one")
       .select(Geo.azimuthGeo(lit(10.0), lit(10.0), lit(10.0), lit(10.0)))
-      .as[Double].head() shouldBe 0.0
+      .collect().head.isNullAt(0) shouldBe true
     // roundtrip: project then re-measure — distance and initial
     // bearing both recovered
     val rt = Seq(1).toDF("one")
