@@ -76,10 +76,15 @@ object Dedup {
     * corpus. Chunking never leaves the row; only (doc, hash) pairs
     * ever shuffle. Documents shorter than `window` become one
     * whole-document chunk; empty documents produce no rows. */
-  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+  def cdcChunks(df0: DataFrame, textCol: String, idCol: String,
                 window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(divisor > 1, s"divisor must exceed 1, got $divisor")
+    // the boundary kernel is O(window·chars) CPU per row — a small
+    // single-split corpus would serialize it on one core (r21 baseline:
+    // wall ≈ process-CPU on 32 cores); at scale the scan is already
+    // wider than the session parallelism and this is a no-op
+    val df = graft.core.Parallelism.fanOut(df0, col(idCol))
     val t = col(textCol)
     val n = length(t)
     val cuts = graft.functions.CdcBounds(t, window, divisor)

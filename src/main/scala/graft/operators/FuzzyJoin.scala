@@ -99,7 +99,12 @@ object FuzzyJoin {
     val b = nb.select(col("__fid").as("id_b"), col("__fstr").as("str_b"),
       col("__fkey"))
     a.join(b, Seq("__fkey"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        // free candidate cut BEFORE the distinct shuffle: a pair whose
+        // lengths differ by more than maxDist can never verify
+        // (levenshtein ≥ |len(a) − len(b)|), so dropping it here is
+        // result-identical and removes the pair from the distinct
+        abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
       .select("id_a", "id_b", "str_a", "str_b").distinct()
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= maxDist)
@@ -128,6 +133,8 @@ object FuzzyJoin {
       Seq("__fkey"), maxBucket), rightId, rightStr)
     val outCols = Seq(leftId, leftStr, rightId, rightStr).distinct
     a.join(b, Seq("__fkey"))
+      // same pre-distinct length cut as editDistancePairs — lossless
+      .filter(abs(length(col(leftStr)) - length(col(rightStr))) <= maxDist)
       .select(outCols.map(col): _*).distinct()
       .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
       .filter(col("dist") <= maxDist)

@@ -699,7 +699,11 @@ object Multimodal {
                            hashFn: Array[Byte] => Option[Long]): DataFrame = {
     val session = assets.sparkSession
     import session.implicits._
-    assets.select(Dedup.longIdOrFail(col(idCol), "perceptual near-dup"), col(payloadCol))
+    // codec decode is seconds-per-thousand-rows CPU: spread a
+    // narrower-than-the-session input across the cores (no-op at scale;
+    // see [[graft.core.Parallelism.fanOut]])
+    graft.core.Parallelism.fanOut(assets, col(idCol))
+      .select(Dedup.longIdOrFail(col(idCol), "perceptual near-dup"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
         hashFn(Option(p).getOrElse(Array.emptyByteArray)).map(h => (id, h)) }
@@ -829,8 +833,11 @@ object Multimodal {
     * oracle-checkable end to end. */
   def syntheticPatternImages(df: DataFrame, idCol: String): DataFrame = {
     val mk = udf((id: Long) => patternImagePng(id))
-    df.select(col(idCol).cast("long").as("asset_id"),
-      mk(col(idCol).cast("long")).as("payload"))
+    // PNG encode is CPU-heavy; fan the id spine out before the UDF
+    // (ids-only shuffle, no-op at scale)
+    graft.core.Parallelism.fanOut(df, col(idCol))
+      .select(col(idCol).cast("long").as("asset_id"),
+        mk(col(idCol).cast("long")).as("payload"))
   }
 
   /** Window amplitude of the deterministic envelope tone behind
@@ -877,8 +884,10 @@ object Multimodal {
     * follow from [[envAmp]], the actual ones from a real WAV decode. */
   def syntheticEnvelopeAudio(df: DataFrame, idCol: String): DataFrame = {
     val mk = udf((id: Long) => envelopeWavBytes(id))
-    df.select(col(idCol).cast("long").as("asset_id"),
-      mk(col(idCol).cast("long")).as("payload"))
+    // WAV synthesis is CPU-heavy; fan the id spine out before the UDF
+    graft.core.Parallelism.fanOut(df, col(idCol))
+      .select(col(idCol).cast("long").as("asset_id"),
+        mk(col(idCol).cast("long")).as("payload"))
   }
 
   private def mp4Be32(v: Long): Array[Byte] = Array(

@@ -63,23 +63,15 @@ object Sampling {
     * noise bounded by the sketch's own guarantees. Corpora beyond 10⁹
     * distinct identity keys should carry a true content hash (md5/
     * sha2) instead — cross-engine replay is what this hash buys. */
-  def keyHash62(key: Column): Column = {
-    // FUSED single pass: both rolling recurrences ride one fold over
-    // one split — bit-identical to keyHash·2³¹ + keyHash2 (the same
-    // integer arithmetic per step), but the text is walked (and the
-    // per-char array allocated) once instead of twice; the fold is
-    // interpreted (Spark HOFs), so no codegen CSE would de-duplicate
-    // the two walks for us
-    val s = coalesce(key.cast("string"), lit(""))
-    val zero = struct(lit(7L).as("h1"), lit(11L).as("h2"))
-    val raw = when(length(s) === 0, zero).otherwise(
-      aggregate(split(s, ""), zero, (h, c) => struct(
-        pmod(h.getField("h1") * 131L + ascii(c), lit(1000000007L)).as("h1"),
-        pmod(h.getField("h2") * 137L + ascii(c), lit(998244353L)).as("h2"))))
-    pmod(raw.getField("h1") * lit(2654435761L), lit(1000000007L)) *
-      lit(2147483648L) +
-      pmod(raw.getField("h2") * lit(3266489917L), lit(998244353L))
-  }
+  def keyHash62(key: Column): Column =
+    // FUSED single pass: both rolling recurrences ride one codepoint walk
+    // in the [[graft.functions.KeyHash62Expr]] codegen kernel —
+    // bit-identical to keyHash·2³¹ + keyHash2 (the same integer
+    // arithmetic per step). The r20 interpreted struct-fold twin
+    // (aggregate(split(s,""), …) over a (h1, h2) struct) cost the CDC
+    // family +19–42 % wall; the kernel stays inside whole-stage codegen
+    // and allocates nothing (KernelPropertySpec pins the equivalence).
+    graft.functions.RollingHash.keyHash62(coalesce(key.cast("string"), lit("")))
 
   /** Collision-free working-column namer: `__graft_<base>_<i>` with the
     * smallest `i` absent from `df` — a caller frame that already carries

@@ -484,25 +484,20 @@ object TextAnalysis {
     * bag-of-words hashes). Expressed over primitives every SQL engine
     * shares (character codepoints + modular arithmetic), so an external
     * oracle can replay it exactly; the modulus keeps `h*131 + c` far
-    * below Long overflow. */
-  def rollingFingerprint(text: Column): Column = {
-    val p = lit(1000000007L)
-    val norm = Dedup.normalize(text)
-    when(length(norm) === 0, lit(7L)).otherwise(
-      aggregate(split(norm, ""), lit(7L),
-        (h, c) => pmod(h * 131L + ascii(c), p)))
-  }
+    * below Long overflow. Computed by the
+    * [[graft.functions.RollingHashExpr]] codegen kernel (one primitive
+    * codepoint walk — the interpreted `aggregate(split(s,""),…)` twin it
+    * replaced allocated a per-char array and ran the lambda outside
+    * codegen; bit-identical, KernelPropertySpec pins the equivalence). */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash(Dedup.normalize(text), 131, 7L, 1000000007L)
 
   /** Same rolling hash over the RAW text — no case folding or whitespace
     * collapsing. For sampling keys (see [[Sampling.keyHash]]) where keys
     * differing only in case/whitespace must hash differently. Null text
     * hashes to null (callers decide null policy). */
-  def rawRollingFingerprint(text: Column): Column = {
-    val p = lit(1000000007L)
-    when(length(text) === 0, lit(7L)).otherwise(
-      aggregate(split(text, ""), lit(7L),
-        (h, c) => pmod(h * 131L + ascii(c), p)))
-  }
+  def rawRollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash(text, 131, 7L, 1000000007L)
 
   /** An INDEPENDENT second raw rolling hash — different multiplier
     * (137), modulus (998244353, the NTT prime) and seed (11), so a
@@ -510,12 +505,8 @@ object TextAnalysis {
     * collision here. Pairs with it to form the widened
     * [[Sampling.keyHash62]] identity hash; same engine-replayable
     * primitive contract (codepoints + 63-bit modular arithmetic). */
-  def rawRollingFingerprint2(text: Column): Column = {
-    val p = lit(998244353L)
-    when(length(text) === 0, lit(11L)).otherwise(
-      aggregate(split(text, ""), lit(11L),
-        (h, c) => pmod(h * 137L + ascii(c), p)))
-  }
+  def rawRollingFingerprint2(text: Column): Column =
+    graft.functions.RollingHash(text, 137, 11L, 998244353L)
 
   /** TF-IDF keyword extraction: top-`k` terms per document. Term and
     * document frequencies come from the SAME (doc, term) aggregate

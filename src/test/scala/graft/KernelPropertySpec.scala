@@ -195,6 +195,58 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("RollingHashExpr/KeyHash62Expr match the interpreted HOF fold exactly") {
+    // the r21 codegen kernels replaced the interpreted
+    // aggregate(split(s,""),…) folds — the oracle hashes must not move by
+    // one bit. Twin formulas below ARE the replaced implementations.
+    import org.apache.spark.sql.{functions => F}
+    def hofRaw(s: org.apache.spark.sql.Column, mult: Long, seedv: Long, mod: Long) =
+      F.when(F.length(s) === 0, lit(seedv)).otherwise(
+        aggregate(split(s, ""), lit(seedv), (h, c) => pmod(h * mult + ascii(c), lit(mod))))
+    def hof62(key: org.apache.spark.sql.Column) = {
+      val s = coalesce(key.cast("string"), lit(""))
+      val zero = struct(lit(7L).as("h1"), lit(11L).as("h2"))
+      val raw = F.when(F.length(s) === 0, zero).otherwise(
+        aggregate(split(s, ""), zero, (h, c) => struct(
+          pmod(h.getField("h1") * 131L + ascii(c), lit(1000000007L)).as("h1"),
+          pmod(h.getField("h2") * 137L + ascii(c), lit(998244353L)).as("h2"))))
+      pmod(raw.getField("h1") * lit(2654435761L), lit(1000000007L)) *
+        lit(2147483648L) + pmod(raw.getField("h2") * lit(3266489917L), lit(998244353L))
+    }
+    // adversarial fixed cases: empty, whitespace, non-ASCII Latin/CJK,
+    // combining marks, supplementary-plane (surrogate pairs), long runs
+    val tricky = Seq("", " ", "  a  B ", "héllo wörld", "ナイーブ", "मानक",
+      "éclair", "😀 emoji 🎉", "𝄞 clef",
+      "a" * 500, "Ab" * 64 + "\n\tmixed  ws", "null", "ASCII only 0123456789")
+    val gen = Gen.listOfN(40, Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\t', 'é', 'ß', '中', ' '),
+        1 -> Gen.oneOf("😀", "𝄞").map(_.charAt(0)))).map(_.mkString)))
+    (1L to 5L).foreach { seed =>
+      // scrub unpaired surrogates the char-level generator can produce —
+      // they are not valid UTF-8 scalar values (Spark would replace them
+      // on ingest anyway), the kernel contract is over real strings
+      val rand = sample(gen, seed + 3000).map(s =>
+        new String(s.codePoints().toArray, 0, s.codePointCount(0, s.length)))
+      val keys = (tricky ++ rand).distinct
+      val rows = keys.toDF("k").select(
+          graft.functions.RollingHash(col("k"), 131, 7L, 1000000007L).as("cg1"),
+          hofRaw(col("k"), 131L, 7L, 1000000007L).as("ho1"),
+          graft.functions.RollingHash(col("k"), 137, 11L, 998244353L).as("cg2"),
+          hofRaw(col("k"), 137L, 11L, 998244353L).as("ho2"),
+          Sampling.keyHash62(col("k")).as("cg62"),
+          hof62(col("k")).as("ho62"))
+        .collect()
+      rows.foreach { r =>
+        withClue(s"seed $seed: ") {
+          r.getLong(0) shouldBe r.getLong(1)
+          r.getLong(2) shouldBe r.getLong(3)
+          r.getLong(4) shouldBe r.getLong(5)
+        }
+      }
+    }
+  }
+
   test("keyHash stays in [0, 1e9+7) and distinct raw hashes stay distinct") {
     val keyGen = Gen.listOfN(30, Gen.identifier.map(_.take(20)))
     (1L to 25L).foreach { seed =>
