@@ -87,10 +87,19 @@ object Bench {
           (-1.0, -1.0, -1.0)
         }
       }
+      // r21 hygiene (r20 verdict #4): with only two runs, a single slow
+      // window inflates the floor — re-run while the spread exceeds 25%
+      // (up to two extra repetitions) so the recorded minimum rests on
+      // at least two runs that roughly agree, or on the best of four.
       var times = (1 to nRuns).map(_ => once())
-      val goodWall = times.map(_._1).filter(_ >= 0)
-      if (nRuns >= 2 && goodWall.nonEmpty && goodWall.max > 2 * goodWall.min)
-        times = times :+ once() // contention retry
+      def floorDisputed: Boolean = {
+        val two = times.map(_._1).filter(_ >= 0).sorted.take(2)
+        two.length == 2 && two(1) > 1.25 * two(0)
+      }
+      var retries = 0
+      while (nRuns >= 2 && retries < 2 && floorDisputed) {
+        times = times :+ once(); retries += 1
+      }
       val good = times.filter(_._1 >= 0)
       val best = if (good.nonEmpty) good.minBy(_._1) else (-1.0, -1.0, -1.0)
       (name, best._1, best._2, best._3, times.map(_._1))

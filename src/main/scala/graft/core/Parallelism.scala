@@ -27,6 +27,7 @@ object Parallelism {
     * partitions: hash-partitioned by `keys` when given (deterministic,
     * no pre-sort), round-robin otherwise. No-op when already that wide. */
   def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_NO_FANOUT")) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else if (keys.isEmpty) df.repartition(target)

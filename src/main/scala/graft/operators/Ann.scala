@@ -292,8 +292,11 @@ object Ann {
     * bucket-colliding (in, corpus) pairs pay the exact verify. The join
     * is stream-static (zero stream-side state) — usable unchanged under
     * `foreachBatch` like the MinHash admission check. */
-  def cosineNearDupAgainstCorpus(incoming: DataFrame, idCol: String, vecCol: String,
+  def cosineNearDupAgainstCorpus(incoming0: DataFrame, idCol: String, vecCol: String,
                                  idx: CosineCorpusIndex, threshold: Double): DataFrame = {
+    // spread a narrow incoming batch before the signature kernel and
+    // the per-candidate verify (no-op at scale)
+    val incoming = graft.core.Parallelism.fanOut(incoming0, col(idCol))
     val inBanded = bandSignatures(incoming, idCol, vecCol, idx.planes,
       idx.numBands, idx.bitsPerBand, "in_id")
     val cand = inBanded.join(idx.banded, Seq("band", "chunk"))
@@ -318,12 +321,16 @@ object Ann {
     * of near-zero or template embeddings hashing identically) before
     * pair enumeration — bounds the O(bucket²) candidate output AQE's
     * skew split cannot; default off. */
-  def lshCosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+  def lshCosineNearDupPairs(df0: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, dim: Int, numBits: Int = 64,
                             numBands: Int = 16, seed: Long = 42L,
                             maxBucket: Int = Int.MaxValue): DataFrame = {
     val bitsPerBand = numBits / numBands
     val planes = hyperplanes(numBits, dim, seed)
+    // both the signature kernel (numBits dot products/row) and the
+    // pair verify (one dot product/candidate) are CPU-bound — spread a
+    // narrower-than-the-session corpus first (no-op at scale)
+    val df = graft.core.Parallelism.fanOut(df0, col(idCol))
     // The banded relation feeds both sides of the self-join; without a
     // persist the hyperplane-signature kernel runs twice over the corpus.
     // Candidates are id pairs only (tiny next to the corpus), so

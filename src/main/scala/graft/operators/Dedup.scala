@@ -359,10 +359,14 @@ object Dedup {
   /** The lazy plan behind [[minhashNearDupPairs]]: (verified pairs, the
     * persisted banded relation the caller must unpersist). Package-private
     * so specs can assert the band self-join shape pre-checkpoint. */
-  private[graft] def minhashPlan(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def minhashPlan(df0: DataFrame, textCol: String, idCol: String,
                                  threshold: Double, numHashes: Int,
                                  numBands: Int, n: Int,
                                  maxBucket: Int): (DataFrame, DataFrame) = {
+    // signature + shingle kernels are numHashes·shingles multiply-mods
+    // per row — spread a narrower-than-the-session corpus first (no-op
+    // at scale; see [[graft.core.Parallelism.fanOut]])
+    val df = graft.core.Parallelism.fanOut(df0, col(idCol))
     // Candidate generation carries only (band, key, id) through the
     // shuffle; shingle sets are re-joined by id afterwards, so the heavy
     // arrays never ride the band explosion (24× per doc). The banded
@@ -426,10 +430,12 @@ object Dedup {
   /** The lazy plan behind [[ngramJaccardNearDupPairs]]: (verified
     * pairs, the persisted shingle frame the caller must unpersist).
     * Package-private so specs can assert the join shape pre-checkpoint. */
-  private[graft] def ngramJaccardPlan(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def ngramJaccardPlan(df0: DataFrame, textCol: String, idCol: String,
                                       threshold: Double, n: Int): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs a positive threshold, got $threshold")
+    // spread the corpus before the shingle kernel (no-op at scale)
+    val df = graft.core.Parallelism.fanOut(df0, col(idCol))
     val sh = df.select(col(idCol).as("id"),
         graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -585,8 +591,11 @@ object Dedup {
     * Works unchanged on a streaming `incoming` frame via `foreachBatch`
     * (the join is stream-static, the corpus side is the prepared index;
     * no stream-side state) — see DedupTextSpec's streaming case. */
-  def nearDupAgainstCorpus(incoming: DataFrame, textCol: String, idCol: String,
+  def nearDupAgainstCorpus(incoming0: DataFrame, textCol: String, idCol: String,
                            idx: CorpusIndex, threshold: Double): DataFrame = {
+    // spread a narrow incoming batch before the signature/shingle
+    // kernels (no-op at scale; see [[graft.core.Parallelism.fanOut]])
+    val incoming = graft.core.Parallelism.fanOut(incoming0, col(idCol))
     val inBanded = incoming.select(col(idCol).as("in_id"),
       posexplode(graft.functions.HashSig.minhashBands(
         tokenHashes(col(textCol)), idx.n, idx.numHashes, idx.numBands)).as(Seq("band", "key")))
@@ -641,9 +650,10 @@ object Dedup {
                                  idx: CorpusIndex, threshold: Double): DataFrame = {
     val benchPost = idx.shingles.select(col("corpus_id"),
       size(col("sh_c")).as("bench_sz"), explode(col("sh_c")).as("s"))
-    val inPost = incoming.select(col(idCol).as("in_id"),
-      explode(graft.functions.HashSig.shingleHashes(
-        tokenHashes(col(textCol)), idx.n)).as("s"))
+    val inPost = graft.core.Parallelism.fanOut(incoming, col(idCol))
+      .select(col(idCol).as("in_id"),
+        explode(graft.functions.HashSig.shingleHashes(
+          tokenHashes(col(textCol)), idx.n)).as("s"))
     inPost.join(broadcast(benchPost), Seq("s"))
       .groupBy("in_id", "corpus_id", "bench_sz")
       .agg(count(lit(1)).as("overlap"))
@@ -678,7 +688,10 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3,
                           maxBucket: Int = Int.MaxValue): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // spread a narrow corpus before the per-row signature kernel
+    // (no-op at scale; see [[graft.core.Parallelism.fanOut]])
+    val withSig = graft.core.Parallelism.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", simhash(col("text")))
     val banded = capBuckets(
       withSig.withColumn("band", explode(sequence(lit(0), lit(3))))
@@ -725,7 +738,7 @@ object Dedup {
     * stream-side state) — mirrors [[nearDupAgainstCorpus]]. */
   def simhashAgainstCorpus(incoming: DataFrame, textCol: String, idCol: String,
                            idx: SimHashCorpusIndex, maxHamming: Int = 3): DataFrame = {
-    val inBanded = incoming
+    val inBanded = graft.core.Parallelism.fanOut(incoming, col(idCol))
       .select(col(idCol).as("in_id"), simhash(col(textCol)).as("sim_i"))
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", simhashChunk(col("sim_i"), col("band")))

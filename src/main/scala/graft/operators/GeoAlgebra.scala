@@ -62,15 +62,19 @@ object GeoAlgebra {
   def wktPolygonRing(wkt: Column, ringIdx: Int = 0): Column = {
     val body = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
     val rings = split(body, "\\)\\s*,\\s*\\(")
-    when(body === "", lit(null))
-      .otherwise(validChain(ringOf(try_element_at(rings, lit(ringIdx + 1)))))
+    // ConstFold: a literal-WKT parse would otherwise re-execute per row
+    // (HOF lambdas block Catalyst constant folding); column inputs pass
+    // through untouched
+    graft.core.ConstFold(when(body === "", lit(null))
+      .otherwise(validChain(ringOf(try_element_at(rings, lit(ringIdx + 1))))))
   }
 
   /** Vertex chain of a WKT `LINESTRING (x y, x y, ...)`; null on malformed
     * input. */
   def wktLineString(wkt: Column): Column = {
     val body = regexp_extract(wkt, "^LINESTRING\\s*\\((.+)\\)$", 1)
-    when(body === "", lit(null)).otherwise(validChain(ringOf(body)))
+    graft.core.ConstFold(
+      when(body === "", lit(null)).otherwise(validChain(ringOf(body))))
   }
 
   /** ALL rings of a WKT `POLYGON` (shell + holes) or `MULTIPOLYGON`
@@ -86,22 +90,38 @@ object GeoAlgebra {
     def allValid(rings: Column): Column =
       when(exists(rings, _.isNull), lit(null).cast(s"array<$ChainType>"))
         .otherwise(rings)
-    when(polyBody =!= "", allValid(ringsOf(polyBody)))
+    graft.core.ConstFold(when(polyBody =!= "", allValid(ringsOf(polyBody)))
       .when(multiBody =!= "",
         // polygons separate with ")), ((", rings inside with "), (" —
         // splitting on BOTH separators yields the flat ring list
         allValid(transform(
           split(multiBody, "\\)\\)\\s*,\\s*\\(\\(|\\)\\s*,\\s*\\("),
           r => validChain(ringOf(r)))))
-      .otherwise(lit(null))
+      .otherwise(lit(null)))
   }
 
   /** Point membership for full WKT polygon semantics: even-odd parity
     * across every ring, so holes subtract and MULTIPOLYGON parts union.
     * Accepts `POLYGON` and `MULTIPOLYGON` text. */
-  def stContainsWkt(wkt: Column, px: Column, py: Column): Column =
-    aggregate(wktRings(wkt), lit(false), (acc, r) =>
-      acc =!= stContains(r, px, py))
+  def stContainsWkt(wkt: Column, px: Column, py: Column): Column = {
+    val rings = wktRings(wkt) // ConstFold'd inside for literal WKT
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    org.apache.spark.sql.graft.Bridge.expressionEager(rings) match {
+      // literal ring set: unroll the parity fold into an XOR chain of
+      // the codegen raycast kernel — same expression per ring in the
+      // same order as the aggregate fold, but whole-stage-codegen'd
+      // instead of an interpreted per-row lambda
+      case Literal(null, _) => lit(null).cast("boolean")
+      case Literal(arr: ArrayData, ArrayType(et, _)) =>
+        (0 until arr.numElements()).map(i =>
+            org.apache.spark.sql.graft.Bridge.column(Literal(arr.get(i, et), et)))
+          .foldLeft(lit(false))((acc, r) => acc =!= stContains(r, px, py))
+      case _ =>
+        aggregate(rings, lit(false), (acc, r) => acc =!= stContains(r, px, py))
+    }
+  }
 
   /** Hole-aware area of full WKT text (PostGIS `ST_Area` semantics):
     * each polygon contributes shell minus holes; MULTIPOLYGON parts
@@ -132,11 +152,13 @@ object GeoAlgebra {
     }
     val polyBody = regexp_extract(wkt, "^POLYGON\\s*\\(\\((.+)\\)\\)$", 1)
     val multiBody = regexp_extract(wkt, "^MULTIPOLYGON\\s*\\(\\(\\((.+)\\)\\)\\)$", 1)
-    when(polyBody =!= "", polyVal(polyBody))
+    // ConstFold: a literal-WKT measure is a constant — fold the whole
+    // parse+fold to one value instead of re-running it per row
+    graft.core.ConstFold(when(polyBody =!= "", polyVal(polyBody))
       .when(multiBody =!= "",
         aggregate(split(multiBody, "\\)\\)\\s*,\\s*\\(\\("), zero,
           (acc, p) => add(acc, polyVal(p))))
-      .otherwise(nullValue)
+      .otherwise(nullValue))
   }
 
   /** Scalar instance of [[wktFoldWith]] for per-ring area kernels —
@@ -150,7 +172,8 @@ object GeoAlgebra {
   /** Boundary length of full WKT text: every ring's perimeter counts
     * (holes are boundary too — PostGIS `ST_Perimeter`). */
   def stLengthWkt(wkt: Column): Column =
-    aggregate(wktRings(wkt), lit(0.0), (acc, r) => acc + stLength(r))
+    graft.core.ConstFold(
+      aggregate(wktRings(wkt), lit(0.0), (acc, r) => acc + stLength(r)))
 
   /** Hole-aware centroid of full WKT text (PostGIS `ST_Centroid`
     * semantics): area-weighted moments, holes subtracting and
@@ -271,9 +294,24 @@ object GeoAlgebra {
   /** [[stCovers]] over full WKT text (`POLYGON`/`MULTIPOLYGON`, holes):
     * covered = on ANY ring's boundary (a hole's boundary belongs to the
     * polygon — PostGIS convention) or even-odd inside. */
-  def stCoversWkt(wkt: Column, px: Column, py: Column): Column =
-    exists(wktRings(wkt), r => stOnBoundary(r, px, py)) ||
-      stContainsWkt(wkt, px, py)
+  def stCoversWkt(wkt: Column, px: Column, py: Column): Column = {
+    val rings = wktRings(wkt) // ConstFold'd inside for literal WKT
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    val boundary = org.apache.spark.sql.graft.Bridge.expressionEager(rings) match {
+      // literal ring set: unroll `exists` into an OR chain of the
+      // codegen on-boundary kernel (same three-valued OR semantics,
+      // whole-stage-codegen'd instead of an interpreted lambda)
+      case Literal(null, _) => lit(null).cast("boolean")
+      case Literal(arr: ArrayData, ArrayType(et, _)) =>
+        (0 until arr.numElements()).map(i =>
+            org.apache.spark.sql.graft.Bridge.column(Literal(arr.get(i, et), et)))
+          .foldLeft(lit(false))((acc, r) => acc || stOnBoundary(r, px, py))
+      case _ => exists(rings, r => stOnBoundary(r, px, py))
+    }
+    boundary || stContainsWkt(wkt, px, py)
+  }
 
   /** Orientation sign of (p→q, p→r): positive = counter-clockwise. Exact
     * for coordinates whose products stay inside the 53-bit mantissa. */

@@ -71,10 +71,14 @@ object TextSearch {
     * term: postings filtered to the query terms, document-frequency stats
     * broadcast back in, per-doc partial-summed score. Two jobs total
     * (corpus-size scalars + the scoring pass) for any corpus size. */
-  def bm25Scores(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+  def bm25Scores(docs0: DataFrame, idCol: String, textCol: String, terms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    // NOT fanned out (r21 A/B): the posting branches shuffle right after
+    // tokenization anyway, so an up-front repartition only adds an
+    // exchange (battery +0.7 s) — unlike the signature-kernel operators
+    val docs = docs0
     val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
     val corpus = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
     val n = corpus.getLong(0)
@@ -101,13 +105,15 @@ object TextSearch {
     * title hit at the same ceiling as a body hit. Same two-job shape
     * and the same shared [[bm25Contrib]] scoring expression as the
     * single-field scorer; one explode+aggregate per field. */
-  def bm25fScores(docs: DataFrame, idCol: String, fields: Seq[(String, Double)],
+  def bm25fScores(docs0: DataFrame, idCol: String, fields: Seq[(String, Double)],
                   terms: Seq[String],
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fields.nonEmpty, "at least one field required")
     fields.foreach { case (f, w) => require(w > 0, s"field $f weight must be positive") }
     require(terms.nonEmpty, "empty term list")
     val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    // NOT fanned out — same A/B evidence as bm25Scores (battery +1.3 s)
+    val docs = docs0
     val dlExpr = fields.map { case (f, w) =>
       size(TextAnalysis.tokens(col(f))) * w }.reduce(_ + _)
     val lens = docs.select(col(idCol).as("doc_id"), dlExpr.cast("double").as("dl"))

@@ -96,6 +96,9 @@ object Winnow {
                                  k: Int, w: Int, minShared: Int,
                                  maxBucket: Int): (DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // NOT fanned out (r21 A/B: battery +1.05 s): the cached hash
+    // relation shuffles into the fp_hash self-join immediately, so the
+    // extra up-front exchange buys nothing
     val rel = Dedup.capBuckets(
       hashRelation(df, textCol, idCol, k, w), Seq("fp_hash"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
