@@ -363,10 +363,13 @@ object Dedup {
                                  threshold: Double, numHashes: Int,
                                  numBands: Int, n: Int,
                                  maxBucket: Int): (DataFrame, DataFrame) = {
-    // signature + shingle kernels are numHashes·shingles multiply-mods
-    // per row — spread a narrower-than-the-session corpus first (no-op
-    // at scale; see [[graft.core.Parallelism.fanOut]])
-    val df = graft.core.Parallelism.fanOut(df0, col(idCol))
+    // NOT fanned out (r21 A/B, isolated min-of-5 across the whole
+    // consumer family: dedup_pipeline 1.31 s without vs 1.72 s with,
+    // dedup_components 1.21 vs 1.53, neardup_keep_best 1.77 vs 2.35,
+    // minhash_neardup 0.67 vs 0.86): the banded relation persists and
+    // every consumer shuffles right after it, so an up-front exchange
+    // only adds task overhead — unlike the cdc/cosine kernels
+    val df = df0
     // Candidate generation carries only (band, key, id) through the
     // shuffle; shingle sets are re-joined by id afterwards, so the heavy
     // arrays never ride the band explosion (24× per doc). The banded
@@ -434,8 +437,12 @@ object Dedup {
                                       threshold: Double, n: Int): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs a positive threshold, got $threshold")
-    // spread the corpus before the shingle kernel (no-op at scale)
-    val df = graft.core.Parallelism.fanOut(df0, col(idCol))
+    // NOT fanned out (r21 A/B, isolated min-of-5: wall 2.52 s at 9.6
+    // CPU-s without vs 2.88 s at 26 CPU-s with): unlike the banded
+    // families, every consumer of the cached shingles shuffles
+    // immediately (postings explode, df-order window, prefix join), so
+    // the up-front exchange only multiplies task overhead
+    val df = df0
     val sh = df.select(col(idCol).as("id"),
         graft.functions.HashSig.shingleHashes(tokenHashes(col(textCol)), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -591,11 +598,11 @@ object Dedup {
     * Works unchanged on a streaming `incoming` frame via `foreachBatch`
     * (the join is stream-static, the corpus side is the prepared index;
     * no stream-side state) — see DedupTextSpec's streaming case. */
-  def nearDupAgainstCorpus(incoming0: DataFrame, textCol: String, idCol: String,
+  def nearDupAgainstCorpus(incoming: DataFrame, textCol: String, idCol: String,
                            idx: CorpusIndex, threshold: Double): DataFrame = {
-    // spread a narrow incoming batch before the signature/shingle
-    // kernels (no-op at scale; see [[graft.core.Parallelism.fanOut]])
-    val incoming = graft.core.Parallelism.fanOut(incoming0, col(idCol))
+    // NOT fanned out (r21 A/B: 0.54 s without vs 1.03 s with): the
+    // incoming batch joins the persisted corpus index immediately, so
+    // the kernel work rides the join shuffle's parallelism anyway
     val inBanded = incoming.select(col(idCol).as("in_id"),
       posexplode(graft.functions.HashSig.minhashBands(
         tokenHashes(col(textCol)), idx.n, idx.numHashes, idx.numBands)).as(Seq("band", "key")))
@@ -650,10 +657,9 @@ object Dedup {
                                  idx: CorpusIndex, threshold: Double): DataFrame = {
     val benchPost = idx.shingles.select(col("corpus_id"),
       size(col("sh_c")).as("bench_sz"), explode(col("sh_c")).as("s"))
-    val inPost = graft.core.Parallelism.fanOut(incoming, col(idCol))
-      .select(col(idCol).as("in_id"),
-        explode(graft.functions.HashSig.shingleHashes(
-          tokenHashes(col(textCol)), idx.n)).as("s"))
+    val inPost = incoming.select(col(idCol).as("in_id"),
+      explode(graft.functions.HashSig.shingleHashes(
+        tokenHashes(col(textCol)), idx.n)).as("s"))
     inPost.join(broadcast(benchPost), Seq("s"))
       .groupBy("in_id", "corpus_id", "bench_sz")
       .agg(count(lit(1)).as("overlap"))
@@ -738,7 +744,7 @@ object Dedup {
     * stream-side state) — mirrors [[nearDupAgainstCorpus]]. */
   def simhashAgainstCorpus(incoming: DataFrame, textCol: String, idCol: String,
                            idx: SimHashCorpusIndex, maxHamming: Int = 3): DataFrame = {
-    val inBanded = graft.core.Parallelism.fanOut(incoming, col(idCol))
+    val inBanded = incoming
       .select(col(idCol).as("in_id"), simhash(col(textCol)).as("sim_i"))
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", simhashChunk(col("sim_i"), col("band")))
