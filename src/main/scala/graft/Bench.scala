@@ -135,10 +135,27 @@ object Bench {
       s""""distorted":${distortedQs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""gc_total":${math.round(gcTotal * 1000) / 1000.0},""" +
       s""""gates":$gs,"cpu":$cpu,"gc":$gc,"runs":$rs,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The harness captures a truncated stdout tail, which has lost half
-    // the per-query timings two rounds running — ALSO persist the full
-    // JSON to the working directory so the numbers survive verbatim.
+    // The record the driver parses from stdout has NEVER parsed
+    // (BENCH_r01..r21 all store `parsed: null` over a 2000-char captured
+    // tail; the full line above crossed 2000 chars at round 2 already) —
+    // so stdout now carries the SMALLEST contract-complete line: the same
+    // metric/value/unit/queries/sf fields plus the contended self-label,
+    // with per-query minima rounded to 0.1 ms and every large diagnostic
+    // map (cpu/gc/runs + full-precision minima) moved to
+    // bench_results.json, which keeps the full-precision record verbatim.
+    // 243 query names alone are ~4.9 KB, so the map cannot fit a
+    // 2000-char window under ANY encoding — this line (~6.5 KB) is the
+    // best a contract-complete record can do if the real capture window
+    // is larger than the stored tail.
+    def r4(v: Double): String =
+      (if (v < 0) "-1.0" else (math.round(v * 10000) / 10000.0).toString)
+    val qs4 = jmap(workload.map { case (k, v, _, _, _) => k -> r4(v) })
+    val gs4 = jmap(gates.map { case (k, v, _, _, _) => k -> r4(v) })
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""contended":$contended,"gates":$gs4,"queries":$qs4,"sf":"$sfDir"}"""
+    println(compact)
+    // Persist the FULL JSON (all repetitions, cpu, gc, unrounded minima)
+    // to the working directory so the numbers survive verbatim.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_results.json"), line + "\n")
     catch { case e: Throwable =>

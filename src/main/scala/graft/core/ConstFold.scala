@@ -45,6 +45,13 @@ object ConstFold {
       case Some(s) =>
         try {
           val df = s.range(1).select(c.as("v"))
+          // determinism gate: an input-free NON-deterministic tree
+          // (rand(), a non-deterministic UDF) must keep its per-row
+          // draw — folding would freeze one value for every row. The
+          // flag is read off the ANALYZED expression so unresolved
+          // function nodes cannot misreport.
+          if (!df.queryExecution.analyzed.expressions.forall(_.deterministic))
+            return c
           val dt = df.schema.head.dataType
           val internal = df.queryExecution.executedPlan
             .executeCollect().head.get(0, dt)

@@ -309,12 +309,42 @@ class Entity private(val name: String, base: Path, spark: SparkSession) {
     val keep = current.filter(!coalesce(predicate, lit(false)))
     val next = m.version + 1
     writeData(keep, dataPath(next))
-    // both counts are parquet metadata-only scans (no recompute of `keep`)
-    val deleted = current.count() -
-      spark.read.parquet(dataPath(next).toString).count()
+    // deleted = rows(v) − rows(v+1). With no external attribute groups
+    // both versions are plain parquet stores, so the counts come off the
+    // parquet FOOTERS, read driver-side — zero Spark jobs where the old
+    // path launched two count() actions (identical values: a parquet
+    // count() is the same footer row-count sum, run as a job). Group
+    // entities keep the general count()s — read() is a reassembly join
+    // there, not a footer sum.
+    val deleted =
+      if (attributeGroups.isEmpty)
+        parquetRowCount(dataPath(m.version)) - parquetRowCount(dataPath(next))
+      else current.count() -
+        spark.read.parquet(dataPath(next).toString).count()
     swap(m.copy(version = next))
     foldGroupsAfterRewrite()
     deleted
+  }
+
+  /** Total row count of a parquet store from its file footers — a
+    * driver-side metadata read, no Spark job. */
+  private def parquetRowCount(p: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val stream = Files.walk(p)
+    try {
+      val it = stream.iterator()
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), conf))
+          try total += r.getRecordCount finally r.close()
+        }
+      }
+      total
+    } finally stream.close()
   }
 
   /** Upsert (merge-by-key): incoming rows REPLACE existing rows sharing

@@ -40,6 +40,26 @@ object Materialize {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Drop the storage blocks behind a frame returned by [[apply]], for
+    * call sites that SUPERSEDE materializations inside a loop (the
+    * connected-components label iteration): a local checkpoint persists
+    * its RDD at MEMORY_AND_DISK, and the ContextCleaner only frees those
+    * blocks after the JVM happens to GC the frame — per-iteration
+    * checkpoints therefore accumulate storage (and the memory pressure
+    * measurably slows REPEATED calls within one session) unless the
+    * superseded frames are released eagerly. No-op for frames that are
+    * not local checkpoints; reliable checkpoint FILES stay governed by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`. */
+  def release(df: DataFrame): Unit =
+    try {
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          if (l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
   /** `import graft.core.Materialize.Ops` for `df.materialized`. */
   implicit class Ops(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = Materialize(df)

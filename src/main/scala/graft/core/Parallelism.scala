@@ -28,6 +28,10 @@ object Parallelism {
     * no pre-sort), round-robin otherwise. No-op when already that wide. */
   def fanOut(df: DataFrame, keys: Column*): DataFrame = {
     if (sys.env.contains("SPARK_GRAFT_NO_FANOUT")) return df
+    // streaming frames cannot be probed via .rdd (AnalysisException) —
+    // pass them through unchanged so the stream-capable operators
+    // (cdcChunks, the signature stages) stay usable outside foreachBatch
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else if (keys.isEmpty) df.repartition(target)

@@ -21,10 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen. The r20 identity widening (two such folds fused into one
   * struct-state fold for keyHash62) cost the CDC dedup family +19–42 %
   * wall (`cdc_repeated_chunks` 2.52 → 3.57 s, the r20 battery's slowest
-  * query). Here the fold is one primitive codepoint walk over the
-  * UTF8String — same integer recurrence, zero allocation — and stays
-  * inside whole-stage codegen via a static invoke; for the dual hash both
-  * recurrences ride the SAME walk.
+  * query). Here the fold is one primitive codepoint walk — a direct
+  * byte walk over the UTF8String (zero allocation) for ASCII input,
+  * a decoded-String walk otherwise — with the same integer recurrence,
+  * and stays inside whole-stage codegen via a static invoke; for the
+  * dual hash both recurrences ride the SAME walk.
   *
   * Bit-identity contract: `split(s, "")` splits at codePOINT boundaries
   * (Java regex never cuts a surrogate pair) and `ascii(c)` of a one-char
@@ -62,8 +63,26 @@ case class RollingHashExpr(child: Expression, mult: Int, seed: Long, mod: Long)
 }
 
 object RollingHashExpr {
-  /** One codepoint walk; shared by interpreted eval and codegen. */
+  /** One codepoint walk; shared by interpreted eval and codegen.
+    * ASCII input (every byte < 0x80: codepoint == byte) walks the
+    * UTF8String bytes directly — zero allocation on the hot per-row
+    * path; any non-ASCII byte falls back to the decoded-String walk,
+    * whose Java UTF-8 decoding (including its malformed-sequence
+    * replacement rules) is the bit-identity reference. */
   def compute(s: UTF8String, mult: Int, seed: Long, mod: Long): Long = {
+    val n = s.numBytes
+    var h = seed % mod
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      if (b >= 0x80) return computeDecoded(s, mult, seed, mod)
+      h = (h * mult + b) % mod
+      i += 1
+    }
+    h
+  }
+
+  private def computeDecoded(s: UTF8String, mult: Int, seed: Long, mod: Long): Long = {
     val str = s.toString
     var h = seed % mod
     var i = 0
@@ -110,8 +129,25 @@ object KeyHash62Expr {
 
   /** Shared by interpreted eval and codegen. All intermediates fit in
     * 63 bits: h·mult + cp < 1e9·137 + 0x10FFFF; h1·2654435761 < 2.7e18;
-    * h2·3266489917 < 3.3e18; the packed value < 2⁶¹. */
+    * h2·3266489917 < 3.3e18; the packed value < 2⁶¹. ASCII input walks
+    * the UTF8String bytes directly (zero allocation); non-ASCII falls
+    * back to the decoded-String walk — see [[RollingHashExpr.compute]]. */
   def compute(s: UTF8String): Long = {
+    val n = s.numBytes
+    var h1 = 7L
+    var h2 = 11L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      if (b >= 0x80) return computeDecoded(s)
+      h1 = (h1 * 131 + b) % P1
+      h2 = (h2 * 137 + b) % P2
+      i += 1
+    }
+    ((h1 * 2654435761L) % P1) * 2147483648L + (h2 * 3266489917L) % P2
+  }
+
+  private def computeDecoded(s: UTF8String): Long = {
     val str = s.toString
     var h1 = 7L
     var h2 = 11L

@@ -796,29 +796,37 @@ object Dedup {
         pairs.sparkSession.sessionState.conf.numShufflePartitions,
         (nEdges / 500000L + 1L).toInt))
       val sym = symWide.coalesce(parts).materialized
-      var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")).coalesce(parts).materialized
-      var iter = 0
-      var done = false
-      while (!done && iter < maxIter) {
-        val neighborMin = sym
-          .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
-          .groupBy("src").agg(min("nl").as("nmin"))
-          .withColumnRenamed("src", "id")
-        // carry the previous label through the round so convergence is
-        // read off the SAME checkpointed frame — no extra join, one
-        // cheap scan per round
-        val updated = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("component").as("old"),
-            least(col("component"), coalesce(col("nmin"), col("component")))
-              .as("component"))
-          .coalesce(parts).materialized
-        done = updated.filter(col("component") =!= col("old")).isEmpty
-        labels = updated.select("id", "component")
-        iter += 1
-      }
-      require(done, s"label propagation did not converge in $maxIter rounds")
-      labels
+      try {
+        var labels = sym.select(col("src").as("id")).distinct()
+          .withColumn("component", col("id")).coalesce(parts).materialized
+        var iter = 0
+        var done = false
+        while (!done && iter < maxIter) {
+          val neighborMin = sym
+            .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
+            .groupBy("src").agg(min("nl").as("nmin"))
+            .withColumnRenamed("src", "id")
+          // carry the previous label through the round so convergence is
+          // read off the SAME checkpointed frame — no extra join, one
+          // cheap scan per round
+          val updated = labels.join(neighborMin, Seq("id"), "left")
+            .select(col("id"), col("component").as("old"),
+              least(col("component"), coalesce(col("nmin"), col("component")))
+                .as("component"))
+            .coalesce(parts).materialized
+          done = updated.filter(col("component") =!= col("old")).isEmpty
+          // `updated` holds a full copy of the labels — release the
+          // superseded round's checkpoint blocks NOW instead of waiting
+          // for a GC: per-round checkpoints otherwise pile up in executor
+          // storage and repeated component runs within one session slow
+          // down measurably (the r21 fuzzy_name_components rerun drift)
+          graft.core.Materialize.release(labels)
+          labels = updated.select("id", "component")
+          iter += 1
+        }
+        require(done, s"label propagation did not converge in $maxIter rounds")
+        labels
+      } finally graft.core.Materialize.release(sym)
     } finally symWide.unpersist()
   }
 

@@ -87,7 +87,14 @@ object TextSearch {
         .select(lit(0L).as("doc_id"), lit(0.0).as("score"))
     val avgdl = corpus.getDouble(1)
 
-    val posts = postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*))
+    // the term-filtered postings are TINY (query terms only) but feed
+    // BOTH the df stats and the scoring join — lazily that duplicates
+    // the whole corpus-scan + tokenize + explode + aggregate subtree
+    // (their differing parent projections defeat ReuseExchange), so the
+    // corpus was read and tokenized twice per query. Materialize the
+    // small relation once; both consumers read the checkpointed rows.
+    val posts = graft.core.Materialize(
+      postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*)))
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     posts.join(broadcast(dfreq), "term")
       .join(lens, "doc_id")
@@ -123,13 +130,16 @@ object TextSearch {
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score"))
     val avgdl = corpus.getDouble(1)
-    val posts = fields.map { case (f, w) =>
+    // same single-materialization discipline as [[bm25Scores]]: the
+    // per-field explode/aggregate union otherwise re-runs once under the
+    // df stats and once under the scoring join (2 FileScans per field)
+    val posts = graft.core.Materialize(fields.map { case (f, w) =>
       docs.select(col(idCol).as("doc_id"),
           explode(TextAnalysis.tokens(col(f))).as("term"))
         .filter(col("term").isin(lowered: _*))
         .groupBy("term", "doc_id").agg((count(lit(1)) * w).as("wtf"))
     }.reduce(_ unionByName _)
-      .groupBy("term", "doc_id").agg(sum("wtf").cast("double").as("tf"))
+      .groupBy("term", "doc_id").agg(sum("wtf").cast("double").as("tf")))
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     posts.join(broadcast(dfreq), "term")
       .join(lens, "doc_id")

@@ -225,9 +225,16 @@ class KernelPropertySpec extends SparkSpec {
     (1L to 5L).foreach { seed =>
       // scrub unpaired surrogates the char-level generator can produce —
       // they are not valid UTF-8 scalar values (Spark would replace them
-      // on ingest anyway), the kernel contract is over real strings
-      val rand = sample(gen, seed + 3000).map(s =>
-        new String(s.codePoints().toArray, 0, s.codePointCount(0, s.length)))
+      // on ingest anyway), the kernel contract is over real strings.
+      // codePoints() passes LONE surrogates through as their own code
+      // points, so they must be filtered explicitly — a surrogate char
+      // only survives when paired (then it arrives as one cp > 0xFFFF).
+      val rand = sample(gen, seed + 3000).map { s =>
+        val cps = s.codePoints().toArray
+          .filterNot(cp => cp >= Character.MIN_SURROGATE.toInt &&
+            cp <= Character.MAX_SURROGATE.toInt)
+        new String(cps, 0, cps.length)
+      }
       val keys = (tricky ++ rand).distinct
       val rows = keys.toDF("k").select(
           graft.functions.RollingHash(col("k"), 131, 7L, 1000000007L).as("cg1"),
