@@ -87,16 +87,16 @@ object TextSearch {
         .select(lit(0L).as("doc_id"), lit(0.0).as("score"))
     val avgdl = corpus.getDouble(1)
 
-    // the term-filtered postings are TINY (query terms only) but feed
-    // BOTH the df stats and the scoring join — lazily that duplicates
-    // the whole corpus-scan + tokenize + explode + aggregate subtree
-    // (their differing parent projections defeat ReuseExchange), so the
-    // corpus was read and tokenized twice per query. Materialize the
-    // small relation once; both consumers read the checkpointed rows.
-    val posts = graft.core.Materialize(
-      postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*)))
-    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    posts.join(broadcast(dfreq), "term")
+    // document frequency as ONE window count over the term-filtered
+    // postings: the former aggregate + broadcast-join-back re-ran the
+    // whole corpus-scan + tokenize + explode + aggregate subtree under
+    // the df branch (differing parent projections defeat ReuseExchange),
+    // so the corpus was read and tokenized twice per query. The window
+    // shuffles only the TINY term-bounded posting rows (per-term row
+    // counts are the df), at any corpus size.
+    val posts = postings(docs, idCol, textCol).filter(col("term").isin(lowered: _*))
+    posts.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .join(lens, "doc_id")
       .withColumn("contrib", bm25Contrib(n, avgdl, k1, b))
       .groupBy("doc_id")
@@ -130,18 +130,19 @@ object TextSearch {
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score"))
     val avgdl = corpus.getDouble(1)
-    // same single-materialization discipline as [[bm25Scores]]: the
-    // per-field explode/aggregate union otherwise re-runs once under the
-    // df stats and once under the scoring join (2 FileScans per field)
-    val posts = graft.core.Materialize(fields.map { case (f, w) =>
+    // same single-pass df as [[bm25Scores]] (window count over the tiny
+    // term-bounded postings): the per-field explode/aggregate union
+    // otherwise re-runs once under the df stats and once under the
+    // scoring join (2 FileScans per field)
+    val posts = fields.map { case (f, w) =>
       docs.select(col(idCol).as("doc_id"),
           explode(TextAnalysis.tokens(col(f))).as("term"))
         .filter(col("term").isin(lowered: _*))
         .groupBy("term", "doc_id").agg((count(lit(1)) * w).as("wtf"))
     }.reduce(_ unionByName _)
-      .groupBy("term", "doc_id").agg(sum("wtf").cast("double").as("tf")))
-    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    posts.join(broadcast(dfreq), "term")
+      .groupBy("term", "doc_id").agg(sum("wtf").cast("double").as("tf"))
+    posts.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .join(lens, "doc_id")
       .withColumn("contrib", bm25Contrib(n, avgdl, k1, b))
       .groupBy("doc_id")
