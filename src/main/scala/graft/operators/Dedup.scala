@@ -417,24 +417,24 @@ object Dedup {
     */
   def ngramJaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                                threshold: Double, n: Int = 3): DataFrame = {
-    val (pairs, sh) = ngramJaccardPlan(df, textCol, idCol, threshold, n)
+    val (pairs, cached) = ngramJaccardPlan(df, textCol, idCol, threshold, n)
     // Materialize the (pair-scale) verified result eagerly so the
-    // shingle cache can be released NOW — returning the lazy frame
-    // would pin one persisted copy of the corpus shingles per call for
-    // the session lifetime (the CorpusIndex.release() hazard).
+    // shingle + prefix caches can be released NOW — returning the lazy
+    // frame would pin one persisted copy of the corpus shingles per call
+    // for the session lifetime (the CorpusIndex.release() hazard).
     // NB: Materialize truncates lineage — without a checkpoint dir an
     // executor loss fails the job rather than recomputing (see
     // graft.core.Materialize for the reliable cluster mode).
     val out = pairs.materialized
-    sh.unpersist()
+    cached.foreach(_.unpersist())
     out
   }
 
   /** The lazy plan behind [[ngramJaccardNearDupPairs]]: (verified
-    * pairs, the persisted shingle frame the caller must unpersist).
+    * pairs, the persisted frames the caller must unpersist).
     * Package-private so specs can assert the join shape pre-checkpoint. */
   private[graft] def ngramJaccardPlan(df0: DataFrame, textCol: String, idCol: String,
-                                      threshold: Double, n: Int): (DataFrame, DataFrame) = {
+                                      threshold: Double, n: Int): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs a positive threshold, got $threshold")
     // NOT fanned out (r21 A/B, isolated min-of-5: wall 2.52 s at 9.6
@@ -453,10 +453,18 @@ object Dedup {
     // The 1e-9 slack only ever LENGTHENS the prefix if t·sz rounds up
     // across an integer boundary in floating point — safe direction.
     val w = Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)
+    // persisted: the prefix feeds BOTH candidate self-join sides, and
+    // one side plans as a broadcast build — its different exchange
+    // wrapper defeats ReuseExchange, so lazily the whole freq aggregate
+    // + join-back + per-doc window pipeline executed TWICE (measured
+    // r22: the second run was ~40% of the operator's wall). The cached
+    // relation is the prefix SLICE of the posting list (≈ (1−t)·|S|+1
+    // shingles per doc), released in the public wrapper above.
     val prefix = posting.join(freq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select("s", "id", "sz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate join on the prefix shingle key, plus the All-Pairs
     // LENGTH filter: J(A,B) ≥ t ⟹ min|S| ≥ t·max|S| (J ≤ min/max),
     // so size-incompatible pairs drop before the distinct + verify
@@ -472,7 +480,7 @@ object Dedup {
       .withColumn("jaccard", setJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    (pairs, sh)
+    (pairs, Seq(sh, prefix))
   }
 
   /** End-to-end training-data dedup pipeline: quality floor → optional

@@ -71,10 +71,18 @@ object FuzzyJoin {
           lit(s") — raise maxLen, or pass dropLongStrings=true to " +
             s"exclude long rows")))).cast("string"),
         col(strCol))
+    // candidate keys are HASHES of the deletion variants, not the
+    // variant strings: equal variants hash equal (the neighborhood
+    // property is preserved — no false negatives), a 64-bit collision
+    // only ADDS a candidate the levenshtein verify removes, and the
+    // exploded/shuffled key column shrinks from an O(maxLen) string to
+    // 8 bytes — at corpus scale the candidate join moves ~3x fewer
+    // bytes and probes a long-keyed hash table instead of string keys
     df.filter(col(strCol).isNotNull &&
         (if (dropLongStrings) length(col(strCol)) <= maxLen else lit(true)))
       .select(col(idCol).as("__fid"), guarded.as("__fstr"))
-      .withColumn("__fkey", explode(neighborhood(col("__fstr"), k)))
+      .withColumn("__fkey",
+        explode(transform(neighborhood(col("__fstr"), k), v => xxhash64(v))))
   }
 
   /** Self-join: all pairs (id_a < id_b) with
@@ -94,18 +102,32 @@ object FuzzyJoin {
     val nb = Dedup.capBuckets(
       keyed(df, strCol, idCol, maxDist, maxLen, dropLongStrings),
       Seq("__fkey"), maxBucket)
-    val a = nb.select(col("__fid").as("id_a"), col("__fstr").as("str_a"),
-      col("__fkey"))
-    val b = nb.select(col("__fid").as("id_b"), col("__fstr").as("str_b"),
-      col("__fkey"))
-    a.join(b, Seq("__fkey"))
+    // the id column IS the string for name-keyed callers — carry it once
+    // (halves the candidate rows' bytes) and alias it back on output
+    val sameCol = strCol == idCol
+    val a =
+      if (sameCol) nb.select(col("__fid").as("id_a"), col("__fkey"))
+      else nb.select(col("__fid").as("id_a"), col("__fstr").as("str_a"),
+        col("__fkey"))
+    val b =
+      if (sameCol) nb.select(col("__fid").as("id_b"), col("__fkey"))
+      else nb.select(col("__fid").as("id_b"), col("__fstr").as("str_b"),
+        col("__fkey"))
+    val strA = if (sameCol) col("id_a") else col("str_a")
+    val strB = if (sameCol) col("id_b") else col("str_b")
+    val joined = a.join(b, Seq("__fkey"))
       .filter(col("id_a") < col("id_b") &&
         // free candidate cut BEFORE the distinct shuffle: a pair whose
         // lengths differ by more than maxDist can never verify
         // (levenshtein ≥ |len(a) − len(b)|), so dropping it here is
         // result-identical and removes the pair from the distinct
-        abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
-      .select("id_a", "id_b", "str_a", "str_b").distinct()
+        abs(length(strA) - length(strB)) <= maxDist)
+    (if (sameCol)
+      joined.select("id_a", "id_b").distinct()
+        .select(col("id_a"), col("id_b"),
+          col("id_a").as("str_a"), col("id_b").as("str_b"))
+    else
+      joined.select("id_a", "id_b", "str_a", "str_b").distinct())
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= maxDist)
   }

@@ -100,9 +100,9 @@ class DedupTextSpec extends SparkSpec {
     // candidate generation is an equi-join on the shingle key — never a
     // product, whatever the threshold (asserted on the lazy plan: the
     // public API checkpoints eagerly, which hides the join shape)
-    val (lazyPairs, planSh) = Dedup.ngramJaccardPlan(corpus, "text", "doc_id", 0.5, 3)
+    val (lazyPairs, planCached) = Dedup.ngramJaccardPlan(corpus, "text", "doc_id", 0.5, 3)
     val plan = lazyPairs.queryExecution.executedPlan.toString
-    planSh.unpersist()
+    planCached.foreach(_.unpersist())
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
     for (t <- Seq(0.3, 0.5, 0.7)) {
