@@ -665,9 +665,19 @@ object Dedup {
                                  idx: CorpusIndex, threshold: Double): DataFrame = {
     val benchPost = idx.shingles.select(col("corpus_id"),
       size(col("sh_c")).as("bench_sz"), explode(col("sh_c")).as("s"))
-    val inPost = incoming.select(col(idCol).as("in_id"),
-      explode(graft.functions.HashSig.shingleHashes(
-        tokenHashes(col(textCol)), idx.n)).as("s"))
+    // fan the incoming batch out BEFORE the shingle kernel: the bench
+    // postings BROADCAST (that is this operator's point — the corpus
+    // side never shuffles), so nothing downstream ever repartitions the
+    // incoming side and the kernel + probe + partial agg all serialize
+    // on a narrow scan (r22 isolated A/B on a 1-split input: wall 2.3 s
+    // at 3.2 CPU-s without ≈ 1.4 busy threads). The r21 no-fan-out note
+    // on this site was measured on a box where the whole query ran
+    // 0.5 s — re-measured here with the kernel dominating. No-op when
+    // the input is already wide.
+    val inPost = graft.core.Parallelism.fanOut(incoming, col(idCol))
+      .select(col(idCol).as("in_id"),
+        explode(graft.functions.HashSig.shingleHashes(
+          tokenHashes(col(textCol)), idx.n)).as("s"))
     inPost.join(broadcast(benchPost), Seq("s"))
       .groupBy("in_id", "corpus_id", "bench_sz")
       .agg(count(lit(1)).as("overlap"))

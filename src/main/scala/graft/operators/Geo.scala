@@ -321,7 +321,12 @@ object Geo {
     def lngCell(c: Column) =
       least(floor((normLng(c) + 180.0) / lngW), lit(nLng - 1)).cast("long")
 
-    val p = points
+    // fan the point side out before the grid probe: the poi side is the
+    // (small) broadcast build, so the haversine probe + radius filter
+    // ride the point scan's own partitioning — on a narrow scan the
+    // whole kernel serializes (r22 geo_geodesic_nearest: 1.7 s wall at
+    // 2.0 CPU-s on one split). No-op when the scan is already wide.
+    val p = graft.core.Parallelism.fanOut(points)
       .withColumn(cLat, cellOf(normLat(col(latCol))))
       .withColumn(cLng, lngCell(col(lngCol)))
 

@@ -151,7 +151,12 @@ object TextAnalysis {
                 window: Int = 128, stride: Int = 96): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       "need 0 < stride <= window")
-    val withToks = df.select(col(idCol).as("id"),
+    // tokenize + per-chunk slice/join is a pure projection pipeline —
+    // nothing downstream ever repartitions, so on a narrow scan the
+    // whole kernel serializes (r22: 1.8 s wall at 2.0 CPU-s on one
+    // split). Fan out the (id, text) rows first; no-op at scale.
+    val withToks = graft.core.Parallelism.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"),
         filter(tokens(col(textCol)), t => length(t) > 0).as("t"))
       .filter(size(col("t")) > 0)
     // last start: largest multiple of stride < size (so a doc shorter
