@@ -228,15 +228,24 @@ object Plans {
     * with every shape added — the checks themselves then read the
     * pre-planned strings serially, so results are identical to the
     * sequential form. */
+  /** Every query whose plan the audit materializes (exposed for the
+    * dev-only PlanAuditProbe timing harness). */
+  private[graft] def auditPlanNames: Seq[String] =
+    (markerChecks.map(_._1) ++ noNljChecks.map(_._1) ++
+      noShuffleChecks.map(_._1) ++
+      Seq("event_asof_attribution", "event_top_paths",
+        "q21_waiting_suppliers", "fuzzy_name_components",
+        "bigram_logppl")).distinct
+
   def audit(spark: SparkSession, sfDir: String): Seq[(String, Boolean, String)] = {
-    val planNames: Seq[String] =
-      (markerChecks.map(_._1) ++ noNljChecks.map(_._1) ++
-        noShuffleChecks.map(_._1) ++
-        Seq("event_asof_attribution", "event_top_paths",
-          "q21_waiting_suppliers", "fuzzy_name_components",
-          "bigram_logppl")).distinct
+    val planNames: Seq[String] = auditPlanNames
+    // pool sized to the host, not a constant: the audit is driver-side
+    // Catalyst planning (~0.5 CPU-s per query at 100 shapes) plus the
+    // eager-builder queries' own small jobs — 8 threads left a 32-core
+    // driver planning-bound (r22: 7.0 s wall at 67 CPU-s)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, planNames.size))
+      math.max(1, math.min(planNames.size,
+        math.min(24, Runtime.getRuntime.availableProcessors))))
     val plans: Map[String, String] =
       try {
         implicit val ec: scala.concurrent.ExecutionContext =

@@ -50,11 +50,24 @@ object ConstFold {
           // draw — folding would freeze one value for every row. The
           // flag is read off the ANALYZED expression so unresolved
           // function nodes cannot misreport.
-          if (!df.queryExecution.analyzed.expressions.forall(_.deterministic))
+          val analyzed = df.queryExecution.analyzed
+          if (!analyzed.expressions.forall(_.deterministic))
             return c
           val dt = df.schema.head.dataType
-          val internal = df.queryExecution.executedPlan
-            .executeCollect().head.get(0, dt)
+          // evaluate the RESOLVED expression interpreted instead of
+          // executing the 1-row plan: analysis already bound functions
+          // and the timezone, and Expression.eval is Spark's own
+          // interpreter, so the value is identical — but skipping the
+          // optimizer + physical planning + whole-stage codegen + job
+          // turns each fold from tens of ms into ~1 ms (geo queries
+          // fold up to a dozen literals at plan build, all inside the
+          // timed query wall). Unevaluable trees fall back to the plan.
+          val internal =
+            try analyzed.expressions.head.eval(
+              org.apache.spark.sql.catalyst.InternalRow.empty)
+            catch { case _: Throwable =>
+              df.queryExecution.executedPlan.executeCollect().head.get(0, dt)
+            }
           Bridge.column(Literal(internal, dt))
         } catch { case _: Throwable => c }
       case None => c
