@@ -30,7 +30,7 @@ object ScaleProbe {
     * which made unrelated docs with shared vocab near-identical and
     * blew pair density far past corpus-like — exactly the artifact
     * this generator must avoid. */
-  private def expandDocs(docs: DataFrame, factor: Int): DataFrame =
+  private[graft] def expandDocs(docs: DataFrame, factor: Int): DataFrame =
     docs.crossJoin(docs.sparkSession.range(1)
         .select(explode(sequence(lit(0), lit(factor - 1))).as("copy")))
       .select(
@@ -46,7 +46,7 @@ object ScaleProbe {
     * scales linearly, while cross-copy cosine is the vector's
     * autocorrelation at a non-zero shift (low for non-degenerate
     * embeddings). */
-  private def expandEmbs(embs: DataFrame, factor: Int): DataFrame =
+  private[graft] def expandEmbs(embs: DataFrame, factor: Int): DataFrame =
     embs.crossJoin(embs.sparkSession.range(1)
         .select(explode(sequence(lit(0), lit(factor - 1))).as("copy")))
       .select(

@@ -35,6 +35,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches: every read/write of an
+  // in-memory payload creates (and deletes) a temp file — per-row disk
+  // I/O plus shared-state locking that serializes the codec kernels at
+  // high task counts (r22 scaling probe: the dHash pipeline scaled only
+  // 1.3x from 8 to 32 cores with the file cache, 2.5x+ without). All our
+  // payloads are small in-memory byte arrays; use memory-cached streams.
+  // JVM-global and idempotent — decode OUTPUT is byte-identical.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical multimodal schema: (asset_id, modality, payload, meta). */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
